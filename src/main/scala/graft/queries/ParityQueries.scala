@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.SensorOps
+import graft.sources.Tables
+
+/** Reference-parity operator surface (SURVEY.md §2: P1–P11, A1–A6)
+  * re-expressed as batch-verifiable queries over the harness `events` table.
+  *
+  * Role mapping (FIXTURES.md §B): `ts` ↔ event_time, `user_id` ↔ station
+  * key, `event_type` ↔ sensor key, and the reference's `"<<bad_data>>"`
+  * malformation (producer.py:75-77) is recreated deterministically by
+  * treating `event_type = 'error'` rows as malformed payloads, so the
+  * try_cast validity path is exercised end-to-end.
+  *
+  * Column-naming / numeric conventions shared with the DuckDB oracles:
+  *  - every computed column aliased identically on both sides;
+  *  - integer aggregates → BIGINT on both sides;
+  *  - fractional SUMs go through DECIMAL(18,6) (exact, order-independent —
+  *    a double sum is order-dependent across partitions and would make the
+  *    hash compare flaky), then to double rounded to 2;
+  *  - AVGs of doubles rounded to 6 (error ~1e-10, boundary-safe);
+  *  - deterministic ORDER BY on both sides.
+  */
+object ParityQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val propsSchema = StructType(Seq(StructField("k", LongType)))
+
+  /** events reshaped to the sensor wire-format semantics. */
+  def sensorShaped(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.select(
+      col("event_id"),
+      col("ts"),
+      col("user_id").cast(StringType).as("station_id"),
+      col("event_type").as("sensor_id"),
+      when(col("event_type") === "error", lit("<<bad_data>>"))
+        .otherwise(col("value").cast(StringType))
+        .as("value_str"))
+  }
+
+  private def validated(spark: SparkSession, dir: String): DataFrame =
+    SensorOps.validate(sensorShaped(spark, dir), "value_str")
+
+  /** Flagship: per-station/sensor 1-minute windowed metrics with malformed
+    * accounting — the reference's one aggregation (consumer.py:119-139). */
+  def windowedMetrics(spark: SparkSession, dir: String): DataFrame =
+    validated(spark, dir)
+      .groupBy(window(col("ts"), "1 minute"), col("station_id"), col("sensor_id"))
+      .agg(
+        count(lit(1)).as("total_count"),
+        sum(when(col("is_valid"), 0).otherwise(1)).as("malformed_count"),
+        round(avg(when(col("is_valid"), col("value_numeric"))), 6).as("avg_value"),
+        min(when(col("is_valid"), col("value_numeric"))).as("min_value"),
+        max(when(col("is_valid"), col("value_numeric"))).as("max_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("station_id"), col("sensor_id"),
+        col("total_count"), col("malformed_count"),
+        col("avg_value"), col("min_value"), col("max_value"))
+      .orderBy("window_start", "station_id", "sensor_id")
+
+  private val windowedMetricsSql: String =
+    """WITH v AS (
+      |  SELECT CAST(ts AS TIMESTAMP) AS ts,
+      |         CAST(user_id AS VARCHAR) AS station_id,
+      |         event_type AS sensor_id,
+      |         TRY_CAST(CASE WHEN event_type = 'error' THEN '<<bad_data>>'
+      |                       ELSE CAST(value AS VARCHAR) END AS DOUBLE) AS value_numeric
+      |  FROM events)
+      |SELECT time_bucket(INTERVAL '1 minute', CAST(ts AS TIMESTAMP)) AS window_start,
+      |       time_bucket(INTERVAL '1 minute', CAST(ts AS TIMESTAMP)) + INTERVAL '1 minute' AS window_end,
+      |       station_id, sensor_id,
+      |       count(*) AS total_count,
+      |       CAST(sum(CASE WHEN value_numeric IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS malformed_count,
+      |       round(avg(value_numeric), 6) AS avg_value,
+      |       min(value_numeric) AS min_value,
+      |       max(value_numeric) AS max_value
+      |FROM v
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY window_start, station_id, sensor_id""".stripMargin
+
+  /** P4–P6 row-level: try_cast validity + epoch-millis→timestamp
+    * round-trip (consumer.py:105-116). */
+  def parseValidate(spark: SparkSession, dir: String): DataFrame =
+    SensorOps
+      .validate(sensorShaped(spark, dir), "value_str")
+      .withColumn("event_time", timestamp_millis(unix_millis(col("ts"))))
+      .select("event_id", "station_id", "sensor_id", "value_numeric", "is_valid", "event_time")
+      .orderBy("event_id")
+
+  private val parseValidateSql: String =
+    """SELECT event_id,
+      |       CAST(user_id AS VARCHAR) AS station_id,
+      |       event_type AS sensor_id,
+      |       TRY_CAST(CASE WHEN event_type = 'error' THEN '<<bad_data>>'
+      |                     ELSE CAST(value AS VARCHAR) END AS DOUBLE) AS value_numeric,
+      |       TRY_CAST(CASE WHEN event_type = 'error' THEN '<<bad_data>>'
+      |                     ELSE CAST(value AS VARCHAR) END AS DOUBLE) IS NOT NULL AS is_valid,
+      |       make_timestamp(epoch_ms(CAST(ts AS TIMESTAMP)) * 1000) AS event_time
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** P2–P3: JSON parse with explicit schema + nested-star flatten
+    * (consumer.py:100-102), over `events.props`. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), from_json(col("props"), propsSchema).as("data"))
+      .select(col("event_id"), col("data.*"))
+      .orderBy("event_id")
+
+  private val jsonExtractSql: String =
+    """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** P11 + K4: distinct station ids — the reference's fan-out driver query
+    * (consumer.py:185). Kept fully distributed (no collect). */
+  def distinctStations(spark: SparkSession, dir: String): DataFrame =
+    sensorShaped(spark, dir)
+      .select(col("station_id")).distinct().orderBy("station_id")
+
+  private val distinctStationsSql: String =
+    "SELECT DISTINCT CAST(user_id AS VARCHAR) AS station_id FROM events ORDER BY station_id"
+
+  /** P10 + K5: nested-field equality filter — one station's slice of the
+    * windowed metrics (consumer.py:189). */
+  def stationFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = SensorOps.shapeDocument(
+      validated(spark, dir)
+        .groupBy(window(col("ts"), "1 minute"),
+          col("station_id"), col("station_id").as("station_name"), col("sensor_id"))
+        .agg(
+          count(lit(1)).as("total_count"),
+          sum(when(col("is_valid"), 1).otherwise(0)).as("valid_count"),
+          sum(when(col("is_valid"), 0).otherwise(1)).as("malformed_count"),
+          round(avg(when(col("is_valid"), col("value_numeric"))), 6).as("avg_value"),
+          min(when(col("is_valid"), col("value_numeric"))).as("min_value"),
+          max(when(col("is_valid"), col("value_numeric"))).as("max_value")))
+    // nested-field predicate, then flatten for oracle comparability
+    docs.filter(col("station.id") === lit("7"))
+      .select(
+        col("window.start").as("window_start"),
+        col("sensor.id").as("sensor_id"),
+        col("metrics.count.total").as("total_count"),
+        col("metrics.count.malformed").as("malformed_count"),
+        col("metrics.avg_value").as("avg_value"))
+      .orderBy("window_start", "sensor_id")
+  }
+
+  private val stationFilterSql: String =
+    """WITH v AS (
+      |  SELECT CAST(ts AS TIMESTAMP) AS ts, CAST(user_id AS VARCHAR) AS station_id, event_type AS sensor_id,
+      |         TRY_CAST(CASE WHEN event_type = 'error' THEN '<<bad_data>>'
+      |                       ELSE CAST(value AS VARCHAR) END AS DOUBLE) AS value_numeric
+      |  FROM events)
+      |SELECT time_bucket(INTERVAL '1 minute', CAST(ts AS TIMESTAMP)) AS window_start,
+      |       sensor_id,
+      |       count(*) AS total_count,
+      |       CAST(sum(CASE WHEN value_numeric IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS malformed_count,
+      |       round(avg(value_numeric), 6) AS avg_value
+      |FROM v WHERE station_id = '7'
+      |GROUP BY 1, 2
+      |ORDER BY window_start, sensor_id""".stripMargin
+
+  /** P8: the full nested output document (consumer.py:142-165, golden shape
+    * docs/usage.md:119-142). Nested structs aren't DuckDB-hash-comparable,
+    * so this entry has no oracle (driver records rows-only); the flattened
+    * equivalents above carry the value verification.
+    */
+  def nestedDoc(spark: SparkSession, dir: String): DataFrame =
+    SensorOps.shapeDocument(
+      validated(spark, dir)
+        .withColumnRenamed("sensor_id", "sensor_id_src")
+        .select(
+          col("ts"), col("station_id"),
+          col("station_id").as("station_name"),
+          col("sensor_id_src").as("sensor_id"),
+          col("value_numeric"), col("is_valid"))
+        .groupBy(window(col("ts"), "1 minute"),
+          col("station_id"), col("station_name"), col("sensor_id"))
+        .agg(
+          count(lit(1)).as("total_count"),
+          sum(when(col("is_valid"), 1).otherwise(0)).as("valid_count"),
+          sum(when(col("is_valid"), 0).otherwise(1)).as("malformed_count"),
+          avg(when(col("is_valid"), col("value_numeric"))).as("avg_value"),
+          min(when(col("is_valid"), col("value_numeric"))).as("min_value"),
+          max(when(col("is_valid"), col("value_numeric"))).as("max_value")))
+
+  val queries: Map[String, Q] = Map(
+    "sensor_windowed_metrics" -> (windowedMetrics _),
+    "sensor_parse_validate"   -> (parseValidate _),
+    "sensor_json_extract"     -> (jsonExtract _),
+    "sensor_distinct_stations" -> (distinctStations _),
+    "sensor_station_filter"   -> (stationFilter _),
+    "sensor_nested_doc"       -> (nestedDoc _))
+
+  val oracle: Map[String, String] = Map(
+    "sensor_windowed_metrics"  -> windowedMetricsSql,
+    "sensor_parse_validate"    -> parseValidateSql,
+    "sensor_json_extract"      -> jsonExtractSql,
+    "sensor_distinct_stations" -> distinctStationsSql,
+    "sensor_station_filter"    -> stationFilterSql)
+}

@@ -1,0 +1,20 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Aggregates every query module into the single SparkEntry contract.
+  * Each module exposes `queries` (name → (spark, sfDir) => DataFrame) and
+  * `oracle` (name → DuckDB SQL over the same tables); names must stay
+  * unique across modules.
+  */
+object Registry {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
+    (ParityQueries.queries, ParityQueries.oracle))
+
+  val queries: Map[String, Q] = modules.map(_._1).reduce(_ ++ _)
+  val oracle: Map[String, String] = modules.map(_._2).reduce(_ ++ _)
+
+  require(modules.map(_._1.size).sum == queries.size, "duplicate query names across modules")
+}
