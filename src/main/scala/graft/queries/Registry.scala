@@ -11,7 +11,8 @@ object Registry {
   type Q = (SparkSession, String) => DataFrame
 
   private val modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
-    (ParityQueries.queries, ParityQueries.oracle))
+    (ParityQueries.queries, ParityQueries.oracle),
+    (RelationalQueries.queries, RelationalQueries.oracle))
 
   val queries: Map[String, Q] = modules.map(_._1).reduce(_ ++ _)
   val oracle: Map[String, String] = modules.map(_._2).reduce(_ ++ _)

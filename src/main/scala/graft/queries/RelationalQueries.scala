@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Extension tier (SURVEY.md §2.4/§2.7/§7.3-4): the relational surface the
+  * reference lacks but any monitoring/analytics engine needs — equi-joins
+  * over the star schema, top-k, analytic windows, sessionization, as-of.
+  *
+  * Scale notes (the 100 TB story):
+  *  - `nation`/`region` are broadcast explicitly — dimension tables stay
+  *    broadcast at any fact-table scale.
+  *  - fact⋈fact joins (lineitem⋈orders) shuffle on the join key; AQE
+  *    handles skew/coalescing at runtime.
+  *  - as-of is expressed as a partitioned analytic window (shuffle on
+  *    user_id, sort within partition), NOT a range self-join — the join
+  *    form explodes quadratically on hot keys; the window form is linear.
+  *  - sessionization uses `session_window`, Spark's native merging-window
+  *    aggregate, which also runs incrementally under Structured Streaming.
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact, order-independent SUM of fractional doubles: go through
+    * DECIMAL(18,6) so partial-aggregation order cannot perturb the result
+    * (a raw double sum differs run-to-run across partitionings), then to
+    * double rounded to cents. Same convention in the DuckDB oracles. */
+  private def decSum(c: Column): Column =
+    round(sum(c.cast("decimal(18,6)")).cast("double"), 2)
+
+  private val revenueExpr: Column =
+    col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  /** TPC-H Q1-shaped pricing summary: multi-key hash aggregate with
+    * arithmetic inside the aggregates, filter pushed to the parquet scan. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        decSum(revenueExpr).as("sum_disc_price"),
+        decSum(revenueExpr * (lit(1) + col("l_tax"))).as("sum_charge"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       sum(l_quantity) AS sum_qty,
+      |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_base_price,
+      |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_disc_price,
+      |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_charge,
+      |       round(avg(l_quantity), 6) AS avg_qty,
+      |       round(avg(l_extendedprice), 6) AS avg_price,
+      |       round(avg(l_discount), 6) AS avg_disc,
+      |       count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Star-schema rollup: two fact shuffle joins + one broadcast dimension
+    * join, revenue per nation. */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        decSum(revenueExpr).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  private val revenueByNationSql: String =
+    """SELECT n_name,
+      |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** Top-k: global order-by + limit. Spark executes this as TakeOrdered
+    * (per-partition heap + driver merge of k rows), which is exactly the
+    * plan that survives at scale — no global sort materialization. */
+  def topCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(decSum(revenueExpr).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  private val topCustomersSql: String =
+    """SELECT c_custkey, c_name,
+      |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 10""".stripMargin
+
+  /** Analytic ranking window: top-3 parts per brand by retail price.
+    * Deterministic tie-break on p_partkey in the ORDER BY on both sides. */
+  def rankPartsPerBrand(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("p_brand", "rk", "p_partkey", "p_name", "p_retailprice")
+      .orderBy("p_brand", "rk")
+  }
+
+  private val rankPartsPerBrandSql: String =
+    """SELECT p_brand, rk, p_partkey, p_name, p_retailprice
+      |FROM (SELECT p_brand, p_partkey, p_name, p_retailprice,
+      |             row_number() OVER (PARTITION BY p_brand
+      |                                ORDER BY p_retailprice DESC, p_partkey) AS rk
+      |      FROM part)
+      |WHERE rk <= 3
+      |ORDER BY p_brand, rk""".stripMargin
+
+  /** Calendar rollup over orders (date_trunc month). */
+  def ordersPerMonth(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        decSum(col("o_totalprice")).as("total_price"))
+      .orderBy("month")
+
+  private val ordersPerMonthSql: String =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+      |       count(*) AS n_orders,
+      |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_price
+      |FROM orders
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Sessionization: Spark's native merging session windows (gap 30 min)
+    * per user over the events stream-table. New session iff the gap since
+    * the previous event is >= the gap duration (windows merge on strict
+    * overlap only). */
+  def userSessions(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  private val userSessionsSql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |d AS (SELECT user_id, ts,
+      |             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+      |                  THEN 1 ELSE 0 END AS new_s
+      |      FROM e),
+      |s AS (SELECT user_id, ts,
+      |             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                              ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM d)
+      |SELECT user_id,
+      |       min(ts) AS session_start,
+      |       max(ts) + INTERVAL '30 minutes' AS session_end,
+      |       count(*) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  /** As-of lookup: for every purchase, the most recent strictly-earlier
+    * click by the same user — expressed as a partitioned analytic window
+    * (linear, shuffle on user_id) instead of a range self-join (quadratic
+    * on hot keys). */
+  def asOfLastClick(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .withColumn("last_click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "last_click_ts")
+      .orderBy("event_id")
+  }
+
+  private val asOfLastClickSql: String =
+    """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, last_click_ts
+      |FROM (SELECT event_id, user_id, ts, event_type,
+      |             last_value(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+      |               OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+      |      FROM events)
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q1_pricing_summary"   -> (pricingSummary _),
+    "revenue_by_nation"    -> (revenueByNation _),
+    "top_customers"        -> (topCustomers _),
+    "rank_parts_per_brand" -> (rankPartsPerBrand _),
+    "orders_per_month"     -> (ordersPerMonth _),
+    "user_sessions"        -> (userSessions _),
+    "asof_last_click"      -> (asOfLastClick _))
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary"   -> pricingSummarySql,
+    "revenue_by_nation"    -> revenueByNationSql,
+    "top_customers"        -> topCustomersSql,
+    "rank_parts_per_brand" -> rankPartsPerBrandSql,
+    "orders_per_month"     -> ordersPerMonthSql,
+    "user_sessions"        -> userSessionsSql,
+    "asof_last_click"      -> asOfLastClickSql)
+}
