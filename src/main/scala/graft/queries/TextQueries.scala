@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Text-analysis tier over `documents` (training-data-pipeline operators):
+  * token statistics, quality scoring, language ID, fingerprint dedup.
+  * All per-document work is narrow (no shuffle except the dedup groupBy) —
+  * at 100 TB these are embarrassingly parallel map stages over the scan.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Token statistics per document: whitespace tokens, distinct tokens,
+    * BPE-ish subword count, total/average token length. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_uniq_tokens"),
+        bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        aggregate(col("toks"), lit(0), (acc, t) => acc + length(t))
+          .cast("bigint").as("total_token_chars"))
+      .withColumn("avg_token_len",
+        when(col("n_tokens") > 0,
+          round(col("total_token_chars").cast("double") / col("n_tokens"), 6)))
+      .orderBy("doc_id")
+
+  private val tokenStatsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |              ELSE string_split_regex(trim(text), '\s+') END AS toks,
+      |         text
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(len(toks) AS INT) AS n_tokens,
+      |       CAST(len(list_distinct(toks)) AS INT) AS n_uniq_tokens,
+      |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_bpe_tokens,
+      |       CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT) AS total_token_chars,
+      |       CASE WHEN len(toks) > 0
+      |            THEN round(CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS DOUBLE) / len(toks), 6)
+      |       END AS avg_token_len
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: token volume, alphabetic purity, stopword density. */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("alpha_ratio", alphaRatio(col("text")))
+      .withColumn("stop_ratio",
+        when(col("n_tokens") > 0,
+          stopwordCount(col("toks"), enStopwords).cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(col("alpha_ratio"), 6).as("alpha_ratio"),
+        round(col("stop_ratio"), 6).as("stop_ratio"),
+        round(qualityScore(col("n_tokens"), col("alpha_ratio"), col("stop_ratio")), 6)
+          .as("quality_score"))
+      .orderBy("doc_id")
+
+  private val qualitySql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |         CAST(len(toks) AS INT) AS n_tokens,
+       |         CASE WHEN length(text) > 0
+       |              THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
+       |              ELSE 0.0 END AS alpha_ratio,
+       |         CASE WHEN len(toks) > 0
+       |              THEN CAST(len(list_filter(toks, x -> list_contains(${sqlList(enStopwords)}, x))) AS DOUBLE) / len(toks)
+       |              ELSE 0.0 END AS stop_ratio
+       |  FROM t)
+       |SELECT doc_id, n_tokens,
+       |       round(alpha_ratio, 6) AS alpha_ratio,
+       |       round(stop_ratio, 6) AS stop_ratio,
+       |       round(0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+       |             + 0.3 * alpha_ratio
+       |             + 0.4 * least(1.0, stop_ratio * 5.0), 6) AS quality_score
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Language-ID heuristic: stopword-hit ratio per language, argmax with
+    * a 0.05 floor. (The synthetic corpus is English-ish regardless of its
+    * `lang` metadata column — the heuristic itself is the operator under
+    * test, so the output carries both prediction and metadata.) */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("r_en",
+        when(col("n_tokens") > 0,
+          stopwordCount(col("toks"), enStopwords).cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .withColumn("r_es",
+        when(col("n_tokens") > 0,
+          stopwordCount(col("toks"), esStopwords).cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .select(
+        col("doc_id"), col("lang"),
+        when(col("n_tokens") === 0, lit("unknown"))
+          .when(col("r_en") >= col("r_es") && col("r_en") >= 0.05, lit("en"))
+          .when(col("r_es") > col("r_en") && col("r_es") >= 0.05, lit("es"))
+          .otherwise(lit("other")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  private val langIdSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, lang, CAST(len(toks) AS INT) AS n_tokens,
+       |         CASE WHEN len(toks) > 0
+       |              THEN CAST(len(list_filter(toks, x -> list_contains(${sqlList(enStopwords)}, x))) AS DOUBLE) / len(toks)
+       |              ELSE 0.0 END AS r_en,
+       |         CASE WHEN len(toks) > 0
+       |              THEN CAST(len(list_filter(toks, x -> list_contains(${sqlList(esStopwords)}, x))) AS DOUBLE) / len(toks)
+       |              ELSE 0.0 END AS r_es
+       |  FROM t)
+       |SELECT doc_id, lang,
+       |       CASE WHEN n_tokens = 0 THEN 'unknown'
+       |            WHEN r_en >= r_es AND r_en >= 0.05 THEN 'en'
+       |            WHEN r_es > r_en AND r_es >= 0.05 THEN 'es'
+       |            ELSE 'other' END AS lang_pred
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Exact dedup by canonical-text fingerprint: one row per distinct
+    * fingerprint with the surviving (minimum) doc_id and the group size.
+    * Single hash-shuffle on the fingerprint — the exact-dedup plan that
+    * scales: no pairwise comparison, state is one row per distinct doc. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("fingerprint", fingerprint(col("text")))
+      .groupBy(col("fingerprint"))
+      .agg(
+        min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("fingerprint")
+
+  private val dedupExactSql: String =
+    """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint,
+      |       min(doc_id) AS keep_doc_id,
+      |       count(*) AS n_docs
+      |FROM documents
+      |GROUP BY 1 ORDER BY fingerprint""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "doc_token_stats" -> (tokenStats _),
+    "doc_quality"     -> (quality _),
+    "doc_lang_id"     -> (langId _),
+    "dedup_exact"     -> (dedupExact _))
+
+  val oracle: Map[String, String] = Map(
+    "doc_token_stats" -> tokenStatsSql,
+    "doc_quality"     -> qualitySql,
+    "doc_lang_id"     -> langIdSql,
+    "dedup_exact"     -> dedupExactSql)
+}
