@@ -13,7 +13,8 @@ object Registry {
   private val modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
     (ParityQueries.queries, ParityQueries.oracle),
     (RelationalQueries.queries, RelationalQueries.oracle),
-    (TextQueries.queries, TextQueries.oracle))
+    (TextQueries.queries, TextQueries.oracle),
+    (SimilarityQueries.queries, SimilarityQueries.oracle))
 
   val queries: Map[String, Q] = modules.map(_._1).reduce(_ ++ _)
   val oracle: Map[String, String] = modules.map(_._2).reduce(_ ++ _)

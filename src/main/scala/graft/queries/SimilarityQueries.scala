@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+
+/** Similarity-search tier over `embeddings` (`array<float>`, dim 64):
+  * brute-force cosine top-k (the exact baseline), threshold near-dup
+  * pairs, random-hyperplane LSH bucketing (the approximate scale path),
+  * and per-label centroids (the IVF building block).
+  *
+  * Scale design:
+  *  - brute-force kNN broadcasts the (small) query set and streams the
+  *    corpus once — per-partition top-k via window rank; right baseline,
+  *    O(|Q|·N) but embarrassingly parallel.
+  *  - near-dup by full self-join is O(N²) and exists as the exact oracle
+  *    for the LSH variant, whose bucket join only compares within-bucket
+  *    candidates — at 100 TB only the LSH form survives, and its recall
+  *    is measured against the exact form at test scale.
+  *  - centroids are the IVF index build: one groupBy(label) over
+  *    position-exploded vectors, shuffle ∝ dim · n_labels.
+  */
+object SimilarityQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Shared literal hyperplanes (6 planes → 64 buckets), identical in the
+    * Spark plan and the oracle SQL. */
+  private val planes: Seq[Seq[Double]] = hyperplanes(nPlanes = 6, dim = 64)
+
+  private def planeSqlDot(vec: String, h: Seq[Double]): String =
+    s"list_dot_product($vec::DOUBLE[], [${h.mkString(", ")}]::DOUBLE[])"
+
+  private def bucketSql(vec: String): String =
+    planes.zipWithIndex
+      .map { case (h, j) =>
+        s"(CASE WHEN ${planeSqlDot(vec, h)} >= 0 THEN ${1L << j} ELSE 0 END)"
+      }
+      .mkString("(", " + ", ")")
+
+  private val cosSql =
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / " +
+      "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * " +
+      "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+
+  /** Exact brute-force kNN: top-5 cosine neighbors for each of the first
+    * 10 vectors. Ranking on the rounded similarity with vec_id tie-break
+    * keeps the cut deterministic on both engines. */
+  def knnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", round(cosine(col("q_emb"), col("embedding")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "vec_id", "cos_sim")
+      .orderBy("q_id", "rank")
+  }
+
+  private val knnBruteSql: String =
+    s"""WITH pairs AS (
+       |  SELECT b.vec_id AS q_id, a.vec_id AS vec_id, round($cosSql, 6) AS cos_sim
+       |  FROM embeddings a
+       |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) b
+       |  WHERE a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos_sim,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY cos_sim DESC, vec_id) AS rank
+       |  FROM pairs)
+       |SELECT q_id, rank, vec_id, cos_sim
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** Exact near-duplicate pairs: all (a < b) with cosine >= 0.35 (the
+    * corpus max pair similarity is ~0.51; 0.35 keeps the tail). */
+  def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    a.crossJoin(b)
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos_sim", round(cosine(col("a_emb"), col("b_emb")), 6))
+      .filter(col("cos_sim") >= 0.35)
+      .select("a_id", "b_id", "cos_sim")
+      .orderBy("a_id", "b_id")
+  }
+
+  private val nearDupPairsSql: String =
+    s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id, round($cosSql, 6) AS cos_sim
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE round($cosSql, 6) >= 0.35
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** LSH bucketing: every vector's 6-bit random-hyperplane signature.
+    * The ANN path joins within buckets only — candidate count drops from
+    * N² to Σ bucket². */
+  def lshBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        lshBucket(col("embedding"), planes).as("bucket"))
+      .orderBy("vec_id")
+
+  private val lshBucketsSql: String =
+    s"""SELECT vec_id, ${bucketSql("embedding")} AS bucket
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** LSH candidate pairs with their exact cosine — the approximate
+    * near-dup: same bucket ⇒ compare. */
+  def lshNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val b = lshBuckets(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val withB = emb.join(b, "vec_id")
+    val l = withB.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("bucket"))
+    val r = withB.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("bucket"))
+    l.join(r, "bucket")
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos_sim", round(cosine(col("a_emb"), col("b_emb")), 6))
+      .filter(col("cos_sim") >= 0.3)
+      .select("a_id", "b_id", "bucket", "cos_sim")
+      .orderBy("a_id", "b_id")
+  }
+
+  private val lshNearDupSql: String =
+    s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings)
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket AS bucket,
+       |       round($cosSql, 6) AS cos_sim
+       |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE round($cosSql, 6) >= 0.3
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** IVF index build: per-label centroids, emitted flat as (label, pos,
+    * centroid component). Position-explode + two-key groupBy — shuffle
+    * volume is dim × N, partial-aggregated map-side. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v").cast("double")), 6).as("centroid_v"))
+      .orderBy("label", "pos")
+
+  private val labelCentroidsSql: String =
+    """SELECT label, CAST(u.pos - 1 AS INT) AS pos, round(avg(u.v), 6) AS centroid_v
+      |FROM embeddings,
+      |     LATERAL (SELECT unnest(embedding::DOUBLE[]) AS v,
+      |                     generate_subscripts(embedding, 1) AS pos) u
+      |GROUP BY label, pos
+      |ORDER BY label, pos""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "knn_brute"       -> (knnBrute _),
+    "near_dup_pairs"  -> (nearDupPairs _),
+    "lsh_buckets"     -> (lshBuckets _),
+    "lsh_near_dup"    -> (lshNearDup _),
+    "label_centroids" -> (labelCentroids _))
+
+  val oracle: Map[String, String] = Map(
+    "knn_brute"       -> knnBruteSql,
+    "near_dup_pairs"  -> nearDupPairsSql,
+    "lsh_buckets"     -> lshBucketsSql,
+    "lsh_near_dup"    -> lshNearDupSql,
+    "label_centroids" -> labelCentroidsSql)
+}
