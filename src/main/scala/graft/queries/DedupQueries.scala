@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.DedupOps
+import graft.operators.DedupOps._
+import graft.sources.Tables
+
+/** Near-dup dedup queries over `documents`: MinHash signatures, LSH-banded
+  * candidate pairs verified by exact Jaccard, an exact n-gram Jaccard
+  * baseline on a bounded subset, and SimHash with Hamming-distance pairs.
+  * Every stage is mirrored in DuckDB SQL via the md5-derived integer hash
+  * (DedupOps.h60), so intermediate signatures — not just final pairs —
+  * are oracle-verified.
+  */
+object DedupQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- shared oracle fragments -------------------------------------------
+
+  private val toksCte =
+    """toks AS (
+      |  SELECT doc_id,
+      |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |              ELSE string_split_regex(trim(text), '\s+') END AS toks
+      |  FROM documents)""".stripMargin
+
+  private val shinglesCte =
+    """sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(
+      |           CASE WHEN len(toks) >= 3
+      |                THEN list_transform(range(1, CAST(len(toks) - 1 AS BIGINT)),
+      |                       i -> concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i AS INT)+1], toks[CAST(i AS INT)+2]))
+      |                WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+      |                ELSE []::VARCHAR[] END) AS shingles
+      |  FROM toks)""".stripMargin
+
+  private val seedsValues: String =
+    seeds.map { case (k, a, b) => s"($k, ${a}, ${b})" }.mkString(", ")
+
+  private val minhashCte =
+    s"""e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |h AS (SELECT doc_id, CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) % ${P} AS h31 FROM e),
+       |mh AS (
+       |  SELECT doc_id, k, min((a * h31 + b) % ${P}) AS minhash
+       |  FROM h JOIN (VALUES ${seedsValues}) seeds(k, a, b) ON TRUE
+       |  GROUP BY doc_id, k)""".stripMargin
+
+  private val jaccardExpr =
+    """CAST(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS DOUBLE)
+      | / (len(sa.shingles) + len(sb.shingles)
+      |    - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))))""".stripMargin
+
+  // ---- queries -----------------------------------------------------------
+
+  /** Flat MinHash signatures (doc_id, k, minhash). */
+  def minhashSigs(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.minhashSignatures(spark, Tables.documents(spark, dir))
+      .orderBy("doc_id", "k")
+
+  private val minhashSigsSql: String =
+    s"""WITH $toksCte,
+       |$shinglesCte,
+       |$minhashCte
+       |SELECT doc_id, k, minhash FROM mh ORDER BY doc_id, k""".stripMargin
+
+  /** LSH-banded near-dup pairs verified with exact shingle Jaccard. */
+  def minhashLshDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cand = DedupOps.lshCandidates(spark, docs)
+    val sh = DedupOps.docShingles(docs)
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
+      .withColumn("jaccard", round(jaccard(col("sa"), col("sb")), 6))
+      .filter(col("jaccard") >= 0.2)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  private val minhashLshDupsSql: String =
+    s"""WITH $toksCte,
+       |$shinglesCte,
+       |$minhashCte,
+       |bands AS (
+       |  SELECT doc_id, k // $BandRows AS band,
+       |         md5(string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY k)) AS band_key
+       |  FROM mh GROUP BY doc_id, k // $BandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, round($jaccardExpr, 6) AS jaccard
+       |FROM cand
+       |JOIN sh sa ON sa.doc_id = a_id
+       |JOIN sh sb ON sb.doc_id = b_id
+       |WHERE round($jaccardExpr, 6) >= 0.2
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** Exact all-pairs n-gram Jaccard baseline on a bounded id range —
+    * the recall reference for the LSH path (O(N²); test-scale only). */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = DedupOps.docShingles(
+      Tables.documents(spark, dir).filter(col("doc_id") < 150))
+    val a = sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"))
+    val b = sh.select(col("doc_id").as("b_id"), col("shingles").as("sb"))
+    a.crossJoin(b)
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("jaccard", round(jaccard(col("sa"), col("sb")), 6))
+      .filter(col("jaccard") >= 0.2)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  private val ngramJaccardPairsSql: String =
+    s"""WITH $toksCte,
+       |$shinglesCte,
+       |sub AS (SELECT * FROM sh WHERE doc_id < 150)
+       |SELECT sa.doc_id AS a_id, sb.doc_id AS b_id, round($jaccardExpr, 6) AS jaccard
+       |FROM sub sa JOIN sub sb ON sa.doc_id < sb.doc_id
+       |WHERE round($jaccardExpr, 6) >= 0.2
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** 48-bit SimHash per document. */
+  def docSimhash(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.simhash48(spark, Tables.documents(spark, dir))
+      .orderBy("doc_id")
+
+  private val docSimhashSql: String =
+    s"""WITH $toksCte,
+       |tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS t FROM toks),
+       |th AS (SELECT doc_id, CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) AS h60 FROM tok),
+       |bits AS (
+       |  SELECT doc_id, j,
+       |         sum(CASE WHEN (h60 // CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM th JOIN (SELECT unnest(range(0, 48)) AS j) jt ON TRUE
+       |  GROUP BY doc_id, j)
+       |SELECT doc_id,
+       |       CAST(sum(CASE WHEN s >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** SimHash near-dup pairs: Hamming distance ≤ 1 over the 48 bits. */
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sh = DedupOps.simhash48(spark, Tables.documents(spark, dir))
+    val a = sh.select(col("doc_id").as("a_id"), col("simhash").as("ha"))
+    val b = sh.select(col("doc_id").as("b_id"), col("simhash").as("hb"))
+    a.crossJoin(b)
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= 1)
+      .select("a_id", "b_id", "hamming")
+      .orderBy("a_id", "b_id")
+  }
+
+  private val simhashNearDupSql: String =
+    s"""WITH $toksCte,
+       |tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS t FROM toks),
+       |th AS (SELECT doc_id, CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) AS h60 FROM tok),
+       |bits AS (
+       |  SELECT doc_id, j,
+       |         sum(CASE WHEN (h60 // CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM th JOIN (SELECT unnest(range(0, 48)) AS j) jt ON TRUE
+       |  GROUP BY doc_id, j),
+       |sh2 AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN s >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+       |ORDER BY a_id, b_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "minhash_signatures"  -> (minhashSigs _),
+    "minhash_lsh_dups"    -> (minhashLshDups _),
+    "ngram_jaccard_pairs" -> (ngramJaccardPairs _),
+    "doc_simhash"         -> (docSimhash _),
+    "simhash_near_dup"    -> (simhashNearDup _))
+
+  val oracle: Map[String, String] = Map(
+    "minhash_signatures"  -> minhashSigsSql,
+    "minhash_lsh_dups"    -> minhashLshDupsSql,
+    "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
+    "doc_simhash"         -> docSimhashSql,
+    "simhash_near_dup"    -> simhashNearDupSql)
+}

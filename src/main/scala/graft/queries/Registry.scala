@@ -14,7 +14,8 @@ object Registry {
     (ParityQueries.queries, ParityQueries.oracle),
     (RelationalQueries.queries, RelationalQueries.oracle),
     (TextQueries.queries, TextQueries.oracle),
-    (SimilarityQueries.queries, SimilarityQueries.oracle))
+    (SimilarityQueries.queries, SimilarityQueries.oracle),
+    (DedupQueries.queries, DedupQueries.oracle))
 
   val queries: Map[String, Q] = modules.map(_._1).reduce(_ ++ _)
   val oracle: Map[String, String] = modules.map(_._2).reduce(_ ++ _)
