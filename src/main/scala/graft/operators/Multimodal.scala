@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: images/audio/video ride as opaque `binary`
+  * columns with typed metadata; decode/feature work happens in batched
+  * per-partition functions.
+  *
+  * The actual media decode is STUBBED (this container ships no image/audio
+  * codecs): [[FakeCodec]] is a deterministic byte-slicer standing in for a
+  * real decoder. Everything around it — the schema contract, the
+  * `mapPartitions` batch shape (the Scala analog of arrow-batched pandas
+  * UDFs), partition sizing, and the frame-sampling row logic — is real and
+  * tested; swapping in a real codec changes only FakeCodec's body.
+  *
+  * Scale: media rows are large; the media table should be written with a
+  * small `spark.sql.files.maxPartitionBytes` so a partition's worth of
+  * content fits executor memory, and `decodeFrames` streams the iterator
+  * (no per-partition materialization).
+  */
+object Multimodal {
+
+  case class MediaMeta(width: Int, height: Int, sample_rate: Int, n_frames: Int)
+  case class MediaRow(media_id: Long, kind: String, content: Array[Byte], meta: MediaMeta)
+  case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** Frame size of the stubbed codec (bytes per fake "frame"). */
+  val FrameBytes = 1024
+
+  /** STUB decoder: deterministically slices the payload into fixed-size
+    * frames. A real implementation would decode via an image/audio
+    * library here — same signature, same batching. */
+  object FakeCodec {
+    def frames(content: Array[Byte]): Iterator[Array[Byte]] =
+      content.grouped(FrameBytes)
+  }
+
+  /** Build a media table from `documents` — text payload as the opaque
+    * binary column plus plausible typed metadata. Gives the multimodal
+    * path a harness-testdata-backed input. */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("text/plain").as("kind"),
+      col("text").cast("binary").as("content"),
+      struct(
+        lit(0).as("width"),
+        lit(0).as("height"),
+        lit(0).as("sample_rate"),
+        ceil(octet_length(col("text").cast("binary")).cast("double") / FrameBytes)
+          .cast("int").as("n_frames")).as("meta"))
+
+  /** Codegen'd binary feature extraction — no decode needed, stays in
+    * WholeStageCodegen. */
+  def binaryFeatures(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"),
+      col("kind"),
+      octet_length(col("content")).as("n_bytes"),
+      sha2(col("content"), 256).as("sha256"),
+      hex(expr(s"substring(content, 1, 8)")).as("head_hex"),
+      col("meta.n_frames").as("n_frames"))
+
+  /** Decode + frame-sample via mapPartitions: batched, streaming over the
+    * partition iterator. `everyN` keeps one frame in N (frame_idx % N == 0).
+    */
+  def sampleFrames(spark: SparkSession, media: Dataset[MediaRow], everyN: Int): Dataset[Frame] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        FakeCodec.frames(m.content).zipWithIndex.collect {
+          case (bytes, idx) if idx % everyN == 0 => Frame(m.media_id, idx, bytes)
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import graft.sources.Tables
+
+/** Multimodal tier: binary-column feature extraction and frame-sampling
+  * row accounting, oracle-checked. Frame *bytes* are covered by ScalaTest
+  * (MultimodalSpec) — DuckDB verifies the schema/row/count plumbing, which
+  * is the part that must be right at scale.
+  */
+object MultimodalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Binary features over the documents-backed media table. */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.binaryFeatures(
+      Multimodal.fromDocuments(Tables.documents(spark, dir)))
+      .orderBy("media_id")
+
+  private val mediaFeaturesSql: String =
+    s"""SELECT doc_id AS media_id,
+       |       'text/plain' AS kind,
+       |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       |       sha256(text) AS sha256,
+       |       hex(encode(substring(text, 1, 8))) AS head_hex,
+       |       CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / ${Multimodal.FrameBytes}) AS INT) AS n_frames
+       |FROM documents ORDER BY media_id""".stripMargin
+
+  /** Frame-sampling accounting: frames per media after keeping every 4th —
+    * the distributed row-fanout logic of the decode path, without bytes. */
+  def frameSampleCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Multimodal.fromDocuments(Tables.documents(spark, dir))
+      .as[Multimodal.MediaRow]
+    Multimodal.sampleFrames(spark, media, everyN = 4)
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_sampled"))
+      .orderBy("media_id")
+  }
+
+  private val frameSampleCountsSql: String =
+    s"""SELECT doc_id AS media_id,
+       |       CAST(ceil(CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / ${Multimodal.FrameBytes}) AS DOUBLE) / 4) AS BIGINT) AS n_sampled
+       |FROM documents
+       |WHERE octet_length(encode(text)) > 0
+       |ORDER BY media_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "media_features"      -> (mediaFeatures _),
+    "frame_sample_counts" -> (frameSampleCounts _))
+
+  val oracle: Map[String, String] = Map(
+    "media_features"      -> mediaFeaturesSql,
+    "frame_sample_counts" -> frameSampleCountsSql)
+}

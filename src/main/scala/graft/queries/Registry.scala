@@ -15,7 +15,8 @@ object Registry {
     (RelationalQueries.queries, RelationalQueries.oracle),
     (TextQueries.queries, TextQueries.oracle),
     (SimilarityQueries.queries, SimilarityQueries.oracle),
-    (DedupQueries.queries, DedupQueries.oracle))
+    (DedupQueries.queries, DedupQueries.oracle),
+    (MultimodalQueries.queries, MultimodalQueries.oracle))
 
   val queries: Map[String, Q] = modules.map(_._1).reduce(_ ++ _)
   val oracle: Map[String, String] = modules.map(_._2).reduce(_ ++ _)

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ops.SensorOps
+
+/** The reference's full streaming assembly (SURVEY.md §2.5/§2.6, W1–W6 +
+  * K1–K6): schema-validated parse → try_cast validity → watermark →
+  * windowed conditional aggregate → nested doc shaping → foreachBatch
+  * sink, append output mode.
+  *
+  * Source-agnostic: takes any streaming (or batch — same plan) DataFrame
+  * of raw JSON payloads. The reference reads Kafka
+  * (consumer.py:83-90, `subscribePattern sensors.raw.*`); this
+  * environment has no Kafka connector jar, so production wiring would be
+  * `spark.readStream.format("kafka")...select($"value")` feeding
+  * [[fromRawJson]] — everything downstream is identical, which is what the
+  * MemoryStream tests exercise.
+  *
+  * Scale: the stateful window aggregate keeps one state row per
+  * (window, station, sensor) — state size is bounded by key cardinality ×
+  * windows-in-flight, independent of input rate; the watermark (W1) bounds
+  * windows-in-flight. This is the shape that survives wide clusters: state
+  * shards by grouping key across executors.
+  */
+object SensorPipeline {
+
+  /** P1–P6: raw JSON string column → validated, event-timed rows. */
+  def fromRawJson(raw: DataFrame, valueCol: String = "value"): DataFrame =
+    SensorOps.withEventTime(
+      SensorOps.validate(SensorOps.parseJson(raw, valueCol)))
+
+  /** W1–W3 + A1–A6: watermarked windowed metrics (flat). */
+  def windowedMetrics(
+      validated: DataFrame,
+      watermarkDelay: String = "5 seconds",
+      windowDuration: String = "1 minute"): DataFrame =
+    SensorOps.windowedMetrics(
+      validated.withWatermark("event_time", watermarkDelay),
+      col("event_time"),
+      Seq(col("station_id"), col("station_name"), col("sensor_id")),
+      windowDuration)
+
+  /** Full pipeline to the nested output document (P8). */
+  def documents(
+      raw: DataFrame,
+      watermarkDelay: String = "5 seconds",
+      windowDuration: String = "1 minute"): DataFrame =
+    SensorOps.shapeDocument(windowedMetrics(fromRawJson(raw), watermarkDelay, windowDuration))
+
+  /** K1/K2/K6 (consumer.py:169-208, 230-234): append-mode foreachBatch
+    * sink with empty-batch short-circuit and per-batch error isolation
+    * (a failed batch logs and is skipped — at-least-once-ish, matching
+    * the reference's try/except).
+    */
+  def start(
+      shaped: DataFrame,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 minute"))(
+      writeBatch: (DataFrame, Long) => Unit): StreamingQuery =
+    shaped.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        try {
+          if (!batch.isEmpty) writeBatch(batch, batchId)
+        } catch {
+          case e: Exception =>
+            // K6: isolate the batch, keep the query alive
+            System.err.println(s"[sensor-pipeline] batch $batchId failed: ${e.getMessage}")
+        }
+        ()
+      }
+      .start()
+}
