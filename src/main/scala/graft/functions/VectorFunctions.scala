@@ -17,12 +17,19 @@ object VectorFunctions {
 
   private def toDouble(a: Column): Column = transform(a, _.cast("double"))
 
-  /** Σ aᵢ·bᵢ in double, left-to-right. */
+  /** Σ aᵢ·bᵢ in double, left-to-right — built-in higher-order fold.
+    * Always available, but interpreted (HOFs have no codegen). */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
       lit(0.0),
       (acc, v) => acc + v)
+
+  /** Bit-identical fast path: the codegen'd [[DotProduct]] expression when
+    * the session has GraftExtensions, else the HOF fold. */
+  def dotFast(spark: org.apache.spark.sql.SparkSession)(a: Column, b: Column): Column =
+    if (spark.catalog.functionExists("graft_dot")) call_function("graft_dot", a, b)
+    else dot(a, b)
 
   /** ‖a‖₂ in double. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
@@ -34,11 +41,13 @@ object VectorFunctions {
 
   /** Random-hyperplane LSH bucket: for each hyperplane h_j, bit_j =
     * (a·h_j >= 0); bucket = Σ bit_j · 2^j. Hyperplanes are fixed literals
-    * so the same function is computable in the SQL oracle. */
-  def lshBucket(a: Column, hyperplanes: Seq[Seq[Double]]): Column =
+    * so the same function is computable in the SQL oracle. `dotImpl`
+    * lets callers pass the codegen'd fast path. */
+  def lshBucket(a: Column, hyperplanes: Seq[Seq[Double]],
+      dotImpl: (Column, Column) => Column = dot): Column =
     hyperplanes.zipWithIndex.map { case (h, j) =>
       val hCol = array(h.map(lit): _*)
-      when(dot(a, hCol) >= 0, lit(1L << j)).otherwise(lit(0L))
+      when(dotImpl(a, hCol) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Deterministic pseudo-random hyperplanes (seeded — identical across

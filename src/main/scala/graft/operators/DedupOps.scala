@@ -44,11 +44,24 @@ object DedupOps {
   def h31(c: Column): Column = h60(c) % P
 
   /** Distinct word 3-gram shingles; docs with 1–2 tokens fall back to a
-    * single whole-text shingle, empty docs to an empty set. */
+    * single whole-text shingle, empty docs to an empty set.
+    *
+    * Built by zipping the token array with its two shifted copies and
+    * concatenating element-wise — a linear streamed pass. The indexed
+    * alternatives (`transform(sequence(...), i -> element_at/slice)`)
+    * measured 5–10× slower at sf0.1: per-index array access inside an
+    * interpreted HOF lambda pays bounds-checking and O(len) copies.
+    * zip_with pads the shorter shifted arrays with null; concat
+    * null-propagates, and the filter drops the two null tail grams.
+    */
   def shingles(toks: Column, n: Int = 3): Column = {
-    val grams = transform(
-      sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
+    require(n == 3, "word-shingle builder is specialized to 3-grams")
+    val b = slice(toks, lit(2), greatest(size(toks) - 1, lit(0)))
+    val c = slice(toks, lit(3), greatest(size(toks) - 2, lit(0)))
+    val grams = filter(
+      zip_with(zip_with(toks, b, (x, y) => concat(x, lit(" "), y)), c,
+        (xy, z) => concat(xy, lit(" "), z)),
+      g => g.isNotNull)
     array_distinct(
       when(size(toks) >= n, grams)
         .when(size(toks) > 0, array(concat_ws(" ", toks)))
@@ -61,12 +74,14 @@ object DedupOps {
       col("doc_id"),
       shingles(TextFunctions.tokens(col("text"))).as("shingles"))
 
-  /** MinHash signatures, flat: (doc_id, k, minhash). One shuffle on
-    * (doc_id, k) with map-side partial min. */
-  def minhashSignatures(spark: SparkSession, docs: DataFrame): DataFrame = {
+  /** MinHash signatures from a (doc_id, shingles) frame — callers that
+    * reuse the shingle frame (e.g. for Jaccard verification of LSH
+    * candidates) should cache it and use this overload so shingling isn't
+    * recomputed per consumer. */
+  def minhashFromShingles(spark: SparkSession, sh: DataFrame): DataFrame = {
     import spark.implicits._
     val seedDf = seeds.toDF("k", "a", "b")
-    docShingles(docs)
+    sh
       .select(col("doc_id"), explode(col("shingles")).as("s"))
       .withColumn("h31", h31(col("s")))
       .crossJoin(broadcast(seedDf))
@@ -74,25 +89,36 @@ object DedupOps {
       .agg(min((col("a") * col("h31") + col("b")) % P).as("minhash"))
   }
 
+  /** MinHash signatures, flat: (doc_id, k, minhash). One shuffle on
+    * (doc_id, k) with map-side partial min. */
+  def minhashSignatures(spark: SparkSession, docs: DataFrame): DataFrame =
+    minhashFromShingles(spark, docShingles(docs))
+
   /** LSH bands: (doc_id, band, band_key) where band_key fingerprints the
     * band's minhash run in k-order. */
-  def lshBands(spark: SparkSession, docs: DataFrame): DataFrame =
-    minhashSignatures(spark, docs)
+  def bandsFromShingles(spark: SparkSession, sh: DataFrame): DataFrame =
+    minhashFromShingles(spark, sh)
       .groupBy(col("doc_id"), expr(s"k div $BandRows").as("band"))
       .agg(md5(concat_ws("_",
         transform(
           array_sort(collect_list(struct(col("k"), col("minhash")))),
           x => x.getField("minhash").cast("string")))).as("band_key"))
 
+  def lshBands(spark: SparkSession, docs: DataFrame): DataFrame =
+    bandsFromShingles(spark, docShingles(docs))
+
   /** Candidate pairs: same (band, band_key) in any band, deduplicated. */
-  def lshCandidates(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val b = lshBands(spark, docs)
+  def candidatesFromShingles(spark: SparkSession, sh: DataFrame): DataFrame = {
+    val b = bandsFromShingles(spark, sh)
     val l = b.select(col("doc_id").as("a_id"), col("band"), col("band_key"))
     val r = b.select(col("doc_id").as("b_id"), col("band"), col("band_key"))
     l.join(r, Seq("band", "band_key"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
   }
+
+  def lshCandidates(spark: SparkSession, docs: DataFrame): DataFrame =
+    candidatesFromShingles(spark, docShingles(docs))
 
   /** Exact Jaccard over distinct shingle sets (sizes only — order-free). */
   def jaccard(sa: Column, sb: Column): Column = {

@@ -70,8 +70,10 @@ object DedupQueries {
   /** LSH-banded near-dup pairs verified with exact shingle Jaccard. */
   def minhashLshDups(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val cand = DedupOps.lshCandidates(spark, docs)
-    val sh = DedupOps.docShingles(docs)
+    // shingle frame consumed 3x (signatures + both jaccard sides): cache
+    // it once instead of re-tokenizing the corpus per consumer (K3)
+    val sh = DedupOps.docShingles(docs).cache()
+    val cand = DedupOps.candidatesFromShingles(spark, sh)
     cand
       .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
@@ -144,7 +146,9 @@ object DedupQueries {
 
   /** SimHash near-dup pairs: Hamming distance ≤ 1 over the 48 bits. */
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val sh = DedupOps.simhash48(spark, Tables.documents(spark, dir))
+    // one signature row per doc, self-joined: cache to avoid recomputing
+    // the token-explode pipeline for each join side
+    val sh = DedupOps.simhash48(spark, Tables.documents(spark, dir)).cache()
     val a = sh.select(col("doc_id").as("a_id"), col("simhash").as("ha"))
     val b = sh.select(col("doc_id").as("b_id"), col("simhash").as("hb"))
     a.crossJoin(b)

@@ -50,14 +50,20 @@ object SimilarityQueries {
     * 10 vectors. Ranking on the rounded similarity with vec_id tie-break
     * keeps the cut deterministic on both engines. */
   def knnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val dotF = dotFast(spark) _
+    // norms computed once per vector BEFORE the pair join: 1 fold per pair
+    // instead of 3 (dot + both norms) — the constant factor that matters
+    // when the corpus side streams billions of rows.
     val emb = Tables.embeddings(spark, dir)
+      .withColumn("norm", sqrt(dotFast(spark)(col("embedding"), col("embedding"))))
     val q = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos_sim", round(cosine(col("q_emb"), col("embedding")), 6))
+      .withColumn("cos_sim",
+        round(dotF(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select("q_id", "rank", "vec_id", "cos_sim")
@@ -82,12 +88,16 @@ object SimilarityQueries {
   /** Exact near-duplicate pairs: all (a < b) with cosine >= 0.35 (the
     * corpus max pair similarity is ~0.51; 0.35 keeps the tail). */
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val dotF = dotFast(spark) _
     val emb = Tables.embeddings(spark, dir)
-    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      .withColumn("norm", sqrt(dotFast(spark)(col("embedding"), col("embedding"))))
+      .cache() // self-joined: both sides read the cached vectors+norms
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("norm").as("a_norm"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("norm").as("b_norm"))
     a.crossJoin(b)
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cos_sim", round(cosine(col("a_emb"), col("b_emb")), 6))
+      .withColumn("cos_sim",
+        round(dotF(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")), 6))
       .filter(col("cos_sim") >= 0.35)
       .select("a_id", "b_id", "cos_sim")
       .orderBy("a_id", "b_id")
@@ -106,7 +116,7 @@ object SimilarityQueries {
     Tables.embeddings(spark, dir)
       .select(
         col("vec_id"),
-        lshBucket(col("embedding"), planes).as("bucket"))
+        lshBucket(col("embedding"), planes, dotFast(spark)).as("bucket"))
       .orderBy("vec_id")
 
   private val lshBucketsSql: String =
@@ -116,14 +126,19 @@ object SimilarityQueries {
   /** LSH candidate pairs with their exact cosine — the approximate
     * near-dup: same bucket ⇒ compare. */
   def lshNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val dotF = dotFast(spark) _
     val b = lshBuckets(spark, dir)
     val emb = Tables.embeddings(spark, dir)
-    val withB = emb.join(b, "vec_id")
-    val l = withB.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("bucket"))
-    val r = withB.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("bucket"))
+      .withColumn("norm", sqrt(dotFast(spark)(col("embedding"), col("embedding"))))
+    val withB = emb.join(b, "vec_id").cache() // self-joined below
+    val l = withB.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      col("norm").as("a_norm"), col("bucket"))
+    val r = withB.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      col("norm").as("b_norm"), col("bucket"))
     l.join(r, "bucket")
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cos_sim", round(cosine(col("a_emb"), col("b_emb")), 6))
+      .withColumn("cos_sim",
+        round(dotF(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")), 6))
       .filter(col("cos_sim") >= 0.3)
       .select("a_id", "b_id", "bucket", "cos_sim")
       .orderBy("a_id", "b_id")
