@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Analytic extensions rounding out the relational surface: set
+  * operations, ROLLUP subtotals, exact quantiles, and cardinality
+  * estimation (exact anchor oracle-checked; HLL sketch registered
+  * rows-only since sketch internals differ across engines by design).
+  */
+object AnalyticsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def decSum(c: Column): Column =
+    round(sum(c.cast("decimal(18,6)")).cast("double"), 2)
+
+  /** EXCEPT: customers that never ordered. Spark plans set ops as
+    * aggregates/anti-joins — at scale this is a shuffle on the key, same
+    * as the join it replaces. */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .except(Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+
+  private val customersWithoutOrdersSql: String =
+    """SELECT c_custkey FROM customer
+      |EXCEPT
+      |SELECT o_custkey AS c_custkey FROM orders
+      |ORDER BY c_custkey""".stripMargin
+
+  /** INTERSECT: nations present among both customers and suppliers. */
+  def nationsBothSides(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  private val nationsBothSidesSql: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT
+      |SELECT s_nationkey AS nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+
+  /** UNION ALL + conditional tagging: order flow by status bucket. */
+  def orderFlowUnion(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val open = o.filter(col("o_orderstatus") === "O")
+      .select(lit("open").as("bucket"), col("o_totalprice"))
+    val done = o.filter(col("o_orderstatus") =!= "O")
+      .select(lit("done").as("bucket"), col("o_totalprice"))
+    open.unionAll(done)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("total"))
+      .orderBy("bucket")
+  }
+
+  private val orderFlowUnionSql: String =
+    """SELECT bucket, count(*) AS n,
+      |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS total
+      |FROM (
+      |  SELECT 'open' AS bucket, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+      |  UNION ALL
+      |  SELECT 'done' AS bucket, o_totalprice FROM orders WHERE o_orderstatus <> 'O')
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** ROLLUP subtotals over (priority, status); NULL markers coalesced to
+    * 'ALL' so row identity is total-order comparable on both engines. */
+  def ordersRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("total_price"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n_orders"), col("total_price"))
+      .orderBy("priority", "status")
+
+  private val ordersRollupSql: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+      |       coalesce(o_orderstatus, 'ALL') AS status,
+      |       count(*) AS n_orders,
+      |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_price
+      |FROM orders
+      |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+      |ORDER BY priority, status""".stripMargin
+
+  /** Exact interpolated quantiles of an integral-valued measure per group
+    * (integral values ⇒ interpolation arithmetic is engine-stable). */
+  def quantityQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 6).as("q25"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("median"),
+        round(expr("percentile(l_quantity, 0.75)"), 6).as("q75"),
+        round(expr("percentile(l_quantity, 0.95)"), 6).as("q95"))
+      .orderBy("l_returnflag")
+
+  private val quantityQuantilesSql: String =
+    """SELECT l_returnflag,
+      |       round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+      |       round(quantile_cont(l_quantity, 0.5), 6) AS median,
+      |       round(quantile_cont(l_quantity, 0.75), 6) AS q75,
+      |       round(quantile_cont(l_quantity, 0.95), 6) AS q95
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Exact distinct cardinality per event type — the correctness anchor
+    * for the HLL variant below. */
+  def distinctUsersExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+
+  private val distinctUsersExactSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** HLL sketch cardinality (approx_count_distinct): the form that scales
+    * — fixed-size sketch per group, no distinct shuffle explosion. No SQL
+    * oracle (sketches are engine-specific by design); the driver records
+    * rows-only, and the exact query above anchors the values.
+    */
+  def distinctUsersApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"))
+      .orderBy("event_type")
+
+  val queries: Map[String, Q] = Map(
+    "customers_without_orders" -> (customersWithoutOrders _),
+    "nations_both_sides"       -> (nationsBothSides _),
+    "order_flow_union"         -> (orderFlowUnion _),
+    "orders_rollup"            -> (ordersRollup _),
+    "quantity_quantiles"       -> (quantityQuantiles _),
+    "distinct_users_exact"     -> (distinctUsersExact _),
+    "distinct_users_approx"    -> (distinctUsersApprox _))
+
+  val oracle: Map[String, String] = Map(
+    "customers_without_orders" -> customersWithoutOrdersSql,
+    "nations_both_sides"       -> nationsBothSidesSql,
+    "order_flow_union"         -> orderFlowUnionSql,
+    "orders_rollup"            -> ordersRollupSql,
+    "quantity_quantiles"       -> quantityQuantilesSql,
+    "distinct_users_exact"     -> distinctUsersExactSql)
+}

@@ -16,7 +16,8 @@ object Registry {
     (TextQueries.queries, TextQueries.oracle),
     (SimilarityQueries.queries, SimilarityQueries.oracle),
     (DedupQueries.queries, DedupQueries.oracle),
-    (MultimodalQueries.queries, MultimodalQueries.oracle))
+    (MultimodalQueries.queries, MultimodalQueries.oracle),
+    (AnalyticsQueries.queries, AnalyticsQueries.oracle))
 
   val queries: Map[String, Q] = modules.map(_._1).reduce(_ ++ _)
   val oracle: Map[String, String] = modules.map(_._2).reduce(_ ++ _)

@@ -170,7 +170,86 @@ object SimilarityQueries {
       |GROUP BY label, pos
       |ORDER BY label, pos""".stripMargin
 
+  /** IVF ANN (probe-1): assign each query to its nearest label centroid,
+    * then search only that partition — the index-accelerated scale path.
+    * At 100 TB the corpus is bucketed/partitioned by centroid id, so a
+    * probe touches 1/n_labels of the data; recall vs knn_brute is the
+    * measured trade-off (see SimilaritySpec).
+    */
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val dotF = dotFast(spark) _
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("norm", sqrt(dotFast(spark)(col("embedding"), col("embedding"))))
+      .cache()
+    // centroid arrays: component avgs rounded to 6 (both engines), packed
+    // in position order
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("centroid"))
+      .withColumn("c_norm", sqrt(dotFast(spark)(col("centroid"), col("centroid"))))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val wAssign = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_sim").desc, col("label"))
+    val assign = q.crossJoin(broadcast(cent))
+      .withColumn("c_sim",
+        round(dotF(col("q_emb"), col("centroid")) / (col("q_norm") * col("c_norm")), 6))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("q_emb"), col("q_norm"), col("label"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    assign.join(emb, "label")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim",
+        round(dotF(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")), 6))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 5)
+      .select("q_id", "label", "rank", "vec_id", "cos_sim")
+      .orderBy("q_id", "rank")
+  }
+
+  private val knnIvfSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+      |  FROM embeddings),
+      |cpos AS (
+      |  SELECT label, u.pos AS pos, round(avg(u.v), 6) AS cv
+      |  FROM embeddings,
+      |       LATERAL (SELECT unnest(embedding::DOUBLE[]) AS v,
+      |                       generate_subscripts(embedding, 1) AS pos) u
+      |  GROUP BY label, pos),
+      |c AS (SELECT label, list(cv ORDER BY pos) AS centroid FROM cpos GROUP BY label),
+      |cn AS (SELECT label, centroid,
+      |              sqrt(list_dot_product(centroid, centroid)) AS c_norm FROM c),
+      |q AS (SELECT vec_id AS q_id, emb AS q_emb, norm AS q_norm FROM e WHERE vec_id < 10),
+      |assign AS (
+      |  SELECT q_id, q_emb, q_norm, label FROM (
+      |    SELECT q.q_id, q.q_emb, q.q_norm, cn.label,
+      |           row_number() OVER (PARTITION BY q.q_id
+      |             ORDER BY round(list_dot_product(q.q_emb, cn.centroid) / (q.q_norm * cn.c_norm), 6) DESC,
+      |                      cn.label) AS rn
+      |    FROM q CROSS JOIN cn)
+      |  WHERE rn = 1),
+      |hits AS (
+      |  SELECT a.q_id, a.label, e.vec_id,
+      |         round(list_dot_product(a.q_emb, e.emb) / (a.q_norm * e.norm), 6) AS cos_sim
+      |  FROM assign a JOIN e ON e.label = a.label AND e.vec_id <> a.q_id)
+      |SELECT q_id, label, rank, vec_id, cos_sim FROM (
+      |  SELECT q_id, label, vec_id, cos_sim,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
+      |  FROM hits)
+      |WHERE rank <= 5
+      |ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "knn_ivf"         -> (knnIvf _),
     "knn_brute"       -> (knnBrute _),
     "near_dup_pairs"  -> (nearDupPairs _),
     "lsh_buckets"     -> (lshBuckets _),
@@ -178,6 +257,7 @@ object SimilarityQueries {
     "label_centroids" -> (labelCentroids _))
 
   val oracle: Map[String, String] = Map(
+    "knn_ivf"         -> knnIvfSql,
     "knn_brute"       -> knnBruteSql,
     "near_dup_pairs"  -> nearDupPairsSql,
     "lsh_buckets"     -> lshBucketsSql,
