@@ -192,7 +192,38 @@ object ParityQueries {
           min(when(col("is_valid"), col("value_numeric"))).as("min_value"),
           max(when(col("is_valid"), col("value_numeric"))).as("max_value")))
 
+  /** A1 sliding form: the reference's window() call supports overlap
+    * (consumer.py:128, WINDOW/SLIDE separately configured) though the
+    * default deploy is tumbling — this exercises the sliding semantics:
+    * 10-minute windows every 5 minutes, each event in exactly 2 windows. */
+  def slidingMetrics(spark: SparkSession, dir: String): DataFrame =
+    validated(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("station_id"))
+      .agg(
+        count(lit(1)).as("total_count"),
+        round(avg(when(col("is_valid"), col("value_numeric"))), 6).as("avg_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("station_id"), col("total_count"), col("avg_value"))
+      .orderBy("window_start", "station_id")
+
+  private val slidingMetricsSql: String =
+    """WITH v AS (
+      |  SELECT CAST(ts AS TIMESTAMP) AS ts,
+      |         CAST(user_id AS VARCHAR) AS station_id,
+      |         TRY_CAST(CASE WHEN event_type = 'error' THEN '<<bad_data>>'
+      |                       ELSE CAST(value AS VARCHAR) END AS DOUBLE) AS value_numeric
+      |  FROM events)
+      |SELECT time_bucket(INTERVAL '5 minutes', ts) - k.k * INTERVAL '5 minutes' AS window_start,
+      |       station_id,
+      |       count(*) AS total_count,
+      |       round(avg(value_numeric), 6) AS avg_value
+      |FROM v CROSS JOIN (SELECT unnest(range(0, 2)) AS k) k
+      |GROUP BY 1, 2
+      |ORDER BY window_start, station_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sensor_sliding_metrics"  -> (slidingMetrics _),
     "sensor_windowed_metrics" -> (windowedMetrics _),
     "sensor_parse_validate"   -> (parseValidate _),
     "sensor_json_extract"     -> (jsonExtract _),
@@ -201,6 +232,7 @@ object ParityQueries {
     "sensor_nested_doc"       -> (nestedDoc _))
 
   val oracle: Map[String, String] = Map(
+    "sensor_sliding_metrics"   -> slidingMetricsSql,
     "sensor_windowed_metrics"  -> windowedMetricsSql,
     "sensor_parse_validate"    -> parseValidateSql,
     "sensor_json_extract"      -> jsonExtractSql,
