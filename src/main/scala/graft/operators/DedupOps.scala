@@ -126,6 +126,45 @@ object DedupOps {
     i / (size(sa) + size(sb) - i)
   }
 
+  /** Rolling-hash base for winnowing fingerprints. */
+  val B: Long = 1000003L
+  /** Winnowing window (fingerprints = min rolling hash per window). */
+  val WinnowW = 4
+
+  /** Document fingerprints via token-level rolling hash + winnowing:
+    * r_i = ((h(t_i)·B + h(t_{i+1})) mod P · B + h(t_{i+2})) mod P over
+    * consecutive token triples, then the distinct minima of each
+    * `WinnowW`-length window of the rolling sequence — the classic
+    * winnowing selection, giving a small position-robust fingerprint set
+    * per document. All arithmetic stays in BIGINT and is mirrored
+    * literally in the DuckDB oracle. Output: (doc_id, fp) exploded.
+    */
+  def winnowFingerprints(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Relational formulation: posexplode + codegen'd hash projection +
+    // lead/min analytic windows. The array-lambda formulation (hashing
+    // every token inside interpreted HOFs) measured ~25× slower at sf0.1
+    // — md5/conv per element in interpreted mode dominates.
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tok = docs.select(col("doc_id"),
+      posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "t")))
+    val rolled = tok
+      .withColumn("h", pmod(h60(col("t")), lit(P)))
+      .withColumn("h1", lead(col("h"), 1).over(byPos))
+      .withColumn("h2", lead(col("h"), 2).over(byPos))
+      .filter(col("h2").isNotNull)
+      .withColumn("r", pmod(pmod(col("h") * B + col("h1"), lit(P)) * B + col("h2"), lit(P)))
+    val winFrame = byPos.rowsBetween(0, WinnowW - 1)
+    val winnowed = rolled
+      .withColumn("w", min(col("r")).over(winFrame))
+      .withColumn("rn", row_number().over(byPos))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      // keep only full windows; docs with < WinnowW rolling hashes keep
+      // their single global min (the frame at rn=1 spans the whole doc)
+      .filter(col("rn") <= greatest(col("m") - (WinnowW - 1), lit(1)))
+    winnowed.select(col("doc_id"), col("w").as("fp")).distinct()
+  }
+
   /** SimHash (48-bit): per-token 60-bit hashes vote ±1 on each of 48 bit
     * positions; the sign vector packs into a BIGINT. */
   def simhash48(spark: SparkSession, docs: DataFrame): DataFrame =

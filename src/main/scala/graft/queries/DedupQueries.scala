@@ -178,7 +178,37 @@ object DedupQueries {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Winnowing fingerprints (rolling hash over token triples, min per
+    * 4-window, distinct) — see DedupOps.winnowFingerprints. */
+  def winnowFps(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.winnowFingerprints(Tables.documents(spark, dir))
+      .orderBy("doc_id", "fp")
+
+  private val winnowFpsSql: String =
+    s"""WITH $toksCte,
+       |th AS (
+       |  SELECT doc_id,
+       |         list_transform(toks, t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % ${P}) AS th
+       |  FROM toks),
+       |r AS (
+       |  SELECT doc_id,
+       |         list_transform(range(1, CAST(len(th) - 1 AS BIGINT)),
+       |           i -> ((th[CAST(i AS INT)] * ${B} + th[CAST(i AS INT) + 1]) % ${P} * ${B} + th[CAST(i AS INT) + 2]) % ${P}) AS r
+       |  FROM th),
+       |w AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(r) = 0 THEN []::BIGINT[]
+       |              WHEN len(r) < ${WinnowW} THEN [list_min(r)]
+       |              ELSE list_transform(range(1, CAST(len(r) - 2 AS BIGINT)),
+       |                     i -> least(r[CAST(i AS INT)], r[CAST(i AS INT) + 1],
+       |                                r[CAST(i AS INT) + 2], r[CAST(i AS INT) + 3])) END AS wn
+       |  FROM r)
+       |SELECT doc_id, unnest(list_distinct(wn)) AS fp
+       |FROM w
+       |ORDER BY doc_id, fp""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "doc_winnow_fingerprints" -> (winnowFps _),
     "minhash_signatures"  -> (minhashSigs _),
     "minhash_lsh_dups"    -> (minhashLshDups _),
     "ngram_jaccard_pairs" -> (ngramJaccardPairs _),
@@ -186,6 +216,7 @@ object DedupQueries {
     "simhash_near_dup"    -> (simhashNearDup _))
 
   val oracle: Map[String, String] = Map(
+    "doc_winnow_fingerprints" -> winnowFpsSql,
     "minhash_signatures"  -> minhashSigsSql,
     "minhash_lsh_dups"    -> minhashLshDupsSql,
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
