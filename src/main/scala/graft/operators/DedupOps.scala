@@ -74,19 +74,32 @@ object DedupOps {
       col("doc_id"),
       shingles(TextFunctions.tokens(col("text"))).as("shingles"))
 
-  /** MinHash signatures from a (doc_id, shingles) frame — callers that
-    * reuse the shingle frame (e.g. for Jaccard verification of LSH
-    * candidates) should cache it and use this overload so shingling isn't
-    * recomputed per consumer. */
-  def minhashFromShingles(spark: SparkSession, sh: DataFrame): DataFrame = {
-    import spark.implicits._
-    val seedDf = seeds.toDF("k", "a", "b")
+  /** Wide MinHash signatures: one row per doc with columns mh0..mh{K-1}.
+    *
+    * All K universal hashes are aggregated in ONE pass over the shingle
+    * rows — K `min` aggregates with map-side partial aggregation, one
+    * shuffle keyed by doc_id only. The seed-join formulation (explode ×K
+    * then groupBy (doc, k)) moves K× the rows through the shuffle for the
+    * same result. */
+  def minhashWide(spark: SparkSession, sh: DataFrame): DataFrame = {
+    val mins = seeds.map { case (k, a, b) =>
+      min((lit(a) * col("h31") + lit(b)) % P).as(s"mh$k")
+    }
     sh
       .select(col("doc_id"), explode(col("shingles")).as("s"))
       .withColumn("h31", h31(col("s")))
-      .crossJoin(broadcast(seedDf))
-      .groupBy(col("doc_id"), col("k"))
-      .agg(min((col("a") * col("h31") + col("b")) % P).as("minhash"))
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash signatures from a (doc_id, shingles) frame, flat (doc_id, k,
+    * minhash) — unpivoted from the wide form. Callers that reuse the
+    * shingle frame should cache it and use this overload. */
+  def minhashFromShingles(spark: SparkSession, sh: DataFrame): DataFrame = {
+    val stackExpr = seeds.map { case (k, _, _) => s"$k, mh$k" }.mkString(", ")
+    minhashWide(spark, sh)
+      .select(col("doc_id"),
+        expr(s"stack($NumHashes, $stackExpr) AS (k, minhash)"))
   }
 
   /** MinHash signatures, flat: (doc_id, k, minhash). One shuffle on
@@ -95,14 +108,18 @@ object DedupOps {
     minhashFromShingles(spark, docShingles(docs))
 
   /** LSH bands: (doc_id, band, band_key) where band_key fingerprints the
-    * band's minhash run in k-order. */
-  def bandsFromShingles(spark: SparkSession, sh: DataFrame): DataFrame =
-    minhashFromShingles(spark, sh)
-      .groupBy(col("doc_id"), expr(s"k div $BandRows").as("band"))
-      .agg(md5(concat_ws("_",
-        transform(
-          array_sort(collect_list(struct(col("k"), col("minhash")))),
-          x => x.getField("minhash").cast("string")))).as("band_key"))
+    * band's minhash run in k-order — built straight from the wide
+    * signature row (no second shuffle, no collect_list). */
+  def bandsFromShingles(spark: SparkSession, sh: DataFrame): DataFrame = {
+    val nBands = NumHashes / BandRows
+    val bandStructs = (0 until nBands).map { b =>
+      val keyCols = (0 until BandRows).map(r => col(s"mh${b * BandRows + r}").cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws("_", keyCols: _*)).as("band_key"))
+    }
+    minhashWide(spark, sh)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
 
   def lshBands(spark: SparkSession, docs: DataFrame): DataFrame =
     bandsFromShingles(spark, docShingles(docs))

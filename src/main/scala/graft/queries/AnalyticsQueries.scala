@@ -129,7 +129,57 @@ object AnalyticsQueries {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"))
       .orderBy("event_type")
 
+  /** PIVOT: order counts cross-tabbed by status. Explicit value list keeps
+    * the output schema static (a dynamic pivot would need a driver-side
+    * distinct scan — avoided by contract at scale). */
+  def ordersPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .select(
+        col("priority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("priority")
+
+  private val ordersPivotSql: String =
+    """SELECT o_orderpriority AS priority,
+      |       CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+      |       CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+      |       CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY priority""".stripMargin
+
+  /** Distribution window functions: per-nation account-balance quartiles
+    * (ntile), cumulative distribution and percent rank. Partitioned by
+    * nation — a global ORDER BY window would serialize to one task. */
+  def customerBalanceTiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(
+        col("c_nationkey"), col("c_custkey"),
+        ntile(4).over(w).as("quartile"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        round(percent_rank().over(w), 6).as("prank"))
+      .orderBy("c_nationkey", "c_custkey")
+  }
+
+  private val customerBalanceTilesSql: String =
+    """SELECT c_nationkey, c_custkey,
+      |       ntile(4) OVER w AS quartile,
+      |       round(cume_dist() OVER w, 6) AS cdist,
+      |       round(percent_rank() OVER w, 6) AS prank
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+      |ORDER BY c_nationkey, c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "orders_pivot"             -> (ordersPivot _),
+    "customer_balance_tiles"   -> (customerBalanceTiles _),
     "customers_without_orders" -> (customersWithoutOrders _),
     "nations_both_sides"       -> (nationsBothSides _),
     "order_flow_union"         -> (orderFlowUnion _),
@@ -139,6 +189,8 @@ object AnalyticsQueries {
     "distinct_users_approx"    -> (distinctUsersApprox _))
 
   val oracle: Map[String, String] = Map(
+    "orders_pivot"             -> ordersPivotSql,
+    "customer_balance_tiles"   -> customerBalanceTilesSql,
     "customers_without_orders" -> customersWithoutOrdersSql,
     "nations_both_sides"       -> nationsBothSidesSql,
     "order_flow_union"         -> orderFlowUnionSql,

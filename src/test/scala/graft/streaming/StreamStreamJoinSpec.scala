@@ -1,0 +1,46 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Stream-stream interval join: purchases matched to the clicks that
+  * preceded them within 10 minutes, both sides watermarked so join state
+  * is bounded (the scale requirement: unwatermarked stream-stream joins
+  * grow state without limit). */
+case class Click(user_id: Long, click_ts: Timestamp)
+case class Purchase(user_id: Long, purchase_ts: Timestamp)
+
+class StreamStreamJoinSpec extends AnyFunSuite with SparkSpec {
+
+  private val t0 = 1700000000000L
+  private def ts(offsetSec: Long) = new Timestamp(t0 + offsetSec * 1000)
+
+  test("interval join matches purchases to recent clicks only") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val purchases = MemoryStream[Purchase]
+    val joined = clicks.toDS().withWatermark("click_ts", "1 minute").as("clicks")
+      .join(
+        purchases.toDS().withWatermark("purchase_ts", "1 minute").as("purchases"),
+        expr("""clicks.user_id = purchases.user_id AND
+                purchase_ts >= click_ts AND
+                purchase_ts <= click_ts + INTERVAL 10 minutes""".stripMargin))
+      .select(col("clicks.user_id").as("user_id"), col("click_ts"), col("purchase_ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("cp").start()
+    try {
+      clicks.addData(Click(1, ts(0)), Click(2, ts(0)))
+      purchases.addData(Purchase(1, ts(300)))   // 5 min after click: match
+      purchases.addData(Purchase(2, ts(6000)))  // 100 min after: no match
+      q.processAllAvailable()
+      val rows = spark.table("cp").select(col("user_id")).collect().map(_.getLong(0))
+      assert(rows.toSeq === Seq(1L))
+    } finally q.stop()
+  }
+}
