@@ -27,6 +27,25 @@ import graft.ops.SensorOps
   */
 object SensorPipeline {
 
+  /** S1 — the reference's Kafka ingress (consumer.py:83-90), config-only
+    * in this environment (no kafka connector jar on the classpath; the
+    * call compiles here and resolves at runtime on a cluster that ships
+    * spark-sql-kafka). Everything downstream of the returned raw frame is
+    * the same plan the tests drive via MemoryStream/file sources.
+    */
+  def kafkaSource(
+      spark: org.apache.spark.sql.SparkSession,
+      bootstrapServers: String,
+      subscribePattern: String = "sensors.raw.*",
+      startingOffsets: String = "latest"): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribePattern", subscribePattern)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .select(col("value")) // binary payload; fromRawJson casts + parses
+
   /** P1–P6: raw JSON string column → validated, event-timed rows. */
   def fromRawJson(raw: DataFrame, valueCol: String = "value"): DataFrame =
     SensorOps.withEventTime(
