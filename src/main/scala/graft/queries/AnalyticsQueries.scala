@@ -177,7 +177,67 @@ object AnalyticsQueries {
       |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
       |ORDER BY c_nationkey, c_custkey""".stripMargin
 
+  /** CUBE: all grouping-set combinations over (priority, status). */
+  def ordersCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n_orders"))
+      .orderBy("priority", "status")
+
+  private val ordersCubeSql: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+      |       coalesce(o_orderstatus, 'ALL') AS status,
+      |       count(*) AS n_orders
+      |FROM orders
+      |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+      |ORDER BY priority, status""".stripMargin
+
+  /** Range join, binned: clicks attributed to purchases within the
+    * preceding 10 minutes per user. A naive time-range join is a
+    * broadcast-nested-loop (quadratic); binning the range into
+    * bucket-width bins turns it into an equi-join on (user, bin) with the
+    * click side replicated into the two bins a purchase window can span —
+    * the formulation that scales. */
+  def purchaseClickAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val binMs = 600000L // 10 minutes
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"),
+        expr(s"unix_millis(ts) div $binMs").as("bin"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"),
+        explode(array(
+          expr(s"unix_millis(ts) div $binMs"),
+          expr(s"unix_millis(ts) div $binMs") + 1)).as("bin"))
+    purchases.join(clicks, Seq("user_id", "bin"), "left")
+      .withColumn("in_range",
+        col("c_ts").isNotNull &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") > col("p_ts") - expr("INTERVAL 10 minutes"))
+      .groupBy(col("event_id"), col("user_id"), col("p_ts"))
+      .agg(sum(when(col("in_range"), 1).otherwise(0)).as("n_recent_clicks"))
+      .select(col("event_id"), col("user_id"), col("n_recent_clicks"))
+      .orderBy("event_id")
+  }
+
+  private val purchaseClickAttributionSql: String =
+    """SELECT p.event_id, p.user_id,
+      |       CAST(count(c.ts) FILTER (
+      |         c.ts <= p.ts AND c.ts > p.ts - INTERVAL 10 minutes) AS BIGINT) AS n_recent_clicks
+      |FROM events p
+      |LEFT JOIN events c
+      |  ON c.user_id = p.user_id AND c.event_type = 'click'
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY p.event_id, p.user_id
+      |ORDER BY p.event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "orders_cube"              -> (ordersCube _),
+    "purchase_click_attribution" -> (purchaseClickAttribution _),
     "orders_pivot"             -> (ordersPivot _),
     "customer_balance_tiles"   -> (customerBalanceTiles _),
     "customers_without_orders" -> (customersWithoutOrders _),
@@ -189,6 +249,8 @@ object AnalyticsQueries {
     "distinct_users_approx"    -> (distinctUsersApprox _))
 
   val oracle: Map[String, String] = Map(
+    "orders_cube"              -> ordersCubeSql,
+    "purchase_click_attribution" -> purchaseClickAttributionSql,
     "orders_pivot"             -> ordersPivotSql,
     "customer_balance_tiles"   -> customerBalanceTilesSql,
     "customers_without_orders" -> customersWithoutOrdersSql,
