@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.DedupOps
+import graft.sources.Tables
+
+/** Training-data-pipeline plumbing: deterministic sampling and dataset
+  * splits (hash-based, so they are reproducible, cluster-size-independent
+  * and oracle-verifiable — Spark's `sample`/`sampleBy` RNG is none of
+  * those), vocabulary statistics, and TF-IDF.
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val hexpr = "CAST('0x' || substring(md5(%s), 1, 15) AS BIGINT)"
+
+  /** Deterministic 10% document sample: hash(text) mod 100 < 10. */
+  def docSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(pmod(DedupOps.h60(col("text")), lit(100L)) < 10)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+
+  private val docSampleSql: String =
+    s"""SELECT doc_id, lang, n_chars FROM documents
+       |WHERE ${hexpr.format("text")} % 100 < 10
+       |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic train/val/test split (80/10/10) with per-split counts
+    * and size accounting. Split identity rides the content hash, so
+    * re-runs and re-partitions cannot reshuffle examples between splits.
+    */
+  def docSplitCounts(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(DedupOps.h60(col("text")), lit(100L))
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(bucket < 80, lit("train"))
+          .when(bucket < 90, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("split")
+  }
+
+  private val docSplitCountsSql: String =
+    s"""SELECT CASE WHEN ${hexpr.format("text")} % 100 < 80 THEN 'train'
+       |            WHEN ${hexpr.format("text")} % 100 < 90 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |       count(*) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM documents
+       |GROUP BY 1 ORDER BY split""".stripMargin
+
+  /** Corpus vocabulary: top-20 tokens by document frequency (ties by
+    * token). The full explode→groupBy→TakeOrdered pipeline — at scale the
+    * token aggregate partial-combines map-side. */
+  def topTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(array_distinct(TextFunctions.tokens(col("text")))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(20)
+
+  private val topTokensSql: String =
+    """SELECT token, count(*) AS df FROM (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |         ELSE string_split_regex(trim(text), '\s+') END)) AS token
+      |  FROM documents)
+      |GROUP BY token
+      |ORDER BY df DESC, token
+      |LIMIT 20""".stripMargin
+
+  /** TF-IDF: each document's highest-scoring token.
+    * tf = in-doc term count, idf = ln(N / df); score rounded to 4 (ln is
+    * the one libm call — both engines are correctly-rounded for these
+    * magnitudes, rounding absorbs any last-ulp divergence). */
+  def tfidfTop(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count() // corpus size: one job, scalar — not a collect of rows
+    val terms = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token"))
+    terms.join(df, "token")
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("token").as("top_token"), col("tfidf"))
+      .orderBy("doc_id")
+  }
+
+  private val tfidfTopSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(
+      |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |         ELSE string_split_regex(trim(text), '\s+') END) AS token
+      |  FROM documents),
+      |terms AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+      |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM terms GROUP BY token),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT t.doc_id, t.token,
+      |         round(t.tf * ln(CAST(n.n AS DOUBLE) / d.df), 4) AS tfidf
+      |  FROM terms t JOIN dfreq d ON t.token = d.token CROSS JOIN n)
+      |SELECT doc_id, token AS top_token, tfidf FROM (
+      |  SELECT doc_id, token, tfidf,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+      |  FROM scored)
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** Per-vector statistics via higher-order array functions: L1 norm,
+    * positive-component count, max component. */
+  def embeddingStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        round(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + abs(x.cast("double"))), 6).as("l1"),
+        size(filter(col("embedding"), x => x > 0f)).as("n_pos"),
+        round(array_max(col("embedding")).cast("double"), 6).as("vmax"))
+      .orderBy("vec_id")
+
+  private val embeddingStatsSql: String =
+    """SELECT vec_id,
+      |       round(list_sum(list_transform(embedding::DOUBLE[], x -> abs(x))), 6) AS l1,
+      |       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+      |       round(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "doc_sample_10pct" -> (docSample _),
+    "doc_split_counts" -> (docSplitCounts _),
+    "top_tokens"       -> (topTokens _),
+    "doc_tfidf_top"    -> (tfidfTop _),
+    "embedding_stats"  -> (embeddingStats _))
+
+  val oracle: Map[String, String] = Map(
+    "doc_sample_10pct" -> docSampleSql,
+    "doc_split_counts" -> docSplitCountsSql,
+    "top_tokens"       -> topTokensSql,
+    "doc_tfidf_top"    -> tfidfTopSql,
+    "embedding_stats"  -> embeddingStatsSql)
+}

@@ -17,7 +17,8 @@ object Registry {
     (SimilarityQueries.queries, SimilarityQueries.oracle),
     (DedupQueries.queries, DedupQueries.oracle),
     (MultimodalQueries.queries, MultimodalQueries.oracle),
-    (AnalyticsQueries.queries, AnalyticsQueries.oracle))
+    (AnalyticsQueries.queries, AnalyticsQueries.oracle),
+    (PipelineQueries.queries, PipelineQueries.oracle))
 
   val queries: Map[String, Q] = modules.map(_._1).reduce(_ ++ _)
   val oracle: Map[String, String] = modules.map(_._2).reduce(_ ++ _)
