@@ -69,6 +69,17 @@ object SensorPipeline {
       windowDuration: String = "1 minute"): DataFrame =
     SensorOps.shapeDocument(windowedMetrics(fromRawJson(raw), watermarkDelay, windowDuration))
 
+  /** Observability (the reference's per-batch log line,
+    * `consumer.py:203` "Batch N | Scrittura completata…", done
+    * Spark-natively): attach named observed metrics to the validated
+    * frame; each micro-batch's `QueryProgressEvent.observedMetrics`
+    * then carries row/malformed counts without a second pass over the
+    * data — metrics are accumulated inline by the executors. */
+  def withBatchMetrics(validated: DataFrame, name: String = "sensor_metrics"): DataFrame =
+    validated.observe(name,
+      count(lit(1)).as("n_rows"),
+      sum(when(col("is_valid"), 0).otherwise(1)).as("n_malformed"))
+
   /** K1/K2/K6 (consumer.py:169-208, 230-234): append-mode foreachBatch
     * sink with empty-batch short-circuit and per-batch error isolation
     * (a failed batch logs and is skipped — at-least-once-ish, matching
