@@ -24,6 +24,15 @@ object FanOut {
   def writePartitioned(df: DataFrame, outDir: String): Unit =
     df.write.mode("append").partitionBy("station_id").parquet(outDir)
 
+  /** Small-files-aware fan-out: repartition by the partition column first
+    * so each station directory gets ONE file per batch instead of one per
+    * upstream task (T tasks × S stations tiny files is the classic
+    * partitioned-write pathology; at 100 TB it poisons the downstream
+    * scan's file listing). */
+  def writePartitionedSized(df: DataFrame, outDir: String): Unit =
+    df.repartition(col("station_id"))
+      .write.mode("append").partitionBy("station_id").parquet(outDir)
+
   /** Reference-mechanics fan-out (K3 cache, K4 distinct-collect, K5
     * filtered per-station append). Test-scale / per-collection sinks only. */
   def writePerStationLoop(batch: DataFrame, outDir: String): Unit = {

@@ -139,7 +139,95 @@ object PipelineQueries {
       |       round(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  /** Capstone: the cleaned training corpus. Composes the pipeline tiers —
+    * quality floor, language ID, and near-dup removal (LSH candidates
+    * verified by Jaccard; the lower doc_id of a dup pair survives). The
+    * composition is one Catalyst plan: quality/lang are map-side, dedup
+    * is the banded equi-join, and the final anti-join removes the losers.
+    */
+  def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = DedupOps.docShingles(docs).cache()
+    val dupLosers = DedupOps.candidatesFromShingles(spark, sh)
+      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
+      .filter(round(DedupOps.jaccard(col("sa"), col("sb")), 6) >= 0.8)
+      .select(col("b_id").as("doc_id")) // keep the lower id of each pair
+      .distinct()
+    val toks = TextFunctions.tokens(col("text"))
+    val scored = docs
+      .withColumn("n_tokens", size(toks))
+      .withColumn("stop_ratio",
+        when(col("n_tokens") > 0,
+          TextFunctions.stopwordCount(toks, TextFunctions.enStopwords).cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .withColumn("quality",
+        TextFunctions.qualityScore(col("n_tokens"), TextFunctions.alphaRatio(col("text")), col("stop_ratio")))
+      .filter(col("quality") >= 0.5 && col("n_tokens") >= 20)
+    scored.join(dupLosers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tokens"), round(col("quality"), 6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  private val cleanCorpusSql: String = {
+    import graft.operators.DedupOps.{BandRows, P, seeds}
+    val seedsValues = seeds.map { case (k, a, b) => s"($k, $a, $b)" }.mkString(", ")
+    val stopList = TextFunctions.enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH toks AS (
+       |  SELECT doc_id, text,
+       |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |         list_distinct(
+       |           CASE WHEN len(toks) >= 3
+       |                THEN list_transform(range(1, CAST(len(toks) - 1 AS BIGINT)),
+       |                       i -> concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i AS INT)+1], toks[CAST(i AS INT)+2]))
+       |                WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+       |                ELSE []::VARCHAR[] END) AS shingles
+       |  FROM toks),
+       |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |h AS (SELECT doc_id, CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) % $P AS h31 FROM e),
+       |mh AS (SELECT doc_id, k, min((a * h31 + b) % $P) AS minhash
+       |       FROM h JOIN (VALUES $seedsValues) seeds(k, a, b) ON TRUE GROUP BY doc_id, k),
+       |bands AS (SELECT doc_id, k // $BandRows AS band,
+       |                 md5(string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY k)) AS band_key
+       |          FROM mh GROUP BY doc_id, k // $BandRows),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |losers AS (
+       |  SELECT DISTINCT b_id AS doc_id
+       |  FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id
+       |  WHERE round(CAST(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS DOUBLE)
+       |              / (len(sa.shingles) + len(sb.shingles)
+       |                 - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))), 6) >= 0.8),
+       |scored AS (
+       |  SELECT doc_id,
+       |         CAST(len(toks) AS INT) AS n_tokens,
+       |         CASE WHEN length(text) > 0
+       |              THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
+       |              ELSE 0.0 END AS alpha_ratio,
+       |         CASE WHEN len(toks) > 0
+       |              THEN CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) / len(toks)
+       |              ELSE 0.0 END AS stop_ratio
+       |  FROM toks),
+       |q AS (
+       |  SELECT doc_id, n_tokens,
+       |         0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+       |           + 0.3 * alpha_ratio
+       |           + 0.4 * least(1.0, stop_ratio * 5.0) AS quality
+       |  FROM scored)
+       |SELECT q.doc_id, q.n_tokens, round(q.quality, 6) AS quality
+       |FROM q
+       |WHERE q.quality >= 0.5 AND q.n_tokens >= 20
+       |  AND q.doc_id NOT IN (SELECT doc_id FROM losers)
+       |ORDER BY q.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "clean_corpus"     -> (cleanCorpus _),
     "doc_sample_10pct" -> (docSample _),
     "doc_split_counts" -> (docSplitCounts _),
     "top_tokens"       -> (topTokens _),
@@ -147,6 +235,7 @@ object PipelineQueries {
     "embedding_stats"  -> (embeddingStats _))
 
   val oracle: Map[String, String] = Map(
+    "clean_corpus"     -> cleanCorpusSql,
     "doc_sample_10pct" -> docSampleSql,
     "doc_split_counts" -> docSplitCountsSql,
     "top_tokens"       -> topTokensSql,
