@@ -235,7 +235,48 @@ object AnalyticsQueries {
       |GROUP BY p.event_id, p.user_id
       |ORDER BY p.event_id""".stripMargin
 
+  /** String-distance functions: pairwise Levenshtein over the event-type
+    * vocabulary (the string-similarity family beyond token sets). */
+  def eventTypeDistances(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.events(spark, dir).select(col("event_type")).distinct()
+    val a = t.select(col("event_type").as("a"))
+    val b = t.select(col("event_type").as("b"))
+    a.crossJoin(b).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), levenshtein(col("a"), col("b")).as("lev"))
+      .orderBy("a", "b")
+  }
+
+  private val eventTypeDistancesSql: String =
+    """WITH t AS (SELECT DISTINCT event_type FROM events)
+      |SELECT a.event_type AS a, b.event_type AS b,
+      |       CAST(levenshtein(a.event_type, b.event_type) AS INT) AS lev
+      |FROM t a JOIN t b ON a.event_type < b.event_type
+      |ORDER BY a, b""".stripMargin
+
+  /** Calendar-extraction rollup: orders by year × ISO weekday (Spark's
+    * dayofweek is Sunday=1, so ISO is (dow+5)%7+1 — matched to DuckDB's
+    * isodow). */
+  def ordersByDow(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        year(col("o_orderdate")).as("yr"),
+        ((dayofweek(col("o_orderdate")) + 5) % 7 + 1).as("isodow"),
+        col("o_totalprice"))
+      .groupBy(col("yr"), col("isodow"))
+      .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("total_price"))
+      .orderBy("yr", "isodow")
+
+  private val ordersByDowSql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+      |       CAST(isodow(o_orderdate) AS INT) AS isodow,
+      |       count(*) AS n_orders,
+      |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_price
+      |FROM orders
+      |GROUP BY 1, 2 ORDER BY yr, isodow""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "event_type_distances"     -> (eventTypeDistances _),
+    "orders_by_dow"            -> (ordersByDow _),
     "orders_cube"              -> (ordersCube _),
     "purchase_click_attribution" -> (purchaseClickAttribution _),
     "orders_pivot"             -> (ordersPivot _),
@@ -249,6 +290,8 @@ object AnalyticsQueries {
     "distinct_users_approx"    -> (distinctUsersApprox _))
 
   val oracle: Map[String, String] = Map(
+    "event_type_distances"     -> eventTypeDistancesSql,
+    "orders_by_dow"            -> ordersByDowSql,
     "orders_cube"              -> ordersCubeSql,
     "purchase_click_attribution" -> purchaseClickAttributionSql,
     "orders_pivot"             -> ordersPivotSql,
