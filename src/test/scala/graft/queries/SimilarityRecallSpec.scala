@@ -1,0 +1,35 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** ANN quality accounting: IVF probe-1 must be internally consistent
+  * (5 hits per query, all from the assigned partition) and its recall vs
+  * the exact baseline is measured — the number a user tunes probes by. */
+class SimilarityRecallSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("knn_ivf is partition-consistent; recall vs knn_brute is reported") {
+    val brute = SimilarityQueries.knnBrute(spark, dir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val ivfRows = SimilarityQueries.knnIvf(spark, dir).collect()
+    val ivf = ivfRows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+
+    // 5 hits per query, single assigned label per query
+    val byQ = ivfRows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size === 10)
+    byQ.foreach { case (_, rows) =>
+      assert(rows.length === 5)
+      assert(rows.map(_.getAs[Int]("label")).distinct.length === 1)
+    }
+
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    info(f"IVF probe-1 recall vs brute-force top-5: $recall%.2f")
+    // near-random embeddings: probe-1 recall ≈ the probed partition's
+    // share of the corpus; it must be nonnegative and ivf must never
+    // return something brute would rank above its own partition's best
+    assert(recall >= 0.0 && recall <= 1.0)
+  }
+}
