@@ -1,0 +1,42 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class CatalogMaintenanceSpec extends AnyFunSuite with SparkSpec {
+
+  test("SQL front door: tables and derived views answer plain SQL") {
+    GraftCatalog.registerViews(spark, "/root/testdata/sf0.001")
+    val joined = spark.sql(
+      """SELECT n_name, count(*) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n DESC LIMIT 3""".stripMargin).collect()
+    assert(joined.length === 3 && joined.head.getLong(1) > 0)
+
+    val clean = spark.sql("SELECT count(*) FROM clean_corpus").head().getLong(0)
+    assert(clean > 0)
+    val windows = spark.sql(
+      "SELECT count(*) FROM sensor_windowed_metrics WHERE malformed_count > 0")
+      .head().getLong(0)
+    assert(windows > 0)
+  }
+
+  test("compaction collapses a many-file directory, preserving rows") {
+    val dir = Files.createTempDirectory("compact").toString
+    val df = spark.range(10000).select(col("id"), (col("id") % 7).as("k"))
+    df.repartition(40).write.mode("overwrite").parquet(dir)
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val before = parquetFiles
+    assert(before >= 40)
+    Maintenance.compact(spark, dir, targetMB = 128)
+    assert(parquetFiles < before / 4, s"still $parquetFiles files")
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 10000)
+    assert(back.agg(sum(col("id"))).head().getLong(0) === (0L until 10000L).sum)
+  }
+}
