@@ -222,7 +222,45 @@ object ParityQueries {
       |GROUP BY 1, 2
       |ORDER BY window_start, station_id""".stripMargin
 
+  /** SURVEY §2.7's named monitoring extension — "top sensors by avg":
+    * per window, the 3 sensors with the highest average valid reading.
+    * WindowGroupLimit keeps only k rows per partition pre-shuffle. */
+  def topSensorsPerWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("window_start"))
+      .orderBy(col("avg_value").desc_nulls_last, col("station_id"), col("sensor_id"))
+    windowedMetrics(spark, dir)
+      .filter(col("avg_value").isNotNull)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("window_start", "rk", "station_id", "sensor_id", "avg_value")
+      .orderBy("window_start", "rk")
+  }
+
+  private val topSensorsPerWindowSql: String =
+    """WITH v AS (
+      |  SELECT CAST(ts AS TIMESTAMP) AS ts,
+      |         CAST(user_id AS VARCHAR) AS station_id,
+      |         event_type AS sensor_id,
+      |         TRY_CAST(CASE WHEN event_type = 'error' THEN '<<bad_data>>'
+      |                       ELSE CAST(value AS VARCHAR) END AS DOUBLE) AS value_numeric
+      |  FROM events),
+      |m AS (
+      |  SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
+      |         station_id, sensor_id,
+      |         round(avg(value_numeric), 6) AS avg_value
+      |  FROM v GROUP BY 1, 2, 3),
+      |r AS (
+      |  SELECT window_start, station_id, sensor_id, avg_value,
+      |         row_number() OVER (PARTITION BY window_start
+      |                            ORDER BY avg_value DESC, station_id, sensor_id) AS rk
+      |  FROM m WHERE avg_value IS NOT NULL)
+      |SELECT window_start, rk, station_id, sensor_id, avg_value
+      |FROM r WHERE rk <= 3
+      |ORDER BY window_start, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "top_sensors_per_window"  -> (topSensorsPerWindow _),
     "sensor_sliding_metrics"  -> (slidingMetrics _),
     "sensor_windowed_metrics" -> (windowedMetrics _),
     "sensor_parse_validate"   -> (parseValidate _),
@@ -232,6 +270,7 @@ object ParityQueries {
     "sensor_nested_doc"       -> (nestedDoc _))
 
   val oracle: Map[String, String] = Map(
+    "top_sensors_per_window"   -> topSensorsPerWindowSql,
     "sensor_sliding_metrics"   -> slidingMetricsSql,
     "sensor_windowed_metrics"  -> windowedMetricsSql,
     "sensor_parse_validate"    -> parseValidateSql,
