@@ -163,16 +163,20 @@ object AnalyticsQueries {
       .select(
         col("c_nationkey"), col("c_custkey"),
         ntile(4).over(w).as("quartile"),
-        round(cume_dist().over(w), 6).as("cdist"),
-        round(percent_rank().over(w), 6).as("prank"))
+        // fixed-point via floor, not round: cume_dist/percent_rank are
+        // small-integer ratios that land EXACTLY on .xxxxxx5 (e.g.
+        // 333/640) where Spark HALF_UP and DuckDB disagree; floor of the
+        // identical double is deterministic on both engines
+        floor(cume_dist().over(w) * 1000000).cast("long").as("cdist_u"),
+        floor(percent_rank().over(w) * 1000000).cast("long").as("prank_u"))
       .orderBy("c_nationkey", "c_custkey")
   }
 
   private val customerBalanceTilesSql: String =
     """SELECT c_nationkey, c_custkey,
       |       ntile(4) OVER w AS quartile,
-      |       round(cume_dist() OVER w, 6) AS cdist,
-      |       round(percent_rank() OVER w, 6) AS prank
+      |       CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cdist_u,
+      |       CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS prank_u
       |FROM customer
       |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
       |ORDER BY c_nationkey, c_custkey""".stripMargin
