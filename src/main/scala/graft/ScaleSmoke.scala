@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.DedupOps
+
+/** Dev-only scale probe: replicate the documents corpus K× (doc_id
+  * offsets, small text perturbation via an id suffix so dedup isn't
+  * trivially degenerate) and measure the MinHash/LSH pipeline's scaling
+  * behavior — the empirical check behind the "survives a scale-up" claims
+  * in COVERAGE.md.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(10)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val n0 = docs.count()
+    val scaled = (0 until k).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i.toLong * 1000000)).as("doc_id"),
+        // perturb each replica so replicas are near-dups, not exact dups
+        concat(col("text"), lit(s" replica$i")).as("text"))
+    }.reduce(_ unionAll _).repartition(32).cache()
+    val n = scaled.count()
+    println(s"[scale] corpus ${n0} -> $n docs (${k}x)")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"[scale] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows)")
+    }
+    val sh = DedupOps.docShingles(scaled).cache()
+    time("shingles")(sh.count())
+    time("minhash_wide")(DedupOps.minhashWide(spark, sh).count())
+    time("lsh_bands")(DedupOps.bandsFromShingles(spark, sh).count())
+    time("lsh_candidates")(DedupOps.candidatesFromShingles(spark, sh).count())
+    time("simhash")(DedupOps.simhash48(spark, scaled).count())
+    time("winnow_fps")(DedupOps.winnowFingerprints(scaled).count())
+    spark.stop()
+  }
+}
