@@ -176,7 +176,14 @@ object SimilarityQueries {
     * probe touches 1/n_labels of the data; recall vs knn_brute is the
     * measured trade-off (see SimilaritySpec).
     */
-  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+  def knnIvf(spark: SparkSession, dir: String): DataFrame =
+    knnIvfProbes(spark, dir, probes = 1)
+
+  /** Multi-probe variant: search the `probes` nearest centroid partitions.
+    * Probes is the recall/cost dial — each extra probe adds one
+    * partition's worth of comparisons (see SimilarityRecallSpec for the
+    * measured recall gain). */
+  def knnIvfProbes(spark: SparkSession, dir: String, probes: Int): DataFrame = {
     val dotF = dotFast(spark) _
     val emb = Tables.embeddings(spark, dir)
       .withColumn("norm", sqrt(dotFast(spark)(col("embedding"), col("embedding"))))
@@ -200,7 +207,7 @@ object SimilarityQueries {
       .withColumn("c_sim",
         round(dotF(col("q_emb"), col("centroid")) / (col("q_norm") * col("c_norm")), 6))
       .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= probes)
       .select(col("q_id"), col("q_emb"), col("q_norm"), col("label"))
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
@@ -214,8 +221,8 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
-  private val knnIvfSql: String =
-    """WITH e AS (
+  private def knnIvfSqlProbes(probes: Int): String =
+    s"""WITH e AS (
       |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
       |  FROM embeddings),
@@ -236,7 +243,7 @@ object SimilarityQueries {
       |             ORDER BY round(list_dot_product(q.q_emb, cn.centroid) / (q.q_norm * cn.c_norm), 6) DESC,
       |                      cn.label) AS rn
       |    FROM q CROSS JOIN cn)
-      |  WHERE rn = 1),
+      |  WHERE rn <= $probes),
       |hits AS (
       |  SELECT a.q_id, a.label, e.vec_id,
       |         round(list_dot_product(a.q_emb, e.emb) / (a.q_norm * e.norm), 6) AS cos_sim
@@ -250,6 +257,7 @@ object SimilarityQueries {
 
   val queries: Map[String, Q] = Map(
     "knn_ivf"         -> (knnIvf _),
+    "knn_ivf_probe2"  -> ((s: SparkSession, d: String) => knnIvfProbes(s, d, probes = 2)),
     "knn_brute"       -> (knnBrute _),
     "near_dup_pairs"  -> (nearDupPairs _),
     "lsh_buckets"     -> (lshBuckets _),
@@ -257,7 +265,8 @@ object SimilarityQueries {
     "label_centroids" -> (labelCentroids _))
 
   val oracle: Map[String, String] = Map(
-    "knn_ivf"         -> knnIvfSql,
+    "knn_ivf"         -> knnIvfSqlProbes(1),
+    "knn_ivf_probe2"  -> knnIvfSqlProbes(2),
     "knn_brute"       -> knnBruteSql,
     "near_dup_pairs"  -> nearDupPairsSql,
     "lsh_buckets"     -> lshBucketsSql,

@@ -31,5 +31,13 @@ class SimilarityRecallSpec extends AnyFunSuite with SparkSpec {
     // share of the corpus; it must be nonnegative and ivf must never
     // return something brute would rank above its own partition's best
     assert(recall >= 0.0 && recall <= 1.0)
+
+    // multi-probe: searching 2 partitions can only add candidates —
+    // recall must be monotone in probes
+    val ivf2 = SimilarityQueries.knnIvfProbes(spark, dir, probes = 2).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall2 = ivf2.intersect(brute).size.toDouble / brute.size
+    info(f"IVF probe-2 recall vs brute-force top-5: $recall2%.2f")
+    assert(recall2 >= recall)
   }
 }
