@@ -70,13 +70,20 @@ object DedupQueries {
   /** LSH-banded near-dup pairs verified with exact shingle Jaccard. */
   def minhashLshDups(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // shingle frame consumed 3x (signatures + both jaccard sides): cache
-    // it once instead of re-tokenizing the corpus per consumer (K3)
-    val sh = DedupOps.docShingles(docs).cache()
-    val cand = DedupOps.candidatesFromShingles(spark, sh)
+    // candidate PAIRS are tiny (ids only) — cache them; the expensive
+    // signature pipeline then runs once, and downstream consumers reuse
+    val cand = DedupOps.lshCandidates(spark, docs).cache()
+    // Jaccard verification re-derives shingles ONLY for candidate docs
+    // (semi-join): candidates are a vanishing fraction of the corpus, and
+    // caching the full corpus's shingle arrays measured super-linear at
+    // 50x scale (memory pressure) — recompute-narrow beats cache-wide.
+    val candIds = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    val shCand = DedupOps.docShingles(
+      docs.join(candIds, Seq("doc_id"), "left_semi"))
     cand
-      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
+      .join(shCand.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
+      .join(shCand.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
       .withColumn("jaccard", round(jaccard(col("sa"), col("sb")), 6))
       .filter(col("jaccard") >= 0.2)
       .select("a_id", "b_id", "jaccard")

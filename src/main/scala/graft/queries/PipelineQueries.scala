@@ -147,10 +147,17 @@ object PipelineQueries {
     */
   def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sh = DedupOps.docShingles(docs).cache()
-    val dupLosers = DedupOps.candidatesFromShingles(spark, sh)
-      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
+    // candidate PAIRS are tiny (ids only) — cache them; the expensive
+    // signature pipeline then runs once, and downstream consumers reuse
+    val cand = DedupOps.lshCandidates(spark, docs).cache()
+    // shingles re-derived only for candidate docs (see minhashLshDups)
+    val candIds = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    val shCand = DedupOps.docShingles(
+      docs.join(candIds, Seq("doc_id"), "left_semi"))
+    val dupLosers = cand
+      .join(shCand.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
+      .join(shCand.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
       .filter(round(DedupOps.jaccard(col("sa"), col("sb")), 6) >= 0.8)
       .select(col("b_id").as("doc_id")) // keep the lower id of each pair
       .distinct()
