@@ -69,6 +69,24 @@ object SensorPipeline {
       windowDuration: String = "1 minute"): DataFrame =
     SensorOps.shapeDocument(windowedMetrics(fromRawJson(raw), watermarkDelay, windowDuration))
 
+  /** Full pipeline from the reference's config contract (PipelineConfig /
+    * `.env:13-17`): windowing (tumbling or sliding), watermark, trigger
+    * and checkpoint all driven by one typed config. */
+  def documents(raw: DataFrame, cfg: PipelineConfig): DataFrame =
+    SensorOps.shapeDocument(
+      SensorOps.windowedMetrics(
+        fromRawJson(raw).withWatermark("event_time", cfg.watermarkDelay),
+        col("event_time"),
+        Seq(col("station_id"), col("station_name"), col("sensor_id")),
+        cfg.windowDuration,
+        cfg.slideDuration))
+
+  /** Config-driven assembly: the one-call equivalent of the reference's
+    * `main` (consumer.py:212-240). */
+  def run(raw: DataFrame, cfg: PipelineConfig)(
+      writeBatch: (DataFrame, Long) => Unit): StreamingQuery =
+    start(documents(raw, cfg), cfg.checkpointDir, cfg.trigger)(writeBatch)
+
   /** Observability (the reference's per-batch log line,
     * `consumer.py:203` "Batch N | Scrittura completata…", done
     * Spark-natively): attach named observed metrics to the validated
