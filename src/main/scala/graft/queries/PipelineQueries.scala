@@ -233,7 +233,45 @@ object PipelineQueries {
        |ORDER BY q.doc_id""".stripMargin
   }
 
+  /** Int8 symmetric quantization of embeddings (the ANN memory-footprint
+    * op: 4 bytes/dim → 1): per-vector scale = 127/max|x|, q = round(x·s),
+    * with reconstruction-error accounting. 64-dim float → 64 int8 cuts
+    * the index 4× — the knob that decides whether an IVF partition fits
+    * executor memory at 100 TB. */
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val xd = transform(col("embedding"), _.cast("double"))
+    val maxAbs = array_max(transform(xd, x => abs(x)))
+    Tables.embeddings(spark, dir)
+      .withColumn("scale", lit(127.0) / maxAbs)
+      .select(
+        col("vec_id"),
+        round(col("scale"), 6).as("scale_r"),
+        // max reconstruction error |x - round(x*s)/s| over the vector
+        round(aggregate(xd, lit(0.0),
+          (acc, x) => greatest(acc, abs(x - round(x * col("scale"), 0) / col("scale")))), 6)
+          .as("max_err"),
+        // quantized extrema for sanity (must live in [-127, 127])
+        aggregate(xd, lit(0L), (acc, x) =>
+          greatest(acc, round(x * col("scale"), 0).cast("long"))).as("q_max"),
+        aggregate(xd, lit(0L), (acc, x) =>
+          least(acc, round(x * col("scale"), 0).cast("long"))).as("q_min"))
+      .orderBy("vec_id")
+  }
+
+  private val embeddingQuantizeSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS x,
+      |         127.0 / list_max(list_transform(embedding::DOUBLE[], v -> abs(v))) AS scale
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |       round(scale, 6) AS scale_r,
+      |       round(list_max(list_transform(x, v -> abs(v - round(v * scale, 0) / scale))), 6) AS max_err,
+      |       CAST(greatest(0, list_max(list_transform(x, v -> round(v * scale, 0)))) AS BIGINT) AS q_max,
+      |       CAST(least(0, list_min(list_transform(x, v -> round(v * scale, 0)))) AS BIGINT) AS q_min
+      |FROM e ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "embedding_quantize" -> (embeddingQuantize _),
     "clean_corpus"     -> (cleanCorpus _),
     "doc_sample_10pct" -> (docSample _),
     "doc_split_counts" -> (docSplitCounts _),
@@ -242,6 +280,7 @@ object PipelineQueries {
     "embedding_stats"  -> (embeddingStats _))
 
   val oracle: Map[String, String] = Map(
+    "embedding_quantize" -> embeddingQuantizeSql,
     "clean_corpus"     -> cleanCorpusSql,
     "doc_sample_10pct" -> docSampleSql,
     "doc_split_counts" -> docSplitCountsSql,
