@@ -270,7 +270,37 @@ object PipelineQueries {
       |       CAST(least(0, list_min(list_transform(x, v -> round(v * scale, 0)))) AS BIGINT) AS q_min
       |FROM e ORDER BY vec_id""".stripMargin
 
+  /** Data profiling: per-column null and distinct cardinality over the
+    * events table — ONE aggregate pass (all counts as parallel aggregate
+    * expressions), unpivoted to a row per column. The profile-before-
+    * ingest step of any pipeline; a per-column loop of count queries
+    * would scan the table N_cols times. */
+  def eventsProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1).otherwise(0)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"))
+    }
+    val stackExpr = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+    Tables.events(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, $stackExpr) AS (column_name, n_nulls, n_distinct)"))
+      .orderBy("column_name")
+  }
+
+  private val eventsProfileSql: String = {
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    cols.map { c =>
+      s"""SELECT '$c' AS column_name,
+         |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |       count(DISTINCT $c) AS n_distinct
+         |FROM events""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_profile"     -> (eventsProfile _),
     "embedding_quantize" -> (embeddingQuantize _),
     "clean_corpus"     -> (cleanCorpus _),
     "doc_sample_10pct" -> (docSample _),
@@ -280,6 +310,7 @@ object PipelineQueries {
     "embedding_stats"  -> (embeddingStats _))
 
   val oracle: Map[String, String] = Map(
+    "events_profile"     -> eventsProfileSql,
     "embedding_quantize" -> embeddingQuantizeSql,
     "clean_corpus"     -> cleanCorpusSql,
     "doc_sample_10pct" -> docSampleSql,
