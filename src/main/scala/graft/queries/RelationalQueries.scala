@@ -216,7 +216,33 @@ object RelationalQueries {
       |WHERE event_type = 'purchase'
       |ORDER BY event_id""".stripMargin
 
+  /** Full dimension hierarchy: region → nation → customer counts with
+    * both dimension joins broadcast (completes coverage of every harness
+    * table). */
+  def regionHierarchy(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        countDistinct(col("n_name")).as("n_nations"),
+        count(lit(1)).as("n_customers"),
+        decSum(col("c_acctbal")).as("total_acctbal"))
+      .orderBy("r_name")
+
+  private val regionHierarchySql: String =
+    """SELECT r_name,
+      |       count(DISTINCT n_name) AS n_nations,
+      |       count(*) AS n_customers,
+      |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "region_hierarchy"     -> (regionHierarchy _),
     "q1_pricing_summary"   -> (pricingSummary _),
     "revenue_by_nation"    -> (revenueByNation _),
     "top_customers"        -> (topCustomers _),
@@ -226,6 +252,7 @@ object RelationalQueries {
     "asof_last_click"      -> (asOfLastClick _))
 
   val oracle: Map[String, String] = Map(
+    "region_hierarchy"     -> regionHierarchySql,
     "q1_pricing_summary"   -> pricingSummarySql,
     "revenue_by_nation"    -> revenueByNationSql,
     "top_customers"        -> topCustomersSql,
