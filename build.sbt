@@ -14,6 +14,10 @@ Test / fork := true
 // (state-store provider, broadcast threshold) — run them sequentially.
 Test / parallelExecution := false
 run / fork := true
+// Forked run output normally passes through sbt's logger, which prefixes
+// every line with "[info] " — that broke machine parsing of Bench's JSON
+// line (BENCH_r01.json: parsed=null). Inherit stdout so mains print raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -26,19 +26,27 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // two timed runs per query, report the min: steady-state cost without
     // first-run JIT/codegen noise (run-to-run variance on a busy host was
-    // measured at ±25%, enough to trip cross-round regression compares)
+    // measured at ±25%, enough to trip cross-round regression compares).
+    // A query that throws is reported as -1 (NOT a fast timing) and named
+    // in the errors list — a regression must read as a failure, never a
+    // speedup.
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case scala.util.control.NonFatal(_) => -1.0 }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+      val (a, b) = (timeOnce(fn), timeOnce(fn))
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
+    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -169,10 +169,8 @@ object ParityQueries {
       |ORDER BY window_start, sensor_id""".stripMargin
 
   /** P8: the full nested output document (consumer.py:142-165, golden shape
-    * docs/usage.md:119-142). Nested structs aren't DuckDB-hash-comparable,
-    * so this entry has no oracle (driver records rows-only); the flattened
-    * equivalents above carry the value verification.
-    */
+    * docs/usage.md:119-142). Used directly by the nested-pruning ScalaTest;
+    * the registered query is [[nestedDocRoundTrip]]. */
   def nestedDoc(spark: SparkSession, dir: String): DataFrame =
     SensorOps.shapeDocument(
       validated(spark, dir)
@@ -191,6 +189,52 @@ object ParityQueries {
           avg(when(col("is_valid"), col("value_numeric"))).as("avg_value"),
           min(when(col("is_valid"), col("value_numeric"))).as("min_value"),
           max(when(col("is_valid"), col("value_numeric"))).as("max_value")))
+
+  /** The registered `sensor_nested_doc` entry: [[nestedDoc]]'s plan with
+    * every leaf projected back out as a scalar column. Nested struct
+    * columns aren't comparable by the driver's pandas/DuckDB harness (r01:
+    * unhashable dict on sort), so the registered output is this flattened
+    * round-trip — which upgrades the entry from a rows-only check to a
+    * full value oracle. The nested shape itself is asserted by ScalaTest
+    * (PlanShapeSpec nested pruning + the usage.md:119-142 golden-shape
+    * test). Catalyst collapses struct build + field re-extraction into one
+    * projection, so this costs nothing over the flat aggregate. */
+  def nestedDocRoundTrip(spark: SparkSession, dir: String): DataFrame =
+    nestedDoc(spark, dir)
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("station.id").as("station_id"),
+        col("station.name").as("station_name"),
+        col("sensor.id").as("sensor_id"),
+        col("metrics.count.total").as("total_count"),
+        col("metrics.count.malformed").as("malformed_count"),
+        round(col("metrics.avg_value"), 6).as("avg_value"),
+        col("metrics.min_value").as("min_value"),
+        col("metrics.max_value").as("max_value"))
+      .orderBy("window_start", "station_id", "sensor_id")
+
+  private val nestedDocSql: String =
+    """WITH v AS (
+      |  SELECT CAST(ts AS TIMESTAMP) AS ts,
+      |         CAST(user_id AS VARCHAR) AS station_id,
+      |         event_type AS sensor_id,
+      |         TRY_CAST(CASE WHEN event_type = 'error' THEN '<<bad_data>>'
+      |                       ELSE CAST(value AS VARCHAR) END AS DOUBLE) AS value_numeric
+      |  FROM events)
+      |SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
+      |       time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute' AS window_end,
+      |       station_id,
+      |       station_id AS station_name,
+      |       sensor_id,
+      |       count(*) AS total_count,
+      |       CAST(sum(CASE WHEN value_numeric IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS malformed_count,
+      |       round(avg(value_numeric), 6) AS avg_value,
+      |       min(value_numeric) AS min_value,
+      |       max(value_numeric) AS max_value
+      |FROM v
+      |GROUP BY 1, 2, 3, 4, 5
+      |ORDER BY window_start, station_id, sensor_id""".stripMargin
 
   /** A1 sliding form: the reference's window() call supports overlap
     * (consumer.py:128, WINDOW/SLIDE separately configured) though the
@@ -267,7 +311,7 @@ object ParityQueries {
     "sensor_json_extract"     -> (jsonExtract _),
     "sensor_distinct_stations" -> (distinctStations _),
     "sensor_station_filter"   -> (stationFilter _),
-    "sensor_nested_doc"       -> (nestedDoc _))
+    "sensor_nested_doc"       -> (nestedDocRoundTrip _))
 
   val oracle: Map[String, String] = Map(
     "top_sensors_per_window"   -> topSensorsPerWindowSql,
@@ -276,5 +320,6 @@ object ParityQueries {
     "sensor_parse_validate"    -> parseValidateSql,
     "sensor_json_extract"      -> jsonExtractSql,
     "sensor_distinct_stations" -> distinctStationsSql,
-    "sensor_station_filter"    -> stationFilterSql)
+    "sensor_station_filter"    -> stationFilterSql,
+    "sensor_nested_doc"        -> nestedDocSql)
 }

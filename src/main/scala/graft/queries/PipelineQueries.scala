@@ -291,10 +291,14 @@ object PipelineQueries {
 
   private val eventsProfileSql: String = {
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    // ts: profile at the same precision Spark sees — Tables.events truncates
+    // the parquet TIMESTAMP(NANOS) to microseconds (ts div 1000), so the
+    // oracle must too or distinct counts diverge on sub-µs-only differences.
+    def e(c: String) = if (c == "ts") "CAST(ts AS TIMESTAMP)" else c
     cols.map { c =>
       s"""SELECT '$c' AS column_name,
-         |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
-         |       count(DISTINCT $c) AS n_distinct
+         |       CAST(sum(CASE WHEN ${e(c)} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |       count(DISTINCT ${e(c)}) AS n_distinct
          |FROM events""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }

@@ -9,15 +9,33 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * single-pass rewrite, bounded by the partition's size. */
 object Maintenance {
 
+  /** Compact `dir` to ~targetMB files. The swap is two directory renames
+    * (write tmp → move dir to dir__old → move tmp to dir → delete
+    * dir__old), so a crash at any point leaves a complete copy of the
+    * data on disk: before the first rename the original is untouched;
+    * between the renames the compacted tmp is complete; after, the target
+    * is complete. Readers concurrent with the rename window can still
+    * observe a missing directory for an instant — like the reference's
+    * batch appends, this is a maintenance op to schedule off-peak, not a
+    * transactional commit (that would need a table format's metadata
+    * layer, out of scope per SURVEY §7). */
   def compact(spark: SparkSession, dir: String, targetMB: Int = 128): Unit = {
     val df = spark.read.parquet(dir)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val files = math.max(1, (bytes / (targetMB.toLong * 1024 * 1024)).toInt)
-    val tmp = dir.stripSuffix("/") + "__compact_tmp"
-    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp)
-    // atomic-ish swap: rewrite target from the compacted copy
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(dir)
-    delete(new java.io.File(tmp))
+    val base = dir.stripSuffix("/")
+    val tmp = new java.io.File(base + "__compact_tmp")
+    val old = new java.io.File(base + "__compact_old")
+    val target = new java.io.File(base)
+    delete(tmp); delete(old) // leftovers from a previous crashed run
+    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
+    if (!target.renameTo(old))
+      throw new java.io.IOException(s"compact: cannot move $target aside")
+    if (!tmp.renameTo(target)) {
+      old.renameTo(target) // roll back so the original stays readable
+      throw new java.io.IOException(s"compact: cannot move $tmp into place")
+    }
+    delete(old)
   }
 
   private def delete(f: java.io.File): Unit = {

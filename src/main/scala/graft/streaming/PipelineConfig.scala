@@ -8,25 +8,33 @@ import org.apache.spark.sql.streaming.Trigger
   * MASD deployment's configuration carries over unchanged.
   */
 case class PipelineConfig(
-    windowDuration: String = "1 minute",   // WINDOW_DURATION (.env:14)
-    slideDuration: Option[String] = None,  // SLIDE_DURATION (.env:15; None = tumbling)
-    watermarkDelay: String = "5 seconds",  // WATERMARK_DELAY (.env:16)
-    triggerInterval: String = "1 minute",  // TRIGGER_INTERVAL (.env:13)
-    checkpointDir: String = "/tmp/graft-checkpoint") { // CHECKPOINT_DIR (.env:17)
+    windowDuration: String = "1 minute",   // SPARK_AGGREGATE_WINDOW (.env:14)
+    slideDuration: Option[String] = None,  // SPARK_AGGREGATE_SLIDE (.env:15; None = tumbling)
+    watermarkDelay: String = "5 seconds",  // SPARK_AGGREGATE_WATERMARK (.env:16)
+    triggerInterval: String = "1 minute",  // SPARK_AGGREGATE_TRIGGER_INTERVAL (.env:13)
+    checkpointDir: String = "/tmp/graft-checkpoint") { // SPARK_AGGREGATE_CHECKPOINT_DIR (.env:17)
 
   def trigger: Trigger = Trigger.ProcessingTime(triggerInterval)
 }
 
 object PipelineConfig {
 
-  /** Read the reference's env-var contract, defaulting like the reference
-    * compose stack. */
-  def fromEnv(env: Map[String, String] = sys.env): PipelineConfig =
+  /** Read the reference's env-var contract (`SPARK_AGGREGATE_*`, .env:13-17
+    * — the names consumer.py:31-35 reads via os.getenv), defaulting like
+    * the reference compose stack. The short names (WINDOW_DURATION etc.,
+    * consumer.py's internal Python variable names) are honored as a
+    * fallback for convenience. The reference's .env ships SLIDE equal to
+    * WINDOW (tumbling); an equal slide is normalized to None. */
+  def fromEnv(env: Map[String, String] = sys.env): PipelineConfig = {
+    def get(primary: String, fallback: String, default: String): String =
+      env.get(primary).orElse(env.get(fallback)).getOrElse(default)
+    val window = get("SPARK_AGGREGATE_WINDOW", "WINDOW_DURATION", "1 minute")
     PipelineConfig(
-      windowDuration = env.getOrElse("WINDOW_DURATION", "1 minute"),
-      slideDuration = env.get("SLIDE_DURATION")
-        .filter(s => s.nonEmpty && s != env.getOrElse("WINDOW_DURATION", "1 minute")),
-      watermarkDelay = env.getOrElse("WATERMARK_DELAY", "5 seconds"),
-      triggerInterval = env.getOrElse("TRIGGER_INTERVAL", "1 minute"),
-      checkpointDir = env.getOrElse("CHECKPOINT_DIR", "/tmp/graft-checkpoint"))
+      windowDuration = window,
+      slideDuration = env.get("SPARK_AGGREGATE_SLIDE").orElse(env.get("SLIDE_DURATION"))
+        .filter(s => s.nonEmpty && s != window),
+      watermarkDelay = get("SPARK_AGGREGATE_WATERMARK", "WATERMARK_DELAY", "5 seconds"),
+      triggerInterval = get("SPARK_AGGREGATE_TRIGGER_INTERVAL", "TRIGGER_INTERVAL", "1 minute"),
+      checkpointDir = get("SPARK_AGGREGATE_CHECKPOINT_DIR", "CHECKPOINT_DIR", "/tmp/graft-checkpoint"))
+  }
 }

@@ -99,14 +99,25 @@ object SensorPipeline {
       sum(when(col("is_valid"), 0).otherwise(1)).as("n_malformed"))
 
   /** K1/K2/K6 (consumer.py:169-208, 230-234): append-mode foreachBatch
-    * sink with empty-batch short-circuit and per-batch error isolation
-    * (a failed batch logs and is skipped — at-least-once-ish, matching
-    * the reference's try/except).
+    * sink with empty-batch short-circuit.
+    *
+    * Error semantics are explicit via `isolateFailedBatches`:
+    *  - `true` (default — the reference's behavior, consumer.py:205-206):
+    *    a failed batch is logged and DROPPED. Because foreachBatch commits
+    *    the offset range to the checkpoint after the callback returns, the
+    *    batch is never retried — this is AT-MOST-ONCE on sink errors
+    *    (permanent loss of that batch's windows), exactly like the
+    *    reference's bare try/except with no retry or DLQ.
+    *  - `false`: the exception propagates, the streaming query fails, and
+    *    a restart from the checkpoint REPLAYS the uncommitted batch —
+    *    genuine at-least-once, the right choice when the sink is
+    *    idempotent or deduplicating.
     */
   def start(
       shaped: DataFrame,
       checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime("1 minute"))(
+      trigger: Trigger = Trigger.ProcessingTime("1 minute"),
+      isolateFailedBatches: Boolean = true)(
       writeBatch: (DataFrame, Long) => Unit): StreamingQuery =
     shaped.writeStream
       .outputMode("append")
@@ -116,9 +127,10 @@ object SensorPipeline {
         try {
           if (!batch.isEmpty) writeBatch(batch, batchId)
         } catch {
-          case e: Exception =>
-            // K6: isolate the batch, keep the query alive
-            System.err.println(s"[sensor-pipeline] batch $batchId failed: ${e.getMessage}")
+          // NonFatal (not bare Exception): fatal Errors always propagate.
+          case scala.util.control.NonFatal(e) if isolateFailedBatches =>
+            // K6: drop the batch, keep the query alive (at-most-once)
+            System.err.println(s"[sensor-pipeline] batch $batchId failed (dropped): ${e.getMessage}")
         }
         ()
       }

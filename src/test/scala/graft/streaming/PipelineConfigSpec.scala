@@ -13,20 +13,33 @@ class PipelineConfigSpec extends AnyFunSuite with SparkSpec {
 
   private val t0 = 1700000000000L
 
-  test("fromEnv honors the reference's variables and tumbling default") {
+  test("fromEnv honors the reference's env names and tumbling default") {
+    // the ACTUAL env var names a MASD deployment sets (.env:13-17,
+    // consumer.py:31-35 os.getenv) — SPARK_AGGREGATE_*
     val cfg = PipelineConfig.fromEnv(Map(
-      "WINDOW_DURATION" -> "2 minutes",
-      "SLIDE_DURATION" -> "2 minutes", // slide == window → tumbling (None)
-      "WATERMARK_DELAY" -> "10 seconds",
-      "TRIGGER_INTERVAL" -> "30 seconds",
-      "CHECKPOINT_DIR" -> "/tmp/cp1"))
+      "SPARK_AGGREGATE_WINDOW" -> "2 minutes",
+      "SPARK_AGGREGATE_SLIDE" -> "2 minutes", // slide == window → tumbling (None)
+      "SPARK_AGGREGATE_WATERMARK" -> "10 seconds",
+      "SPARK_AGGREGATE_TRIGGER_INTERVAL" -> "30 seconds",
+      "SPARK_AGGREGATE_CHECKPOINT_DIR" -> "/tmp/cp1"))
     assert(cfg.windowDuration === "2 minutes")
     assert(cfg.slideDuration === None)
     assert(cfg.watermarkDelay === "10 seconds")
+    assert(cfg.triggerInterval === "30 seconds")
+    assert(cfg.checkpointDir === "/tmp/cp1")
     assert(PipelineConfig.fromEnv(Map.empty) === PipelineConfig())
     val sliding = PipelineConfig.fromEnv(Map(
-      "WINDOW_DURATION" -> "2 minutes", "SLIDE_DURATION" -> "1 minute"))
+      "SPARK_AGGREGATE_WINDOW" -> "2 minutes", "SPARK_AGGREGATE_SLIDE" -> "1 minute"))
     assert(sliding.slideDuration === Some("1 minute"))
+    // primary names win over the short-name fallback
+    val precedence = PipelineConfig.fromEnv(Map(
+      "SPARK_AGGREGATE_WINDOW" -> "3 minutes", "WINDOW_DURATION" -> "9 minutes"))
+    assert(precedence.windowDuration === "3 minutes")
+    // short names still honored when the primaries are absent
+    val fallback = PipelineConfig.fromEnv(Map(
+      "WINDOW_DURATION" -> "4 minutes", "CHECKPOINT_DIR" -> "/tmp/cp2"))
+    assert(fallback.windowDuration === "4 minutes")
+    assert(fallback.checkpointDir === "/tmp/cp2")
   }
 
   test("sliding windows through the streaming path: one event, two windows") {
