@@ -183,19 +183,27 @@ object DedupOps {
   }
 
   /** SimHash (48-bit): per-token 60-bit hashes vote ±1 on each of 48 bit
-    * positions; the sign vector packs into a BIGINT. */
-  def simhash48(spark: SparkSession, docs: DataFrame): DataFrame =
+    * positions; the sign vector packs into a BIGINT.
+    *
+    * Formulated as ONE aggregate with 48 conditional-sum expressions over
+    * the token rows (K-way aggregate fan-out), not a 48× row-multiplying
+    * explode of bit positions — the explode form shuffles 48× the rows
+    * through two aggregates for the same result (measured slower at
+    * sf0.1, and linearly worse with corpus size). Bit masks are literal
+    * BIGINTs, so the whole vote/pack path stays in codegen. */
+  def simhash48(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val votes = (0 until 48).map { j =>
+      sum(when(expr(s"(h60 div ${1L << j}L) % 2") === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    val pack = (0 until 48).map { j =>
+      when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
     docs
       .select(col("doc_id"),
         explode(array_distinct(TextFunctions.tokens(col("text")))).as("t"))
       .withColumn("h60", h60(col("t")))
-      .select(col("doc_id"), col("h60"), explode(sequence(lit(0), lit(47))).as("j"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(
-        when(expr("(h60 div cast(pow(2, j) as bigint)) % 2") === 1, 1)
-          .otherwise(-1)).as("s"))
       .groupBy(col("doc_id"))
-      .agg(sum(
-        when(col("s") >= 0, expr("cast(pow(2, j) as bigint)")).otherwise(0L))
-        .cast("long").as("simhash"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), pack.cast("long").as("simhash"))
+  }
 }
