@@ -18,7 +18,8 @@ object Registry {
     (DedupQueries.queries, DedupQueries.oracle),
     (MultimodalQueries.queries, MultimodalQueries.oracle),
     (AnalyticsQueries.queries, AnalyticsQueries.oracle),
-    (PipelineQueries.queries, PipelineQueries.oracle))
+    (PipelineQueries.queries, PipelineQueries.oracle),
+    (StatQueries.queries, StatQueries.oracle))
 
   val queries: Map[String, Q] = modules.map(_._1).reduce(_ ++ _)
   val oracle: Map[String, String] = modules.map(_._2).reduce(_ ++ _)

@@ -1,0 +1,361 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Statistical, analytic-window and SQL-surface extensions (round 2):
+  * lag/lead gaps, correlation/covariance/stddev aggregates, running
+  * windows, GROUPING SETS via the SQL front door, unpivot, semi-joins,
+  * string/date scalar families, null imputation, correlated scalar
+  * subqueries (Catalyst decorrelation), multiset set-ops, vector
+  * normalization.
+  *
+  * Numeric conventions follow the module-wide rules (see
+  * [[RelationalQueries]]): fractional sums through DECIMAL(18,6) for
+  * order-independence; avg/corr rounded (6/4); stddev/covar of ~1e4
+  * magnitudes rounded to 2 (engine merge-algorithm divergence is ~1e-8
+  * absolute there — far inside the rounding).
+  */
+object StatQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def decSum(c: Column): Column =
+    round(sum(c.cast("decimal(18,6)")).cast("double"), 2)
+
+  /** lag(): per-customer gaps between consecutive orders. Shuffle on
+    * o_custkey, sort within partition — the analytic-window shape that
+    * scales linearly (no self-join). */
+  def customerOrderGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .filter(col("prev_date").isNotNull)
+      .withColumn("gap_days", datediff(col("o_orderdate"), col("prev_date")))
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        round(avg(col("gap_days")), 6).as("avg_gap_days"),
+        max(col("gap_days")).cast("long").as("max_gap_days"))
+      .orderBy("o_custkey")
+  }
+
+  private val customerOrderGapsSql: String =
+    """WITH g AS (
+      |  SELECT o_custkey,
+      |         date_diff('day',
+      |           CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+      |                                       ORDER BY o_orderdate, o_orderkey) AS DATE),
+      |           CAST(o_orderdate AS DATE)) AS gap_days
+      |  FROM orders)
+      |SELECT o_custkey, count(*) AS n_gaps,
+      |       round(avg(gap_days), 6) AS avg_gap_days,
+      |       CAST(max(gap_days) AS BIGINT) AS max_gap_days
+      |FROM g WHERE gap_days IS NOT NULL
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** Statistical aggregate family: correlation, population covariance and
+    * sample stddev per group — one hash aggregate, partial co-moments
+    * merged across partitions (Spark's and DuckDB's merge algorithms
+    * agree to ~1e-12 relative; rounding absorbs it). */
+  def lineitemCorrStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"),
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  private val lineitemCorrStatsSql: String =
+    """SELECT l_returnflag,
+      |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+      |       round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+      |       round(stddev_samp(l_quantity), 6) AS sd_qty,
+      |       round(stddev_samp(l_extendedprice), 2) AS sd_price,
+      |       count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Running/cumulative analytic windows over a 1%-of-customers slice:
+    * row_number sequence, running revenue (explicit ROWS frame; DECIMAL
+    * partials so the running sum is order-exact), first order's price. */
+  def customerRunningRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .filter(pmod(col("o_custkey"), lit(100)) === 0)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("seq"),
+        round(sum(col("o_totalprice").cast("decimal(18,6)")).over(run).cast("double"), 2)
+          .as("running_total"),
+        round(first_value(col("o_totalprice")).over(run), 2).as("first_price"))
+      .orderBy("o_custkey", "seq")
+  }
+
+  private val customerRunningRevenueSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |       row_number() OVER w AS seq,
+      |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+      |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_total,
+      |       round(first_value(o_totalprice)
+      |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS first_price
+      |FROM orders
+      |WHERE o_custkey % 100 = 0
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, seq""".stripMargin
+
+  /** GROUPING SETS + grouping() markers through the SQL front door — the
+    * identical ANSI text runs on both engines (spark.sql on a registered
+    * view here, DuckDB on the parquet directly). */
+  private val groupingSetsText: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+      |       coalesce(o_orderstatus, 'ALL') AS status,
+      |       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+      |       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+      |       count(*) AS n_orders
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+      |ORDER BY priority, status""".stripMargin
+
+  def ordersGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(groupingSetsText)
+  }
+
+  /** unpivot/melt: wide per-group money measures to long (group, measure,
+    * amount) — the inverse of PIVOT (orders_pivot), Spark's Expand-based
+    * unpivot operator. */
+  def lineitemUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val price = col("l_extendedprice")
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        decSum(price).as("base_price"),
+        decSum(price * col("l_discount")).as("discount_amt"),
+        decSum(price * col("l_tax")).as("tax_amt"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("base_price"), col("discount_amt"), col("tax_amt")),
+        "measure", "amount")
+      .orderBy("l_returnflag", "measure")
+  }
+
+  private val lineitemUnpivotSql: String =
+    """WITH a AS (
+      |  SELECT l_returnflag,
+      |         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS base_price,
+      |         round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS discount_amt,
+      |         round(CAST(sum(CAST(l_extendedprice * l_tax AS DECIMAL(18,6))) AS DOUBLE), 2) AS tax_amt
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, measure, amount FROM (
+      |  SELECT l_returnflag, 'base_price' AS measure, base_price AS amount FROM a
+      |  UNION ALL
+      |  SELECT l_returnflag, 'discount_amt', discount_amt FROM a
+      |  UNION ALL
+      |  SELECT l_returnflag, 'tax_amt', tax_amt FROM a)
+      |ORDER BY l_returnflag, measure""".stripMargin
+
+  /** LEFT SEMI join (the EXISTS shape; complements the EXCEPT/anti form in
+    * customers_without_orders): customers that ordered, per segment. At
+    * scale a semi-join ships only the distinct key set of the right side. */
+  def segmentCustomersWithOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), round(avg(col("c_acctbal")), 6).as("avg_bal"))
+      .orderBy("c_mktsegment")
+
+  private val segmentCustomersWithOrdersSql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers,
+      |       round(avg(c_acctbal), 6) AS avg_bal
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** String scalar-function family (regexp_extract, lpad, translate,
+    * upper, split) over a deterministic part subset. */
+  def partNameFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(pmod(col("p_partkey"), lit(200)) === 0)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        regexp_extract(col("p_name"), "^[a-z]+", 0).as("first_word"),
+        lpad(col("p_partkey").cast("string"), 10, "0").as("key_padded"),
+        translate(col("p_brand"), "Brand#", "").as("brand_num"),
+        size(split(col("p_name"), " ")).as("n_words"))
+      .orderBy("p_partkey")
+
+  private val partNameFunctionsSql: String =
+    """SELECT p_partkey,
+      |       upper(p_name) AS name_upper,
+      |       regexp_extract(p_name, '^[a-z]+') AS first_word,
+      |       lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded,
+      |       translate(p_brand, 'Brand#', '') AS brand_num,
+      |       CAST(len(string_split(p_name, ' ')) AS INT) AS n_words
+      |FROM part WHERE p_partkey % 200 = 0
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Date scalar-function family: quarter bucketing, last_day,
+    * day-of-year. TIMESTAMP-cast on both sides so date/timestamp physical
+    * types can't diverge in the compare. */
+  def ordersCalendar(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        last_day(max(col("o_orderdate"))).cast("timestamp").as("eom_latest"),
+        min(dayofyear(col("o_orderdate"))).cast("int").as("first_doy"))
+      .orderBy("yr", "qtr")
+
+  private val ordersCalendarSql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+      |       CAST(quarter(o_orderdate) AS INT) AS qtr,
+      |       count(*) AS n_orders,
+      |       CAST(last_day(CAST(max(o_orderdate) AS DATE)) AS TIMESTAMP) AS eom_latest,
+      |       CAST(min(dayofyear(o_orderdate)) AS INT) AS first_doy
+      |FROM orders
+      |GROUP BY 1, 2 ORDER BY yr, qtr""".stripMargin
+
+  /** Null handling / imputation: mean-impute missing event values from
+    * the per-type analytic average (coalesce over a partition window —
+    * no join, one shuffle on the partition key). */
+  def eventsValueImputation(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+    Tables.events(spark, dir)
+      .withColumn("type_avg", avg(col("value")).over(w))
+      .withColumn("imputed", coalesce(col("value"), col("type_avg")))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value").isNull, 1).otherwise(0)).as("n_imputed"),
+        round(sum(col("imputed").cast("decimal(18,6)")).cast("double"), 2).as("total_imputed"))
+      .orderBy("event_type")
+  }
+
+  private val eventsValueImputationSql: String =
+    """WITH e AS (
+      |  SELECT event_type, value,
+      |         avg(value) OVER (PARTITION BY event_type) AS type_avg
+      |  FROM events)
+      |SELECT event_type, count(*) AS n,
+      |       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+      |       round(CAST(sum(CAST(coalesce(value, type_avg) AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_imputed
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Correlated scalar subquery — Catalyst decorrelates it into an
+    * aggregate + join; the identical ANSI text runs on both engines.
+    * Orders priced above 1.5× their priority's average. */
+  private val outlierText: String =
+    """SELECT o.o_orderpriority AS priority,
+      |       count(*) AS n_outliers,
+      |       round(CAST(max(o.o_totalprice) AS DOUBLE), 2) AS max_price
+      |FROM orders o
+      |WHERE o.o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice) FROM orders o2
+      |                              WHERE o2.o_orderpriority = o.o_orderpriority)
+      |GROUP BY o.o_orderpriority
+      |ORDER BY priority""".stripMargin
+
+  def priorityOutlierOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(outlierText)
+  }
+
+  /** EXCEPT ALL / INTERSECT ALL (multiset semantics — the bag-counting
+    * cousins of the DISTINCT set ops above them in AnalyticsQueries):
+    * priority multiset of 1995-H1 orders vs 1995-H2. */
+  def prioritySetOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def half(from: String, to: String) =
+      o.filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+          col("o_orderdate") < lit(to).cast("timestamp"))
+        .select(col("o_orderpriority").as("priority"))
+    val h1 = half("1995-01-01", "1995-07-01")
+    val h2 = half("1995-07-01", "1996-01-01")
+    val ex = h1.exceptAll(h2).groupBy(col("priority"))
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+    val in = h1.intersectAll(h2).groupBy(col("priority"))
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+    ex.unionByName(in).select("op", "priority", "n").orderBy("op", "priority")
+  }
+
+  private val prioritySetOpsAllSql: String =
+    """WITH h1 AS (SELECT o_orderpriority AS priority FROM orders
+      |            WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'),
+      |     h2 AS (SELECT o_orderpriority AS priority FROM orders
+      |            WHERE o_orderdate >= TIMESTAMP '1995-07-01' AND o_orderdate < TIMESTAMP '1996-01-01')
+      |SELECT op, priority, n FROM (
+      |  SELECT 'except_all' AS op, priority, count(*) AS n
+      |  FROM (SELECT priority FROM h1 EXCEPT ALL SELECT priority FROM h2)
+      |  GROUP BY priority
+      |  UNION ALL
+      |  SELECT 'intersect_all' AS op, priority, count(*) AS n
+      |  FROM (SELECT priority FROM h1 INTERSECT ALL SELECT priority FROM h2)
+      |  GROUP BY priority)
+      |ORDER BY op, priority""".stripMargin
+
+  /** L2 normalization of embeddings (the preprocessing step every
+    * cosine-similarity index assumes): norm + first normalized component.
+    * Sequential higher-order fold on both engines → bit-identical
+    * doubles before the rounding. */
+  def embeddingNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val xd = transform(col("embedding"), _.cast("double"))
+    val l2 = sqrt(aggregate(xd, lit(0.0), (a, x) => a + x * x))
+    Tables.embeddings(spark, dir)
+      .withColumn("l2", l2)
+      .select(
+        col("vec_id"),
+        round(col("l2"), 6).as("l2_norm"),
+        round(when(col("l2") > 0, element_at(xd, 1) / col("l2")).otherwise(0.0), 6)
+          .as("c0_norm"))
+      .orderBy("vec_id")
+  }
+
+  private val embeddingNormalizeSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS x,
+      |         sqrt(list_sum(list_transform(embedding::DOUBLE[], v -> v * v))) AS l2
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |       round(l2, 6) AS l2_norm,
+      |       round(CASE WHEN l2 > 0 THEN x[1] / l2 ELSE 0.0 END, 6) AS c0_norm
+      |FROM e ORDER BY vec_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "customer_order_gaps"          -> (customerOrderGaps _),
+    "lineitem_corr_stats"          -> (lineitemCorrStats _),
+    "customer_running_revenue"     -> (customerRunningRevenue _),
+    "orders_grouping_sets"         -> (ordersGroupingSets _),
+    "lineitem_unpivot"             -> (lineitemUnpivot _),
+    "segment_customers_with_orders" -> (segmentCustomersWithOrders _),
+    "part_name_functions"          -> (partNameFunctions _),
+    "orders_calendar"              -> (ordersCalendar _),
+    "events_value_imputation"      -> (eventsValueImputation _),
+    "priority_outlier_orders"      -> (priorityOutlierOrders _),
+    "priority_set_ops_all"         -> (prioritySetOpsAll _),
+    "embedding_normalize"          -> (embeddingNormalize _))
+
+  val oracle: Map[String, String] = Map(
+    "customer_order_gaps"          -> customerOrderGapsSql,
+    "lineitem_corr_stats"          -> lineitemCorrStatsSql,
+    "customer_running_revenue"     -> customerRunningRevenueSql,
+    "orders_grouping_sets"         -> groupingSetsText,
+    "lineitem_unpivot"             -> lineitemUnpivotSql,
+    "segment_customers_with_orders" -> segmentCustomersWithOrdersSql,
+    "part_name_functions"          -> partNameFunctionsSql,
+    "orders_calendar"              -> ordersCalendarSql,
+    "events_value_imputation"      -> eventsValueImputationSql,
+    "priority_outlier_orders"      -> outlierText,
+    "priority_set_ops_all"         -> prioritySetOpsAllSql,
+    "embedding_normalize"          -> embeddingNormalizeSql)
+}
