@@ -331,7 +331,99 @@ object StatQueries {
       |       round(CASE WHEN l2 > 0 THEN x[1] / l2 ELSE 0.0 END, 6) AS c0_norm
       |FROM e ORDER BY vec_id""".stripMargin
 
+  /** Time-series forward fill (the gap-repair op for sensor streams):
+    * malformed readings (NULL value_numeric) take the latest preceding
+    * valid value of their station. last(ignoreNulls) over a running ROWS
+    * frame — linear per partition, no self-join; DuckDB's IGNORE NULLS
+    * mirrors it exactly. Values are copied, not computed, so no rounding
+    * is needed for hash stability. */
+  def sensorForwardFill(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("station_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    graft.queries.ParityQueries.sensorShaped(spark, dir)
+      .withColumn("value_numeric", expr("try_cast(value_str AS double)"))
+      .select(
+        col("event_id"), col("station_id"), col("value_numeric"),
+        last(col("value_numeric"), ignoreNulls = true).over(w).as("filled"))
+      .orderBy("event_id")
+  }
+
+  private val sensorForwardFillSql: String =
+    """WITH v AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |         CAST(user_id AS VARCHAR) AS station_id,
+      |         TRY_CAST(CASE WHEN event_type = 'error' THEN '<<bad_data>>'
+      |                       ELSE CAST(value AS VARCHAR) END AS DOUBLE) AS value_numeric
+      |  FROM events)
+      |SELECT event_id, station_id, value_numeric,
+      |       last_value(value_numeric IGNORE NULLS)
+      |         OVER (PARTITION BY station_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |FROM v ORDER BY event_id""".stripMargin
+
+  /** Array sort family: each embedding's three largest components
+    * (sort desc + element_at), scalar-projected for comparability. */
+  def embeddingTopComponents(spark: SparkSession, dir: String): DataFrame = {
+    val sorted = reverse(array_sort(transform(col("embedding"), _.cast("double"))))
+    Tables.embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        round(element_at(sorted, 1), 6).as("c1"),
+        round(element_at(sorted, 2), 6).as("c2"),
+        round(element_at(sorted, 3), 6).as("c3"))
+      .orderBy("vec_id")
+  }
+
+  private val embeddingTopComponentsSql: String =
+    """WITH e AS (SELECT vec_id, list_reverse_sort(embedding::DOUBLE[]) AS x FROM embeddings)
+      |SELECT vec_id,
+      |       round(x[1], 6) AS c1,
+      |       round(x[2], 6) AS c2,
+      |       round(x[3], 6) AS c3
+      |FROM e ORDER BY vec_id""".stripMargin
+
+  /** FULL OUTER join (completing the join-type surface: inner, broadcast,
+    * semi, anti, cross, as-of elsewhere): per-nation customer vs supplier
+    * balance, nations missing on either side surfacing with zeros. Both
+    * sides pre-aggregate to one row per nation BEFORE the join. */
+  def nationBalanceFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val cb = Tables.customer(spark, dir).groupBy(col("c_nationkey").as("nationkey"))
+      .agg(decSum(col("c_acctbal")).as("cust_bal"), count(lit(1)).as("n_cust"))
+    val sb = Tables.supplier(spark, dir).groupBy(col("s_nationkey").as("nationkey"))
+      .agg(decSum(col("s_acctbal")).as("supp_bal"), count(lit(1)).as("n_supp"))
+    cb.join(sb, Seq("nationkey"), "full_outer")
+      .select(
+        col("nationkey"),
+        coalesce(col("cust_bal"), lit(0.0)).as("cust_bal"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("supp_bal"), lit(0.0)).as("supp_bal"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  private val nationBalanceFullOuterSql: String =
+    """WITH cb AS (
+      |  SELECT c_nationkey AS nationkey,
+      |         round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2) AS cust_bal,
+      |         count(*) AS n_cust
+      |  FROM customer GROUP BY c_nationkey),
+      |sb AS (
+      |  SELECT s_nationkey AS nationkey,
+      |         round(CAST(sum(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2) AS supp_bal,
+      |         count(*) AS n_supp
+      |  FROM supplier GROUP BY s_nationkey)
+      |SELECT coalesce(cb.nationkey, sb.nationkey) AS nationkey,
+      |       coalesce(cust_bal, 0.0) AS cust_bal,
+      |       CAST(coalesce(n_cust, 0) AS BIGINT) AS n_cust,
+      |       coalesce(supp_bal, 0.0) AS supp_bal,
+      |       CAST(coalesce(n_supp, 0) AS BIGINT) AS n_supp
+      |FROM cb FULL OUTER JOIN sb ON cb.nationkey = sb.nationkey
+      |ORDER BY nationkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sensor_forward_fill"          -> (sensorForwardFill _),
+    "embedding_top_components"     -> (embeddingTopComponents _),
+    "nation_balance_full_outer"    -> (nationBalanceFullOuter _),
     "customer_order_gaps"          -> (customerOrderGaps _),
     "lineitem_corr_stats"          -> (lineitemCorrStats _),
     "customer_running_revenue"     -> (customerRunningRevenue _),
@@ -346,6 +438,9 @@ object StatQueries {
     "embedding_normalize"          -> (embeddingNormalize _))
 
   val oracle: Map[String, String] = Map(
+    "sensor_forward_fill"          -> sensorForwardFillSql,
+    "embedding_top_components"     -> embeddingTopComponentsSql,
+    "nation_balance_full_outer"    -> nationBalanceFullOuterSql,
     "customer_order_gaps"          -> customerOrderGapsSql,
     "lineitem_corr_stats"          -> lineitemCorrStatsSql,
     "customer_running_revenue"     -> customerRunningRevenueSql,
