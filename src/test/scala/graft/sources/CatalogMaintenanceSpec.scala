@@ -39,4 +39,18 @@ class CatalogMaintenanceSpec extends AnyFunSuite with SparkSpec {
     assert(back.count() === 10000)
     assert(back.agg(sum(col("id"))).head().getLong(0) === (0L until 10000L).sum)
   }
+
+  test("compaction survives leftovers from a crashed previous run") {
+    val dir = Files.createTempDirectory("compact_crash").toString
+    val df = spark.range(500).select(col("id"))
+    df.repartition(8).write.mode("overwrite").parquet(dir)
+    // simulate a prior run that died mid-swap: stale tmp + old copies
+    spark.range(3).write.parquet(dir + "__compact_tmp")
+    spark.range(5).write.parquet(dir + "__compact_old")
+    Maintenance.compact(spark, dir, targetMB = 128)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 500)
+    assert(!new java.io.File(dir + "__compact_tmp").exists(), "tmp not cleaned")
+    assert(!new java.io.File(dir + "__compact_old").exists(), "old not cleaned")
+  }
 }

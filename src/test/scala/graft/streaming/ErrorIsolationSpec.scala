@@ -51,4 +51,40 @@ class ErrorIsolationSpec extends AnyFunSuite with SparkSpec {
       assert(written.size() === 1)
     } finally q.stop()
   }
+
+  test("isolateFailedBatches=false: failed batch replays from checkpoint") {
+    val srcDir = java.nio.file.Files.createTempDirectory("replay_src")
+    val cp = java.nio.file.Files.createTempDirectory("replay_cp").toString
+    val outDir = java.nio.file.Files.createTempDirectory("replay_out").toString
+    def jsonLine(offsetMs: Long, value: String): String =
+      s"""{"station_name":"P","station_id":"p","sensor_id":"1","timestamp":${t0 + offsetMs},"value":"$value"}"""
+    val failNext = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def run(): Unit = {
+      val raw = spark.readStream.text(srcDir.toString)
+      val shaped = SensorPipeline.documents(raw, "5 seconds", "10 seconds")
+      val q = SensorPipeline.start(shaped, cp, Trigger.ProcessingTime("1 second"),
+        isolateFailedBatches = false) { (batch, _) =>
+        if (failNext.getAndSet(false)) sys.error("sink down")
+        batch.select(col("window.start").as("window_start"))
+          .write.mode("append").parquet(outDir)
+      }
+      try q.processAllAvailable()
+      catch { case _: Exception => () } // rethrow path: the query dies
+      finally q.stop()
+    }
+    // window A + advancer; the sink fails on the batch carrying window A
+    java.nio.file.Files.writeString(srcDir.resolve("f1.json"),
+      Seq(jsonLine(1000, "7.0"), jsonLine(30000, "1.0")).mkString("\n"))
+    failNext.set(true)
+    run()
+    assert(!new java.io.File(outDir).listFiles().exists(_.getName.endsWith(".parquet")),
+      "failed batch must not have written")
+    // restart from the same checkpoint with a healthy sink: the batch
+    // REPLAYS (offsets were never committed) - genuine at-least-once,
+    // unlike the default drop path asserted above
+    run()
+    val windows = spark.read.parquet(outDir)
+      .select(col("window_start").cast("long")).collect().map(_.getLong(0)).toSeq
+    assert(windows === Seq(t0 / 1000), s"expected replayed window A, got $windows")
+  }
 }
