@@ -38,4 +38,27 @@ class PartitionPruningSpec extends AnyFunSuite with SparkSpec {
       .filter(to_date(col("ts")) === lit("2024-01-05")).count()
     assert(n === full)
   }
+
+  test("dynamic partition pruning: dim filter prunes the fact scan at runtime") {
+    // The 100 TB star-join case: the partition predicate isn't literal —
+    // it comes from a filtered dimension. DPP injects the dim's key set
+    // into the fact scan's partition filter at runtime, so only matching
+    // partitions are read.
+    val out = Files.createTempDirectory("events_dpp").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    val dim = spark.range(0, 10).selectExpr(
+      "CASE WHEN id % 2 = 0 THEN 'click' ELSE 'purchase' END AS event_type")
+      .distinct()
+      .filter(col("event_type") === "click")
+    val fact = spark.read.parquet(out)
+    val q = fact.join(dim, Seq("event_type")).agg(count(lit(1)))
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+      s"expected dynamic pruning in plan:\n${plan.take(2000)}")
+    val n = q.head().getLong(0)
+    val expect = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_type") === "click").count()
+    assert(n === expect)
+  }
 }
