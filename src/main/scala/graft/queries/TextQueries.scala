@@ -160,15 +160,112 @@ object TextQueries {
       |FROM documents
       |GROUP BY 1 ORDER BY fingerprint""".stripMargin
 
+  // scrub patterns shared by Spark (Java regex) and DuckDB (RE2) — the
+  // patterns stay inside the dialect intersection (explicit classes, no
+  // lookaround). Replacement order matters and is identical on both
+  // sides: URLs first (they contain digits), then emails, then numbers.
+  private val urlPat = "https?://[^ \\t\\n]+"
+  private val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val numPat = "[0-9]+"
+
+  /** PII/URL scrubbing — the redaction pass of a pretraining pipeline:
+    * count URL/email/number occurrences and the post-scrub length.
+    * Pure map stage (codegen'd regex), no shuffle. */
+  def scrubCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(urlPat), lit(0))).as("n_urls"),
+        size(regexp_extract_all(col("text"), lit(emailPat), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(numPat), lit(0))).as("n_nums"),
+        length(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("text"), urlPat, "<URL>"),
+              emailPat, "<EMAIL>"),
+            numPat, "<NUM>")).as("scrubbed_len"))
+      .orderBy("doc_id")
+
+  private val scrubCountsSql: String =
+    """SELECT doc_id,
+      |       CAST(len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS INT) AS n_urls,
+      |       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT) AS n_emails,
+      |       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_nums,
+      |       CAST(length(
+      |         regexp_replace(
+      |           regexp_replace(
+      |             regexp_replace(text, 'https?://[^ \t\n]+', '<URL>', 'g'),
+      |             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+      |           '[0-9]+', '<NUM>', 'g')) AS INT) AS scrubbed_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** C4/Gopher-style heuristic filter rules, per document: token-count
+    * band, mean word length band, digit density, terminal punctuation —
+    * and the combined keep flag. Ratios are exact integer divisions, so
+    * the band comparisons are engine-stable. */
+  def c4Rules(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("mean_word_len",
+        when(col("n_tokens") > 0,
+          aggregate(col("toks"), lit(0), (a, t) => a + length(t)).cast("double") / col("n_tokens")))
+      .withColumn("digit_ratio",
+        when(length(col("text")) > 0,
+          size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))).cast("double") / length(col("text")))
+          .otherwise(lit(0.0)))
+      .withColumn("ends_punct", col("text").rlike("[.!?\"]\\s*$"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(col("mean_word_len"), 6).as("mean_word_len"),
+        round(col("digit_ratio"), 6).as("digit_ratio"),
+        col("ends_punct"),
+        coalesce(
+          col("n_tokens") >= 50 && col("n_tokens") <= 100000 &&
+            col("mean_word_len") >= 3 && col("mean_word_len") <= 10 &&
+            col("digit_ratio") < 0.15 && col("ends_punct"),
+          lit(false)).as("keep"))
+      .orderBy("doc_id")
+
+  private val c4RulesSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |              ELSE string_split_regex(trim(text), '\s+') END AS toks
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |         CAST(len(toks) AS INT) AS n_tokens,
+      |         CASE WHEN len(toks) > 0
+      |              THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+      |         END AS mean_word_len,
+      |         CASE WHEN length(text) > 0
+      |              THEN CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)
+      |              ELSE 0.0 END AS digit_ratio,
+      |         regexp_matches(text, '[.!?"]\s*$') AS ends_punct
+      |  FROM t)
+      |SELECT doc_id, n_tokens,
+      |       round(mean_word_len, 6) AS mean_word_len,
+      |       round(digit_ratio, 6) AS digit_ratio,
+      |       ends_punct,
+      |       coalesce(n_tokens >= 50 AND n_tokens <= 100000
+      |                AND mean_word_len >= 3 AND mean_word_len <= 10
+      |                AND digit_ratio < 0.15 AND ends_punct, FALSE) AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "doc_token_stats" -> (tokenStats _),
     "doc_quality"     -> (quality _),
     "doc_lang_id"     -> (langId _),
+    "doc_scrub_counts" -> (scrubCounts _),
+    "doc_c4_rules"    -> (c4Rules _),
     "dedup_exact"     -> (dedupExact _))
 
   val oracle: Map[String, String] = Map(
     "doc_token_stats" -> tokenStatsSql,
     "doc_quality"     -> qualitySql,
     "doc_lang_id"     -> langIdSql,
+    "doc_scrub_counts" -> scrubCountsSql,
+    "doc_c4_rules"    -> c4RulesSql,
     "dedup_exact"     -> dedupExactSql)
 }
