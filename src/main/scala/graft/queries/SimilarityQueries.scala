@@ -255,7 +255,79 @@ object SimilarityQueries {
       |WHERE rank <= 5
       |ORDER BY q_id, rank""".stripMargin
 
+  /** One Lloyd (k-means) refinement of the IVF index: assign every vector
+    * to its nearest current centroid (cosine, broadcast centroids —
+    * map-side assignment, no shuffle of the corpus), then recompute
+    * centroids from the new assignment. This is the step that turns
+    * arbitrary seed partitions (here: labels) into geometric Voronoi
+    * cells; production IVF runs it a handful of times on a sample. Emitted
+    * flat as (cluster, pos, centroid_v, n_members). Each stage rounds to
+    * 6 so the assignment argmax is engine-stable (tie-break on cluster
+    * id). Shuffle cost: dim × N partials for the recompute — identical to
+    * the initial build; assignment itself is embarrassingly parallel. */
+  def ivfKmeansRefine(spark: SparkSession, dir: String): DataFrame = {
+    val dotF = dotFast(spark) _
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("norm", sqrt(dotFast(spark)(col("embedding"), col("embedding"))))
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("centroid"))
+      .withColumn("c_norm", sqrt(dotFast(spark)(col("centroid"), col("centroid"))))
+      .withColumnRenamed("label", "c_label") // emb also carries `label`
+    val wA = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("c_label"))
+    val assign = emb.crossJoin(broadcast(cent))
+      .withColumn("c_sim",
+        round(dotF(col("embedding"), col("centroid")) / (col("norm") * col("c_norm")), 6))
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") === 1)
+      .select(col("c_label").as("cluster"), col("embedding"))
+    assign
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(
+        round(avg(col("v").cast("double")), 6).as("centroid_v"),
+        count(lit(1)).as("n_members"))
+      .orderBy("cluster", "pos")
+  }
+
+  private val ivfKmeansRefineSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+      |  FROM embeddings),
+      |cpos AS (
+      |  SELECT label, u.pos AS pos, round(avg(u.v), 6) AS cv
+      |  FROM embeddings,
+      |       LATERAL (SELECT unnest(embedding::DOUBLE[]) AS v,
+      |                       generate_subscripts(embedding, 1) AS pos) u
+      |  GROUP BY label, pos),
+      |c AS (SELECT label, list(cv ORDER BY pos) AS centroid FROM cpos GROUP BY label),
+      |cn AS (SELECT label, centroid,
+      |              sqrt(list_dot_product(centroid, centroid)) AS c_norm FROM c),
+      |assign AS (
+      |  SELECT cluster, emb FROM (
+      |    SELECT e.vec_id, cn.label AS cluster, e.emb,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |             ORDER BY round(list_dot_product(e.emb, cn.centroid) / (e.norm * cn.c_norm), 6) DESC,
+      |                      cn.label) AS rn
+      |    FROM e CROSS JOIN cn)
+      |  WHERE rn = 1)
+      |SELECT cluster, CAST(u.pos - 1 AS INT) AS pos,
+      |       round(avg(u.v), 6) AS centroid_v,
+      |       count(*) AS n_members
+      |FROM assign,
+      |     LATERAL (SELECT unnest(emb) AS v, generate_subscripts(emb, 1) AS pos) u
+      |GROUP BY cluster, pos
+      |ORDER BY cluster, pos""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ivf_kmeans_refine" -> (ivfKmeansRefine _),
     "knn_ivf"         -> (knnIvf _),
     "knn_ivf_probe2"  -> ((s: SparkSession, d: String) => knnIvfProbes(s, d, probes = 2)),
     "knn_brute"       -> (knnBrute _),
@@ -265,6 +337,7 @@ object SimilarityQueries {
     "label_centroids" -> (labelCentroids _))
 
   val oracle: Map[String, String] = Map(
+    "ivf_kmeans_refine" -> ivfKmeansRefineSql,
     "knn_ivf"         -> knnIvfSqlProbes(1),
     "knn_ivf_probe2"  -> knnIvfSqlProbes(2),
     "knn_brute"       -> knnBruteSql,
