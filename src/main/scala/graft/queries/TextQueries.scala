@@ -253,7 +253,35 @@ object TextQueries {
       |                AND digit_ratio < 0.15 AND ends_punct, FALSE) AS keep
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Within-document repetition (the Gopher repetition signal): sentence
+    * count, distinct-sentence count, repetition ratio. High-ratio docs are
+    * boilerplate/template pages a pretraining pipeline drops. Map-only. */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("sents", split(col("text"), "\\. "))
+      .select(
+        col("doc_id"),
+        size(col("sents")).as("n_sents"),
+        size(array_distinct(col("sents"))).as("n_uniq_sents"))
+      .withColumn("rep_ratio",
+        when(col("n_sents") > 0,
+          round(lit(1.0) - col("n_uniq_sents").cast("double") / col("n_sents"), 6))
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
+
+  private val repetitionSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, string_split_regex(text, '\. ') AS sents FROM documents)
+      |SELECT doc_id,
+      |       CAST(len(sents) AS INT) AS n_sents,
+      |       CAST(len(list_distinct(sents)) AS INT) AS n_uniq_sents,
+      |       CASE WHEN len(sents) > 0
+      |            THEN round(1.0 - CAST(len(list_distinct(sents)) AS DOUBLE) / len(sents), 6)
+      |            ELSE 0.0 END AS rep_ratio
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "doc_repetition"  -> (repetition _),
     "doc_token_stats" -> (tokenStats _),
     "doc_quality"     -> (quality _),
     "doc_lang_id"     -> (langId _),
@@ -262,6 +290,7 @@ object TextQueries {
     "dedup_exact"     -> (dedupExact _))
 
   val oracle: Map[String, String] = Map(
+    "doc_repetition"  -> repetitionSql,
     "doc_token_stats" -> tokenStatsSql,
     "doc_quality"     -> qualitySql,
     "doc_lang_id"     -> langIdSql,
