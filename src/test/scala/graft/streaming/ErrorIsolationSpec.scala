@@ -87,4 +87,44 @@ class ErrorIsolationSpec extends AnyFunSuite with SparkSpec {
       .select(col("window_start").cast("long")).collect().map(_.getLong(0)).toSeq
     assert(windows === Seq(t0 / 1000), s"expected replayed window A, got $windows")
   }
+
+  test("idempotent sink + replay = exactly-once: batchId partition overwrite") {
+    // The end-to-end exactly-once recipe: rethrow-on-failure (at-least-once
+    // replay, previous test) + an idempotent sink keyed by batchId. Spark
+    // re-runs a failed batch under the SAME batchId, so a dynamic
+    // partition overwrite replaces the partial partition instead of
+    // appending a duplicate.
+    val srcDir = java.nio.file.Files.createTempDirectory("idem_src")
+    val cp = java.nio.file.Files.createTempDirectory("idem_cp").toString
+    val outDir = java.nio.file.Files.createTempDirectory("idem_out").toString
+    def jsonLine(offsetMs: Long, value: String): String =
+      s"""{"station_name":"P","station_id":"p","sensor_id":"1","timestamp":${t0 + offsetMs},"value":"$value"}"""
+    val failAfterWrite = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def run(): Unit = {
+      val raw = spark.readStream.text(srcDir.toString)
+      val shaped = SensorPipeline.documents(raw, "5 seconds", "10 seconds")
+      val q = SensorPipeline.start(shaped, cp, Trigger.ProcessingTime("1 second"),
+        isolateFailedBatches = false) { (batch, batchId) =>
+        batch.select(col("window.start").as("window_start"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+        if (failAfterWrite.getAndSet(false)) sys.error("crash AFTER the write")
+      }
+      try q.processAllAvailable()
+      catch { case _: Exception => () }
+      finally q.stop()
+    }
+    java.nio.file.Files.writeString(srcDir.resolve("f1.json"),
+      Seq(jsonLine(1000, "7.0"), jsonLine(30000, "1.0")).mkString("\n"))
+    failAfterWrite.set(true)
+    run() // batch writes window A, then dies before committing offsets
+    run() // replay: same batchId -> overwrite, not append
+    val windows = spark.read.parquet(outDir)
+      .select(col("window_start").cast("long")).collect().map(_.getLong(0)).toSeq
+    assert(windows === Seq(t0 / 1000),
+      s"replay must overwrite its own partition, got $windows")
+  }
 }
