@@ -420,7 +420,38 @@ object StatQueries {
       |FROM cb FULL OUTER JOIN sb ON cb.nationkey = sb.nationkey
       |ORDER BY nationkey""".stripMargin
 
+  /** Remaining aggregate families in one pass: boolean (bool_and/
+    * bool_or), bitwise (bit_and/or/xor — associative+commutative, so
+    * partial aggregation is exact), and argument-selection
+    * (max_by/min_by keyed by the UNIQUE event_id, which makes the
+    * selection deterministic — max_by on a non-unique key is
+    * tie-nondeterministic and would flake the hash compare). */
+  def eventsAggFamilies(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        bool_or(col("value") > 100).as("any_high"),
+        bool_and(col("value").isNotNull).as("all_present"),
+        bit_and(col("user_id")).as("uid_and"),
+        bit_or(col("user_id")).as("uid_or"),
+        bit_xor(col("user_id")).as("uid_xor"),
+        max_by(col("user_id"), col("event_id")).as("last_user"),
+        min_by(col("user_id"), col("event_id")).as("first_user"))
+      .orderBy("event_type")
+
+  private val eventsAggFamiliesSql: String =
+    """SELECT event_type,
+      |       bool_or(value > 100) AS any_high,
+      |       bool_and(value IS NOT NULL) AS all_present,
+      |       bit_and(user_id) AS uid_and,
+      |       bit_or(user_id) AS uid_or,
+      |       bit_xor(user_id) AS uid_xor,
+      |       max_by(user_id, event_id) AS last_user,
+      |       min_by(user_id, event_id) AS first_user
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "events_agg_families"          -> (eventsAggFamilies _),
     "sensor_forward_fill"          -> (sensorForwardFill _),
     "embedding_top_components"     -> (embeddingTopComponents _),
     "nation_balance_full_outer"    -> (nationBalanceFullOuter _),
@@ -438,6 +469,7 @@ object StatQueries {
     "embedding_normalize"          -> (embeddingNormalize _))
 
   val oracle: Map[String, String] = Map(
+    "events_agg_families"          -> eventsAggFamiliesSql,
     "sensor_forward_fill"          -> sensorForwardFillSql,
     "embedding_top_components"     -> embeddingTopComponentsSql,
     "nation_balance_full_outer"    -> nationBalanceFullOuterSql,
