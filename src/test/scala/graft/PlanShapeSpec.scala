@@ -20,6 +20,36 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(bcast.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("partial aggregation stays below the fact join (pushdown lock-in)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    // the hand-rolled rewrite in revenue_by_nation/top_customers: the
+    // lineitem side must aggregate to order grain BEFORE any join —
+    // if a refactor re-inlines it, the join consumes raw lineitems again
+    for (q <- Seq("revenue_by_nation", "top_customers")) {
+      val plan = graft.queries.Registry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.optimizedPlan
+      val joins = plan.collect { case j: Join => j }
+      assert(joins.nonEmpty, s"$q lost its joins")
+      val aggBelowJoin = joins.exists(j =>
+        j.left.collectFirst { case a: Aggregate => a }.isDefined ||
+          j.right.collectFirst { case a: Aggregate => a }.isDefined)
+      assert(aggBelowJoin, s"$q: no Aggregate below a Join — pushdown regressed")
+    }
+  }
+
+  test("flagship pipeline runs inside whole-stage codegen") {
+    val df = graft.queries.ParityQueries
+      .windowedMetrics(spark, "/root/testdata/sf0.001")
+    df.collect() // collect (not count: same queryExecution) so AQE finalizes
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("codegen id"), "no codegen span in flagship plan")
+    // the parse/validate/window projection must not fall back to
+    // interpreted eval: no UDF nodes anywhere in the hot path
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      "flagship plan contains a non-codegen UDF node")
+  }
+
   test("nested schema pruning reaches the parquet scan") {
     val dir = Files.createTempDirectory("nested_docs").toString
     graft.queries.ParityQueries.nestedDoc(spark, "/root/testdata/sf0.001")
