@@ -49,6 +49,18 @@ object ScaleSmoke {
     time("lsh_candidates")(DedupOps.candidatesFromShingles(spark, sh).count())
     time("simhash")(DedupOps.simhash48(spark, scaled).count())
     time("winnow_fps")(DedupOps.winnowFingerprints(scaled).count())
+
+    // vector tier: K× the embeddings corpus through the IVF refine step
+    // (broadcast-centroid assignment is map-side — should scale ~linearly)
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val scaledEmb = (0 until k).map { i =>
+      emb.select(
+        (col("vec_id") + lit(i.toLong * 10000000)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ unionAll _).repartition(32).cache()
+    println(s"[scale] embeddings ${emb.count()} -> ${scaledEmb.count()} (${k}x)")
+    time("ivf_kmeans_refine")(
+      graft.queries.SimilarityQueries.ivfKmeansRefineFrom(spark, scaledEmb).count())
     spark.stop()
   }
 }

@@ -265,9 +265,14 @@ object SimilarityQueries {
     * 6 so the assignment argmax is engine-stable (tie-break on cluster
     * id). Shuffle cost: dim × N partials for the recompute — identical to
     * the initial build; assignment itself is embarrassingly parallel. */
-  def ivfKmeansRefine(spark: SparkSession, dir: String): DataFrame = {
+  def ivfKmeansRefine(spark: SparkSession, dir: String): DataFrame =
+    ivfKmeansRefineFrom(spark, Tables.embeddings(spark, dir))
+
+  /** Frame-based core of [[ivfKmeansRefine]] (also driven by ScaleSmoke
+    * at K× corpus size). */
+  def ivfKmeansRefineFrom(spark: SparkSession, embIn: DataFrame): DataFrame = {
     val dotF = dotFast(spark) _
-    val emb = Tables.embeddings(spark, dir)
+    val emb = embIn
       .withColumn("norm", sqrt(dotFast(spark)(col("embedding"), col("embedding"))))
     val cent = emb
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
