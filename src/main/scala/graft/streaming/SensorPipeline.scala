@@ -98,6 +98,28 @@ object SensorPipeline {
       count(lit(1)).as("n_rows"),
       sum(when(col("is_valid"), 0).otherwise(1)).as("n_malformed"))
 
+  /** Malformed-row audit sink (DLQ): the reference only COUNTS malformed
+    * payloads (consumer.py:135) — the rows themselves are lost. This side
+    * query preserves them for inspection/replay: the validated stream's
+    * invalid rows append to a parquet audit location. Runs as its own
+    * streaming query over the same source (no interference with the
+    * aggregate's state); row-level append needs no watermark. */
+  def startMalformedAudit(
+      validated: DataFrame,
+      auditDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    validated
+      .filter(!col("is_valid"))
+      .select(col("station_id"), col("sensor_id"), col("value"), col("event_time"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .option("path", auditDir)
+      .trigger(trigger)
+      .format("parquet")
+      .start()
+
   /** K1/K2/K6 (consumer.py:169-208, 230-234): append-mode foreachBatch
     * sink with empty-batch short-circuit.
     *

@@ -54,6 +54,19 @@ class FormatsSpec extends AnyFunSuite with SparkSpec {
     assert(checksum(back) === checksum(sample))
   }
 
+  test("parquet schema evolution: added column merges, old rows read null") {
+    // the lake-lifecycle case: an ingest adds a column mid-stream; readers
+    // with mergeSchema see the union schema, pre-evolution rows get nulls
+    val dir = Files.createTempDirectory("fmt_evolve").toString
+    sample.limit(100).write.mode("append").parquet(dir)
+    sample.limit(50).withColumn("quality", lit(0.9)).write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.schema.fieldNames.contains("quality"))
+    assert(merged.count() === 150)
+    assert(merged.filter(col("quality").isNull).count() === 100)
+    assert(merged.filter(col("quality").isNotNull).count() === 50)
+  }
+
   test("malformed JSON rows surface as nulls under PERMISSIVE, not crashes") {
     // the reference's 5% "<<bad_data>>" story at the format layer:
     // a corrupt line must not kill a 100 TB ingest job
