@@ -37,19 +37,38 @@ object Multimodal {
   }
 
   /** Build a media table from `documents` — text payload as the opaque
-    * binary column plus plausible typed metadata. Gives the multimodal
-    * path a harness-testdata-backed input. */
+    * binary column plus plausible typed metadata (deterministic fake
+    * geometry keyed by media_id, standing in for decoded image
+    * dimensions). Gives the multimodal path a harness-testdata-backed
+    * input. */
   def fromDocuments(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),
       lit("text/plain").as("kind"),
       col("text").cast("binary").as("content"),
       struct(
-        lit(0).as("width"),
-        lit(0).as("height"),
+        (lit(320) + pmod(col("doc_id"), lit(5)) * 160).cast("int").as("width"),
+        (lit(240) + pmod(col("doc_id"), lit(3)) * 120).cast("int").as("height"),
         lit(0).as("sample_rate"),
         ceil(octet_length(col("text").cast("binary")).cast("double") / FrameBytes)
           .cast("int").as("n_frames")).as("meta"))
+
+  /** Resize planning — the metadata half of a distributed image resize:
+    * fit (w, h) into a `box`×`box` bounding box preserving aspect ratio,
+    * never upscaling. Pure projection (codegen); the pixel work would be
+    * the stubbed codec's job, batched exactly like [[sampleFrames]]. */
+  def resizePlan(media: DataFrame, box: Int = 256): DataFrame = {
+    val w = col("meta.width").cast("double")
+    val h = col("meta.height").cast("double")
+    val scale = least(lit(box.toDouble) / w, lit(box.toDouble) / h, lit(1.0))
+    media.select(
+      col("media_id"),
+      col("meta.width").as("width"),
+      col("meta.height").as("height"),
+      floor(w * scale).cast("int").as("out_w"),
+      floor(h * scale).cast("int").as("out_h"),
+      (scale < 1.0).as("scaled"))
+  }
 
   /** Codegen'd binary feature extraction — no decode needed, stays in
     * WholeStageCodegen. */

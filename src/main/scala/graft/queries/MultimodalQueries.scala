@@ -49,11 +49,36 @@ object MultimodalQueries {
        |WHERE octet_length(encode(text)) > 0
        |ORDER BY media_id""".stripMargin
 
+  /** Resize planning over the media table: aspect-fit into a 256 box,
+    * no upscaling. The double arithmetic (division, multiply, floor) is
+    * identical on both engines, so the plan is exactly oracle-checkable. */
+  def mediaResizePlan(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.resizePlan(
+      Multimodal.fromDocuments(Tables.documents(spark, dir)))
+      .orderBy("media_id")
+
+  private val mediaResizePlanSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |         CAST(320 + (doc_id % 5) * 160 AS DOUBLE) AS w,
+      |         CAST(240 + (doc_id % 3) * 120 AS DOUBLE) AS h
+      |  FROM documents),
+      |s AS (SELECT media_id, w, h, least(256.0 / w, 256.0 / h, 1.0) AS scale FROM m)
+      |SELECT media_id,
+      |       CAST(w AS INT) AS width,
+      |       CAST(h AS INT) AS height,
+      |       CAST(floor(w * scale) AS INT) AS out_w,
+      |       CAST(floor(h * scale) AS INT) AS out_h,
+      |       scale < 1.0 AS scaled
+      |FROM s ORDER BY media_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "media_features"      -> (mediaFeatures _),
+    "media_resize_plan"   -> (mediaResizePlan _),
     "frame_sample_counts" -> (frameSampleCounts _))
 
   val oracle: Map[String, String] = Map(
     "media_features"      -> mediaFeaturesSql,
+    "media_resize_plan"   -> mediaResizePlanSql,
     "frame_sample_counts" -> frameSampleCountsSql)
 }
