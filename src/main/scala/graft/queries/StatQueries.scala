@@ -450,7 +450,59 @@ object StatQueries {
       |       min_by(user_id, event_id) AS first_user
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Remaining analytic window functions in one pass per customer order
+    * history: dense_rank over price, lead (the forward twin of
+    * customer_order_gaps' lag) with an explicit default, nth_value from
+    * the full-partition frame. 1%-of-customers slice. */
+  def ordersWindowFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .filter(pmod(col("o_custkey"), lit(100)) === 0)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        dense_rank().over(wPrice).as("price_rank"),
+        lead(col("o_orderkey"), 1, -1L).over(w).as("next_orderkey"),
+        nth_value(col("o_orderkey"), 2).over(full).as("second_orderkey"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val ordersWindowFunctionsSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |       CAST(dense_rank() OVER (PARTITION BY o_custkey
+      |                               ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS price_rank,
+      |       lead(o_orderkey, 1, -1) OVER w AS next_orderkey,
+      |       nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+      |                                      ORDER BY o_orderdate, o_orderkey
+      |                                      ROWS BETWEEN UNBOUNDED PRECEDING
+      |                                      AND UNBOUNDED FOLLOWING) AS second_orderkey
+      |FROM orders
+      |WHERE o_custkey % 100 = 0
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Deterministic collection aggregate: the sorted distinct status set
+    * per returnflag, joined to a string (collect_set is unordered by
+    * contract — sort before join or the hash compare flakes). */
+  def returnflagStatuses(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        array_join(array_sort(collect_set(col("l_linestatus"))), ",").as("statuses"),
+        countDistinct(col("l_linestatus")).as("n_statuses"))
+      .orderBy("l_returnflag")
+
+  private val returnflagStatusesSql: String =
+    """SELECT l_returnflag,
+      |       string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+      |       count(DISTINCT l_linestatus) AS n_statuses
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "orders_window_functions"      -> (ordersWindowFunctions _),
+    "returnflag_statuses"          -> (returnflagStatuses _),
     "events_agg_families"          -> (eventsAggFamilies _),
     "sensor_forward_fill"          -> (sensorForwardFill _),
     "embedding_top_components"     -> (embeddingTopComponents _),
@@ -469,6 +521,8 @@ object StatQueries {
     "embedding_normalize"          -> (embeddingNormalize _))
 
   val oracle: Map[String, String] = Map(
+    "orders_window_functions"      -> ordersWindowFunctionsSql,
+    "returnflag_statuses"          -> returnflagStatusesSql,
     "events_agg_families"          -> eventsAggFamiliesSql,
     "sensor_forward_fill"          -> sensorForwardFillSql,
     "embedding_top_components"     -> embeddingTopComponentsSql,

@@ -280,7 +280,30 @@ object TextQueries {
       |            ELSE 0.0 END AS rep_ratio
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** explode_outer — the generator that KEEPS empty inputs (a plain
+    * explode silently drops zero-token docs from downstream accounting):
+    * corpus totals proving no document is lost. */
+  def tokenExplodeOuter(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("token"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(when(col("token").isNull, 1).otherwise(0)).as("n_empty_docs"),
+        count(col("token")).as("n_tokens"))
+
+  private val tokenExplodeOuterSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |              ELSE string_split_regex(trim(text), '\s+') END AS toks
+      |  FROM documents)
+      |SELECT count(DISTINCT doc_id) AS n_docs,
+      |       CAST(sum(CASE WHEN len(toks) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_docs,
+      |       CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+      |FROM t""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "doc_token_explode_outer" -> (tokenExplodeOuter _),
     "doc_repetition"  -> (repetition _),
     "doc_token_stats" -> (tokenStats _),
     "doc_quality"     -> (quality _),
@@ -290,6 +313,7 @@ object TextQueries {
     "dedup_exact"     -> (dedupExact _))
 
   val oracle: Map[String, String] = Map(
+    "doc_token_explode_outer" -> tokenExplodeOuterSql,
     "doc_repetition"  -> repetitionSql,
     "doc_token_stats" -> tokenStatsSql,
     "doc_quality"     -> qualitySql,
