@@ -1,0 +1,24 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Literal, Multiply, Pow}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+
+/** Optimizer strength reduction: `pow(x, 2.0)` → `x * x`.
+  *
+  * `Pow` lowers to `java.lang.Math.pow` — a libm call Spark cannot
+  * vectorize or constant-fold through; the multiply stays in generated
+  * code. Numerically safe for exponent 2: both forms round the exact
+  * product once, so results are bit-identical wherever Math.pow is
+  * correctly rounded, and our query surface rounds outputs regardless.
+  * Registered via [[GraftExtensions]] (injectOptimizerRule) — the
+  * rule-injection seam custom engines use for domain rewrites; scoped
+  * deliberately tiny per SURVEY §7.4's built-ins-first verdict.
+  */
+object StrengthReduction extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Pow(x, Literal(2.0, DoubleType)) => Multiply(x, x)
+    }
+}

@@ -500,7 +500,36 @@ object StatQueries {
       |       count(DISTINCT l_linestatus) AS n_statuses
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** ANSI-safe `try_*` arithmetic — the function-family twin of the
+    * reference's try-cast validity trap (SURVEY §1.2): under Spark 4's
+    * default ANSI mode, plain division throws on divide-by-zero where
+    * `try_divide` yields NULL. Summarized per event_type so the NULL
+    * accounting is visible. DuckDB has no try_divide; the oracle spells
+    * out the equivalent CASE. */
+  def eventsTryArithmetic(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("denom", pmod(col("event_id"), lit(5)))
+      .withColumn("ratio", expr("try_divide(value, denom)"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("ratio").isNull, 1).otherwise(0)).as("n_null_ratio"),
+        round(sum(col("ratio").cast("decimal(18,6)")).cast("double"), 2).as("ratio_sum"))
+      .orderBy("event_type")
+
+  private val eventsTryArithmeticSql: String =
+    """WITH r AS (
+      |  SELECT event_type,
+      |         CASE WHEN event_id % 5 = 0 THEN NULL
+      |              ELSE value / (event_id % 5) END AS ratio
+      |  FROM events)
+      |SELECT event_type, count(*) AS n,
+      |       CAST(sum(CASE WHEN ratio IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_ratio,
+      |       round(CAST(sum(CAST(ratio AS DECIMAL(18,6))) AS DOUBLE), 2) AS ratio_sum
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "events_try_arithmetic"        -> (eventsTryArithmetic _),
     "orders_window_functions"      -> (ordersWindowFunctions _),
     "returnflag_statuses"          -> (returnflagStatuses _),
     "events_agg_families"          -> (eventsAggFamilies _),
@@ -521,6 +550,7 @@ object StatQueries {
     "embedding_normalize"          -> (embeddingNormalize _))
 
   val oracle: Map[String, String] = Map(
+    "events_try_arithmetic"        -> eventsTryArithmeticSql,
     "orders_window_functions"      -> ordersWindowFunctionsSql,
     "returnflag_statuses"          -> returnflagStatusesSql,
     "events_agg_families"          -> eventsAggFamiliesSql,
