@@ -528,7 +528,30 @@ object StatQueries {
       |       round(CAST(sum(CAST(ratio AS DECIMAL(18,6))) AS DOUBLE), 2) AS ratio_sum
       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Correlated LATERAL join with per-row LIMIT — "top order per
+    * customer" as the SQL-standard lateral form (Catalyst plans it as
+    * a rewritten join, not a per-row loop). Identical ANSI text runs on
+    * both engines. */
+  private val lateralText: String =
+    """SELECT c.c_custkey, t.top_orderkey, t.top_price
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey AS top_orderkey,
+      |                round(CAST(o_totalprice AS DOUBLE), 2) AS top_price
+      |         FROM orders
+      |         WHERE o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey
+      |         LIMIT 1) t
+      |WHERE c.c_custkey % 50 = 0
+      |ORDER BY c.c_custkey""".stripMargin
+
+  def topOrderLateral(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(lateralText)
+  }
+
   val queries: Map[String, Q] = Map(
+    "top_order_lateral"            -> (topOrderLateral _),
     "events_try_arithmetic"        -> (eventsTryArithmetic _),
     "orders_window_functions"      -> (ordersWindowFunctions _),
     "returnflag_statuses"          -> (returnflagStatuses _),
@@ -550,6 +573,7 @@ object StatQueries {
     "embedding_normalize"          -> (embeddingNormalize _))
 
   val oracle: Map[String, String] = Map(
+    "top_order_lateral"            -> lateralText,
     "events_try_arithmetic"        -> eventsTryArithmeticSql,
     "orders_window_functions"      -> ordersWindowFunctionsSql,
     "returnflag_statuses"          -> returnflagStatusesSql,
