@@ -28,9 +28,12 @@ object ScaleSmoke {
 
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val n0 = docs.count()
+    // replica id offset derived from the actual max id — a fixed offset
+    // would alias ids (and silently shrink the probe) on larger corpora
+    val docOff = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     val scaled = (0 until k).map { i =>
       docs.select(
-        (col("doc_id") + lit(i.toLong * 1000000)).as("doc_id"),
+        (col("doc_id") + lit(i.toLong * docOff)).as("doc_id"),
         // perturb each replica so replicas are near-dups, not exact dups
         concat(col("text"), lit(s" replica$i")).as("text"))
     }.reduce(_ unionAll _).repartition(32).cache()
@@ -53,9 +56,10 @@ object ScaleSmoke {
     // vector tier: K× the embeddings corpus through the IVF refine step
     // (broadcast-centroid assignment is map-side — should scale ~linearly)
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val vecOff = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
     val scaledEmb = (0 until k).map { i =>
       emb.select(
-        (col("vec_id") + lit(i.toLong * 10000000)).as("vec_id"),
+        (col("vec_id") + lit(i.toLong * vecOff)).as("vec_id"),
         col("embedding"), col("label"))
     }.reduce(_ unionAll _).repartition(32).cache()
     println(s"[scale] embeddings ${emb.count()} -> ${scaledEmb.count()} (${k}x)")

@@ -19,6 +19,8 @@ import org.apache.spark.sql.types.DoubleType
 object StrengthReduction extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case Pow(x, Literal(2.0, DoubleType)) => Multiply(x, x)
+      // deterministic guard: duplicating a non-deterministic x (rand())
+      // would evaluate it twice — rand_a * rand_b, not rand^2
+      case Pow(x, Literal(2.0, DoubleType)) if x.deterministic => Multiply(x, x)
     }
 }

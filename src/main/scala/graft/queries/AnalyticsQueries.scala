@@ -14,8 +14,7 @@ object AnalyticsQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def decSum(c: Column): Column =
-    round(sum(c.cast("decimal(18,6)")).cast("double"), 2)
+  import QueryConventions.decSum
 
   /** EXCEPT: customers that never ordered. Spark plans set ops as
     * aggregates/anti-joins — at scale this is a shuffle on the key, same

@@ -25,12 +25,7 @@ object RelationalQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Exact, order-independent SUM of fractional doubles: go through
-    * DECIMAL(18,6) so partial-aggregation order cannot perturb the result
-    * (a raw double sum differs run-to-run across partitionings), then to
-    * double rounded to cents. Same convention in the DuckDB oracles. */
-  private def decSum(c: Column): Column =
-    round(sum(c.cast("decimal(18,6)")).cast("double"), 2)
+  import QueryConventions.decSum
 
   private val revenueExpr: Column =
     col("l_extendedprice") * (lit(1) - col("l_discount"))

@@ -23,8 +23,7 @@ object StatQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def decSum(c: Column): Column =
-    round(sum(c.cast("decimal(18,6)")).cast("double"), 2)
+  import QueryConventions.decSum
 
   /** lag(): per-customer gaps between consecutive orders. Shuffle on
     * o_custkey, sort within partition — the analytic-window shape that
@@ -255,14 +254,18 @@ object StatQueries {
 
   /** Correlated scalar subquery — Catalyst decorrelates it into an
     * aggregate + join; the identical ANSI text runs on both engines.
-    * Orders priced above 1.5× their priority's average. */
+    * Orders priced above 1.5× their priority's average. The threshold is
+    * rounded to cents INSIDE the predicate: each engine computes the avg
+    * itself (different summation order, ~1e-10 relative divergence), and
+    * an unrounded strict > would let a price within that band of the
+    * threshold flip membership between engines. */
   private val outlierText: String =
     """SELECT o.o_orderpriority AS priority,
       |       count(*) AS n_outliers,
       |       round(CAST(max(o.o_totalprice) AS DOUBLE), 2) AS max_price
       |FROM orders o
-      |WHERE o.o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice) FROM orders o2
-      |                              WHERE o2.o_orderpriority = o.o_orderpriority)
+      |WHERE o.o_totalprice > (SELECT round(1.5 * avg(o2.o_totalprice), 2) FROM orders o2
+      |                        WHERE o2.o_orderpriority = o.o_orderpriority)
       |GROUP BY o.o_orderpriority
       |ORDER BY priority""".stripMargin
 

@@ -20,14 +20,18 @@ object Maintenance {
     * transactional commit (that would need a table format's metadata
     * layer, out of scope per SURVEY §7). */
   def compact(spark: SparkSession, dir: String, targetMB: Int = 128): Unit = {
-    val df = spark.read.parquet(dir)
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val files = math.max(1, (bytes / (targetMB.toLong * 1024 * 1024)).toInt)
     val base = dir.stripSuffix("/")
     val tmp = new java.io.File(base + "__compact_tmp")
     val old = new java.io.File(base + "__compact_old")
     val target = new java.io.File(base)
+    // recovery from a crash BETWEEN the two renames: the live dir is
+    // missing but the moved-aside original exists — restore it first
+    if (!target.exists() && old.exists() && !old.renameTo(target))
+      throw new java.io.IOException(s"compact: cannot restore $old to $target")
     delete(tmp); delete(old) // leftovers from a previous crashed run
+    val df = spark.read.parquet(dir)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = math.max(1, (bytes / (targetMB.toLong * 1024 * 1024)).toInt)
     df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
     if (!target.renameTo(old))
       throw new java.io.IOException(s"compact: cannot move $target aside")

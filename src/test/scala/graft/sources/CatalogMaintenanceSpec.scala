@@ -40,6 +40,19 @@ class CatalogMaintenanceSpec extends AnyFunSuite with SparkSpec {
     assert(back.agg(sum(col("id"))).head().getLong(0) === (0L until 10000L).sum)
   }
 
+  test("compaction recovers when a crash hit between the two renames") {
+    // worst-case crash point: original moved aside, compacted copy not
+    // yet in place -> live dir missing. compact() must restore and go on.
+    val dir = Files.createTempDirectory("compact_midswap").toString
+    spark.range(300).write.mode("overwrite").parquet(dir)
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + "__compact_old")))
+    spark.range(2).write.parquet(dir + "__compact_tmp") // stale partial copy
+    Maintenance.compact(spark, dir, targetMB = 128)
+    assert(spark.read.parquet(dir).count() === 300)
+    assert(!new java.io.File(dir + "__compact_tmp").exists())
+    assert(!new java.io.File(dir + "__compact_old").exists())
+  }
+
   test("compaction survives leftovers from a crashed previous run") {
     val dir = Files.createTempDirectory("compact_crash").toString
     val df = spark.range(500).select(col("id"))
