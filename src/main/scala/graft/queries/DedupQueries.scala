@@ -214,7 +214,57 @@ object DedupQueries {
        |FROM w
        |ORDER BY doc_id, fp""".stripMargin
 
+  /** Benchmark decontamination: for each "benchmark" document (the
+    * doc_id % 97 == 0 subset standing in for an eval set), count corpus
+    * documents sharing at least one 3-gram shingle — the n-gram-overlap
+    * contamination check run before training. The join is an equi-join
+    * on the shingle (same banding-style scale shape as LSH: candidates
+    * ∝ shared shingles, never N²); benchmark docs with no overlap (or
+    * no shingles) surface with 0 via the left join. */
+  def benchmarkContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ex = DedupOps.docShingles(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+    val b = ex.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id").as("b_id"), col("s"))
+    val c = ex.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      .select(col("doc_id").as("c_id"), col("s"))
+    val hits = b.join(c, "s")
+      .groupBy(col("b_id"))
+      .agg(countDistinct(col("c_id")).as("n_contaminating"))
+    docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id").as("b_id"))
+      .join(hits, Seq("b_id"), "left")
+      .select(col("b_id"), coalesce(col("n_contaminating"), lit(0L)).as("n_contaminating"))
+      .orderBy("b_id")
+  }
+
+  private val benchmarkContaminationSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |              ELSE string_split_regex(trim(text), '\s+') END AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(
+      |           CASE WHEN len(toks) >= 3
+      |                THEN list_transform(range(1, CAST(len(toks) - 1 AS BIGINT)),
+      |                       i -> concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i AS INT)+1], toks[CAST(i AS INT)+2]))
+      |                WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+      |                ELSE []::VARCHAR[] END) AS shingles
+      |  FROM toks),
+      |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |b AS (SELECT doc_id AS b_id, s FROM e WHERE doc_id % 97 = 0),
+      |c AS (SELECT doc_id AS c_id, s FROM e WHERE doc_id % 97 <> 0),
+      |hits AS (SELECT b_id, count(DISTINCT c_id) AS n FROM b JOIN c USING (s) GROUP BY b_id)
+      |SELECT d.doc_id AS b_id, CAST(coalesce(hits.n, 0) AS BIGINT) AS n_contaminating
+      |FROM documents d LEFT JOIN hits ON hits.b_id = d.doc_id
+      |WHERE d.doc_id % 97 = 0
+      |ORDER BY b_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "benchmark_contamination" -> (benchmarkContamination _),
     "doc_winnow_fingerprints" -> (winnowFps _),
     "minhash_signatures"  -> (minhashSigs _),
     "minhash_lsh_dups"    -> (minhashLshDups _),
@@ -223,6 +273,7 @@ object DedupQueries {
     "simhash_near_dup"    -> (simhashNearDup _))
 
   val oracle: Map[String, String] = Map(
+    "benchmark_contamination" -> benchmarkContaminationSql,
     "doc_winnow_fingerprints" -> winnowFpsSql,
     "minhash_signatures"  -> minhashSigsSql,
     "minhash_lsh_dups"    -> minhashLshDupsSql,
