@@ -271,21 +271,27 @@ object PipelineQueries {
       |FROM e ORDER BY vec_id""".stripMargin
 
   /** Data profiling: per-column null and distinct cardinality over the
-    * events table — ONE aggregate pass (all counts as parallel aggregate
-    * expressions), unpivoted to a row per column. The profile-before-
-    * ingest step of any pipeline; a per-column loop of count queries
-    * would scan the table N_cols times. */
+    * events table in one scan. Formulated as stack(col_name, value) →
+    * two-level aggregate (count per (col, value), then per col) rather
+    * than N parallel countDistinct aggregates: multi-distinct planning
+    * Expands every input row N_cols+1 times at full row width, while the
+    * stack ships N_cols narrow (name, value) pairs with map-side partial
+    * aggregation on the first level — measurably faster here and the
+    * shape that scales (the distinct shuffle carries partials, not
+    * rows). Values compare as strings: every column's cast to string is
+    * injective (shortest-repr doubles, µs timestamps, identity for
+    * strings), so cardinalities are unchanged. */
   def eventsProfile(spark: SparkSession, dir: String): DataFrame = {
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
-    val aggs = cols.flatMap { c =>
-      Seq(
-        sum(when(col(c).isNull, 1).otherwise(0)).as(s"nn_$c"),
-        countDistinct(col(c)).as(s"nd_$c"))
-    }
-    val stackExpr = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+    val stackExpr = cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ")
     Tables.events(spark, dir)
-      .agg(aggs.head, aggs.tail: _*)
-      .select(expr(s"stack(${cols.size}, $stackExpr) AS (column_name, n_nulls, n_distinct)"))
+      .select(expr(s"stack(${cols.size}, $stackExpr) AS (column_name, v)"))
+      .groupBy(col("column_name"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("column_name"))
+      .agg(
+        sum(when(col("v").isNull, col("cnt")).otherwise(0L)).as("n_nulls"),
+        sum(when(col("v").isNotNull, 1).otherwise(0)).as("n_distinct"))
       .orderBy("column_name")
   }
 
