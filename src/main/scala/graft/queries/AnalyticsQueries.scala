@@ -128,6 +128,23 @@ object AnalyticsQueries {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"))
       .orderBy("event_type")
 
+  /** Quantile SKETCH (percentile_approx / Greenwald-Khanna): the
+    * fixed-size-state form of quantity_quantiles that scales to
+    * arbitrary group cardinality. Like the HLL entry above, sketch
+    * internals are engine-specific by design → rows-only check; the
+    * exact query anchors the values (spec-asserted within sketch
+    * accuracy bounds at this accuracy parameter). */
+  def quantityQuantilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile_approx(l_quantity, array(0.25, 0.5, 0.75), 10000)").as("q"))
+      .select(
+        col("l_returnflag"),
+        element_at(col("q"), 1).as("q25"),
+        element_at(col("q"), 2).as("median"),
+        element_at(col("q"), 3).as("q75"))
+      .orderBy("l_returnflag")
+
   /** PIVOT: order counts cross-tabbed by status. Explicit value list keeps
     * the output schema static (a dynamic pivot would need a driver-side
     * distinct scan — avoided by contract at scale). */
@@ -289,6 +306,7 @@ object AnalyticsQueries {
     "order_flow_union"         -> (orderFlowUnion _),
     "orders_rollup"            -> (ordersRollup _),
     "quantity_quantiles"       -> (quantityQuantiles _),
+    "quantity_quantiles_approx" -> (quantityQuantilesApprox _),
     "distinct_users_exact"     -> (distinctUsersExact _),
     "distinct_users_approx"    -> (distinctUsersApprox _))
 
