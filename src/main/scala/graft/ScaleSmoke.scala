@@ -30,7 +30,8 @@ object ScaleSmoke {
     val n0 = docs.count()
     // replica id offset derived from the actual max id — a fixed offset
     // would alias ids (and silently shrink the probe) on larger corpora
-    val docOff = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val docOff = Option(docs.agg(max(col("doc_id"))).head().get(0))
+      .fold(sys.error(s"empty documents table in $sfDir"))(_.asInstanceOf[Long]) + 1
     val scaled = (0 until k).map { i =>
       docs.select(
         (col("doc_id") + lit(i.toLong * docOff)).as("doc_id"),
@@ -56,7 +57,8 @@ object ScaleSmoke {
     // vector tier: K× the embeddings corpus through the IVF refine step
     // (broadcast-centroid assignment is map-side — should scale ~linearly)
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
-    val vecOff = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val vecOff = Option(emb.agg(max(col("vec_id"))).head().get(0))
+      .fold(sys.error(s"empty embeddings table in $sfDir"))(_.asInstanceOf[Long]) + 1
     val scaledEmb = (0 until k).map { i =>
       emb.select(
         (col("vec_id") + lit(i.toLong * vecOff)).as("vec_id"),

@@ -223,8 +223,13 @@ object DedupQueries {
     * no shingles) surface with 0 via the left join. */
   def benchmarkContamination(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // cached: both join sides derive from this frame, and Catalyst does
+    // not dedupe common subtrees — uncached, the tokenize+shingle+explode
+    // pipeline would run once per side (same precedent as the cached
+    // frames in simhashNearDup/minhashLshDups)
     val ex = DedupOps.docShingles(docs)
       .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .cache()
     val b = ex.filter(pmod(col("doc_id"), lit(97)) === 0)
       .select(col("doc_id").as("b_id"), col("s"))
     val c = ex.filter(pmod(col("doc_id"), lit(97)) =!= 0)
@@ -240,28 +245,16 @@ object DedupQueries {
   }
 
   private val benchmarkContaminationSql: String =
-    """WITH toks AS (
-      |  SELECT doc_id,
-      |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-      |              ELSE string_split_regex(trim(text), '\s+') END AS toks
-      |  FROM documents),
-      |sh AS (
-      |  SELECT doc_id,
-      |         list_distinct(
-      |           CASE WHEN len(toks) >= 3
-      |                THEN list_transform(range(1, CAST(len(toks) - 1 AS BIGINT)),
-      |                       i -> concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i AS INT)+1], toks[CAST(i AS INT)+2]))
-      |                WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
-      |                ELSE []::VARCHAR[] END) AS shingles
-      |  FROM toks),
-      |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-      |b AS (SELECT doc_id AS b_id, s FROM e WHERE doc_id % 97 = 0),
-      |c AS (SELECT doc_id AS c_id, s FROM e WHERE doc_id % 97 <> 0),
-      |hits AS (SELECT b_id, count(DISTINCT c_id) AS n FROM b JOIN c USING (s) GROUP BY b_id)
-      |SELECT d.doc_id AS b_id, CAST(coalesce(hits.n, 0) AS BIGINT) AS n_contaminating
-      |FROM documents d LEFT JOIN hits ON hits.b_id = d.doc_id
-      |WHERE d.doc_id % 97 = 0
-      |ORDER BY b_id""".stripMargin
+    s"""WITH $toksCte,
+       |$shinglesCte,
+       |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |b AS (SELECT doc_id AS b_id, s FROM e WHERE doc_id % 97 = 0),
+       |c AS (SELECT doc_id AS c_id, s FROM e WHERE doc_id % 97 <> 0),
+       |hits AS (SELECT b_id, count(DISTINCT c_id) AS n FROM b JOIN c USING (s) GROUP BY b_id)
+       |SELECT d.doc_id AS b_id, CAST(coalesce(hits.n, 0) AS BIGINT) AS n_contaminating
+       |FROM documents d LEFT JOIN hits ON hits.b_id = d.doc_id
+       |WHERE d.doc_id % 97 = 0
+       |ORDER BY b_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "benchmark_contamination" -> (benchmarkContamination _),

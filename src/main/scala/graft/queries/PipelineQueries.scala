@@ -282,9 +282,16 @@ object PipelineQueries {
     * injective (shortest-repr doubles, µs timestamps, identity for
     * strings), so cardinalities are unchanged. */
   def eventsProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
-    val stackExpr = cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ")
-    Tables.events(spark, dir)
+    // `value + 0.0` merges -0.0 into +0.0 before the string cast: SQL
+    // DISTINCT treats the two zeros as one value, their strings are two —
+    // injectivity alone isn't enough, the cast must also merge SQL-equals
+    val stackExpr = cols
+      .map(c => if (c == "value") s"'$c', CAST(value + 0.0 AS STRING)"
+                else s"'$c', CAST($c AS STRING)")
+      .mkString(", ")
+    val counts = Tables.events(spark, dir)
       .select(expr(s"stack(${cols.size}, $stackExpr) AS (column_name, v)"))
       .groupBy(col("column_name"), col("v"))
       .agg(count(lit(1)).as("cnt"))
@@ -292,6 +299,14 @@ object PipelineQueries {
       .agg(
         sum(when(col("v").isNull, col("cnt")).otherwise(0L)).as("n_nulls"),
         sum(when(col("v").isNotNull, 1).otherwise(0)).as("n_distinct"))
+    // left join from the static column list so an empty table still
+    // profiles every column (as the oracle's UNION ALL branches do)
+    cols.toDF("column_name")
+      .join(counts, Seq("column_name"), "left")
+      .select(
+        col("column_name"),
+        coalesce(col("n_nulls"), lit(0L)).as("n_nulls"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
       .orderBy("column_name")
   }
 
