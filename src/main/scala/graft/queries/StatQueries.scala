@@ -553,7 +553,56 @@ object StatQueries {
     spark.sql(lateralText)
   }
 
+  /** Time-series resample + gap-fill: a dense per-station hourly spine
+    * (sequence over the observed range × distinct stations), left-joined
+    * with the windowed averages, gaps forward-filled. The
+    * regularization step monitoring dashboards and ML feature pipelines
+    * need — the spine is generated, not scanned, so its cost is
+    * independent of event volume; the fill is the linear per-partition
+    * window. */
+  def sensorHourlySpine(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.queries.ParityQueries.sensorShaped(spark, dir)
+      .withColumn("value_numeric", expr("try_cast(value_str AS double)"))
+      .groupBy(window(col("ts"), "1 hour"), col("station_id"))
+      .agg(round(avg(col("value_numeric")), 6).as("avg_v"))
+      .select(col("window.start").as("hour"), col("station_id"), col("avg_v"))
+    val bounds = v.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+    val minutes = bounds
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour"))
+    val spine = minutes.crossJoin(v.select(col("station_id")).distinct())
+    val fill = Window.partitionBy(col("station_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(v, Seq("hour", "station_id"), "left")
+      .select(
+        col("station_id"), col("hour"),
+        col("avg_v").isNull.as("is_gap"),
+        last(col("avg_v"), ignoreNulls = true).over(fill).as("filled"))
+      .orderBy("station_id", "hour")
+  }
+
+  private val sensorHourlySpineSql: String =
+    """WITH v AS (
+      |  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS hour,
+      |         CAST(user_id AS VARCHAR) AS station_id,
+      |         round(avg(TRY_CAST(CASE WHEN event_type = 'error' THEN '<<bad_data>>'
+      |                                 ELSE CAST(value AS VARCHAR) END AS DOUBLE)), 6) AS avg_v
+      |  FROM events
+      |  GROUP BY 1, 2),
+      |b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM v),
+      |m AS (SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour FROM b),
+      |spine AS (SELECT m.hour, s.station_id
+      |          FROM m CROSS JOIN (SELECT DISTINCT station_id FROM v) s)
+      |SELECT spine.station_id, spine.hour,
+      |       v.avg_v IS NULL AS is_gap,
+      |       last_value(v.avg_v IGNORE NULLS)
+      |         OVER (PARTITION BY spine.station_id ORDER BY spine.hour
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |FROM spine LEFT JOIN v
+      |  ON v.hour = spine.hour AND v.station_id = spine.station_id
+      |ORDER BY spine.station_id, spine.hour""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sensor_hourly_spine"          -> (sensorHourlySpine _),
     "top_order_lateral"            -> (topOrderLateral _),
     "events_try_arithmetic"        -> (eventsTryArithmetic _),
     "orders_window_functions"      -> (ordersWindowFunctions _),
@@ -576,6 +625,7 @@ object StatQueries {
     "embedding_normalize"          -> (embeddingNormalize _))
 
   val oracle: Map[String, String] = Map(
+    "sensor_hourly_spine"          -> sensorHourlySpineSql,
     "top_order_lateral"            -> lateralText,
     "events_try_arithmetic"        -> eventsTryArithmeticSql,
     "orders_window_functions"      -> ordersWindowFunctionsSql,
