@@ -6,9 +6,9 @@ import graft.plans.GraftExtensions
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line with per-query wall-clock seconds.
   * local[32] / 32 shuffle partitions by default (matching the harness
-  * machine), AQE on. A single flagship warmup run amortizes JVM/codegen
-  * startup so the numbers reflect steady-state query cost, not first-call
-  * JIT. */
+  * machine), AQE on. One untimed warm pass over every query amortizes
+  * JVM/codegen startup so the numbers reflect steady-state query cost,
+  * not first-call JIT. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -48,7 +48,7 @@ object Bench {
       val (a, b) = (timeOnce(fn), timeOnce(fn))
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
+    val failed = results.collect { case (k, v) if v < 0 => k }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -561,15 +561,18 @@ object StatQueries {
     * independent of event volume; the fill is the linear per-partition
     * window. */
   def sensorHourlySpine(spark: SparkSession, dir: String): DataFrame = {
+    // cached: referenced three times (bounds, station list, join side) —
+    // uncached, the events scan + windowed aggregate would run 3×
     val v = graft.queries.ParityQueries.sensorShaped(spark, dir)
       .withColumn("value_numeric", expr("try_cast(value_str AS double)"))
       .groupBy(window(col("ts"), "1 hour"), col("station_id"))
       .agg(round(avg(col("value_numeric")), 6).as("avg_v"))
       .select(col("window.start").as("hour"), col("station_id"), col("avg_v"))
+      .cache()
     val bounds = v.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
-    val minutes = bounds
+    val hours = bounds
       .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour"))
-    val spine = minutes.crossJoin(v.select(col("station_id")).distinct())
+    val spine = hours.crossJoin(v.select(col("station_id")).distinct())
     val fill = Window.partitionBy(col("station_id")).orderBy(col("hour"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     spine.join(v, Seq("hour", "station_id"), "left")
