@@ -6,10 +6,28 @@ import graft.plans.GraftExtensions
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line with per-query wall-clock seconds.
   * local[32] / 32 shuffle partitions by default (matching the harness
-  * machine), AQE on. One untimed warm pass over every query amortizes
-  * JVM/codegen startup so the numbers reflect steady-state query cost,
-  * not first-call JIT. */
+  * machine), AQE on.
+  *
+  * Robustness against host contention (the round-2 lesson — a burst of
+  * co-located load turned five healthy queries into phantom 10-24×
+  * regressions):
+  *   - one untimed warm pass amortizes JVM/codegen/parquet-footer startup;
+  *   - then THREE full interleaved sweeps (every query once per sweep, in
+  *     sorted name order), per-query min across sweeps. A contention burst
+  *     is time-local, so it contaminates one sweep's worth of a query's
+  *     samples, never all three — unlike back-to-back repeats, which both
+  *     land inside the burst.
+  *   - `spark.catalog.clearCache()` after every query: several registered
+  *     queries cache() frames that feed self-joins; without clearing, the
+  *     ~8 pinned frames accumulate across the 85×4 run and squeeze
+  *     execution memory in later queries.
+  *   - `load_avg_start`/`load_avg_end` (1-min system load) make a
+  *     contaminated run self-identifying: on this 32-core box an idle run
+  *     reads well under ~40 at end; a co-located driver burst reads higher.
+  */
 object Bench {
+  private val Sweeps = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -22,38 +40,51 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    def loadAvg(): Double = {
+      val l = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      math.round(l * 100) / 100.0
+    }
+    val loadStart = loadAvg()
+
+    // sorted order: per-query timings comparable across rounds regardless
+    // of Map iteration order
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+
     // warmup: one untimed pass over EVERY query — session init, parquet
     // footer reads, and per-query codegen all land outside the timings.
-    // (A flagship-only warmup left the first queries in iteration order
-    // carrying JIT/codegen noise into the driver's single cold run.)
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case scala.util.control.NonFatal(_) => () }
+      spark.catalog.clearCache()
     }
-    // two timed runs per query, report the min: steady-state cost without
-    // first-run JIT/codegen noise (run-to-run variance on a busy host was
-    // measured at ±25%, enough to trip cross-round regression compares).
+
     // A query that throws is reported as -1 (NOT a fast timing) and named
     // in the errors list — a regression must read as a failure, never a
     // speedup.
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       } catch { case scala.util.control.NonFatal(_) => -1.0 }
+      finally spark.catalog.clearCache()
     }
-    // sorted order: per-query timings comparable across rounds regardless
-    // of Map iteration order
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (a, b) = (timeOnce(fn), timeOnce(fn))
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+
+    val sweeps: Seq[Seq[Double]] =
+      (1 to Sweeps).map(_ => queries.map { case (_, fn) => timeOnce(fn) })
+    val results = queries.zipWithIndex.map { case ((name, _), i) =>
+      val samples = sweeps.map(_(i))
+      name -> (if (samples.exists(_ < 0)) -1.0 else samples.min)
     }
+
     val failed = results.collect { case (k, v) if v < 0 => k }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val loadEnd = loadAvg()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
