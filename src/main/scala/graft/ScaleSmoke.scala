@@ -52,6 +52,10 @@ object ScaleSmoke {
     time("lsh_bands")(DedupOps.bandsFromShingles(spark, sh).count())
     time("lsh_candidates")(DedupOps.candidatesFromShingles(spark, sh).count())
     time("simhash")(DedupOps.simhash48(spark, scaled).count())
+    // banded pair step: candidate count should track dup-clique size (each
+    // base doc's K replicas), NOT corpus² — the pigeonhole-banding claim
+    time("simhash_banded_cand")(
+      graft.queries.DedupQueries.simhashBandedCandidates(spark, scaled).count())
     time("winnow_fps")(DedupOps.winnowFingerprints(scaled).count())
 
     // vector tier: K× the embeddings corpus through the IVF refine step

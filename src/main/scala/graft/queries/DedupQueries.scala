@@ -151,7 +151,9 @@ object DedupQueries {
        |       CAST(sum(CASE WHEN s >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  /** SimHash near-dup pairs: Hamming distance ≤ 1 over the 48 bits. */
+  /** SimHash near-dup pairs: Hamming distance ≤ 1 over the 48 bits.
+    * Unbanded N² cross join — kept as the exact recall oracle for
+    * [[simhashBandedDup]], which is the production/scale form. */
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
     // one signature row per doc, self-joined: cache to avoid recomputing
     // the token-explode pipeline for each join side
@@ -183,6 +185,82 @@ object DedupQueries {
        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
        |FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+       |ORDER BY a_id, b_id""".stripMargin
+
+  // Pigeonhole banding parameters for the SimHash scale path: for
+  // Hamming <= k over 48 bits, split the signature into k+1 chunks — any
+  // pair within distance k has all its differing bits confined to at most
+  // k chunks, so it agrees EXACTLY on at least one chunk.
+  private val SimhashBits = 48
+  private val HammingK    = 1
+  private val NBands      = HammingK + 1          // 2 chunks
+  private val BandBits    = SimhashBits / NBands  // of 24 bits each
+  private val BandMask    = (1L << BandBits) - 1
+
+  /** SimHash near-dup, banded (the scale path). Same result set as
+    * [[simhashNearDup]] — pigeonhole guarantees no recall loss at
+    * Hamming <= [[HammingK]] — but the pair step is an equi-join on
+    * (band, 24-bit chunk) instead of an N² cross join: candidate count
+    * tracks duplicate-clique size, not corpus², so it survives 100 TB
+    * (measured candidates ∝ dups in ScaleSmoke). Candidates are then
+    * Hamming-verified exactly. */
+  def simhashBandedDup(spark: SparkSession, dir: String): DataFrame =
+    simhashBandedDupFrom(spark, Tables.documents(spark, dir))
+
+  /** Candidate pairs from the banding equi-join — distinct (a_id, b_id)
+    * with both signatures, BEFORE Hamming verification. Exposed so
+    * ScaleSmoke can measure that candidate count tracks duplicate-clique
+    * size, not corpus². */
+  def simhashBandedCandidates(spark: SparkSession, docs: DataFrame): DataFrame = {
+    // one signature row per doc, consumed by both join sides
+    val sh = DedupOps.simhash48(spark, docs).cache()
+    val banded = sh
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(NBands - 1))).as("band"))
+      .withColumn("chunk",
+        expr(s"(simhash >> (band * $BandBits)) & $BandMask"))
+    val a = banded.select(col("doc_id").as("a_id"), col("simhash").as("ha"),
+      col("band"), col("chunk"))
+    val b = banded.select(col("doc_id").as("b_id"), col("simhash").as("hb"),
+      col("band"), col("chunk"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("a_id") < col("b_id"))
+      // a pair with Hamming 0 in both chunks matches in both bands
+      .select("a_id", "b_id", "ha", "hb").distinct()
+  }
+
+  /** Frame-based core of [[simhashBandedDup]] (also driven by ScaleSmoke). */
+  def simhashBandedDupFrom(spark: SparkSession, docs: DataFrame): DataFrame =
+    simhashBandedCandidates(spark, docs)
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= HammingK)
+      .select("a_id", "b_id", "hamming")
+      .orderBy("a_id", "b_id")
+
+  private val simhashBandedDupSql: String =
+    s"""WITH $toksCte,
+       |tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS t FROM toks),
+       |th AS (SELECT doc_id, CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) AS h60 FROM tok),
+       |bits AS (
+       |  SELECT doc_id, j,
+       |         sum(CASE WHEN (h60 // CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM th JOIN (SELECT unnest(range(0, 48)) AS j) jt ON TRUE
+       |  GROUP BY doc_id, j),
+       |sh2 AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN s >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, simhash, band,
+       |         (simhash >> CAST(band * $BandBits AS INT)) & $BandMask AS chunk
+       |  FROM sh2 CROSS JOIN (SELECT unnest(range(0, $NBands)) AS band) bt),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |                  a.simhash AS ha, b.simhash AS hb
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= $HammingK
        |ORDER BY a_id, b_id""".stripMargin
 
   /** Winnowing fingerprints (rolling hash over token triples, min per
@@ -263,7 +341,8 @@ object DedupQueries {
     "minhash_lsh_dups"    -> (minhashLshDups _),
     "ngram_jaccard_pairs" -> (ngramJaccardPairs _),
     "doc_simhash"         -> (docSimhash _),
-    "simhash_near_dup"    -> (simhashNearDup _))
+    "simhash_near_dup"    -> (simhashNearDup _),
+    "simhash_banded_dup"  -> (simhashBandedDup _))
 
   val oracle: Map[String, String] = Map(
     "benchmark_contamination" -> benchmarkContaminationSql,
@@ -272,5 +351,6 @@ object DedupQueries {
     "minhash_lsh_dups"    -> minhashLshDupsSql,
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
     "doc_simhash"         -> docSimhashSql,
-    "simhash_near_dup"    -> simhashNearDupSql)
+    "simhash_near_dup"    -> simhashNearDupSql,
+    "simhash_banded_dup"  -> simhashBandedDupSql)
 }

