@@ -39,5 +39,21 @@ class SimilarityRecallSpec extends AnyFunSuite with SparkSpec {
     val recall2 = ivf2.intersect(brute).size.toDouble / brute.size
     info(f"IVF probe-2 recall vs brute-force top-5: $recall2%.2f")
     assert(recall2 >= recall)
+
+    // Lloyd-refined index at the SAME probe budget: k-means turns the
+    // label seed partitions (random w.r.t. geometry) into Voronoi cells,
+    // so nearest-centroid probing concentrates true neighbors into the
+    // probed cells — recall must improve materially over the raw-label
+    // index (VERDICT r2 item 4's acceptance bar).
+    val refined1 = SimilarityQueries.knnIvfRefined(spark, dir, probes = 1).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val recallR1 = refined1.intersect(brute).size.toDouble / brute.size
+    val refined2 = SimilarityQueries.knnIvfRefined(spark, dir, probes = 2).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val recallR2 = refined2.intersect(brute).size.toDouble / brute.size
+    info(f"refined IVF probe-1 recall: $recallR1%.2f (raw-label: $recall%.2f)")
+    info(f"refined IVF probe-2 recall: $recallR2%.2f (raw-label: $recall2%.2f)")
+    assert(recallR1 > recall, "refined probe-1 recall must beat the raw-label index")
+    assert(recallR2 > recall2, "refined probe-2 recall must beat the raw-label index")
   }
 }
