@@ -303,7 +303,50 @@ object ParityQueries {
       |FROM r WHERE rk <= 3
       |ORDER BY window_start, rk""".stripMargin
 
+  /** Batch-verifiable twin of the streaming exact dedup
+    * (`dropDuplicatesWithinWatermark`, StreamingDedupSpec): at-least-once
+    * redelivery is simulated deterministically (every 7th event arrives
+    * twice), then `dropDuplicates` on the reading identity
+    * (station, sensor, ts) restores exactly-once before the windowed
+    * count. Output uses only key columns, so the arbitrary-row-per-key
+    * semantics of dropDuplicates cannot leak nondeterminism into the
+    * oracle compare. Scale shape: one hash-shuffle on the dedup key —
+    * identical to dedup_exact; the streaming form bounds the same state
+    * by watermark instead of corpus size. */
+  def dedupReplay(spark: SparkSession, dir: String): DataFrame = {
+    val v = sensorShaped(spark, dir)
+    val replayed = v.unionAll(v.filter(pmod(col("event_id"), lit(7)) === 0))
+    replayed
+      .dropDuplicates(Seq("station_id", "sensor_id", "ts"))
+      .groupBy(window(col("ts"), "1 minute"), col("station_id"))
+      .agg(
+        count(lit(1)).as("n_readings"),
+        countDistinct(col("sensor_id")).as("n_sensors"))
+      .select(
+        col("window.start").as("window_start"),
+        col("station_id"), col("n_readings"), col("n_sensors"))
+      .orderBy("window_start", "station_id")
+  }
+
+  private val dedupReplaySql: String =
+    """WITH raw AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS station_id,
+      |         event_type AS sensor_id,
+      |         CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events
+      |  UNION ALL
+      |  SELECT CAST(user_id AS VARCHAR), event_type, CAST(ts AS TIMESTAMP)
+      |  FROM events WHERE event_id % 7 = 0),
+      |d AS (SELECT DISTINCT station_id, sensor_id, ts FROM raw)
+      |SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
+      |       station_id,
+      |       CAST(count(*) AS BIGINT) AS n_readings,
+      |       CAST(count(DISTINCT sensor_id) AS BIGINT) AS n_sensors
+      |FROM d GROUP BY 1, 2
+      |ORDER BY window_start, station_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sensor_dedup_replay"     -> (dedupReplay _),
     "top_sensors_per_window"  -> (topSensorsPerWindow _),
     "sensor_sliding_metrics"  -> (slidingMetrics _),
     "sensor_windowed_metrics" -> (windowedMetrics _),
@@ -314,6 +357,7 @@ object ParityQueries {
     "sensor_nested_doc"       -> (nestedDocRoundTrip _))
 
   val oracle: Map[String, String] = Map(
+    "sensor_dedup_replay"      -> dedupReplaySql,
     "top_sensors_per_window"   -> topSensorsPerWindowSql,
     "sensor_sliding_metrics"   -> slidingMetricsSql,
     "sensor_windowed_metrics"  -> windowedMetricsSql,

@@ -1,11 +1,16 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSpec
+import graft.sources.Tables
 
-/** Sketch entries are rows-only in the oracle gate (engine-specific
-  * internals); their VALUES are anchored here against the exact forms. */
+/** Sketch entries are oracled BY BOUND (the registered query emits the
+  * exact value plus an in-query envelope check the oracle asserts TRUE).
+  * This spec anchors the RAW sketch values against the exact forms — the
+  * numbers the in-query booleans summarize — so a sketch regression is
+  * diagnosable, not just detected. */
 class SketchAccuracySpec extends AnyFunSuite with SparkSpec {
 
   private val dir = "/root/testdata/sf0.01"
@@ -13,7 +18,14 @@ class SketchAccuracySpec extends AnyFunSuite with SparkSpec {
   test("percentile_approx tracks exact quantiles within sketch bounds") {
     val exact = AnalyticsQueries.quantityQuantiles(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
-    val approx = AnalyticsQueries.quantityQuantilesApprox(spark, dir).collect()
+    val approx = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile_approx(l_quantity, array(0.25, 0.5, 0.75), 10000)").as("q"))
+      .select(col("l_returnflag"),
+        element_at(col("q"), 1).cast("double").as("q25"),
+        element_at(col("q"), 2).cast("double").as("median"),
+        element_at(col("q"), 3).cast("double").as("q75"))
+      .collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     assert(approx.keySet === exact.keySet)
     for ((flag, (a25, a50, a75)) <- approx) {
@@ -24,15 +36,23 @@ class SketchAccuracySpec extends AnyFunSuite with SparkSpec {
       assert(math.abs(a50 - e50) <= 1.0, s"$flag median: $a50 vs $e50")
       assert(math.abs(a75 - e75) <= 1.0, s"$flag q75: $a75 vs $e75")
     }
+    // and the registered query's in-query envelope check agrees
+    val flags = AnalyticsQueries.quantityQuantilesApprox(spark, dir).collect()
+    assert(flags.forall(_.getAs[Boolean]("gk_within_bound")))
   }
 
   test("approx_count_distinct tracks the exact cardinalities within 2%") {
     val exact = AnalyticsQueries.distinctUsersExact(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approx = AnalyticsQueries.distinctUsersApprox(spark, dir).collect()
+    val approx = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("n_approx"))
+      .collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(approx.keySet === exact.keySet)
     for ((k, a) <- approx)
       assert(math.abs(a - exact(k)).toDouble / exact(k) <= 0.02, s"$k: $a vs ${exact(k)}")
+    val flags = AnalyticsQueries.distinctUsersApprox(spark, dir).collect()
+    assert(flags.forall(_.getAs[Boolean]("sketch_within_3rsd")))
   }
 }
