@@ -12,7 +12,9 @@ case class PipelineConfig(
     slideDuration: Option[String] = None,  // SPARK_AGGREGATE_SLIDE (.env:15; None = tumbling)
     watermarkDelay: String = "5 seconds",  // SPARK_AGGREGATE_WATERMARK (.env:16)
     triggerInterval: String = "1 minute",  // SPARK_AGGREGATE_TRIGGER_INTERVAL (.env:13)
-    checkpointDir: String = "/tmp/graft-checkpoint") { // SPARK_AGGREGATE_CHECKPOINT_DIR (.env:17)
+    checkpointDir: String = "/tmp/graft-checkpoint", // SPARK_AGGREGATE_CHECKPOINT_DIR (.env:17)
+    kafkaBootstrapServers: Option[String] = None,    // KAFKA_BOOTSTRAP_SERVERS (.env:2)
+    kafkaTopicPrefix: String = "sensors.raw") {      // KAFKA_TOPIC_PREFIX (.env:7)
 
   def trigger: Trigger = Trigger.ProcessingTime(triggerInterval)
 }
@@ -35,6 +37,8 @@ object PipelineConfig {
         .filter(s => s.nonEmpty && s != window),
       watermarkDelay = get("SPARK_AGGREGATE_WATERMARK", "WATERMARK_DELAY", "5 seconds"),
       triggerInterval = get("SPARK_AGGREGATE_TRIGGER_INTERVAL", "TRIGGER_INTERVAL", "1 minute"),
-      checkpointDir = get("SPARK_AGGREGATE_CHECKPOINT_DIR", "CHECKPOINT_DIR", "/tmp/graft-checkpoint"))
+      checkpointDir = get("SPARK_AGGREGATE_CHECKPOINT_DIR", "CHECKPOINT_DIR", "/tmp/graft-checkpoint"),
+      kafkaBootstrapServers = env.get("KAFKA_BOOTSTRAP_SERVERS").filter(_.nonEmpty),
+      kafkaTopicPrefix = get("KAFKA_TOPIC_PREFIX", "KAFKA_TOPIC_PREFIX", "sensors.raw"))
   }
 }
