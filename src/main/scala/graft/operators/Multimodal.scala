@@ -40,15 +40,22 @@ object Multimodal {
     * binary column plus plausible typed metadata (deterministic fake
     * geometry keyed by media_id, standing in for decoded image
     * dimensions). Gives the multimodal path a harness-testdata-backed
-    * input. */
+    * input. The doc_id % 5 == 4 bucket gets 200×150 geometry — smaller
+    * than resizePlan's default 256 box — so the no-upscale clamp
+    * (scaled = false) branch is exercised under the oracle, not just the
+    * downscale branch. */
   def fromDocuments(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),
       lit("text/plain").as("kind"),
       col("text").cast("binary").as("content"),
       struct(
-        (lit(320) + pmod(col("doc_id"), lit(5)) * 160).cast("int").as("width"),
-        (lit(240) + pmod(col("doc_id"), lit(3)) * 120).cast("int").as("height"),
+        when(pmod(col("doc_id"), lit(5)) === 4, lit(200))
+          .otherwise(lit(320) + pmod(col("doc_id"), lit(5)) * 160)
+          .cast("int").as("width"),
+        when(pmod(col("doc_id"), lit(5)) === 4, lit(150))
+          .otherwise(lit(240) + pmod(col("doc_id"), lit(3)) * 120)
+          .cast("int").as("height"),
         lit(0).as("sample_rate"),
         ceil(octet_length(col("text").cast("binary")).cast("double") / FrameBytes)
           .cast("int").as("n_frames")).as("meta"))

@@ -9,9 +9,11 @@ import org.apache.spark.sql.types.DoubleType
   *
   * `Pow` lowers to `java.lang.Math.pow` — a libm call Spark cannot
   * vectorize or constant-fold through; the multiply stays in generated
-  * code. Numerically safe for exponent 2: both forms round the exact
-  * product once, so results are bit-identical wherever Math.pow is
-  * correctly rounded, and our query surface rounds outputs regardless.
+  * code. Numerically safe for exponent 2: `x * x` rounds the exact
+  * product once, and `Math.pow` is within 1 ulp of that (the JLS allows
+  * it 1 ulp of error — only StrictMath is reproducible), so the rewrite
+  * can shift an unrounded result by at most 1 ulp; the query surface's
+  * output rounding absorbs it.
   * Registered via [[GraftExtensions]] (injectOptimizerRule) — the
   * rule-injection seam custom engines use for domain rewrites; scoped
   * deliberately tiny per SURVEY §7.4's built-ins-first verdict.

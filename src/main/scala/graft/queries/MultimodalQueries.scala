@@ -60,8 +60,10 @@ object MultimodalQueries {
   private val mediaResizePlanSql: String =
     """WITH m AS (
       |  SELECT doc_id AS media_id,
-      |         CAST(320 + (doc_id % 5) * 160 AS DOUBLE) AS w,
-      |         CAST(240 + (doc_id % 3) * 120 AS DOUBLE) AS h
+      |         CAST(CASE WHEN doc_id % 5 = 4 THEN 200
+      |                   ELSE 320 + (doc_id % 5) * 160 END AS DOUBLE) AS w,
+      |         CAST(CASE WHEN doc_id % 5 = 4 THEN 150
+      |                   ELSE 240 + (doc_id % 3) * 120 END AS DOUBLE) AS h
       |  FROM documents),
       |s AS (SELECT media_id, w, h, least(256.0 / w, 256.0 / h, 1.0) AS scale FROM m)
       |SELECT media_id,

@@ -562,7 +562,11 @@ object StatQueries {
     * window. */
   def sensorHourlySpine(spark: SparkSession, dir: String): DataFrame = {
     // cached: referenced three times (bounds, station list, join side) —
-    // uncached, the events scan + windowed aggregate would run 3×
+    // uncached, the events scan + windowed aggregate would run 3×.
+    // No unpersist by convention: registered queries return lazy frames
+    // (the caller materializes), Bench clearCache()s between queries, and
+    // a long-lived session relies on storage-LRU eviction for these
+    // small aggregates.
     val v = graft.queries.ParityQueries.sensorShaped(spark, dir)
       .withColumn("value_numeric", expr("try_cast(value_str AS double)"))
       .groupBy(window(col("ts"), "1 hour"), col("station_id"))
