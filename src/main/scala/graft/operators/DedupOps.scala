@@ -206,4 +206,51 @@ object DedupOps {
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), pack.cast("long").as("simhash"))
   }
+
+  /** Connected components over an undirected edge list — the clustering
+    * step a production dedup pipeline runs AFTER pair generation: near-dup
+    * pairs form a graph, each connected component is one duplicate
+    * cluster, and the component id (the cluster's minimum doc id) picks
+    * the canonical representative deterministically.
+    *
+    * Min-label propagation: every node starts labeled with its own id;
+    * each round replaces a node's label with the min over itself and its
+    * neighbors; converged when a round changes nothing. Rounds needed =
+    * graph diameter (dup cliques are near-cliques, so 2–3 in practice);
+    * each round is one equi-join + one groupBy — all-shuffle-parallel,
+    * no driver-side graph. `localCheckpoint` truncates the iterative
+    * lineage so the plan does not grow with rounds (the classic
+    * iterative-DataFrame trap). This is the same hash-to-min scheme
+    * GraphX/GraphFrames connected components builds on.
+    *
+    * @param edges (a_id, b_id) pairs, undirected
+    * @return (doc_id, component_id) for every node in the edge list
+    */
+  def connectedComponents(spark: SparkSession, edges: DataFrame, maxIters: Int = 15): DataFrame = {
+    val sym = edges
+      .select(col("a_id").as("node"), col("b_id").as("nbr"))
+      .unionAll(edges.select(col("b_id").as("node"), col("a_id").as("nbr")))
+      .cache()
+    var labels = sym.select(col("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrLabels = sym
+        .join(labels.select(col("node").as("nbr"), col("comp")), "nbr")
+        .select(col("node"), col("comp"))
+      val updated = labels.unionAll(nbrLabels)
+        .groupBy(col("node"))
+        .agg(min(col("comp")).as("comp"))
+        .localCheckpoint(true)
+      converged = updated.join(labels.withColumnRenamed("comp", "prev"), "node")
+        .filter(col("comp") =!= col("prev"))
+        .isEmpty
+      labels = updated
+      i += 1
+    }
+    sym.unpersist()
+    labels.select(col("node").as("doc_id"), col("comp").as("component_id"))
+  }
 }

@@ -90,24 +90,69 @@ object DedupQueries {
       .orderBy("a_id", "b_id")
   }
 
-  private val minhashLshDupsSql: String =
-    s"""WITH $toksCte,
-       |$shinglesCte,
-       |$minhashCte,
-       |bands AS (
+  /** Shared banding CTEs: band keys → distinct candidate pairs. */
+  private val bandsCandCtes =
+    s"""bands AS (
        |  SELECT doc_id, k // $BandRows AS band,
        |         md5(string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY k)) AS band_key
        |  FROM mh GROUP BY doc_id, k // $BandRows),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val minhashLshDupsSql: String =
+    s"""WITH $toksCte,
+       |$shinglesCte,
+       |$minhashCte,
+       |$bandsCandCtes
        |SELECT a_id, b_id, round($jaccardExpr, 6) AS jaccard
        |FROM cand
        |JOIN sh sa ON sa.doc_id = a_id
        |JOIN sh sb ON sb.doc_id = b_id
        |WHERE round($jaccardExpr, 6) >= 0.2
        |ORDER BY a_id, b_id""".stripMargin
+
+  /** Duplicate-CLUSTER extraction (the step after pair generation in a
+    * production dedup pipeline): near-dup pairs form a graph; each
+    * connected component is one duplicate cluster; the component id (the
+    * cluster's min doc_id) deterministically picks the canonical doc to
+    * keep (`is_kept`). Spark side is DedupOps.connectedComponents —
+    * min-label propagation, one equi-join + groupBy per round, rounds =
+    * graph diameter; the oracle is DuckDB's recursive CTE computing the
+    * same transitive closure. At 100 TB the pair graph is sparse (pairs
+    * ∝ dup cliques, see the LSH scale notes), so each round shuffles a
+    * frame proportional to the DUPLICATE subset, not the corpus. */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.connectedComponents(spark, minhashLshDups(spark, dir).select("a_id", "b_id"))
+      .withColumn("is_kept", col("doc_id") === col("component_id"))
+      .select("doc_id", "component_id", "is_kept")
+      .orderBy("component_id", "doc_id")
+
+  private val dedupComponentsSql: String =
+    s"""WITH RECURSIVE $toksCte,
+       |$shinglesCte,
+       |$minhashCte,
+       |$bandsCandCtes,
+       |pairs AS (
+       |  SELECT a_id, b_id
+       |  FROM cand
+       |  JOIN sh sa ON sa.doc_id = a_id
+       |  JOIN sh sb ON sb.doc_id = b_id
+       |  WHERE round($jaccardExpr, 6) >= 0.2),
+       |edges AS (
+       |  SELECT a_id AS node, b_id AS nbr FROM pairs
+       |  UNION ALL
+       |  SELECT b_id, a_id FROM pairs),
+       |walk(node, reach) AS (
+       |  SELECT node, node FROM (SELECT DISTINCT node FROM edges) n
+       |  UNION
+       |  SELECT e.node, w.reach FROM edges e JOIN walk w ON w.node = e.nbr)
+       |SELECT node AS doc_id,
+       |       min(reach) AS component_id,
+       |       node = min(reach) AS is_kept
+       |FROM walk GROUP BY node
+       |ORDER BY component_id, doc_id""".stripMargin
 
   /** Exact all-pairs n-gram Jaccard baseline on a bounded id range —
     * the recall reference for the LSH path (O(N²); test-scale only). */
@@ -335,6 +380,7 @@ object DedupQueries {
        |ORDER BY b_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "dedup_components"    -> (dedupComponents _),
     "benchmark_contamination" -> (benchmarkContamination _),
     "doc_winnow_fingerprints" -> (winnowFps _),
     "minhash_signatures"  -> (minhashSigs _),
@@ -345,6 +391,7 @@ object DedupQueries {
     "simhash_banded_dup"  -> (simhashBandedDup _))
 
   val oracle: Map[String, String] = Map(
+    "dedup_components"    -> dedupComponentsSql,
     "benchmark_contamination" -> benchmarkContaminationSql,
     "doc_winnow_fingerprints" -> winnowFpsSql,
     "minhash_signatures"  -> minhashSigsSql,
