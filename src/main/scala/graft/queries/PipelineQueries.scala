@@ -31,6 +31,63 @@ object PipelineQueries {
        |WHERE ${hexpr.format("text")} % 100 < 10
        |ORDER BY doc_id""".stripMargin
 
+  /** Quality-WEIGHTED deterministic sampling: each document's keep
+    * probability is its quality score (the data-mixing move behind
+    * quality-pruned training corpora — keep good docs with high
+    * probability, bad docs rarely, rather than a hard threshold).
+    * Acceptance is `hash(text) mod 10⁴ < floor(score·10⁴)` — the same
+    * content-hash uniform as doc_sample_10pct, so the draw is
+    * reproducible, cluster-size-independent and oracle-verifiable; the
+    * score is rounded to 6 BEFORE the threshold arithmetic so both
+    * engines floor the same double. Map-only at scale. */
+  def docQualitySample(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val score = TextFunctions.qualityScore(
+      col("n_tokens"), col("alpha_ratio"), col("stop_ratio"))
+    Tables.documents(spark, dir)
+      .withColumn("toks", toks)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("alpha_ratio", TextFunctions.alphaRatio(col("text")))
+      .withColumn("stop_ratio",
+        when(col("n_tokens") > 0,
+          TextFunctions.stopwordCount(col("toks"), TextFunctions.enStopwords)
+            .cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .withColumn("quality_score", round(score, 6))
+      .filter(pmod(DedupOps.h60(col("text")), lit(10000L)).cast("double")
+        < floor(col("quality_score") * 10000.0))
+      .select(col("doc_id"), col("quality_score"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val docQualitySampleSql: String = {
+    val stopList = TextFunctions.enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, text, n_chars,
+       |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, text, n_chars,
+       |         CAST(len(toks) AS INT) AS n_tokens,
+       |         CASE WHEN length(text) > 0
+       |              THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
+       |              ELSE 0.0 END AS alpha_ratio,
+       |         CASE WHEN len(toks) > 0
+       |              THEN CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) / len(toks)
+       |              ELSE 0.0 END AS stop_ratio
+       |  FROM t),
+       |q AS (
+       |  SELECT doc_id, n_chars, text,
+       |         round(0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+       |               + 0.3 * alpha_ratio
+       |               + 0.4 * least(1.0, stop_ratio * 5.0), 6) AS quality_score
+       |  FROM m)
+       |SELECT doc_id, quality_score, n_chars FROM q
+       |WHERE CAST(${hexpr.format("text")} % 10000 AS DOUBLE) < floor(quality_score * 10000.0)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Deterministic train/val/test split (80/10/10) with per-split counts
     * and size accounting. Split identity rides the content hash, so
     * re-runs and re-partitions cannot reshuffle examples between splits.
@@ -329,6 +386,7 @@ object PipelineQueries {
     "embedding_quantize" -> (embeddingQuantize _),
     "clean_corpus"     -> (cleanCorpus _),
     "doc_sample_10pct" -> (docSample _),
+    "doc_quality_sample" -> (docQualitySample _),
     "doc_split_counts" -> (docSplitCounts _),
     "top_tokens"       -> (topTokens _),
     "doc_tfidf_top"    -> (tfidfTop _),
@@ -339,6 +397,7 @@ object PipelineQueries {
     "embedding_quantize" -> embeddingQuantizeSql,
     "clean_corpus"     -> cleanCorpusSql,
     "doc_sample_10pct" -> docSampleSql,
+    "doc_quality_sample" -> docQualitySampleSql,
     "doc_split_counts" -> docSplitCountsSql,
     "top_tokens"       -> topTokensSql,
     "doc_tfidf_top"    -> tfidfTopSql,

@@ -283,6 +283,51 @@ object TextQueries {
   /** explode_outer — the generator that KEEPS empty inputs (a plain
     * explode silently drops zero-token docs from downstream accounting):
     * corpus totals proving no document is lost. */
+  /** Bigram language-model statistics: the 20 most frequent bigrams with
+    * their conditional probability P(w2 | w1) = c(w1 w2) / c(w1·) — the
+    * n-gram-LM counting pass of a corpus-analysis pipeline. Bigrams are
+    * built by zipping the token array with its shifted self (the same
+    * linear streamed pass as the shingle builder — no index-lambda trap);
+    * both counts come from one exploded frame, joined on w1. c(w1·)
+    * counts w1's occurrences AS A BIGRAM HEAD (= c(w1) minus
+    * document-final occurrences), which is the denominator a bigram LM
+    * actually normalizes by. Scale: explode → two partial-agg shuffles
+    * + an equi-join on w1 — vocabulary-sized, not corpus-sized. */
+  def bigramLmTop(spark: SparkSession, dir: String): DataFrame = {
+    val toks = col("toks")
+    val pairs = Tables.documents(spark, dir)
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bigrams = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_bigram"))
+    val heads = pairs.groupBy(col("w1")).agg(count(lit(1)).as("n_head"))
+    bigrams.join(heads, "w1")
+      .select(
+        col("w1"), col("w2"), col("n_bigram"),
+        round(col("n_bigram").cast("double") / col("n_head"), 6).as("p_cond"))
+      .orderBy(col("n_bigram").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  private val bigramLmTopSql: String =
+    """WITH t AS (
+      |  SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |              ELSE string_split_regex(trim(text), '\s+') END AS toks
+      |  FROM documents),
+      |e AS (
+      |  SELECT toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+      |  FROM t, LATERAL (SELECT unnest(range(1, CAST(len(toks) AS BIGINT))) AS i) u),
+      |b AS (SELECT w1, w2, count(*) AS n_bigram FROM e GROUP BY w1, w2),
+      |h AS (SELECT w1, count(*) AS n_head FROM e GROUP BY w1)
+      |SELECT b.w1, b.w2, CAST(b.n_bigram AS BIGINT) AS n_bigram,
+      |       round(CAST(b.n_bigram AS DOUBLE) / h.n_head, 6) AS p_cond
+      |FROM b JOIN h ON b.w1 = h.w1
+      |ORDER BY n_bigram DESC, b.w1, b.w2
+      |LIMIT 20""".stripMargin
+
   def tokenExplodeOuter(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode_outer(tokens(col("text"))).as("token"))
@@ -303,6 +348,7 @@ object TextQueries {
       |FROM t""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "bigram_lm_top"   -> (bigramLmTop _),
     "doc_token_explode_outer" -> (tokenExplodeOuter _),
     "doc_repetition"  -> (repetition _),
     "doc_token_stats" -> (tokenStats _),
@@ -313,6 +359,7 @@ object TextQueries {
     "dedup_exact"     -> (dedupExact _))
 
   val oracle: Map[String, String] = Map(
+    "bigram_lm_top"   -> bigramLmTopSql,
     "doc_token_explode_outer" -> tokenExplodeOuterSql,
     "doc_repetition"  -> repetitionSql,
     "doc_token_stats" -> tokenStatsSql,
