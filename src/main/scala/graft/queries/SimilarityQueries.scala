@@ -465,7 +465,89 @@ object SimilarityQueries {
       |GROUP BY cluster, pos
       |ORDER BY cluster, pos""".stripMargin
 
+  // ---- product quantization -----------------------------------------------
+
+  private val NSub = 4       // subspaces
+  private val SubDim = 16    // dims per subspace (4 × 16 = 64)
+
+  /** Product quantization: the storage form of a billion-scale vector
+    * index (64 floats → [[NSub]] small codes). The embedding is split
+    * into [[NSub]] subspaces; each subspace gets its own codebook (here
+    * seeded from label groups, like the IVF build); each subvector is
+    * replaced by the id of its nearest codeword (squared-L2 argmin via
+    * the dot-product identity ‖a−c‖² = a·a − 2a·c + c·c, rounded for an
+    * engine-stable argmin, ties to the smaller code). Emits the per-
+    * vector code tuple plus total squared reconstruction error — the
+    * quality number a PQ index is tuned by. Scale shape: codebook build
+    * is a dim×K partial-agg shuffle; assignment is broadcast map-side
+    * argmin over K×[[NSub]] codewords — no shuffle of the corpus. */
+  def embeddingPq(spark: SparkSession, dir: String): DataFrame = {
+    val dotF = dotFast(spark) _
+    val sub = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").as("own_label"), col("embedding"),
+        explode(sequence(lit(0), lit(NSub - 1))).as("s"))
+      .withColumn("subv", slice(col("embedding"), col("s") * SubDim + 1, lit(SubDim)))
+      .select("vec_id", "own_label", "s", "subv")
+      .cache() // feeds both the codebook build and the assignment join
+    val codebook = sub
+      .select(col("own_label"), col("s"), posexplode(col("subv")).as(Seq("pos", "v")))
+      .groupBy(col("own_label"), col("s"), col("pos"))
+      .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+      .groupBy(col("own_label"), col("s"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("centroid"))
+      .select(col("own_label").as("code_label"), col("s"), col("centroid"))
+      .withColumn("cdot", dotFast(spark)(col("centroid"), col("centroid")))
+    val w = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("sqd"), col("code_label"))
+    val assigned = sub.join(broadcast(codebook), "s")
+      .withColumn("sqd",
+        round(dotF(col("subv"), col("subv"))
+          - lit(2.0) * dotF(col("subv"), col("centroid")) + col("cdot"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val codeCols = (0 until NSub).map(j =>
+      max(when(col("s") === j, col("code_label"))).as(s"code$j"))
+    assigned.groupBy(col("vec_id"))
+      .agg(codeCols.head, codeCols.tail :+ round(sum(col("sqd")), 6).as("recon_err"): _*)
+      .orderBy("vec_id")
+  }
+
+  private val embeddingPqSql: String = {
+    val codeSelects = (0 until NSub)
+      .map(j => s"max(CASE WHEN s = $j THEN code END) AS code$j").mkString(",\n      |       ")
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, label AS own_label, st.s AS s,
+       |         emb[CAST(st.s * $SubDim + 1 AS INT):CAST(st.s * $SubDim + $SubDim AS INT)] AS subv
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, $NSub)) AS s) st),
+       |cpos AS (
+       |  SELECT own_label, s, u.pos AS pos, round(avg(u.v), 6) AS cv
+       |  FROM sub,
+       |       LATERAL (SELECT unnest(subv) AS v, generate_subscripts(subv, 1) AS pos) u
+       |  GROUP BY own_label, s, pos),
+       |cb AS (SELECT own_label, s, list(cv ORDER BY pos) AS centroid FROM cpos GROUP BY own_label, s),
+       |cbn AS (SELECT own_label AS code_label, s, centroid,
+       |               list_dot_product(centroid, centroid) AS cdot FROM cb),
+       |d AS (
+       |  SELECT sub.vec_id, sub.s AS s, cbn.code_label AS code,
+       |         round(list_dot_product(subv, subv)
+       |               - 2.0 * list_dot_product(subv, centroid) + cdot, 6) AS sqd
+       |  FROM sub JOIN cbn ON sub.s = cbn.s),
+       |a AS (
+       |  SELECT vec_id, s, code, sqd,
+       |         row_number() OVER (PARTITION BY vec_id, s ORDER BY sqd, code) AS rn
+       |  FROM d)
+       |SELECT vec_id,
+       |       $codeSelects,
+       |       round(sum(sqd), 6) AS recon_err
+       |FROM a WHERE rn = 1
+       |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "embedding_pq"    -> (embeddingPq _),
     "ivf_kmeans_refine" -> (ivfKmeansRefine _),
     "knn_ivf"         -> (knnIvf _),
     "knn_ivf_probe2"  -> ((s: SparkSession, d: String) => knnIvfProbes(s, d, probes = 2)),
@@ -477,6 +559,7 @@ object SimilarityQueries {
     "label_centroids" -> (labelCentroids _))
 
   val oracle: Map[String, String] = Map(
+    "embedding_pq"    -> embeddingPqSql,
     "ivf_kmeans_refine" -> ivfKmeansRefineSql,
     "knn_ivf"         -> knnIvfSqlProbes(1),
     "knn_ivf_probe2"  -> knnIvfSqlProbes(2),
