@@ -178,6 +178,72 @@ object AnalyticsQueries {
       |       TRUE AS gk_within_bound
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Equi-width histogram of l_quantity (values 1..50 → 10 buckets of 5):
+    * the one-pass distribution profile. Bucketing is integer arithmetic
+    * (floor((q-1)/5)) so bucket identity is engine-exact; emits bounds,
+    * count and share. One partial-agg shuffle of 10 rows. */
+  def quantityHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val total = li.select(count(lit(1)).as("n_total"))
+    li.withColumn("bucket",
+        floor((col("l_quantity") - 1) / 5.0).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"))
+      .crossJoin(total)
+      .select(
+        col("bucket"),
+        (col("bucket") * 5 + 1).cast("int").as("lo"),
+        (col("bucket") * 5 + 5).cast("int").as("hi"),
+        col("n_rows"),
+        round(col("n_rows").cast("double") / col("n_total"), 6).as("share"))
+      .orderBy("bucket")
+  }
+
+  private val quantityHistogramSql: String =
+    """WITH b AS (
+      |  SELECT CAST(floor((l_quantity - 1) / 5.0) AS INT) AS bucket, count(*) AS n_rows
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT count(*) AS n_total FROM lineitem)
+      |SELECT bucket,
+      |       CAST(bucket * 5 + 1 AS INT) AS lo,
+      |       CAST(bucket * 5 + 5 AS INT) AS hi,
+      |       CAST(n_rows AS BIGINT) AS n_rows,
+      |       round(CAST(n_rows AS DOUBLE) / n_total, 6) AS share
+      |FROM b CROSS JOIN t
+      |ORDER BY bucket""".stripMargin
+
+  /** Key-skew profiler — the diagnostic run before choosing a join/agg
+    * strategy at scale (broadcast? salt? AQE skew join?): distribution of
+    * per-key row counts for orders-per-customer. One groupBy to per-key
+    * counts (partial-aggregated), then a single-row profile: key count,
+    * max, mean, p50/p90/p99 and the max/mean skew ratio. */
+  def ordersSkewProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        max(col("n")).as("max_per_key"),
+        round(avg(col("n")), 6).as("avg_per_key"),
+        round(expr("percentile(n, 0.5)"), 6).as("p50"),
+        round(expr("percentile(n, 0.9)"), 6).as("p90"),
+        round(expr("percentile(n, 0.99)"), 6).as("p99"))
+      .select(
+        col("n_keys"), col("max_per_key"), col("avg_per_key"),
+        col("p50"), col("p90"), col("p99"),
+        round(col("max_per_key") / col("avg_per_key"), 4).as("skew_ratio"))
+
+  private val ordersSkewProfileSql: String =
+    """WITH k AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)
+      |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+      |       CAST(max(n) AS BIGINT) AS max_per_key,
+      |       round(avg(n), 6) AS avg_per_key,
+      |       round(quantile_cont(n, 0.5), 6) AS p50,
+      |       round(quantile_cont(n, 0.9), 6) AS p90,
+      |       round(quantile_cont(n, 0.99), 6) AS p99,
+      |       round(max(n) / avg(n), 4) AS skew_ratio
+      |FROM k""".stripMargin
+
   /** PIVOT: order counts cross-tabbed by status. Explicit value list keeps
     * the output schema static (a dynamic pivot would need a driver-side
     * distinct scan — avoided by contract at scale). */
@@ -340,6 +406,8 @@ object AnalyticsQueries {
     "orders_rollup"            -> (ordersRollup _),
     "quantity_quantiles"       -> (quantityQuantiles _),
     "quantity_quantiles_approx" -> (quantityQuantilesApprox _),
+    "quantity_histogram"       -> (quantityHistogram _),
+    "orders_skew_profile"      -> (ordersSkewProfile _),
     "distinct_users_exact"     -> (distinctUsersExact _),
     "distinct_users_approx"    -> (distinctUsersApprox _))
 
@@ -356,6 +424,8 @@ object AnalyticsQueries {
     "orders_rollup"            -> ordersRollupSql,
     "quantity_quantiles"       -> quantityQuantilesSql,
     "quantity_quantiles_approx" -> quantityQuantilesApproxSql,
+    "quantity_histogram"       -> quantityHistogramSql,
+    "orders_skew_profile"      -> ordersSkewProfileSql,
     "distinct_users_exact"     -> distinctUsersExactSql,
     "distinct_users_approx"    -> distinctUsersApproxSql)
 }

@@ -481,15 +481,19 @@ object SimilarityQueries {
     * quality number a PQ index is tuned by. Scale shape: codebook build
     * is a dim×K partial-agg shuffle; assignment is broadcast map-side
     * argmin over K×[[NSub]] codewords — no shuffle of the corpus. */
-  def embeddingPq(spark: SparkSession, dir: String): DataFrame = {
-    val dotF = dotFast(spark) _
-    val sub = Tables.embeddings(spark, dir)
+  /** (vec_id, own_label, s, subv): every vector split into its [[NSub]]
+    * subvectors. Cached — feeds both the codebook build and assignment. */
+  private def pqSub(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label").as("own_label"), col("embedding"),
         explode(sequence(lit(0), lit(NSub - 1))).as("s"))
       .withColumn("subv", slice(col("embedding"), col("s") * SubDim + 1, lit(SubDim)))
       .select("vec_id", "own_label", "s", "subv")
-      .cache() // feeds both the codebook build and the assignment join
-    val codebook = sub
+      .cache()
+
+  /** Per-subspace codebooks (code_label, s, centroid, cdot). */
+  private def pqCodebook(spark: SparkSession, sub: DataFrame): DataFrame =
+    sub
       .select(col("own_label"), col("s"), posexplode(col("subv")).as(Seq("pos", "v")))
       .groupBy(col("own_label"), col("s"), col("pos"))
       .agg(round(avg(col("v").cast("double")), 6).as("cv"))
@@ -499,20 +503,97 @@ object SimilarityQueries {
         x => x.getField("cv")).as("centroid"))
       .select(col("own_label").as("code_label"), col("s"), col("centroid"))
       .withColumn("cdot", dotFast(spark)(col("centroid"), col("centroid")))
-    val w = Window.partitionBy(col("vec_id"), col("s"))
-      .orderBy(col("sqd"), col("code_label"))
-    val assigned = sub.join(broadcast(codebook), "s")
+
+  /** All (vec_id, s, code_label, sqd) subvector↔codeword distances —
+    * squared L2 via the dot identity, rounded for a stable argmin. */
+  private def pqDistances(spark: SparkSession, sub: DataFrame, codebook: DataFrame): DataFrame = {
+    val dotF = dotFast(spark) _
+    sub.join(broadcast(codebook), "s")
       .withColumn("sqd",
         round(dotF(col("subv"), col("subv"))
           - lit(2.0) * dotF(col("subv"), col("centroid")) + col("cdot"), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .select("vec_id", "s", "code_label", "sqd")
+  }
+
+  /** Argmin over codewords: each subvector's assigned code + its error. */
+  private def pqCodes(dists: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("sqd"), col("code_label"))
+    dists.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+  }
+
+  def embeddingPq(spark: SparkSession, dir: String): DataFrame = {
+    val sub = pqSub(spark, dir)
+    val assigned = pqCodes(pqDistances(spark, sub, pqCodebook(spark, sub)))
     val codeCols = (0 until NSub).map(j =>
       max(when(col("s") === j, col("code_label"))).as(s"code$j"))
     assigned.groupBy(col("vec_id"))
       .agg(codeCols.head, codeCols.tail :+ round(sum(col("sqd")), 6).as("recon_err"): _*)
       .orderBy("vec_id")
   }
+
+  /** PQ search via asymmetric distance computation — the query-time path
+    * of a PQ index: the corpus exists ONLY as codes; each query computes
+    * a small distance table (its exact subvector↔codeword distances,
+    * [[NSub]]×K entries, broadcast), and a corpus vector's approximate
+    * distance is the SUM of table lookups for its codes — no float math
+    * against corpus vectors at all. Top-5 by ADC distance per query.
+    * Scale shape: the scan is an equi-join of corpus codes against the
+    * broadcast table + a (q, vec) partial-agg — the table-lookup scan
+    * that makes PQ the billion-vector form. */
+  def knnPqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val sub = pqSub(spark, dir)
+    val dists = pqDistances(spark, sub, pqCodebook(spark, sub)).cache()
+    val codes = pqCodes(dists).select("vec_id", "s", "code_label")
+    val dtable = dists.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("s"), col("code_label"), col("sqd"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
+    codes.join(broadcast(dtable), Seq("s", "code_label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(round(sum(col("sqd")), 6).as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "vec_id", "adc_dist")
+      .orderBy("q_id", "rank")
+  }
+
+  private val knnPqAdcSql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, label AS own_label, st.s AS s,
+       |         emb[CAST(st.s * $SubDim + 1 AS INT):CAST(st.s * $SubDim + $SubDim AS INT)] AS subv
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, $NSub)) AS s) st),
+       |cpos AS (
+       |  SELECT own_label, s, u.pos AS pos, round(avg(u.v), 6) AS cv
+       |  FROM sub,
+       |       LATERAL (SELECT unnest(subv) AS v, generate_subscripts(subv, 1) AS pos) u
+       |  GROUP BY own_label, s, pos),
+       |cb AS (SELECT own_label, s, list(cv ORDER BY pos) AS centroid FROM cpos GROUP BY own_label, s),
+       |cbn AS (SELECT own_label AS code_label, s, centroid,
+       |               list_dot_product(centroid, centroid) AS cdot FROM cb),
+       |d AS (
+       |  SELECT sub.vec_id, sub.s AS s, cbn.code_label AS code,
+       |         round(list_dot_product(subv, subv)
+       |               - 2.0 * list_dot_product(subv, centroid) + cdot, 6) AS sqd
+       |  FROM sub JOIN cbn ON sub.s = cbn.s),
+       |a AS (
+       |  SELECT vec_id, s, code, sqd,
+       |         row_number() OVER (PARTITION BY vec_id, s ORDER BY sqd, code) AS rn
+       |  FROM d),
+       |codes AS (SELECT vec_id, s, code FROM a WHERE rn = 1),
+       |qd AS (SELECT vec_id AS q_id, s, code, sqd FROM d WHERE vec_id < 10),
+       |adc AS (
+       |  SELECT qd.q_id, c.vec_id, round(sum(qd.sqd), 6) AS adc_dist
+       |  FROM codes c JOIN qd ON qd.s = c.s AND qd.code = c.code
+       |  WHERE c.vec_id <> qd.q_id
+       |  GROUP BY qd.q_id, c.vec_id),
+       |r AS (
+       |  SELECT q_id, vec_id, adc_dist,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rank
+       |  FROM adc)
+       |SELECT q_id, rank, vec_id, adc_dist FROM r WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
 
   private val embeddingPqSql: String = {
     val codeSelects = (0 until NSub)
@@ -548,6 +629,7 @@ object SimilarityQueries {
 
   val queries: Map[String, Q] = Map(
     "embedding_pq"    -> (embeddingPq _),
+    "knn_pq_adc"      -> (knnPqAdc _),
     "ivf_kmeans_refine" -> (ivfKmeansRefine _),
     "knn_ivf"         -> (knnIvf _),
     "knn_ivf_probe2"  -> ((s: SparkSession, d: String) => knnIvfProbes(s, d, probes = 2)),
@@ -560,6 +642,7 @@ object SimilarityQueries {
 
   val oracle: Map[String, String] = Map(
     "embedding_pq"    -> embeddingPqSql,
+    "knn_pq_adc"      -> knnPqAdcSql,
     "ivf_kmeans_refine" -> ivfKmeansRefineSql,
     "knn_ivf"         -> knnIvfSqlProbes(1),
     "knn_ivf_probe2"  -> knnIvfSqlProbes(2),
