@@ -178,6 +178,85 @@ object AnalyticsQueries {
       |       TRUE AS gk_within_bound
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Sequential conversion funnel view → click → purchase: a user counts
+    * at a stage only if the stage's event happens strictly AFTER the
+    * previous stage's first event (event-ORDER matters, not just event
+    * presence — the distinction funnel analytics lives on). Three
+    * conditional-min passes, each one shuffle keyed by user; stage
+    * frames join back on the user key. Emits one row of stage counts and
+    * conversion rates. */
+  def conversionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+    val s1 = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+      .filter(col("t_view").isNotNull)
+    val s2 = ev.join(s1, "user_id")
+      .filter(col("event_type") === "click" && col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val s3 = ev.join(s2, "user_id")
+      .filter(col("event_type") === "purchase" && col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .agg(
+        count(col("t_view")).as("n_view"),
+        count(col("t_click")).as("n_view_click"),
+        count(col("t_purchase")).as("n_full_funnel"))
+      .select(
+        col("n_view"), col("n_view_click"), col("n_full_funnel"),
+        round(col("n_view_click").cast("double") / col("n_view"), 6).as("rate_click"),
+        round(col("n_full_funnel").cast("double") / col("n_view_click"), 6).as("rate_purchase"))
+  }
+
+  private val conversionFunnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |s1 AS (
+      |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      |  FROM e GROUP BY user_id HAVING t_view IS NOT NULL),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t_click
+      |  FROM e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t_view
+      |  GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t_purchase
+      |  FROM e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+      |  GROUP BY e.user_id)
+      |SELECT CAST(count(t_view) AS BIGINT) AS n_view,
+      |       CAST(count(t_click) AS BIGINT) AS n_view_click,
+      |       CAST(count(t_purchase) AS BIGINT) AS n_full_funnel,
+      |       round(CAST(count(t_click) AS DOUBLE) / count(t_view), 6) AS rate_click,
+      |       round(CAST(count(t_purchase) AS DOUBLE) / count(t_click), 6) AS rate_purchase
+      |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin
+
+  /** Cohort retention matrix: users grouped by first-activity month, then
+    * distinct-active-month counts per (cohort, month offset) — the
+    * retention table every growth dashboard is built on. Two aggregates
+    * (first-seen per user, distinct activity months) + one equi-join on
+    * the user key. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(date_trunc("month", min(col("ts"))).as("cohort_month"))
+    val active = ev.select(col("user_id"), date_trunc("month", col("ts")).as("m")).distinct()
+    active.join(cohort, "user_id")
+      .groupBy(col("cohort_month"),
+        round(months_between(col("m"), col("cohort_month"))).cast("int").as("month_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_month", "month_offset")
+  }
+
+  private val cohortRetentionSql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |c AS (SELECT user_id, date_trunc('month', min(ts)) AS cohort_month FROM e GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, date_trunc('month', ts) AS m FROM e)
+      |SELECT CAST(c.cohort_month AS TIMESTAMP) AS cohort_month,
+      |       CAST(date_diff('month', c.cohort_month, a.m) AS INT) AS month_offset,
+      |       count(DISTINCT a.user_id) AS n_users
+      |FROM a JOIN c ON a.user_id = c.user_id
+      |GROUP BY 1, 2
+      |ORDER BY cohort_month, month_offset""".stripMargin
+
   /** Equi-width histogram of l_quantity (values 1..50 → 10 buckets of 5):
     * the one-pass distribution profile. Bucketing is integer arithmetic
     * (floor((q-1)/5)) so bucket identity is engine-exact; emits bounds,
@@ -408,6 +487,8 @@ object AnalyticsQueries {
     "quantity_quantiles_approx" -> (quantityQuantilesApprox _),
     "quantity_histogram"       -> (quantityHistogram _),
     "orders_skew_profile"      -> (ordersSkewProfile _),
+    "conversion_funnel"        -> (conversionFunnel _),
+    "cohort_retention"         -> (cohortRetention _),
     "distinct_users_exact"     -> (distinctUsersExact _),
     "distinct_users_approx"    -> (distinctUsersApprox _))
 
@@ -426,6 +507,8 @@ object AnalyticsQueries {
     "quantity_quantiles_approx" -> quantityQuantilesApproxSql,
     "quantity_histogram"       -> quantityHistogramSql,
     "orders_skew_profile"      -> ordersSkewProfileSql,
+    "conversion_funnel"        -> conversionFunnelSql,
+    "cohort_retention"         -> cohortRetentionSql,
     "distinct_users_exact"     -> distinctUsersExactSql,
     "distinct_users_approx"    -> distinctUsersApproxSql)
 }

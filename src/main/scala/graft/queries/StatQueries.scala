@@ -364,6 +364,71 @@ object StatQueries {
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
       |FROM v ORDER BY event_id""".stripMargin
 
+  /** Time-series LINEAR interpolation (forward fill's smarter sibling):
+    * a malformed reading takes the time-weighted blend of its station's
+    * nearest valid neighbors, lv + (nv−lv)·(t−lt)/(nt−lt) — edge rows
+    * with only one valid neighbor hold that neighbor's value. Four
+    * IGNORE-NULLS window folds (prev/next value and their timestamps)
+    * over the same two running frames — linear per partition, no
+    * self-join, exactly like the forward fill; the μs epoch arithmetic
+    * is integer-exact on both engines, the blend is rounded to 6. The
+    * equal-timestamp-neighbors edge (zero denominator) holds the
+    * previous value instead of dividing. */
+  def sensorInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    val back = Window.partitionBy(col("station_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("station_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col("value_numeric")
+    graft.queries.ParityQueries.sensorShaped(spark, dir)
+      .withColumn("value_numeric", expr("try_cast(value_str AS double)"))
+      .withColumn("lv", last(v, ignoreNulls = true).over(back))
+      .withColumn("lt", last(when(v.isNotNull, unix_micros(col("ts"))), ignoreNulls = true).over(back))
+      .withColumn("nv", first(v, ignoreNulls = true).over(fwd))
+      .withColumn("nt", first(when(v.isNotNull, unix_micros(col("ts"))), ignoreNulls = true).over(fwd))
+      .select(
+        col("event_id"), col("station_id"), v,
+        when(v.isNotNull, v)
+          .when(col("lv").isNotNull && col("nv").isNotNull && col("nt") =!= col("lt"),
+            round(col("lv") + (col("nv") - col("lv"))
+              * (unix_micros(col("ts")) - col("lt")).cast("double")
+              / (col("nt") - col("lt")).cast("double"), 6))
+          .when(col("lv").isNotNull, col("lv"))
+          .otherwise(col("nv")).as("interpolated"))
+      .orderBy("event_id")
+  }
+
+  private val sensorInterpolateSql: String =
+    """WITH v AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |         CAST(user_id AS VARCHAR) AS station_id,
+      |         TRY_CAST(CASE WHEN event_type = 'error' THEN '<<bad_data>>'
+      |                       ELSE CAST(value AS VARCHAR) END AS DOUBLE) AS value_numeric
+      |  FROM events),
+      |w AS (
+      |  SELECT event_id, station_id, ts, value_numeric,
+      |         last_value(value_numeric IGNORE NULLS)
+      |           OVER (PARTITION BY station_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv,
+      |         last_value(CASE WHEN value_numeric IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+      |           OVER (PARTITION BY station_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt,
+      |         first_value(value_numeric IGNORE NULLS)
+      |           OVER (PARTITION BY station_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |         first_value(CASE WHEN value_numeric IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+      |           OVER (PARTITION BY station_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      |  FROM v)
+      |SELECT event_id, station_id, value_numeric,
+      |       CASE WHEN value_numeric IS NOT NULL THEN value_numeric
+      |            WHEN lv IS NOT NULL AND nv IS NOT NULL AND nt <> lt
+      |                 THEN round(lv + (nv - lv) * CAST(epoch_us(ts) - lt AS DOUBLE)
+      |                                           / CAST(nt - lt AS DOUBLE), 6)
+      |            WHEN lv IS NOT NULL THEN lv
+      |            ELSE nv END AS interpolated
+      |FROM w ORDER BY event_id""".stripMargin
+
   /** Array sort family: each embedding's three largest components
     * (sort desc + element_at), scalar-projected for comparability. */
   def embeddingTopComponents(spark: SparkSession, dir: String): DataFrame = {
@@ -616,6 +681,7 @@ object StatQueries {
     "returnflag_statuses"          -> (returnflagStatuses _),
     "events_agg_families"          -> (eventsAggFamilies _),
     "sensor_forward_fill"          -> (sensorForwardFill _),
+    "sensor_interpolate"           -> (sensorInterpolate _),
     "embedding_top_components"     -> (embeddingTopComponents _),
     "nation_balance_full_outer"    -> (nationBalanceFullOuter _),
     "customer_order_gaps"          -> (customerOrderGaps _),
@@ -639,6 +705,7 @@ object StatQueries {
     "returnflag_statuses"          -> returnflagStatusesSql,
     "events_agg_families"          -> eventsAggFamiliesSql,
     "sensor_forward_fill"          -> sensorForwardFillSql,
+    "sensor_interpolate"           -> sensorInterpolateSql,
     "embedding_top_components"     -> embeddingTopComponentsSql,
     "nation_balance_full_outer"    -> nationBalanceFullOuterSql,
     "customer_order_gaps"          -> customerOrderGapsSql,

@@ -140,6 +140,51 @@ object TextQueries {
        |            ELSE 'other' END AS lang_pred
        |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Language-ID confusion matrix: predicted language (the [[langId]]
+    * n-gram heuristic) × metadata language, with per-cell share of the
+    * metadata class — the evaluation view a lang-ID gate is tuned by.
+    * Reuses the langId plan; one extra vocabulary-sized aggregate. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val pred = langId(spark, dir)
+    val totals = pred.groupBy(col("lang")).agg(count(lit(1)).as("n_meta"))
+    pred.groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(totals, "lang")
+      .select(
+        col("lang"), col("lang_pred"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_meta"), 6).as("share_of_meta"))
+      .orderBy("lang", "lang_pred")
+  }
+
+  private val langConfusionSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, lang, CAST(len(toks) AS INT) AS n_tokens,
+       |         CASE WHEN len(toks) > 0
+       |              THEN CAST(len(list_filter(toks, x -> list_contains(${sqlList(enStopwords)}, x))) AS DOUBLE) / len(toks)
+       |              ELSE 0.0 END AS r_en,
+       |         CASE WHEN len(toks) > 0
+       |              THEN CAST(len(list_filter(toks, x -> list_contains(${sqlList(esStopwords)}, x))) AS DOUBLE) / len(toks)
+       |              ELSE 0.0 END AS r_es
+       |  FROM t),
+       |p AS (
+       |  SELECT lang,
+       |         CASE WHEN n_tokens = 0 THEN 'unknown'
+       |              WHEN r_en >= r_es AND r_en >= 0.05 THEN 'en'
+       |              WHEN r_es > r_en AND r_es >= 0.05 THEN 'es'
+       |              ELSE 'other' END AS lang_pred
+       |  FROM m),
+       |cell AS (SELECT lang, lang_pred, count(*) AS n_docs FROM p GROUP BY 1, 2),
+       |tot AS (SELECT lang, count(*) AS n_meta FROM p GROUP BY 1)
+       |SELECT cell.lang, cell.lang_pred, CAST(cell.n_docs AS BIGINT) AS n_docs,
+       |       round(CAST(cell.n_docs AS DOUBLE) / tot.n_meta, 6) AS share_of_meta
+       |FROM cell JOIN tot ON cell.lang = tot.lang
+       |ORDER BY cell.lang, cell.lang_pred""".stripMargin
+
   /** Exact dedup by canonical-text fingerprint: one row per distinct
     * fingerprint with the surviving (minimum) doc_id and the group size.
     * Single hash-shuffle on the fingerprint — the exact-dedup plan that
@@ -354,6 +399,7 @@ object TextQueries {
     "doc_token_stats" -> (tokenStats _),
     "doc_quality"     -> (quality _),
     "doc_lang_id"     -> (langId _),
+    "lang_confusion"  -> (langConfusion _),
     "doc_scrub_counts" -> (scrubCounts _),
     "doc_c4_rules"    -> (c4Rules _),
     "dedup_exact"     -> (dedupExact _))
@@ -365,6 +411,7 @@ object TextQueries {
     "doc_token_stats" -> tokenStatsSql,
     "doc_quality"     -> qualitySql,
     "doc_lang_id"     -> langIdSql,
+    "lang_confusion"  -> langConfusionSql,
     "doc_scrub_counts" -> scrubCountsSql,
     "doc_c4_rules"    -> c4RulesSql,
     "dedup_exact"     -> dedupExactSql)
