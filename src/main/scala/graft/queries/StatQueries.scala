@@ -364,6 +364,66 @@ object StatQueries {
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
       |FROM v ORDER BY event_id""".stripMargin
 
+  /** RANGE-frame rolling window (every other window query here uses ROWS
+    * frames — RANGE is the one that bounds by VALUE distance): 7-day
+    * rolling revenue and order count per customer, frame = value range
+    * [day-6, day] so same-day peer rows aggregate together regardless of
+    * row order. Day is integer epoch-days on both engines; DECIMAL
+    * partials keep the rolling sum order-exact. */
+  def ordersRolling7d(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-6, 0)
+    Tables.orders(spark, dir)
+      .filter(pmod(col("o_custkey"), lit(100)) === 0)
+      .withColumn("day",
+        datediff(col("o_orderdate").cast("date"), to_date(lit("1970-01-01"))))
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("day").cast("int").as("day"),
+        round(sum(col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double"), 2)
+          .as("rev_7d"),
+        count(lit(1)).over(w).as("n_7d"))
+      .orderBy("o_custkey", "day", "o_orderkey")
+  }
+
+  private val ordersRolling7dSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+      |  FROM orders WHERE o_custkey % 100 = 0)
+      |SELECT o_custkey, o_orderkey, CAST(day AS INT) AS day,
+      |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE), 2) AS rev_7d,
+      |       CAST(count(*) OVER w AS BIGINT) AS n_7d
+      |FROM o
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+      |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, day, o_orderkey""".stripMargin
+
+  /** The SaltedJoin operator under the oracle gate: lineitem⋈part on
+    * partkey through the salted path (fact side salted, dim side
+    * replicated per salt), aggregated to per-brand revenue. The oracle is
+    * the PLAIN join — salting must be semantically invisible, and this
+    * query proves it against DuckDB, not just in the unit spec. At scale
+    * this is the static answer to a known-hot key; AQE skew splitting is
+    * the runtime one. */
+  def saltedBrandRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("p_partkey"), col("l_extendedprice"))
+    val part = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    graft.operators.SaltedJoin.saltedEquiJoin(li, part, "p_partkey", salts = 8)
+      .groupBy(col("p_brand"))
+      .agg(
+        decSum(col("l_extendedprice")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
+  private val saltedBrandRevenueSql: String =
+    """SELECT p.p_brand,
+      |       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin
+
   /** Time-series LINEAR interpolation (forward fill's smarter sibling):
     * a malformed reading takes the time-weighted blend of its station's
     * nearest valid neighbors, lv + (nv−lv)·(t−lt)/(nt−lt) — edge rows
@@ -682,6 +742,8 @@ object StatQueries {
     "events_agg_families"          -> (eventsAggFamilies _),
     "sensor_forward_fill"          -> (sensorForwardFill _),
     "sensor_interpolate"           -> (sensorInterpolate _),
+    "orders_rolling_7d"            -> (ordersRolling7d _),
+    "salted_brand_revenue"         -> (saltedBrandRevenue _),
     "embedding_top_components"     -> (embeddingTopComponents _),
     "nation_balance_full_outer"    -> (nationBalanceFullOuter _),
     "customer_order_gaps"          -> (customerOrderGaps _),
@@ -706,6 +768,8 @@ object StatQueries {
     "events_agg_families"          -> eventsAggFamiliesSql,
     "sensor_forward_fill"          -> sensorForwardFillSql,
     "sensor_interpolate"           -> sensorInterpolateSql,
+    "orders_rolling_7d"            -> ordersRolling7dSql,
+    "salted_brand_revenue"         -> saltedBrandRevenueSql,
     "embedding_top_components"     -> embeddingTopComponentsSql,
     "nation_balance_full_outer"    -> nationBalanceFullOuterSql,
     "customer_order_gaps"          -> customerOrderGapsSql,
