@@ -50,6 +50,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       "flagship plan contains a non-codegen UDF node")
   }
 
+  test("PQ assignment and ADC scan broadcast their small sides (no corpus shuffle join)") {
+    // the PQ claim is "no float math / no shuffle against the corpus":
+    // codebook (embedding_pq) and per-query distance table (knn_pq_adc)
+    // must arrive by broadcast; a SortMergeJoin or cartesian here means
+    // the corpus got shuffled for the index build — the shape that dies
+    // at 100 TB
+    for (q <- Seq("embedding_pq", "knn_pq_adc")) {
+      val plan = graft.queries.Registry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$q: broadcast join missing")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q: unexpected product join")
+    }
+    // the per-(vec,s) argmin must push the rank limit below the sort
+    val pq = graft.queries.Registry.queries("embedding_pq")(spark, "/root/testdata/sf0.001")
+    assert(pq.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "embedding_pq: rank-1 argmin lost its WindowGroupLimit pushdown")
+  }
+
   test("nested schema pruning reaches the parquet scan") {
     val dir = Files.createTempDirectory("nested_docs").toString
     graft.queries.ParityQueries.nestedDoc(spark, "/root/testdata/sf0.001")
