@@ -19,7 +19,7 @@ import graft.plans.GraftExtensions
   *     land inside the burst.
   *   - `spark.catalog.clearCache()` after every query: several registered
   *     queries cache() frames that feed self-joins; without clearing, the
-  *     ~8 pinned frames accumulate across the 85×4 run and squeeze
+  *     pinned frames accumulate across the registry×4 run and squeeze
   *     execution memory in later queries.
   *   - `load_avg_start`/`load_avg_end` (1-min system load) make a
   *     contaminated run self-identifying: on this 32-core box an idle run

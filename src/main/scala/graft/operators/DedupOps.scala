@@ -251,6 +251,12 @@ object DedupOps {
       i += 1
     }
     sym.unpersist()
+    // exiting via the iteration cap would silently emit non-minimal labels
+    // (one real cluster split into several, each with its own is_kept pick)
+    // — fail loudly instead; real dup graphs converge in O(diameter) ≪ cap
+    if (!converged)
+      sys.error(s"connectedComponents did not converge in $maxIters rounds " +
+        "(graph diameter exceeds the cap) — raise maxIters")
     labels.select(col("node").as("doc_id"), col("comp").as("component_id"))
   }
 }

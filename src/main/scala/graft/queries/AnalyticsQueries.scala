@@ -7,8 +7,9 @@ import graft.sources.Tables
 
 /** Analytic extensions rounding out the relational surface: set
   * operations, ROLLUP subtotals, exact quantiles, and cardinality
-  * estimation (exact anchor oracle-checked; HLL sketch registered
-  * rows-only since sketch internals differ across engines by design).
+  * estimation (exact anchor oracle-checked; the HLL/GK sketch entries
+  * are oracled BY BOUND — exact value + in-query envelope check the
+  * oracle asserts TRUE — since sketch internals differ across engines).
   */
 object AnalyticsQueries {
 
@@ -186,7 +187,8 @@ object AnalyticsQueries {
     * frames join back on the user key. Emits one row of stage counts and
     * conversion rates. */
   def conversionFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+    // cached: consumed by three stage passes (s1 aggregate + two joins)
+    val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts").cache()
     val s1 = ev.groupBy(col("user_id"))
       .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
       .filter(col("t_view").isNotNull)
@@ -203,8 +205,12 @@ object AnalyticsQueries {
         count(col("t_purchase")).as("n_full_funnel"))
       .select(
         col("n_view"), col("n_view_click"), col("n_full_funnel"),
-        round(col("n_view_click").cast("double") / col("n_view"), 6).as("rate_click"),
-        round(col("n_full_funnel").cast("double") / col("n_view_click"), 6).as("rate_purchase"))
+        // zero guards: Spark yields NULL on /0 but DuckDB yields NaN/Inf
+        // (IEEE) — mirror an explicit NULL on both engines instead
+        when(col("n_view") > 0,
+          round(col("n_view_click").cast("double") / col("n_view"), 6)).as("rate_click"),
+        when(col("n_view_click") > 0,
+          round(col("n_full_funnel").cast("double") / col("n_view_click"), 6)).as("rate_purchase"))
   }
 
   private val conversionFunnelSql: String =
@@ -225,8 +231,10 @@ object AnalyticsQueries {
       |SELECT CAST(count(t_view) AS BIGINT) AS n_view,
       |       CAST(count(t_click) AS BIGINT) AS n_view_click,
       |       CAST(count(t_purchase) AS BIGINT) AS n_full_funnel,
-      |       round(CAST(count(t_click) AS DOUBLE) / count(t_view), 6) AS rate_click,
-      |       round(CAST(count(t_purchase) AS DOUBLE) / count(t_click), 6) AS rate_purchase
+      |       CASE WHEN count(t_view) > 0
+      |            THEN round(CAST(count(t_click) AS DOUBLE) / count(t_view), 6) END AS rate_click,
+      |       CASE WHEN count(t_click) > 0
+      |            THEN round(CAST(count(t_purchase) AS DOUBLE) / count(t_click), 6) END AS rate_purchase
       |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin
 
   /** Cohort retention matrix: users grouped by first-activity month, then
@@ -235,7 +243,8 @@ object AnalyticsQueries {
     * (first-seen per user, distinct activity months) + one equi-join on
     * the user key. */
   def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+    // cached: feeds both the cohort aggregate and the activity distinct
+    val ev = Tables.events(spark, dir).select("user_id", "ts").cache()
     val cohort = ev.groupBy(col("user_id"))
       .agg(date_trunc("month", min(col("ts"))).as("cohort_month"))
     val active = ev.select(col("user_id"), date_trunc("month", col("ts")).as("m")).distinct()
@@ -262,33 +271,34 @@ object AnalyticsQueries {
     * (floor((q-1)/5)) so bucket identity is engine-exact; emits bounds,
     * count and share. One partial-agg shuffle of 10 rows. */
   def quantityHistogram(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    val total = li.select(count(lit(1)).as("n_total"))
-    li.withColumn("bucket",
+    import org.apache.spark.sql.expressions.Window
+    // the total is the sum of the 10 bucket counts — a window over the
+    // tiny aggregated frame, NOT a second scan of lineitem
+    val total = Window.partitionBy()
+    Tables.lineitem(spark, dir)
+      .withColumn("bucket",
         floor((col("l_quantity") - 1) / 5.0).cast("int"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"))
-      .crossJoin(total)
       .select(
         col("bucket"),
         (col("bucket") * 5 + 1).cast("int").as("lo"),
         (col("bucket") * 5 + 5).cast("int").as("hi"),
         col("n_rows"),
-        round(col("n_rows").cast("double") / col("n_total"), 6).as("share"))
+        round(col("n_rows").cast("double") / sum(col("n_rows")).over(total), 6).as("share"))
       .orderBy("bucket")
   }
 
   private val quantityHistogramSql: String =
     """WITH b AS (
       |  SELECT CAST(floor((l_quantity - 1) / 5.0) AS INT) AS bucket, count(*) AS n_rows
-      |  FROM lineitem GROUP BY 1),
-      |t AS (SELECT count(*) AS n_total FROM lineitem)
+      |  FROM lineitem GROUP BY 1)
       |SELECT bucket,
       |       CAST(bucket * 5 + 1 AS INT) AS lo,
       |       CAST(bucket * 5 + 5 AS INT) AS hi,
       |       CAST(n_rows AS BIGINT) AS n_rows,
-      |       round(CAST(n_rows AS DOUBLE) / n_total, 6) AS share
-      |FROM b CROSS JOIN t
+      |       round(CAST(n_rows AS DOUBLE) / sum(n_rows) OVER (), 6) AS share
+      |FROM b
       |ORDER BY bucket""".stripMargin
 
   /** Key-skew profiler — the diagnostic run before choosing a join/agg
@@ -303,14 +313,18 @@ object AnalyticsQueries {
       .agg(
         count(lit(1)).as("n_keys"),
         max(col("n")).as("max_per_key"),
-        round(avg(col("n")), 6).as("avg_per_key"),
+        // ratio divides the RAW avg (mirroring the oracle exactly); only
+        // the displayed avg is rounded — rounding inside the ratio could
+        // flip the 4-decimal boundary between engines
+        avg(col("n")).as("avg_raw"),
         round(expr("percentile(n, 0.5)"), 6).as("p50"),
         round(expr("percentile(n, 0.9)"), 6).as("p90"),
         round(expr("percentile(n, 0.99)"), 6).as("p99"))
       .select(
-        col("n_keys"), col("max_per_key"), col("avg_per_key"),
+        col("n_keys"), col("max_per_key"),
+        round(col("avg_raw"), 6).as("avg_per_key"),
         col("p50"), col("p90"), col("p99"),
-        round(col("max_per_key") / col("avg_per_key"), 4).as("skew_ratio"))
+        round(col("max_per_key") / col("avg_raw"), 4).as("skew_ratio"))
 
   private val ordersSkewProfileSql: String =
     """WITH k AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)

@@ -145,14 +145,16 @@ object TextQueries {
     * metadata class — the evaluation view a lang-ID gate is tuned by.
     * Reuses the langId plan; one extra vocabulary-sized aggregate. */
   def langConfusion(spark: SparkSession, dir: String): DataFrame = {
-    val pred = langId(spark, dir)
-    val totals = pred.groupBy(col("lang")).agg(count(lit(1)).as("n_meta"))
-    pred.groupBy(col("lang"), col("lang_pred"))
+    // per-metadata-class total = window sum over the aggregated cells —
+    // the langId pipeline (tokenize + two stopword scans) runs ONCE
+    val byMeta = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    langId(spark, dir)
+      .groupBy(col("lang"), col("lang_pred"))
       .agg(count(lit(1)).as("n_docs"))
-      .join(totals, "lang")
       .select(
         col("lang"), col("lang_pred"), col("n_docs"),
-        round(col("n_docs").cast("double") / col("n_meta"), 6).as("share_of_meta"))
+        round(col("n_docs").cast("double") / sum(col("n_docs")).over(byMeta), 6)
+          .as("share_of_meta"))
       .orderBy("lang", "lang_pred")
   }
 
@@ -178,12 +180,11 @@ object TextQueries {
        |              WHEN r_es > r_en AND r_es >= 0.05 THEN 'es'
        |              ELSE 'other' END AS lang_pred
        |  FROM m),
-       |cell AS (SELECT lang, lang_pred, count(*) AS n_docs FROM p GROUP BY 1, 2),
-       |tot AS (SELECT lang, count(*) AS n_meta FROM p GROUP BY 1)
-       |SELECT cell.lang, cell.lang_pred, CAST(cell.n_docs AS BIGINT) AS n_docs,
-       |       round(CAST(cell.n_docs AS DOUBLE) / tot.n_meta, 6) AS share_of_meta
-       |FROM cell JOIN tot ON cell.lang = tot.lang
-       |ORDER BY cell.lang, cell.lang_pred""".stripMargin
+       |cell AS (SELECT lang, lang_pred, count(*) AS n_docs FROM p GROUP BY 1, 2)
+       |SELECT lang, lang_pred, CAST(n_docs AS BIGINT) AS n_docs,
+       |       round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY lang), 6) AS share_of_meta
+       |FROM cell
+       |ORDER BY lang, lang_pred""".stripMargin
 
   /** Exact dedup by canonical-text fingerprint: one row per distinct
     * fingerprint with the surviving (minimum) doc_id and the group size.
@@ -332,12 +333,12 @@ object TextQueries {
     * their conditional probability P(w2 | w1) = c(w1 w2) / c(w1·) — the
     * n-gram-LM counting pass of a corpus-analysis pipeline. Bigrams are
     * built by zipping the token array with its shifted self (the same
-    * linear streamed pass as the shingle builder — no index-lambda trap);
-    * both counts come from one exploded frame, joined on w1. c(w1·)
-    * counts w1's occurrences AS A BIGRAM HEAD (= c(w1) minus
-    * document-final occurrences), which is the denominator a bigram LM
-    * actually normalizes by. Scale: explode → two partial-agg shuffles
-    * + an equi-join on w1 — vocabulary-sized, not corpus-sized. */
+    * linear streamed pass as the shingle builder — no index-lambda trap).
+    * c(w1·) counts w1's occurrences AS A BIGRAM HEAD (= c(w1) minus
+    * document-final occurrences) — the denominator a bigram LM actually
+    * normalizes by — and is derived as a window sum over the aggregated
+    * bigram frame, so the corpus is exploded exactly once. Scale: one
+    * explode → one partial-agg shuffle + a vocabulary-sized window. */
   def bigramLmTop(spark: SparkSession, dir: String): DataFrame = {
     val toks = col("toks")
     val pairs = Tables.documents(spark, dir)
@@ -347,12 +348,15 @@ object TextQueries {
         slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val bigrams = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_bigram"))
-    val heads = pairs.groupBy(col("w1")).agg(count(lit(1)).as("n_head"))
-    bigrams.join(heads, "w1")
+    // c(w1·) = Σ_w2 c(w1,w2): the head count is a window sum over the
+    // already-aggregated bigram frame — one corpus pass, no second
+    // explode and no join
+    val byHead = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+    pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_bigram"))
       .select(
         col("w1"), col("w2"), col("n_bigram"),
-        round(col("n_bigram").cast("double") / col("n_head"), 6).as("p_cond"))
+        round(col("n_bigram").cast("double") / sum(col("n_bigram")).over(byHead), 6)
+          .as("p_cond"))
       .orderBy(col("n_bigram").desc, col("w1"), col("w2"))
       .limit(20)
   }
@@ -365,12 +369,11 @@ object TextQueries {
       |e AS (
       |  SELECT toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
       |  FROM t, LATERAL (SELECT unnest(range(1, CAST(len(toks) AS BIGINT))) AS i) u),
-      |b AS (SELECT w1, w2, count(*) AS n_bigram FROM e GROUP BY w1, w2),
-      |h AS (SELECT w1, count(*) AS n_head FROM e GROUP BY w1)
-      |SELECT b.w1, b.w2, CAST(b.n_bigram AS BIGINT) AS n_bigram,
-      |       round(CAST(b.n_bigram AS DOUBLE) / h.n_head, 6) AS p_cond
-      |FROM b JOIN h ON b.w1 = h.w1
-      |ORDER BY n_bigram DESC, b.w1, b.w2
+      |b AS (SELECT w1, w2, count(*) AS n_bigram FROM e GROUP BY w1, w2)
+      |SELECT w1, w2, CAST(n_bigram AS BIGINT) AS n_bigram,
+      |       round(CAST(n_bigram AS DOUBLE) / sum(n_bigram) OVER (PARTITION BY w1), 6) AS p_cond
+      |FROM b
+      |ORDER BY n_bigram DESC, w1, w2
       |LIMIT 20""".stripMargin
 
   def tokenExplodeOuter(spark: SparkSession, dir: String): DataFrame =

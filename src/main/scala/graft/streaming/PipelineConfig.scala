@@ -39,6 +39,9 @@ object PipelineConfig {
       triggerInterval = get("SPARK_AGGREGATE_TRIGGER_INTERVAL", "TRIGGER_INTERVAL", "1 minute"),
       checkpointDir = get("SPARK_AGGREGATE_CHECKPOINT_DIR", "CHECKPOINT_DIR", "/tmp/graft-checkpoint"),
       kafkaBootstrapServers = env.get("KAFKA_BOOTSTRAP_SERVERS").filter(_.nonEmpty),
-      kafkaTopicPrefix = get("KAFKA_TOPIC_PREFIX", "KAFKA_TOPIC_PREFIX", "sensors.raw"))
+      // empty-filtered like the servers: "" + ".*" would silently
+      // subscribe to EVERY topic on the broker
+      kafkaTopicPrefix = env.get("KAFKA_TOPIC_PREFIX").filter(_.nonEmpty)
+        .getOrElse("sensors.raw"))
   }
 }

@@ -11,7 +11,9 @@ import graft.SparkSpec
 class KafkaProbeSpec extends AnyFunSuite with SparkSpec {
 
   test("no connector in this environment: probe false, source selection no-ops") {
-    assert(!SensorPipeline.kafkaAvailable)
+    // env-conditional (assume, not assert): on a deployment that ships
+    // spark-sql-kafka this test is vacuous, not failing
+    assume(!SensorPipeline.kafkaAvailable, "spark-sql-kafka present — absence leg not testable")
     val cfg = PipelineConfig.fromEnv(Map(
       "KAFKA_BOOTSTRAP_SERVERS" -> "k1:9092,k2:9093",
       "KAFKA_TOPIC_PREFIX" -> "sensors.raw"))
@@ -24,6 +26,8 @@ class KafkaProbeSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("probe satisfied: the real Kafka reader path engages") {
+    assume(!SensorPipeline.kafkaAvailable,
+      "spark-sql-kafka present — the forced-probe call would return a real stream, not throw")
     val cfg = PipelineConfig.fromEnv(Map("KAFKA_BOOTSTRAP_SERVERS" -> "k1:9092"))
     // Forcing the probe TRUE in a jar-less env must reach Spark's data
     // source resolution for "kafka" — the error from DataSource lookup is
