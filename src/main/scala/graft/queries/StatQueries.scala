@@ -364,6 +364,109 @@ object StatQueries {
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
       |FROM v ORDER BY event_id""".stripMargin
 
+  /** Gaps-and-islands run-length encoding: consecutive same-status orders
+    * per customer compress into runs via the row_number-difference trick
+    * (global seq − per-(cust,status) seq is constant within an island).
+    * Two window passes + one aggregate, all on the same (cust, date, key)
+    * sort — one shuffle total. The deterministic (date, orderkey) tiebreak
+    * makes island boundaries engine-stable. */
+  def orderStatusRuns(spark: SparkSession, dir: String): DataFrame = {
+    val seqW = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val statusW = Window.partitionBy(col("o_custkey"), col("o_orderstatus"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(pmod(col("o_custkey"), lit(100)) === 0)
+      .withColumn("island",
+        row_number().over(seqW) - row_number().over(statusW))
+      .groupBy(col("o_custkey"), col("o_orderstatus"), col("island"))
+      .agg(
+        min(col("o_orderdate")).cast("date").as("run_start"),
+        max(col("o_orderdate")).cast("date").as("run_end"),
+        count(lit(1)).as("n_orders"))
+      .select(
+        col("o_custkey"), col("o_orderstatus"),
+        col("run_start"), col("run_end"), col("n_orders"))
+      .orderBy("o_custkey", "run_start", "o_orderstatus")
+  }
+
+  private val orderStatusRunsSql: String =
+    """WITH s AS (
+      |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_orderdate, o_orderkey)
+      |         - row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+      |                              ORDER BY o_orderdate, o_orderkey) AS island
+      |  FROM orders WHERE o_custkey % 100 = 0)
+      |SELECT o_custkey, o_orderstatus,
+      |       CAST(min(o_orderdate) AS DATE) AS run_start,
+      |       CAST(max(o_orderdate) AS DATE) AS run_end,
+      |       count(*) AS n_orders
+      |FROM s GROUP BY o_custkey, o_orderstatus, island
+      |ORDER BY o_custkey, run_start, o_orderstatus""".stripMargin
+
+  /** One-pass data-quality report — the validation gate a pipeline runs
+    * before accepting a batch: null keys, range violations, domain
+    * violations, and referential orphans (anti-join), each as a
+    * (check, n_violations, n_checked, rate) row. Per-table checks are
+    * single aggregates; the orphan check is a broadcast-able anti-join on
+    * the order key — nothing here shuffles more than once. */
+  def dataQualityReport(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val ev = Tables.events(spark, dir)
+    def check(name: String, src: DataFrame, bad: Column): DataFrame =
+      src.agg(
+        count(lit(1)).as("n_checked"),
+        sum(when(bad, 1L).otherwise(0L)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"), col("n_checked"))
+    val orphans = li.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .crossJoin(li.agg(count(lit(1)).as("n_checked")))
+      .select(lit("lineitem_orphan_order").as("check_name"),
+        col("n_violations"), col("n_checked"))
+    check("orders_null_custkey", orders, col("o_custkey").isNull)
+      .unionAll(check("orders_nonpositive_total", orders, col("o_totalprice") <= 0))
+      .unionAll(check("lineitem_qty_range", li,
+        !col("l_quantity").between(1, 50)))
+      .unionAll(check("events_unknown_type", ev,
+        !col("event_type").isin("click", "error", "purchase", "signup", "view")))
+      .unionAll(orphans)
+      .select(col("check_name"), col("n_violations"), col("n_checked"),
+        round(col("n_violations").cast("double") / col("n_checked"), 6).as("rate"))
+      .orderBy("check_name")
+  }
+
+  private val dataQualityReportSql: String =
+    """WITH checks AS (
+      |  SELECT 'orders_null_custkey' AS check_name,
+      |         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+      |         count(*) AS n_checked
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'orders_nonpositive_total',
+      |         CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT), count(*)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem_qty_range',
+      |         CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS BIGINT), count(*)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'events_unknown_type',
+      |         CAST(sum(CASE WHEN event_type NOT IN ('click', 'error', 'purchase', 'signup', 'view')
+      |                       THEN 1 ELSE 0 END) AS BIGINT), count(*)
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'lineitem_orphan_order',
+      |         (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+      |          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+      |         (SELECT count(*) FROM lineitem))
+      |SELECT check_name, n_violations, n_checked,
+      |       round(CAST(n_violations AS DOUBLE) / n_checked, 6) AS rate
+      |FROM checks ORDER BY check_name""".stripMargin
+
   /** RANGE-frame rolling window (every other window query here uses ROWS
     * frames — RANGE is the one that bounds by VALUE distance): 7-day
     * rolling revenue and order count per customer, frame = value range
@@ -743,6 +846,8 @@ object StatQueries {
     "sensor_forward_fill"          -> (sensorForwardFill _),
     "sensor_interpolate"           -> (sensorInterpolate _),
     "orders_rolling_7d"            -> (ordersRolling7d _),
+    "order_status_runs"            -> (orderStatusRuns _),
+    "data_quality_report"          -> (dataQualityReport _),
     "salted_brand_revenue"         -> (saltedBrandRevenue _),
     "embedding_top_components"     -> (embeddingTopComponents _),
     "nation_balance_full_outer"    -> (nationBalanceFullOuter _),
@@ -769,6 +874,8 @@ object StatQueries {
     "sensor_forward_fill"          -> sensorForwardFillSql,
     "sensor_interpolate"           -> sensorInterpolateSql,
     "orders_rolling_7d"            -> ordersRolling7dSql,
+    "order_status_runs"            -> orderStatusRunsSql,
+    "data_quality_report"          -> dataQualityReportSql,
     "salted_brand_revenue"         -> saltedBrandRevenueSql,
     "embedding_top_components"     -> embeddingTopComponentsSql,
     "nation_balance_full_outer"    -> nationBalanceFullOuterSql,
