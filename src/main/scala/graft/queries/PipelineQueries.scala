@@ -31,6 +31,96 @@ object PipelineQueries {
        |WHERE ${hexpr.format("text")} % 100 < 10
        |ORDER BY doc_id""".stripMargin
 
+  private val ChunkSize = 64
+  private val ChunkStep = 48 // 16-token overlap between consecutive chunks
+
+  /** Document chunking — the context-window prep step of a RAG/training
+    * pipeline: each document becomes overlapping [[ChunkSize]]-token
+    * windows every [[ChunkStep]] tokens (16-token overlap so no boundary
+    * sentence is lost). Emits per chunk its token count and content hash
+    * (the dedup/lineage key chunk stores index on). Pure map + explode —
+    * embarrassingly parallel; chunk row count ≈ corpus tokens /
+    * [[ChunkStep]], so output scales with data, not pairs. */
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    Tables.documents(spark, dir)
+      .withColumn("toks", toks)
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), col("n") - 1, lit(ChunkStep))).as("start"))
+      .withColumn("chunk", slice(col("toks"), col("start") + 1, lit(ChunkSize)))
+      .select(
+        col("doc_id"),
+        (col("start") / ChunkStep).cast("int").as("chunk_idx"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        DedupOps.h60(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  private val docChunksSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, toks, CAST(u.start AS INT) AS start
+       |  FROM t, LATERAL (SELECT unnest(range(0, CAST(len(toks) AS BIGINT), $ChunkStep)) AS start) u
+       |  WHERE len(toks) > 0),
+       |s AS (
+       |  SELECT doc_id, start / $ChunkStep AS chunk_idx,
+       |         toks[start + 1 : start + $ChunkSize] AS chunk
+       |  FROM c)
+       |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       |       CAST(len(chunk) AS INT) AS n_chunk_tokens,
+       |       ${hexpr.format("array_to_string(chunk, ' ')")} AS chunk_hash
+       |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Vocabulary coverage: share of each document's tokens inside the
+    * corpus top-100 vocabulary — the tokenizer-fit metric (high coverage
+    * = few OOV/rare tokens). The vocabulary is a 100-row frame joined
+    * broadcast against the exploded corpus; per-doc coverage is one
+    * partial-agg shuffle keyed by doc. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val vocab = ex.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(100)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    ex.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_vocab"), lit(0))).cast("bigint").as("n_in_vocab"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_in_vocab"),
+        round(col("n_in_vocab").cast("double") / col("n_tokens"), 6).as("coverage"))
+      .orderBy("doc_id")
+  }
+
+  private val vocabCoverageSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |              ELSE string_split_regex(trim(text), '\s+') END AS toks
+      |  FROM documents),
+      |e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+      |v AS (
+      |  SELECT tok FROM (
+      |    SELECT tok, count(*) AS c,
+      |           row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+      |    FROM e GROUP BY tok)
+      |  WHERE rn <= 100)
+      |SELECT e.doc_id,
+      |       count(*) AS n_tokens,
+      |       CAST(sum(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab,
+      |       round(CAST(sum(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / count(*), 6) AS coverage
+      |FROM e LEFT JOIN v ON e.tok = v.tok
+      |GROUP BY e.doc_id
+      |ORDER BY e.doc_id""".stripMargin
+
   /** Quality-WEIGHTED deterministic sampling: each document's keep
     * probability is its quality score (the data-mixing move behind
     * quality-pruned training corpora — keep good docs with high
@@ -387,6 +477,8 @@ object PipelineQueries {
     "clean_corpus"     -> (cleanCorpus _),
     "doc_sample_10pct" -> (docSample _),
     "doc_quality_sample" -> (docQualitySample _),
+    "doc_chunks"         -> (docChunks _),
+    "vocab_coverage"     -> (vocabCoverage _),
     "doc_split_counts" -> (docSplitCounts _),
     "top_tokens"       -> (topTokens _),
     "doc_tfidf_top"    -> (tfidfTop _),
@@ -398,6 +490,8 @@ object PipelineQueries {
     "clean_corpus"     -> cleanCorpusSql,
     "doc_sample_10pct" -> docSampleSql,
     "doc_quality_sample" -> docQualitySampleSql,
+    "doc_chunks"         -> docChunksSql,
+    "vocab_coverage"     -> vocabCoverageSql,
     "doc_split_counts" -> docSplitCountsSql,
     "top_tokens"       -> topTokensSql,
     "doc_tfidf_top"    -> tfidfTopSql,
