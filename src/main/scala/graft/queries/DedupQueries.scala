@@ -379,8 +379,66 @@ object DedupQueries {
        |WHERE d.doc_id % 97 = 0
        |ORDER BY b_id""".stripMargin
 
+  /** Containment-based decontamination — the standard eval-overlap METRIC
+    * (|train ∩ eval| / |eval|, asymmetric: right for a small eval set
+    * inside a huge train corpus, where Jaccard washes out). Per benchmark
+    * doc: its shingle count, the MAX containment by any single corpus
+    * doc, and how many corpus docs exceed 50% containment. Same
+    * shingle-equi-join scale shape as benchmark_contamination: candidates
+    * ∝ shared shingles, never N². The 0.5 threshold compares the raw
+    * integer ratio (identical IEEE division both engines). */
+  def contaminationContainment(spark: SparkSession, dir: String): DataFrame = {
+    val ex = DedupOps.docShingles(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .cache() // feeds the benchmark side, corpus side and size aggregate
+    val isBench = pmod(col("doc_id"), lit(97)) === 0
+    val bSize = ex.filter(isBench)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      .select(col("doc_id").as("b_id"), col("n_shingles"))
+    val shared = ex.filter(isBench).select(col("doc_id").as("b_id"), col("s"))
+      .join(ex.filter(!isBench).select(col("doc_id").as("c_id"), col("s")), "s")
+      .groupBy(col("b_id"), col("c_id")).agg(count(lit(1)).as("n_shared"))
+    val perPair = shared.join(bSize, "b_id")
+      .withColumn("containment",
+        col("n_shared").cast("double") / col("n_shingles"))
+    bSize.join(
+        perPair.groupBy(col("b_id")).agg(
+          max(col("containment")).as("max_c"),
+          sum(when(col("containment") >= 0.5, 1L).otherwise(0L)).as("n_high")),
+        Seq("b_id"), "left")
+      .select(
+        col("b_id"), col("n_shingles"),
+        round(coalesce(col("max_c"), lit(0.0)), 6).as("max_containment"),
+        coalesce(col("n_high"), lit(0L)).as("n_high_containment"))
+      .orderBy("b_id")
+  }
+
+  private val contaminationContainmentSql: String =
+    s"""WITH $toksCte,
+       |$shinglesCte,
+       |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |bs AS (SELECT doc_id AS b_id, count(*) AS n_shingles FROM e WHERE doc_id % 97 = 0 GROUP BY 1),
+       |shared AS (
+       |  SELECT b.doc_id AS b_id, c.doc_id AS c_id, count(*) AS n_shared
+       |  FROM e b JOIN e c ON b.s = c.s
+       |  WHERE b.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
+       |  GROUP BY 1, 2),
+       |pp AS (
+       |  SELECT shared.b_id, CAST(n_shared AS DOUBLE) / bs.n_shingles AS containment
+       |  FROM shared JOIN bs ON shared.b_id = bs.b_id),
+       |agg AS (
+       |  SELECT b_id, max(containment) AS max_c,
+       |         sum(CASE WHEN containment >= 0.5 THEN 1 ELSE 0 END) AS n_high
+       |  FROM pp GROUP BY b_id)
+       |SELECT bs.b_id, CAST(bs.n_shingles AS BIGINT) AS n_shingles,
+       |       round(coalesce(agg.max_c, 0.0), 6) AS max_containment,
+       |       CAST(coalesce(agg.n_high, 0) AS BIGINT) AS n_high_containment
+       |FROM bs LEFT JOIN agg ON bs.b_id = agg.b_id
+       |ORDER BY bs.b_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dedup_components"    -> (dedupComponents _),
+    "contamination_containment" -> (contaminationContainment _),
     "benchmark_contamination" -> (benchmarkContamination _),
     "doc_winnow_fingerprints" -> (winnowFps _),
     "minhash_signatures"  -> (minhashSigs _),
@@ -392,6 +450,7 @@ object DedupQueries {
 
   val oracle: Map[String, String] = Map(
     "dedup_components"    -> dedupComponentsSql,
+    "contamination_containment" -> contaminationContainmentSql,
     "benchmark_contamination" -> benchmarkContaminationSql,
     "doc_winnow_fingerprints" -> winnowFpsSql,
     "minhash_signatures"  -> minhashSigsSql,

@@ -58,8 +58,10 @@ object PipelineQueries {
       .orderBy("doc_id", "chunk_idx")
   }
 
-  private val docChunksSql: String =
-    s"""WITH t AS (
+  /** Shared chunking CTEs ending in `ch(doc_id, chunk_idx, n_chunk_tokens,
+    * chunk_hash)` — consumed by doc_chunks and chunk_dedup_stats. */
+  private val chunksCtes: String =
+    s"""t AS (
        |  SELECT doc_id,
        |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
        |              ELSE string_split_regex(trim(text), '\\s+') END AS toks
@@ -71,11 +73,39 @@ object PipelineQueries {
        |s AS (
        |  SELECT doc_id, start / $ChunkStep AS chunk_idx,
        |         toks[start + 1 : start + $ChunkSize] AS chunk
-       |  FROM c)
-       |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
-       |       CAST(len(chunk) AS INT) AS n_chunk_tokens,
-       |       ${hexpr.format("array_to_string(chunk, ' ')")} AS chunk_hash
-       |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+       |  FROM c),
+       |ch AS (
+       |  SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       |         CAST(len(chunk) AS INT) AS n_chunk_tokens,
+       |         ${hexpr.format("array_to_string(chunk, ' ')")} AS chunk_hash
+       |  FROM s)""".stripMargin
+
+  private val docChunksSql: String =
+    s"""WITH $chunksCtes
+       |SELECT doc_id, chunk_idx, n_chunk_tokens, chunk_hash
+       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Chunk-granularity dedup statistics: repeated chunk hashes across the
+    * corpus (boilerplate shared by different documents that document-level
+    * dedup cannot see). One hash-shuffle on the chunk hash — the same
+    * scale shape as dedup_exact, at chunk grain. */
+  def chunkDedupStats(spark: SparkSession, dir: String): DataFrame =
+    docChunks(spark, dir)
+      .groupBy(col("chunk_hash"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") > 1)
+      .orderBy(col("n_occurrences").desc, col("chunk_hash"))
+
+  private val chunkDedupStatsSql: String =
+    s"""WITH $chunksCtes
+       |SELECT chunk_hash,
+       |       count(DISTINCT doc_id) AS n_docs,
+       |       count(*) AS n_occurrences
+       |FROM ch GROUP BY chunk_hash
+       |HAVING count(*) > 1
+       |ORDER BY n_occurrences DESC, chunk_hash""".stripMargin
 
   /** Vocabulary coverage: share of each document's tokens inside the
     * corpus top-100 vocabulary — the tokenizer-fit metric (high coverage
@@ -177,6 +207,37 @@ object PipelineQueries {
        |WHERE CAST(${hexpr.format("text")} % 10000 AS DOUBLE) < floor(quality_score * 10000.0)
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Stratified sampling with per-stratum rates (the data-mixing knob:
+    * downsample the dominant language, keep the rest) — `sampleBy` done
+    * deterministically via the content-hash uniform so the draw is
+    * reproducible and oracle-verifiable. Emits per-stratum accounting:
+    * population, sample size, realized fraction. */
+  def stratifiedSampleCounts(spark: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("lang") === "en", lit(10L)).otherwise(lit(40L))
+    Tables.documents(spark, dir)
+      .withColumn("sampled",
+        pmod(DedupOps.h60(col("text")), lit(100L)) < rate)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
+      .select(
+        col("lang"), col("n_docs"), col("n_sampled"),
+        round(col("n_sampled").cast("double") / col("n_docs"), 6).as("realized_frac"))
+      .orderBy("lang")
+  }
+
+  private val stratifiedSampleCountsSql: String =
+    s"""SELECT lang,
+       |       count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN ${hexpr.format("text")} % 100 <
+       |                          CASE WHEN lang = 'en' THEN 10 ELSE 40 END
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       |       round(CAST(sum(CASE WHEN ${hexpr.format("text")} % 100 <
+       |                               CASE WHEN lang = 'en' THEN 10 ELSE 40 END
+       |                          THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS realized_frac
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Deterministic train/val/test split (80/10/10) with per-split counts
     * and size accounting. Split identity rides the content hash, so
@@ -478,6 +539,8 @@ object PipelineQueries {
     "doc_sample_10pct" -> (docSample _),
     "doc_quality_sample" -> (docQualitySample _),
     "doc_chunks"         -> (docChunks _),
+    "chunk_dedup_stats"  -> (chunkDedupStats _),
+    "stratified_sample_counts" -> (stratifiedSampleCounts _),
     "vocab_coverage"     -> (vocabCoverage _),
     "doc_split_counts" -> (docSplitCounts _),
     "top_tokens"       -> (topTokens _),
@@ -491,6 +554,8 @@ object PipelineQueries {
     "doc_sample_10pct" -> docSampleSql,
     "doc_quality_sample" -> docQualitySampleSql,
     "doc_chunks"         -> docChunksSql,
+    "chunk_dedup_stats"  -> chunkDedupStatsSql,
+    "stratified_sample_counts" -> stratifiedSampleCountsSql,
     "vocab_coverage"     -> vocabCoverageSql,
     "doc_split_counts" -> docSplitCountsSql,
     "top_tokens"       -> topTokensSql,

@@ -364,6 +364,62 @@ object StatQueries {
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
       |FROM v ORDER BY event_id""".stripMargin
 
+  /** Robust anomaly detection per station: median absolute deviation.
+    * Outlier = |value − median| > 3·MAD — the robust z-score that, unlike
+    * mean/stddev, is not dragged by the outliers it hunts. Two grouped
+    * exact-percentile passes with a join back on the station key (the
+    * deviation needs the median per row); the 3·MAD threshold compares
+    * RAW doubles — identical IEEE arithmetic on both engines — and only
+    * the reported medians are rounded. */
+  def sensorMadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.queries.ParityQueries.sensorShaped(spark, dir)
+      .withColumn("value_numeric", expr("try_cast(value_str AS double)"))
+      .filter(col("value_numeric").isNotNull)
+      .select(col("station_id"), col("value_numeric"))
+      .cache() // read by the median pass and re-read for deviations
+    val med = v.groupBy(col("station_id"))
+      .agg(expr("percentile(value_numeric, 0.5)").as("med"))
+    val mad = v.join(med, "station_id")
+      .withColumn("dev", abs(col("value_numeric") - col("med")))
+      .groupBy(col("station_id"))
+      .agg(first(col("med")).as("med"), expr("percentile(dev, 0.5)").as("mad"))
+    v.join(mad, "station_id")
+      .groupBy(col("station_id"))
+      .agg(
+        count(lit(1)).as("n_valid"),
+        round(first(col("med")), 6).as("median_value"),
+        round(first(col("mad")), 6).as("mad"),
+        sum(when(abs(col("value_numeric") - col("med")) > lit(3.0) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("station_id")
+  }
+
+  private val sensorMadOutliersSql: String =
+    """WITH v AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS station_id,
+      |         TRY_CAST(CASE WHEN event_type = 'error' THEN '<<bad_data>>'
+      |                       ELSE CAST(value AS VARCHAR) END AS DOUBLE) AS value_numeric
+      |  FROM events),
+      |f AS (SELECT * FROM v WHERE value_numeric IS NOT NULL),
+      |m AS (SELECT station_id, quantile_cont(value_numeric, 0.5) AS med FROM f GROUP BY 1),
+      |d AS (
+      |  SELECT f.station_id, f.value_numeric, m.med,
+      |         abs(f.value_numeric - m.med) AS dev
+      |  FROM f JOIN m ON f.station_id = m.station_id),
+      |s AS (
+      |  SELECT station_id, any_value(med) AS med,
+      |         quantile_cont(dev, 0.5) AS mad, count(*) AS n_valid
+      |  FROM d GROUP BY station_id)
+      |SELECT d.station_id,
+      |       CAST(any_value(s.n_valid) AS BIGINT) AS n_valid,
+      |       round(any_value(s.med), 6) AS median_value,
+      |       round(any_value(s.mad), 6) AS mad,
+      |       CAST(sum(CASE WHEN abs(d.value_numeric - s.med) > 3.0 * s.mad
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM d JOIN s ON d.station_id = s.station_id
+      |GROUP BY d.station_id
+      |ORDER BY d.station_id""".stripMargin
+
   /** Gaps-and-islands run-length encoding: consecutive same-status orders
     * per customer compress into runs via the row_number-difference trick
     * (global seq − per-(cust,status) seq is constant within an island).
@@ -847,6 +903,7 @@ object StatQueries {
     "sensor_interpolate"           -> (sensorInterpolate _),
     "orders_rolling_7d"            -> (ordersRolling7d _),
     "order_status_runs"            -> (orderStatusRuns _),
+    "sensor_mad_outliers"          -> (sensorMadOutliers _),
     "data_quality_report"          -> (dataQualityReport _),
     "salted_brand_revenue"         -> (saltedBrandRevenue _),
     "embedding_top_components"     -> (embeddingTopComponents _),
@@ -875,6 +932,7 @@ object StatQueries {
     "sensor_interpolate"           -> sensorInterpolateSql,
     "orders_rolling_7d"            -> ordersRolling7dSql,
     "order_status_runs"            -> orderStatusRunsSql,
+    "sensor_mad_outliers"          -> sensorMadOutliersSql,
     "data_quality_report"          -> dataQualityReportSql,
     "salted_brand_revenue"         -> saltedBrandRevenueSql,
     "embedding_top_components"     -> embeddingTopComponentsSql,
