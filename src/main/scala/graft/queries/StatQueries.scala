@@ -364,6 +364,39 @@ object StatQueries {
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
       |FROM v ORDER BY event_id""".stripMargin
 
+  /** Z-order layout keys via the custom codegen'd [[graft.functions.ZOrderKey]]
+    * expression (registered as `graft_zorder`): the space-filling-curve
+    * key that clusters a two-dimensional access pattern (customer, day)
+    * into one sort order, so file-level min/max statistics prune on BOTH
+    * dimensions — the write-side table-maintenance move behind
+    * Delta/Iceberg Z-ORDER, exposed as an engine function. Emitted
+    * z-sorted (the layout order itself); the oracle mirrors the exact
+    * mask-shift cascade in integer SQL, so keys are engine-exact. */
+  def ordersZorderKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(pmod(col("o_custkey"), lit(100)) === 0)
+      .withColumn("day",
+        datediff(col("o_orderdate").cast("date"), to_date(lit("1970-01-01"))))
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("day").cast("int").as("day"),
+        expr("graft_zorder(o_custkey, day)").as("zkey"))
+      .orderBy("zkey", "o_orderkey")
+
+  private val ordersZorderKeysSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_custkey,
+      |         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+      |  FROM orders WHERE o_custkey % 100 = 0),
+      |s0 AS (SELECT *, o_custkey & 65535 AS x, day & 65535 AS y FROM o),
+      |s1 AS (SELECT * REPLACE ((x | (x << 8)) & 16711935 AS x, (y | (y << 8)) & 16711935 AS y) FROM s0),
+      |s2 AS (SELECT * REPLACE ((x | (x << 4)) & 252645135 AS x, (y | (y << 4)) & 252645135 AS y) FROM s1),
+      |s3 AS (SELECT * REPLACE ((x | (x << 2)) & 858993459 AS x, (y | (y << 2)) & 858993459 AS y) FROM s2),
+      |s4 AS (SELECT * REPLACE ((x | (x << 1)) & 1431655765 AS x, (y | (y << 1)) & 1431655765 AS y) FROM s3)
+      |SELECT o_orderkey, o_custkey, CAST(day AS INT) AS day,
+      |       CAST(x | (y << 1) AS BIGINT) AS zkey
+      |FROM s4
+      |ORDER BY zkey, o_orderkey""".stripMargin
+
   /** Robust anomaly detection per station: median absolute deviation.
     * Outlier = |value − median| > 3·MAD — the robust z-score that, unlike
     * mean/stddev, is not dragged by the outliers it hunts. Two grouped
@@ -904,6 +937,7 @@ object StatQueries {
     "orders_rolling_7d"            -> (ordersRolling7d _),
     "order_status_runs"            -> (orderStatusRuns _),
     "sensor_mad_outliers"          -> (sensorMadOutliers _),
+    "orders_zorder_keys"           -> (ordersZorderKeys _),
     "data_quality_report"          -> (dataQualityReport _),
     "salted_brand_revenue"         -> (saltedBrandRevenue _),
     "embedding_top_components"     -> (embeddingTopComponents _),
@@ -933,6 +967,7 @@ object StatQueries {
     "orders_rolling_7d"            -> ordersRolling7dSql,
     "order_status_runs"            -> orderStatusRunsSql,
     "sensor_mad_outliers"          -> sensorMadOutliersSql,
+    "orders_zorder_keys"           -> ordersZorderKeysSql,
     "data_quality_report"          -> dataQualityReportSql,
     "salted_brand_revenue"         -> saltedBrandRevenueSql,
     "embedding_top_components"     -> embeddingTopComponentsSql,
