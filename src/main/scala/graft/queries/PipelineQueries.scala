@@ -239,6 +239,38 @@ object PipelineQueries {
        |                          THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS realized_frac
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Data-mixture profile per source: the composition dashboard of a
+    * training corpus (doc count, corpus share, volume, language spread).
+    * One grouped aggregate + a window share over the tiny profile frame. */
+  def sourceMixtureProfile(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        round(avg(col("n_chars")), 6).as("avg_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .select(
+        col("source"), col("n_docs"),
+        round(col("n_docs").cast("double") / sum(col("n_docs")).over(w), 6)
+          .as("corpus_share"),
+        col("total_chars"), col("avg_chars"), col("n_langs"))
+      .orderBy("source")
+  }
+
+  private val sourceMixtureProfileSql: String =
+    """WITH p AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |         round(avg(n_chars), 6) AS avg_chars,
+      |         count(DISTINCT lang) AS n_langs
+      |  FROM documents GROUP BY source)
+      |SELECT source, n_docs,
+      |       round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS corpus_share,
+      |       total_chars, avg_chars, n_langs
+      |FROM p ORDER BY source""".stripMargin
+
   /** Deterministic train/val/test split (80/10/10) with per-split counts
     * and size accounting. Split identity rides the content hash, so
     * re-runs and re-partitions cannot reshuffle examples between splits.
@@ -541,6 +573,7 @@ object PipelineQueries {
     "doc_chunks"         -> (docChunks _),
     "chunk_dedup_stats"  -> (chunkDedupStats _),
     "stratified_sample_counts" -> (stratifiedSampleCounts _),
+    "source_mixture_profile"   -> (sourceMixtureProfile _),
     "vocab_coverage"     -> (vocabCoverage _),
     "doc_split_counts" -> (docSplitCounts _),
     "top_tokens"       -> (topTokens _),
@@ -556,6 +589,7 @@ object PipelineQueries {
     "doc_chunks"         -> docChunksSql,
     "chunk_dedup_stats"  -> chunkDedupStatsSql,
     "stratified_sample_counts" -> stratifiedSampleCountsSql,
+    "source_mixture_profile"   -> sourceMixtureProfileSql,
     "vocab_coverage"     -> vocabCoverageSql,
     "doc_split_counts" -> docSplitCountsSql,
     "top_tokens"       -> topTokensSql,

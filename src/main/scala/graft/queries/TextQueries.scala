@@ -186,6 +186,41 @@ object TextQueries {
        |FROM cell
        |ORDER BY lang, lang_pred""".stripMargin
 
+  /** Chi-square test of association between two categorical columns
+    * (lang × source): observed vs expected cell counts and the χ²
+    * statistic — the mixture-drift check run on corpus metadata. One
+    * grouped count + two window-sum passes over the tiny cell frame
+    * (marginals never rescan the corpus). χ² sums (o−e)²/e over cells
+    * with raw-double arithmetic on both engines, rounded at the end. */
+  def langSourceChi2(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val cells = Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+    cells
+      .withColumn("row_total", sum(col("o")).over(w.partitionBy(col("lang"))))
+      .withColumn("col_total", sum(col("o")).over(w.partitionBy(col("source"))))
+      .withColumn("n", sum(col("o")).over(w.partitionBy()))
+      .withColumn("e",
+        col("row_total").cast("double") * col("col_total") / col("n"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        round(sum((col("o") - col("e")) * (col("o") - col("e")) / col("e")), 6)
+          .as("chi2"))
+  }
+
+  private val langSourceChi2Sql: String =
+    """WITH cells AS (
+      |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+      |m AS (
+      |  SELECT o,
+      |         CAST(sum(o) OVER (PARTITION BY lang) AS DOUBLE)
+      |           * sum(o) OVER (PARTITION BY source)
+      |           / sum(o) OVER () AS e
+      |  FROM cells)
+      |SELECT count(*) AS n_cells,
+      |       round(sum((o - e) * (o - e) / e), 6) AS chi2
+      |FROM m""".stripMargin
+
   /** Exact dedup by canonical-text fingerprint: one row per distinct
     * fingerprint with the surviving (minimum) doc_id and the group size.
     * Single hash-shuffle on the fingerprint — the exact-dedup plan that
@@ -403,6 +438,7 @@ object TextQueries {
     "doc_quality"     -> (quality _),
     "doc_lang_id"     -> (langId _),
     "lang_confusion"  -> (langConfusion _),
+    "lang_source_chi2" -> (langSourceChi2 _),
     "doc_scrub_counts" -> (scrubCounts _),
     "doc_c4_rules"    -> (c4Rules _),
     "dedup_exact"     -> (dedupExact _))
@@ -415,6 +451,7 @@ object TextQueries {
     "doc_quality"     -> qualitySql,
     "doc_lang_id"     -> langIdSql,
     "lang_confusion"  -> langConfusionSql,
+    "lang_source_chi2" -> langSourceChi2Sql,
     "doc_scrub_counts" -> scrubCountsSql,
     "doc_c4_rules"    -> c4RulesSql,
     "dedup_exact"     -> dedupExactSql)
