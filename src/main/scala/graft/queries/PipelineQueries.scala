@@ -58,14 +58,21 @@ object PipelineQueries {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Canonical tokenization CTE `t(doc_id, toks)` — one copy per module
+    * (DedupQueries keeps its own); it must stay in lockstep with
+    * `TextFunctions.tokens` on the Spark side, so every consumer here
+    * references THIS val rather than inlining the fragment. */
+  private val toksCteSql: String =
+    """t AS (
+      |  SELECT doc_id,
+      |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |              ELSE string_split_regex(trim(text), '\s+') END AS toks
+      |  FROM documents)""".stripMargin
+
   /** Shared chunking CTEs ending in `ch(doc_id, chunk_idx, n_chunk_tokens,
     * chunk_hash)` — consumed by doc_chunks and chunk_dedup_stats. */
   private val chunksCtes: String =
-    s"""t AS (
-       |  SELECT doc_id,
-       |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-       |              ELSE string_split_regex(trim(text), '\\s+') END AS toks
-       |  FROM documents),
+    s"""$toksCteSql,
        |c AS (
        |  SELECT doc_id, toks, CAST(u.start AS INT) AS start
        |  FROM t, LATERAL (SELECT unnest(range(0, CAST(len(toks) AS BIGINT), $ChunkStep)) AS start) u
@@ -113,8 +120,11 @@ object PipelineQueries {
     * broadcast against the exploded corpus; per-doc coverage is one
     * partial-agg shuffle keyed by doc. */
   def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    // cached: the exploded corpus feeds both the vocab build and the
+    // coverage join — uncached it would re-tokenize the corpus twice
     val ex = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .cache()
     val vocab = ex.groupBy(col("tok")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("tok")).limit(100)
       .select(col("tok"), lit(1).as("in_vocab"))
@@ -130,11 +140,7 @@ object PipelineQueries {
   }
 
   private val vocabCoverageSql: String =
-    """WITH t AS (
-      |  SELECT doc_id,
-      |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-      |              ELSE string_split_regex(trim(text), '\s+') END AS toks
-      |  FROM documents),
+    s"""WITH $toksCteSql,
       |e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
       |v AS (
       |  SELECT tok FROM (

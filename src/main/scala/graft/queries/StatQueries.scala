@@ -401,27 +401,31 @@ object StatQueries {
     * Outlier = |value − median| > 3·MAD — the robust z-score that, unlike
     * mean/stddev, is not dragged by the outliers it hunts. Two grouped
     * exact-percentile passes with a join back on the station key (the
-    * deviation needs the median per row); the 3·MAD threshold compares
-    * RAW doubles — identical IEEE arithmetic on both engines — and only
-    * the reported medians are rounded. */
+    * deviation needs the median per row). */
   def sensorMadOutliers(spark: SparkSession, dir: String): DataFrame = {
     val v = graft.queries.ParityQueries.sensorShaped(spark, dir)
       .withColumn("value_numeric", expr("try_cast(value_str AS double)"))
       .filter(col("value_numeric").isNotNull)
       .select(col("station_id"), col("value_numeric"))
       .cache() // read by the median pass and re-read for deviations
+    // med/mad are ROUNDED to 6 before the outlier comparison on BOTH
+    // engines: percentile interpolation (lo + (hi-lo)*f vs lo*(1-f)+hi*f)
+    // can differ by 1 ulp between engines, and a strict > on the raw
+    // values would flip boundary readings — the rounded threshold is the
+    // symmetric form the module's conventions require
     val med = v.groupBy(col("station_id"))
-      .agg(expr("percentile(value_numeric, 0.5)").as("med"))
+      .agg(round(expr("percentile(value_numeric, 0.5)"), 6).as("med"))
     val mad = v.join(med, "station_id")
       .withColumn("dev", abs(col("value_numeric") - col("med")))
       .groupBy(col("station_id"))
-      .agg(first(col("med")).as("med"), expr("percentile(dev, 0.5)").as("mad"))
+      .agg(first(col("med")).as("med"),
+        round(expr("percentile(dev, 0.5)"), 6).as("mad"))
     v.join(mad, "station_id")
       .groupBy(col("station_id"))
       .agg(
         count(lit(1)).as("n_valid"),
-        round(first(col("med")), 6).as("median_value"),
-        round(first(col("mad")), 6).as("mad"),
+        first(col("med")).as("median_value"),
+        first(col("mad")).as("mad"),
         sum(when(abs(col("value_numeric") - col("med")) > lit(3.0) * col("mad"), 1L)
           .otherwise(0L)).as("n_outliers"))
       .orderBy("station_id")
@@ -434,19 +438,20 @@ object StatQueries {
       |                       ELSE CAST(value AS VARCHAR) END AS DOUBLE) AS value_numeric
       |  FROM events),
       |f AS (SELECT * FROM v WHERE value_numeric IS NOT NULL),
-      |m AS (SELECT station_id, quantile_cont(value_numeric, 0.5) AS med FROM f GROUP BY 1),
+      |m AS (SELECT station_id, round(quantile_cont(value_numeric, 0.5), 6) AS med
+      |      FROM f GROUP BY 1),
       |d AS (
       |  SELECT f.station_id, f.value_numeric, m.med,
       |         abs(f.value_numeric - m.med) AS dev
       |  FROM f JOIN m ON f.station_id = m.station_id),
       |s AS (
       |  SELECT station_id, any_value(med) AS med,
-      |         quantile_cont(dev, 0.5) AS mad, count(*) AS n_valid
+      |         round(quantile_cont(dev, 0.5), 6) AS mad, count(*) AS n_valid
       |  FROM d GROUP BY station_id)
       |SELECT d.station_id,
       |       CAST(any_value(s.n_valid) AS BIGINT) AS n_valid,
-      |       round(any_value(s.med), 6) AS median_value,
-      |       round(any_value(s.mad), 6) AS mad,
+      |       any_value(s.med) AS median_value,
+      |       any_value(s.mad) AS mad,
       |       CAST(sum(CASE WHEN abs(d.value_numeric - s.med) > 3.0 * s.mad
       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
       |FROM d JOIN s ON d.station_id = s.station_id
@@ -472,11 +477,14 @@ object StatQueries {
       .agg(
         min(col("o_orderdate")).cast("date").as("run_start"),
         max(col("o_orderdate")).cast("date").as("run_end"),
+        // globally unique per island — the run's id AND the total-order
+        // tiebreak (two same-date islands can tie on every date column)
+        min(col("o_orderkey")).as("first_orderkey"),
         count(lit(1)).as("n_orders"))
       .select(
         col("o_custkey"), col("o_orderstatus"),
-        col("run_start"), col("run_end"), col("n_orders"))
-      .orderBy("o_custkey", "run_start", "o_orderstatus")
+        col("run_start"), col("run_end"), col("first_orderkey"), col("n_orders"))
+      .orderBy("o_custkey", "run_start", "first_orderkey")
   }
 
   private val orderStatusRunsSql: String =
@@ -490,9 +498,10 @@ object StatQueries {
       |SELECT o_custkey, o_orderstatus,
       |       CAST(min(o_orderdate) AS DATE) AS run_start,
       |       CAST(max(o_orderdate) AS DATE) AS run_end,
+      |       min(o_orderkey) AS first_orderkey,
       |       count(*) AS n_orders
       |FROM s GROUP BY o_custkey, o_orderstatus, island
-      |ORDER BY o_custkey, run_start, o_orderstatus""".stripMargin
+      |ORDER BY o_custkey, run_start, first_orderkey""".stripMargin
 
   /** One-pass data-quality report — the validation gate a pipeline runs
     * before accepting a batch: null keys, range violations, domain

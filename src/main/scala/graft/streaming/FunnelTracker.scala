@@ -18,14 +18,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * update equals the batch semantics).
   *
   * Scale: state is three timestamps per live user, sharded by the
-  * groupBy key hash; completed users drop their state immediately, and
-  * the event-time timeout reaps users who never complete — no unbounded
-  * state.
+  * groupBy key hash; completed users collapse to a `done` tombstone (so
+  * repeat funnels never re-emit — the batch twin's each-user-counts-once
+  * rule), users who produce no trackable progress allocate no state at
+  * all, and the event-time timeout reaps both tombstones and idle
+  * partials — no unbounded state.
   */
 object FunnelTracker {
 
   case class FunnelEv(user_id: Long, event_type: String, ts: Timestamp)
-  case class FunnelState(tView: Option[Long], tClick: Option[Long])
+  case class FunnelState(tView: Option[Long], tClick: Option[Long],
+      done: Boolean = false)
   case class FunnelHit(user_id: Long, t_view: Timestamp, t_click: Timestamp,
       t_purchase: Timestamp)
 
@@ -38,13 +41,15 @@ object FunnelTracker {
     def fn(userId: Long, evs: Iterator[FunnelEv],
         state: GroupState[FunnelState]): Iterator[FunnelHit] = {
       if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-      var s = state.getOption.getOrElse(FunnelState(None, None))
+      val existed = state.exists
+      val init = state.getOption.getOrElse(FunnelState(None, None))
+      var s = init
       var hit: Option[FunnelHit] = None
       var lastMs = 0L
       evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
         val t = e.ts.getTime
         lastMs = math.max(lastMs, t)
-        if (hit.isEmpty) e.event_type match {
+        if (!s.done && hit.isEmpty) e.event_type match {
           case "view" if s.tView.isEmpty => s = s.copy(tView = Some(t))
           case "click" if s.tClick.isEmpty && s.tView.exists(t > _) =>
             s = s.copy(tClick = Some(t))
@@ -55,8 +60,17 @@ object FunnelTracker {
           case _ => ()
         }
       }
-      if (hit.isDefined) state.remove() // funnel closed: state done forever
-      else {
+      if (hit.isDefined) {
+        // tombstone, not remove: matches the batch twin's each-user-counts-
+        // ONCE semantics — a repeat view→click→purchase sequence must not
+        // re-emit. The timeout still reaps the tombstone, so state stays
+        // bounded by ACTIVE users, with a documented at-most-once-per-
+        // timeout-window repeat guarantee after reaping.
+        state.update(FunnelState(None, None, done = true))
+        state.setTimeoutTimestamp(lastMs + idleTimeoutMs)
+      } else if (existed || s != init) {
+        // no-progress guard: a stray click/purchase with no prior view
+        // must NOT allocate a state entry for an otherwise-unknown user
         state.update(s)
         state.setTimeoutTimestamp(lastMs + idleTimeoutMs)
       }

@@ -35,9 +35,11 @@ class FunnelTrackerSpec extends AnyFunSuite with SparkSpec {
         FunnelEv(4, "view", ts(0)), FunnelEv(4, "click", ts(30)))
       q.processAllAvailable()
       // user 4 completes across the batch boundary (state carried);
-      // user 1's extra purchase must NOT re-emit (state already dropped)
+      // user 1 runs an ENTIRE second funnel — the done-tombstone must
+      // swallow it (each user counts once, like the batch twin)
       input.addData(
         FunnelEv(4, "purchase", ts(60)),
+        FunnelEv(1, "view", ts(90)), FunnelEv(1, "click", ts(95)),
         FunnelEv(1, "purchase", ts(99)))
       q.processAllAvailable()
 
