@@ -31,6 +31,71 @@ object PipelineQueries {
        |WHERE ${hexpr.format("text")} % 100 < 10
        |ORDER BY doc_id""".stripMargin
 
+  /** Per-source document cap (the "domain cap" of web-corpus curation:
+    * no single domain/source may dominate the mixture). Keeps at most
+    * [[SourceCap]] docs per source, chosen by the deterministic
+    * content-hash order (so the kept subset is a uniform sample within
+    * the source, reproducible across runs and cluster sizes), doc_id as
+    * tie-break. Emits the kept roster.
+    *
+    * Scale: one shuffle on `source` + a per-partition top-K. At 100 TB
+    * skewed sources (one domain = half the corpus) make full sorts
+    * unbalanced, but the rank-then-filter form lets AQE split the skewed
+    * partition, and a two-phase per-partition pre-top-K (TopKAggregator)
+    * is the drop-in if a single source outgrows an executor. */
+  private val SourceCap = 15
+
+  def sourceCaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("rnd"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rnd", pmod(DedupOps.h60(col("text")), lit(10000L)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= SourceCap)
+      .select(col("source"), col("rk"), col("doc_id"))
+      .orderBy("source", "rk")
+  }
+
+  private val sourceCapsSql: String =
+    s"""WITH r AS (
+       |  SELECT source, doc_id,
+       |         row_number() OVER (PARTITION BY source
+       |           ORDER BY ${hexpr.format("text")} % 10000, doc_id) AS rk
+       |  FROM documents)
+       |SELECT source, rk, doc_id FROM r WHERE rk <= $SourceCap
+       |ORDER BY source, rk""".stripMargin
+
+  /** Length-outlier filter: docs outside the corpus [p5, p95] char-length
+    * band (truncation artifacts and boilerplate walls live in the tails).
+    * The percentile bounds are one global aggregate (a broadcastable
+    * 1-row frame — no per-row subquery), so the corpus streams once
+    * against broadcast bounds; emits the flagged tail docs. */
+  def docLengthOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bounds = docs.agg(
+      expr("percentile(n_chars, 0.05)").as("p5"),
+      expr("percentile(n_chars, 0.95)").as("p95"))
+    docs.crossJoin(broadcast(bounds))
+      .filter(col("n_chars") < col("p5") || col("n_chars") > col("p95"))
+      .withColumn("side",
+        when(col("n_chars") < col("p5"), lit("short")).otherwise(lit("long")))
+      .select(col("doc_id"), col("n_chars"), col("side"),
+        round(col("p5"), 6).as("p5"), round(col("p95"), 6).as("p95"))
+      .orderBy("doc_id")
+  }
+
+  private val docLengthOutliersSql: String =
+    """WITH b AS (
+      |  SELECT quantile_cont(n_chars, 0.05) AS p5,
+      |         quantile_cont(n_chars, 0.95) AS p95
+      |  FROM documents)
+      |SELECT d.doc_id, d.n_chars,
+      |       CASE WHEN d.n_chars < b.p5 THEN 'short' ELSE 'long' END AS side,
+      |       round(b.p5, 6) AS p5, round(b.p95, 6) AS p95
+      |FROM documents d CROSS JOIN b
+      |WHERE d.n_chars < b.p5 OR d.n_chars > b.p95
+      |ORDER BY d.doc_id""".stripMargin
+
   private val ChunkSize = 64
   private val ChunkStep = 48 // 16-token overlap between consecutive chunks
 
@@ -576,6 +641,8 @@ object PipelineQueries {
     "clean_corpus"     -> (cleanCorpus _),
     "doc_sample_10pct" -> (docSample _),
     "doc_quality_sample" -> (docQualitySample _),
+    "source_caps"        -> (sourceCaps _),
+    "doc_length_outliers" -> (docLengthOutliers _),
     "doc_chunks"         -> (docChunks _),
     "chunk_dedup_stats"  -> (chunkDedupStats _),
     "stratified_sample_counts" -> (stratifiedSampleCounts _),
@@ -592,6 +659,8 @@ object PipelineQueries {
     "clean_corpus"     -> cleanCorpusSql,
     "doc_sample_10pct" -> docSampleSql,
     "doc_quality_sample" -> docQualitySampleSql,
+    "source_caps"        -> sourceCapsSql,
+    "doc_length_outliers" -> docLengthOutliersSql,
     "doc_chunks"         -> docChunksSql,
     "chunk_dedup_stats"  -> chunkDedupStatsSql,
     "stratified_sample_counts" -> stratifiedSampleCountsSql,

@@ -250,7 +250,115 @@ object RelationalQueries {
       |GROUP BY r_name
       |ORDER BY r_name""".stripMargin
 
+  /** Relational division — "customers whose orders span EVERY priority
+    * class": the classic ∀-coverage operator (suppliers-of-all-parts
+    * family). Expressed as count-distinct-equals-total: one shuffle on
+    * the group key plus a broadcast 1-row divisor frame — no correlated
+    * subquery, no N×M anti-join double scan; this is the form that holds
+    * at 100 TB (the divisor side is an aggregate, always tiny). */
+  def customersAllPriorities(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val total = orders.agg(countDistinct(col("o_orderpriority")).as("n_total"))
+    orders.groupBy(col("o_custkey"))
+      .agg(
+        countDistinct(col("o_orderpriority")).as("n_prio"),
+        count(lit(1)).as("n_orders"))
+      .join(broadcast(total), col("n_prio") === col("n_total"))
+      .select(col("o_custkey"), col("n_prio"), col("n_orders"))
+      .orderBy("o_custkey")
+  }
+
+  private val customersAllPrioritiesSql: String =
+    """SELECT o_custkey,
+      |       count(DISTINCT o_orderpriority) AS n_prio,
+      |       count(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_custkey
+      |HAVING count(DISTINCT o_orderpriority) =
+      |       (SELECT count(DISTINCT o_orderpriority) FROM orders)
+      |ORDER BY o_custkey""".stripMargin
+
+  /** Recursive-CTE graph traversal (`WITH RECURSIVE`, native in Spark 4):
+    * BFS over the event-type transition graph. The edge set is derived
+    * distributedly — consecutive events per user (event_id order, an
+    * analytic window) become distinct (src, dst) transitions — then the
+    * recursion walks min-hop reachability from 'view'. Both engines run
+    * the SAME recursive SQL text over the derived edge view.
+    *
+    * Scale: the heavy stage is the edge derivation (shuffle on user_id +
+    * window sort, then a distinct — linear in events); the recursion runs
+    * on the contracted type graph (|V| = #event types, tiny by
+    * construction), bounded by hops < 4. This is the right split at
+    * 100 TB: recurse on the aggregated graph, never the raw events. */
+  def eventTypeReachability(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("src", lag(col("event_type"), 1).over(w))
+      .filter(col("src").isNotNull && col("src") =!= col("event_type"))
+      .select(col("src"), col("event_type").as("dst"))
+      .distinct()
+      .createOrReplaceTempView("graft_type_edges")
+    spark.sql(reachabilitySql("graft_type_edges"))
+  }
+
+  /** Shared recursive text — identical on both engines modulo the edge
+    * source (Spark: the derived temp view; DuckDB: a CTE over events);
+    * `typeName` is STRING on Spark, VARCHAR on DuckDB. */
+  private def walkCte(edges: String, typeName: String): String =
+    s"""walk(node, hops) AS (
+       |  SELECT CAST('view' AS $typeName) AS node, 0 AS hops
+       |  UNION ALL
+       |  SELECT e.dst AS node, w.hops + 1 AS hops
+       |  FROM walk w JOIN $edges e ON e.src = w.node
+       |  WHERE w.hops < 4)""".stripMargin
+
+  private val walkSelect: String =
+    """SELECT node, CAST(min(hops) AS INT) AS min_hops
+      |FROM walk GROUP BY node ORDER BY node""".stripMargin
+
+  private def reachabilitySql(edges: String): String =
+    s"""WITH RECURSIVE ${walkCte(edges, "STRING")}
+       |$walkSelect""".stripMargin
+
+  private val eventTypeReachabilitySql: String =
+    s"""WITH RECURSIVE edges AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS src,
+       |           event_type AS dst
+       |    FROM events)
+       |  WHERE src IS NOT NULL AND src <> dst),
+       |${walkCte("edges", "VARCHAR")}
+       |$walkSelect""".stripMargin
+
+  /** Spark-4 VARIANT path for semi-structured props: `parse_json` once
+    * into the binary Variant encoding, then typed `try_variant_get`
+    * extraction — the open-schema ingestion form (vs `from_json` with a
+    * declared schema, P2). At scale Variant beats per-query JSON string
+    * re-parsing: the cast to Variant happens once at ingest and the
+    * shredded binary is columnar-friendly. Oracle = DuckDB's native JSON
+    * extraction over the same strings. */
+  def eventsVariantExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("v", expr("parse_json(props)"))
+      .select(
+        col("event_id"),
+        expr("try_variant_get(v, '$.k', 'int')").as("k"),
+        expr("CAST(try_variant_get(v, '$.k', 'int') div 10 AS INT)").as("k_decile"),
+        expr("try_variant_get(v, '$.missing', 'int')").as("k_missing"))
+      .orderBy("event_id")
+
+  private val eventsVariantExtractSql: String =
+    """SELECT event_id,
+      |       CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+      |       CAST(CAST(json_extract(props, '$.k') AS INTEGER) // 10 AS INTEGER) AS k_decile,
+      |       CAST(json_extract(props, '$.missing') AS INTEGER) AS k_missing
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "customers_all_priorities" -> (customersAllPriorities _),
+    "event_type_reachability"  -> (eventTypeReachability _),
+    "events_variant_extract"   -> (eventsVariantExtract _),
     "region_hierarchy"     -> (regionHierarchy _),
     "q1_pricing_summary"   -> (pricingSummary _),
     "revenue_by_nation"    -> (revenueByNation _),
@@ -261,6 +369,9 @@ object RelationalQueries {
     "asof_last_click"      -> (asOfLastClick _))
 
   val oracle: Map[String, String] = Map(
+    "customers_all_priorities" -> customersAllPrioritiesSql,
+    "event_type_reachability"  -> eventTypeReachabilitySql,
+    "events_variant_extract"   -> eventsVariantExtractSql,
     "region_hierarchy"     -> regionHierarchySql,
     "q1_pricing_summary"   -> pricingSummarySql,
     "revenue_by_nation"    -> revenueByNationSql,

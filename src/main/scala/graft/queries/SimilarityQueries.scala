@@ -465,6 +465,64 @@ object SimilarityQueries {
       |GROUP BY cluster, pos
       |ORDER BY cluster, pos""".stripMargin
 
+  /** Semantic dedup (the SemDeDup move): cluster the corpus with the
+    * Lloyd-refined centroids, then look for near-duplicate pairs ONLY
+    * within each cluster — cosine ≥ 0.35, the same threshold as the exact
+    * `near_dup_pairs` oracle — and drop the higher id of each pair.
+    * Emits the dropped roster: (cluster, vec_id, witness_id, max_sim)
+    * where witness is the smallest surviving id that evicted it.
+    *
+    * Scale design: this is the embedding-space answer to MinHash-LSH.
+    * The pair join is an equi-join on cluster id, so comparisons are
+    * Σ|cluster|² ≈ N²/K instead of N² — and each cluster's pair block is
+    * an independent shuffle partition, so at 100 TB you raise K until a
+    * cluster fits an executor (production SemDeDup uses K ~ 10k–100k).
+    * Assignment stages are broadcast map-side passes; only the
+    * dim × K centroid recomputes shuffle. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val dotF = dotFast(spark) _
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("norm", sqrt(dotFast(spark)(col("embedding"), col("embedding"))))
+      .cache()
+    val cent0 = centroidsOf(spark,
+      emb.select(col("label").as("cluster"), col("embedding")))
+    val cent1 = centroidsOf(spark, assignTo(spark, emb, cent0))
+    val cent2 = centroidsOf(spark, assignTo(spark, emb, cent1))
+    val idx = assignTo(spark, emb, cent2).cache()
+    val a = idx.select(col("cluster"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("norm").as("a_norm"))
+    val b = idx.select(col("cluster"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("norm").as("b_norm"))
+    a.join(b, "cluster")
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos_sim",
+        round(dotF(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")), 6))
+      .filter(col("cos_sim") >= 0.35)
+      .groupBy(col("cluster"), col("b_id").as("vec_id"))
+      .agg(min(col("a_id")).as("witness_id"), max(col("cos_sim")).as("max_sim"))
+      .orderBy("cluster", "vec_id")
+  }
+
+  private val semanticDedupSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+       |  FROM embeddings),
+       |${centCtes(0, "e", "label")},
+       |${assignCte("a1", "c0n")},
+       |${centCtes(1, "a1", "cluster")},
+       |${assignCte("a2", "c1n")},
+       |${centCtes(2, "a2", "cluster")},
+       |${assignCte("idx", "c2n")},
+       |p AS (
+       |  SELECT a.cluster AS cluster, a.vec_id AS a_id, b.vec_id AS b_id,
+       |         round(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 6) AS cos_sim
+       |  FROM idx a JOIN idx b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE round(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 6) >= 0.35)
+       |SELECT cluster, b_id AS vec_id, min(a_id) AS witness_id, max(cos_sim) AS max_sim
+       |FROM p GROUP BY cluster, b_id
+       |ORDER BY cluster, vec_id""".stripMargin
+
   // ---- product quantization -----------------------------------------------
 
   private val NSub = 4       // subspaces
@@ -628,6 +686,7 @@ object SimilarityQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "semantic_dedup"  -> (semanticDedup _),
     "embedding_pq"    -> (embeddingPq _),
     "knn_pq_adc"      -> (knnPqAdc _),
     "ivf_kmeans_refine" -> (ivfKmeansRefine _),
@@ -641,6 +700,7 @@ object SimilarityQueries {
     "label_centroids" -> (labelCentroids _))
 
   val oracle: Map[String, String] = Map(
+    "semantic_dedup"  -> semanticDedupSql,
     "embedding_pq"    -> embeddingPqSql,
     "knn_pq_adc"      -> knnPqAdcSql,
     "ivf_kmeans_refine" -> ivfKmeansRefineSql,
