@@ -364,6 +364,64 @@ object StatQueries {
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
       |FROM v ORDER BY event_id""".stripMargin
 
+  private val EwmaLags = 8
+
+  /** EWMA smoothing of each station's reading stream — the standard
+    * telemetry denoiser, as a single analytic-window pass: the smoothed
+    * value is the decay-weighted mean of the last [[EwmaLags]] VALID
+    * readings with half-life decay (weight 2^(7−j) for lag j). The
+    * window start is handled by renormalizing over the weights actually
+    * present, so early readings are exact partial EWMAs, not NULL.
+    *
+    * Two deliberate choices for engine-exactness at any scale: the decay
+    * base is a power of two (weights 128,64,…,1 are EXACT doubles — a
+    * 0.9^j-style base would make every weight ulp-divergent across
+    * engines), and the truncated-window form is a fixed left-to-right
+    * sum of [[EwmaLags]] lag() terms in ONE window frame — one shuffle
+    * on station_id, one sort, no self-join row replication, and the
+    * recursive EWMA definition (unbounded running state) is approximated
+    * to 2^-8 ≈ 0.4% exactly where a streaming engine would truncate it
+    * anyway. */
+  def sensorEwma(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("station_id")).orderBy(col("ts"), col("event_id"))
+    val terms = (0 until EwmaLags).map { j =>
+      val c = if (j == 0) col("v") else lag(col("v"), j).over(w)
+      val wt = 1L << (EwmaLags - 1 - j)
+      (c, wt)
+    }
+    val num = terms.map { case (c, wt) =>
+      when(c.isNotNull, c * wt).otherwise(lit(0.0)) }.reduce(_ + _)
+    val den = terms.map { case (c, wt) =>
+      when(c.isNotNull, lit(wt.toDouble)).otherwise(lit(0.0)) }.reduce(_ + _)
+    graft.queries.ParityQueries.sensorShaped(spark, dir)
+      .withColumn("v", expr("try_cast(value_str AS double)"))
+      .filter(col("v").isNotNull)
+      .select(col("event_id"), col("station_id"), col("v"),
+        round(num / den, 6).as("ewma"))
+      .orderBy("event_id")
+  }
+
+  private val sensorEwmaSql: String = {
+    val over = "OVER (PARTITION BY station_id ORDER BY ts, event_id)"
+    def term(j: Int) = if (j == 0) "v" else s"lag(v, $j) $over"
+    val num = (0 until EwmaLags).map { j =>
+      s"CASE WHEN ${term(j)} IS NOT NULL THEN ${term(j)} * ${1L << (EwmaLags - 1 - j)} ELSE 0.0 END"
+    }.mkString(" + ")
+    val den = (0 until EwmaLags).map { j =>
+      s"CASE WHEN ${term(j)} IS NOT NULL THEN ${(1L << (EwmaLags - 1 - j)).toDouble} ELSE 0.0 END"
+    }.mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+       |         CAST(user_id AS VARCHAR) AS station_id,
+       |         TRY_CAST(CASE WHEN event_type = 'error' THEN '<<bad_data>>'
+       |                       ELSE CAST(value AS VARCHAR) END AS DOUBLE) AS v
+       |  FROM events),
+       |f AS (SELECT * FROM v WHERE v IS NOT NULL)
+       |SELECT event_id, station_id, v,
+       |       round(($num) / ($den), 6) AS ewma
+       |FROM f ORDER BY event_id""".stripMargin
+  }
+
   /** Z-order layout keys via the custom codegen'd [[graft.functions.ZOrderKey]]
     * expression (registered as `graft_zorder`): the space-filling-curve
     * key that clusters a two-dimensional access pattern (customer, day)
@@ -942,6 +1000,7 @@ object StatQueries {
     "returnflag_statuses"          -> (returnflagStatuses _),
     "events_agg_families"          -> (eventsAggFamilies _),
     "sensor_forward_fill"          -> (sensorForwardFill _),
+    "sensor_ewma"                  -> (sensorEwma _),
     "sensor_interpolate"           -> (sensorInterpolate _),
     "orders_rolling_7d"            -> (ordersRolling7d _),
     "order_status_runs"            -> (orderStatusRuns _),
@@ -972,6 +1031,7 @@ object StatQueries {
     "returnflag_statuses"          -> returnflagStatusesSql,
     "events_agg_families"          -> eventsAggFamiliesSql,
     "sensor_forward_fill"          -> sensorForwardFillSql,
+    "sensor_ewma"                  -> sensorEwmaSql,
     "sensor_interpolate"           -> sensorInterpolateSql,
     "orders_rolling_7d"            -> ordersRolling7dSql,
     "order_status_runs"            -> orderStatusRunsSql,

@@ -430,7 +430,148 @@ object TextQueries {
       |       CAST(sum(len(toks)) AS BIGINT) AS n_tokens
       |FROM t""".stripMargin
 
+  /** Per-document bigram-LM score — the perplexity-proxy quality signal
+    * (KenLM-style filtering, self-scored against the corpus's own bigram
+    * model): every document's average add-one-smoothed conditional
+    * log-probability ln((c(w1,w2)+1)/(c(w1·)+V)), V = the head vocabulary.
+    * Low scorers are the statistically-unlike-the-corpus outliers
+    * (gibberish, boilerplate, wrong-language) that LM filtering removes.
+    *
+    * One explode of the corpus feeds BOTH the LM build and the per-doc
+    * scoring (cached bigram frame); the score join is an equi-join on
+    * (w1,w2) — LM-sized, zipf-skewed, AQE-handled. Per-bigram logprob is
+    * rounded to 6 (ln is engine-divergent at the ulp; the rounding
+    * absorbs it), the per-doc average goes through the DECIMAL sum so
+    * partial-agg order cannot perturb it and is then fixed-point-floored
+    * (the 6-decimal-sum ÷ integer ratio lands on exact .5 boundaries
+    * where HALF_UP diverges), and perplexity is exp of the already-
+    * quantized average. Docs with <2 tokens have no bigrams and
+    * are not scored (inner join, documented). */
+  def docLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = col("toks")
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .cache()
+    val vocab = bg.agg(countDistinct(col("w1")).as("v"))
+    val byHead = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+    val lm = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("nb"))
+      .withColumn("nh", sum(col("nb")).over(byHead))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp",
+        round(log((col("nb") + 1).cast("double") / (col("nh") + col("v"))), 6))
+      .select("w1", "w2", "lp")
+    bg.groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("m"))
+      .join(lm, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("m")).as("n_bigrams"),
+        // fixed-point floor, not round: the 6-decimal sum divided by an
+        // integer lands on EXACT .5 boundaries where HALF_UP diverges
+        (floor(sum((col("m") * col("lp")).cast("decimal(28,10)")).cast("double")
+          * 1e6 / sum(col("m"))) / lit(1e6)).as("avg_logprob"))
+      .withColumn("perplexity", round(exp(-col("avg_logprob")), 4))
+      .orderBy("doc_id")
+  }
+
+  private val docLmScoreSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |              ELSE string_split_regex(trim(text), '\s+') END AS toks
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id, toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+      |  FROM t, LATERAL (SELECT unnest(range(1, CAST(len(toks) AS BIGINT))) AS i) u),
+      |vocab AS (SELECT count(DISTINCT w1) AS v FROM e),
+      |b AS (SELECT w1, w2, count(*) AS nb FROM e GROUP BY w1, w2),
+      |lm AS (
+      |  SELECT w1, w2,
+      |         round(ln(CAST(nb + 1 AS DOUBLE) /
+      |                  (sum(nb) OVER (PARTITION BY w1) + (SELECT v FROM vocab))), 6) AS lp
+      |  FROM b),
+      |d AS (SELECT doc_id, w1, w2, count(*) AS m FROM e GROUP BY doc_id, w1, w2),
+      |s AS (
+      |  SELECT d.doc_id,
+      |         CAST(sum(d.m) AS BIGINT) AS n_bigrams,
+      |         floor(CAST(sum(CAST(d.m * lm.lp AS DECIMAL(28,10))) AS DOUBLE)
+      |               * 1e6 / sum(d.m)) / 1e6 AS avg_logprob
+      |  FROM d JOIN lm ON d.w1 = lm.w1 AND d.w2 = lm.w2
+      |  GROUP BY d.doc_id)
+      |SELECT doc_id, n_bigrams, avg_logprob,
+      |       round(exp(-avg_logprob), 4) AS perplexity
+      |FROM s
+      |ORDER BY doc_id""".stripMargin
+
+  private val HashDim = 256
+
+  /** Hashed-feature linear classifier scoring — the fastText-shaped
+    * quality-classifier pass every curation pipeline runs at full-corpus
+    * scale: tokens are hashed into [[HashDim]] buckets (the hashing
+    * trick, vocabulary-free), each bucket carries a fixed weight (here a
+    * deterministic pseudo-random table keyed by Knuth's multiplicative
+    * constant, standing in for trained parameters — the ENGINE surface is
+    * the featurize+score plumbing, not the training), and a document's
+    * score is the mean bucket weight of its token instances, squashed
+    * through a sigmoid. Pure map-side: tokenize → hash → lookup → one
+    * per-doc aggregate; no shuffle but the doc_id partial-agg, no
+    * vocabulary broadcast at any corpus size.
+    *
+    * The mean is an exact-integer sum divided once at the end (floating
+    * point appears only in that last division) and is rounded to 6
+    * BEFORE the sigmoid (exp is ulp-divergent; it sees only the rounded
+    * value); empty docs have no token instances and are not scored. */
+  def docClassifierScore(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(graft.operators.DedupOps.h60(col("token")), lit(HashDim.toLong))
+    // integer milli-weight in [-500, 500]: the sum stays EXACT integer
+    // arithmetic on both engines; floating point enters only at the final
+    // single division (identical operands → identical double)
+    val weight = (bucket * lit(2654435761L)) % 1001 - 500
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .withColumn("w", weight)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        // fixed-point floor, not round: the integer-ratio mean lands on
+        // EXACT .5 decimal boundaries where HALF_UP differs across engines
+        (floor(sum(col("w")).cast("double") * 1000.0 / count(lit(1)))
+          / lit(1e6)).as("score"))
+    scored
+      .withColumn("prob", round(lit(1.0) / (lit(1.0) + exp(col("score") * -4)), 6))
+      .withColumn("keep", col("prob") >= 0.5)
+      .orderBy("doc_id")
+  }
+
+  private val docClassifierScoreSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+       |  FROM documents),
+       |e AS (SELECT doc_id, unnest(toks) AS token FROM t),
+       |f AS (
+       |  SELECT doc_id,
+       |         (CAST('0x' || substring(md5(token), 1, 15) AS BIGINT) % $HashDim)
+       |           * 2654435761 % 1001 - 500 AS w
+       |  FROM e),
+       |s AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |         floor(CAST(sum(w) AS DOUBLE) * 1000.0 / count(*)) / 1e6 AS score
+       |  FROM f GROUP BY doc_id)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, score,
+       |       round(1.0 / (1.0 + exp(score * -4)), 6) AS prob,
+       |       round(1.0 / (1.0 + exp(score * -4)), 6) >= 0.5 AS keep
+       |FROM s
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "doc_lm_score"    -> (docLmScore _),
+    "doc_classifier_score" -> (docClassifierScore _),
     "bigram_lm_top"   -> (bigramLmTop _),
     "doc_token_explode_outer" -> (tokenExplodeOuter _),
     "doc_repetition"  -> (repetition _),
@@ -444,6 +585,8 @@ object TextQueries {
     "dedup_exact"     -> (dedupExact _))
 
   val oracle: Map[String, String] = Map(
+    "doc_lm_score"    -> docLmScoreSql,
+    "doc_classifier_score" -> docClassifierScoreSql,
     "bigram_lm_top"   -> bigramLmTopSql,
     "doc_token_explode_outer" -> tokenExplodeOuterSql,
     "doc_repetition"  -> repetitionSql,
