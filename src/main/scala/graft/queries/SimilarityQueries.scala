@@ -527,6 +527,7 @@ object SimilarityQueries {
 
   private val NSub = 4       // subspaces
   private val SubDim = 16    // dims per subspace (4 × 16 = 64)
+  private val PqSeeds = 10   // residual-codebook size (random-point init)
 
   /** Product quantization: the storage form of a billion-scale vector
     * index (64 floats → [[NSub]] small codes). The embedding is split
@@ -570,7 +571,7 @@ object SimilarityQueries {
       .withColumn("sqd",
         round(dotF(col("subv"), col("subv"))
           - lit(2.0) * dotF(col("subv"), col("centroid")) + col("cdot"), 6))
-      .select("vec_id", "s", "code_label", "sqd")
+      .select("vec_id", "own_label", "s", "code_label", "sqd")
   }
 
   /** Argmin over codewords: each subvector's assigned code + its error. */
@@ -586,7 +587,7 @@ object SimilarityQueries {
     val codeCols = (0 until NSub).map(j =>
       max(when(col("s") === j, col("code_label"))).as(s"code$j"))
     assigned.groupBy(col("vec_id"))
-      .agg(codeCols.head, codeCols.tail :+ round(sum(col("sqd")), 6).as("recon_err"): _*)
+      .agg(codeCols.head, codeCols.tail :+ sum(col("sqd").cast("decimal(18,6)")).cast("double").as("recon_err"): _*)
       .orderBy("vec_id")
   }
 
@@ -609,7 +610,7 @@ object SimilarityQueries {
     codes.join(broadcast(dtable), Seq("s", "code_label"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
-      .agg(round(sum(col("sqd")), 6).as("adc_dist"))
+      .agg(sum(col("sqd").cast("decimal(18,6)")).cast("double").as("adc_dist"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select("q_id", "rank", "vec_id", "adc_dist")
@@ -642,7 +643,7 @@ object SimilarityQueries {
        |codes AS (SELECT vec_id, s, code FROM a WHERE rn = 1),
        |qd AS (SELECT vec_id AS q_id, s, code, sqd FROM d WHERE vec_id < 10),
        |adc AS (
-       |  SELECT qd.q_id, c.vec_id, round(sum(qd.sqd), 6) AS adc_dist
+       |  SELECT qd.q_id, c.vec_id, CAST(sum(CAST(qd.sqd AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist
        |  FROM codes c JOIN qd ON qd.s = c.s AND qd.code = c.code
        |  WHERE c.vec_id <> qd.q_id
        |  GROUP BY qd.q_id, c.vec_id),
@@ -680,12 +681,224 @@ object SimilarityQueries {
        |  FROM d)
        |SELECT vec_id,
        |       $codeSelects,
-       |       round(sum(sqd), 6) AS recon_err
+       |       CAST(sum(CAST(sqd AS DECIMAL(18,6))) AS DOUBLE) AS recon_err
        |FROM a WHERE rn = 1
        |GROUP BY vec_id ORDER BY vec_id""".stripMargin
   }
 
+  // ---- IVF-PQ (coarse cells + product-quantized residuals + ADC) ---------
+
+  /** IVF-PQ — the billion-scale index form (coarse inverted cells with
+    * product-quantized RESIDUALS, searched by asymmetric distance): each
+    * corpus vector lives in a coarse cell (its label centroid, as in
+    * [[knnIvf]]), stores only [[NSub]] codes quantizing (vector −
+    * cell centroid), and a query probes its 2 nearest cells, builds a
+    * per-cell distance table from its OWN residual against the trained
+    * codebooks, and scores corpus vectors as sums of table lookups.
+    *
+    * Codebooks are TRAINED (random-point init from the first [[PqSeeds]]
+    * vectors' residuals + one Lloyd step) — label-mean seeding would
+    * degenerate: residuals within a cell average to ~zero by
+    * construction, collapsing every codeword onto the origin.
+    *
+    * All PQ arithmetic runs in EXACT integer micro-units (residual
+    * components quantized to 1e-6, distances as integer Σdiff², ADC as
+    * integer sums — floats appear only in the final /1e12 display and
+    * the coarse-probe cosine): float dot products over 6-decimal
+    * residuals land on exact .5×10⁻⁶ rounding boundaries where engines
+    * diverge, and a PQ index quantizes anyway. Everything is position-
+    * level equi-joins: corpus explode ⋈ broadcast codewords on (s, pos),
+    * partial-aggregated map-side — no array packing, fully codegen-able,
+    * and the ADC scan touches codes only (probes/K of the corpus). */
+  def knnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val dotF = dotFast(spark) _
+    // (vec_id, label, pos, v): the corpus, position-exploded once
+    val pts = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast("double"))
+      .cache()
+    // coarse centroid components (c_label, c_pos, cv), rounded per
+    // convention; pos renamed — cp shares lineage with pts and the joins
+    // below would otherwise be ambiguous self-join references
+    val cp = pts.groupBy(col("label").as("c_label"), col("pos").as("c_pos"))
+      .agg(round(avg(col("v")), 6).as("cv"))
+      .cache()
+    // integer micro-unit residuals (vec_id, own_label, s, pos, rv); the
+    // subspace id uses floor division (DuckDB's `//`) — a plain cast
+    // would truncate on Spark but ROUND on DuckDB
+    val r = pts
+      .join(broadcast(cp),
+        col("label") === col("c_label") && col("pos") === col("c_pos"))
+      .select(col("vec_id"), col("label").as("own_label"), col("pos"),
+        round((col("v") - col("cv")) * 1e6).cast("long").as("rv"))
+      .withColumn("s", floor(col("pos") / SubDim).cast("int"))
+      .cache()
+    // exact integer squared distance of every (vector, codeword) pair in
+    // a subspace: position-level broadcast join + map-side partial agg
+    def sqDists(points: DataFrame, cbook: DataFrame, idCols: Seq[String]): DataFrame =
+      points.join(broadcast(cbook),
+        col("s") === col("cs") && col("pos") === col("cw_pos"))
+        .withColumn("d2", (col("rv") - col("cw")) * (col("rv") - col("cw")))
+        .groupBy(idCols.map(col) :+ col("s") :+ col("code_label"): _*)
+        .agg(sum(col("d2")).as("sqd"))
+    def argmin(dists: DataFrame, idCols: Seq[String]): DataFrame = {
+      val w = Window.partitionBy((idCols :+ "s").map(col): _*)
+        .orderBy(col("sqd"), col("code_label"))
+      dists.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    }
+    // random-point init: the first PqSeeds vectors' residuals ARE the seeds
+    val seeds = r.filter(col("vec_id") < PqSeeds)
+      .select(col("vec_id").cast("int").as("code_label"), col("s").as("cs"),
+        col("pos").as("cw_pos"), col("rv").as("cw"))
+    val a0 = argmin(sqDists(r, seeds, Seq("vec_id")), Seq("vec_id"))
+      .select(col("vec_id").as("a_vec"), col("s").as("a_s"), col("code_label").as("seed"))
+    // one Lloyd step: per-cluster mean residual, floor-quantized to micro
+    // units (floor, not round — integer means land on exact halves)
+    val codebook = r.join(a0, col("vec_id") === col("a_vec") && col("s") === col("a_s"))
+      .groupBy(col("seed").as("code_label"), col("s").as("cs"), col("pos").as("cw_pos"))
+      .agg(floor(sum(col("rv")).cast("double") / count(lit(1))).cast("long").as("cw"))
+      .cache()
+    // corpus codes: argmin codeword per (vec_id, s)
+    val withCell = r.select(col("vec_id"), col("own_label"), col("s"), col("pos"), col("rv"))
+    val codes = argmin(sqDists(withCell, codebook, Seq("vec_id", "own_label")),
+      Seq("vec_id", "own_label"))
+      .select(col("vec_id"), col("own_label").as("cell"), col("s"), col("code_label"))
+    // query cell probes: top-2 coarse cells by cosine against packed centroids
+    val cent = cp.groupBy(col("c_label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("c_pos"), col("cv")))),
+        x => x.getField("cv")).as("centroid"))
+      .withColumn("c_norm", sqrt(dotFast(spark)(col("centroid"), col("centroid"))))
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("q_norm", sqrt(dotFast(spark)(col("q_emb"), col("q_emb"))))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_sim").desc, col("c_label"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("c_sim",
+        round(dotF(col("q_emb"), col("centroid")) / (col("q_norm") * col("c_norm")), 6))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
+      .select(col("q_id"), col("c_label").as("cell"))
+    // query residuals vs EACH probed cell's centroid, same micro units
+    val qpts = Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val qr = probes.join(qpts, "q_id")
+      .join(broadcast(cp),
+        col("cell") === col("c_label") && col("pos") === col("c_pos"))
+      .select(col("q_id"), col("cell"), col("pos"),
+        round((col("v") - col("cv")) * 1e6).cast("long").as("rv"))
+      .withColumn("s", floor(col("pos") / SubDim).cast("int"))
+    // per-(query, probed cell) distance table: exact integer lookups
+    val dtable = sqDists(qr, codebook, Seq("q_id", "cell"))
+      .select(col("q_id"), col("cell"), col("s"), col("code_label"), col("sqd"))
+    // ADC scan: codes of probed cells only, distance = Σ table lookups
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
+    codes.join(broadcast(dtable), Seq("cell", "s", "code_label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"), col("cell"))
+      .agg((sum(col("sqd")).cast("double") / lit(1e12)).as("adc_dist"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "cell", "vec_id", "adc_dist")
+      .orderBy("q_id", "rank")
+  }
+
+  private val knnIvfPqSql: String =
+    s"""WITH pts AS (
+       |  SELECT vec_id, label, CAST(u.pos - 1 AS INT) AS pos, u.v AS v
+       |  FROM embeddings,
+       |       LATERAL (SELECT unnest(embedding::DOUBLE[]) AS v,
+       |                       generate_subscripts(embedding, 1) AS pos) u),
+       |cp AS (
+       |  SELECT label AS c_label, pos, round(avg(v), 6) AS cv
+       |  FROM pts GROUP BY label, pos),
+       |r AS (
+       |  SELECT p.vec_id, p.label AS own_label, p.pos, p.pos // $SubDim AS s,
+       |         CAST(round((p.v - cp.cv) * 1e6) AS BIGINT) AS rv
+       |  FROM pts p JOIN cp ON p.label = cp.c_label AND p.pos = cp.pos),
+       |seeds AS (
+       |  SELECT CAST(vec_id AS INT) AS code_label, s AS cs, pos AS cw_pos, rv AS cw
+       |  FROM r WHERE vec_id < $PqSeeds),
+       |d0 AS (
+       |  SELECT r.vec_id, r.s AS s, sd.code_label AS code_label,
+       |         sum((r.rv - sd.cw) * (r.rv - sd.cw)) AS sqd
+       |  FROM r JOIN seeds sd ON r.s = sd.cs AND r.pos = sd.cw_pos
+       |  GROUP BY r.vec_id, r.s, sd.code_label),
+       |a0 AS (
+       |  SELECT vec_id, s, code_label AS seed FROM (
+       |    SELECT vec_id, s, code_label, sqd,
+       |           row_number() OVER (PARTITION BY vec_id, s ORDER BY sqd, code_label) AS rn
+       |    FROM d0)
+       |  WHERE rn = 1),
+       |cb AS (
+       |  SELECT a0.seed AS code_label, r.s AS cs, r.pos AS cw_pos,
+       |         CAST(floor(CAST(sum(r.rv) AS DOUBLE) / count(*)) AS BIGINT) AS cw
+       |  FROM r JOIN a0 ON a0.vec_id = r.vec_id AND a0.s = r.s
+       |  GROUP BY a0.seed, r.s, r.pos),
+       |d AS (
+       |  SELECT r.vec_id, r.own_label, r.s AS s, cb.code_label AS code_label,
+       |         sum((r.rv - cb.cw) * (r.rv - cb.cw)) AS sqd
+       |  FROM r JOIN cb ON r.s = cb.cs AND r.pos = cb.cw_pos
+       |  GROUP BY r.vec_id, r.own_label, r.s, cb.code_label),
+       |codes AS (
+       |  SELECT vec_id, own_label AS cell, s, code_label FROM (
+       |    SELECT vec_id, own_label, s, code_label, sqd,
+       |           row_number() OVER (PARTITION BY vec_id, s ORDER BY sqd, code_label) AS rn
+       |    FROM d)
+       |  WHERE rn = 1),
+       |cent AS (
+       |  SELECT c_label, list(cv ORDER BY pos) AS centroid FROM cp GROUP BY c_label),
+       |centn AS (SELECT c_label, centroid,
+       |                 sqrt(list_dot_product(centroid, centroid)) AS c_norm FROM cent),
+       |q AS (
+       |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS q_norm
+       |  FROM embeddings WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT q_id, c_label AS cell FROM (
+       |    SELECT q.q_id, c.c_label,
+       |           row_number() OVER (PARTITION BY q.q_id
+       |             ORDER BY round(list_dot_product(q.q_emb, c.centroid) / (q.q_norm * c.c_norm), 6) DESC,
+       |                      c.c_label) AS rn
+       |    FROM q CROSS JOIN centn c)
+       |  WHERE rn <= 2),
+       |qpts AS (
+       |  SELECT vec_id AS q_id, CAST(u.pos - 1 AS INT) AS pos, u.v AS v
+       |  FROM embeddings,
+       |       LATERAL (SELECT unnest(embedding::DOUBLE[]) AS v,
+       |                       generate_subscripts(embedding, 1) AS pos) u
+       |  WHERE vec_id < 10),
+       |qr AS (
+       |  SELECT pr.q_id, pr.cell, p.pos, p.pos // $SubDim AS s,
+       |         CAST(round((p.v - cp.cv) * 1e6) AS BIGINT) AS rv
+       |  FROM probes pr
+       |  JOIN qpts p ON p.q_id = pr.q_id
+       |  JOIN cp ON pr.cell = cp.c_label AND p.pos = cp.pos),
+       |dtable AS (
+       |  SELECT qr.q_id, qr.cell, qr.s AS s, cb.code_label AS code_label,
+       |         sum((qr.rv - cb.cw) * (qr.rv - cb.cw)) AS sqd
+       |  FROM qr JOIN cb ON qr.s = cb.cs AND qr.pos = cb.cw_pos
+       |  GROUP BY qr.q_id, qr.cell, qr.s, cb.code_label),
+       |adc AS (
+       |  SELECT dt.q_id, c.vec_id, c.cell,
+       |         CAST(sum(dt.sqd) AS DOUBLE) / 1e12 AS adc_dist
+       |  FROM codes c
+       |  JOIN dtable dt ON dt.cell = c.cell AND dt.s = c.s AND dt.code_label = c.code_label
+       |  WHERE c.vec_id <> dt.q_id
+       |  GROUP BY dt.q_id, c.vec_id, c.cell)
+       |SELECT q_id, rank, cell, vec_id, adc_dist FROM (
+       |  SELECT q_id, cell, vec_id, adc_dist,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rank
+       |  FROM adc)
+       |WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "knn_ivfpq"       -> (knnIvfPq _),
     "semantic_dedup"  -> (semanticDedup _),
     "embedding_pq"    -> (embeddingPq _),
     "knn_pq_adc"      -> (knnPqAdc _),
@@ -700,6 +913,7 @@ object SimilarityQueries {
     "label_centroids" -> (labelCentroids _))
 
   val oracle: Map[String, String] = Map(
+    "knn_ivfpq"       -> knnIvfPqSql,
     "semantic_dedup"  -> semanticDedupSql,
     "embedding_pq"    -> embeddingPqSql,
     "knn_pq_adc"      -> knnPqAdcSql,
