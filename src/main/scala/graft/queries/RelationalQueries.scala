@@ -292,12 +292,16 @@ object RelationalQueries {
     * 100 TB: recurse on the aggregated graph, never the raw events. */
   def eventTypeReachability(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-    Tables.events(spark, dir)
+    val edges = Tables.events(spark, dir)
       .withColumn("src", lag(col("event_type"), 1).over(w))
       .filter(col("src").isNotNull && col("src") =!= col("event_type"))
       .select(col("src"), col("event_type").as("dst"))
       .distinct()
-      .createOrReplaceTempView("graft_type_edges")
+      .cache()
+    edges.count() // materialize: each recursive step re-reads the view,
+                  // and without the cache each re-read would replay the
+                  // full window + distinct over the events scan
+    edges.createOrReplaceTempView("graft_type_edges")
     spark.sql(reachabilitySql("graft_type_edges"))
   }
 
