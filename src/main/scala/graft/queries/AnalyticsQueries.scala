@@ -486,7 +486,86 @@ object AnalyticsQueries {
       |FROM orders
       |GROUP BY 1, 2 ORDER BY yr, isodow""".stripMargin
 
+  private val PrIters = 3
+  private val Damping = 0.85
+
+  /** PageRank over the event-type transition graph, [[PrIters]] synchronous
+    * iterations — the iterative-linear-algebra family member (beside
+    * `dedup_components`' label propagation): rank flows along
+    * count-weighted transition edges with 0.85 damping.
+    *
+    * The loop is a Scala-side unroll of DataFrame stages (each iteration =
+    * one equi-join rank⋈edges + one partial-agg shuffle on dst), exactly
+    * how distributed PageRank runs at scale — per-iteration cost is one
+    * shuffle of the EDGE list, and the edge derivation (window lag over
+    * events) dominates; the rank table is |event types|. Per-edge terms
+    * are rounded then DECIMAL-summed so partial-agg order cannot perturb
+    * an iteration; dst-only (dangling-in) nodes keep the damping floor
+    * via the left join. The oracle unrolls the same three steps as CTEs. */
+  def eventTypePagerank(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .withColumn("src", lag(col("event_type"), 1).over(w))
+      .filter(col("src").isNotNull && col("src") =!= col("event_type"))
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+      .cache()
+    val nodes = trans.select(col("src").as("node"))
+      .union(trans.select(col("dst").as("node"))).distinct().cache()
+    val n = nodes.count() // tiny by construction (|event types|)
+    val outdeg = trans.groupBy(col("src")).agg(sum(col("cnt")).as("od"))
+    val edges = trans.join(outdeg, "src")
+      .select(col("src"), col("dst"), (col("cnt") / col("od")).as("wgt"))
+      .cache()
+    val base = 0.15 / n
+    var pr = nodes.select(col("node"), (lit(1.0) / n).as("pr"))
+    (1 to PrIters).foreach { _ =>
+      val contrib = edges.join(pr, col("src") === col("node"))
+        .select(col("dst"), round(col("pr") * col("wgt"), 9).as("t"))
+      pr = nodes.join(contrib, col("node") === col("dst"), "left")
+        .groupBy(col("node"))
+        .agg((lit(base) + lit(Damping) *
+          coalesce(sum(col("t").cast("decimal(28,12)")).cast("double"), lit(0.0)))
+          .as("pr"))
+    }
+    pr.select(col("node"), round(col("pr"), 6).as("pagerank"))
+      .orderBy("node")
+  }
+
+  private val eventTypePagerankSql: String = {
+    def step(i: Int): String =
+      s"""pr$i AS (
+         |  SELECT n.node,
+         |         (CAST(0.15 AS DOUBLE) / (SELECT cnt FROM nn)) + CAST(0.85 AS DOUBLE) *
+         |         coalesce(CAST(sum(CAST(round(p.pr * e.wgt, 9) AS DECIMAL(28,12))) AS DOUBLE), 0.0) AS pr
+         |  FROM nodes n
+         |  LEFT JOIN edges e ON e.dst = n.node
+         |  LEFT JOIN pr${i - 1} p ON p.node = e.src
+         |  GROUP BY n.node)""".stripMargin
+    s"""WITH trans AS (
+       |  SELECT src, dst, count(*) AS cnt FROM (
+       |    SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS src,
+       |           event_type AS dst
+       |    FROM events)
+       |  WHERE src IS NOT NULL AND src <> dst
+       |  GROUP BY src, dst),
+       |nodes AS (SELECT src AS node FROM trans UNION SELECT dst FROM trans),
+       |nn AS (SELECT count(*) AS cnt FROM nodes),
+       |outdeg AS (SELECT src, sum(cnt) AS od FROM trans GROUP BY src),
+       |edges AS (
+       |  SELECT t.src, t.dst, t.cnt / o.od AS wgt
+       |  FROM trans t JOIN outdeg o ON t.src = o.src),
+       |pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT cnt FROM nn) AS pr FROM nodes),
+       |${step(1)},
+       |${step(2)},
+       |${step(3)}
+       |SELECT node, round(pr, 6) AS pagerank FROM pr$PrIters
+       |ORDER BY node""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "event_type_pagerank" -> (eventTypePagerank _),
     "event_type_distances"     -> (eventTypeDistances _),
     "orders_by_dow"            -> (ordersByDow _),
     "orders_cube"              -> (ordersCube _),
@@ -507,6 +586,7 @@ object AnalyticsQueries {
     "distinct_users_approx"    -> (distinctUsersApprox _))
 
   val oracle: Map[String, String] = Map(
+    "event_type_pagerank" -> eventTypePagerankSql,
     "event_type_distances"     -> eventTypeDistancesSql,
     "orders_by_dow"            -> ordersByDowSql,
     "orders_cube"              -> ordersCubeSql,

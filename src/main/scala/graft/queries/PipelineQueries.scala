@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -95,6 +95,167 @@ object PipelineQueries {
       |FROM documents d CROSS JOIN b
       |WHERE d.n_chars < b.p5 OR d.n_chars > b.p95
       |ORDER BY d.doc_id""".stripMargin
+
+  /** Temperature-scaled source mixing weights (T = 2): the data-mixing
+    * move that upweights small sources — sampling weight ∝ share^(1/T),
+    * renormalized. T = 2 makes the exponent a SQUARE ROOT, which is
+    * IEEE-correctly-rounded on every engine (a pow()-based temperature
+    * would be ulp-divergent); shares and the final weights go through
+    * fixed-point floors since they are integer-count ratios. One
+    * aggregate over the corpus + a broadcast-sized (|sources|) frame —
+    * the weights table a sampler would then broadcast-join against the
+    * corpus at any scale. */
+  def sourceTemperatureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).as("total"))
+    val u = counts.crossJoin(broadcast(tot))
+      .withColumn("share", floor(col("n_docs") * 1e6 / col("total")) / lit(1e6))
+      .withColumn("uw", round(sqrt(col("n_docs").cast("double") / col("total")), 9))
+    val z = u.agg(sum(col("uw").cast("decimal(28,12)")).cast("double").as("z"))
+    u.crossJoin(broadcast(z))
+      .withColumn("weight", floor(col("uw") * 1e6 / col("z")) / lit(1e6))
+      .select("source", "n_docs", "share", "weight")
+      .orderBy("source")
+  }
+
+  private val sourceTemperatureWeightsSql: String =
+    """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      |t AS (SELECT sum(n_docs) AS total FROM c),
+      |u AS (
+      |  SELECT source, n_docs,
+      |         floor(n_docs * 1e6 / t.total) / 1e6 AS share,
+      |         round(sqrt(CAST(n_docs AS DOUBLE) / t.total), 9) AS uw
+      |  FROM c CROSS JOIN t),
+      |z AS (SELECT CAST(sum(CAST(uw AS DECIMAL(28,12))) AS DOUBLE) AS z FROM u)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, share,
+      |       floor(uw * 1e6 / z.z) / 1e6 AS weight
+      |FROM u CROSS JOIN z
+      |ORDER BY source""".stripMargin
+
+  /** Quality deciles: ntile(10) over the composite quality score (ties
+    * broken by doc_id so the tiling is total-ordered on both engines),
+    * with per-decile population stats — the quality-tiered view a curator
+    * mixes from ("top-3-decile corpus"). One window sort + one aggregate. */
+  def docQualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val score = TextFunctions.qualityScore(
+      col("n_tokens"), col("alpha_ratio"), col("stop_ratio"))
+    val w = Window.orderBy(col("quality_score"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("toks", toks)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("alpha_ratio", TextFunctions.alphaRatio(col("text")))
+      .withColumn("stop_ratio",
+        when(col("n_tokens") > 0,
+          TextFunctions.stopwordCount(col("toks"), TextFunctions.enStopwords)
+            .cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .withColumn("quality_score", round(score, 6))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("quality_score")).as("min_score"),
+        max(col("quality_score")).as("max_score"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("decile")
+  }
+
+  private val docQualityDecilesSql: String = {
+    val stopList = TextFunctions.enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, text, n_chars,
+       |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, n_chars,
+       |         CAST(len(toks) AS INT) AS n_tokens,
+       |         CASE WHEN length(text) > 0
+       |              THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
+       |              ELSE 0.0 END AS alpha_ratio,
+       |         CASE WHEN len(toks) > 0
+       |              THEN CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) / len(toks)
+       |              ELSE 0.0 END AS stop_ratio
+       |  FROM t),
+       |q AS (
+       |  SELECT doc_id, n_chars,
+       |         round(0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+       |               + 0.3 * alpha_ratio
+       |               + 0.4 * least(1.0, stop_ratio * 5.0), 6) AS quality_score
+       |  FROM m),
+       |d AS (
+       |  SELECT n_chars, quality_score,
+       |         ntile(10) OVER (ORDER BY quality_score, doc_id) AS decile
+       |  FROM q)
+       |SELECT decile, count(*) AS n_docs,
+       |       min(quality_score) AS min_score,
+       |       max(quality_score) AS max_score,
+       |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM d GROUP BY decile ORDER BY decile""".stripMargin
+  }
+
+  private val ZipfTopN = 200
+
+  /** Zipf fit of the token frequency distribution: OLS slope/intercept of
+    * ln(freq) against ln(rank) over the top [[ZipfTopN]] tokens — the
+    * corpus-health number (natural text ≈ −1; pathological corpora
+    * deviate). The regression moments are computed relationally from
+    * per-rank terms (each ln rounded to 6 — ulp-divergent otherwise —
+    * products rounded to 9, DECIMAL sums), then slope = fixed-point
+    * ratio. One token aggregate + a vocabulary-sized window. */
+  def vocabZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("freq").desc, col("token"))
+    val ranked = Tables.documents(spark, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= ZipfTopN)
+      .withColumn("x", round(log(col("rank").cast("double")), 6))
+      .withColumn("y", round(log(col("freq").cast("double")), 6))
+      .withColumn("xy", round(col("x") * col("y"), 9))
+      .withColumn("xx", round(col("x") * col("x"), 9))
+    def dsum(c: Column): Column = sum(c.cast("decimal(28,12)")).cast("double")
+    ranked.agg(
+      count(lit(1)).as("n"),
+      dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+      dsum(col("xy")).as("sxy"), dsum(col("xx")).as("sxx"))
+      .select(
+        col("n"),
+        (floor((col("n") * col("sxy") - col("sx") * col("sy")) * 1e6
+          / (col("n") * col("sxx") - col("sx") * col("sx"))) / lit(1e6)).as("slope"),
+        (floor((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) * 1e6
+          / col("n")) / lit(1e6)).as("intercept"))
+  }
+
+  private val vocabZipfFitSql: String =
+    s"""WITH tok AS (
+       |  SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |                     ELSE string_split_regex(trim(text), '\\s+') END) AS token
+       |  FROM documents),
+       |f AS (SELECT token, count(*) AS freq FROM tok GROUP BY token),
+       |r AS (
+       |  SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rank
+       |  FROM f QUALIFY rank <= $ZipfTopN),
+       |p AS (
+       |  SELECT round(ln(CAST(rank AS DOUBLE)), 6) AS x,
+       |         round(ln(CAST(freq AS DOUBLE)), 6) AS y
+       |  FROM r),
+       |p2 AS (
+       |  SELECT x, y, round(x * y, 9) AS xy, round(x * x, 9) AS xx FROM p),
+       |m AS (
+       |  SELECT count(*) AS n,
+       |         CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+       |         CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+       |         CAST(sum(CAST(xy AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+       |         CAST(sum(CAST(xx AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+       |  FROM p2)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |       floor((n * sxy - sx * sy) * 1e6 / (n * sxx - sx * sx)) / 1e6 AS slope,
+       |       floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) * 1e6 / n) / 1e6 AS intercept
+       |FROM m""".stripMargin
 
   private val ChunkSize = 64
   private val ChunkStep = 48 // 16-token overlap between consecutive chunks
@@ -643,6 +804,9 @@ object PipelineQueries {
     "doc_quality_sample" -> (docQualitySample _),
     "source_caps"        -> (sourceCaps _),
     "doc_length_outliers" -> (docLengthOutliers _),
+    "source_temperature_weights" -> (sourceTemperatureWeights _),
+    "doc_quality_deciles" -> (docQualityDeciles _),
+    "vocab_zipf_fit"     -> (vocabZipfFit _),
     "doc_chunks"         -> (docChunks _),
     "chunk_dedup_stats"  -> (chunkDedupStats _),
     "stratified_sample_counts" -> (stratifiedSampleCounts _),
@@ -661,6 +825,9 @@ object PipelineQueries {
     "doc_quality_sample" -> docQualitySampleSql,
     "source_caps"        -> sourceCapsSql,
     "doc_length_outliers" -> docLengthOutliersSql,
+    "source_temperature_weights" -> sourceTemperatureWeightsSql,
+    "doc_quality_deciles" -> docQualityDecilesSql,
+    "vocab_zipf_fit"     -> vocabZipfFitSql,
     "doc_chunks"         -> docChunksSql,
     "chunk_dedup_stats"  -> chunkDedupStatsSql,
     "stratified_sample_counts" -> stratifiedSampleCountsSql,

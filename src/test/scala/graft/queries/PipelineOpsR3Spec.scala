@@ -90,6 +90,49 @@ class PipelineOpsR3Spec extends AnyFunSuite with SparkSpec {
     assert(rows.length > 10 && rows.length < 100)
   }
 
+  test("event_type_pagerank: a probability distribution favoring in-flow") {
+    val rows = AnalyticsQueries.eventTypePagerank(spark, dir).collect()
+    assert(rows.length === 5)
+    val prs = rows.map(_.getAs[Double]("pagerank"))
+    prs.foreach(p => assert(p > 0.0 && p < 1.0))
+    // synchronous PageRank preserves total mass (damping redistributes,
+    // never destroys): Σpr = 1 up to the per-stage rounding
+    assert(math.abs(prs.sum - 1.0) < 1e-3, s"mass ${prs.sum}")
+  }
+
+  test("source_temperature_weights flattens the mixture toward uniform") {
+    val rows = PipelineQueries.sourceTemperatureWeights(spark, dir).collect()
+    assert(rows.length === 20)
+    val shares = rows.map(_.getAs[Double]("share"))
+    val weights = rows.map(_.getAs[Double]("weight"))
+    assert(math.abs(weights.sum - 1.0) < 1e-3)
+    // temperature sampling shrinks spread: max/min ratio must not grow
+    val shareRatio = shares.max / shares.min
+    val weightRatio = weights.max / weights.min
+    assert(weightRatio <= shareRatio + 1e-9,
+      s"T=2 must flatten: $weightRatio vs $shareRatio")
+  }
+
+  test("vocab_zipf_fit: natural-ish corpus has a negative slope") {
+    val r = PipelineQueries.vocabZipfFit(spark, dir).collect().head
+    // the synthetic corpus has a tiny vocabulary (~31 distinct tokens at
+    // sf0.001) — the fit just needs enough points to be meaningful
+    assert(r.getAs[Long]("n") > 20)
+    assert(r.getAs[Double]("slope") < 0.0)
+    assert(r.getAs[Double]("intercept") > 0.0)
+  }
+
+  test("doc_quality_deciles: monotone non-overlapping score bands") {
+    val rows = PipelineQueries.docQualityDeciles(spark, dir).collect()
+      .sortBy(_.getAs[Int]("decile"))
+    assert(rows.map(_.getAs[Int]("decile")).toSeq === (1 to 10))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("max_score") <= b.getAs[Double]("min_score"))
+    }
+    val n = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(n === 500)
+  }
+
   test("customers_all_priorities: division result verified by recount") {
     val got = RelationalQueries.customersAllPriorities(spark, dir).collect()
       .map(_.getAs[Long]("o_custkey")).toSet
