@@ -71,6 +71,14 @@ object ScaleSmoke {
     println(s"[scale] embeddings ${emb.count()} -> ${scaledEmb.count()} (${k}x)")
     time("ivf_kmeans_refine")(
       graft.queries.SimilarityQueries.ivfKmeansRefineFrom(spark, scaledEmb).count())
+    // semantic dedup: pair volume must track Σ cluster², not corpus² —
+    // replicas are exact dups, so drops should scale ~linearly with K
+    time("semantic_dedup")(
+      graft.queries.SimilarityQueries.semanticDedupFrom(spark, scaledEmb).count())
+    // IVF-PQ index build (residual quantization + codes): broadcast
+    // map-side stages + dim×K partial-agg shuffles — ~linear in corpus
+    time("ivfpq_codes")(
+      graft.queries.SimilarityQueries.ivfPqParts(spark, scaledEmb)._3.count())
     spark.stop()
   }
 }

@@ -479,9 +479,14 @@ object SimilarityQueries {
     * cluster fits an executor (production SemDeDup uses K ~ 10k–100k).
     * Assignment stages are broadcast map-side passes; only the
     * dim × K centroid recomputes shuffle. */
-  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupFrom(spark, Tables.embeddings(spark, dir))
+
+  /** Frame-based core of [[semanticDedup]] (also driven by ScaleSmoke at
+    * K× corpus size). */
+  def semanticDedupFrom(spark: SparkSession, embIn: DataFrame): DataFrame = {
     val dotF = dotFast(spark) _
-    val emb = Tables.embeddings(spark, dir)
+    val emb = embIn
       .withColumn("norm", sqrt(dotFast(spark)(col("embedding"), col("embedding"))))
       .cache()
     val cent0 = centroidsOf(spark,
@@ -710,10 +715,26 @@ object SimilarityQueries {
     * level equi-joins: corpus explode ⋈ broadcast codewords on (s, pos),
     * partial-aggregated map-side — no array packing, fully codegen-able,
     * and the ADC scan touches codes only (probes/K of the corpus). */
-  def knnIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val dotF = dotFast(spark) _
-    // (vec_id, label, pos, v): the corpus, position-exploded once
-    val pts = Tables.embeddings(spark, dir)
+  /** Exact integer squared distance of every (vector, codeword) pair in
+    * a subspace: position-level broadcast join + map-side partial agg. */
+  private def sqDists(points: DataFrame, cbook: DataFrame, idCols: Seq[String]): DataFrame =
+    points.join(broadcast(cbook),
+      col("s") === col("cs") && col("pos") === col("cw_pos"))
+      .withColumn("d2", (col("rv") - col("cw")) * (col("rv") - col("cw")))
+      .groupBy(idCols.map(col) :+ col("s") :+ col("code_label"): _*)
+      .agg(sum(col("d2")).as("sqd"))
+
+  private def argminCode(dists: DataFrame, idCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy((idCols :+ "s").map(col): _*)
+      .orderBy(col("sqd"), col("code_label"))
+    dists.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+  }
+
+  /** IVF-PQ index build (coarse centroid components, trained codebooks,
+    * corpus codes) from an embeddings frame — the half that scales with
+    * the corpus; shared by the registered query and ScaleSmoke. */
+  private[graft] def ivfPqParts(spark: SparkSession, embIn: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val pts = embIn
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("pos", "v")))
       .withColumn("v", col("v").cast("double"))
@@ -734,24 +755,11 @@ object SimilarityQueries {
         round((col("v") - col("cv")) * 1e6).cast("long").as("rv"))
       .withColumn("s", floor(col("pos") / SubDim).cast("int"))
       .cache()
-    // exact integer squared distance of every (vector, codeword) pair in
-    // a subspace: position-level broadcast join + map-side partial agg
-    def sqDists(points: DataFrame, cbook: DataFrame, idCols: Seq[String]): DataFrame =
-      points.join(broadcast(cbook),
-        col("s") === col("cs") && col("pos") === col("cw_pos"))
-        .withColumn("d2", (col("rv") - col("cw")) * (col("rv") - col("cw")))
-        .groupBy(idCols.map(col) :+ col("s") :+ col("code_label"): _*)
-        .agg(sum(col("d2")).as("sqd"))
-    def argmin(dists: DataFrame, idCols: Seq[String]): DataFrame = {
-      val w = Window.partitionBy((idCols :+ "s").map(col): _*)
-        .orderBy(col("sqd"), col("code_label"))
-      dists.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-    }
     // random-point init: the first PqSeeds vectors' residuals ARE the seeds
     val seeds = r.filter(col("vec_id") < PqSeeds)
       .select(col("vec_id").cast("int").as("code_label"), col("s").as("cs"),
         col("pos").as("cw_pos"), col("rv").as("cw"))
-    val a0 = argmin(sqDists(r, seeds, Seq("vec_id")), Seq("vec_id"))
+    val a0 = argminCode(sqDists(r, seeds, Seq("vec_id")), Seq("vec_id"))
       .select(col("vec_id").as("a_vec"), col("s").as("a_s"), col("code_label").as("seed"))
     // one Lloyd step: per-cluster mean residual, floor-quantized to micro
     // units (floor, not round — integer means land on exact halves)
@@ -761,9 +769,15 @@ object SimilarityQueries {
       .cache()
     // corpus codes: argmin codeword per (vec_id, s)
     val withCell = r.select(col("vec_id"), col("own_label"), col("s"), col("pos"), col("rv"))
-    val codes = argmin(sqDists(withCell, codebook, Seq("vec_id", "own_label")),
+    val codes = argminCode(sqDists(withCell, codebook, Seq("vec_id", "own_label")),
       Seq("vec_id", "own_label"))
       .select(col("vec_id"), col("own_label").as("cell"), col("s"), col("code_label"))
+    (cp, codebook, codes)
+  }
+
+  def knnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val dotF = dotFast(spark) _
+    val (cp, codebook, codes) = ivfPqParts(spark, Tables.embeddings(spark, dir))
     // query cell probes: top-2 coarse cells by cosine against packed centroids
     val cent = cp.groupBy(col("c_label"))
       .agg(transform(
