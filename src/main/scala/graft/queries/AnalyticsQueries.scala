@@ -501,7 +501,11 @@ object AnalyticsQueries {
     * events) dominates; the rank table is |event types|. Per-edge terms
     * are rounded then DECIMAL-summed so partial-agg order cannot perturb
     * an iteration; dst-only (dangling-in) nodes keep the damping floor
-    * via the left join. The oracle unrolls the same three steps as CTEs. */
+    * via the left join. Dangling-OUT mass is NOT redistributed (a sink
+    * node leaks its damped rank, so Σpr ≤ 1 with equality iff every node
+    * has out-edges — true of this transition graph; redistributing sink
+    * mass would add one broadcast scalar per iteration at scale).
+    * The oracle unrolls the same three steps as CTEs. */
   def eventTypePagerank(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("event_id"))

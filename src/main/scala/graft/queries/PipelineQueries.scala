@@ -72,26 +72,29 @@ object PipelineQueries {
     * against broadcast bounds; emits the flagged tail docs. */
   def docLengthOutliers(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // bounds are ROUNDED before the comparison (not just for display):
+    // interpolated percentiles are ulp-divergent across engines, and a
+    // threshold compared against an unrounded value is exactly the
+    // convention violation that flips row sets on one engine only
     val bounds = docs.agg(
-      expr("percentile(n_chars, 0.05)").as("p5"),
-      expr("percentile(n_chars, 0.95)").as("p95"))
+      round(expr("percentile(n_chars, 0.05)"), 6).as("p5"),
+      round(expr("percentile(n_chars, 0.95)"), 6).as("p95"))
     docs.crossJoin(broadcast(bounds))
       .filter(col("n_chars") < col("p5") || col("n_chars") > col("p95"))
       .withColumn("side",
         when(col("n_chars") < col("p5"), lit("short")).otherwise(lit("long")))
-      .select(col("doc_id"), col("n_chars"), col("side"),
-        round(col("p5"), 6).as("p5"), round(col("p95"), 6).as("p95"))
+      .select(col("doc_id"), col("n_chars"), col("side"), col("p5"), col("p95"))
       .orderBy("doc_id")
   }
 
   private val docLengthOutliersSql: String =
     """WITH b AS (
-      |  SELECT quantile_cont(n_chars, 0.05) AS p5,
-      |         quantile_cont(n_chars, 0.95) AS p95
+      |  SELECT round(quantile_cont(n_chars, 0.05), 6) AS p5,
+      |         round(quantile_cont(n_chars, 0.95), 6) AS p95
       |  FROM documents)
       |SELECT d.doc_id, d.n_chars,
       |       CASE WHEN d.n_chars < b.p5 THEN 'short' ELSE 'long' END AS side,
-      |       round(b.p5, 6) AS p5, round(b.p95, 6) AS p95
+      |       b.p5 AS p5, b.p95 AS p95
       |FROM documents d CROSS JOIN b
       |WHERE d.n_chars < b.p5 OR d.n_chars > b.p95
       |ORDER BY d.doc_id""".stripMargin

@@ -469,8 +469,12 @@ object SimilarityQueries {
     * Lloyd-refined centroids, then look for near-duplicate pairs ONLY
     * within each cluster — cosine ≥ 0.35, the same threshold as the exact
     * `near_dup_pairs` oracle — and drop the higher id of each pair.
-    * Emits the dropped roster: (cluster, vec_id, witness_id, max_sim)
-    * where witness is the smallest surviving id that evicted it.
+    * Emits the dropped roster: (cluster, vec_id, witness_id, max_sim).
+    * Drop rule: v is dropped iff ANY lower-id near-dup exists in its
+    * cluster ("similar to any earlier doc"), so in a chain a–b–c the
+    * witness b of c may itself be dropped (by a) — witness_id identifies
+    * the evicting pair, NOT a guaranteed survivor. The kept set is
+    * exactly the vec_ids absent from the roster.
     *
     * Scale design: this is the embedding-space answer to MinHash-LSH.
     * The pair join is an equi-join on cluster id, so comparisons are
@@ -576,7 +580,7 @@ object SimilarityQueries {
       .withColumn("sqd",
         round(dotF(col("subv"), col("subv"))
           - lit(2.0) * dotF(col("subv"), col("centroid")) + col("cdot"), 6))
-      .select("vec_id", "own_label", "s", "code_label", "sqd")
+      .select("vec_id", "s", "code_label", "sqd")
   }
 
   /** Argmin over codewords: each subvector's assigned code + its error. */
@@ -784,8 +788,11 @@ object SimilarityQueries {
         array_sort(collect_list(struct(col("c_pos"), col("cv")))),
         x => x.getField("cv")).as("centroid"))
       .withColumn("c_norm", sqrt(dotFast(spark)(col("centroid"), col("centroid"))))
-    val q = Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
+    // one scan feeds both the coarse probing and the residual explode
+    val qbase = Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .cache()
+    val q = qbase
       .withColumn("q_norm", sqrt(dotFast(spark)(col("q_emb"), col("q_emb"))))
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("c_sim").desc, col("c_label"))
@@ -796,9 +803,8 @@ object SimilarityQueries {
       .filter(col("rn") <= 2)
       .select(col("q_id"), col("c_label").as("cell"))
     // query residuals vs EACH probed cell's centroid, same micro units
-    val qpts = Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"),
-        posexplode(col("embedding")).as(Seq("pos", "v")))
+    val qpts = qbase
+      .select(col("q_id"), posexplode(col("q_emb")).as(Seq("pos", "v")))
       .withColumn("v", col("v").cast("double"))
     val qr = probes.join(qpts, "q_id")
       .join(broadcast(cp),

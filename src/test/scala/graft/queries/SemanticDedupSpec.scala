@@ -15,14 +15,24 @@ class SemanticDedupSpec extends AnyFunSuite with SparkSpec {
     val dropped = SimilarityQueries.semanticDedup(spark, dir).collect()
     assert(dropped.nonEmpty)
 
-    // structural contract: the witness always survives ordering-wise
-    // (smaller id), similarity is at/above the threshold, one row per
+    // structural contract: the witness is a lower id (it may ITSELF be
+    // dropped in a chain a–b–c — the roster identifies evicting pairs,
+    // not survivors), similarity is at/above the threshold, one row per
     // dropped vector
     dropped.foreach { r =>
       assert(r.getAs[Long]("witness_id") < r.getAs[Long]("vec_id"))
       assert(r.getAs[Double]("max_sim") >= 0.35)
     }
     assert(dropped.map(_.getAs[Long]("vec_id")).distinct.length === dropped.length)
+
+    // witness chains ground out in survivors: the smallest dropped id of
+    // each cluster must have a KEPT witness (its witness is smaller than
+    // every dropped id there, so it cannot itself be dropped)
+    val droppedIds = dropped.map(_.getAs[Long]("vec_id")).toSet
+    dropped.groupBy(_.getAs[Int]("cluster")).foreach { case (_, rs) =>
+      val first = rs.minBy(_.getAs[Long]("vec_id"))
+      assert(!droppedIds.contains(first.getAs[Long]("witness_id")))
+    }
 
     // every (witness, dropped) pair is a true >= 0.35 cosine pair: the
     // exact O(N²) baseline (covers all 500 sf0.001 vectors) must contain
