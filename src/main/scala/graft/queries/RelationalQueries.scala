@@ -278,6 +278,54 @@ object RelationalQueries {
       |       (SELECT count(DISTINCT o_orderpriority) FROM orders)
       |ORDER BY o_custkey""".stripMargin
 
+  /** Correlated scalar subquery — "orders above their own customer's
+    * average": the classic per-group-threshold filter. Spark decorrelates
+    * this into an aggregate + equi-join (no per-row re-execution), which
+    * is exactly the plan to want at scale; the query runs the SAME ANSI
+    * text on both engines through spark.sql. The threshold comparison is
+    * on a ROUNDED average per the engine-divergence convention. */
+  def ordersAboveCustomerAvg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders_v")
+    spark.sql(ordersAboveCustomerAvgText("graft_orders_v"))
+  }
+
+  private def ordersAboveCustomerAvgText(t: String): String =
+    s"""SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price
+       |FROM $t o
+       |WHERE o_totalprice > 2 * (SELECT round(avg(i.o_totalprice), 6)
+       |                          FROM $t i
+       |                          WHERE i.o_custkey = o.o_custkey)
+       |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  private val ordersAboveCustomerAvgSql: String =
+    ordersAboveCustomerAvgText("orders")
+
+  /** Quantified comparison (> ALL): customers whose account balance beats
+    * every supplier's in their nation — expressed as a comparison against
+    * the per-nation MAX (the aggregate form Spark and every planner
+    * rewrite ALL into: one tiny aggregate, broadcast, one filter; no
+    * per-row subquery at any scale). */
+  def customersAboveAllSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val smax = Tables.supplier(spark, dir)
+      .groupBy(col("s_nationkey"))
+      .agg(round(max(col("s_acctbal")), 6).as("max_bal"))
+    Tables.customer(spark, dir)
+      .join(broadcast(smax), col("c_nationkey") === col("s_nationkey"))
+      .filter(col("c_acctbal") > col("max_bal"))
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal"), 2).as("balance"), col("max_bal"))
+      .orderBy("c_custkey")
+  }
+
+  private val customersAboveAllSuppliersSql: String =
+    """WITH m AS (
+      |  SELECT s_nationkey, round(max(s_acctbal), 6) AS max_bal
+      |  FROM supplier GROUP BY s_nationkey)
+      |SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS balance, m.max_bal
+      |FROM customer JOIN m ON c_nationkey = m.s_nationkey
+      |WHERE c_acctbal > m.max_bal
+      |ORDER BY c_custkey""".stripMargin
+
   /** Recursive-CTE graph traversal (`WITH RECURSIVE`, native in Spark 4):
     * BFS over the event-type transition graph. The edge set is derived
     * distributedly — consecutive events per user (event_id order, an
@@ -360,6 +408,8 @@ object RelationalQueries {
       |ORDER BY event_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "orders_above_customer_avg"    -> (ordersAboveCustomerAvg _),
+    "customers_above_all_suppliers" -> (customersAboveAllSuppliers _),
     "customers_all_priorities" -> (customersAllPriorities _),
     "event_type_reachability"  -> (eventTypeReachability _),
     "events_variant_extract"   -> (eventsVariantExtract _),
@@ -373,6 +423,8 @@ object RelationalQueries {
     "asof_last_click"      -> (asOfLastClick _))
 
   val oracle: Map[String, String] = Map(
+    "orders_above_customer_avg"    -> ordersAboveCustomerAvgSql,
+    "customers_above_all_suppliers" -> customersAboveAllSuppliersSql,
     "customers_all_priorities" -> customersAllPrioritiesSql,
     "event_type_reachability"  -> eventTypeReachabilitySql,
     "events_variant_extract"   -> eventsVariantExtractSql,

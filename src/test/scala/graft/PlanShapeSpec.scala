@@ -69,6 +69,29 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       "embedding_pq: rank-1 argmin lost its WindowGroupLimit pushdown")
   }
 
+  test("IVF-PQ and semantic dedup keep their scale-critical join shapes") {
+    // knn_ivfpq: every join against the corpus must be broadcast
+    // (centroid components, seeds, codebooks, distance tables); a
+    // SortMergeJoin of corpus-position rows against codewords means the
+    // corpus got shuffled for a K-row table — the shape that dies at
+    // 100 TB. CartesianProduct must never appear.
+    val pq = graft.queries.Registry.queries("knn_ivfpq")(spark, "/root/testdata/sf0.001")
+    val pqPlan = pq.queryExecution.executedPlan.toString
+    assert(pqPlan.contains("BroadcastHashJoin"), "knn_ivfpq: broadcast join missing")
+    assert(!pqPlan.contains("CartesianProduct"), "knn_ivfpq: cartesian appeared")
+    // the per-(vec,s) argmin keeps its rank-limit pushdown
+    assert(pqPlan.contains("WindowGroupLimit"),
+      "knn_ivfpq: argmin lost its WindowGroupLimit pushdown")
+
+    // semantic_dedup: the pair step must be an EQUI-join on cluster id
+    // (SortMergeJoin or ShuffledHashJoin are both fine — the point is the
+    // Σ|cluster|² bound), never an unbucketed cartesian of the corpus
+    val sd = graft.queries.Registry.queries("semantic_dedup")(spark, "/root/testdata/sf0.001")
+    val sdPlan = sd.queryExecution.executedPlan.toString
+    assert(!sdPlan.contains("CartesianProduct"),
+      "semantic_dedup: pair join degenerated to a cartesian")
+  }
+
   test("nested schema pruning reaches the parquet scan") {
     val dir = Files.createTempDirectory("nested_docs").toString
     graft.queries.ParityQueries.nestedDoc(spark, "/root/testdata/sf0.001")
