@@ -343,6 +343,56 @@ object PipelineQueries {
        |HAVING count(*) > 1
        |ORDER BY n_occurrences DESC, chunk_hash""".stripMargin
 
+  /** Train/test split LEAKAGE detection: hash-based splits prevent exact
+    * duplicates from crossing folds (same text ⇒ same fold — the reason
+    * to split by content hash at all), but SHARED CHUNKS between
+    * different documents still leak: a boilerplate paragraph in a train
+    * doc and a test doc inflates eval. Assigns each doc its 5-fold
+    * content-hash fold, then finds chunk-hash collisions across docs in
+    * DIFFERENT folds — emitted as a per-fold-pair leakage matrix.
+    *
+    * Scale shape: the collision join is an equi-join on chunk_hash (the
+    * same bucketed-join bound as every dedup path: candidates ∝ shared-
+    * chunk groups, not corpus²); fold assignment is map-side. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val folds = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        pmod(DedupOps.h60(col("text")), lit(5L)).cast("int").as("fold"))
+    val cf = docChunks(spark, dir).select(col("doc_id"), col("chunk_hash"))
+      .join(folds, "doc_id")
+      .cache() // self-joined below
+    val a = cf.select(col("chunk_hash"), col("doc_id").as("a_doc"), col("fold").as("fold_a"))
+    val b = cf.select(col("chunk_hash"), col("doc_id").as("b_doc"), col("fold").as("fold_b"))
+    a.join(b, "chunk_hash")
+      .filter(col("a_doc") < col("b_doc") && col("fold_a") =!= col("fold_b"))
+      .groupBy(
+        least(col("fold_a"), col("fold_b")).as("f1"),
+        greatest(col("fold_a"), col("fold_b")).as("f2"))
+      .agg(
+        countDistinct(struct(col("a_doc"), col("b_doc"))).as("n_pairs"),
+        count(lit(1)).as("n_chunk_collisions"))
+      .orderBy("f1", "f2")
+  }
+
+  private val splitLeakageSql: String =
+    s"""WITH $chunksCtes,
+       |folds AS (
+       |  SELECT doc_id, CAST(${hexpr.format("text")} % 5 AS INT) AS fold
+       |  FROM documents),
+       |cf AS (
+       |  SELECT ch.doc_id, ch.chunk_hash, f.fold
+       |  FROM ch JOIN folds f ON ch.doc_id = f.doc_id),
+       |p AS (
+       |  SELECT a.chunk_hash, a.doc_id AS a_doc, b.doc_id AS b_doc,
+       |         a.fold AS fold_a, b.fold AS fold_b
+       |  FROM cf a JOIN cf b ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+       |  WHERE a.fold <> b.fold)
+       |SELECT least(fold_a, fold_b) AS f1, greatest(fold_a, fold_b) AS f2,
+       |       count(DISTINCT (a_doc, b_doc)) AS n_pairs,
+       |       count(*) AS n_chunk_collisions
+       |FROM p GROUP BY least(fold_a, fold_b), greatest(fold_a, fold_b)
+       |ORDER BY f1, f2""".stripMargin
+
   /** Vocabulary coverage: share of each document's tokens inside the
     * corpus top-100 vocabulary — the tokenizer-fit metric (high coverage
     * = few OOV/rare tokens). The vocabulary is a 100-row frame joined
@@ -812,6 +862,7 @@ object PipelineQueries {
     "vocab_zipf_fit"     -> (vocabZipfFit _),
     "doc_chunks"         -> (docChunks _),
     "chunk_dedup_stats"  -> (chunkDedupStats _),
+    "split_leakage"      -> (splitLeakage _),
     "stratified_sample_counts" -> (stratifiedSampleCounts _),
     "source_mixture_profile"   -> (sourceMixtureProfile _),
     "vocab_coverage"     -> (vocabCoverage _),
@@ -833,6 +884,7 @@ object PipelineQueries {
     "vocab_zipf_fit"     -> vocabZipfFitSql,
     "doc_chunks"         -> docChunksSql,
     "chunk_dedup_stats"  -> chunkDedupStatsSql,
+    "split_leakage"      -> splitLeakageSql,
     "stratified_sample_counts" -> stratifiedSampleCountsSql,
     "source_mixture_profile"   -> sourceMixtureProfileSql,
     "vocab_coverage"     -> vocabCoverageSql,

@@ -262,6 +262,48 @@ object SimilarityQueries {
       |WHERE rank <= 5
       |ORDER BY q_id, rank""".stripMargin
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-3 most-similar vectors with a DIFFERENT label — the
+    * "confusable but wrong" examples a retrieval/embedding trainer pairs
+    * against positives. Same broadcast-query scan shape as [[knnBrute]]
+    * (corpus streamed once, per-partition top-k) with the label-mismatch
+    * predicate fused into the scan; at index scale the IVF probe replaces
+    * the full scan, unchanged otherwise. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val dotF = dotFast(spark) _
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("norm", sqrt(dotFast(spark)(col("embedding"), col("embedding"))))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    emb.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("q_label"))
+      .withColumn("cos_sim",
+        round(dotF(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("q_id", "q_label", "rank", "vec_id", "label", "cos_sim")
+      .orderBy("q_id", "rank")
+  }
+
+  private val hardNegativesSql: String =
+    s"""WITH pairs AS (
+       |  SELECT b.vec_id AS q_id, b.label AS q_label, a.vec_id AS vec_id,
+       |         a.label AS label, round($cosSql, 6) AS cos_sim
+       |  FROM embeddings a
+       |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) b
+       |  WHERE a.label <> b.label),
+       |ranked AS (
+       |  SELECT q_id, q_label, vec_id, label, cos_sim,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY cos_sim DESC, vec_id) AS rank
+       |  FROM pairs)
+       |SELECT q_id, q_label, rank, vec_id, label, cos_sim
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+
   // ---- refined IVF (Lloyd-iterated index build) ---------------------------
 
   /** Centroid frame (c_label, centroid, c_norm) from (cluster, embedding)
@@ -927,6 +969,7 @@ object SimilarityQueries {
     "knn_ivf_probe2"  -> ((s: SparkSession, d: String) => knnIvfProbes(s, d, probes = 2)),
     "knn_ivf_refined" -> ((s: SparkSession, d: String) => knnIvfRefined(s, d, probes = 2)),
     "knn_brute"       -> (knnBrute _),
+    "hard_negatives"  -> (hardNegatives _),
     "near_dup_pairs"  -> (nearDupPairs _),
     "lsh_buckets"     -> (lshBuckets _),
     "lsh_near_dup"    -> (lshNearDup _),
@@ -942,6 +985,7 @@ object SimilarityQueries {
     "knn_ivf_probe2"  -> knnIvfSqlProbes(2),
     "knn_ivf_refined" -> knnIvfRefinedSql(2),
     "knn_brute"       -> knnBruteSql,
+    "hard_negatives"  -> hardNegativesSql,
     "near_dup_pairs"  -> nearDupPairsSql,
     "lsh_buckets"     -> lshBucketsSql,
     "lsh_near_dup"    -> lshNearDupSql,
