@@ -199,6 +199,63 @@ object RelationalQueries {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** DYNAMIC-gap sessionization: the session gap is a per-event
+    * EXPRESSION (purchases hold a session open 60 min, everything else
+    * 30) — Spark's `session_window(ts, gapColumn)` merging-interval
+    * semantics, which almost no SQL engine has natively. The oracle
+    * re-derives it relationally: an event opens a new session iff its ts
+    * is at/after the RUNNING MAX of (ts + gap) over all earlier events
+    * (running max, not lag — a long purchase window can bridge over a
+    * shorter later window's end), then gaps-and-islands as usual.
+    * Same scale shape as fixed-gap sessions: shuffle on user_id, one
+    * sort, merging aggregate — and the identical query runs incrementally
+    * under Structured Streaming with a watermark. */
+  def userSessionsDynamic(spark: SparkSession, dir: String): DataFrame = {
+    val gap = when(col("event_type") === "purchase", lit("60 minutes"))
+      .otherwise(lit("30 minutes"))
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchases"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("n_purchases"))
+      .orderBy("user_id", "session_start")
+  }
+
+  private val userSessionsDynamicSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |         CASE WHEN event_type = 'purchase' THEN INTERVAL '60 minutes'
+      |              ELSE INTERVAL '30 minutes' END AS gap,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      |  FROM events),
+      |d AS (
+      |  SELECT user_id, ts, gap, is_p,
+      |         max(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS max_end
+      |  FROM e),
+      |f AS (
+      |  SELECT user_id, ts, gap, is_p,
+      |         CASE WHEN max_end IS NULL OR ts >= max_end THEN 1 ELSE 0 END AS new_s
+      |  FROM d),
+      |s AS (
+      |  SELECT user_id, ts, gap, is_p,
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                          ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM f)
+      |SELECT user_id,
+      |       min(ts) AS session_start,
+      |       max(ts + gap) AS session_end,
+      |       count(*) AS n_events,
+      |       CAST(sum(is_p) AS BIGINT) AS n_purchases
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** As-of lookup: for every purchase, the most recent strictly-earlier
     * click by the same user — expressed as a partitioned analytic window
     * (linear, shuffle on user_id) instead of a range self-join (quadratic
@@ -420,6 +477,7 @@ object RelationalQueries {
     "rank_parts_per_brand" -> (rankPartsPerBrand _),
     "orders_per_month"     -> (ordersPerMonth _),
     "user_sessions"        -> (userSessions _),
+    "user_sessions_dynamic" -> (userSessionsDynamic _),
     "asof_last_click"      -> (asOfLastClick _))
 
   val oracle: Map[String, String] = Map(
@@ -435,5 +493,6 @@ object RelationalQueries {
     "rank_parts_per_brand" -> rankPartsPerBrandSql,
     "orders_per_month"     -> ordersPerMonthSql,
     "user_sessions"        -> userSessionsSql,
+    "user_sessions_dynamic" -> userSessionsDynamicSql,
     "asof_last_click"      -> asOfLastClickSql)
 }
