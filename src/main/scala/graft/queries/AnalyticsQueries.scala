@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -486,6 +487,49 @@ object AnalyticsQueries {
       |FROM orders
       |GROUP BY 1, 2 ORDER BY yr, isodow""".stripMargin
 
+  /** 2-D skyline (Pareto frontier): orders not strictly dominated on
+    * (earlier date, higher price) — "the earliest big orders". The naive
+    * form is an O(N²) dominance self-join; the scale form used here is
+    * the classic sort-scan: sorted by (date asc, price desc), a point is
+    * on the frontier iff its price beats the RUNNING MAX over all
+    * strictly-earlier (date, price) keys — one shuffle + one window scan,
+    * O(n log n). Exact-duplicate (date, price) pairs dominate each other
+    * weakly but not strictly, so the scan runs over DISTINCT keys and
+    * joins back to recover every order on the frontier. */
+  def ordersSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("d"),
+        round(col("o_totalprice"), 2).as("p"))
+    val keys = o.select("d", "p").distinct()
+    val w = Window.orderBy(col("d").asc, col("p").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = keys
+      .withColumn("run_max", max(col("p")).over(w))
+      .filter(col("run_max").isNull || col("p") > col("run_max"))
+      .select("d", "p")
+    o.join(frontier, Seq("d", "p"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("d").as("o_date"), col("p").as("price"))
+      .orderBy("o_date", "o_orderkey")
+  }
+
+  private val ordersSkylineSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS d,
+      |         round(o_totalprice, 2) AS p
+      |  FROM orders),
+      |k AS (SELECT DISTINCT d, p FROM o),
+      |f AS (
+      |  SELECT d, p,
+      |         max(p) OVER (ORDER BY d ASC, p DESC
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max
+      |  FROM k),
+      |sky AS (SELECT d, p FROM f WHERE run_max IS NULL OR p > run_max)
+      |SELECT o.o_orderkey, o.o_custkey, o.d AS o_date, o.p AS price
+      |FROM o JOIN sky ON o.d = sky.d AND o.p = sky.p
+      |ORDER BY o_date, o_orderkey""".stripMargin
+
   private val PrIters = 3
   private val Damping = 0.85
 
@@ -570,6 +614,7 @@ object AnalyticsQueries {
 
   val queries: Map[String, Q] = Map(
     "event_type_pagerank" -> (eventTypePagerank _),
+    "orders_skyline"      -> (ordersSkyline _),
     "event_type_distances"     -> (eventTypeDistances _),
     "orders_by_dow"            -> (ordersByDow _),
     "orders_cube"              -> (ordersCube _),
@@ -591,6 +636,7 @@ object AnalyticsQueries {
 
   val oracle: Map[String, String] = Map(
     "event_type_pagerank" -> eventTypePagerankSql,
+    "orders_skyline"      -> ordersSkylineSql,
     "event_type_distances"     -> eventTypeDistancesSql,
     "orders_by_dow"            -> ordersByDowSql,
     "orders_cube"              -> ordersCubeSql,

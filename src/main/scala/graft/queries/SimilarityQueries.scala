@@ -574,6 +574,70 @@ object SimilarityQueries {
        |FROM p GROUP BY cluster, b_id
        |ORDER BY cluster, vec_id""".stripMargin
 
+  /** Nearest-centroid assignment KEEPING the similarity (separate from
+    * [[assignTo]]: callers of that join the result against centroid
+    * frames, where an extra c_sim column would collide). */
+  private def assignWithSim(spark: SparkSession, emb: DataFrame, cent: DataFrame): DataFrame = {
+    val dotF = dotFast(spark) _
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("c_label"))
+    emb.crossJoin(broadcast(cent))
+      .withColumn("c_sim",
+        round(dotF(col("embedding"), col("centroid")) / (col("norm") * col("c_norm")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_label").as("cluster"), col("c_sim"))
+  }
+
+  /** Embedding-space outlier pruning — the vector-side quality filter: a
+    * vector far from EVERY cluster centroid is in no-man's land
+    * (mislabeled, corrupted, or out-of-distribution) and gets flagged.
+    * Distance = 1 − cosine to the nearest Lloyd-refined centroid; the
+    * cut is the corpus p95 of that distance (rounded BEFORE the compare,
+    * per the percentile-threshold convention). Scale shape: two
+    * broadcast-centroid assignment passes + one global percentile — the
+    * corpus is never self-joined. */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("norm", sqrt(dotFast(spark)(col("embedding"), col("embedding"))))
+      .cache()
+    val cent0 = centroidsOf(spark,
+      emb.select(col("label").as("cluster"), col("embedding")))
+    val cent1 = centroidsOf(spark, assignTo(spark, emb, cent0))
+    val dists = assignWithSim(spark, emb, cent1)
+      .withColumn("dist", round(lit(1.0) - col("c_sim"), 6))
+      .cache()
+    val bound = dists.agg(
+      round(expr("percentile(dist, 0.95)"), 6).as("p95"))
+    dists.crossJoin(broadcast(bound))
+      .filter(col("dist") > col("p95"))
+      .select(col("vec_id"), col("cluster"), col("dist"), col("p95"))
+      .orderBy("vec_id")
+  }
+
+  private val embeddingOutliersSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+       |  FROM embeddings),
+       |${centCtes(0, "e", "label")},
+       |${assignCte("a1", "c0n")},
+       |${centCtes(1, "a1", "cluster")},
+       |d AS (
+       |  SELECT vec_id, cluster, round(1.0 - c_sim, 6) AS dist FROM (
+       |    SELECT e.vec_id, c.cl AS cluster,
+       |           round(list_dot_product(e.emb, c.centroid) / (e.norm * c.c_norm), 6) AS c_sim,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY round(list_dot_product(e.emb, c.centroid) / (e.norm * c.c_norm), 6) DESC,
+       |                      c.cl) AS rn
+       |    FROM e CROSS JOIN c1n c)
+       |  WHERE rn = 1),
+       |b AS (SELECT round(quantile_cont(dist, 0.95), 6) AS p95 FROM d)
+       |SELECT d.vec_id, d.cluster, d.dist, b.p95
+       |FROM d CROSS JOIN b
+       |WHERE d.dist > b.p95
+       |ORDER BY d.vec_id""".stripMargin
+
   // ---- product quantization -----------------------------------------------
 
   private val NSub = 4       // subspaces
@@ -970,6 +1034,7 @@ object SimilarityQueries {
     "knn_ivf_refined" -> ((s: SparkSession, d: String) => knnIvfRefined(s, d, probes = 2)),
     "knn_brute"       -> (knnBrute _),
     "hard_negatives"  -> (hardNegatives _),
+    "embedding_outliers" -> (embeddingOutliers _),
     "near_dup_pairs"  -> (nearDupPairs _),
     "lsh_buckets"     -> (lshBuckets _),
     "lsh_near_dup"    -> (lshNearDup _),
@@ -986,6 +1051,7 @@ object SimilarityQueries {
     "knn_ivf_refined" -> knnIvfRefinedSql(2),
     "knn_brute"       -> knnBruteSql,
     "hard_negatives"  -> hardNegativesSql,
+    "embedding_outliers" -> embeddingOutliersSql,
     "near_dup_pairs"  -> nearDupPairsSql,
     "lsh_buckets"     -> lshBucketsSql,
     "lsh_near_dup"    -> lshNearDupSql,
