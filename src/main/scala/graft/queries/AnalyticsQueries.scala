@@ -489,11 +489,14 @@ object AnalyticsQueries {
 
   /** 2-D skyline (Pareto frontier): orders not strictly dominated on
     * (earlier date, higher price) — "the earliest big orders". The naive
-    * form is an O(N²) dominance self-join; the scale form used here is
-    * the classic sort-scan: sorted by (date asc, price desc), a point is
-    * on the frontier iff its price beats the RUNNING MAX over all
-    * strictly-earlier (date, price) keys — one shuffle + one window scan,
-    * O(n log n). Exact-duplicate (date, price) pairs dominate each other
+    * form is an O(N²) dominance self-join; the form here is the sort-scan
+    * (a point is on the frontier iff its price beats the RUNNING MAX over
+    * all strictly-earlier (date, price) keys) made distributed in two
+    * phases: a PARALLEL per-hash-bucket pre-filter (local domination ⇒
+    * global domination, so each bucket's partitioned window discards the
+    * bulk) followed by the exact global scan over the tiny survivor set —
+    * the single-partition window touches survivors only, never the
+    * table. Exact-duplicate (date, price) pairs dominate each other
     * weakly but not strictly, so the scan runs over DISTINCT keys and
     * joins back to recover every order on the frontier. */
   def ordersSkyline(spark: SparkSession, dir: String): DataFrame = {
@@ -501,11 +504,26 @@ object AnalyticsQueries {
       .select(col("o_orderkey"), col("o_custkey"),
         col("o_orderdate").cast("date").as("d"),
         round(col("o_totalprice"), 2).as("p"))
+      .cache() // scanned twice: key derivation + frontier join-back
     val keys = o.select("d", "p").distinct()
-    val w = Window.orderBy(col("d").asc, col("p").desc)
+    // phase 1 — LOCAL pre-filter: a key dominated within its hash bucket
+    // is dominated globally, so each bucket's scan (parallel, partitioned
+    // window) discards the bulk; survivors are a superset of the frontier
+    // and orders of magnitude smaller. This is what keeps the final
+    // global scan from being a full-table single-partition sort.
+    val wLocal = Window.partitionBy(col("bkt"))
+      .orderBy(col("d").asc, col("p").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val frontier = keys
-      .withColumn("run_max", max(col("p")).over(w))
+    val local = keys
+      .withColumn("bkt", pmod(hash(col("d"), col("p")), lit(32)))
+      .withColumn("run_max", max(col("p")).over(wLocal))
+      .filter(col("run_max").isNull || col("p") > col("run_max"))
+      .select("d", "p")
+    // phase 2 — exact frontier over the pruned survivors (tiny)
+    val wGlobal = Window.orderBy(col("d").asc, col("p").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = local
+      .withColumn("run_max", max(col("p")).over(wGlobal))
       .filter(col("run_max").isNull || col("p") > col("run_max"))
       .select("d", "p")
     o.join(frontier, Seq("d", "p"))

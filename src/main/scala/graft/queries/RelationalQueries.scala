@@ -335,12 +335,15 @@ object RelationalQueries {
       |       (SELECT count(DISTINCT o_orderpriority) FROM orders)
       |ORDER BY o_custkey""".stripMargin
 
-  /** Correlated scalar subquery — "orders above their own customer's
-    * average": the classic per-group-threshold filter. Spark decorrelates
-    * this into an aggregate + equi-join (no per-row re-execution), which
-    * is exactly the plan to want at scale; the query runs the SAME ANSI
-    * text on both engines through spark.sql. The threshold comparison is
-    * on a ROUNDED average per the engine-divergence convention. */
+  /** Correlated scalar subquery — "orders more than TWICE their own
+    * customer's average": the classic per-group-threshold filter (the 2x
+    * factor keeps the result a meaningful outlier set rather than ~half
+    * of every customer's orders). Spark decorrelates this into an
+    * aggregate + equi-join (no per-row re-execution), which is exactly
+    * the plan to want at scale; the query runs the SAME ANSI text on
+    * both engines through spark.sql. The threshold is FIXED-POINT
+    * FLOORED, not rounded: an integer-count ratio mean lands on exact .5
+    * decimal boundaries where the engines' HALF_UP disagree. */
   def ordersAboveCustomerAvg(spark: SparkSession, dir: String): DataFrame = {
     Tables.orders(spark, dir).createOrReplaceTempView("graft_orders_v")
     spark.sql(ordersAboveCustomerAvgText("graft_orders_v"))
@@ -349,7 +352,7 @@ object RelationalQueries {
   private def ordersAboveCustomerAvgText(t: String): String =
     s"""SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price
        |FROM $t o
-       |WHERE o_totalprice > 2 * (SELECT round(avg(i.o_totalprice), 6)
+       |WHERE o_totalprice > 2 * (SELECT floor(avg(i.o_totalprice) * 1e6) / 1e6
        |                          FROM $t i
        |                          WHERE i.o_custkey = o.o_custkey)
        |ORDER BY o_custkey, o_orderkey""".stripMargin
@@ -361,14 +364,17 @@ object RelationalQueries {
     * every supplier's in their nation — expressed as a comparison against
     * the per-nation MAX (the aggregate form Spark and every planner
     * rewrite ALL into: one tiny aggregate, broadcast, one filter; no
-    * per-row subquery at any scale). */
+    * per-row subquery at any scale). Faithful to the quantifier's
+    * empty-set case: `> ALL (empty)` is TRUE, so customers in nations
+    * with no suppliers qualify — hence the LEFT join and the NULL
+    * max_bal branch (an inner join would silently drop them). */
   def customersAboveAllSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val smax = Tables.supplier(spark, dir)
       .groupBy(col("s_nationkey"))
       .agg(round(max(col("s_acctbal")), 6).as("max_bal"))
     Tables.customer(spark, dir)
-      .join(broadcast(smax), col("c_nationkey") === col("s_nationkey"))
-      .filter(col("c_acctbal") > col("max_bal"))
+      .join(broadcast(smax), col("c_nationkey") === col("s_nationkey"), "left")
+      .filter(col("max_bal").isNull || col("c_acctbal") > col("max_bal"))
       .select(col("c_custkey"), col("c_nationkey"),
         round(col("c_acctbal"), 2).as("balance"), col("max_bal"))
       .orderBy("c_custkey")
@@ -379,8 +385,8 @@ object RelationalQueries {
       |  SELECT s_nationkey, round(max(s_acctbal), 6) AS max_bal
       |  FROM supplier GROUP BY s_nationkey)
       |SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS balance, m.max_bal
-      |FROM customer JOIN m ON c_nationkey = m.s_nationkey
-      |WHERE c_acctbal > m.max_bal
+      |FROM customer LEFT JOIN m ON c_nationkey = m.s_nationkey
+      |WHERE m.max_bal IS NULL OR c_acctbal > m.max_bal
       |ORDER BY c_custkey""".stripMargin
 
   /** Recursive-CTE graph traversal (`WITH RECURSIVE`, native in Spark 4):

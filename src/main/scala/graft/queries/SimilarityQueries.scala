@@ -320,10 +320,11 @@ object SimilarityQueries {
         x => x.getField("cv")).as("centroid"))
       .withColumn("c_norm", sqrt(dotFast(spark)(col("centroid"), col("centroid"))))
 
-  /** Nearest-centroid assignment (the other half of a Lloyd step):
-    * broadcast centroids, map-side argmax — no shuffle of the corpus.
-    * Returns (vec_id, embedding, norm, cluster). */
-  private def assignTo(spark: SparkSession, emb: DataFrame, cent: DataFrame): DataFrame = {
+  /** Shared ranked-assignment core of a Lloyd step: broadcast centroids,
+    * map-side rounded-cosine argmax (tie-break on c_label), keep rank 1.
+    * The ONLY place the assignment convention lives — both projections
+    * below derive from it. */
+  private def rankedAssign(spark: SparkSession, emb: DataFrame, cent: DataFrame): DataFrame = {
     val dotF = dotFast(spark) _
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_sim").desc, col("c_label"))
@@ -332,8 +333,14 @@ object SimilarityQueries {
         round(dotF(col("embedding"), col("centroid")) / (col("norm") * col("c_norm")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("norm"), col("c_label").as("cluster"))
   }
+
+  /** Nearest-centroid assignment (the other half of a Lloyd step):
+    * returns (vec_id, embedding, norm, cluster) — no c_sim, so callers
+    * can re-join centroid frames without column collisions. */
+  private def assignTo(spark: SparkSession, emb: DataFrame, cent: DataFrame): DataFrame =
+    rankedAssign(spark, emb, cent)
+      .select(col("vec_id"), col("embedding"), col("norm"), col("c_label").as("cluster"))
 
   /** IVF with a Lloyd-refined index (VERDICT r2 item 4): two k-means
     * iterations turn the arbitrary label seed partitions into geometric
@@ -574,20 +581,11 @@ object SimilarityQueries {
        |FROM p GROUP BY cluster, b_id
        |ORDER BY cluster, vec_id""".stripMargin
 
-  /** Nearest-centroid assignment KEEPING the similarity (separate from
-    * [[assignTo]]: callers of that join the result against centroid
-    * frames, where an extra c_sim column would collide). */
-  private def assignWithSim(spark: SparkSession, emb: DataFrame, cent: DataFrame): DataFrame = {
-    val dotF = dotFast(spark) _
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_sim").desc, col("c_label"))
-    emb.crossJoin(broadcast(cent))
-      .withColumn("c_sim",
-        round(dotF(col("embedding"), col("centroid")) / (col("norm") * col("c_norm")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+  /** Nearest-centroid assignment KEEPING the similarity — same
+    * [[rankedAssign]] core, outlier-scoring projection. */
+  private def assignWithSim(spark: SparkSession, emb: DataFrame, cent: DataFrame): DataFrame =
+    rankedAssign(spark, emb, cent)
       .select(col("vec_id"), col("c_label").as("cluster"), col("c_sim"))
-  }
 
   /** Embedding-space outlier pruning — the vector-side quality filter: a
     * vector far from EVERY cluster centroid is in no-man's land

@@ -30,7 +30,9 @@ class EwmaTracker(alpha: Double = 0.5)
       rows: Iterator[(String, Long, Double)],
       timerValues: TimerValues): Iterator[(String, Long, Double, Double)] = {
     var cur: Option[Double] = if (ewma.exists()) Some(ewma.get()) else None
-    val out = rows.toSeq.sortBy(_._2).map { case (st, ts, v) =>
+    // tie-break equal timestamps by value: iterator arrival order is not
+    // a contract, and an order-dependent fold would make replays diverge
+    val out = rows.toSeq.sortBy(r => (r._2, r._3)).map { case (st, ts, v) =>
       val next = cur.fold(v)(prev => alpha * v + (1 - alpha) * prev)
       cur = Some(next)
       (st, ts, v, next)
