@@ -701,6 +701,154 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Corpus yield report — the stage-by-stage funnel a curation run is
+    * judged by: how many documents survive each cumulative gate
+    * (non-empty → length floor → quality floor → LSH dedup → eval
+    * decontamination, the same gates [[cleanCorpus]] applies plus the
+    * contamination scrub). Emitted as ONE wide row (counts + fixed-point
+    * retained shares) — the dashboard number, not a roster.
+    *
+    * One corpus pass computes the per-doc flags; the dedup-loser and
+    * contaminated sets arrive as two left-semi-style joins (both derived
+    * from the same cached shingle explode). Stage semantics: the eval
+    * subset (doc_id % 97 = 0) is held out at the last stage and corpus
+    * docs sharing any shingle with it are scrubbed. */
+  def corpusYieldReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // LSH dup losers — identical derivation to cleanCorpus
+    val cand = DedupOps.lshCandidates(spark, docs).cache()
+    val candIds = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    val shCand = DedupOps.docShingles(
+      docs.join(candIds, Seq("doc_id"), "left_semi"))
+    val losers = cand
+      .join(shCand.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
+      .join(shCand.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
+      .filter(round(DedupOps.jaccard(col("sa"), col("sb")), 6) >= 0.8)
+      .select(col("b_id").as("doc_id")).distinct()
+      .withColumn("is_loser", lit(1))
+    // corpus docs sharing any shingle with the eval subset
+    val ex = DedupOps.docShingles(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .cache()
+    val contam = ex.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      .join(ex.filter(pmod(col("doc_id"), lit(97)) === 0).select(col("s")), "s")
+      .select(col("doc_id")).distinct()
+      .withColumn("is_contam", lit(1))
+    val toks = TextFunctions.tokens(col("text"))
+    val flags = docs
+      .withColumn("n_tokens", size(toks))
+      .withColumn("stop_ratio",
+        when(col("n_tokens") > 0,
+          TextFunctions.stopwordCount(toks, TextFunctions.enStopwords)
+            .cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .withColumn("quality",
+        TextFunctions.qualityScore(col("n_tokens"),
+          TextFunctions.alphaRatio(col("text")), col("stop_ratio")))
+      .join(losers, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("s2", (col("n_tokens") >= 1).cast("int"))
+      .withColumn("s3", (col("n_tokens") >= 20).cast("int"))
+      .withColumn("s4", (col("n_tokens") >= 20 && col("quality") >= 0.5).cast("int"))
+      .withColumn("s5", (col("s4") === 1 && col("is_loser").isNull).cast("int"))
+      .withColumn("s6", (col("s5") === 1 && col("is_contam").isNull
+        && pmod(col("doc_id"), lit(97)) =!= 0).cast("int"))
+    def pct(c: Column, total: Column): Column =
+      floor(c.cast("double") * 1e4 / total) / lit(1e4)
+    val n = count(lit(1))
+    flags.agg(
+      n.as("n_total"),
+      sum(col("s2")).as("n_nonempty"),
+      sum(col("s3")).as("n_length_pass"),
+      sum(col("s4")).as("n_quality_pass"),
+      sum(col("s5")).as("n_dedup_pass"),
+      sum(col("s6")).as("n_decontaminated"))
+      .select(
+        col("n_total"), col("n_nonempty"), col("n_length_pass"),
+        col("n_quality_pass"), col("n_dedup_pass"), col("n_decontaminated"),
+        pct(col("n_quality_pass"), col("n_total")).as("quality_yield"),
+        pct(col("n_decontaminated"), col("n_total")).as("final_yield"))
+  }
+
+  private val corpusYieldReportSql: String = {
+    import graft.operators.DedupOps.{BandRows, P, seeds}
+    val seedsValues = seeds.map { case (k, a, b) => s"($k, $a, $b)" }.mkString(", ")
+    val stopList = TextFunctions.enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH toks AS (
+       |  SELECT doc_id, text,
+       |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |         list_distinct(
+       |           CASE WHEN len(toks) >= 3
+       |                THEN list_transform(range(1, CAST(len(toks) - 1 AS BIGINT)),
+       |                       i -> concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i AS INT)+1], toks[CAST(i AS INT)+2]))
+       |                WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+       |                ELSE []::VARCHAR[] END) AS shingles
+       |  FROM toks),
+       |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |h AS (SELECT doc_id, CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) % $P AS h31 FROM e),
+       |mh AS (SELECT doc_id, k, min((a * h31 + b) % $P) AS minhash
+       |       FROM h JOIN (VALUES $seedsValues) seeds(k, a, b) ON TRUE GROUP BY doc_id, k),
+       |bands AS (SELECT doc_id, k // $BandRows AS band,
+       |                 md5(string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY k)) AS band_key
+       |          FROM mh GROUP BY doc_id, k // $BandRows),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |losers AS (
+       |  SELECT DISTINCT b_id AS doc_id
+       |  FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id
+       |  WHERE round(CAST(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS DOUBLE)
+       |              / (len(sa.shingles) + len(sb.shingles)
+       |                 - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))), 6) >= 0.8),
+       |contam AS (
+       |  SELECT DISTINCT c.doc_id
+       |  FROM e c JOIN e b ON c.s = b.s
+       |  WHERE c.doc_id % 97 <> 0 AND b.doc_id % 97 = 0),
+       |flags AS (
+       |  SELECT t.doc_id,
+       |         CAST(len(t.toks) AS INT) AS n_tokens,
+       |         0.3 * least(1.0, CAST(len(t.toks) AS DOUBLE) / 50.0)
+       |           + 0.3 * (CASE WHEN length(t.text) > 0
+       |                    THEN CAST(length(regexp_replace(lower(t.text), '[^a-z]', '', 'g')) AS DOUBLE) / length(t.text)
+       |                    ELSE 0.0 END)
+       |           + 0.4 * least(1.0, (CASE WHEN len(t.toks) > 0
+       |                    THEN CAST(len(list_filter(t.toks, x -> list_contains($stopList, x))) AS DOUBLE) / len(t.toks)
+       |                    ELSE 0.0 END) * 5.0) AS quality,
+       |         CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END AS is_loser,
+       |         CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS is_contam
+       |  FROM toks t
+       |  LEFT JOIN losers l ON l.doc_id = t.doc_id
+       |  LEFT JOIN contam c ON c.doc_id = t.doc_id),
+       |st AS (
+       |  SELECT doc_id, n_tokens, quality, is_loser, is_contam,
+       |         CASE WHEN n_tokens >= 1 THEN 1 ELSE 0 END AS s2,
+       |         CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END AS s3,
+       |         CASE WHEN n_tokens >= 20 AND quality >= 0.5 THEN 1 ELSE 0 END AS s4
+       |  FROM flags),
+       |st2 AS (
+       |  SELECT *,
+       |         CASE WHEN s4 = 1 AND is_loser = 0 THEN 1 ELSE 0 END AS s5
+       |  FROM st),
+       |st3 AS (
+       |  SELECT *,
+       |         CASE WHEN s5 = 1 AND is_contam = 0 AND doc_id % 97 <> 0 THEN 1 ELSE 0 END AS s6
+       |  FROM st2)
+       |SELECT count(*) AS n_total,
+       |       CAST(sum(s2) AS BIGINT) AS n_nonempty,
+       |       CAST(sum(s3) AS BIGINT) AS n_length_pass,
+       |       CAST(sum(s4) AS BIGINT) AS n_quality_pass,
+       |       CAST(sum(s5) AS BIGINT) AS n_dedup_pass,
+       |       CAST(sum(s6) AS BIGINT) AS n_decontaminated,
+       |       floor(CAST(sum(s4) AS DOUBLE) * 1e4 / count(*)) / 1e4 AS quality_yield,
+       |       floor(CAST(sum(s6) AS DOUBLE) * 1e4 / count(*)) / 1e4 AS final_yield
+       |FROM st3""".stripMargin
+  }
+
   private val cleanCorpusSql: String = {
     import graft.operators.DedupOps.{BandRows, P, seeds}
     val seedsValues = seeds.map { case (k, a, b) => s"($k, $a, $b)" }.mkString(", ")
@@ -853,6 +1001,7 @@ object PipelineQueries {
     "events_profile"     -> (eventsProfile _),
     "embedding_quantize" -> (embeddingQuantize _),
     "clean_corpus"     -> (cleanCorpus _),
+    "corpus_yield_report" -> (corpusYieldReport _),
     "doc_sample_10pct" -> (docSample _),
     "doc_quality_sample" -> (docQualitySample _),
     "source_caps"        -> (sourceCaps _),
@@ -875,6 +1024,7 @@ object PipelineQueries {
     "events_profile"     -> eventsProfileSql,
     "embedding_quantize" -> embeddingQuantizeSql,
     "clean_corpus"     -> cleanCorpusSql,
+    "corpus_yield_report" -> corpusYieldReportSql,
     "doc_sample_10pct" -> docSampleSql,
     "doc_quality_sample" -> docQualitySampleSql,
     "source_caps"        -> sourceCapsSql,
