@@ -129,6 +129,41 @@ object RelationalQueries {
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 10""".stripMargin
 
+  /** Ratio-to-report: every nation's share of total revenue plus its
+    * revenue rank — the classic "percent of total" analytic. The share
+    * arithmetic runs in exact CENTS (the rounded revenue × 100 is an
+    * exact integer, so the total and the fixed-point share ratio cannot
+    * drift with summation order); the total is a broadcast 1-row frame,
+    * not a whole-partition window sum of doubles. */
+  def nationRevenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = revenueByNation(spark, dir)
+      .withColumn("cents", round(col("revenue") * 100).cast("long"))
+    val tot = rev.agg(sum(col("cents")).as("tot"))
+    val w = Window.orderBy(col("revenue").desc)
+    rev.crossJoin(broadcast(tot))
+      .withColumn("share", floor(col("cents") * 1e6 / col("tot")) / lit(1e6))
+      .withColumn("rk", rank().over(w))
+      .select("rk", "n_name", "revenue", "share")
+      .orderBy("rk", "n_name")
+  }
+
+  private val nationRevenueShareSql: String =
+    """WITH r AS (
+      |  SELECT n_name,
+      |         round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+      |  FROM lineitem
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation   ON c_nationkey = n_nationkey
+      |  GROUP BY n_name),
+      |c AS (SELECT n_name, revenue, CAST(round(revenue * 100, 0) AS BIGINT) AS cents FROM r),
+      |t AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM c)
+      |SELECT rank() OVER (ORDER BY revenue DESC) AS rk,
+      |       n_name, revenue,
+      |       floor(cents * 1e6 / t.tot) / 1e6 AS share
+      |FROM c CROSS JOIN t
+      |ORDER BY rk, n_name""".stripMargin
+
   /** Analytic ranking window: top-3 parts per brand by retail price.
     * Deterministic tie-break on p_partkey in the ORDER BY on both sides. */
   def rankPartsPerBrand(spark: SparkSession, dir: String): DataFrame = {
@@ -479,6 +514,7 @@ object RelationalQueries {
     "region_hierarchy"     -> (regionHierarchy _),
     "q1_pricing_summary"   -> (pricingSummary _),
     "revenue_by_nation"    -> (revenueByNation _),
+    "nation_revenue_share" -> (nationRevenueShare _),
     "top_customers"        -> (topCustomers _),
     "rank_parts_per_brand" -> (rankPartsPerBrand _),
     "orders_per_month"     -> (ordersPerMonth _),
@@ -495,6 +531,7 @@ object RelationalQueries {
     "region_hierarchy"     -> regionHierarchySql,
     "q1_pricing_summary"   -> pricingSummarySql,
     "revenue_by_nation"    -> revenueByNationSql,
+    "nation_revenue_share" -> nationRevenueShareSql,
     "top_customers"        -> topCustomersSql,
     "rank_parts_per_brand" -> rankPartsPerBrandSql,
     "orders_per_month"     -> ordersPerMonthSql,
