@@ -548,6 +548,62 @@ object AnalyticsQueries {
       |FROM o JOIN sky ON o.d = sky.d AND o.p = sky.p
       |ORDER BY o_date, o_orderkey""".stripMargin
 
+  /** Market-basket co-occurrence with LIFT — the association-rule
+    * counting pass (frequent itemsets at k = 2): part pairs appearing in
+    * the same order, with support and lift = P(a,b)/(P(a)·P(b)).
+    * Top-20 pairs by joint count.
+    *
+    * Scale shape: the pair join is an equi-join on the ORDER key, so the
+    * blow-up is Σ basket² (baskets are small and bounded — ~4 lineitems
+    * per order — not corpus-sized); per-part supports are one aggregate,
+    * broadcast back onto the pair frame. Lift ratios are fixed-point
+    * floored (integer-count ratios land on exact .5 boundaries). */
+  def partPairLift(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .cache() // feeds the pair self-join AND the per-part supports
+    val nOrders = Tables.orders(spark, dir).agg(count(lit(1)).as("n_orders"))
+    val supp = li.groupBy(col("pk")).agg(count(lit(1)).as("n_part"))
+    val pairs = li.select(col("ok"), col("pk").as("a_pk"))
+      .join(li.select(col("ok"), col("pk").as("b_pk")), "ok")
+      .filter(col("a_pk") < col("b_pk"))
+      .groupBy(col("a_pk"), col("b_pk"))
+      .agg(count(lit(1)).as("n_joint"))
+    pairs
+      .join(supp.select(col("pk").as("a_pk"), col("n_part").as("n_a")), "a_pk")
+      .join(supp.select(col("pk").as("b_pk"), col("n_part").as("n_b")), "b_pk")
+      .crossJoin(broadcast(nOrders))
+      // lift = (n_joint · n_orders) / (n_a · n_b): all-integer numerator
+      // and denominator, one double division, fixed-point floored
+      .withColumn("lift",
+        floor(col("n_joint") * col("n_orders") * 1e4
+          / (col("n_a") * col("n_b"))) / lit(1e4))
+      .select("a_pk", "b_pk", "n_joint", "n_a", "n_b", "lift")
+      .orderBy(col("n_joint").desc, col("a_pk"), col("b_pk"))
+      .limit(20)
+  }
+
+  private val partPairLiftSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |n AS (SELECT count(*) AS n_orders FROM orders),
+      |supp AS (SELECT pk, count(*) AS n_part FROM li GROUP BY pk),
+      |pairs AS (
+      |  SELECT a.pk AS a_pk, b.pk AS b_pk, count(*) AS n_joint
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY a.pk, b.pk)
+      |SELECT p.a_pk, p.b_pk,
+      |       CAST(p.n_joint AS BIGINT) AS n_joint,
+      |       CAST(sa.n_part AS BIGINT) AS n_a,
+      |       CAST(sb.n_part AS BIGINT) AS n_b,
+      |       floor(p.n_joint * n.n_orders * 1e4 / (sa.n_part * sb.n_part)) / 1e4 AS lift
+      |FROM pairs p
+      |JOIN supp sa ON sa.pk = p.a_pk
+      |JOIN supp sb ON sb.pk = p.b_pk
+      |CROSS JOIN n
+      |ORDER BY n_joint DESC, a_pk, b_pk
+      |LIMIT 20""".stripMargin
+
   private val PrIters = 3
   private val Damping = 0.85
 
@@ -633,6 +689,7 @@ object AnalyticsQueries {
   val queries: Map[String, Q] = Map(
     "event_type_pagerank" -> (eventTypePagerank _),
     "orders_skyline"      -> (ordersSkyline _),
+    "part_pair_lift"      -> (partPairLift _),
     "event_type_distances"     -> (eventTypeDistances _),
     "orders_by_dow"            -> (ordersByDow _),
     "orders_cube"              -> (ordersCube _),
@@ -655,6 +712,7 @@ object AnalyticsQueries {
   val oracle: Map[String, String] = Map(
     "event_type_pagerank" -> eventTypePagerankSql,
     "orders_skyline"      -> ordersSkylineSql,
+    "part_pair_lift"      -> partPairLiftSql,
     "event_type_distances"     -> eventTypeDistancesSql,
     "orders_by_dow"            -> ordersByDowSql,
     "orders_cube"              -> ordersCubeSql,
