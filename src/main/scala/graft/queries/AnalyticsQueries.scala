@@ -686,7 +686,67 @@ object AnalyticsQueries {
        |ORDER BY node""".stripMargin
   }
 
+  private val PromoWindowUs = 6L * 3600 * 1000000 // 6 h in µs
+
+  /** Point-in-interval range join, in its scale form: every "promo"
+    * purchase (a deterministic user_id slice) opens a 6-hour window, and
+    * the query counts all event activity landing inside each window. A
+    * naive non-equi join degenerates to broadcast-nested-loop (every
+    * event × every interval); instead both sides are BUCKETED on
+    * floor(time / binWidth) with binWidth = the window length, so each
+    * interval overlaps at most two buckets: the interval side explodes
+    * into its ≤2 buckets, the point side keeps its single bucket, and the
+    * join becomes a plain equi-join on the bucket key with the range
+    * predicate verified on candidates. Each (interval, event) pair meets
+    * in exactly one bucket (the event's), so no post-join dedup is
+    * needed. Work scales as |events| + Σ overlaps — never |events|×|intervals|.
+    * All boundaries are exact integer µs (`div`, not float division);
+    * the oracle is DuckDB's plain non-equi join over the same µs values
+    * (CAST ts AS TIMESTAMP truncates ns→µs exactly like Tables.events). */
+  def rangeJoinBinned(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val promos = ev
+      .filter(col("event_type") === "purchase" && col("user_id") % 50 === 0)
+      .select(col("event_id").as("promo_id"), col("ts_us").as("start_us"))
+      .withColumn("end_us", col("start_us") + PromoWindowUs)
+      .withColumn("bucket",
+        explode(sequence(
+          expr(s"start_us div $PromoWindowUs"),
+          expr(s"(end_us - 1L) div $PromoWindowUs"))))
+    val points = ev.withColumn("bucket", expr(s"ts_us div $PromoWindowUs"))
+    points.join(promos,
+        points("bucket") === promos("bucket") &&
+          col("ts_us") >= col("start_us") && col("ts_us") < col("end_us"))
+      .groupBy(col("promo_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))
+      .orderBy("promo_id")
+  }
+
+  private val rangeJoinBinnedSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events),
+      |p AS (
+      |  SELECT event_id AS promo_id, ts_us AS start_us,
+      |         ts_us + 21600000000 AS end_us
+      |  FROM e
+      |  WHERE event_type = 'purchase' AND user_id % 50 = 0)
+      |SELECT p.promo_id,
+      |       count(*) AS n_events,
+      |       count(DISTINCT e.user_id) AS n_users,
+      |       CAST(sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+      |FROM p JOIN e ON e.ts_us >= p.start_us AND e.ts_us < p.end_us
+      |GROUP BY p.promo_id
+      |ORDER BY p.promo_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "range_join_binned"  -> (rangeJoinBinned _),
     "event_type_pagerank" -> (eventTypePagerank _),
     "orders_skyline"      -> (ordersSkyline _),
     "part_pair_lift"      -> (partPairLift _),
@@ -710,6 +770,7 @@ object AnalyticsQueries {
     "distinct_users_approx"    -> (distinctUsersApprox _))
 
   val oracle: Map[String, String] = Map(
+    "range_join_binned"  -> rangeJoinBinnedSql,
     "event_type_pagerank" -> eventTypePagerankSql,
     "orders_skyline"      -> ordersSkylineSql,
     "part_pair_lift"      -> partPairLiftSql,

@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Corpus-level text tier: retrieval scoring (BM25), distribution
+  * diagnostics (token entropy), and sequence packing — the operators that
+  * look at the corpus as a token stream rather than at one document.
+  *
+  * Scale notes (the 100 TB story):
+  *  - BM25 needs only corpus-constant statistics (N, avgdl, per-term df):
+  *    N/avgdl are one broadcast row; df is a window over the posting rows
+  *    of the QUERY terms only (|terms| × docs-hit, never the vocabulary).
+  *  - entropy is one explode → one (source, token) partial-agg shuffle —
+  *    the same shape as a word count; no global state.
+  *  - packing is the concat-then-chunk layout used by pretraining data
+  *    loaders: a per-source running token offset (window partitioned by
+  *    source) maps every doc to its bin span. At 100 TB you pack within
+  *    (source, shard) — the window key gains a shard component derived
+  *    from the input split, keeping every partition's window independent —
+  *    bins are shard-local so no global sort ever happens.
+  */
+object CorpusQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Whitespace-token CTE shared by the oracles (doc_id, source, toks). */
+  private val toksCte =
+    """t AS (
+      |  SELECT doc_id, source,
+      |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |              ELSE string_split_regex(trim(text), '\s+') END AS toks
+      |  FROM documents)""".stripMargin
+
+  // ---------------------------------------------------------------- entropy
+
+  /** Shannon entropy of the token distribution per source — the corpus
+    * diversity diagnostic (a source whose entropy collapses is template
+    * spam; one far above its peers is noise). Uses the identity
+    * H = ln(T) − (Σ c·ln c)/T over per-(source,token) counts c, so the
+    * whole computation is one explode + one partial-agg shuffle.
+    * Engine parity: ln is the only libm call and is rounded to 6 before
+    * use; the Σ c·ln c sum runs through DECIMAL so partial-agg order
+    * cannot perturb it (same discipline as doc_lm_score). */
+  def sourceTokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    counts
+      .groupBy(col("source"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum((col("c") * round(log(col("c").cast("double")), 6))
+          .cast("decimal(28,10)")).as("sum_clnc"))
+      .withColumn("entropy",
+        round(
+          round(log(col("n_tokens").cast("double")), 6) -
+            col("sum_clnc").cast("double") / col("n_tokens"), 6))
+      // normalized by the max possible (uniform over the vocabulary):
+      // the cross-source comparable number
+      .withColumn("norm_entropy",
+        when(col("vocab_size") > 1,
+          round(col("entropy") / round(log(col("vocab_size").cast("double")), 6), 6))
+          .otherwise(lit(0.0)))
+      .select("source", "n_tokens", "vocab_size", "entropy", "norm_entropy")
+      .orderBy("source")
+  }
+
+  private val sourceTokenEntropySql: String =
+    s"""WITH $toksCte,
+       |e AS (SELECT source, unnest(toks) AS token FROM t),
+       |c AS (SELECT source, token, count(*) AS c FROM e GROUP BY 1, 2),
+       |s AS (
+       |  SELECT source,
+       |         CAST(sum(c) AS BIGINT) AS n_tokens,
+       |         count(*) AS vocab_size,
+       |         CAST(sum(CAST(c * round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(28,10))) AS DOUBLE) AS sum_clnc
+       |  FROM c GROUP BY source),
+       |f AS (
+       |  SELECT source, n_tokens, CAST(vocab_size AS BIGINT) AS vocab_size,
+       |         round(round(ln(CAST(n_tokens AS DOUBLE)), 6) - sum_clnc / n_tokens, 6) AS entropy
+       |  FROM s)
+       |SELECT source, n_tokens, vocab_size, entropy,
+       |       CASE WHEN vocab_size > 1
+       |            THEN round(entropy / round(ln(CAST(vocab_size AS DOUBLE)), 6), 6)
+       |            ELSE 0.0 END AS norm_entropy
+       |FROM f ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------------ BM25
+
+  private val Bm25Terms = Seq("spark", "merge", "window")
+  private val K1 = 1.2
+  private val K1p1 = K1 + 1 // interpolated into the oracle so both engines
+                            // parse the identical shortest-repr double
+  private val B = 0.75
+
+  /** BM25 top-20 documents for a fixed query-term set — the retrieval
+    * scorer a corpus-search/quality pipeline runs next to TF-IDF. Term
+    * frequencies come from three codegen'd array scans per doc (no corpus
+    * explode: |terms| is tiny and fixed), melted with `stack`; df is a
+    * count over the posting rows per term; N and avgdl are one broadcast
+    * row. All double arithmetic uses identical operand order on both
+    * engines and the only libm call (ln in idf) is rounded to 6; the
+    * per-doc sum over term scores goes through DECIMAL. Docs hitting no
+    * query term score 0 and are omitted (inner semantics, documented). */
+  def docBm25Top(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl").cast("long")).as("total_tokens"))
+    val tfWide = base.select(
+      col("doc_id") +: col("dl") +:
+        Bm25Terms.map(t => size(filter(col("toks"), x => x === lit(t))).as(s"tf_$t")): _*)
+    val stackExpr = Bm25Terms.map(t => s"'$t', tf_$t")
+      .mkString(s"stack(${Bm25Terms.size}, ", ", ", ") AS (term, tf)")
+    val tf = tfWide.selectExpr("doc_id", "dl", stackExpr).filter(col("tf") > 0)
+    val byTerm = Window.partitionBy(col("term"))
+    tf.withColumn("df", count(lit(1)).over(byTerm))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("total_tokens").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        round(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6))
+      .withColumn("s",
+        round(
+          col("idf") * (col("tf") * lit(K1p1)) /
+            (col("tf") + lit(K1) * (lit(1.0) - lit(B) + lit(B) * col("dl") / col("avgdl"))),
+          6))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_terms_hit"),
+        sum(col("s").cast("decimal(18,6)")).cast("double").as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val docBm25TopSql: String = {
+    val tfArms = Bm25Terms.map { t =>
+      s"""SELECT doc_id, dl, '$t' AS term,
+         |       CAST(len(list_filter(toks, x -> x = '$t')) AS INT) AS tf
+         |FROM base""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $toksCte,
+       |base AS (SELECT doc_id, toks, CAST(len(toks) AS INT) AS dl FROM t),
+       |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM base),
+       |tf AS (
+       |$tfArms),
+       |nz AS (SELECT * FROM tf WHERE tf > 0),
+       |w AS (SELECT doc_id, dl, term, tf,
+       |             count(*) OVER (PARTITION BY term) AS df
+       |      FROM nz),
+       |st AS (SELECT n_docs, CAST(total_tokens AS DOUBLE) / n_docs AS avgdl FROM stats),
+       |s AS (
+       |  SELECT doc_id,
+       |         round(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
+       |               * (tf * $K1p1)
+       |               / (tf + $K1 * (1.0 - $B + $B * dl / avgdl)), 6) AS s
+       |  FROM w CROSS JOIN st)
+       |SELECT doc_id, count(*) AS n_terms_hit,
+       |       CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+       |FROM s GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id
+       |LIMIT 20""".stripMargin
+  }
+
+  // --------------------------------------------------------------- packing
+
+  private val BinTokens = 256L
+
+  /** Sequence packing — the concat-then-chunk layout a pretraining data
+    * loader materializes: documents are concatenated in (source, doc_id)
+    * order and the token stream is cut into fixed [[BinTokens]]-token
+    * bins; every doc maps to the bin span [first_bin, last_bin] its
+    * tokens land in. Pure integer arithmetic end to end (a running token
+    * offset via window sum), so the result is engine-exact. Empty docs
+    * occupy zero tokens and report their insertion point as a 1-bin span. */
+  def docPackBins(spark: SparkSession, dir: String): DataFrame = {
+    val before = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("start_offset",
+        coalesce(sum(col("n_tokens")).over(before), lit(0L)))
+      .withColumn("first_bin", expr(s"start_offset div $BinTokens"))
+      .withColumn("last_bin",
+        expr(s"(start_offset + greatest(n_tokens, 1L) - 1L) div $BinTokens"))
+      .withColumn("bins_spanned", col("last_bin") - col("first_bin") + 1)
+      .orderBy("doc_id")
+  }
+
+  private val docPackBinsSql: String =
+    s"""WITH $toksCte,
+       |b AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+       |o AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         coalesce(sum(n_tokens) OVER (
+       |           PARTITION BY source ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+       |  FROM b),
+       |f AS (
+       |  SELECT doc_id, source, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+       |         CAST(start_offset // $BinTokens AS BIGINT) AS first_bin,
+       |         CAST((start_offset + greatest(n_tokens, 1) - 1) // $BinTokens AS BIGINT) AS last_bin
+       |  FROM o)
+       |SELECT doc_id, source, n_tokens, start_offset, first_bin, last_bin,
+       |       last_bin - first_bin + 1 AS bins_spanned
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "source_token_entropy" -> (sourceTokenEntropy _),
+    "doc_bm25_top"         -> (docBm25Top _),
+    "doc_pack_bins"        -> (docPackBins _))
+
+  val oracle: Map[String, String] = Map(
+    "source_token_entropy" -> sourceTokenEntropySql,
+    "doc_bm25_top"         -> docBm25TopSql,
+    "doc_pack_bins"        -> docPackBinsSql)
+}

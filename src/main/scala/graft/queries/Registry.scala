@@ -12,6 +12,7 @@ object Registry {
 
   private val modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
     (ParityQueries.queries, ParityQueries.oracle),
+    (CorpusQueries.queries, CorpusQueries.oracle),
     (RelationalQueries.queries, RelationalQueries.oracle),
     (TextQueries.queries, TextQueries.oracle),
     (SimilarityQueries.queries, SimilarityQueries.oracle),

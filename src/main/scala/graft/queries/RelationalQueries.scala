@@ -164,6 +164,60 @@ object RelationalQueries {
       |FROM c CROSS JOIN t
       |ORDER BY rk, n_name""".stripMargin
 
+  /** Pareto (cumulative-contribution) analysis: every supplier ranked by
+    * revenue with its exact-cents cumulative share and the 80%-coverage
+    * head flag — the "which 20% of suppliers carry 80% of revenue" view.
+    * The fact side collapses to one row per supplier in a single
+    * partial-agg shuffle; the ordered cumulative pass then runs over a
+    * DIMENSION-sized frame (|supplier| ≪ |lineitem| at every SF), so the
+    * single-partition window is bounded by the dimension, not the data —
+    * and if the dimension itself ever grew fact-like, the same two-phase
+    * split used by orders_skyline (per-range partial sums + broadcast
+    * offsets) applies. Share arithmetic runs in exact integer cents; the
+    * head flag compares 5·(preceding cumulative) < 4·total so no float
+    * can flip a boundary row. */
+  def supplierPareto(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(revenueExpr.cast("decimal(18,6)")).cast("double"), 2).as("revenue"))
+    val bySupp = Tables.supplier(spark, dir)
+      .join(rev, col("s_suppkey") === col("l_suppkey"), "left")
+      .withColumn("revenue", coalesce(col("revenue"), lit(0.0)))
+      .withColumn("cents", round(col("revenue") * 100).cast("long"))
+    val tot = bySupp.agg(sum(col("cents")).as("tot"))
+    val ord = Window.orderBy(col("cents").desc, col("s_suppkey"))
+    bySupp.crossJoin(broadcast(tot))
+      .withColumn("rk", row_number().over(ord))
+      .withColumn("cum_cents",
+        sum(col("cents")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_share", floor(col("cum_cents") * 1e6 / col("tot")) / lit(1e6))
+      .withColumn("in_top80", (col("cum_cents") - col("cents")) * 5 < col("tot") * 4)
+      .select("rk", "s_suppkey", "s_name", "revenue", "cum_share", "in_top80")
+      .orderBy("rk")
+  }
+
+  private val supplierParetoSql: String =
+    """WITH r AS (
+      |  SELECT l_suppkey,
+      |         round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+      |  FROM lineitem GROUP BY l_suppkey),
+      |j AS (
+      |  SELECT s_suppkey, s_name, coalesce(revenue, 0.0) AS revenue,
+      |         CAST(round(coalesce(revenue, 0.0) * 100, 0) AS BIGINT) AS cents
+      |  FROM supplier LEFT JOIN r ON s_suppkey = l_suppkey),
+      |t AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM j),
+      |c AS (
+      |  SELECT s_suppkey, s_name, revenue, cents,
+      |         row_number() OVER (ORDER BY cents DESC, s_suppkey) AS rk,
+      |         CAST(sum(cents) OVER (ORDER BY cents DESC, s_suppkey
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+      |  FROM j)
+      |SELECT rk, s_suppkey, s_name, revenue,
+      |       floor(cum_cents * 1e6 / t.tot) / 1e6 AS cum_share,
+      |       (cum_cents - cents) * 5 < t.tot * 4 AS in_top80
+      |FROM c CROSS JOIN t
+      |ORDER BY rk""".stripMargin
+
   /** Analytic ranking window: top-3 parts per brand by retail price.
     * Deterministic tie-break on p_partkey in the ORDER BY on both sides. */
   def rankPartsPerBrand(spark: SparkSession, dir: String): DataFrame = {
@@ -515,6 +569,7 @@ object RelationalQueries {
     "q1_pricing_summary"   -> (pricingSummary _),
     "revenue_by_nation"    -> (revenueByNation _),
     "nation_revenue_share" -> (nationRevenueShare _),
+    "supplier_pareto"      -> (supplierPareto _),
     "top_customers"        -> (topCustomers _),
     "rank_parts_per_brand" -> (rankPartsPerBrand _),
     "orders_per_month"     -> (ordersPerMonth _),
@@ -532,6 +587,7 @@ object RelationalQueries {
     "q1_pricing_summary"   -> pricingSummarySql,
     "revenue_by_nation"    -> revenueByNationSql,
     "nation_revenue_share" -> nationRevenueShareSql,
+    "supplier_pareto"      -> supplierParetoSql,
     "top_customers"        -> topCustomersSql,
     "rank_parts_per_brand" -> rankPartsPerBrandSql,
     "orders_per_month"     -> ordersPerMonthSql,
