@@ -745,7 +745,118 @@ object AnalyticsQueries {
       |GROUP BY p.promo_id
       |ORDER BY p.promo_id""".stripMargin
 
+  /** Triangle census of the co-purchase graph — the graph-topology
+    * diagnostic (global clustering coefficient) over parts that co-occur
+    * in ≥2 orders. Edges are ORIENTED low-id → high-id, so each triangle
+    * is counted exactly once by the canonical a<b<c two-hop join + close:
+    * paths x→y→z from two oriented hops, closed by a semi-check against
+    * the edge set — never an all-pairs product. Wedge count Σ d(d−1)/2
+    * is exact integer arithmetic over the degree frame. At scale the
+    * standard refinement is to orient by DEGREE (low-degree first)
+    * instead of id, bounding the hop join's fan-out by √|E| on skewed
+    * graphs; id-orientation keeps the oracle trivially mirrorable. */
+  def partTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = li.select(col("ok"), col("pk").as("src"))
+      .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+      .filter(col("src") < col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n_orders_joint"))
+      .filter(col("n_orders_joint") >= 2)
+      .select("src", "dst")
+      .cache() // feeds degrees, the two-hop join, and the closing join
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    val wedges = edges.select(col("src").as("v"))
+      .unionAll(edges.select(col("dst").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      .agg(sum(expr("(d * (d - 1)) div 2")).as("n_wedges"))
+    val tris = edges.select(col("src").as("x"), col("dst").as("y"))
+      .join(edges.select(col("src").as("y"), col("dst").as("z")), "y")
+      .join(edges.select(col("src").as("x"), col("dst").as("z")), Seq("x", "z"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    nEdges.crossJoin(wedges).crossJoin(tris)
+      .withColumn("clustering",
+        when(col("n_wedges") > 0,
+          floor(col("n_triangles") * 3 * 1e6 / col("n_wedges")) / lit(1e6))
+          .otherwise(lit(0.0)))
+      .select("n_edges", "n_wedges", "n_triangles", "clustering")
+  }
+
+  private val partTrianglesSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (
+      |  SELECT a.pk AS src, b.pk AS dst
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |ne AS (SELECT count(*) AS n_edges FROM e),
+      |deg AS (SELECT v, count(*) AS d
+      |        FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
+      |        GROUP BY v),
+      |w AS (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM deg),
+      |tri AS (
+      |  SELECT count(*) AS n_triangles
+      |  FROM (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+      |        FROM e e1 JOIN e e2 ON e2.src = e1.dst) p
+      |  WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.src = p.x AND e3.dst = p.z))
+      |SELECT ne.n_edges, w.n_wedges, CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+      |       CASE WHEN w.n_wedges > 0
+      |            THEN floor(tri.n_triangles * 3 * 1e6 / w.n_wedges) / 1e6
+      |            ELSE 0.0 END AS clustering
+      |FROM ne CROSS JOIN w CROSS JOIN tri""".stripMargin
+
+  /** Winsorized robust statistics: mean and stddev of order totals after
+    * clamping to the exact [P05, P95] band — the outlier-robust metric
+    * pair a monitoring pipeline tracks next to the raw mean. Bounds are
+    * one broadcast row (exact interpolated percentiles, parity proven by
+    * quantity_quantiles); the clamp is a codegen'd map; the moments are
+    * DECIMAL-exact sums so partial-agg order cannot perturb them, and
+    * variance comes from the two-moment identity (not Welford, whose
+    * accumulation order is engine-specific). */
+  def ordersWinsorized(spark: SparkSession, dir: String): DataFrame = {
+    val bounds = Tables.orders(spark, dir).agg(
+      expr("percentile(o_totalprice, 0.05)").as("lo"),
+      expr("percentile(o_totalprice, 0.95)").as("hi"))
+    Tables.orders(spark, dir)
+      .crossJoin(broadcast(bounds))
+      .withColumn("wp", least(greatest(col("o_totalprice"), col("lo")), col("hi")))
+      .agg(
+        count(lit(1)).as("n"),
+        round(first(col("lo")), 6).as("lo"),
+        round(first(col("hi")), 6).as("hi"),
+        sum(col("wp").cast("decimal(28,10)")).cast("double").as("s1"),
+        sum((col("wp") * col("wp")).cast("decimal(28,10)")).cast("double").as("s2"))
+      .select(
+        col("n"), col("lo"), col("hi"),
+        (floor(col("s1") * 1e6 / col("n")) / lit(1e6)).as("win_mean"),
+        round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 6)
+          .as("win_stddev"))
+  }
+
+  private val ordersWinsorizedSql: String =
+    """WITH b AS (
+      |  SELECT quantile_cont(o_totalprice, 0.05) AS lo,
+      |         quantile_cont(o_totalprice, 0.95) AS hi
+      |  FROM orders),
+      |c AS (
+      |  SELECT least(greatest(o_totalprice, lo), hi) AS wp, lo, hi
+      |  FROM orders CROSS JOIN b),
+      |s AS (
+      |  SELECT count(*) AS n,
+      |         round(any_value(lo), 6) AS lo,
+      |         round(any_value(hi), 6) AS hi,
+      |         CAST(sum(CAST(wp AS DECIMAL(28,10))) AS DOUBLE) AS s1,
+      |         CAST(sum(CAST(wp * wp AS DECIMAL(28,10))) AS DOUBLE) AS s2
+      |  FROM c)
+      |SELECT n, lo, hi,
+      |       floor(s1 * 1e6 / n) / 1e6 AS win_mean,
+      |       round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS win_stddev
+      |FROM s""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "part_triangles"     -> (partTriangles _),
+    "orders_winsorized"  -> (ordersWinsorized _),
     "range_join_binned"  -> (rangeJoinBinned _),
     "event_type_pagerank" -> (eventTypePagerank _),
     "orders_skyline"      -> (ordersSkyline _),
@@ -770,6 +881,8 @@ object AnalyticsQueries {
     "distinct_users_approx"    -> (distinctUsersApprox _))
 
   val oracle: Map[String, String] = Map(
+    "part_triangles"     -> partTrianglesSql,
+    "orders_winsorized"  -> ordersWinsorizedSql,
     "range_join_binned"  -> rangeJoinBinnedSql,
     "event_type_pagerank" -> eventTypePagerankSql,
     "orders_skyline"      -> ordersSkylineSql,

@@ -214,12 +214,49 @@ object CorpusQueries {
        |       last_bin - first_bin + 1 AS bins_spanned
        |FROM f ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- BPE pair stats
+
+  /** The counting pass of one BPE merge iteration — tokenizer training
+    * prep: adjacent character-pair frequencies over the corpus, weighted
+    * by word frequency. The corpus collapses to its WORD FREQUENCY TABLE
+    * first (one shuffle; the vocabulary is tiny vs the token stream —
+    * this is why BPE training over 100 TB is feasible at all), then each
+    * distinct word explodes into its len−1 adjacent pairs exactly once,
+    * weighted by its count. Top-20 pairs = the first merge candidates. */
+  def bpeMergePairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .filter(length(col("w")) >= 2)
+      .select(col("freq"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+
+  private val bpeMergePairsSql: String =
+    s"""WITH $toksCte,
+       |words AS (SELECT unnest(toks) AS w FROM t),
+       |f AS (SELECT w, count(*) AS freq FROM words GROUP BY w),
+       |p AS (
+       |  SELECT substring(w, CAST(i AS INT), 2) AS pair, freq
+       |  FROM f, LATERAL (SELECT unnest(range(1, CAST(length(w) AS BIGINT))) AS i) u
+       |  WHERE length(w) >= 2)
+       |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+       |FROM p GROUP BY pair
+       |ORDER BY n DESC, pair
+       |LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "bpe_merge_pairs"      -> (bpeMergePairs _),
     "source_token_entropy" -> (sourceTokenEntropy _),
     "doc_bm25_top"         -> (docBm25Top _),
     "doc_pack_bins"        -> (docPackBins _))
 
   val oracle: Map[String, String] = Map(
+    "bpe_merge_pairs"      -> bpeMergePairsSql,
     "source_token_entropy" -> sourceTokenEntropySql,
     "doc_bm25_top"         -> docBm25TopSql,
     "doc_pack_bins"        -> docPackBinsSql)

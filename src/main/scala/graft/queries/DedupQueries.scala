@@ -436,7 +436,55 @@ object DedupQueries {
        |FROM bs LEFT JOIN agg ON bs.b_id = agg.b_id
        |ORDER BY bs.b_id""".stripMargin
 
+  /** Incremental (delta-vs-base) exact dedup — the production ingest
+    * shape: the corpus already holds a BASE partition (here the stable
+    * doc_id % 10 < 8 slice standing in for yesterday's data); a new DELTA
+    * batch deduplicates against the base's fingerprint index AND within
+    * itself, so the pipeline never rescans base×base. Every delta doc is
+    * labeled `dup_of_base` (fingerprint already ingested), `dup_in_delta`
+    * (first occurrence wins inside the batch), or `new`. Scale shape:
+    * the base side reduces to DISTINCT fingerprints (the dedup index —
+    * at 100 TB a bucketed-by-fingerprint table, so this equi-join is
+    * co-located and prunes to the delta's buckets); within-delta dedup
+    * is one window over the small new batch. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("fingerprint", graft.functions.TextFunctions.fingerprint(col("text")))
+    val baseFps = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+      .select(col("fingerprint")).distinct()
+      .withColumn("in_base", lit(true))
+    val withinDelta = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fingerprint")).orderBy(col("doc_id"))
+    docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+      .join(baseFps, Seq("fingerprint"), "left")
+      .withColumn("rk", row_number().over(withinDelta))
+      .withColumn("status",
+        when(col("in_base"), lit("dup_of_base"))
+          .when(col("rk") > 1, lit("dup_in_delta"))
+          .otherwise(lit("new")))
+      .select("doc_id", "fingerprint", "status")
+      .orderBy("doc_id")
+  }
+
+  private val incrementalDedupSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint
+      |  FROM documents),
+      |base AS (SELECT DISTINCT fingerprint FROM d WHERE doc_id % 10 < 8),
+      |delta AS (
+      |  SELECT doc_id, fingerprint,
+      |         row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rk
+      |  FROM d WHERE doc_id % 10 >= 8)
+      |SELECT delta.doc_id, delta.fingerprint,
+      |       CASE WHEN base.fingerprint IS NOT NULL THEN 'dup_of_base'
+      |            WHEN rk > 1 THEN 'dup_in_delta'
+      |            ELSE 'new' END AS status
+      |FROM delta LEFT JOIN base ON delta.fingerprint = base.fingerprint
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "incremental_dedup"   -> (incrementalDedup _),
     "dedup_components"    -> (dedupComponents _),
     "contamination_containment" -> (contaminationContainment _),
     "benchmark_contamination" -> (benchmarkContamination _),
@@ -449,6 +497,7 @@ object DedupQueries {
     "simhash_banded_dup"  -> (simhashBandedDup _))
 
   val oracle: Map[String, String] = Map(
+    "incremental_dedup"   -> incrementalDedupSql,
     "dedup_components"    -> dedupComponentsSql,
     "contamination_containment" -> contaminationContainmentSql,
     "benchmark_contamination" -> benchmarkContaminationSql,

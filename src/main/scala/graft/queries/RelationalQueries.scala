@@ -288,6 +288,55 @@ object RelationalQueries {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** Peak concurrency by sweep-line: the maximum number of simultaneously
+    * open user sessions and the first instant it is reached — the
+    * capacity-planning number over [[userSessions]]' intervals. Each
+    * session emits +1 at start and −1 at end (ends sort before starts at
+    * the same instant, so back-to-back sessions never double-count); a
+    * running sum over the event stream is the concurrency curve. The
+    * ordered pass runs over 2·|sessions| delta rows — already aggregated
+    * far below the event count; at larger scale the same two-phase trick
+    * as orders_skyline applies (per-range partial sums + broadcast
+    * offsets). Peer rows (identical ts, delta) make row-level prefix
+    * sums order-ambiguous, but the (ts, concurrency) MULTISET is
+    * permutation-invariant within peers, so the max and its first
+    * timestamp are engine-deterministic. */
+  def maxConcurrentSessions(spark: SparkSession, dir: String): DataFrame = {
+    val s = userSessions(spark, dir)
+    val deltas = s.select(col("session_start").as("ts"), lit(1).as("d"))
+      .unionAll(s.select(col("session_end").as("ts"), lit(-1).as("d")))
+    val run = Window.orderBy(col("ts"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("concurrent", sum(col("d")).over(run))
+      .orderBy(col("concurrent").desc, col("ts"))
+      .limit(1)
+      .select(col("concurrent").as("max_concurrent"), col("ts").as("first_at"))
+  }
+
+  private val maxConcurrentSessionsSql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |d AS (SELECT user_id, ts,
+      |             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+      |                  THEN 1 ELSE 0 END AS new_s
+      |      FROM e),
+      |s AS (SELECT user_id, ts,
+      |             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                              ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM d),
+      |sess AS (SELECT min(ts) AS session_start,
+      |                max(ts) + INTERVAL '30 minutes' AS session_end
+      |         FROM s GROUP BY user_id, sid),
+      |del AS (SELECT session_start AS ts, 1 AS delta FROM sess
+      |        UNION ALL
+      |        SELECT session_end, -1 FROM sess),
+      |r AS (SELECT ts,
+      |             CAST(sum(delta) OVER (ORDER BY ts, delta
+      |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrent
+      |      FROM del)
+      |SELECT concurrent AS max_concurrent, ts AS first_at
+      |FROM r ORDER BY concurrent DESC, ts LIMIT 1""".stripMargin
+
   /** DYNAMIC-gap sessionization: the session gap is a per-event
     * EXPRESSION (purchases hold a session open 60 min, everything else
     * 30) — Spark's `session_window(ts, gapColumn)` merging-interval
@@ -574,6 +623,7 @@ object RelationalQueries {
     "rank_parts_per_brand" -> (rankPartsPerBrand _),
     "orders_per_month"     -> (ordersPerMonth _),
     "user_sessions"        -> (userSessions _),
+    "max_concurrent_sessions" -> (maxConcurrentSessions _),
     "user_sessions_dynamic" -> (userSessionsDynamic _),
     "asof_last_click"      -> (asOfLastClick _))
 
@@ -592,6 +642,7 @@ object RelationalQueries {
     "rank_parts_per_brand" -> rankPartsPerBrandSql,
     "orders_per_month"     -> ordersPerMonthSql,
     "user_sessions"        -> userSessionsSql,
+    "max_concurrent_sessions" -> maxConcurrentSessionsSql,
     "user_sessions_dynamic" -> userSessionsDynamicSql,
     "asof_last_click"      -> asOfLastClickSql)
 }
