@@ -806,6 +806,66 @@ object AnalyticsQueries {
       |            ELSE 0.0 END AS clustering
       |FROM ne CROSS JOIN w CROSS JOIN tri""".stripMargin
 
+  /** RFM segmentation — the classic behavioral-cohort operator: per
+    * customer recency (days since last order, as-of the corpus max date),
+    * frequency (order count), monetary (exact-decimal revenue), each cut
+    * into quintiles (ntile with custkey tiebreak, so tile edges are
+    * engine-deterministic), plus a coarse segment label. The per-customer
+    * aggregate is one shuffle on the fact; the three ntile windows run
+    * over the DIMENSION-sized customer frame (same bound/argument as
+    * supplier_pareto; two-phase range partitioning if the dimension ever
+    * grows fact-like). */
+  def customerRfm(spark: SparkSession, dir: String): DataFrame = {
+    val asof = Tables.orders(spark, dir).agg(max(col("o_orderdate")).as("asof"))
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        decSum(col("o_totalprice")).as("monetary"))
+      .crossJoin(broadcast(asof))
+      .withColumn("recency_days", datediff(col("asof"), col("last_order")))
+    val rT = ntile(5).over(Window.orderBy(col("recency_days").asc, col("o_custkey")))
+    val fT = ntile(5).over(Window.orderBy(col("frequency").desc, col("o_custkey")))
+    val mT = ntile(5).over(Window.orderBy(col("monetary").desc, col("o_custkey")))
+    per.withColumn("r_tile", rT).withColumn("f_tile", fT).withColumn("m_tile", mT)
+      .withColumn("segment",
+        when(col("r_tile") <= 2 && col("f_tile") <= 2 && col("m_tile") <= 2, lit("champion"))
+          .when(col("r_tile") >= 4 && col("f_tile") >= 4, lit("at_risk"))
+          .otherwise(lit("regular")))
+      .select("o_custkey", "recency_days", "frequency", "monetary",
+        "r_tile", "f_tile", "m_tile", "segment")
+      .orderBy("o_custkey")
+  }
+
+  private val customerRfmSql: String =
+    """WITH a AS (SELECT max(o_orderdate) AS asof FROM orders),
+      |p AS (
+      |  SELECT o_custkey,
+      |         max(o_orderdate) AS last_order,
+      |         count(*) AS frequency,
+      |         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS monetary
+      |  FROM orders GROUP BY o_custkey),
+      |t AS (
+      |  SELECT o_custkey,
+      |         date_diff('day', CAST(last_order AS DATE), CAST(a.asof AS DATE)) AS recency_days,
+      |         frequency, monetary
+      |  FROM p CROSS JOIN a),
+      |q AS (
+      |  SELECT o_custkey, CAST(recency_days AS INT) AS recency_days,
+      |         CAST(frequency AS BIGINT) AS frequency, monetary,
+      |         ntile(5) OVER (ORDER BY recency_days ASC, o_custkey) AS r_tile,
+      |         ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_tile,
+      |         ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_tile
+      |  FROM t)
+      |SELECT o_custkey, recency_days, frequency, monetary,
+      |       r_tile, f_tile, m_tile,
+      |       CASE WHEN r_tile <= 2 AND f_tile <= 2 AND m_tile <= 2 THEN 'champion'
+      |            WHEN r_tile >= 4 AND f_tile >= 4 THEN 'at_risk'
+      |            ELSE 'regular' END AS segment
+      |FROM q
+      |ORDER BY o_custkey""".stripMargin
+
   /** Winsorized robust statistics: mean and stddev of order totals after
     * clamping to the exact [P05, P95] band — the outlier-robust metric
     * pair a monitoring pipeline tracks next to the raw mean. Bounds are
@@ -856,6 +916,7 @@ object AnalyticsQueries {
 
   val queries: Map[String, Q] = Map(
     "part_triangles"     -> (partTriangles _),
+    "customer_rfm"       -> (customerRfm _),
     "orders_winsorized"  -> (ordersWinsorized _),
     "range_join_binned"  -> (rangeJoinBinned _),
     "event_type_pagerank" -> (eventTypePagerank _),
@@ -882,6 +943,7 @@ object AnalyticsQueries {
 
   val oracle: Map[String, String] = Map(
     "part_triangles"     -> partTrianglesSql,
+    "customer_rfm"       -> customerRfmSql,
     "orders_winsorized"  -> ordersWinsorizedSql,
     "range_join_binned"  -> rangeJoinBinnedSql,
     "event_type_pagerank" -> eventTypePagerankSql,

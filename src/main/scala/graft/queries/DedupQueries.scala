@@ -436,6 +436,63 @@ object DedupQueries {
        |FROM bs LEFT JOIN agg ON bs.b_id = agg.b_id
        |ORDER BY bs.b_id""".stripMargin
 
+  /** Estimator-quality report for the MinHash sketch: for every LSH
+    * candidate pair, the Jaccard ESTIMATE (fraction of agreeing signature
+    * components — what the sketch promises, E[est] = J) next to the exact
+    * shingle Jaccard and the absolute error. This is the validation view
+    * that justifies trusting the sketch at scales where exact Jaccard is
+    * unaffordable. Reuses the candidate-bounded shape of
+    * [[minhashLshDups]]: signatures and shingles are re-derived ONLY for
+    * candidate docs (semi-join), the signature agreement is an equi-join
+    * on (doc, k) — nothing touches corpus×corpus. */
+  def minhashJaccardEst(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cand = DedupOps.lshCandidates(spark, docs).cache()
+    val candIds = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    val shCand = DedupOps.docShingles(
+      docs.join(candIds, Seq("doc_id"), "left_semi")).cache()
+    val mh = DedupOps.minhashFromShingles(spark, shCand)
+    val agree = cand
+      .join(mh.select(col("doc_id").as("a_id"), col("k"), col("minhash").as("ma")), Seq("a_id"))
+      .join(mh.select(col("doc_id").as("b_id"), col("k"), col("minhash").as("mb")), Seq("b_id", "k"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(when(col("ma") === col("mb"), 1).otherwise(0)).cast("int").as("n_match"))
+    agree
+      .join(shCand.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
+      .join(shCand.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
+      .select(
+        col("a_id"), col("b_id"), col("n_match"),
+        round(col("n_match").cast("double") / DedupOps.NumHashes, 6).as("est_jaccard"),
+        round(jaccard(col("sa"), col("sb")), 6).as("exact_jaccard"))
+      .withColumn("abs_err", round(abs(col("est_jaccard") - col("exact_jaccard")), 6))
+      .orderBy("a_id", "b_id")
+  }
+
+  private val minhashJaccardEstSql: String =
+    s"""WITH $toksCte,
+       |$shinglesCte,
+       |$minhashCte,
+       |$bandsCandCtes,
+       |agree AS (
+       |  SELECT c.a_id, c.b_id,
+       |         CAST(sum(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END) AS INT) AS n_match
+       |  FROM cand c
+       |  JOIN mh ma ON ma.doc_id = c.a_id
+       |  JOIN mh mb ON mb.doc_id = c.b_id AND mb.k = ma.k
+       |  GROUP BY 1, 2),
+       |f AS (
+       |  SELECT e.a_id, e.b_id, e.n_match,
+       |         round(CAST(e.n_match AS DOUBLE) / ${DedupOps.NumHashes}, 6) AS est_jaccard,
+       |         round($jaccardExpr, 6) AS exact_jaccard
+       |  FROM agree e
+       |  JOIN sh sa ON sa.doc_id = e.a_id
+       |  JOIN sh sb ON sb.doc_id = e.b_id)
+       |SELECT a_id, b_id, n_match, est_jaccard, exact_jaccard,
+       |       round(abs(est_jaccard - exact_jaccard), 6) AS abs_err
+       |FROM f
+       |ORDER BY a_id, b_id""".stripMargin
+
   /** Incremental (delta-vs-base) exact dedup — the production ingest
     * shape: the corpus already holds a BASE partition (here the stable
     * doc_id % 10 < 8 slice standing in for yesterday's data); a new DELTA
@@ -485,6 +542,7 @@ object DedupQueries {
 
   val queries: Map[String, Q] = Map(
     "incremental_dedup"   -> (incrementalDedup _),
+    "minhash_jaccard_est" -> (minhashJaccardEst _),
     "dedup_components"    -> (dedupComponents _),
     "contamination_containment" -> (contaminationContainment _),
     "benchmark_contamination" -> (benchmarkContamination _),
@@ -498,6 +556,7 @@ object DedupQueries {
 
   val oracle: Map[String, String] = Map(
     "incremental_dedup"   -> incrementalDedupSql,
+    "minhash_jaccard_est" -> minhashJaccardEstSql,
     "dedup_components"    -> dedupComponentsSql,
     "contamination_containment" -> contaminationContainmentSql,
     "benchmark_contamination" -> benchmarkContaminationSql,

@@ -164,6 +164,97 @@ object RelationalQueries {
       |FROM c CROSS JOIN t
       |ORDER BY rk, n_name""".stripMargin
 
+  /** TPC-H Q3-shaped "open orders" priority report: revenue of orders
+    * placed before the cutoff whose lineitems shipped after it, for one
+    * market segment — the canonical 3-way fact⋈fact⋈dim join with
+    * filters on ALL THREE inputs pushed to the parquet scans before any
+    * join (the open-order predicate o_orderdate < D < l_shipdate is what
+    * makes the join sides small). Top-10 by revenue with key tiebreak =
+    * TakeOrdered, no global sort. (Orders carry no ship-priority column
+    * in this harness schema; o_orderpriority plays its role.) */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = to_timestamp(lit("1998-01-01"))
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(decSum(revenueExpr).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q3ShippingPrioritySql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate  > TIMESTAMP '1998-01-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** SCD-2 (slowly-changing-dimension) history build: each customer's
+    * order-priority timeline collapsed into validity periods — consecutive
+    * same-priority runs become one row with [valid_from, valid_to) and an
+    * is_current flag on the open period. This is the warehouse MERGE
+    * pattern expressed as a batch derivation: gaps-and-islands on the
+    * change marker, then lead() closes each period with the next one's
+    * start. One shuffle on the customer key; windows are per-customer
+    * (small, bounded by order count per customer). */
+  def customerPriorityScd2(spark: SparkSession, dir: String): DataFrame = {
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val runs = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .withColumn("chg",
+        when(lag(col("o_orderpriority"), 1).over(byCust).isNull ||
+          lag(col("o_orderpriority"), 1).over(byCust) =!= col("o_orderpriority"), 1)
+          .otherwise(0))
+      .withColumn("version",
+        sum(col("chg")).over(byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val byVersion = Window.partitionBy(col("o_custkey")).orderBy(col("version"))
+    runs.groupBy(col("o_custkey"), col("version"))
+      .agg(
+        min(col("o_orderpriority")).as("priority"), // constant within a run
+        min(col("o_orderdate")).as("valid_from"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byVersion))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select("o_custkey", "version", "priority", "valid_from", "valid_to", "is_current", "n_orders")
+      .orderBy("o_custkey", "version")
+  }
+
+  private val customerPriorityScd2Sql: String =
+    """WITH r AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+      |         CASE WHEN lag(o_orderpriority) OVER w IS NULL
+      |                OR lag(o_orderpriority) OVER w <> o_orderpriority
+      |              THEN 1 ELSE 0 END AS chg
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |v AS (
+      |  SELECT o_custkey, o_orderdate, o_orderpriority,
+      |         sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |                        ROWS UNBOUNDED PRECEDING) AS version
+      |  FROM r),
+      |runs AS (
+      |  SELECT o_custkey, CAST(version AS BIGINT) AS version,
+      |         min(o_orderpriority) AS priority,
+      |         min(o_orderdate) AS valid_from,
+      |         count(*) AS n_orders
+      |  FROM v GROUP BY o_custkey, version)
+      |SELECT o_custkey, version, priority, valid_from,
+      |       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY version) AS valid_to,
+      |       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY version) IS NULL AS is_current,
+      |       n_orders
+      |FROM runs
+      |ORDER BY o_custkey, version""".stripMargin
+
   /** Pareto (cumulative-contribution) analysis: every supplier ranked by
     * revenue with its exact-cents cumulative share and the 80%-coverage
     * head flag — the "which 20% of suppliers carry 80% of revenue" view.
@@ -619,6 +710,8 @@ object RelationalQueries {
     "revenue_by_nation"    -> (revenueByNation _),
     "nation_revenue_share" -> (nationRevenueShare _),
     "supplier_pareto"      -> (supplierPareto _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "customer_priority_scd2" -> (customerPriorityScd2 _),
     "top_customers"        -> (topCustomers _),
     "rank_parts_per_brand" -> (rankPartsPerBrand _),
     "orders_per_month"     -> (ordersPerMonth _),
@@ -638,6 +731,8 @@ object RelationalQueries {
     "revenue_by_nation"    -> revenueByNationSql,
     "nation_revenue_share" -> nationRevenueShareSql,
     "supplier_pareto"      -> supplierParetoSql,
+    "q3_shipping_priority" -> q3ShippingPrioritySql,
+    "customer_priority_scd2" -> customerPriorityScd2Sql,
     "top_customers"        -> topCustomersSql,
     "rank_parts_per_brand" -> rankPartsPerBrandSql,
     "orders_per_month"     -> ordersPerMonthSql,

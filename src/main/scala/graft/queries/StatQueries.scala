@@ -992,7 +992,82 @@ object StatQueries {
       |  ON v.hour = spine.hour AND v.station_id = spine.station_id
       |ORDER BY spine.station_id, spine.hour""".stripMargin
 
+  /** Rolling-window anomaly score — the online z-score gate a telemetry
+    * pipeline runs per reading: each valid value scored against the
+    * PRECEDING 10 readings of its (station, sensor) series (past-only
+    * frame: the score is causally computable in a stream), flagged at
+    * |z| > 3, unscored until 4 priors exist. Frame moments use DECIMAL
+    * window sums (DuckDB evaluates sliding frames with segment trees,
+    * Spark re-scans the frame — double accumulation order differs, the
+    * DECIMAL sums don't care) and variance is the two-moment identity;
+    * the divisor stddev is rounded to 6 BEFORE the division, which keeps
+    * the z ratio engine-deterministic. One shuffle on (station, sensor);
+    * per-key state is the 10-row frame — the same bound a streaming
+    * transformWithState port would carry. */
+  def sensorRollingZscore(spark: SparkSession, dir: String): DataFrame = {
+    val fr = Window.partitionBy(col("station_id"), col("sensor_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-10, -1)
+    graft.queries.ParityQueries.sensorShaped(spark, dir)
+      .withColumn("value_numeric", expr("try_cast(value_str AS double)"))
+      .filter(col("value_numeric").isNotNull)
+      .withColumn("n_prior", count(col("value_numeric")).over(fr))
+      .withColumn("s1",
+        sum(col("value_numeric").cast("decimal(18,6)")).over(fr).cast("double"))
+      .withColumn("s2",
+        sum((col("value_numeric") * col("value_numeric")).cast("decimal(28,10)")).over(fr)
+          .cast("double"))
+      .withColumn("std6",
+        when(col("n_prior") >= 4,
+          round(sqrt(greatest(
+            (col("s2") - col("s1") * col("s1") / col("n_prior")) / (col("n_prior") - 1),
+            lit(0.0))), 6)))
+      .withColumn("zscore",
+        when(col("n_prior") >= 4 && col("std6") > 0,
+          round((col("value_numeric") - col("s1") / col("n_prior")) / col("std6"), 6)))
+      .withColumn("is_anomaly", coalesce(abs(col("zscore")) > 3.0, lit(false)))
+      .select("station_id", "sensor_id", "event_id", "value_numeric",
+        "n_prior", "zscore", "is_anomaly")
+      .orderBy("station_id", "sensor_id", "event_id")
+  }
+
+  private val sensorRollingZscoreSql: String =
+    """WITH v AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |         CAST(user_id AS VARCHAR) AS station_id,
+      |         event_type AS sensor_id,
+      |         value AS value_numeric
+      |  FROM events
+      |  WHERE event_type <> 'error' AND value IS NOT NULL),
+      |w AS (
+      |  SELECT station_id, sensor_id, event_id, value_numeric,
+      |         count(value_numeric) OVER fr AS n_prior,
+      |         CAST(sum(CAST(value_numeric AS DECIMAL(18,6))) OVER fr AS DOUBLE) AS s1,
+      |         CAST(sum(CAST(value_numeric * value_numeric AS DECIMAL(28,10))) OVER fr AS DOUBLE) AS s2
+      |  FROM v
+      |  WINDOW fr AS (PARTITION BY station_id, sensor_id ORDER BY ts, event_id
+      |                ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+      |z AS (
+      |  SELECT station_id, sensor_id, event_id, value_numeric,
+      |         CAST(n_prior AS BIGINT) AS n_prior,
+      |         CASE WHEN n_prior >= 4
+      |              THEN round(sqrt(greatest(
+      |                     (s2 - s1 * s1 / n_prior) / (n_prior - 1), 0.0)), 6)
+      |         END AS std6,
+      |         s1
+      |  FROM w)
+      |SELECT station_id, sensor_id, event_id, value_numeric, n_prior,
+      |       CASE WHEN n_prior >= 4 AND std6 > 0
+      |            THEN round((value_numeric - s1 / n_prior) / std6, 6)
+      |       END AS zscore,
+      |       coalesce(abs(CASE WHEN n_prior >= 4 AND std6 > 0
+      |                         THEN round((value_numeric - s1 / n_prior) / std6, 6)
+      |                    END) > 3.0, FALSE) AS is_anomaly
+      |FROM z
+      |ORDER BY station_id, sensor_id, event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sensor_rolling_zscore" -> (sensorRollingZscore _),
     "sensor_hourly_spine"          -> (sensorHourlySpine _),
     "top_order_lateral"            -> (topOrderLateral _),
     "events_try_arithmetic"        -> (eventsTryArithmetic _),
@@ -1024,6 +1099,7 @@ object StatQueries {
     "embedding_normalize"          -> (embeddingNormalize _))
 
   val oracle: Map[String, String] = Map(
+    "sensor_rolling_zscore" -> sensorRollingZscoreSql,
     "sensor_hourly_spine"          -> sensorHourlySpineSql,
     "top_order_lateral"            -> lateralText,
     "events_try_arithmetic"        -> eventsTryArithmeticSql,
