@@ -806,6 +806,63 @@ object AnalyticsQueries {
       |            ELSE 0.0 END AS clustering
       |FROM ne CROSS JOIN w CROSS JOIN tri""".stripMargin
 
+  /** Population-stability-index drift report over the embedding labels:
+    * the reference slice (even vec_id) vs the current slice (odd vec_id)
+    * compared per label bucket, PSI = Σ (p−q)·ln(p/q) — the standard
+    * production drift alarm for a classifier's input mix. ONE scan with
+    * conditional counts (never two passes over the corpus), totals as a
+    * broadcast row; per-label terms round ln to 6 (the only libm call)
+    * and the PSI total runs the rounded terms through a DECIMAL window
+    * sum. Labels missing from either slice emit a NULL term (excluded
+    * from the sum — the epsilon-free convention, stated in the output). */
+  def labelPsi(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.embeddings(spark, dir)
+      .groupBy(col("label"))
+      .agg(
+        sum(when(pmod(col("vec_id"), lit(2)) === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(pmod(col("vec_id"), lit(2)) === 1, 1L).otherwise(0L)).as("n_cur"))
+    val tot = counts.agg(
+      sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    val term = when(col("n_ref") > 0 && col("n_cur") > 0,
+      round((col("p") - col("q")) * round(log(col("p") / col("q")), 6), 9))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("p", col("n_ref").cast("double") / col("t_ref"))
+      .withColumn("q", col("n_cur").cast("double") / col("t_cur"))
+      .withColumn("psi_term", term)
+      .withColumn("psi_total",
+        round(sum(col("psi_term").cast("decimal(28,12)"))
+          .over(Window.partitionBy()).cast("double"), 6))
+      .select(col("label"), col("n_ref"), col("n_cur"),
+        round(col("p"), 6).as("p_ref"), round(col("q"), 6).as("p_cur"),
+        col("psi_term"), col("psi_total"))
+      .orderBy("label")
+  }
+
+  private val labelPsiSql: String =
+    """WITH c AS (
+      |  SELECT label,
+      |         CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+      |         CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      |  FROM embeddings GROUP BY label),
+      |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+      |             CAST(sum(n_cur) AS BIGINT) AS t_cur FROM c),
+      |m AS (
+      |  SELECT label, n_ref, n_cur,
+      |         CAST(n_ref AS DOUBLE) / t_ref AS p,
+      |         CAST(n_cur AS DOUBLE) / t_cur AS q
+      |  FROM c CROSS JOIN t),
+      |x AS (
+      |  SELECT label, n_ref, n_cur, p, q,
+      |         CASE WHEN n_ref > 0 AND n_cur > 0
+      |              THEN round((p - q) * round(ln(p / q), 6), 9)
+      |         END AS psi_term
+      |  FROM m)
+      |SELECT label, n_ref, n_cur,
+      |       round(p, 6) AS p_ref, round(q, 6) AS p_cur, psi_term,
+      |       round(CAST(sum(CAST(psi_term AS DECIMAL(28,12))) OVER () AS DOUBLE), 6) AS psi_total
+      |FROM x
+      |ORDER BY label""".stripMargin
+
   /** RFM segmentation — the classic behavioral-cohort operator: per
     * customer recency (days since last order, as-of the corpus max date),
     * frequency (order count), monetary (exact-decimal revenue), each cut
@@ -917,6 +974,7 @@ object AnalyticsQueries {
   val queries: Map[String, Q] = Map(
     "part_triangles"     -> (partTriangles _),
     "customer_rfm"       -> (customerRfm _),
+    "label_psi"          -> (labelPsi _),
     "orders_winsorized"  -> (ordersWinsorized _),
     "range_join_binned"  -> (rangeJoinBinned _),
     "event_type_pagerank" -> (eventTypePagerank _),
@@ -944,6 +1002,7 @@ object AnalyticsQueries {
   val oracle: Map[String, String] = Map(
     "part_triangles"     -> partTrianglesSql,
     "customer_rfm"       -> customerRfmSql,
+    "label_psi"          -> labelPsiSql,
     "orders_winsorized"  -> ordersWinsorizedSql,
     "range_join_binned"  -> rangeJoinBinnedSql,
     "event_type_pagerank" -> eventTypePagerankSql,

@@ -436,6 +436,42 @@ object DedupQueries {
        |FROM bs LEFT JOIN agg ON bs.b_id = agg.b_id
        |ORDER BY bs.b_id""".stripMargin
 
+  /** Ingestion-order novelty — the marginal-contribution signal a data
+    * valuation/curation pass ranks sources by: per document, the fraction
+    * of its (distinct) shingles never seen in any EARLIER document
+    * (first-occurrence = min doc_id over the corpus). Duplicate-heavy or
+    * boilerplate docs score ≈0, fresh content ≈1. One explode → one
+    * groupBy(shingle) min → one equi-join back; everything is keyed by
+    * shingle or doc — no pairwise anything. Docs with no shingles (empty
+    * text) have no novelty denominator and are omitted (inner semantics,
+    * like doc_lm_score). */
+  def docNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val ex = DedupOps.docShingles(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+    val first = ex.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+    ex.join(first, "s")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        floor(col("n_novel") * 1e6 / col("n_shingles")) / lit(1e6))
+      .orderBy("doc_id")
+  }
+
+  private val docNgramNoveltySql: String =
+    s"""WITH $toksCte,
+       |$shinglesCte,
+       |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |f AS (SELECT s, min(doc_id) AS first_doc FROM e GROUP BY s)
+       |SELECT e.doc_id,
+       |       count(*) AS n_shingles,
+       |       CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |       floor(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) * 1e6 / count(*)) / 1e6 AS novelty
+       |FROM e JOIN f ON e.s = f.s
+       |GROUP BY e.doc_id
+       |ORDER BY e.doc_id""".stripMargin
+
   /** Estimator-quality report for the MinHash sketch: for every LSH
     * candidate pair, the Jaccard ESTIMATE (fraction of agreeing signature
     * components — what the sketch promises, E[est] = J) next to the exact
@@ -543,6 +579,7 @@ object DedupQueries {
   val queries: Map[String, Q] = Map(
     "incremental_dedup"   -> (incrementalDedup _),
     "minhash_jaccard_est" -> (minhashJaccardEst _),
+    "doc_ngram_novelty"   -> (docNgramNovelty _),
     "dedup_components"    -> (dedupComponents _),
     "contamination_containment" -> (contaminationContainment _),
     "benchmark_contamination" -> (benchmarkContamination _),
@@ -557,6 +594,7 @@ object DedupQueries {
   val oracle: Map[String, String] = Map(
     "incremental_dedup"   -> incrementalDedupSql,
     "minhash_jaccard_est" -> minhashJaccardEstSql,
+    "doc_ngram_novelty"   -> docNgramNoveltySql,
     "dedup_components"    -> dedupComponentsSql,
     "contamination_containment" -> contaminationContainmentSql,
     "benchmark_contamination" -> benchmarkContaminationSql,
