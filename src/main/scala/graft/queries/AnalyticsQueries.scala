@@ -557,7 +557,12 @@ object AnalyticsQueries {
     * blow-up is Σ basket² (baskets are small and bounded — ~4 lineitems
     * per order — not corpus-sized); per-part supports are one aggregate,
     * broadcast back onto the pair frame. Lift ratios are fixed-point
-    * floored (integer-count ratios land on exact .5 boundaries). */
+    * floored (integer-count ratios land on exact .5 boundaries).
+    * Formulation note: the collect_list-basket + combination-explode
+    * alternative (one shuffle, no join) measured EQUAL to this self-join
+    * at sf0.1 (1.70 s vs 1.65 s steady-state) — AQE already broadcasts
+    * the small side; the join form is kept for the trivially mirrorable
+    * oracle. */
   def partPairLift(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
