@@ -57,6 +57,39 @@ object ScaleSmoke {
     time("simhash_banded_cand")(
       graft.queries.DedupQueries.simhashBandedCandidates(spark, scaled).count())
     time("winnow_fps")(DedupOps.winnowFingerprints(scaled).count())
+    // ingestion-order novelty: one explode + groupBy(shingle) min + join
+    // back — everything keyed by shingle or doc, expected ~linear
+    time("ngram_novelty") {
+      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      val first = ex.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+      ex.join(first, "s")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .count()
+    }
+
+    // relational tier: K× the order baskets through the co-purchase pair
+    // generation (the dominant stage of part_pair_lift/part_triangles).
+    // Replicated orders multiply each pair's support by K (so the
+    // support>=2 edge SET saturates — the claim under test is the pair
+    // JOIN's ~linear time in Σ basket², not the edge count)
+    val li0 = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val okOff = Option(li0.agg(max(col("l_orderkey"))).head().get(0))
+      .fold(sys.error(s"empty lineitem table in $sfDir"))(_.asInstanceOf[Long]) + 1
+    val liScaled = (0 until k).map { i =>
+      li0.select((col("l_orderkey") + lit(i.toLong * okOff)).as("ok"),
+        col("l_partkey").as("pk"))
+    }.reduce(_ unionAll _).repartition(32).cache()
+    println(s"[scale] baskets ${li0.count()} -> ${liScaled.count()} rows (${k}x)")
+    time("copurchase_pairs") {
+      val a = liScaled.select(col("ok"), col("pk").as("src"))
+      val b = liScaled.select(col("ok"), col("pk").as("dst"))
+      a.join(b, "ok").filter(col("src") < col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2).count()
+    }
 
     // vector tier: K× the embeddings corpus through the IVF refine step
     // (broadcast-centroid assignment is map-side — should scale ~linearly)
