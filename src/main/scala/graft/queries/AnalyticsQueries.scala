@@ -811,6 +811,72 @@ object AnalyticsQueries {
       |            ELSE 0.0 END AS clustering
       |FROM ne CROSS JOIN w CROSS JOIN tri""".stripMargin
 
+  /** Welch two-sample t-statistics between every pair of regions'
+    * customer balances — the A/B-comparison primitive (unequal variances,
+    * no pooling) next to [[langSourceChi2]]'s categorical test. One scan
+    * computes per-region DECIMAL-exact moments through the broadcast
+    * dimension chain; the pair frame is |regions|² (tiny), and
+    * t = (m₁−m₂)/√(v₁/n₁+v₂/n₂) with Welch–Satterthwaite df is plain
+    * identical-operand double arithmetic (sqrt is IEEE-exact), rounded
+    * at the end. */
+  def regionAcctbalTtest(spark: SparkSession, dir: String): DataFrame = {
+    val mom = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("c_acctbal").cast("decimal(28,10)")).cast("double").as("s1"),
+        sum((col("c_acctbal") * col("c_acctbal")).cast("decimal(28,10)")).cast("double").as("s2"))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("var", (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+    val a = mom.select(col("r_name").as("region_a"), col("n").as("n_a"),
+      col("mean").as("m_a"), col("var").as("v_a"))
+    val b = mom.select(col("r_name").as("region_b"), col("n").as("n_b"),
+      col("mean").as("m_b"), col("var").as("v_b"))
+    a.crossJoin(b).filter(col("region_a") < col("region_b"))
+      .withColumn("se2", col("v_a") / col("n_a") + col("v_b") / col("n_b"))
+      .select(
+        col("region_a"), col("region_b"), col("n_a"), col("n_b"),
+        round(col("m_a") - col("m_b"), 6).as("mean_diff"),
+        round((col("m_a") - col("m_b")) / sqrt(col("se2")), 6).as("t_stat"),
+        round(col("se2") * col("se2") /
+          (col("v_a") * col("v_a") / (col("n_a") * col("n_a") * (col("n_a") - 1)) +
+            col("v_b") * col("v_b") / (col("n_b") * col("n_b") * (col("n_b") - 1))), 2)
+          .as("welch_df"))
+      .orderBy("region_a", "region_b")
+  }
+
+  private val regionAcctbalTtestSql: String =
+    """WITH mom AS (
+      |  SELECT r_name,
+      |         count(*) AS n,
+      |         CAST(sum(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE) AS s1,
+      |         CAST(sum(CAST(c_acctbal * c_acctbal AS DECIMAL(28,10))) AS DOUBLE) AS s2
+      |  FROM customer
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY r_name),
+      |m AS (
+      |  SELECT r_name, n, s1 / n AS mean,
+      |         (s2 - s1 * s1 / n) / (n - 1) AS var
+      |  FROM mom),
+      |p AS (
+      |  SELECT a.r_name AS region_a, b.r_name AS region_b,
+      |         a.n AS n_a, b.n AS n_b,
+      |         a.mean AS m_a, b.mean AS m_b,
+      |         a.var AS v_a, b.var AS v_b,
+      |         a.var / a.n + b.var / b.n AS se2
+      |  FROM m a JOIN m b ON a.r_name < b.r_name)
+      |SELECT region_a, region_b, n_a, n_b,
+      |       round(m_a - m_b, 6) AS mean_diff,
+      |       round((m_a - m_b) / sqrt(se2), 6) AS t_stat,
+      |       round(se2 * se2 /
+      |             (v_a * v_a / (n_a * n_a * (n_a - 1)) +
+      |              v_b * v_b / (n_b * n_b * (n_b - 1))), 2) AS welch_df
+      |FROM p
+      |ORDER BY region_a, region_b""".stripMargin
+
   /** Population-stability-index drift report over the embedding labels:
     * the reference slice (even vec_id) vs the current slice (odd vec_id)
     * compared per label bucket, PSI = Σ (p−q)·ln(p/q) — the standard
@@ -980,6 +1046,7 @@ object AnalyticsQueries {
     "part_triangles"     -> (partTriangles _),
     "customer_rfm"       -> (customerRfm _),
     "label_psi"          -> (labelPsi _),
+    "region_acctbal_ttest" -> (regionAcctbalTtest _),
     "orders_winsorized"  -> (ordersWinsorized _),
     "range_join_binned"  -> (rangeJoinBinned _),
     "event_type_pagerank" -> (eventTypePagerank _),
@@ -1008,6 +1075,7 @@ object AnalyticsQueries {
     "part_triangles"     -> partTrianglesSql,
     "customer_rfm"       -> customerRfmSql,
     "label_psi"          -> labelPsiSql,
+    "region_acctbal_ttest" -> regionAcctbalTtestSql,
     "orders_winsorized"  -> ordersWinsorizedSql,
     "range_join_binned"  -> rangeJoinBinnedSql,
     "event_type_pagerank" -> eventTypePagerankSql,

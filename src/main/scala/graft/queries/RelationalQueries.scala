@@ -379,6 +379,81 @@ object RelationalQueries {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** The O(k)-state top-k path under the value oracle: same contract as
+    * [[rankPartsPerBrand]] (top-3 per brand by retail price, partkey
+    * tiebreak) but computed with the typed [[graft.functions.TopKAggregator]]
+    * — a bounded heap through partial AND merge phases, so a group's
+    * millions of rows shuffle as k rows. The window form sorts each
+    * group's full row set; this is the form that wins when groups are
+    * huge. Registering it gives the typed-Aggregator code path its own
+    * DuckDB-oracle leg (TypedApiSpec already pins aggregator ≡ window). */
+  def rankPartsHeap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .select(col("p_brand"), col("p_retailprice"), col("p_partkey"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(graft.functions.TopKAggregator(3).toColumn.name("ids"))
+      .toDF("p_brand", "ids")
+      .select(col("p_brand"), posexplode(col("ids")).as(Seq("pos", "p_partkey")))
+      .select(col("p_brand"), (col("pos") + 1).cast("int").as("rk"), col("p_partkey"))
+      .orderBy("p_brand", "rk")
+  }
+
+  private val rankPartsHeapSql: String =
+    """SELECT p_brand, CAST(rk AS INT) AS rk, p_partkey
+      |FROM (
+      |  SELECT p_brand, p_partkey,
+      |         row_number() OVER (PARTITION BY p_brand
+      |                            ORDER BY p_retailprice DESC, p_partkey) AS rk
+      |  FROM part)
+      |WHERE rk <= 3
+      |ORDER BY p_brand, rk""".stripMargin
+
+  /** Month-over-month and year-over-year growth — the reporting layer
+    * over [[ordersPerMonth]]: lag(1) and lag(12) on the monthly rollup,
+    * growth as fixed-point basis-point ratios (the revenue operands are
+    * already exact 2-dp numbers, so the ratio arithmetic is
+    * engine-identical). The window runs over the MONTH frame — dozens of
+    * rows regardless of fact scale. First months (no prior/no
+    * year-prior) report NULL growth rather than a fake 0. */
+  def ordersMomGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("month"))
+    Tables.orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("revenue"))
+      .withColumn("prev_rev", lag(col("revenue"), 1).over(w))
+      .withColumn("yoy_rev", lag(col("revenue"), 12).over(w))
+      .withColumn("mom_pct",
+        when(col("prev_rev") > 0,
+          floor((col("revenue") - col("prev_rev")) * 1e4 / col("prev_rev")) / lit(1e4)))
+      .withColumn("yoy_pct",
+        when(col("yoy_rev") > 0,
+          floor((col("revenue") - col("yoy_rev")) * 1e4 / col("yoy_rev")) / lit(1e4)))
+      .select("month", "n_orders", "revenue", "mom_pct", "yoy_pct")
+      .orderBy("month")
+  }
+
+  private val ordersMomGrowthSql: String =
+    """WITH m AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+      |         count(*) AS n_orders,
+      |         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+      |  FROM orders GROUP BY 1),
+      |g AS (
+      |  SELECT month, n_orders, revenue,
+      |         lag(revenue, 1) OVER (ORDER BY month) AS prev_rev,
+      |         lag(revenue, 12) OVER (ORDER BY month) AS yoy_rev
+      |  FROM m)
+      |SELECT month, n_orders, revenue,
+      |       CASE WHEN prev_rev > 0
+      |            THEN floor((revenue - prev_rev) * 1e4 / prev_rev) / 1e4 END AS mom_pct,
+      |       CASE WHEN yoy_rev > 0
+      |            THEN floor((revenue - yoy_rev) * 1e4 / yoy_rev) / 1e4 END AS yoy_pct
+      |FROM g
+      |ORDER BY month""".stripMargin
+
   /** Peak concurrency by sweep-line: the maximum number of simultaneously
     * open user sessions and the first instant it is reached — the
     * capacity-planning number over [[userSessions]]' intervals. Each
@@ -714,6 +789,8 @@ object RelationalQueries {
     "customer_priority_scd2" -> (customerPriorityScd2 _),
     "top_customers"        -> (topCustomers _),
     "rank_parts_per_brand" -> (rankPartsPerBrand _),
+    "rank_parts_heap"      -> (rankPartsHeap _),
+    "orders_mom_growth"    -> (ordersMomGrowth _),
     "orders_per_month"     -> (ordersPerMonth _),
     "user_sessions"        -> (userSessions _),
     "max_concurrent_sessions" -> (maxConcurrentSessions _),
@@ -735,6 +812,8 @@ object RelationalQueries {
     "customer_priority_scd2" -> customerPriorityScd2Sql,
     "top_customers"        -> topCustomersSql,
     "rank_parts_per_brand" -> rankPartsPerBrandSql,
+    "rank_parts_heap"      -> rankPartsHeapSql,
+    "orders_mom_growth"    -> ordersMomGrowthSql,
     "orders_per_month"     -> ordersPerMonthSql,
     "user_sessions"        -> userSessionsSql,
     "max_concurrent_sessions" -> maxConcurrentSessionsSql,
