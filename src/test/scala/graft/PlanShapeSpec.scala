@@ -37,6 +37,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q3 pushes its filter to every one of the three join inputs' scans") {
+    // the open-order predicate is only cheap because ALL THREE filters
+    // run at the parquet scans — a refactor that hoists one above a join
+    // re-scans a full table at 100 TB
+    val p = graft.queries.RelationalQueries
+      .q3ShippingPriority(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert("""l_shipdate#\d+ > 1998-01-01""".r.findFirstIn(p).isDefined,
+      "lineitem ship-date filter not pushed to the scan")
+    assert("""o_orderdate#\d+ < 1998-01-01""".r.findFirstIn(p).isDefined,
+      "orders date filter not pushed to the scan")
+    assert("""c_mktsegment#\d+ = BUILDING""".r.findFirstIn(p).isDefined,
+      "customer segment filter not pushed to the scan")
+    // column pruning: the lineitem scan must not read unused measures
+    val liScan = p.split("\n").find(l => l.contains("FileScan parquet [l_"))
+    assert(liScan.exists(l => !l.contains("l_quantity") && !l.contains("l_tax")),
+      "lineitem scan reads columns the query never touches")
+  }
+
   test("flagship pipeline runs inside whole-stage codegen") {
     val df = graft.queries.ParityQueries
       .windowedMetrics(spark, "/root/testdata/sf0.001")
