@@ -25,11 +25,18 @@ object TextFunctions {
   def normText(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** The Java-regex \s character set, trimmed from both ends before
+    * tokenization: Spark's one-arg trim() strips SPACES only while
+    * split() KEEPS trailing empty strings, so "\n"-terminated text (i.e.
+    * every real file) would otherwise grow a bogus empty token — caught
+    * by RawSourcesSpec; the oracle CTEs trim the same chr set. */
+  private val Ws = " \t\n\r\u000B\f"
+
   /** Whitespace tokens; empty/blank text → empty array (split would give
     * a single empty-string token). */
   def tokens(c: Column): Column =
-    when(length(trim(c)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(c), "\\s+"))
+    when(length(trim(c, Ws)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c, Ws), "\\s+"))
 
   def tokenCount(c: Column): Column = size(tokens(c))
 

@@ -32,8 +32,8 @@ object CorpusQueries {
   private val toksCte =
     """t AS (
       |  SELECT doc_id, source,
-      |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-      |              ELSE string_split_regex(trim(text), '\s+') END AS toks
+      |         CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+      |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+') END AS toks
       |  FROM documents)""".stripMargin
 
   // ---------------------------------------------------------------- entropy

@@ -23,8 +23,8 @@ object DedupQueries {
   private val toksCte =
     """toks AS (
       |  SELECT doc_id,
-      |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-      |              ELSE string_split_regex(trim(text), '\s+') END AS toks
+      |         CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+      |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+') END AS toks
       |  FROM documents)""".stripMargin
 
   private val shinglesCte =

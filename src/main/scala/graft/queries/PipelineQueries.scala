@@ -169,8 +169,8 @@ object PipelineQueries {
     val stopList = TextFunctions.enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""WITH t AS (
        |  SELECT doc_id, text, n_chars,
-       |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-       |              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+       |         CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') END AS toks
        |  FROM documents),
        |m AS (
        |  SELECT doc_id, n_chars,
@@ -235,8 +235,8 @@ object PipelineQueries {
 
   private val vocabZipfFitSql: String =
     s"""WITH tok AS (
-       |  SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-       |                     ELSE string_split_regex(trim(text), '\\s+') END) AS token
+       |  SELECT unnest(CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+       |                     ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') END) AS token
        |  FROM documents),
        |f AS (SELECT token, count(*) AS freq FROM tok GROUP BY token),
        |r AS (
@@ -294,8 +294,8 @@ object PipelineQueries {
   private val toksCteSql: String =
     """t AS (
       |  SELECT doc_id,
-      |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-      |              ELSE string_split_regex(trim(text), '\s+') END AS toks
+      |         CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+      |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+') END AS toks
       |  FROM documents)""".stripMargin
 
   /** Shared chunking CTEs ending in `ch(doc_id, chunk_idx, n_chunk_tokens,
@@ -469,8 +469,8 @@ object PipelineQueries {
     val stopList = TextFunctions.enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""WITH t AS (
        |  SELECT doc_id, text, n_chars,
-       |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-       |              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+       |         CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') END AS toks
        |  FROM documents),
        |m AS (
        |  SELECT doc_id, text, n_chars,
@@ -595,8 +595,8 @@ object PipelineQueries {
   private val topTokensSql: String =
     """SELECT token, count(*) AS df FROM (
       |  SELECT doc_id, unnest(list_distinct(
-      |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-      |         ELSE string_split_regex(trim(text), '\s+') END)) AS token
+      |    CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+      |         ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+') END)) AS token
       |  FROM documents)
       |GROUP BY token
       |ORDER BY df DESC, token
@@ -629,8 +629,8 @@ object PipelineQueries {
   private val tfidfTopSql: String =
     """WITH toks AS (
       |  SELECT doc_id, unnest(
-      |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-      |         ELSE string_split_regex(trim(text), '\s+') END) AS token
+      |    CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+      |         ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+') END) AS token
       |  FROM documents),
       |terms AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
       |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM terms GROUP BY token),
@@ -777,8 +777,8 @@ object PipelineQueries {
     val stopList = TextFunctions.enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""WITH toks AS (
        |  SELECT doc_id, text,
-       |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-       |              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+       |         CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') END AS toks
        |  FROM documents),
        |sh AS (
        |  SELECT doc_id,
@@ -855,8 +855,8 @@ object PipelineQueries {
     val stopList = TextFunctions.enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""WITH toks AS (
        |  SELECT doc_id, text,
-       |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-       |              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+       |         CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') END AS toks
        |  FROM documents),
        |sh AS (
        |  SELECT doc_id,

@@ -38,8 +38,8 @@ object TextQueries {
   private val tokenStatsSql: String =
     """WITH t AS (
       |  SELECT doc_id,
-      |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-      |              ELSE string_split_regex(trim(text), '\s+') END AS toks,
+      |         CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+      |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+') END AS toks,
       |         text
       |  FROM documents)
       |SELECT doc_id,
@@ -73,8 +73,8 @@ object TextQueries {
   private val qualitySql: String =
     s"""WITH t AS (
        |  SELECT doc_id, text,
-       |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-       |              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+       |         CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') END AS toks
        |  FROM documents),
        |m AS (
        |  SELECT doc_id,
@@ -121,8 +121,8 @@ object TextQueries {
   private val langIdSql: String =
     s"""WITH t AS (
        |  SELECT doc_id, lang,
-       |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-       |              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+       |         CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') END AS toks
        |  FROM documents),
        |m AS (
        |  SELECT doc_id, lang, CAST(len(toks) AS INT) AS n_tokens,
@@ -161,8 +161,8 @@ object TextQueries {
   private val langConfusionSql: String =
     s"""WITH t AS (
        |  SELECT doc_id, lang,
-       |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-       |              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+       |         CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') END AS toks
        |  FROM documents),
        |m AS (
        |  SELECT doc_id, lang, CAST(len(toks) AS INT) AS n_tokens,
@@ -311,8 +311,8 @@ object TextQueries {
   private val c4RulesSql: String =
     """WITH t AS (
       |  SELECT doc_id, text,
-      |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-      |              ELSE string_split_regex(trim(text), '\s+') END AS toks
+      |         CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+      |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+') END AS toks
       |  FROM documents),
       |m AS (
       |  SELECT doc_id,
@@ -398,8 +398,8 @@ object TextQueries {
 
   private val bigramLmTopSql: String =
     """WITH t AS (
-      |  SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-      |              ELSE string_split_regex(trim(text), '\s+') END AS toks
+      |  SELECT CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+      |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+') END AS toks
       |  FROM documents),
       |e AS (
       |  SELECT toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
@@ -422,8 +422,8 @@ object TextQueries {
   private val tokenExplodeOuterSql: String =
     """WITH t AS (
       |  SELECT doc_id,
-      |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-      |              ELSE string_split_regex(trim(text), '\s+') END AS toks
+      |         CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+      |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+') END AS toks
       |  FROM documents)
       |SELECT count(DISTINCT doc_id) AS n_docs,
       |       CAST(sum(CASE WHEN len(toks) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_docs,
@@ -481,8 +481,8 @@ object TextQueries {
   private val docLmScoreSql: String =
     """WITH t AS (
       |  SELECT doc_id,
-      |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-      |              ELSE string_split_regex(trim(text), '\s+') END AS toks
+      |         CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+      |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+') END AS toks
       |  FROM documents),
       |e AS (
       |  SELECT doc_id, toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
@@ -550,8 +550,8 @@ object TextQueries {
   private val docClassifierScoreSql: String =
     s"""WITH t AS (
        |  SELECT doc_id,
-       |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-       |              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+       |         CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') END AS toks
        |  FROM documents),
        |e AS (SELECT doc_id, unnest(toks) AS token FROM t),
        |f AS (
