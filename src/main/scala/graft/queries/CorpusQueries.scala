@@ -92,6 +92,45 @@ object CorpusQueries {
        |            ELSE 0.0 END AS norm_entropy
        |FROM f ORDER BY source""".stripMargin
 
+  /** Tokenizer fertility per source — subword tokens emitted per
+    * whitespace word (the metric that decides whether a tokenizer fits a
+    * corpus: fertility ≫ 1 means the vocabulary shreds this source's
+    * text). Uses the BPE-ish subword counter vs whitespace tokens, both
+    * already oracle-mirrored; ratios are exact-integer totals with one
+    * fixed-point division at the end. Pure map + one partial-agg shuffle
+    * on source. */
+  def sourceTokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        tokenCount(col("text")).cast("long").as("n_words"),
+        bpeTokenCount(col("text")).cast("long").as("n_subwords"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_subwords")).as("n_subwords"))
+      .withColumn("fertility",
+        when(col("n_words") > 0,
+          floor(col("n_subwords") * 1e6 / col("n_words")) / lit(1e6)))
+      .orderBy("source")
+
+  private val sourceTokenizerFertilitySql: String =
+    s"""WITH $toksCte,
+       |m AS (
+       |  SELECT t.source,
+       |         CAST(len(toks) AS BIGINT) AS n_words,
+       |         CAST(len(regexp_extract_all(lower(d.text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_subwords
+       |  FROM t JOIN documents d ON t.doc_id = d.doc_id),
+       |s AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(sum(n_words) AS BIGINT) AS n_words,
+       |         CAST(sum(n_subwords) AS BIGINT) AS n_subwords
+       |  FROM m GROUP BY source)
+       |SELECT source, n_docs, n_words, n_subwords,
+       |       CASE WHEN n_words > 0
+       |            THEN floor(n_subwords * 1e6 / n_words) / 1e6 END AS fertility
+       |FROM s ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------------ BM25
 
   private val Bm25Terms = Seq("spark", "merge", "window")
@@ -251,12 +290,14 @@ object CorpusQueries {
 
   val queries: Map[String, Q] = Map(
     "bpe_merge_pairs"      -> (bpeMergePairs _),
+    "source_tokenizer_fertility" -> (sourceTokenizerFertility _),
     "source_token_entropy" -> (sourceTokenEntropy _),
     "doc_bm25_top"         -> (docBm25Top _),
     "doc_pack_bins"        -> (docPackBins _))
 
   val oracle: Map[String, String] = Map(
     "bpe_merge_pairs"      -> bpeMergePairsSql,
+    "source_tokenizer_fertility" -> sourceTokenizerFertilitySql,
     "source_token_entropy" -> sourceTokenEntropySql,
     "doc_bm25_top"         -> docBm25TopSql,
     "doc_pack_bins"        -> docPackBinsSql)
