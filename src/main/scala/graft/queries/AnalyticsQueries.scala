@@ -147,6 +147,37 @@ object AnalyticsQueries {
       |       TRUE AS sketch_within_3rsd
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** HLL sketch MERGEABILITY — the property that makes sketches matter
+    * at 100 TB: per-month Datasketches HLL sketches of the user set are
+    * UNIONED into one corpus-wide estimate without ever re-touching the
+    * raw events (how a year of daily sketch partitions answers "distinct
+    * users ever" in milliseconds). Oracled by bound like the other
+    * sketch entries: exact distinct + an envelope boolean the oracle
+    * asserts TRUE (lgK=12 → rsd ≈ 1.6%, checked at ±5% ≈ 3σ, observed
+    * error ≪ envelope so the boolean is boundary-safe). */
+  def distinctUsersHllUnion(spark: SparkSession, dir: String): DataFrame = {
+    val merged = Tables.events(spark, dir)
+      .groupBy(date_trunc("month", col("ts")).as("m"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      .agg(
+        count(lit(1)).as("n_months"),
+        expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("est"))
+    val exact = Tables.events(spark, dir)
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    merged.crossJoin(broadcast(exact))
+      .select(
+        col("n_months"), col("n_exact"),
+        (abs(col("est") - col("n_exact"))
+          <= greatest(ceil(col("n_exact") * lit(0.05)), lit(2)))
+          .as("merged_within_bound"))
+  }
+
+  private val distinctUsersHllUnionSql: String =
+    """SELECT count(DISTINCT date_trunc('month', CAST(ts AS TIMESTAMP))) AS n_months,
+      |       count(DISTINCT user_id) AS n_exact,
+      |       TRUE AS merged_within_bound
+      |FROM events""".stripMargin
+
   /** Quantile SKETCH (percentile_approx / Greenwald-Khanna): the
     * fixed-size-state form of quantity_quantiles that scales to
     * arbitrary group cardinality. Oracled by BOUND like the HLL entry:
@@ -1046,6 +1077,7 @@ object AnalyticsQueries {
     "part_triangles"     -> (partTriangles _),
     "customer_rfm"       -> (customerRfm _),
     "label_psi"          -> (labelPsi _),
+    "distinct_users_hll_union" -> (distinctUsersHllUnion _),
     "region_acctbal_ttest" -> (regionAcctbalTtest _),
     "orders_winsorized"  -> (ordersWinsorized _),
     "range_join_binned"  -> (rangeJoinBinned _),
@@ -1075,6 +1107,7 @@ object AnalyticsQueries {
     "part_triangles"     -> partTrianglesSql,
     "customer_rfm"       -> customerRfmSql,
     "label_psi"          -> labelPsiSql,
+    "distinct_users_hll_union" -> distinctUsersHllUnionSql,
     "region_acctbal_ttest" -> regionAcctbalTtestSql,
     "orders_winsorized"  -> ordersWinsorizedSql,
     "range_join_binned"  -> rangeJoinBinnedSql,
