@@ -865,7 +865,7 @@ object AnalyticsQueries {
       col("mean").as("m_a"), col("var").as("v_a"))
     val b = mom.select(col("r_name").as("region_b"), col("n").as("n_b"),
       col("mean").as("m_b"), col("var").as("v_b"))
-    a.crossJoin(b).filter(col("region_a") < col("region_b"))
+    a.crossJoin(broadcast(b)).filter(col("region_a") < col("region_b"))
       .withColumn("se2", col("v_a") / col("n_a") + col("v_b") / col("n_b"))
       .select(
         col("region_a"), col("region_b"), col("n_a"), col("n_b"),

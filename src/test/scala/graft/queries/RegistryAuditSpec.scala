@@ -25,4 +25,21 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     spark.catalog.clearCache() // several queries cache build frames
     assert(offenders.isEmpty, s"UDF nodes in: $offenders")
   }
+
+  // the two labeled O(N²) recall baselines are the ONLY queries allowed
+  // to plan an unbroadcast all-pairs product (their scale paths are the
+  // LSH variants); everything else planning one is a regression
+  private val allPairsBaselines = Set("near_dup_pairs", "ngram_jaccard_pairs")
+
+  test("no CartesianProduct outside the labeled all-pairs baselines") {
+    val dir = "/root/testdata/sf0.001"
+    val offenders = Registry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => allPairsBaselines(q._1))
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+      }
+    spark.catalog.clearCache()
+    assert(offenders.isEmpty, s"unbroadcast all-pairs plans in: $offenders")
+  }
 }
