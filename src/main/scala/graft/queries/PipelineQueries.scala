@@ -849,11 +849,14 @@ object PipelineQueries {
        |FROM st3""".stripMargin
   }
 
-  private val cleanCorpusSql: String = {
+  /** The shared curation-CTE chain (tokenize → shingle → MinHash → LSH →
+    * dup losers → quality scores), reused by [[cleanCorpus]]'s oracle and
+    * the packing capstone built on its survivors. */
+  private val cleanCorpusCtes: String = {
     import graft.operators.DedupOps.{BandRows, P, seeds}
     val seedsValues = seeds.map { case (k, a, b) => s"($k, $a, $b)" }.mkString(", ")
     val stopList = TextFunctions.enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, text,
        |         CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
        |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') END AS toks
@@ -898,13 +901,71 @@ object PipelineQueries {
        |         0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
        |           + 0.3 * alpha_ratio
        |           + 0.4 * least(1.0, stop_ratio * 5.0) AS quality
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+  }
+
+  private val cleanCorpusSql: String =
+    s"""WITH $cleanCorpusCtes
        |SELECT q.doc_id, q.n_tokens, round(q.quality, 6) AS quality
        |FROM q
        |WHERE q.quality >= 0.5 AND q.n_tokens >= 20
        |  AND q.doc_id NOT IN (SELECT doc_id FROM losers)
        |ORDER BY q.doc_id""".stripMargin
+
+  /** Capstone #2 — the loader-ready corpus: [[cleanCorpus]]'s survivors
+    * packed into 256-token training bins per source (the concat-then-
+    * chunk layout of doc_pack_bins applied AFTER curation), summarized
+    * as the numbers a training-data delivery is judged by: docs, tokens,
+    * bins, and fill ratio per source. The whole curation→packing chain
+    * is ONE Catalyst plan; the oracle rebuilds it on the shared
+    * curation-CTE chain. Pure integer window arithmetic after the
+    * survivor set, so the summary is engine-exact. */
+  def cleanCorpusPacking(spark: SparkSession, dir: String): DataFrame = {
+    val survivors = cleanCorpus(spark, dir)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+    val before = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    survivors
+      .withColumn("off", coalesce(sum(col("n_tokens")).over(before), lit(0L)))
+      .withColumn("last_bin", expr("(off + greatest(n_tokens, 1L) - 1L) div 256"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        (max(col("last_bin")) + 1).as("n_bins"))
+      .withColumn("fill_pct",
+        floor(col("n_tokens") * 1e4 / (col("n_bins") * 256)) / lit(1e4))
+      .orderBy("source")
   }
+
+  private val cleanCorpusPackingSql: String =
+    s"""WITH $cleanCorpusCtes,
+       |surv AS (
+       |  SELECT q.doc_id, CAST(q.n_tokens AS BIGINT) AS n_tokens
+       |  FROM q
+       |  WHERE q.quality >= 0.5 AND q.n_tokens >= 20
+       |    AND q.doc_id NOT IN (SELECT doc_id FROM losers)),
+       |ws AS (
+       |  SELECT surv.doc_id, surv.n_tokens, d.source
+       |  FROM surv JOIN documents d ON surv.doc_id = d.doc_id),
+       |o AS (
+       |  SELECT source, doc_id, n_tokens,
+       |         coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM ws),
+       |lb AS (
+       |  SELECT source, n_tokens,
+       |         (off + greatest(n_tokens, 1) - 1) // 256 AS last_bin
+       |  FROM o),
+       |s AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |         CAST(max(last_bin) + 1 AS BIGINT) AS n_bins
+       |  FROM lb GROUP BY source)
+       |SELECT source, n_docs, n_tokens, n_bins,
+       |       floor(n_tokens * 1e4 / (n_bins * 256)) / 1e4 AS fill_pct
+       |FROM s ORDER BY source""".stripMargin
 
   /** Int8 symmetric quantization of embeddings (the ANN memory-footprint
     * op: 4 bytes/dim → 1): per-vector scale = 127/max|x|, q = round(x·s),
@@ -1001,6 +1062,7 @@ object PipelineQueries {
     "events_profile"     -> (eventsProfile _),
     "embedding_quantize" -> (embeddingQuantize _),
     "clean_corpus"     -> (cleanCorpus _),
+    "clean_corpus_packing" -> (cleanCorpusPacking _),
     "corpus_yield_report" -> (corpusYieldReport _),
     "doc_sample_10pct" -> (docSample _),
     "doc_quality_sample" -> (docQualitySample _),
@@ -1024,6 +1086,7 @@ object PipelineQueries {
     "events_profile"     -> eventsProfileSql,
     "embedding_quantize" -> embeddingQuantizeSql,
     "clean_corpus"     -> cleanCorpusSql,
+    "clean_corpus_packing" -> cleanCorpusPackingSql,
     "corpus_yield_report" -> corpusYieldReportSql,
     "doc_sample_10pct" -> docSampleSql,
     "doc_quality_sample" -> docQualitySampleSql,
