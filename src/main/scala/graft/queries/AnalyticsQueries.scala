@@ -842,6 +842,29 @@ object AnalyticsQueries {
       |            ELSE 0.0 END AS clustering
       |FROM ne CROSS JOIN w CROSS JOIN tri""".stripMargin
 
+  /** LISTAGG / ordered string aggregation: nations per region as one
+    * deterministic comma-joined string. `collect_list` gives NO ordering
+    * guarantee under partial aggregation — `array_sort` before the join
+    * is what makes the result reproducible (the same trap as unordered
+    * string_agg in any warehouse; the oracle's `ORDER BY` inside
+    * string_agg is the SQL spelling of the same fix). */
+  def regionNationList(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_nations"),
+        array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+      .orderBy("r_name")
+
+  private val regionNationListSql: String =
+    """SELECT r_name,
+      |       count(*) AS n_nations,
+      |       string_agg(n_name, ',' ORDER BY n_name) AS nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+
   /** Welch two-sample t-statistics between every pair of regions'
     * customer balances — the A/B-comparison primitive (unequal variances,
     * no pooling) next to [[langSourceChi2]]'s categorical test. One scan
@@ -1079,6 +1102,7 @@ object AnalyticsQueries {
     "label_psi"          -> (labelPsi _),
     "distinct_users_hll_union" -> (distinctUsersHllUnion _),
     "region_acctbal_ttest" -> (regionAcctbalTtest _),
+    "region_nation_list" -> (regionNationList _),
     "orders_winsorized"  -> (ordersWinsorized _),
     "range_join_binned"  -> (rangeJoinBinned _),
     "event_type_pagerank" -> (eventTypePagerank _),
@@ -1109,6 +1133,7 @@ object AnalyticsQueries {
     "label_psi"          -> labelPsiSql,
     "distinct_users_hll_union" -> distinctUsersHllUnionSql,
     "region_acctbal_ttest" -> regionAcctbalTtestSql,
+    "region_nation_list" -> regionNationListSql,
     "orders_winsorized"  -> ordersWinsorizedSql,
     "range_join_binned"  -> rangeJoinBinnedSql,
     "event_type_pagerank" -> eventTypePagerankSql,
