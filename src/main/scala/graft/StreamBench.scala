@@ -66,7 +66,23 @@ object StreamBench {
     println(f"[streambench] batch_pipeline n=$nBatch out_rows=$outRows t=$tBatch%.2f s rate=${nBatch / tBatch}%.0f events/s")
     batchIn.unpersist()
 
-    // ---- streaming leg: micro-batches through the state store -----------
+    // ---- streaming leg A: file source, Trigger.AvailableNow -------------
+    // distributed source (no driver-side feeding): payloads pre-written as
+    // text files off the clock, processed to completion in micro-batches
+    val fsDir = java.nio.file.Files.createTempDirectory("streambench").toString
+    wire(nBatch).repartition(32).write.mode("overwrite").text(fsDir)
+    val fsIn = spark.readStream.option("maxFilesPerTrigger", "8").text(fsDir)
+    val fsMetrics = SensorPipeline.windowedMetrics(
+      SensorPipeline.fromRawJson(fsIn), "5 seconds", "1 minute")
+    val t2 = System.nanoTime()
+    val qf = fsMetrics.writeStream.outputMode("update")
+      .format("memory").queryName("fsbench")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    qf.awaitTermination()
+    val tFs = (System.nanoTime() - t2) / 1e9
+    println(f"[streambench] streaming_filesource n=$nBatch state_rows=${spark.table("fsbench").count()} t=$tFs%.2f s rate=${nBatch / tFs}%.0f events/s")
+
+    // ---- streaming leg B: MemoryStream micro-batches --------------------
     implicit val ctx = spark.sqlContext
     val payloads = wire(nStream).as[String].collect()
     val input = MemoryStream[String]
