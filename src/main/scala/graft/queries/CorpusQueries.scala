@@ -180,13 +180,15 @@ object CorpusQueries {
       .limit(20)
   }
 
-  private val docBm25TopSql: String = {
+  /** The BM25 scoring CTE chain through per-(doc, term) scores `s` —
+    * shared by [[docBm25Top]]'s oracle and the hybrid-fusion oracle. */
+  private val bm25Ctes: String = {
     val tfArms = Bm25Terms.map { t =>
       s"""SELECT doc_id, dl, '$t' AS term,
          |       CAST(len(list_filter(toks, x -> x = '$t')) AS INT) AS tf
          |FROM base""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH $toksCte,
+    s"""$toksCte,
        |base AS (SELECT doc_id, toks, CAST(len(toks) AS INT) AS dl FROM t),
        |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM base),
        |tf AS (
@@ -201,13 +203,90 @@ object CorpusQueries {
        |         round(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
        |               * (tf * $K1p1)
        |               / (tf + $K1 * (1.0 - $B + $B * dl / avgdl)), 6) AS s
-       |  FROM w CROSS JOIN st)
+       |  FROM w CROSS JOIN st)""".stripMargin
+  }
+
+  private val docBm25TopSql: String =
+    s"""WITH $bm25Ctes
        |SELECT doc_id, count(*) AS n_terms_hit,
        |       CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS bm25
        |FROM s GROUP BY doc_id
        |ORDER BY bm25 DESC, doc_id
        |LIMIT 20""".stripMargin
+
+  /** Hybrid retrieval by reciprocal-rank fusion — the modern search
+    * stack's merge step: the BM25 text ranking and the cosine vector
+    * ranking (query = vector 0, the embedding of doc 0) fused as
+    * RRF(d) = Σ_legs 1/(60 + rank_leg(d)) over each leg's top-20, top-10
+    * fused results. Ranks are small exact integers, so the fusion
+    * arithmetic is two identical-operand double divisions and one
+    * fixed-order add — engine-exact. Scale: each leg is its own
+    * already-scale-shaped query (BM25: posting rows of query terms;
+    * vector: broadcast query against the corpus scan — or the IVF path);
+    * the fusion is a full-outer join on two k-row frames, constant-size
+    * regardless of corpus. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    val dotF = VectorFunctions.dotFast(spark) _
+    val byText = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val text = docBm25Top(spark, dir)
+      .withColumn("r_text", row_number().over(byText))
+      .select(col("doc_id"), col("r_text"))
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("norm", sqrt(dotF(col("embedding"), col("embedding"))))
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val byVec = Window.orderBy(col("cos_sim").desc, col("vec_id"))
+    val vec = emb.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("cos_sim",
+        round(dotF(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")), 6))
+      .withColumn("r_vec", row_number().over(byVec))
+      .filter(col("r_vec") <= 20)
+      .select(col("vec_id").as("doc_id"), col("r_vec"))
+    text.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        round(
+          coalesce(lit(1.0) / (col("r_text") + 60), lit(0.0)) +
+            coalesce(lit(1.0) / (col("r_vec") + 60), lit(0.0)), 6))
+      .select("doc_id", "r_text", "r_vec", "rrf")
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
   }
+
+  private val hybridRrfSql: String =
+    s"""WITH $bm25Ctes,
+       |bm AS (
+       |  SELECT doc_id, CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+       |  FROM s GROUP BY doc_id
+       |  ORDER BY bm25 DESC, doc_id
+       |  LIMIT 20),
+       |tr AS (
+       |  SELECT doc_id,
+       |         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS r_text
+       |  FROM bm),
+       |vq AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+       |vp AS (
+       |  SELECT a.vec_id AS doc_id,
+       |         round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+       |               (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+       |                sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos_sim
+       |  FROM embeddings a CROSS JOIN vq b
+       |  WHERE a.vec_id <> 0),
+       |vr AS (
+       |  SELECT doc_id,
+       |         CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS INT) AS r_vec
+       |  FROM vp),
+       |vr2 AS (SELECT doc_id, r_vec FROM vr WHERE r_vec <= 20),
+       |f AS (
+       |  SELECT coalesce(tr.doc_id, vr2.doc_id) AS doc_id, tr.r_text, vr2.r_vec
+       |  FROM tr FULL OUTER JOIN vr2 ON tr.doc_id = vr2.doc_id)
+       |SELECT doc_id, r_text, r_vec,
+       |       round(coalesce(CAST(1 AS DOUBLE) / (r_text + 60), 0.0)
+       |             + coalesce(CAST(1 AS DOUBLE) / (r_vec + 60), 0.0), 6) AS rrf
+       |FROM f
+       |ORDER BY rrf DESC, doc_id
+       |LIMIT 10""".stripMargin
 
   // --------------------------------------------------------------- packing
 
@@ -293,6 +372,7 @@ object CorpusQueries {
     "source_tokenizer_fertility" -> (sourceTokenizerFertility _),
     "source_token_entropy" -> (sourceTokenEntropy _),
     "doc_bm25_top"         -> (docBm25Top _),
+    "hybrid_rrf"           -> (hybridRrf _),
     "doc_pack_bins"        -> (docPackBins _))
 
   val oracle: Map[String, String] = Map(
@@ -300,5 +380,6 @@ object CorpusQueries {
     "source_tokenizer_fertility" -> sourceTokenizerFertilitySql,
     "source_token_entropy" -> sourceTokenEntropySql,
     "doc_bm25_top"         -> docBm25TopSql,
+    "hybrid_rrf"           -> hybridRrfSql,
     "doc_pack_bins"        -> docPackBinsSql)
 }

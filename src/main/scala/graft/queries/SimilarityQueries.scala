@@ -85,6 +85,56 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= 5
        |ORDER BY q_id, rank""".stripMargin
 
+  /** Metadata-FILTERED vector search — the vector-DB feature every
+    * retrieval stack needs: top-5 cosine neighbors restricted to vectors
+    * whose document passes a metadata predicate (lang = 'en' AND
+    * n_chars >= 200). This is PRE-filtering: the predicate semi-joins
+    * the corpus BEFORE the similarity scan, so results are exact over
+    * the filtered set (post-filtering an unfiltered top-k loses recall
+    * when the filter is selective). At 100 TB the same semi-join pushes
+    * into the IVF bucket probe — filter first, then search, at any
+    * index shape. Query vectors are NOT filtered (a query may be
+    * anything); scan shape is identical to [[knnBrute]]. */
+  def knnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val dotF = dotFast(spark) _
+    val keep = Tables.documents(spark, dir)
+      .filter(col("lang") === "en" && col("n_chars") >= 200)
+      .select(col("doc_id").as("vec_id"))
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("norm", sqrt(dotF(col("embedding"), col("embedding"))))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    emb.join(keep, Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim",
+        round(dotF(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "vec_id", "cos_sim")
+      .orderBy("q_id", "rank")
+  }
+
+  private val knnFilteredSql: String =
+    s"""WITH keep AS (
+       |  SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 200),
+       |pairs AS (
+       |  SELECT b.vec_id AS q_id, a.vec_id AS vec_id, round($cosSql, 6) AS cos_sim
+       |  FROM embeddings a
+       |  JOIN keep ON a.vec_id = keep.doc_id
+       |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) b
+       |  WHERE a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos_sim,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY cos_sim DESC, vec_id) AS rank
+       |  FROM pairs)
+       |SELECT q_id, rank, vec_id, cos_sim
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+
   /** Exact near-duplicate pairs: all (a < b) with cosine >= 0.35 (the
     * corpus max pair similarity is ~0.51; 0.35 keeps the tail).
     * Bounded to vec_id < 1200 — this is the LABELED O(N²) recall oracle
@@ -1031,6 +1081,7 @@ object SimilarityQueries {
     "knn_ivf_probe2"  -> ((s: SparkSession, d: String) => knnIvfProbes(s, d, probes = 2)),
     "knn_ivf_refined" -> ((s: SparkSession, d: String) => knnIvfRefined(s, d, probes = 2)),
     "knn_brute"       -> (knnBrute _),
+    "knn_filtered"    -> (knnFiltered _),
     "hard_negatives"  -> (hardNegatives _),
     "embedding_outliers" -> (embeddingOutliers _),
     "near_dup_pairs"  -> (nearDupPairs _),
@@ -1048,6 +1099,7 @@ object SimilarityQueries {
     "knn_ivf_probe2"  -> knnIvfSqlProbes(2),
     "knn_ivf_refined" -> knnIvfRefinedSql(2),
     "knn_brute"       -> knnBruteSql,
+    "knn_filtered"    -> knnFilteredSql,
     "hard_negatives"  -> hardNegativesSql,
     "embedding_outliers" -> embeddingOutliersSql,
     "near_dup_pairs"  -> nearDupPairsSql,
