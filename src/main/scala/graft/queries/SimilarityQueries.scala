@@ -240,7 +240,24 @@ object SimilarityQueries {
     * Probes is the recall/cost dial — each extra probe adds one
     * partition's worth of comparisons (see SimilarityRecallSpec for the
     * measured recall gain). */
-  def knnIvfProbes(spark: SparkSession, dir: String, probes: Int): DataFrame = {
+  def knnIvfProbes(spark: SparkSession, dir: String, probes: Int): DataFrame =
+    knnIvfProbesImpl(spark, dir, probes, keep = None)
+
+  /** Metadata-filtered IVF search — [[knnFiltered]]'s scale path, making
+    * the "filter pushes into the bucket probe" claim concrete: the INDEX
+    * (centroids) is built on the full corpus once, the metadata predicate
+    * semi-joins the probe-side scan at query time, and ranking sees only
+    * predicate-passing vectors inside the probed partitions. Probe budget
+    * 2 like knn_ivf_probe2. */
+  def knnIvfFiltered(spark: SparkSession, dir: String): DataFrame =
+    knnIvfProbesImpl(spark, dir, probes = 2,
+      keep = Some(Tables.documents(spark, dir)
+        .filter(col("lang") === "en" && col("n_chars") >= 200)
+        .select(col("doc_id").as("vec_id"))))
+
+  private def knnIvfProbesImpl(
+      spark: SparkSession, dir: String, probes: Int,
+      keep: Option[DataFrame]): DataFrame = {
     val dotF = dotFast(spark) _
     val emb = Tables.embeddings(spark, dir)
       .withColumn("norm", sqrt(dotFast(spark)(col("embedding"), col("embedding"))))
@@ -268,7 +285,8 @@ object SimilarityQueries {
       .select(col("q_id"), col("q_emb"), col("q_norm"), col("label"))
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
-    assign.join(emb, "label")
+    val probeSide = keep.fold(emb)(k => emb.join(k, Seq("vec_id"), "left_semi"))
+    assign.join(probeSide, "label")
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos_sim",
         round(dotF(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")), 6))
@@ -278,7 +296,7 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
-  private def knnIvfSqlProbes(probes: Int): String =
+  private def knnIvfSqlProbes(probes: Int, probeFilter: String = ""): String =
     s"""WITH e AS (
       |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
@@ -304,7 +322,7 @@ object SimilarityQueries {
       |hits AS (
       |  SELECT a.q_id, a.label, e.vec_id,
       |         round(list_dot_product(a.q_emb, e.emb) / (a.q_norm * e.norm), 6) AS cos_sim
-      |  FROM assign a JOIN e ON e.label = a.label AND e.vec_id <> a.q_id)
+      |  FROM assign a JOIN e ON e.label = a.label AND e.vec_id <> a.q_id$probeFilter)
       |SELECT q_id, label, rank, vec_id, cos_sim FROM (
       |  SELECT q_id, label, vec_id, cos_sim,
       |         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
@@ -1082,6 +1100,7 @@ object SimilarityQueries {
     "knn_ivf_refined" -> ((s: SparkSession, d: String) => knnIvfRefined(s, d, probes = 2)),
     "knn_brute"       -> (knnBrute _),
     "knn_filtered"    -> (knnFiltered _),
+    "knn_ivf_filtered" -> (knnIvfFiltered _),
     "hard_negatives"  -> (hardNegatives _),
     "embedding_outliers" -> (embeddingOutliers _),
     "near_dup_pairs"  -> (nearDupPairs _),
@@ -1100,6 +1119,8 @@ object SimilarityQueries {
     "knn_ivf_refined" -> knnIvfRefinedSql(2),
     "knn_brute"       -> knnBruteSql,
     "knn_filtered"    -> knnFilteredSql,
+    "knn_ivf_filtered" -> knnIvfSqlProbes(2,
+      "\n      AND e.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 200)"),
     "hard_negatives"  -> hardNegativesSql,
     "embedding_outliers" -> embeddingOutliersSql,
     "near_dup_pairs"  -> nearDupPairsSql,
