@@ -842,6 +842,46 @@ object AnalyticsQueries {
       |            ELSE 0.0 END AS clustering
       |FROM ne CROSS JOIN w CROSS JOIN tri""".stripMargin
 
+  /** WAU/MAU engagement — the product-analytics staple: monthly active
+    * users, average weekly actives (ISO weeks assigned to the month of
+    * their Monday), and the stickiness ratio avg_wau/mau. Two distinct
+    * aggregates over the same scan + a month-grain join; ratios are
+    * all-integer fixed-point so the report is engine-exact. */
+  def eventsWauMau(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val mau = ev.groupBy(date_trunc("month", col("ts")).as("month"))
+      .agg(countDistinct(col("user_id")).as("mau"))
+    val weekly = ev.groupBy(date_trunc("week", col("ts")).as("week"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    val wm = weekly.groupBy(date_trunc("month", col("week")).as("month"))
+      .agg(sum(col("wau")).as("sum_wau"), count(lit(1)).as("n_weeks"))
+    mau.join(wm, "month")
+      .select(
+        col("month"), col("mau"), col("n_weeks"),
+        (floor(col("sum_wau") * 1e4 / col("n_weeks")) / lit(1e4)).as("avg_wau"),
+        (floor(col("sum_wau") * 1e4 / (col("n_weeks") * col("mau"))) / lit(1e4))
+          .as("stickiness"))
+      .orderBy("month")
+  }
+
+  private val eventsWauMauSql: String =
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+      |m AS (SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+      |             count(DISTINCT user_id) AS mau
+      |      FROM e GROUP BY 1),
+      |w AS (SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+      |             count(DISTINCT user_id) AS wau
+      |      FROM e GROUP BY 1),
+      |wm AS (SELECT CAST(date_trunc('month', week) AS TIMESTAMP) AS month,
+      |              CAST(sum(wau) AS BIGINT) AS sum_wau,
+      |              count(*) AS n_weeks
+      |       FROM w GROUP BY 1)
+      |SELECT m.month, m.mau, wm.n_weeks,
+      |       floor(wm.sum_wau * 1e4 / wm.n_weeks) / 1e4 AS avg_wau,
+      |       floor(wm.sum_wau * 1e4 / (wm.n_weeks * m.mau)) / 1e4 AS stickiness
+      |FROM m JOIN wm ON m.month = wm.month
+      |ORDER BY m.month""".stripMargin
+
   /** LISTAGG / ordered string aggregation: nations per region as one
     * deterministic comma-joined string. `collect_list` gives NO ordering
     * guarantee under partial aggregation — `array_sort` before the join
@@ -1103,6 +1143,7 @@ object AnalyticsQueries {
     "distinct_users_hll_union" -> (distinctUsersHllUnion _),
     "region_acctbal_ttest" -> (regionAcctbalTtest _),
     "region_nation_list" -> (regionNationList _),
+    "events_wau_mau"     -> (eventsWauMau _),
     "orders_winsorized"  -> (ordersWinsorized _),
     "range_join_binned"  -> (rangeJoinBinned _),
     "event_type_pagerank" -> (eventTypePagerank _),
@@ -1134,6 +1175,7 @@ object AnalyticsQueries {
     "distinct_users_hll_union" -> distinctUsersHllUnionSql,
     "region_acctbal_ttest" -> regionAcctbalTtestSql,
     "region_nation_list" -> regionNationListSql,
+    "events_wau_mau"     -> eventsWauMauSql,
     "orders_winsorized"  -> ordersWinsorizedSql,
     "range_join_binned"  -> rangeJoinBinnedSql,
     "event_type_pagerank" -> eventTypePagerankSql,

@@ -74,12 +74,37 @@ object MultimodalQueries {
       |       scale < 1.0 AS scaled
       |FROM s ORDER BY media_id""".stripMargin
 
+  /** Media-level exact dedup — the binary twin of `dedup_exact`: opaque
+    * blobs grouped by content sha256 (no decode needed), minimum
+    * media_id survives. One hash-shuffle on the digest; at 100 TB this
+    * is the first pass of any image/audio corpus ingest, and the digest
+    * doubles as the content-addressed storage key. */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.fromDocuments(Tables.documents(spark, dir))
+      .groupBy(sha2(col("content"), 256).as("sha256"))
+      .agg(
+        min(col("media_id")).as("keep_media_id"),
+        count(lit(1)).as("n_copies"),
+        max(octet_length(col("content"))).as("n_bytes"))
+      .orderBy("sha256")
+
+  private val mediaDedupSql: String =
+    """SELECT sha256(text) AS sha256,
+      |       min(doc_id) AS keep_media_id,
+      |       count(*) AS n_copies,
+      |       CAST(max(octet_length(encode(text))) AS INT) AS n_bytes
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY sha256""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "media_dedup"        -> (mediaDedup _),
     "media_features"      -> (mediaFeatures _),
     "media_resize_plan"   -> (mediaResizePlan _),
     "frame_sample_counts" -> (frameSampleCounts _))
 
   val oracle: Map[String, String] = Map(
+    "media_dedup"        -> mediaDedupSql,
     "media_features"      -> mediaFeaturesSql,
     "media_resize_plan"   -> mediaResizePlanSql,
     "frame_sample_counts" -> frameSampleCountsSql)
