@@ -55,5 +55,14 @@ class SimilarityRecallSpec extends AnyFunSuite with SparkSpec {
     info(f"refined IVF probe-2 recall: $recallR2%.2f (raw-label: $recall2%.2f)")
     assert(recallR1 > recall, "refined probe-1 recall must beat the raw-label index")
     assert(recallR2 > recall2, "refined probe-2 recall must beat the raw-label index")
+
+    // the third point on the probes dial: recall stays monotone and the
+    // curve's shape (how fast it saturates) is the number a deployment
+    // chooses its probe budget by
+    val refined4 = SimilarityQueries.knnIvfRefined(spark, dir, probes = 4).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val recallR4 = refined4.intersect(brute).size.toDouble / brute.size
+    info(f"refined IVF probe-4 recall: $recallR4%.2f")
+    assert(recallR4 >= recallR2, "recall must be monotone in probes")
   }
 }
