@@ -197,12 +197,17 @@ object DedupQueries {
        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** SimHash near-dup pairs: Hamming distance ≤ 1 over the 48 bits.
-    * Unbanded N² cross join — kept as the exact recall oracle for
-    * [[simhashBandedDup]], which is the production/scale form. */
+    * Unbanded all-pairs join, bounded to a fixed doc range (doc_id < 1500,
+    * mirrored in the oracle's WHERE) — kept strictly as the labeled exact
+    * recall oracle for [[simhashBandedDup]], which is the production/scale
+    * form and produces the identical result set via the pigeonhole
+    * equi-join. The bound is what keeps this baseline O(const²) instead of
+    * O(corpus²) — the same move as ngramJaccardPairs (doc_id < 150). */
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
     // one signature row per doc, self-joined: cache to avoid recomputing
     // the token-explode pipeline for each join side
-    val sh = DedupOps.simhash48(spark, Tables.documents(spark, dir)).cache()
+    val sh = DedupOps.simhash48(spark,
+      Tables.documents(spark, dir).filter(col("doc_id") < 1500)).cache()
     val a = sh.select(col("doc_id").as("a_id"), col("simhash").as("ha"))
     val b = sh.select(col("doc_id").as("b_id"), col("simhash").as("hb"))
     a.crossJoin(b)
@@ -225,7 +230,7 @@ object DedupQueries {
        |sh2 AS (
        |  SELECT doc_id,
        |         CAST(sum(CASE WHEN s >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-       |  FROM bits GROUP BY doc_id)
+       |  FROM bits WHERE doc_id < 1500 GROUP BY doc_id)
        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
        |FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id

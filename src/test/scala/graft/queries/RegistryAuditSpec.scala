@@ -26,20 +26,68 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     assert(offenders.isEmpty, s"UDF nodes in: $offenders")
   }
 
-  // the two labeled O(N²) recall baselines are the ONLY queries allowed
-  // to plan an unbroadcast all-pairs product (their scale paths are the
-  // LSH variants); everything else planning one is a regression
-  private val allPairsBaselines = Set("near_dup_pairs", "ngram_jaccard_pairs")
+  // the labeled O(const²) recall baselines are the ONLY queries allowed
+  // to plan an all-pairs product, and each is BOUNDED to a fixed id range
+  // so the pair count is a constant, not corpus²  (near_dup_pairs:
+  // vec_id < 1200; ngram_jaccard_pairs: doc_id < 150; simhash_near_dup:
+  // doc_id < 1500). Their scale paths are the LSH/banded variants;
+  // everything else planning a product is a regression.
+  private val allPairsBaselines =
+    Set("near_dup_pairs", "ngram_jaccard_pairs", "simhash_near_dup")
 
-  test("no CartesianProduct outside the labeled all-pairs baselines") {
+  // A BroadcastNestedLoopJoin is only acceptable when the broadcast side
+  // is bounded by construction — a scalar/stats aggregate, a fixed query
+  // or centroid set, a generated time spine, or a top-k frame. Each name
+  // below was reviewed for exactly that; a NEW query planning a BNLJ must
+  // be reviewed and added here deliberately, or it fails the audit.
+  private val broadcastCrossAllowed = Set(
+    // scalar/global-stats frame joined onto every row
+    "customer_rfm", "data_quality_report", "distinct_users_hll_union",
+    "doc_length_outliers", "doc_lm_score", "label_psi",
+    "nation_revenue_share", "orders_winsorized", "region_acctbal_ttest",
+    "source_temperature_weights", "supplier_pareto",
+    // fixed query-vector / anchor set (|Q| constant, corpus streamed once)
+    "knn_brute", "knn_filtered", "hard_negatives", "event_type_distances",
+    // broadcast centroid / codebook frames (K constant)
+    "ivf_kmeans_refine", "knn_ivf", "knn_ivf_filtered", "knn_ivf_probe2",
+    "knn_ivf_refined", "knn_ivfpq", "semantic_dedup", "embedding_outliers",
+    // BM25 corpus-stats / RRF fusion constants
+    "doc_bm25_top", "hybrid_rrf",
+    // generated hourly spine × small station dim
+    "sensor_hourly_spine",
+    // bounded pair stage (Σ basket², measured linear to 50× in ScaleSmoke)
+    "part_pair_lift", "part_triangles")
+
+  test("no all-pairs product outside the labeled bounded baselines") {
     val dir = "/root/testdata/sf0.001"
     val offenders = Registry.queries.toSeq.sortBy(_._1)
-      .filterNot(q => allPairsBaselines(q._1))
       .flatMap { case (name, fn) =>
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
-        if (plan.contains("CartesianProduct")) Some(name) else None
+        val cartesian = plan.contains("CartesianProduct") &&
+          !allPairsBaselines(name)
+        val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
+          !broadcastCrossAllowed(name) && !allPairsBaselines(name)
+        if (cartesian || bnlj) Some(name) else None
       }
     spark.catalog.clearCache()
     assert(offenders.isEmpty, s"unbroadcast all-pairs plans in: $offenders")
+  }
+
+  // the allowlist above is only a license for a bounded product — verify
+  // the bound is actually in the plan, so nobody can quietly widen a
+  // baseline back to corpus²
+  test("every all-pairs baseline scans behind a pushed id bound") {
+    val dir = "/root/testdata/sf0.001"
+    val bounds = Map(
+      "near_dup_pairs"      -> "1200",
+      "ngram_jaccard_pairs" -> "150",
+      "simhash_near_dup"    -> "1500")
+    bounds.foreach { case (name, bound) =>
+      val plan = Registry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains(bound),
+        s"$name: expected id bound $bound in the physical plan")
+    }
+    spark.catalog.clearCache()
   }
 }
