@@ -31,7 +31,7 @@ object ScaleSmoke {
     // replica id offset derived from the actual max id — a fixed offset
     // would alias ids (and silently shrink the probe) on larger corpora
     val docOff = Option(docs.agg(max(col("doc_id"))).head().get(0))
-      .fold(sys.error(s"empty documents table in $sfDir"))(_.asInstanceOf[Long]) + 1
+      .fold(sys.error(s"empty documents table in $sfDir"))(_.asInstanceOf[Number].longValue) + 1
     val scaled = (0 until k).map { i =>
       docs.select(
         (col("doc_id") + lit(i.toLong * docOff)).as("doc_id"),
@@ -77,7 +77,7 @@ object ScaleSmoke {
     val li0 = graft.sources.Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val okOff = Option(li0.agg(max(col("l_orderkey"))).head().get(0))
-      .fold(sys.error(s"empty lineitem table in $sfDir"))(_.asInstanceOf[Long]) + 1
+      .fold(sys.error(s"empty lineitem table in $sfDir"))(_.asInstanceOf[Number].longValue) + 1
     val liScaled = (0 until k).map { i =>
       li0.select((col("l_orderkey") + lit(i.toLong * okOff)).as("ok"),
         col("l_partkey").as("pk"))
@@ -95,7 +95,7 @@ object ScaleSmoke {
     // (broadcast-centroid assignment is map-side — should scale ~linearly)
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val vecOff = Option(emb.agg(max(col("vec_id"))).head().get(0))
-      .fold(sys.error(s"empty embeddings table in $sfDir"))(_.asInstanceOf[Long]) + 1
+      .fold(sys.error(s"empty embeddings table in $sfDir"))(_.asInstanceOf[Number].longValue) + 1
     val scaledEmb = (0 until k).map { i =>
       emb.select(
         (col("vec_id") + lit(i.toLong * vecOff)).as("vec_id"),

@@ -855,7 +855,10 @@ object AnalyticsQueries {
       .agg(countDistinct(col("user_id")).as("wau"))
     val wm = weekly.groupBy(date_trunc("month", col("week")).as("month"))
       .agg(sum(col("wau")).as("sum_wau"), count(lit(1)).as("n_weeks"))
-    mau.join(wm, "month")
+    // left join FROM the weekly-month frame: a boundary week whose Monday
+    // falls in a month with no events of its own must still contribute to
+    // n_weeks/avg_wau (mau and stickiness are NULL for such a month)
+    wm.join(mau, Seq("month"), "left")
       .select(
         col("month"), col("mau"), col("n_weeks"),
         (floor(col("sum_wau") * 1e4 / col("n_weeks")) / lit(1e4)).as("avg_wau"),
@@ -876,11 +879,11 @@ object AnalyticsQueries {
       |              CAST(sum(wau) AS BIGINT) AS sum_wau,
       |              count(*) AS n_weeks
       |       FROM w GROUP BY 1)
-      |SELECT m.month, m.mau, wm.n_weeks,
+      |SELECT wm.month, m.mau, wm.n_weeks,
       |       floor(wm.sum_wau * 1e4 / wm.n_weeks) / 1e4 AS avg_wau,
       |       floor(wm.sum_wau * 1e4 / (wm.n_weeks * m.mau)) / 1e4 AS stickiness
-      |FROM m JOIN wm ON m.month = wm.month
-      |ORDER BY m.month""".stripMargin
+      |FROM wm LEFT JOIN m ON m.month = wm.month
+      |ORDER BY wm.month""".stripMargin
 
   /** LISTAGG / ordered string aggregation: nations per region as one
     * deterministic comma-joined string. `collect_list` gives NO ordering

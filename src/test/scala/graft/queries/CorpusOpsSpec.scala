@@ -14,9 +14,14 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
 
   test("doc_pack_bins conserves token mass and spans are contiguous per source") {
     val rows = CorpusQueries.docPackBins(spark, dir).collect()
+    // recount with the SAME tokenizer the query uses — an inline
+    // space-only trim would keep a trailing empty token on
+    // whitespace-terminated text and silently diverge from tokens()
     val total = Tables.documents(spark, dir)
-      .selectExpr("sum(CAST(size(CASE WHEN length(trim(text)) = 0 THEN array() " +
-        "ELSE split(trim(text), '\\\\s+') END) AS BIGINT)) AS t")
+      .select(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.size(
+          graft.functions.TextFunctions.tokens(
+            org.apache.spark.sql.functions.col("text"))).cast("long")).as("t"))
       .collect().head.getAs[Long]("t")
     assert(rows.map(_.getAs[Long]("n_tokens")).sum === total)
     rows.groupBy(_.getAs[String]("source")).foreach { case (_, docs) =>
