@@ -112,6 +112,32 @@ object ScaleSmoke {
     // map-side stages + dim×K partial-agg shuffles — ~linear in corpus
     time("ivfpq_codes")(
       graft.queries.SimilarityQueries.ivfPqParts(spark, scaledEmb)._3.count())
+
+    // multimodal tier: real binary blobs (non-UTF-8, varied lengths) at
+    // K× the base media count. decode_fanout is the mapPartitions frame
+    // sampler — row fan-out ∝ total bytes, no shuffle; caption_pairs is
+    // the media⋈embeddings id equi-join — one shuffle each side, ~linear
+    val nMedia = n0 * k
+    val media = graft.operators.Multimodal.syntheticMedia(spark, nMedia)
+      .select(col("media_id"), col("kind"), col("content"),
+        struct(lit(64).as("width"), lit(48).as("height"),
+          lit(0).as("sample_rate"),
+          ceil(octet_length(col("content")).cast("double")
+            / graft.operators.Multimodal.FrameBytes).cast("int").as("n_frames"))
+          .as("meta"))
+      .repartition(32).cache()
+    println(s"[scale] media $nMedia blobs (${k}x base corpus count)")
+    time("media_sha_dedup")(
+      media.groupBy(sha2(col("content"), 256)).agg(count(lit(1))).count())
+    time("decode_fanout")(
+      graft.operators.Multimodal.sampleFrames(
+        spark, media.as[graft.operators.Multimodal.MediaRow], everyN = 4).count())
+    time("caption_pairs")(
+      media.join(scaledEmb, media("media_id") === scaledEmb("vec_id"))
+        .select(col("media_id"), octet_length(col("content")),
+          expr("aggregate(embedding, 0L, (acc, x) -> " +
+            "acc + cast(round(cast(x as double) * 1000000) as bigint))"))
+        .count())
     spark.stop()
   }
 }

@@ -101,4 +101,68 @@ object Multimodal {
       }
     }
   }
+
+  // ---- EXIF-style typed metadata ------------------------------------------
+  // A fixed-width ASCII header standing in for an EXIF/IFD block:
+  //   bytes 1-4   magic  "EXIF"
+  //   bytes 5-9   width  (zero-padded)
+  //   bytes 10-14 height (zero-padded)
+  //   byte  15    orientation (1-8)
+  // Real EXIF is TIFF-encoded; fixed-width ASCII keeps the byte-offset
+  // extraction cross-engine exact while exercising the same access
+  // pattern: parse typed fields from a binary column at known offsets,
+  // validity-gated on the magic, without decoding the payload.
+  val ExifMagic = "EXIF"
+  val ExifHeaderLen = 15
+  /** 1-in-N media rows get NO header — the corrupt-input path that makes
+    * the magic check a real validity predicate, not a tautology. */
+  val ExifCorruptEvery = 97
+
+  /** Writer half: prepend the header (skipping the corrupt bucket).
+    * Pure codegen projection over the binary column. */
+  def withExifHeader(media: DataFrame): DataFrame = {
+    val hdr = concat(
+      lit(ExifMagic),
+      lpad(col("meta.width").cast("string"), 5, "0"),
+      lpad(col("meta.height").cast("string"), 5, "0"),
+      (pmod(col("media_id"), lit(8)) + 1).cast("string"))
+    media.withColumn("content_h",
+      when(pmod(col("media_id"), lit(ExifCorruptEvery)) === 0, col("content"))
+        .otherwise(concat(hdr.cast("binary"), col("content"))))
+  }
+
+  /** Reader half: typed-metadata extraction from the binary at fixed byte
+    * offsets. Fields are gated on the magic so a headerless blob yields
+    * NULLs (never an ANSI cast error) — `when` branches evaluate lazily. */
+  def exifMeta(media: DataFrame): DataFrame = {
+    val s = col("content_h")
+    val ok = substring(s, 1, 4).cast("string") === lit(ExifMagic)
+    media.select(
+      col("media_id"),
+      ok.as("magic_ok"),
+      when(ok, substring(s, 5, 5).cast("string").cast("int")).as("width"),
+      when(ok, substring(s, 10, 5).cast("string").cast("int")).as("height"),
+      when(ok, substring(s, 15, 1).cast("string").cast("int")).as("orientation"),
+      (octet_length(s) -
+        when(ok, lit(ExifHeaderLen)).otherwise(lit(0))).as("payload_bytes"))
+  }
+
+  /** Deterministic image-like binary fixture: a PNG magic followed by
+    * hash-chained bytes (sha-512 segments over (media_id, segment)), with
+    * per-row length varied by id. Genuinely non-UTF-8 content — the bytes
+    * a real image column carries — generated entirely in codegen (no UDF,
+    * no driver loop), so specs and scale probes can build it at any n. */
+  def syntheticMedia(spark: SparkSession, n: Long, segments: Int = 16): DataFrame = {
+    val pngMagic = "89504E470D0A1A0A"
+    val body = concat((0 until segments).map(s =>
+      unhex(sha2(concat_ws(":", lit("blob"), col("id"), lit(s)), 512))): _*)
+    spark.range(n).select(
+      col("id").as("media_id"),
+      lit("image/png").as("kind"),
+      // 8-byte magic + up to segments×64 chained bytes, length varied by id
+      concat(unhex(lit(pngMagic)), body)
+        .substr(lit(1),
+          (lit(8 + 256) + pmod(col("id") * 131, lit(segments * 64L - 256))).cast("int"))
+        .as("content"))
+  }
 }

@@ -97,15 +97,123 @@ object MultimodalQueries {
       |GROUP BY 1
       |ORDER BY sha256""".stripMargin
 
+  /** CLIP-pairing shape: media (binary payload) equi-joined with its
+    * embedding row — the join that assembles a multimodal training set
+    * from a media table and a separately-produced embedding table. Both
+    * sides are corpus-sized at 100 TB, so this is a plain shuffled
+    * equi-join on the id (co-partitioning/bucketing both tables by id
+    * makes it shuffle-free); no broadcast. The embedding feature is an
+    * exact-integer micro-unit sum, so the pair rows hash identically
+    * cross-engine. */
+  def mediaCaptionPairs(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.fromDocuments(Tables.documents(spark, dir))
+    val emb = Tables.embeddings(spark, dir)
+    media.join(emb, media("media_id") === emb("vec_id"))
+      .select(
+        col("media_id"), col("kind"),
+        octet_length(col("content")).as("n_bytes"),
+        col("meta.n_frames").as("n_frames"),
+        size(col("embedding")).as("dim"),
+        col("label"),
+        expr("aggregate(embedding, 0L, (acc, x) -> " +
+          "acc + cast(round(cast(x as double) * 1000000) as bigint))")
+          .as("emb_sum_micro"))
+      .orderBy("media_id")
+  }
+
+  private val mediaCaptionPairsSql: String =
+    """SELECT d.doc_id AS media_id,
+      |       'text/plain' AS kind,
+      |       CAST(octet_length(encode(d.text)) AS INT) AS n_bytes,
+      |       CAST(ceil(CAST(octet_length(encode(d.text)) AS DOUBLE) / 1024) AS INT) AS n_frames,
+      |       CAST(len(e.embedding) AS INT) AS dim,
+      |       e.label,
+      |       CAST(list_sum(list_transform(e.embedding,
+      |              x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS emb_sum_micro
+      |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      |ORDER BY media_id""".stripMargin
+
+  /** Pairing-coverage report for the CLIP join: how much of each side
+    * actually pairs (full outer join + one aggregate). At sf0.1 the
+    * embedding table covers only part of the media table, so the three
+    * counters are all non-trivial. The 100 TB shape is the same
+    * id-keyed shuffle as [[mediaCaptionPairs]] followed by a scalar agg. */
+  def mediaPairingCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val m = Multimodal.fromDocuments(Tables.documents(spark, dir))
+      .select(col("media_id"))
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"))
+    m.join(e, m("media_id") === e("vec_id"), "full_outer")
+      .agg(
+        count(when(col("media_id").isNotNull && col("vec_id").isNotNull, 1))
+          .as("n_paired"),
+        count(when(col("vec_id").isNull, 1)).as("n_media_only"),
+        count(when(col("media_id").isNull, 1)).as("n_embedding_only"))
+      .withColumn("media_coverage",
+        floor(col("n_paired") * 1e4 / (col("n_paired") + col("n_media_only"))) / lit(1e4))
+  }
+
+  private val mediaPairingCoverageSql: String =
+    """WITH j AS (
+      |  SELECT d.doc_id AS media_id, e.vec_id
+      |  FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id)
+      |SELECT count(CASE WHEN media_id IS NOT NULL AND vec_id IS NOT NULL THEN 1 END) AS n_paired,
+      |       count(CASE WHEN vec_id IS NULL THEN 1 END) AS n_media_only,
+      |       count(CASE WHEN media_id IS NULL THEN 1 END) AS n_embedding_only,
+      |       floor(count(CASE WHEN media_id IS NOT NULL AND vec_id IS NOT NULL THEN 1 END) * 1e4
+      |             / (count(CASE WHEN media_id IS NOT NULL AND vec_id IS NOT NULL THEN 1 END)
+      |                + count(CASE WHEN vec_id IS NULL THEN 1 END))) / 1e4 AS media_coverage
+      |FROM j""".stripMargin
+
+  /** EXIF-style typed-metadata extraction: header write + parse-back over
+    * the binary column, validity-gated on the magic (1-in-97 rows carry no
+    * header and must yield NULL metadata, not a cast error). Byte-offset
+    * field access on an opaque blob — the access pattern of real EXIF/IFD
+    * readers — as a pure codegen projection. */
+  def mediaExifMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.exifMeta(
+      Multimodal.withExifHeader(
+        Multimodal.fromDocuments(Tables.documents(spark, dir))))
+      .orderBy("media_id")
+
+  private val mediaExifMetaSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, text,
+      |         CAST(CASE WHEN doc_id % 5 = 4 THEN 200
+      |                   ELSE 320 + (doc_id % 5) * 160 END AS INT) AS w,
+      |         CAST(CASE WHEN doc_id % 5 = 4 THEN 150
+      |                   ELSE 240 + (doc_id % 3) * 120 END AS INT) AS h
+      |  FROM documents),
+      |s AS (
+      |  SELECT media_id,
+      |         CASE WHEN media_id % 97 = 0 THEN text
+      |              ELSE 'EXIF' || lpad(CAST(w AS VARCHAR), 5, '0')
+      |                          || lpad(CAST(h AS VARCHAR), 5, '0')
+      |                          || CAST(media_id % 8 + 1 AS VARCHAR) || text
+      |         END AS sh
+      |  FROM m),
+      |p AS (SELECT media_id, sh, substring(sh, 1, 4) = 'EXIF' AS magic_ok FROM s)
+      |SELECT media_id, magic_ok,
+      |       CASE WHEN magic_ok THEN CAST(substring(sh, 5, 5) AS INT) END AS width,
+      |       CASE WHEN magic_ok THEN CAST(substring(sh, 10, 5) AS INT) END AS height,
+      |       CASE WHEN magic_ok THEN CAST(substring(sh, 15, 1) AS INT) END AS orientation,
+      |       CAST(octet_length(encode(sh)) - CASE WHEN magic_ok THEN 15 ELSE 0 END AS INT) AS payload_bytes
+      |FROM p ORDER BY media_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "media_dedup"        -> (mediaDedup _),
     "media_features"      -> (mediaFeatures _),
     "media_resize_plan"   -> (mediaResizePlan _),
-    "frame_sample_counts" -> (frameSampleCounts _))
+    "frame_sample_counts" -> (frameSampleCounts _),
+    "media_caption_pairs" -> (mediaCaptionPairs _),
+    "media_pairing_coverage" -> (mediaPairingCoverage _),
+    "media_exif_meta"     -> (mediaExifMeta _))
 
   val oracle: Map[String, String] = Map(
     "media_dedup"        -> mediaDedupSql,
     "media_features"      -> mediaFeaturesSql,
     "media_resize_plan"   -> mediaResizePlanSql,
-    "frame_sample_counts" -> frameSampleCountsSql)
+    "frame_sample_counts" -> frameSampleCountsSql,
+    "media_caption_pairs" -> mediaCaptionPairsSql,
+    "media_pairing_coverage" -> mediaPairingCoverageSql,
+    "media_exif_meta"     -> mediaExifMetaSql)
 }
