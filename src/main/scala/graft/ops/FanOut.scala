@@ -33,6 +33,25 @@ object FanOut {
     df.repartition(col("station_id"))
       .write.mode("append").partitionBy("station_id").parquet(outDir)
 
+  /** Exactly-once fan-out for foreachBatch sinks: station-partitioned
+    * like [[writePartitionedSized]], with the micro-batch id as a
+    * secondary partition column under DYNAMIC partition overwrite.
+    * Structured Streaming replays a failed batch under the SAME batchId,
+    * so a replay overwrites exactly the `station_id=S/batch_id=N`
+    * directories the crashed attempt wrote — never appending a duplicate
+    * and never touching other batches' output. Combined with
+    * `isolateFailedBatches = false` (at-least-once replay) this is the
+    * end-to-end exactly-once recipe proved in ErrorIsolationSpec.
+    * Station-major layout keeps the fan-out read contract: scanning
+    * `station_id=S/` yields that station's full history. */
+  def writePartitionedIdempotent(batch: DataFrame, outDir: String, batchId: Long): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .repartition(col("station_id"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("station_id", "batch_id")
+      .parquet(outDir)
+
   /** Reference-mechanics fan-out (K3 cache, K4 distinct-collect, K5
     * filtered per-station append). Test-scale / per-collection sinks only. */
   def writePerStationLoop(batch: DataFrame, outDir: String): Unit = {

@@ -107,9 +107,11 @@ object SensorPipeline {
 
   /** Config-driven assembly: the one-call equivalent of the reference's
     * `main` (consumer.py:212-240). */
-  def run(raw: DataFrame, cfg: PipelineConfig)(
+  def run(raw: DataFrame, cfg: PipelineConfig,
+      readyFile: Option[java.nio.file.Path] = None)(
       writeBatch: (DataFrame, Long) => Unit): StreamingQuery =
-    start(documents(raw, cfg), cfg.checkpointDir, cfg.trigger)(writeBatch)
+    start(documents(raw, cfg), cfg.checkpointDir, cfg.trigger,
+      readyFile = readyFile)(writeBatch)
 
   /** Observability (the reference's per-batch log line,
     * `consumer.py:203` "Batch N | Scrittura completata…", done
@@ -159,26 +161,52 @@ object SensorPipeline {
     *    genuine at-least-once, the right choice when the sink is
     *    idempotent or deduplicating.
     */
+  /** Readiness health gate (reference `consumer.py:237` touches
+    * `/tmp/spark-ready` once the query is started; the compose
+    * healthcheck and `run_simulation.sh:33-38` gate on the file). When
+    * `readyFile` is set: any stale flag is removed BEFORE starting (a
+    * leftover from a crashed run must not green-light a dead pipeline),
+    * the file is created only after `.start()` has returned a live query,
+    * and a start failure deletes it again. Liveness beyond startup is the
+    * orchestrator's job — combine the flag with `query.isActive` exactly
+    * as the reference's healthcheck combines the file with the container
+    * state. */
   def start(
       shaped: DataFrame,
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("1 minute"),
-      isolateFailedBatches: Boolean = true)(
-      writeBatch: (DataFrame, Long) => Unit): StreamingQuery =
-    shaped.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        try {
-          if (!batch.isEmpty) writeBatch(batch, batchId)
-        } catch {
-          // NonFatal (not bare Exception): fatal Errors always propagate.
-          case scala.util.control.NonFatal(e) if isolateFailedBatches =>
-            // K6: drop the batch, keep the query alive (at-most-once)
-            System.err.println(s"[sensor-pipeline] batch $batchId failed (dropped): ${e.getMessage}")
-        }
-        ()
+      isolateFailedBatches: Boolean = true,
+      readyFile: Option[java.nio.file.Path] = None)(
+      writeBatch: (DataFrame, Long) => Unit): StreamingQuery = {
+    import java.nio.file.Files
+    readyFile.foreach(Files.deleteIfExists)
+    val query =
+      try {
+        shaped.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", checkpointDir)
+          .trigger(trigger)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            try {
+              if (!batch.isEmpty) writeBatch(batch, batchId)
+            } catch {
+              // NonFatal (not bare Exception): fatal Errors always propagate.
+              case scala.util.control.NonFatal(e) if isolateFailedBatches =>
+                // K6: drop the batch, keep the query alive (at-most-once)
+                System.err.println(s"[sensor-pipeline] batch $batchId failed (dropped): ${e.getMessage}")
+            }
+            ()
+          }
+          .start()
+      } catch {
+        case e: Throwable =>
+          readyFile.foreach(Files.deleteIfExists)
+          throw e
       }
-      .start()
+    readyFile.foreach { p =>
+      Option(p.getParent).foreach(Files.createDirectories(_))
+      Files.createFile(p)
+    }
+    query
+  }
 }

@@ -90,10 +90,10 @@ class ErrorIsolationSpec extends AnyFunSuite with SparkSpec {
 
   test("idempotent sink + replay = exactly-once: batchId partition overwrite") {
     // The end-to-end exactly-once recipe: rethrow-on-failure (at-least-once
-    // replay, previous test) + an idempotent sink keyed by batchId. Spark
-    // re-runs a failed batch under the SAME batchId, so a dynamic
-    // partition overwrite replaces the partial partition instead of
-    // appending a duplicate.
+    // replay, previous test) + FanOut.writePartitionedIdempotent, whose
+    // batchId-keyed dynamic partition overwrite makes Spark's same-batchId
+    // replay replace the partial partition instead of appending a
+    // duplicate.
     val srcDir = java.nio.file.Files.createTempDirectory("idem_src")
     val cp = java.nio.file.Files.createTempDirectory("idem_cp").toString
     val outDir = java.nio.file.Files.createTempDirectory("idem_out").toString
@@ -105,12 +105,10 @@ class ErrorIsolationSpec extends AnyFunSuite with SparkSpec {
       val shaped = SensorPipeline.documents(raw, "5 seconds", "10 seconds")
       val q = SensorPipeline.start(shaped, cp, Trigger.ProcessingTime("1 second"),
         isolateFailedBatches = false) { (batch, batchId) =>
-        batch.select(col("window.start").as("window_start"))
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(outDir)
+        graft.ops.FanOut.writePartitionedIdempotent(
+          batch.select(col("station.id").as("station_id"),
+            col("window.start").as("window_start")),
+          outDir, batchId)
         if (failAfterWrite.getAndSet(false)) sys.error("crash AFTER the write")
       }
       try q.processAllAvailable()
@@ -126,5 +124,8 @@ class ErrorIsolationSpec extends AnyFunSuite with SparkSpec {
       .select(col("window_start").cast("long")).collect().map(_.getLong(0)).toSeq
     assert(windows === Seq(t0 / 1000),
       s"replay must overwrite its own partition, got $windows")
+    // station-major layout: reading station_id=p/ yields that station's
+    // history — the fan-out read contract survives the idempotence keying
+    assert(new java.io.File(outDir, "station_id=p").isDirectory)
   }
 }

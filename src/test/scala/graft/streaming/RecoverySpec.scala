@@ -79,4 +79,41 @@ class RecoverySpec extends AnyFunSuite with SparkSpec {
       assert(rows("atlantis") === None) // left join keeps unmatched streams
     } finally q.stop()
   }
+
+  test("ready flag appears only after the query is live, stale flags cleared, start failure deletes it") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ready = Files.createTempDirectory("rdy").resolve("sub/spark-ready")
+    val cpDir = Files.createTempDirectory("rdy_cp").toString
+
+    // stale flag from a "previous run" must not survive into this start
+    Files.createDirectories(ready.getParent)
+    Files.createFile(ready)
+
+    val input = MemoryStream[SensorReading]
+    val shaped = SensorPipeline.documents(
+      input.toDS().toDF().selectExpr(
+        """to_json(named_struct(
+          |'station_name', station_name, 'station_id', station_id,
+          |'sensor_id', sensor_id, 'timestamp', timestamp, 'value', value)) AS value""".stripMargin),
+      watermarkDelay = "5 seconds", windowDuration = "10 seconds")
+    val q = SensorPipeline.start(shaped, cpDir,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
+      readyFile = Some(ready)) { (_, _) => () }
+    try {
+      // flag present exactly once the query object is live
+      assert(Files.exists(ready) && q.isActive)
+    } finally q.stop()
+
+    // a failed start (batch frame has no writeStream) removes the flag;
+    // the flag still exists from the successful run above — the exact
+    // stale-green state a crashed redeploy would see
+    assert(Files.exists(ready))
+    intercept[Throwable] {
+      SensorPipeline.start(
+        Seq(1).toDF("x"), cpDir, readyFile = Some(ready)) { (_, _) => () }
+    }
+    assert(!Files.exists(ready),
+      "ready flag must not survive a failed start")
+  }
 }
