@@ -50,7 +50,8 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "knn_brute", "knn_filtered", "hard_negatives", "event_type_distances",
     // broadcast centroid / codebook frames (K constant)
     "ivf_kmeans_refine", "knn_ivf", "knn_ivf_filtered", "knn_ivf_probe2",
-    "knn_ivf_refined", "knn_ivfpq", "semantic_dedup", "embedding_outliers",
+    "knn_ivf_refined", "knn_recall_curve", "knn_ivfpq", "semantic_dedup",
+    "embedding_outliers",
     // BM25 corpus-stats / RRF fusion constants
     "doc_bm25_top", "hybrid_rrf",
     // generated hourly spine × small station dim
