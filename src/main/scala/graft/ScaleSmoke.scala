@@ -69,6 +69,21 @@ object ScaleSmoke {
         .count()
     }
 
+    // duplicate-cluster extraction over the verified LSH pairs: rounds ∝
+    // component diameter (replica cliques are near-cliques → 2-3), wall ∝
+    // the DUP subset, never the corpus. If rounds ever grow with K here,
+    // the min-label loop should switch to alternating large-star/small-star
+    // (halves convergence rounds on chain-shaped components).
+    time("dedup_components") {
+      val pairs = graft.queries.DedupQueries.minhashLshDupsFrom(spark, scaled)
+        .select(col("a_id"), col("b_id"))
+      val (comp, rounds) =
+        DedupOps.connectedComponentsWithRounds(spark, pairs)
+      val n = comp.count()
+      println(s"[scale] dedup_components converged in $rounds rounds")
+      n
+    }
+
     // relational tier: K× the order baskets through the co-purchase pair
     // generation (the dominant stage of part_pair_lift/part_triangles).
     // Replicated orders multiply each pair's support by K (so the

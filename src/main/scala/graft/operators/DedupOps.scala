@@ -226,7 +226,14 @@ object DedupOps {
     * @param edges (a_id, b_id) pairs, undirected
     * @return (doc_id, component_id) for every node in the edge list
     */
-  def connectedComponents(spark: SparkSession, edges: DataFrame, maxIters: Int = 15): DataFrame = {
+  def connectedComponents(spark: SparkSession, edges: DataFrame, maxIters: Int = 15): DataFrame =
+    connectedComponentsWithRounds(spark, edges, maxIters)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it
+    * took to converge — the scale-behavior observable (rounds ∝ graph
+    * diameter) that ScaleSmoke records. */
+  def connectedComponentsWithRounds(
+      spark: SparkSession, edges: DataFrame, maxIters: Int = 15): (DataFrame, Int) = {
     val sym = edges
       .select(col("a_id").as("node"), col("b_id").as("nbr"))
       .unionAll(edges.select(col("b_id").as("node"), col("a_id").as("nbr")))
@@ -257,6 +264,6 @@ object DedupOps {
     if (!converged)
       sys.error(s"connectedComponents did not converge in $maxIters rounds " +
         "(graph diameter exceeds the cap) — raise maxIters")
-    labels.select(col("node").as("doc_id"), col("comp").as("component_id"))
+    (labels.select(col("node").as("doc_id"), col("comp").as("component_id")), i)
   }
 }

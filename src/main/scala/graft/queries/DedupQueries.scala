@@ -68,8 +68,12 @@ object DedupQueries {
        |SELECT doc_id, k, minhash FROM mh ORDER BY doc_id, k""".stripMargin
 
   /** LSH-banded near-dup pairs verified with exact shingle Jaccard. */
-  def minhashLshDups(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def minhashLshDups(spark: SparkSession, dir: String): DataFrame =
+    minhashLshDupsFrom(spark, Tables.documents(spark, dir))
+
+  /** Frame-based core of [[minhashLshDups]] (also driven by ScaleSmoke
+    * at K× corpus size). */
+  def minhashLshDupsFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
     // candidate PAIRS are tiny (ids only) — cache them; the expensive
     // signature pipeline then runs once, and downstream consumers reuse
     val cand = DedupOps.lshCandidates(spark, docs).cache()
