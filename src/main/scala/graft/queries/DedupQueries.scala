@@ -74,9 +74,9 @@ object DedupQueries {
   /** Frame-based core of [[minhashLshDups]] (also driven by ScaleSmoke
     * at K× corpus size). */
   def minhashLshDupsFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
-    // candidate PAIRS are tiny (ids only) — cache them; the expensive
-    // signature pipeline then runs once, and downstream consumers reuse
-    val cand = DedupOps.lshCandidates(spark, docs).cache()
+    // candidate PAIRS are tiny (ids only) — materialize them once; the
+    // expensive signature pipeline then runs once, downstream reuses
+    val cand = DedupOps.lshCandidates(spark, docs).localCheckpoint(false)
     // Jaccard verification re-derives shingles ONLY for candidate docs
     // (semi-join): candidates are a vanishing fraction of the corpus, and
     // caching the full corpus's shingle arrays measured super-linear at
@@ -208,10 +208,12 @@ object DedupQueries {
     * equi-join. The bound is what keeps this baseline O(const²) instead of
     * O(corpus²) — the same move as ngramJaccardPairs (doc_id < 150). */
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
-    // one signature row per doc, self-joined: cache to avoid recomputing
-    // the token-explode pipeline for each join side
+    // deliberately NOT materialized: the bounded input is tiny, so the
+    // signature pipeline running once per join side is cheap, and the
+    // full plan (including the pushed doc_id bound) stays visible to the
+    // RegistryAuditSpec plan walk
     val sh = DedupOps.simhash48(spark,
-      Tables.documents(spark, dir).filter(col("doc_id") < 1500)).cache()
+      Tables.documents(spark, dir).filter(col("doc_id") < 1500))
     val a = sh.select(col("doc_id").as("a_id"), col("simhash").as("ha"))
     val b = sh.select(col("doc_id").as("b_id"), col("simhash").as("hb"))
     a.crossJoin(b)
@@ -267,7 +269,7 @@ object DedupQueries {
     * size, not corpus². */
   def simhashBandedCandidates(spark: SparkSession, docs: DataFrame): DataFrame = {
     // one signature row per doc, consumed by both join sides
-    val sh = DedupOps.simhash48(spark, docs).cache()
+    val sh = DedupOps.simhash48(spark, docs).localCheckpoint(false)
     val banded = sh
       .select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(NBands - 1))).as("band"))
@@ -361,7 +363,7 @@ object DedupQueries {
     // frames in simhashNearDup/minhashLshDups)
     val ex = DedupOps.docShingles(docs)
       .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .cache()
+      .localCheckpoint(false)
     val b = ex.filter(pmod(col("doc_id"), lit(97)) === 0)
       .select(col("doc_id").as("b_id"), col("s"))
     val c = ex.filter(pmod(col("doc_id"), lit(97)) =!= 0)
@@ -399,7 +401,7 @@ object DedupQueries {
   def contaminationContainment(spark: SparkSession, dir: String): DataFrame = {
     val ex = DedupOps.docShingles(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .cache() // feeds the benchmark side, corpus side and size aggregate
+      .localCheckpoint(false) // feeds the benchmark side, corpus side and size aggregate
     val isBench = pmod(col("doc_id"), lit(97)) === 0
     val bSize = ex.filter(isBench)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
@@ -492,11 +494,11 @@ object DedupQueries {
     * on (doc, k) — nothing touches corpus×corpus. */
   def minhashJaccardEst(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val cand = DedupOps.lshCandidates(spark, docs).cache()
+    val cand = DedupOps.lshCandidates(spark, docs).localCheckpoint(false)
     val candIds = cand.select(col("a_id").as("doc_id"))
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
     val shCand = DedupOps.docShingles(
-      docs.join(candIds, Seq("doc_id"), "left_semi")).cache()
+      docs.join(candIds, Seq("doc_id"), "left_semi")).localCheckpoint(false)
     val mh = DedupOps.minhashFromShingles(spark, shCand)
     val agree = cand
       .join(mh.select(col("doc_id").as("a_id"), col("k"), col("minhash").as("ma")), Seq("a_id"))

@@ -712,7 +712,7 @@ object RelationalQueries {
       .filter(col("src").isNotNull && col("src") =!= col("event_type"))
       .select(col("src"), col("event_type").as("dst"))
       .distinct()
-      .cache()
+      .localCheckpoint(false)
     edges.count() // materialize: each recursive step re-reads the view,
                   // and without the cache each re-read would replay the
                   // full window + distinct over the events scan

@@ -147,7 +147,9 @@ object SimilarityQueries {
     val emb = Tables.embeddings(spark, dir)
       .filter(col("vec_id") < 1200)
       .withColumn("norm", sqrt(dotFast(spark)(col("embedding"), col("embedding"))))
-      .cache() // self-joined: both sides read the cached vectors+norms
+    // deliberately NOT materialized: the bounded scan is tiny (reading it
+    // once per join side is cheap) and the pushed vec_id bound stays
+    // visible to the RegistryAuditSpec plan walk
     val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("norm").as("a_norm"))
     val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("norm").as("b_norm"))
     a.crossJoin(b)
@@ -187,7 +189,7 @@ object SimilarityQueries {
     val b = lshBuckets(spark, dir)
     val emb = Tables.embeddings(spark, dir)
       .withColumn("norm", sqrt(dotFast(spark)(col("embedding"), col("embedding"))))
-    val withB = emb.join(b, "vec_id").cache() // self-joined below
+    val withB = emb.join(b, "vec_id").localCheckpoint(false) // self-joined below
     val l = withB.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
       col("norm").as("a_norm"), col("bucket"))
     val r = withB.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
@@ -261,7 +263,7 @@ object SimilarityQueries {
     val dotF = dotFast(spark) _
     val emb = Tables.embeddings(spark, dir)
       .withColumn("norm", sqrt(dotFast(spark)(col("embedding"), col("embedding"))))
-      .cache()
+      .localCheckpoint(false)
     // centroid arrays: component avgs rounded to 6 (both engines), packed
     // in position order
     val cent = emb
@@ -425,7 +427,7 @@ object SimilarityQueries {
     val dotF = dotFast(spark) _
     val emb = Tables.embeddings(spark, dir)
       .withColumn("norm", sqrt(dotFast(spark)(col("embedding"), col("embedding"))))
-      .cache()
+      .localCheckpoint(false)
     val cent0 = centroidsOf(spark,
       emb.select(col("label").as("cluster"), col("embedding")))
     // `iters` Lloyd rounds (assign → recompute); each is a broadcast
@@ -433,9 +435,9 @@ object SimilarityQueries {
     // cost ∝ corpus, never pairs
     val cent2 = (1 to iters)
       .foldLeft(cent0)((c, _) => centroidsOf(spark, assignTo(spark, emb, c)))
-      .cache()
+      .localCheckpoint(false)
     // final index: every vector assigned to the refined centroids
-    val idx = assignTo(spark, emb, cent2).cache()
+    val idx = assignTo(spark, emb, cent2).localCheckpoint(false)
     val q = idx.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
     val wAssign = Window.partitionBy(col("q_id"))
@@ -690,12 +692,12 @@ object SimilarityQueries {
     val dotF = dotFast(spark) _
     val emb = embIn
       .withColumn("norm", sqrt(dotFast(spark)(col("embedding"), col("embedding"))))
-      .cache()
+      .localCheckpoint(false)
     val cent0 = centroidsOf(spark,
       emb.select(col("label").as("cluster"), col("embedding")))
     val cent1 = centroidsOf(spark, assignTo(spark, emb, cent0))
     val cent2 = centroidsOf(spark, assignTo(spark, emb, cent1))
-    val idx = assignTo(spark, emb, cent2).cache()
+    val idx = assignTo(spark, emb, cent2).localCheckpoint(false)
     val a = idx.select(col("cluster"), col("vec_id").as("a_id"),
       col("embedding").as("a_emb"), col("norm").as("a_norm"))
     val b = idx.select(col("cluster"), col("vec_id").as("b_id"),
@@ -747,13 +749,13 @@ object SimilarityQueries {
   def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .withColumn("norm", sqrt(dotFast(spark)(col("embedding"), col("embedding"))))
-      .cache()
+      .localCheckpoint(false)
     val cent0 = centroidsOf(spark,
       emb.select(col("label").as("cluster"), col("embedding")))
     val cent1 = centroidsOf(spark, assignTo(spark, emb, cent0))
     val dists = assignWithSim(spark, emb, cent1)
       .withColumn("dist", round(lit(1.0) - col("c_sim"), 6))
-      .cache()
+      .localCheckpoint(false)
     val bound = dists.agg(
       round(expr("percentile(dist, 0.95)"), 6).as("p95"))
     dists.crossJoin(broadcast(bound))
@@ -810,7 +812,7 @@ object SimilarityQueries {
         explode(sequence(lit(0), lit(NSub - 1))).as("s"))
       .withColumn("subv", slice(col("embedding"), col("s") * SubDim + 1, lit(SubDim)))
       .select("vec_id", "own_label", "s", "subv")
-      .cache()
+      .localCheckpoint(false)
 
   /** Per-subspace codebooks (code_label, s, centroid, cdot). */
   private def pqCodebook(spark: SparkSession, sub: DataFrame): DataFrame =
@@ -864,7 +866,7 @@ object SimilarityQueries {
     * that makes PQ the billion-vector form. */
   def knnPqAdc(spark: SparkSession, dir: String): DataFrame = {
     val sub = pqSub(spark, dir)
-    val dists = pqDistances(spark, sub, pqCodebook(spark, sub)).cache()
+    val dists = pqDistances(spark, sub, pqCodebook(spark, sub)).localCheckpoint(false)
     val codes = pqCodes(dists).select("vec_id", "s", "code_label")
     val dtable = dists.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("s"), col("code_label"), col("sqd"))
@@ -995,13 +997,13 @@ object SimilarityQueries {
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("pos", "v")))
       .withColumn("v", col("v").cast("double"))
-      .cache()
+      .localCheckpoint(false)
     // coarse centroid components (c_label, c_pos, cv), rounded per
     // convention; pos renamed — cp shares lineage with pts and the joins
     // below would otherwise be ambiguous self-join references
     val cp = pts.groupBy(col("label").as("c_label"), col("pos").as("c_pos"))
       .agg(round(avg(col("v")), 6).as("cv"))
-      .cache()
+      .localCheckpoint(false)
     // integer micro-unit residuals (vec_id, own_label, s, pos, rv); the
     // subspace id uses floor division (DuckDB's `//`) — a plain cast
     // would truncate on Spark but ROUND on DuckDB
@@ -1011,7 +1013,7 @@ object SimilarityQueries {
       .select(col("vec_id"), col("label").as("own_label"), col("pos"),
         round((col("v") - col("cv")) * 1e6).cast("long").as("rv"))
       .withColumn("s", floor(col("pos") / SubDim).cast("int"))
-      .cache()
+      .localCheckpoint(false)
     // random-point init: the first PqSeeds vectors' residuals ARE the seeds
     val seeds = r.filter(col("vec_id") < PqSeeds)
       .select(col("vec_id").cast("int").as("code_label"), col("s").as("cs"),
@@ -1023,7 +1025,7 @@ object SimilarityQueries {
     val codebook = r.join(a0, col("vec_id") === col("a_vec") && col("s") === col("a_s"))
       .groupBy(col("seed").as("code_label"), col("s").as("cs"), col("pos").as("cw_pos"))
       .agg(floor(sum(col("rv")).cast("double") / count(lit(1))).cast("long").as("cw"))
-      .cache()
+      .localCheckpoint(false)
     // corpus codes: argmin codeword per (vec_id, s)
     val withCell = r.select(col("vec_id"), col("own_label"), col("s"), col("pos"), col("rv"))
     val codes = argminCode(sqDists(withCell, codebook, Seq("vec_id", "own_label")),
@@ -1044,7 +1046,7 @@ object SimilarityQueries {
     // one scan feeds both the coarse probing and the residual explode
     val qbase = Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .cache()
+      .localCheckpoint(false)
     val q = qbase
       .withColumn("q_norm", sqrt(dotFast(spark)(col("q_emb"), col("q_emb"))))
     val wProbe = Window.partitionBy(col("q_id"))

@@ -465,7 +465,7 @@ object StatQueries {
       .withColumn("value_numeric", expr("try_cast(value_str AS double)"))
       .filter(col("value_numeric").isNotNull)
       .select(col("station_id"), col("value_numeric"))
-      .cache() // read by the median pass and re-read for deviations
+      .localCheckpoint(false) // read by the median pass and re-read for deviations
     // med/mad are ROUNDED to 6 before the outlier comparison on BOTH
     // engines: percentile interpolation (lo + (hi-lo)*f vs lo*(1-f)+hi*f)
     // can differ by 1 ulp between engines, and a strict > on the raw
@@ -945,18 +945,20 @@ object StatQueries {
     * independent of event volume; the fill is the linear per-partition
     * window. */
   def sensorHourlySpine(spark: SparkSession, dir: String): DataFrame = {
-    // cached: referenced three times (bounds, station list, join side) —
-    // uncached, the events scan + windowed aggregate would run 3×.
-    // No unpersist by convention: registered queries return lazy frames
-    // (the caller materializes), Bench clearCache()s between queries, and
-    // a long-lived session relies on storage-LRU eviction for these
-    // small aggregates.
+    // materialized once: referenced three times (bounds, station list,
+    // join side) — un-materialized, the events scan + windowed aggregate
+    // would run 3×. Registry-wide convention: build frames that feed
+    // self-joins use localCheckpoint(eager = false), NOT cache() — the
+    // frame is computed once on first use and its blocks are reclaimed by
+    // the ContextCleaner as soon as the result frame is garbage-collected,
+    // so registered queries never pin catalog storage and a long-lived
+    // session does not depend on LRU eviction or callers' clearCache().
     val v = graft.queries.ParityQueries.sensorShaped(spark, dir)
       .withColumn("value_numeric", expr("try_cast(value_str AS double)"))
       .groupBy(window(col("ts"), "1 hour"), col("station_id"))
       .agg(round(avg(col("value_numeric")), 6).as("avg_v"))
       .select(col("window.start").as("hour"), col("station_id"), col("avg_v"))
-      .cache()
+      .localCheckpoint(false)
     val bounds = v.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
     val hours = bounds
       .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour"))

@@ -74,6 +74,22 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     assert(offenders.isEmpty, s"unbroadcast all-pairs plans in: $offenders")
   }
 
+  // registered queries materialize self-join build frames via
+  // localCheckpoint(eager=false), never cache(): checkpoint blocks are
+  // reclaimed by the ContextCleaner once the result frame is GC'd, while
+  // catalog-cached frames stay pinned until someone calls clearCache —
+  // a long-lived session must not depend on that
+  test("no registered query pins catalog storage after materialization") {
+    val dir = "/root/testdata/sf0.001"
+    val offenders = Registry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, dir).count()
+        if (spark.sharedState.cacheManager.isEmpty) None
+        else { spark.catalog.clearCache(); Some(name) }
+    }
+    assert(offenders.isEmpty, s"queries leaving pinned storage: $offenders")
+  }
+
   // the allowlist above is only a license for a bounded product — verify
   // the bound is actually in the plan, so nobody can quietly widen a
   // baseline back to corpus²
