@@ -199,7 +199,62 @@ object MultimodalQueries {
       |       CAST(octet_length(encode(sh)) - CASE WHEN magic_ok THEN 15 ELSE 0 END AS INT) AS payload_bytes
       |FROM p ORDER BY media_id""".stripMargin
 
+  /** Cross-modal retrieval (the CLIP-search capstone of the multimodal
+    * tier): a handful of query embeddings (standing in for encoded text
+    * prompts) retrieve the top-3 nearest media items by embedding cosine,
+    * then join back to the media table for the payload identity (bytes +
+    * content digest) a serving layer would fetch. Shape at 100 TB: |Q| is
+    * constant so the similarity scan is one broadcast pass over the
+    * embedding table (or the IVF probe at higher corpus sizes); the
+    * join-back is an id equi-join that bucketing makes shuffle-free. */
+  def mediaClipRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dotFast
+    val dotF = dotFast(spark) _
+    val media = Multimodal.binaryFeatures(
+      Multimodal.fromDocuments(Tables.documents(spark, dir)))
+      .select(col("media_id"), col("n_bytes"), col("sha256"))
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("norm", sqrt(dotF(col("embedding"), col("embedding"))))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim",
+        round(dotF(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id").as("media_id"), col("cos_sim"))
+      .join(media, "media_id")
+      .select("q_id", "rank", "media_id", "cos_sim", "n_bytes", "sha256")
+      .orderBy("q_id", "rank")
+  }
+
+  private val mediaClipRetrievalSql: String =
+    """WITH pairs AS (
+      |  SELECT b.vec_id AS q_id, a.vec_id AS media_id,
+      |         round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      |               (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+      |                sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos_sim
+      |  FROM embeddings a
+      |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) b
+      |  WHERE a.vec_id <> b.vec_id),
+      |ranked AS (
+      |  SELECT q_id, media_id, cos_sim,
+      |         row_number() OVER (PARTITION BY q_id
+      |                            ORDER BY cos_sim DESC, media_id) AS rank
+      |  FROM pairs)
+      |SELECT r.q_id, r.rank, r.media_id, r.cos_sim,
+      |       CAST(octet_length(encode(d.text)) AS INT) AS n_bytes,
+      |       sha256(d.text) AS sha256
+      |FROM ranked r JOIN documents d ON d.doc_id = r.media_id
+      |WHERE r.rank <= 3
+      |ORDER BY r.q_id, r.rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "media_clip_retrieval" -> (mediaClipRetrieval _),
     "media_dedup"        -> (mediaDedup _),
     "media_features"      -> (mediaFeatures _),
     "media_resize_plan"   -> (mediaResizePlan _),
@@ -209,6 +264,7 @@ object MultimodalQueries {
     "media_exif_meta"     -> (mediaExifMeta _))
 
   val oracle: Map[String, String] = Map(
+    "media_clip_retrieval" -> mediaClipRetrievalSql,
     "media_dedup"        -> mediaDedupSql,
     "media_features"      -> mediaFeaturesSql,
     "media_resize_plan"   -> mediaResizePlanSql,

@@ -48,6 +48,7 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "source_temperature_weights", "supplier_pareto",
     // fixed query-vector / anchor set (|Q| constant, corpus streamed once)
     "knn_brute", "knn_filtered", "hard_negatives", "event_type_distances",
+    "media_clip_retrieval",
     // broadcast centroid / codebook frames (K constant)
     "ivf_kmeans_refine", "knn_ivf", "knn_ivf_filtered", "knn_ivf_probe2",
     "knn_ivf_refined", "knn_recall_curve", "knn_ivfpq", "semantic_dedup",
