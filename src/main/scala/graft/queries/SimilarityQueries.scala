@@ -423,7 +423,20 @@ object SimilarityQueries {
     * assignment is a broadcast map stage, every recompute shuffles
     * dim × K partials, and the search probes `probes`/K of the corpus. */
   def knnIvfRefined(spark: SparkSession, dir: String, probes: Int = 2,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3): DataFrame =
+    refinedTopPerProbe(spark, dir, Seq(probes), iters)
+      .select("q_id", "cluster", "rank", "vec_id", "cos_sim")
+      .orderBy("q_id", "rank")
+
+  /** Shared refined-search core: builds the Lloyd-refined index ONCE and
+    * emits the top-5 per query for EVERY probe budget in `probesList`
+    * (tagged in a `probes` column). A budget-p result is derivable from
+    * the max-budget candidate set by filtering on the assignment rank, so
+    * the expensive stages — index build and candidate scoring — are never
+    * repeated per budget; knn_recall_curve's three-budget sweep costs one
+    * index build instead of three. */
+  private def refinedTopPerProbe(spark: SparkSession, dir: String,
+      probesList: Seq[Int], iters: Int): DataFrame = {
     val dotF = dotFast(spark) _
     val emb = Tables.embeddings(spark, dir)
       .withColumn("norm", sqrt(dotFast(spark)(col("embedding"), col("embedding"))))
@@ -442,22 +455,29 @@ object SimilarityQueries {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
     val wAssign = Window.partitionBy(col("q_id"))
       .orderBy(col("c_sim").desc, col("c_label"))
-    val assign = q.crossJoin(broadcast(cent2))
+    val qa = q.crossJoin(broadcast(cent2))
       .withColumn("c_sim",
         round(dotF(col("q_emb"), col("centroid")) / (col("q_norm") * col("c_norm")), 6))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") <= probes)
-      .select(col("q_id"), col("q_emb"), col("q_norm"), col("c_label").as("cluster"))
-    val wRank = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    assign.join(idx, "cluster")
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") <= probesList.max)
+      .select(col("q_id"), col("q_emb"), col("q_norm"),
+        col("c_label").as("cluster"), col("arn"))
+    // candidates scored once at the MAX budget; each budget filters down
+    val cand = qa.join(idx, "cluster")
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos_sim",
         round(dotF(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")), 6))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= 5)
-      .select("q_id", "cluster", "rank", "vec_id", "cos_sim")
-      .orderBy("q_id", "rank")
+      .select(col("q_id"), col("cluster"), col("vec_id"), col("cos_sim"), col("arn"))
+      .localCheckpoint(false)
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    probesList.map { p =>
+      cand.filter(col("arn") <= p)
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 5)
+        .select(lit(p).as("probes"), col("q_id"), col("cluster"),
+          col("rank"), col("vec_id"), col("cos_sim"))
+    }.reduce(_ unionAll _)
   }
 
   // Oracle CTE builders mirroring one Lloyd step: `cent(i, src)` emits
@@ -538,10 +558,8 @@ object SimilarityQueries {
   def knnRecallCurve(spark: SparkSession, dir: String): DataFrame = {
     val brute = knnBrute(spark, dir).select(col("q_id"), col("vec_id"))
     val nExact = brute.agg(count(lit(1)).as("n_exact"))
-    val returned = Seq(1, 2, 4).map { p =>
-      knnIvfRefined(spark, dir, probes = p)
-        .select(lit(p).as("probes"), col("q_id"), col("vec_id"))
-    }.reduce(_ unionAll _)
+    val returned = refinedTopPerProbe(spark, dir, Seq(1, 2, 4), iters = 3)
+      .select(col("probes"), col("q_id"), col("vec_id"))
     returned
       .join(brute.withColumn("hit", lit(1)), Seq("q_id", "vec_id"), "left")
       .groupBy(col("probes"))
