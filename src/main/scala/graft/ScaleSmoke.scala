@@ -56,6 +56,13 @@ object ScaleSmoke {
     // base doc's K replicas), NOT corpus² — the pigeonhole-banding claim
     time("simhash_banded_cand")(
       graft.queries.DedupQueries.simhashBandedCandidates(spark, scaled).count())
+    // the hot-bucket skew guard: replica-saturated chunks make the exact
+    // candidate set grow as bucket² (324M pairs / 221 s at 50×); capping
+    // buckets at 4× the replica count keeps genuine near-dup buckets while
+    // bounding the join
+    time("simhash_banded_capped")(
+      graft.queries.DedupQueries.simhashBandedCandidates(spark, scaled,
+        maxBucket = Some(4 * k)).count())
     time("winnow_fps")(DedupOps.winnowFingerprints(scaled).count())
     // ingestion-order novelty: one explode + groupBy(shingle) min + join
     // back — everything keyed by shingle or doc, expected ~linear

@@ -266,15 +266,38 @@ object DedupQueries {
   /** Candidate pairs from the banding equi-join — distinct (a_id, b_id)
     * with both signatures, BEFORE Hamming verification. Exposed so
     * ScaleSmoke can measure that candidate count tracks duplicate-clique
-    * size, not corpus². */
-  def simhashBandedCandidates(spark: SparkSession, docs: DataFrame): DataFrame = {
+    * size, not corpus².
+    *
+    * `maxBucket` is the LSH hot-bucket skew guard: a (band, chunk) bucket
+    * holding b docs contributes b²/2 candidate pairs, so one hot chunk
+    * value (boilerplate-heavy corpora, or ScaleSmoke's 50× replica
+    * pathology — 324M candidates from replica-saturated buckets) can
+    * dominate the whole join. Capping drops ONLY buckets above the
+    * threshold (the standard LSH trick: a bucket that large is either
+    * boilerplate — near-dup detection on it is meaningless — or must be
+    * handled by a dedicated exact pass on that bucket's members). The
+    * pigeonhole recall guarantee then holds for every pair not entirely
+    * confined to dropped buckets. Default None = exact (the oracled
+    * query's setting). */
+  def simhashBandedCandidates(spark: SparkSession, docs: DataFrame,
+      maxBucket: Option[Int] = None): DataFrame = {
     // one signature row per doc, consumed by both join sides
     val sh = DedupOps.simhash48(spark, docs).localCheckpoint(false)
-    val banded = sh
+    val banded0 = sh
       .select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(NBands - 1))).as("band"))
       .withColumn("chunk",
         expr(s"(simhash >> (band * $BandBits)) & $BandMask"))
+    val banded = maxBucket match {
+      case None => banded0
+      case Some(cap) =>
+        // one aggregate over the banded rows; the anti-join drops hot
+        // buckets from BOTH join sides in a single pass
+        val hot = banded0.groupBy(col("band"), col("chunk"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > cap)
+          .select(col("band"), col("chunk"))
+        banded0.join(hot, Seq("band", "chunk"), "left_anti")
+    }
     val a = banded.select(col("doc_id").as("a_id"), col("simhash").as("ha"),
       col("band"), col("chunk"))
     val b = banded.select(col("doc_id").as("b_id"), col("simhash").as("hb"),
