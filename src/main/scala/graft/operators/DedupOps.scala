@@ -124,9 +124,26 @@ object DedupOps {
   def lshBands(spark: SparkSession, docs: DataFrame): DataFrame =
     bandsFromShingles(spark, docShingles(docs))
 
-  /** Candidate pairs: same (band, band_key) in any band, deduplicated. */
-  def candidatesFromShingles(spark: SparkSession, sh: DataFrame): DataFrame = {
-    val b = bandsFromShingles(spark, sh)
+  /** Candidate pairs: same (band, band_key) in any band, deduplicated.
+    *
+    * `maxBucket` is the same hot-bucket skew guard as the banded SimHash
+    * join (see DedupQueries.simhashBandedCandidates): a band bucket of b
+    * docs contributes b²/2 pairs, and an exact-duplicate or boilerplate
+    * clique lands ALL its members in the same bucket of every band.
+    * Capping drops only over-cap buckets (route those to an exact-dedup
+    * pass on the bucket members — they are exact or near-exact copies by
+    * construction); None = exact, the oracled queries' setting. */
+  def candidatesFromShingles(spark: SparkSession, sh: DataFrame,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val b0 = bandsFromShingles(spark, sh)
+    val b = maxBucket match {
+      case None => b0
+      case Some(cap) =>
+        val hot = b0.groupBy(col("band"), col("band_key"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > cap)
+          .select(col("band"), col("band_key"))
+        b0.join(hot, Seq("band", "band_key"), "left_anti")
+    }
     val l = b.select(col("doc_id").as("a_id"), col("band"), col("band_key"))
     val r = b.select(col("doc_id").as("b_id"), col("band"), col("band_key"))
     l.join(r, Seq("band", "band_key"))
@@ -134,8 +151,9 @@ object DedupOps {
       .select("a_id", "b_id").distinct()
   }
 
-  def lshCandidates(spark: SparkSession, docs: DataFrame): DataFrame =
-    candidatesFromShingles(spark, docShingles(docs))
+  def lshCandidates(spark: SparkSession, docs: DataFrame,
+      maxBucket: Option[Int] = None): DataFrame =
+    candidatesFromShingles(spark, docShingles(docs), maxBucket)
 
   /** Exact Jaccard over distinct shingle sets (sizes only — order-free). */
   def jaccard(sa: Column, sb: Column): Column = {

@@ -34,6 +34,22 @@ class SimhashSkewGuardSpec extends AnyFunSuite with SparkSpec {
     assert(capped === exact)
   }
 
+  test("the MinHash banding guard behaves identically") {
+    import graft.operators.DedupOps
+    val sh = DedupOps.docShingles(corpus)
+    val exact = DedupOps.candidatesFromShingles(spark, sh)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = DedupOps.candidatesFromShingles(spark, sh, maxBucket = Some(30))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(exact))
+    // the 60-doc exact-duplicate clique shares every band bucket → gone
+    assert(exact.count { case (a, b) => a < 60 && b < 60 } === 1770)
+    assert(capped.count { case (a, b) => a < 60 && b < 60 } === 0)
+    // generous cap = exact
+    assert(DedupOps.candidatesFromShingles(spark, sh, maxBucket = Some(1000))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === exact)
+  }
+
   test("a tight cap drops only hot-bucket pairs; distinct near-dups survive") {
     val exact = DedupQueries.simhashBandedCandidates(spark, corpus)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
