@@ -1058,7 +1058,39 @@ object PipelineQueries {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  /** Seeded corpus shuffle — how a training order is materialized at
+    * 100 TB: a deterministic keyed hash (seed folded into the key) maps
+    * every doc to a shard, and each shard is ordered independently by the
+    * hash. No global sort: shard assignment is map-side, the within-shard
+    * order is a per-shard sort (`repartition(shard) +
+    * sortWithinPartitions` when writing), and changing the seed re-deals
+    * the entire permutation reproducibly. The md5-derived integer keeps
+    * the permutation engine-exact ([[DedupOps.h60]]'s convention). */
+  def corpusShuffle(spark: SparkSession, dir: String, seed: Int = 42,
+      nShards: Int = 8): DataFrame = {
+    val h = DedupOps.h60(concat_ws(":", lit(s"shuf$seed"), col("doc_id")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select("shard", "pos", "doc_id")
+      .orderBy("shard", "pos")
+  }
+
+  private val corpusShuffleSql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |         CAST('0x' || substring(md5('shuf42:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      |  FROM documents)
+      |SELECT CAST(h % 8 AS INT) AS shard,
+      |       CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INT) AS pos,
+      |       doc_id
+      |FROM h
+      |ORDER BY shard, pos""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "corpus_shuffle"     -> ((s: SparkSession, d: String) => corpusShuffle(s, d)),
     "events_profile"     -> (eventsProfile _),
     "embedding_quantize" -> (embeddingQuantize _),
     "clean_corpus"     -> (cleanCorpus _),
@@ -1083,6 +1115,7 @@ object PipelineQueries {
     "embedding_stats"  -> (embeddingStats _))
 
   val oracle: Map[String, String] = Map(
+    "corpus_shuffle"     -> corpusShuffleSql,
     "events_profile"     -> eventsProfileSql,
     "embedding_quantize" -> embeddingQuantizeSql,
     "clean_corpus"     -> cleanCorpusSql,
