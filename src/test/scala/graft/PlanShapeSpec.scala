@@ -111,6 +111,39 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       "semantic_dedup: pair join degenerated to a cartesian")
   }
 
+  test("round-4 queries keep their scale-critical shapes") {
+    val dir = "/root/testdata/sf0.001"
+    // media_caption_pairs: both sides are corpus-sized at 100 TB, so the
+    // pairing must be a shuffled EQUI-join on the id — a broadcast here
+    // would mean the planner thinks a corpus side is small, a product
+    // would mean the equi-key was lost
+    val pairs = graft.queries.Registry.queries("media_caption_pairs")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(pairs.contains("SortMergeJoin") || pairs.contains("ShuffledHashJoin")
+      || pairs.contains("BroadcastHashJoin"), // AQE may broadcast at test SF
+      "media_caption_pairs: id equi-join missing")
+    assert(!pairs.contains("CartesianProduct") && !pairs.contains("BroadcastNestedLoopJoin"),
+      "media_caption_pairs: pairing degenerated to a product")
+
+    // corpus_shuffle: one scan, map-side hash/shard projection, a single
+    // per-shard window — no join at all, and the scan reads only doc_id
+    val shuffle = graft.queries.Registry.queries("corpus_shuffle")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!shuffle.contains("Join"), "corpus_shuffle: unexpected join")
+    assert(shuffle.contains("Window"), "corpus_shuffle: per-shard window missing")
+    val scanLine = shuffle.linesIterator.find(_.contains("ReadSchema"))
+    assert(scanLine.exists(l => l.contains("doc_id") && !l.contains("text")),
+      s"corpus_shuffle: scan not pruned to doc_id: ${scanLine.getOrElse("?")}")
+
+    // media_exif_meta: pure codegen projection over the binary column —
+    // no shuffle-producing operator anywhere
+    val exif = graft.queries.Registry.queries("media_exif_meta")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!exif.contains("Join"), "media_exif_meta: unexpected join")
+    assert(!exif.split("\n").exists(l => l.contains("Exchange") && !l.contains("rangepartitioning")),
+      "media_exif_meta: non-sort shuffle appeared in a projection query")
+  }
+
   test("nested schema pruning reaches the parquet scan") {
     val dir = Files.createTempDirectory("nested_docs").toString
     graft.queries.ParityQueries.nestedDoc(spark, "/root/testdata/sf0.001")
