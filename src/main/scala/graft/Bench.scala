@@ -17,10 +17,14 @@ import graft.plans.GraftExtensions
   *     is time-local, so it contaminates one sweep's worth of a query's
   *     samples, never all three — unlike back-to-back repeats, which both
   *     land inside the burst.
-  *   - `spark.catalog.clearCache()` after every query: several registered
-  *     queries cache() frames that feed self-joins; without clearing, the
-  *     pinned frames accumulate across the registry×4 run and squeeze
-  *     execution memory in later queries.
+  *   - storage hygiene: registered queries materialize build frames via
+  *     localCheckpoint(eager = false), whose blocks are reclaimed by the
+  *     ContextCleaner only after the frames are garbage-collected — so a
+  *     System.gc() after every sweep bounds block accumulation across the
+  *     registry×4 run instead of waiting for the 30-min periodic GC.
+  *     clearCache() after each query stays as a guard against any future
+  *     catalog-cached frame (today it is a no-op by convention —
+  *     RegistryAuditSpec's hygiene test).
   *   - `load_avg_start`/`load_avg_end` (1-min system load) make a
   *     contaminated run self-identifying: on this 32-core box an idle run
   *     reads well under ~40 at end; a co-located driver burst reads higher.
@@ -72,7 +76,13 @@ object Bench {
     }
 
     val sweeps: Seq[Seq[Double]] =
-      (1 to Sweeps).map(_ => queries.map { case (_, fn) => timeOnce(fn) })
+      (1 to Sweeps).map { _ =>
+        val t = queries.map { case (_, fn) => timeOnce(fn) }
+        // release dropped frames so the ContextCleaner reclaims their
+        // local-checkpoint blocks before the next sweep
+        System.gc()
+        t
+      }
     val results = queries.zipWithIndex.map { case ((name, _), i) =>
       val samples = sweeps.map(_(i))
       name -> (if (samples.exists(_ < 0)) -1.0 else samples.min)
@@ -86,7 +96,7 @@ object Bench {
     val loadEnd = loadAvg()
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sf":"$sfDir"}"""
-    // The per-query map (165 queries × ~30 bytes) outgrows a stdout tail
+    // The per-query map (one entry per registered query) outgrows a stdout tail
     // buffer, which truncates away the leading "metric":"total" — so the
     // full line goes to a file and to stdout FIRST, and a short
     // self-contained summary line goes LAST, where a tail always keeps it.

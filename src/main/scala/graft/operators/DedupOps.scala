@@ -135,10 +135,14 @@ object DedupOps {
     * construction); None = exact, the oracled queries' setting. */
   def candidatesFromShingles(spark: SparkSession, sh: DataFrame,
       maxBucket: Option[Int] = None): DataFrame = {
-    val b0 = bandsFromShingles(spark, sh)
     val b = maxBucket match {
-      case None => b0
+      case None => bandsFromShingles(spark, sh)
       case Some(cap) =>
+        // materialize the banded rows once: they feed the hot-bucket
+        // aggregate, the anti-join probe, AND both pair-join sides —
+        // un-materialized, the shingle-explode + 128-min pipeline would
+        // run four times (the guard's whole point is saving wall time)
+        val b0 = bandsFromShingles(spark, sh).localCheckpoint(false)
         val hot = b0.groupBy(col("band"), col("band_key"))
           .agg(count(lit(1)).as("n")).filter(col("n") > cap)
           .select(col("band"), col("band_key"))

@@ -132,17 +132,21 @@ object Multimodal {
   }
 
   /** Reader half: typed-metadata extraction from the binary at fixed byte
-    * offsets. Fields are gated on the magic so a headerless blob yields
-    * NULLs (never an ANSI cast error) — `when` branches evaluate lazily. */
+    * offsets. Fields are gated on the magic AND parsed with try_cast: a
+    * headerless blob yields NULLs, and even the pathological collision —
+    * a headerless payload that happens to START with the magic bytes —
+    * degrades to NULL fields instead of an ANSI cast error. */
   def exifMeta(media: DataFrame): DataFrame = {
     val s = col("content_h")
     val ok = substring(s, 1, 4).cast("string") === lit(ExifMagic)
+    def field(pos: Int, len: Int) =
+      when(ok, expr(s"try_cast(cast(substring(content_h, $pos, $len) as string) as int)"))
     media.select(
       col("media_id"),
       ok.as("magic_ok"),
-      when(ok, substring(s, 5, 5).cast("string").cast("int")).as("width"),
-      when(ok, substring(s, 10, 5).cast("string").cast("int")).as("height"),
-      when(ok, substring(s, 15, 1).cast("string").cast("int")).as("orientation"),
+      field(5, 5).as("width"),
+      field(10, 5).as("height"),
+      field(15, 1).as("orientation"),
       (octet_length(s) -
         when(ok, lit(ExifHeaderLen)).otherwise(lit(0))).as("payload_bytes"))
   }

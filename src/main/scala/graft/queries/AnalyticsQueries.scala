@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.queries.QueryConventions.MaterializeSyntax
 
 import graft.sources.Tables
 
@@ -220,7 +221,7 @@ object AnalyticsQueries {
     * conversion rates. */
   def conversionFunnel(spark: SparkSession, dir: String): DataFrame = {
     // cached: consumed by three stage passes (s1 aggregate + two joins)
-    val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts").localCheckpoint(false)
+    val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts").materializeOnce
     val s1 = ev.groupBy(col("user_id"))
       .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
       .filter(col("t_view").isNotNull)
@@ -276,7 +277,7 @@ object AnalyticsQueries {
     * the user key. */
   def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
     // cached: feeds both the cohort aggregate and the activity distinct
-    val ev = Tables.events(spark, dir).select("user_id", "ts").localCheckpoint(false)
+    val ev = Tables.events(spark, dir).select("user_id", "ts").materializeOnce
     val cohort = ev.groupBy(col("user_id"))
       .agg(date_trunc("month", min(col("ts"))).as("cohort_month"))
     val active = ev.select(col("user_id"), date_trunc("month", col("ts")).as("m")).distinct()
@@ -535,7 +536,7 @@ object AnalyticsQueries {
       .select(col("o_orderkey"), col("o_custkey"),
         col("o_orderdate").cast("date").as("d"),
         round(col("o_totalprice"), 2).as("p"))
-      .localCheckpoint(false) // scanned twice: key derivation + frontier join-back
+      .materializeOnce // scanned twice: key derivation + frontier join-back
     val keys = o.select("d", "p").distinct()
     // phase 1 — LOCAL pre-filter: a key dominated within its hash bucket
     // is dominated globally, so each bucket's scan (parallel, partitioned
@@ -598,7 +599,7 @@ object AnalyticsQueries {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-      .localCheckpoint(false) // feeds the pair self-join AND the per-part supports
+      .materializeOnce // feeds the pair self-join AND the per-part supports
     val nOrders = Tables.orders(spark, dir).agg(count(lit(1)).as("n_orders"))
     val supp = li.groupBy(col("pk")).agg(count(lit(1)).as("n_part"))
     val pairs = li.select(col("ok"), col("pk").as("a_pk"))
@@ -668,14 +669,14 @@ object AnalyticsQueries {
       .filter(col("src").isNotNull && col("src") =!= col("event_type"))
       .groupBy(col("src"), col("event_type").as("dst"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
+      .materializeOnce
     val nodes = trans.select(col("src").as("node"))
-      .union(trans.select(col("dst").as("node"))).distinct().localCheckpoint(false)
+      .union(trans.select(col("dst").as("node"))).distinct().materializeOnce
     val n = nodes.count() // tiny by construction (|event types|)
     val outdeg = trans.groupBy(col("src")).agg(sum(col("cnt")).as("od"))
     val edges = trans.join(outdeg, "src")
       .select(col("src"), col("dst"), (col("cnt") / col("od")).as("wgt"))
-      .localCheckpoint(false)
+      .materializeOnce
     val base = 0.15 / n
     var pr = nodes.select(col("node"), (lit(1.0) / n).as("pr"))
     (1 to PrIters).foreach { _ =>
@@ -802,7 +803,7 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n_orders_joint"))
       .filter(col("n_orders_joint") >= 2)
       .select("src", "dst")
-      .localCheckpoint(false) // feeds degrees, the two-hop join, and the closing join
+      .materializeOnce // feeds degrees, the two-hop join, and the closing join
     val nEdges = edges.agg(count(lit(1)).as("n_edges"))
     val wedges = edges.select(col("src").as("v"))
       .unionAll(edges.select(col("dst").as("v")))

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.queries.QueryConventions.MaterializeSyntax
 
 import graft.operators.DedupOps
 import graft.operators.DedupOps._
@@ -76,7 +77,7 @@ object DedupQueries {
   def minhashLshDupsFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
     // candidate PAIRS are tiny (ids only) — materialize them once; the
     // expensive signature pipeline then runs once, downstream reuses
-    val cand = DedupOps.lshCandidates(spark, docs).localCheckpoint(false)
+    val cand = DedupOps.lshCandidates(spark, docs).materializeOnce
     // Jaccard verification re-derives shingles ONLY for candidate docs
     // (semi-join): candidates are a vanishing fraction of the corpus, and
     // caching the full corpus's shingle arrays measured super-linear at
@@ -203,9 +204,12 @@ object DedupQueries {
   /** SimHash near-dup pairs: Hamming distance ≤ 1 over the 48 bits.
     * Unbanded all-pairs join, bounded to a fixed doc range (doc_id < 1500,
     * mirrored in the oracle's WHERE) — kept strictly as the labeled exact
-    * recall oracle for [[simhashBandedDup]], which is the production/scale
-    * form and produces the identical result set via the pigeonhole
-    * equi-join. The bound is what keeps this baseline O(const²) instead of
+    * recall oracle for [[simhashBandedDup]], the production/scale form:
+    * restricted to the SAME doc range, the pigeonhole equi-join provably
+    * returns this exact result set (compare against the banded path run
+    * on the bounded corpus — on the full corpus the banded path finds
+    * strictly more pairs, since this baseline never sees docs ≥ 1500).
+    * The bound is what keeps this baseline O(const²) instead of
     * O(corpus²) — the same move as ngramJaccardPairs (doc_id < 150). */
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
     // deliberately NOT materialized: the bounded input is tiny, so the
@@ -282,7 +286,7 @@ object DedupQueries {
   def simhashBandedCandidates(spark: SparkSession, docs: DataFrame,
       maxBucket: Option[Int] = None): DataFrame = {
     // one signature row per doc, consumed by both join sides
-    val sh = DedupOps.simhash48(spark, docs).localCheckpoint(false)
+    val sh = DedupOps.simhash48(spark, docs).materializeOnce
     val banded0 = sh
       .select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(NBands - 1))).as("band"))
@@ -386,7 +390,7 @@ object DedupQueries {
     // frames in simhashNearDup/minhashLshDups)
     val ex = DedupOps.docShingles(docs)
       .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .localCheckpoint(false)
+      .materializeOnce
     val b = ex.filter(pmod(col("doc_id"), lit(97)) === 0)
       .select(col("doc_id").as("b_id"), col("s"))
     val c = ex.filter(pmod(col("doc_id"), lit(97)) =!= 0)
@@ -424,7 +428,7 @@ object DedupQueries {
   def contaminationContainment(spark: SparkSession, dir: String): DataFrame = {
     val ex = DedupOps.docShingles(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .localCheckpoint(false) // feeds the benchmark side, corpus side and size aggregate
+      .materializeOnce // feeds the benchmark side, corpus side and size aggregate
     val isBench = pmod(col("doc_id"), lit(97)) === 0
     val bSize = ex.filter(isBench)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
@@ -517,11 +521,11 @@ object DedupQueries {
     * on (doc, k) — nothing touches corpus×corpus. */
   def minhashJaccardEst(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val cand = DedupOps.lshCandidates(spark, docs).localCheckpoint(false)
+    val cand = DedupOps.lshCandidates(spark, docs).materializeOnce
     val candIds = cand.select(col("a_id").as("doc_id"))
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
     val shCand = DedupOps.docShingles(
-      docs.join(candIds, Seq("doc_id"), "left_semi")).localCheckpoint(false)
+      docs.join(candIds, Seq("doc_id"), "left_semi")).materializeOnce
     val mh = DedupOps.minhashFromShingles(spark, shCand)
     val agree = cand
       .join(mh.select(col("doc_id").as("a_id"), col("k"), col("minhash").as("ma")), Seq("a_id"))

@@ -122,10 +122,10 @@ object MultimodalQueries {
   }
 
   private val mediaCaptionPairsSql: String =
-    """SELECT d.doc_id AS media_id,
+    s"""SELECT d.doc_id AS media_id,
       |       'text/plain' AS kind,
       |       CAST(octet_length(encode(d.text)) AS INT) AS n_bytes,
-      |       CAST(ceil(CAST(octet_length(encode(d.text)) AS DOUBLE) / 1024) AS INT) AS n_frames,
+      |       CAST(ceil(CAST(octet_length(encode(d.text)) AS DOUBLE) / ${Multimodal.FrameBytes}) AS INT) AS n_frames,
       |       CAST(len(e.embedding) AS INT) AS dim,
       |       e.label,
       |       CAST(list_sum(list_transform(e.embedding,
@@ -193,9 +193,9 @@ object MultimodalQueries {
       |  FROM m),
       |p AS (SELECT media_id, sh, substring(sh, 1, 4) = 'EXIF' AS magic_ok FROM s)
       |SELECT media_id, magic_ok,
-      |       CASE WHEN magic_ok THEN CAST(substring(sh, 5, 5) AS INT) END AS width,
-      |       CASE WHEN magic_ok THEN CAST(substring(sh, 10, 5) AS INT) END AS height,
-      |       CASE WHEN magic_ok THEN CAST(substring(sh, 15, 1) AS INT) END AS orientation,
+      |       CASE WHEN magic_ok THEN TRY_CAST(substring(sh, 5, 5) AS INT) END AS width,
+      |       CASE WHEN magic_ok THEN TRY_CAST(substring(sh, 10, 5) AS INT) END AS height,
+      |       CASE WHEN magic_ok THEN TRY_CAST(substring(sh, 15, 1) AS INT) END AS orientation,
       |       CAST(octet_length(encode(sh)) - CASE WHEN magic_ok THEN 15 ELSE 0 END AS INT) AS payload_bytes
       |FROM p ORDER BY media_id""".stripMargin
 

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.queries.QueryConventions.MaterializeSyntax
 
 import graft.functions.TextFunctions
 import graft.operators.DedupOps
@@ -360,7 +361,7 @@ object PipelineQueries {
         pmod(DedupOps.h60(col("text")), lit(5L)).cast("int").as("fold"))
     val cf = docChunks(spark, dir).select(col("doc_id"), col("chunk_hash"))
       .join(folds, "doc_id")
-      .localCheckpoint(false) // self-joined below
+      .materializeOnce // self-joined below
     val a = cf.select(col("chunk_hash"), col("doc_id").as("a_doc"), col("fold").as("fold_a"))
     val b = cf.select(col("chunk_hash"), col("doc_id").as("b_doc"), col("fold").as("fold_b"))
     a.join(b, "chunk_hash")
@@ -403,7 +404,7 @@ object PipelineQueries {
     // coverage join — uncached it would re-tokenize the corpus twice
     val ex = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
-      .localCheckpoint(false)
+      .materializeOnce
     val vocab = ex.groupBy(col("tok")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("tok")).limit(100)
       .select(col("tok"), lit(1).as("in_vocab"))
@@ -674,7 +675,7 @@ object PipelineQueries {
     val docs = Tables.documents(spark, dir)
     // candidate PAIRS are tiny (ids only) — cache them; the expensive
     // signature pipeline then runs once, and downstream consumers reuse
-    val cand = DedupOps.lshCandidates(spark, docs).localCheckpoint(false)
+    val cand = DedupOps.lshCandidates(spark, docs).materializeOnce
     // shingles re-derived only for candidate docs (see minhashLshDups)
     val candIds = cand.select(col("a_id").as("doc_id"))
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
@@ -716,7 +717,7 @@ object PipelineQueries {
   def corpusYieldReport(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // LSH dup losers — identical derivation to cleanCorpus
-    val cand = DedupOps.lshCandidates(spark, docs).localCheckpoint(false)
+    val cand = DedupOps.lshCandidates(spark, docs).materializeOnce
     val candIds = cand.select(col("a_id").as("doc_id"))
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
     val shCand = DedupOps.docShingles(
@@ -730,7 +731,7 @@ object PipelineQueries {
     // corpus docs sharing any shingle with the eval subset
     val ex = DedupOps.docShingles(docs)
       .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .localCheckpoint(false)
+      .materializeOnce
     val contam = ex.filter(pmod(col("doc_id"), lit(97)) =!= 0)
       .join(ex.filter(pmod(col("doc_id"), lit(97)) === 0).select(col("s")), "s")
       .select(col("doc_id")).distinct()

@@ -15,4 +15,24 @@ private[queries] object QueryConventions {
     * `round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE), 2)`. */
   def decSum(c: Column): Column =
     round(sum(c.cast("decimal(18,6)")).cast("double"), 2)
+
+  /** Registry-wide materialization point for build frames consumed more
+    * than once (self-joins, multi-aggregate fan-outs): localCheckpoint
+    * (eager = false), NOT cache() — computed once on first use, blocks
+    * reclaimed by the ContextCleaner when the result frame is
+    * garbage-collected, no catalog pinning (the RegistryAuditSpec
+    * hygiene test).
+    *
+    * The `graft.materialize=off` system property is the PLAN-AUDIT escape
+    * hatch: a checkpoint boundary prints as an opaque `Scan ExistingRDD`,
+    * which would blind plan-string audits (no-UDF, no-cartesian, pushed
+    * bounds) to everything upstream of the boundary. Audits set the
+    * property to build the un-truncated plan; execution paths (Verify,
+    * Bench, the driver) leave it unset and get the materializing form. */
+  private[queries] implicit class MaterializeSyntax(
+      private val df: org.apache.spark.sql.DataFrame) {
+    def materializeOnce: org.apache.spark.sql.DataFrame =
+      if (sys.props.get("graft.materialize").contains("off")) df
+      else df.localCheckpoint(false)
+  }
 }

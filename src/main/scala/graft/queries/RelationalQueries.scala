@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.queries.QueryConventions.MaterializeSyntax
 
 import graft.sources.Tables
 
@@ -712,7 +713,7 @@ object RelationalQueries {
       .filter(col("src").isNotNull && col("src") =!= col("event_type"))
       .select(col("src"), col("event_type").as("dst"))
       .distinct()
-      .localCheckpoint(false)
+      .materializeOnce
     edges.count() // materialize: each recursive step re-reads the view,
                   // and without the cache each re-read would replay the
                   // full window + distinct over the events scan

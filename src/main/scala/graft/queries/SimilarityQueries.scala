@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.queries.QueryConventions.MaterializeSyntax
 
 import graft.functions.VectorFunctions._
 import graft.sources.Tables
@@ -189,7 +190,7 @@ object SimilarityQueries {
     val b = lshBuckets(spark, dir)
     val emb = Tables.embeddings(spark, dir)
       .withColumn("norm", sqrt(dotFast(spark)(col("embedding"), col("embedding"))))
-    val withB = emb.join(b, "vec_id").localCheckpoint(false) // self-joined below
+    val withB = emb.join(b, "vec_id").materializeOnce // self-joined below
     val l = withB.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
       col("norm").as("a_norm"), col("bucket"))
     val r = withB.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
@@ -263,7 +264,7 @@ object SimilarityQueries {
     val dotF = dotFast(spark) _
     val emb = Tables.embeddings(spark, dir)
       .withColumn("norm", sqrt(dotFast(spark)(col("embedding"), col("embedding"))))
-      .localCheckpoint(false)
+      .materializeOnce
     // centroid arrays: component avgs rounded to 6 (both engines), packed
     // in position order
     val cent = emb
@@ -440,7 +441,7 @@ object SimilarityQueries {
     val dotF = dotFast(spark) _
     val emb = Tables.embeddings(spark, dir)
       .withColumn("norm", sqrt(dotFast(spark)(col("embedding"), col("embedding"))))
-      .localCheckpoint(false)
+      .materializeOnce
     val cent0 = centroidsOf(spark,
       emb.select(col("label").as("cluster"), col("embedding")))
     // `iters` Lloyd rounds (assign → recompute); each is a broadcast
@@ -448,9 +449,9 @@ object SimilarityQueries {
     // cost ∝ corpus, never pairs
     val cent2 = (1 to iters)
       .foldLeft(cent0)((c, _) => centroidsOf(spark, assignTo(spark, emb, c)))
-      .localCheckpoint(false)
+      .materializeOnce
     // final index: every vector assigned to the refined centroids
-    val idx = assignTo(spark, emb, cent2).localCheckpoint(false)
+    val idx = assignTo(spark, emb, cent2).materializeOnce
     val q = idx.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
     val wAssign = Window.partitionBy(col("q_id"))
@@ -468,7 +469,7 @@ object SimilarityQueries {
       .withColumn("cos_sim",
         round(dotF(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")), 6))
       .select(col("q_id"), col("cluster"), col("vec_id"), col("cos_sim"), col("arn"))
-      .localCheckpoint(false)
+      .materializeOnce
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     probesList.map { p =>
@@ -710,12 +711,12 @@ object SimilarityQueries {
     val dotF = dotFast(spark) _
     val emb = embIn
       .withColumn("norm", sqrt(dotFast(spark)(col("embedding"), col("embedding"))))
-      .localCheckpoint(false)
+      .materializeOnce
     val cent0 = centroidsOf(spark,
       emb.select(col("label").as("cluster"), col("embedding")))
     val cent1 = centroidsOf(spark, assignTo(spark, emb, cent0))
     val cent2 = centroidsOf(spark, assignTo(spark, emb, cent1))
-    val idx = assignTo(spark, emb, cent2).localCheckpoint(false)
+    val idx = assignTo(spark, emb, cent2).materializeOnce
     val a = idx.select(col("cluster"), col("vec_id").as("a_id"),
       col("embedding").as("a_emb"), col("norm").as("a_norm"))
     val b = idx.select(col("cluster"), col("vec_id").as("b_id"),
@@ -767,13 +768,13 @@ object SimilarityQueries {
   def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .withColumn("norm", sqrt(dotFast(spark)(col("embedding"), col("embedding"))))
-      .localCheckpoint(false)
+      .materializeOnce
     val cent0 = centroidsOf(spark,
       emb.select(col("label").as("cluster"), col("embedding")))
     val cent1 = centroidsOf(spark, assignTo(spark, emb, cent0))
     val dists = assignWithSim(spark, emb, cent1)
       .withColumn("dist", round(lit(1.0) - col("c_sim"), 6))
-      .localCheckpoint(false)
+      .materializeOnce
     val bound = dists.agg(
       round(expr("percentile(dist, 0.95)"), 6).as("p95"))
     dists.crossJoin(broadcast(bound))
@@ -830,7 +831,7 @@ object SimilarityQueries {
         explode(sequence(lit(0), lit(NSub - 1))).as("s"))
       .withColumn("subv", slice(col("embedding"), col("s") * SubDim + 1, lit(SubDim)))
       .select("vec_id", "own_label", "s", "subv")
-      .localCheckpoint(false)
+      .materializeOnce
 
   /** Per-subspace codebooks (code_label, s, centroid, cdot). */
   private def pqCodebook(spark: SparkSession, sub: DataFrame): DataFrame =
@@ -884,7 +885,7 @@ object SimilarityQueries {
     * that makes PQ the billion-vector form. */
   def knnPqAdc(spark: SparkSession, dir: String): DataFrame = {
     val sub = pqSub(spark, dir)
-    val dists = pqDistances(spark, sub, pqCodebook(spark, sub)).localCheckpoint(false)
+    val dists = pqDistances(spark, sub, pqCodebook(spark, sub)).materializeOnce
     val codes = pqCodes(dists).select("vec_id", "s", "code_label")
     val dtable = dists.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("s"), col("code_label"), col("sqd"))
@@ -1015,13 +1016,13 @@ object SimilarityQueries {
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("pos", "v")))
       .withColumn("v", col("v").cast("double"))
-      .localCheckpoint(false)
+      .materializeOnce
     // coarse centroid components (c_label, c_pos, cv), rounded per
     // convention; pos renamed — cp shares lineage with pts and the joins
     // below would otherwise be ambiguous self-join references
     val cp = pts.groupBy(col("label").as("c_label"), col("pos").as("c_pos"))
       .agg(round(avg(col("v")), 6).as("cv"))
-      .localCheckpoint(false)
+      .materializeOnce
     // integer micro-unit residuals (vec_id, own_label, s, pos, rv); the
     // subspace id uses floor division (DuckDB's `//`) — a plain cast
     // would truncate on Spark but ROUND on DuckDB
@@ -1031,7 +1032,7 @@ object SimilarityQueries {
       .select(col("vec_id"), col("label").as("own_label"), col("pos"),
         round((col("v") - col("cv")) * 1e6).cast("long").as("rv"))
       .withColumn("s", floor(col("pos") / SubDim).cast("int"))
-      .localCheckpoint(false)
+      .materializeOnce
     // random-point init: the first PqSeeds vectors' residuals ARE the seeds
     val seeds = r.filter(col("vec_id") < PqSeeds)
       .select(col("vec_id").cast("int").as("code_label"), col("s").as("cs"),
@@ -1043,7 +1044,7 @@ object SimilarityQueries {
     val codebook = r.join(a0, col("vec_id") === col("a_vec") && col("s") === col("a_s"))
       .groupBy(col("seed").as("code_label"), col("s").as("cs"), col("pos").as("cw_pos"))
       .agg(floor(sum(col("rv")).cast("double") / count(lit(1))).cast("long").as("cw"))
-      .localCheckpoint(false)
+      .materializeOnce
     // corpus codes: argmin codeword per (vec_id, s)
     val withCell = r.select(col("vec_id"), col("own_label"), col("s"), col("pos"), col("rv"))
     val codes = argminCode(sqDists(withCell, codebook, Seq("vec_id", "own_label")),
@@ -1064,7 +1065,7 @@ object SimilarityQueries {
     // one scan feeds both the coarse probing and the residual explode
     val qbase = Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .localCheckpoint(false)
+      .materializeOnce
     val q = qbase
       .withColumn("q_norm", sqrt(dotFast(spark)(col("q_emb"), col("q_emb"))))
     val wProbe = Window.partitionBy(col("q_id"))

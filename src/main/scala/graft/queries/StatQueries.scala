@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.queries.QueryConventions.MaterializeSyntax
 
 import graft.sources.Tables
 
@@ -465,7 +466,7 @@ object StatQueries {
       .withColumn("value_numeric", expr("try_cast(value_str AS double)"))
       .filter(col("value_numeric").isNotNull)
       .select(col("station_id"), col("value_numeric"))
-      .localCheckpoint(false) // read by the median pass and re-read for deviations
+      .materializeOnce // read by the median pass and re-read for deviations
     // med/mad are ROUNDED to 6 before the outlier comparison on BOTH
     // engines: percentile interpolation (lo + (hi-lo)*f vs lo*(1-f)+hi*f)
     // can differ by 1 ulp between engines, and a strict > on the raw
@@ -958,7 +959,7 @@ object StatQueries {
       .groupBy(window(col("ts"), "1 hour"), col("station_id"))
       .agg(round(avg(col("value_numeric")), 6).as("avg_v"))
       .select(col("window.start").as("hour"), col("station_id"), col("avg_v"))
-      .localCheckpoint(false)
+      .materializeOnce
     val bounds = v.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
     val hours = bounds
       .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour"))

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.queries.QueryConventions.MaterializeSyntax
 
 import graft.functions.TextFunctions._
 import graft.sources.Tables
@@ -456,7 +457,7 @@ object TextQueries {
         slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .localCheckpoint(false)
+      .materializeOnce
     val vocab = bg.agg(countDistinct(col("w1")).as("v"))
     val byHead = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
     val lm = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("nb"))

@@ -203,9 +203,20 @@ object SensorPipeline {
           readyFile.foreach(Files.deleteIfExists)
           throw e
       }
-    readyFile.foreach { p =>
+    // Files.write (create-or-truncate), not createFile: idempotent if the
+    // flag somehow reappeared. A flag-creation failure after a successful
+    // start must not leak a running query the caller has no handle to —
+    // stop it and surface the error.
+    try readyFile.foreach { p =>
       Option(p.getParent).foreach(Files.createDirectories(_))
-      Files.createFile(p)
+      Files.write(p, Array.emptyByteArray)
+    } catch {
+      case e: Throwable =>
+        try query.stop() catch { case scala.util.control.NonFatal(_) => () }
+        readyFile.foreach(p => try Files.deleteIfExists(p) catch {
+          case scala.util.control.NonFatal(_) => ()
+        })
+        throw e
     }
     query
   }

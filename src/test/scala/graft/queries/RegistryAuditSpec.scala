@@ -9,12 +9,24 @@ import graft.SparkSpec
   * cannot reference a query that doesn't exist. */
 class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
 
+  /** Plan-string audits must see THROUGH materialization points: a
+    * localCheckpoint boundary prints as an opaque `Scan ExistingRDD`,
+    * hiding everything upstream of it (a product or UDF introduced in an
+    * index-build stage would escape the walk). `graft.materialize=off`
+    * makes the query builders skip the checkpoint so the full plan is
+    * audited; the hygiene test below clears it to exercise the real
+    * materializing form. */
+  private def withFullPlans[A](body: => A): A = {
+    sys.props("graft.materialize") = "off"
+    try body finally sys.props.remove("graft.materialize")
+  }
+
   test("every oracle entry has a registered query") {
     val orphans = Registry.oracle.keySet -- Registry.queries.keySet
     assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
   }
 
-  test("no UDF nodes in any registered query plan") {
+  test("no UDF nodes in any registered query plan") { withFullPlans {
     val dir = "/root/testdata/sf0.001"
     val offenders = Registry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
@@ -24,7 +36,7 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     }
     spark.catalog.clearCache() // several queries cache build frames
     assert(offenders.isEmpty, s"UDF nodes in: $offenders")
-  }
+  }}
 
   // the labeled O(const²) recall baselines are the ONLY queries allowed
   // to plan an all-pairs product, and each is BOUNDED to a fixed id range
@@ -61,18 +73,20 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "part_pair_lift", "part_triangles")
 
   test("no all-pairs product outside the labeled bounded baselines") {
-    val dir = "/root/testdata/sf0.001"
-    val offenders = Registry.queries.toSeq.sortBy(_._1)
-      .flatMap { case (name, fn) =>
-        val plan = fn(spark, dir).queryExecution.executedPlan.toString
-        val cartesian = plan.contains("CartesianProduct") &&
-          !allPairsBaselines(name)
-        val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
-          !broadcastCrossAllowed(name) && !allPairsBaselines(name)
-        if (cartesian || bnlj) Some(name) else None
-      }
-    spark.catalog.clearCache()
-    assert(offenders.isEmpty, s"unbroadcast all-pairs plans in: $offenders")
+    withFullPlans {
+      val dir = "/root/testdata/sf0.001"
+      val offenders = Registry.queries.toSeq.sortBy(_._1)
+        .flatMap { case (name, fn) =>
+          val plan = fn(spark, dir).queryExecution.executedPlan.toString
+          val cartesian = plan.contains("CartesianProduct") &&
+            !allPairsBaselines(name)
+          val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
+            !broadcastCrossAllowed(name) && !allPairsBaselines(name)
+          if (cartesian || bnlj) Some(name) else None
+        }
+      spark.catalog.clearCache()
+      assert(offenders.isEmpty, s"unbroadcast all-pairs plans in: $offenders")
+    }
   }
 
   // registered queries materialize self-join build frames via
@@ -95,17 +109,19 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
   // the bound is actually in the plan, so nobody can quietly widen a
   // baseline back to corpus²
   test("every all-pairs baseline scans behind a pushed id bound") {
-    val dir = "/root/testdata/sf0.001"
-    val bounds = Map(
-      "near_dup_pairs"      -> "1200",
-      "ngram_jaccard_pairs" -> "150",
-      "simhash_near_dup"    -> "1500")
-    bounds.foreach { case (name, bound) =>
-      val plan = Registry.queries(name)(spark, dir)
-        .queryExecution.executedPlan.toString
-      assert(plan.contains(bound),
-        s"$name: expected id bound $bound in the physical plan")
+    withFullPlans {
+      val dir = "/root/testdata/sf0.001"
+      val bounds = Map(
+        "near_dup_pairs"      -> "1200",
+        "ngram_jaccard_pairs" -> "150",
+        "simhash_near_dup"    -> "1500")
+      bounds.foreach { case (name, bound) =>
+        val plan = Registry.queries(name)(spark, dir)
+          .queryExecution.executedPlan.toString
+        assert(plan.contains(bound),
+          s"$name: expected id bound $bound in the physical plan")
+      }
+      spark.catalog.clearCache()
     }
-    spark.catalog.clearCache()
   }
 }
