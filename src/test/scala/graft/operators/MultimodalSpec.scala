@@ -94,6 +94,22 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("a headerless payload starting with the magic degrades to NULL fields, not a cast error") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // media_id 0 is in the corrupt (headerless) bucket; its payload
+    // BEGINS with the magic but carries junk where the width digits
+    // belong — the collision that would hard-error an ANSI cast
+    val df = Seq((0L, "EXIFnotdigits-and-then-some"))
+      .toDF("media_id", "content_h")
+      .select(col("media_id"), col("content_h").cast("binary").as("content_h"))
+    val r = exifMeta(df).collect().head
+    assert(r.getBoolean(1), "prefix collision: magic check is expected to pass")
+    assert(r.isNullAt(2) && r.isNullAt(3), "junk fields must parse to NULL")
+    // payload_bytes still subtracts the header length deterministically
+    assert(r.getInt(5) === "EXIFnotdigits-and-then-some".length - ExifHeaderLen)
+  }
+
   test("EXIF header round-trips over non-UTF-8 payloads") {
     import org.apache.spark.sql.functions._
     val media = syntheticMedia(spark, 200)
