@@ -253,7 +253,47 @@ object MultimodalQueries {
       |WHERE r.rank <= 3
       |ORDER BY r.q_id, r.rank""".stripMargin
 
+  /** Row-level frame manifest — the declarative twin of the mapPartitions
+    * decode fan-out: one row per KEPT frame (every 4th), with the exact
+    * byte length the codec slice will have (`min(FrameBytes, remaining)`).
+    * This upgrades the decode path's oracle from counts to rows:
+    * `frame_sample_counts` checks how many, this checks WHICH frames and
+    * how many bytes each — and `MultimodalSpec` proves the imperative
+    * `sampleFrames` emits exactly these (media_id, frame_idx, length)
+    * triples. Pure explode-over-sequence: codegen, no shuffle. */
+  def frameManifest(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.fromDocuments(Tables.documents(spark, dir))
+      .select(col("media_id"),
+        octet_length(col("content")).as("n_bytes"),
+        col("meta.n_frames").as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .select(col("media_id"), col("n_bytes"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .filter(col("frame_idx") % 4 === 0)
+      .select(col("media_id"), col("frame_idx"),
+        least(lit(Multimodal.FrameBytes),
+          col("n_bytes") - col("frame_idx") * Multimodal.FrameBytes)
+          .cast("int").as("frame_len"))
+      .orderBy("media_id", "frame_idx")
+
+  private val frameManifestSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id,
+       |         CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       |         CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / ${Multimodal.FrameBytes}) AS INT) AS n_frames
+       |  FROM documents),
+       |f AS (
+       |  SELECT media_id, n_bytes, CAST(u.i AS INT) AS frame_idx
+       |  FROM m, LATERAL (SELECT unnest(range(0, CAST(n_frames AS BIGINT))) AS i) u
+       |  WHERE n_frames > 0)
+       |SELECT media_id, frame_idx,
+       |       CAST(least(${Multimodal.FrameBytes}, n_bytes - frame_idx * ${Multimodal.FrameBytes}) AS INT) AS frame_len
+       |FROM f
+       |WHERE frame_idx % 4 = 0
+       |ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "frame_manifest"       -> (frameManifest _),
     "media_clip_retrieval" -> (mediaClipRetrieval _),
     "media_dedup"        -> (mediaDedup _),
     "media_features"      -> (mediaFeatures _),
@@ -264,6 +304,7 @@ object MultimodalQueries {
     "media_exif_meta"     -> (mediaExifMeta _))
 
   val oracle: Map[String, String] = Map(
+    "frame_manifest"       -> frameManifestSql,
     "media_clip_retrieval" -> mediaClipRetrievalSql,
     "media_dedup"        -> mediaDedupSql,
     "media_features"      -> mediaFeaturesSql,

@@ -94,6 +94,24 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("the imperative decode fan-out emits exactly the declarative frame manifest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val media = Multimodal.fromDocuments(
+      graft.sources.Tables.documents(spark, dir))
+    val sampled = sampleFrames(spark, media.as[MediaRow], everyN = 4)
+      .collect()
+      .map(f => (f.media_id, f.frame_idx, f.frame_bytes.length))
+      .sorted
+    val manifest = graft.queries.MultimodalQueries.frameManifest(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .sorted
+    assert(sampled.toSeq === manifest.toSeq,
+      "mapPartitions fan-out and the oracled manifest disagree")
+  }
+
   test("a headerless payload starting with the magic degrades to NULL fields, not a cast error") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
