@@ -478,20 +478,30 @@ object DedupQueries {
     * valuation/curation pass ranks sources by: per document, the fraction
     * of its (distinct) shingles never seen in any EARLIER document
     * (first-occurrence = min doc_id over the corpus). Duplicate-heavy or
-    * boilerplate docs score ≈0, fresh content ≈1. One explode → one
-    * groupBy(shingle) min → one equi-join back; everything is keyed by
-    * shingle or doc — no pairwise anything. Docs with no shingles (empty
-    * text) have no novelty denominator and are omitted (inner semantics,
-    * like doc_lm_score). */
+    * boilerplate docs score ≈0, fresh content ≈1. Aggregate-only shape:
+    * because per-doc shingles are DISTINCT (array_distinct in
+    * [[DedupOps.shingles]]), "shingles of doc d that first occur in d"
+    * equals "first-occurrence rows whose min doc is d" — so instead of
+    * joining the full exploded table back to the first-occurrence frame
+    * (a shingle-count-sized shuffle join), the query reduces BOTH sides
+    * to per-doc counts first (map-side partial agg makes each shuffle
+    * ~|docs| rows) and joins the two tiny frames on doc_id. At 100 TB
+    * the only shingle-sized shuffle left is the unavoidable
+    * groupBy(shingle) min. Docs with no shingles (empty text) have no
+    * novelty denominator and are omitted (inner semantics, like
+    * doc_lm_score). */
   def docNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
     val ex = DedupOps.docShingles(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(col("shingles")).as("s"))
-    val first = ex.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
-    ex.join(first, "s")
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_shingles"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .materializeOnce // feeds the denominator aggregate and the first-occurrence pass
+    val perDoc = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val novel = ex.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc")).agg(count(lit(1)).as("n_novel"))
+      .select(col("first_doc").as("doc_id"), col("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .withColumn("novelty",
         floor(col("n_novel") * 1e6 / col("n_shingles")) / lit(1e6))
       .orderBy("doc_id")
