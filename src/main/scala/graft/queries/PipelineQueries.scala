@@ -603,6 +603,54 @@ object PipelineQueries {
       |ORDER BY df DESC, token
       |LIMIT 20""".stripMargin
 
+  /** Count-min-sketch error envelope: a CMS query over-counts by at most
+    * eps × stream length with probability ≥ confidence. */
+  private val CmsEps = 0.001
+
+  /** Heavy hitters by COUNT-MIN SKETCH — the frequency member of the
+    * sketch triad (HLL = cardinality, GK = quantiles, CMS = per-item
+    * counts). At 100 TB this is how "how often does token X appear"
+    * is answered without materializing the full token→count shuffle:
+    * each partition folds its tokens into a fixed-size (depth × width)
+    * table, partials merge associatively to ONE sketch, and any item can
+    * be point-queried after the fact. Oracled by BOUND like the other
+    * sketch entries: the query emits the exact top-20 term frequencies
+    * (ties by token) plus an in-query check that each CMS estimate lands
+    * in [tf, tf + ceil(eps × total)] — the one-sided CMS guarantee — and
+    * the oracle asserts TRUE. The estimate UDF deserializes the sketch
+    * for the 20 anchor rows only (driver-scale, not a hot path);
+    * SketchAccuracySpec pins the raw estimates. */
+  def tokenHeavyHittersCms(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+    val sketch = toks.agg(
+      expr(s"count_min_sketch(token, ${CmsEps}d, 0.99d, 42)").as("cms"),
+      count(lit(1)).as("n_total"))
+    val top = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token")).limit(20)
+    val est = udf { (bytes: Array[Byte], token: String) =>
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+        .estimateCount(token)
+    }
+    top.crossJoin(broadcast(sketch))
+      .withColumn("cms_est", est(col("cms"), col("token")))
+      .select(
+        col("token"), col("tf"),
+        (col("cms_est") >= col("tf") &&
+          col("cms_est") <= col("tf") + ceil(col("n_total") * lit(CmsEps)))
+          .as("cms_within_eps"))
+      .orderBy(col("tf").desc, col("token"))
+  }
+
+  private val tokenHeavyHittersCmsSql: String =
+    s"""WITH $toksCteSql,
+       |e AS (SELECT unnest(toks) AS token FROM t)
+       |SELECT token, count(*) AS tf, TRUE AS cms_within_eps
+       |FROM e GROUP BY token
+       |ORDER BY tf DESC, token
+       |LIMIT 20""".stripMargin
+
   /** TF-IDF: each document's highest-scoring token.
     * tf = in-doc term count, idf = ln(N / df); score rounded to 4 (ln is
     * the one libm call — both engines are correctly-rounded for these
@@ -1112,6 +1160,7 @@ object PipelineQueries {
     "vocab_coverage"     -> (vocabCoverage _),
     "doc_split_counts" -> (docSplitCounts _),
     "top_tokens"       -> (topTokens _),
+    "token_heavy_hitters_cms" -> (tokenHeavyHittersCms _),
     "doc_tfidf_top"    -> (tfidfTop _),
     "embedding_stats"  -> (embeddingStats _))
 
@@ -1137,6 +1186,7 @@ object PipelineQueries {
     "vocab_coverage"     -> vocabCoverageSql,
     "doc_split_counts" -> docSplitCountsSql,
     "top_tokens"       -> topTokensSql,
+    "token_heavy_hitters_cms" -> tokenHeavyHittersCmsSql,
     "doc_tfidf_top"    -> tfidfTopSql,
     "embedding_stats"  -> embeddingStatsSql)
 }

@@ -55,4 +55,29 @@ class SketchAccuracySpec extends AnyFunSuite with SparkSpec {
     val flags = AnalyticsQueries.distinctUsersApprox(spark, dir).collect()
     assert(flags.forall(_.getAs[Boolean]("sketch_within_3rsd")))
   }
+
+  test("count_min_sketch point estimates honor the one-sided eps envelope") {
+    import graft.functions.TextFunctions
+    val toks = Tables.documents(spark, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+    val row = toks.agg(
+      expr("count_min_sketch(token, 0.001d, 0.99d, 42)").as("cms"),
+      count(lit(1)).as("n_total")).head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("cms")))
+    val slack = math.ceil(row.getAs[Long]("n_total") * 0.001).toLong
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("tf")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(exact.nonEmpty)
+    // EVERY token (not just the 20 registry anchors): never under, over
+    // by at most eps x stream length
+    for ((t, tf) <- exact) {
+      val e = cms.estimateCount(t)
+      assert(e >= tf, s"$t: CMS under-counted ($e < $tf)")
+      assert(e <= tf + slack, s"$t: CMS past envelope ($e > $tf + $slack)")
+    }
+    val flags = PipelineQueries.tokenHeavyHittersCms(spark, dir).collect()
+    assert(flags.length === 20)
+    assert(flags.forall(_.getAs[Boolean]("cms_within_eps")))
+  }
 }
