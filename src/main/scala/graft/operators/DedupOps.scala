@@ -266,17 +266,24 @@ object DedupOps {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
+      // Convergence detection is FUSED into the update aggregate: the
+      // current-label rows carry their label a second time as `prev`
+      // (exactly one such row per node; neighbor rows carry null), so
+      // min(comp) vs max(prev) on the SAME aggregate says whether the
+      // node changed — no separate updated⋈labels join (which costs two
+      // node-sized shuffles per round, since localCheckpoint hides the
+      // hash partitioning from Catalyst).
       val nbrLabels = sym
         .join(labels.select(col("node").as("nbr"), col("comp")), "nbr")
-        .select(col("node"), col("comp"))
-      val updated = labels.unionAll(nbrLabels)
+        .select(col("node"), col("comp"), lit(null).cast("long").as("prev"))
+      val updated = labels.select(col("node"), col("comp"), col("comp").as("prev"))
+        .unionAll(nbrLabels)
         .groupBy(col("node"))
-        .agg(min(col("comp")).as("comp"))
+        .agg(min(col("comp")).as("comp"), max(col("prev")).as("prev"))
         .localCheckpoint(true)
-      converged = updated.join(labels.withColumnRenamed("comp", "prev"), "node")
-        .filter(col("comp") =!= col("prev"))
-        .isEmpty
-      labels = updated
+      // min(comp) includes prev, so comp <= prev with equality iff unchanged
+      converged = updated.filter(col("comp") =!= col("prev")).isEmpty
+      labels = updated.select(col("node"), col("comp"))
       i += 1
     }
     sym.unpersist()

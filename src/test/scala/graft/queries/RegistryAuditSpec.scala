@@ -55,6 +55,7 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
   private val broadcastCrossAllowed = Set(
     // scalar/global-stats frame joined onto every row
     "customer_rfm", "data_quality_report", "distinct_users_hll_union",
+    "token_heavy_hitters_cms", // one-row (sketch, n_total) frame × top-20 anchors
     "doc_length_outliers", "doc_lm_score", "label_psi",
     "nation_revenue_share", "orders_winsorized", "region_acctbal_ttest",
     "source_temperature_weights", "supplier_pareto",
