@@ -64,17 +64,27 @@ object ScaleSmoke {
       graft.queries.DedupQueries.simhashBandedCandidates(spark, scaled,
         maxBucket = Some(4 * k)).count())
     time("winnow_fps")(DedupOps.winnowFingerprints(scaled).count())
-    // ingestion-order novelty: one explode + groupBy(shingle) min + join
-    // back — everything keyed by shingle or doc, expected ~linear
+    // ingestion-order novelty, aggregate-only shape (mirrors the registered
+    // query): per-doc denominators + first-occurrence counts, joined as two
+    // doc-sized frames — the only shingle-sized shuffle is groupBy(shingle)
     time("ngram_novelty") {
       val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-      val first = ex.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
-      ex.join(first, "s")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
-        .count()
+      val perDoc = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      val novel = ex.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+        .groupBy(col("first_doc")).agg(count(lit(1)).as("n_novel"))
+        .select(col("first_doc").as("doc_id"), col("n_novel"))
+      perDoc.join(novel, Seq("doc_id"), "left").count()
     }
+
+    // prefix-filtered exact similarity join, hot-bucket capped: the replica
+    // corpus saturates shingle buckets (every 3-gram's df multiplies by K,
+    // candidates grow as bucket² — the uncapped join OOMs here exactly like
+    // uncapped SimHash banding), so the probe runs the production guard.
+    // Replica cliques still qualify (J ≈ 0.85 ≥ τ): verified pairs track
+    // cliques × K²/2, never corpus²
+    time("jaccard_prefix_capped")(
+      graft.queries.DedupQueries.jaccardPrefixJoinFrom(spark, scaled,
+        maxBucket = Some(8 * k)).count())
 
     // duplicate-cluster extraction over the verified LSH pairs: rounds ∝
     // component diameter (replica cliques are near-cliques → 2-3), wall ∝

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.queries.QueryConventions.MaterializeSyntax
 
@@ -181,6 +182,103 @@ object DedupQueries {
        |SELECT sa.doc_id AS a_id, sb.doc_id AS b_id, round($jaccardExpr, 6) AS jaccard
        |FROM sub sa JOIN sub sb ON sa.doc_id < sb.doc_id
        |WHERE round($jaccardExpr, 6) >= 0.2
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** Prefix-filtered EXACT similarity join (the AllPairs/PPJoin family) —
+    * the deterministic no-miss counterpart to the MinHash-LSH and SimHash
+    * sketch paths: every pair with Jaccard ≥ τ is guaranteed found, with
+    * no sketch false-negative rate to tune. The filter is the classic
+    * prefix lemma: order each doc's shingles by a global rarest-first
+    * canonical order (ascending document frequency, ties by shingle) —
+    * any pair with |A∩B| ≥ ⌈τ·|A|⌉ must share a shingle among A's first
+    * |A|−⌈τ·|A|⌉+1, so the candidate join runs only on the RARE prefix of
+    * each set, whose per-shingle bucket sizes are tiny at scale (the
+    * frequency head that makes a naive shared-shingle join explode is
+    * exactly what the prefix excludes). Candidates are then verified with
+    * exact Jaccard re-derived only for candidate docs, the
+    * [[minhashLshDupsFrom]] pattern. The oracle is the full brute-force
+    * shared-shingle join — stronger than mirroring the algorithm, it
+    * PROVES the no-miss property on this corpus. */
+  def jaccardPrefixJoin(spark: SparkSession, dir: String): DataFrame =
+    jaccardPrefixJoinFrom(spark, Tables.documents(spark, dir))
+
+  /** Prefix-join threshold: pairs with exact Jaccard ≥ τ are emitted. */
+  val PrefixTau = 0.5
+
+  /** Frame-based core of [[jaccardPrefixJoin]] (ScaleSmoke drives it at
+    * K× corpus size).
+    *
+    * @param maxBucket the standard frequent-bucket guard, same shape as
+    *   `DedupOps.candidatesFromShingles` / `simhashBandedCandidates`:
+    *   prefix-shingle values held by more than this many docs are dropped
+    *   from the candidate join (a bucket of b docs contributes b²/2
+    *   candidates — boilerplate-saturated shingles blow the join up as
+    *   bucket² while signaling exact-dup cliques that belong to a
+    *   dedicated exact pass). With a cap the no-miss guarantee narrows to
+    *   pairs retaining at least one sub-cap prefix shingle; the oracled
+    *   registry entry stays exact (None). */
+  def jaccardPrefixJoinFrom(spark: SparkSession, docs: DataFrame,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val tau = PrefixTau
+    val ex = DedupOps.docShingles(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .materializeOnce // feeds the frequency aggregate and the ranked join
+    val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val prefixAll = ex.join(freq, "s")
+      .withColumn("pos", row_number().over(byDoc.orderBy(col("df"), col("s"))))
+      .withColumn("sz", count(lit(1)).over(byDoc))
+      .filter(col("pos") <= col("sz") - ceil(col("sz") * lit(tau)) + lit(1))
+      .select(col("doc_id"), col("s"), col("df"), col("pos"), col("sz"))
+    val prefix = maxBucket.fold(prefixAll) { cap =>
+      // df is the global bucket size — the hot-bucket drop is a filter,
+      // not an extra aggregate + anti-join
+      prefixAll.filter(col("df") <= cap)
+    }.select(col("doc_id"), col("s"), col("pos"), col("sz"))
+    // PPJoin positional filter: if |A∩B| ≥ t := ⌈τ/(1+τ)·(|A|+|B|)⌉ (the
+    // overlap form of Jaccard ≥ τ), the FIRST shared token in canonical
+    // order sits at positions (pa, pb) with every other common token after
+    // it on both sides, so |A∩B| ≤ 1 + min(|A|−pa, |B|−pb) — that
+    // occurrence always survives the bound below, keeping no-miss intact,
+    // while deep-position coincidental shares are pruned BEFORE the
+    // distinct (the pre-distinct candidate stream is the memory hot spot).
+    val tFrac = tau / (1.0 + tau)
+    val cand = prefix.select(
+        col("doc_id").as("a_id"), col("s"),
+        col("pos").as("a_pos"), col("sz").as("a_sz"))
+      .join(prefix.select(
+        col("doc_id").as("b_id"), col("s"),
+        col("pos").as("b_pos"), col("sz").as("b_sz")), "s")
+      .filter(col("a_id") < col("b_id"))
+      .filter(lit(1) + least(col("a_sz") - col("a_pos"), col("b_sz") - col("b_pos"))
+        >= ceil(lit(tFrac) * (col("a_sz") + col("b_sz"))))
+      .select("a_id", "b_id").distinct()
+      .materializeOnce // ids only; the verify pipeline below reuses it thrice
+    val candIds = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    val shCand = DedupOps.docShingles(
+      docs.join(candIds, Seq("doc_id"), "left_semi"))
+    cand
+      .join(shCand.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
+      .join(shCand.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
+      .withColumn("jaccard", round(jaccard(col("sa"), col("sb")), 6))
+      .filter(col("jaccard") >= tau)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  private val jaccardPrefixJoinSql: String =
+    s"""WITH $toksCte,
+       |$shinglesCte,
+       |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, round($jaccardExpr, 6) AS jaccard
+       |FROM cand
+       |JOIN sh sa ON sa.doc_id = a_id
+       |JOIN sh sb ON sb.doc_id = b_id
+       |WHERE round($jaccardExpr, 6) >= 0.5
        |ORDER BY a_id, b_id""".stripMargin
 
   /** 48-bit SimHash per document. */
@@ -634,6 +732,7 @@ object DedupQueries {
     "doc_winnow_fingerprints" -> (winnowFps _),
     "minhash_signatures"  -> (minhashSigs _),
     "minhash_lsh_dups"    -> (minhashLshDups _),
+    "jaccard_prefix_join" -> (jaccardPrefixJoin _),
     "ngram_jaccard_pairs" -> (ngramJaccardPairs _),
     "doc_simhash"         -> (docSimhash _),
     "simhash_near_dup"    -> (simhashNearDup _),
@@ -649,6 +748,7 @@ object DedupQueries {
     "doc_winnow_fingerprints" -> winnowFpsSql,
     "minhash_signatures"  -> minhashSigsSql,
     "minhash_lsh_dups"    -> minhashLshDupsSql,
+    "jaccard_prefix_join" -> jaccardPrefixJoinSql,
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
     "doc_simhash"         -> docSimhashSql,
     "simhash_near_dup"    -> simhashNearDupSql,
