@@ -108,6 +108,52 @@ object AnalyticsQueries {
       |       round(quantile_cont(l_quantity, 0.95), 6) AS q95
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Audience-overlap matrix: for every unordered pair of event types,
+    * the distinct-user intersection and its Jaccard — the segmentation
+    * view behind "do purchasers also click?". Shape: one distinct on
+    * (type, user), then a self-equi-join KEYED BY USER (each user
+    * contributes at most |types|² rows — types is a small enum, so the
+    * join output is ∝ users, never users²), then a pair-keyed count-
+    * distinct joined with broadcast per-type totals. At 100 TB both
+    * shuffles are user-keyed and the totals frame stays enum-sized;
+    * the sketch form of the same question is `distinct_users_hll_union`
+    * (HLL sketches intersect via inclusion-exclusion). Jaccard in
+    * fixed-point via floor (the round-half divergence rule). */
+  def userOverlapMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val eu = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .materializeOnce // both sides of the pair join and the totals
+    val totals = eu.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+    val pairs = eu.select(col("event_type").as("type_a"), col("user_id"))
+      .join(eu.select(col("event_type").as("type_b"), col("user_id")), "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(totals.select(col("event_type").as("type_a"), col("n_users").as("n_a"))), "type_a")
+      .join(broadcast(totals.select(col("event_type").as("type_b"), col("n_users").as("n_b"))), "type_b")
+      .select(
+        col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        (floor(col("n_both") * 1e6 / (col("n_a") + col("n_b") - col("n_both"))) / 1e6)
+          .as("user_jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
+  private val userOverlapMatrixSql: String =
+    """WITH eu AS (SELECT DISTINCT event_type, user_id FROM events),
+      |tot AS (SELECT event_type, count(*) AS n_users FROM eu GROUP BY 1),
+      |p AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+      |  FROM eu a JOIN eu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, ta.n_users AS n_a, tb.n_users AS n_b, n_both,
+      |       floor(n_both * 1e6 / (ta.n_users + tb.n_users - n_both)) / 1e6 AS user_jaccard
+      |FROM p
+      |JOIN tot ta ON ta.event_type = type_a
+      |JOIN tot tb ON tb.event_type = type_b
+      |ORDER BY type_a, type_b""".stripMargin
+
   /** Exact distinct cardinality per event type — the correctness anchor
     * for the HLL variant below. */
   def distinctUsersExact(spark: SparkSession, dir: String): DataFrame =
@@ -1170,6 +1216,7 @@ object AnalyticsQueries {
     "conversion_funnel"        -> (conversionFunnel _),
     "cohort_retention"         -> (cohortRetention _),
     "distinct_users_exact"     -> (distinctUsersExact _),
+    "user_overlap_matrix"      -> (userOverlapMatrix _),
     "distinct_users_approx"    -> (distinctUsersApprox _))
 
   val oracle: Map[String, String] = Map(
@@ -1202,5 +1249,6 @@ object AnalyticsQueries {
     "conversion_funnel"        -> conversionFunnelSql,
     "cohort_retention"         -> cohortRetentionSql,
     "distinct_users_exact"     -> distinctUsersExactSql,
+    "user_overlap_matrix"      -> userOverlapMatrixSql,
     "distinct_users_approx"    -> distinctUsersApproxSql)
 }
