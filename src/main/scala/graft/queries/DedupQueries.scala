@@ -184,6 +184,52 @@ object DedupQueries {
        |WHERE round($jaccardExpr, 6) >= 0.2
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Cross-source duplication rates: the verified LSH near-dup pairs
+    * rolled up by unordered source pair — the curation diagnostic that
+    * says WHICH feeds copy each other (mirror sites, syndication,
+    * scraper overlap) and whether boilerplate is intra-source (template
+    * pages) or cross-source (plagiarism/mirrors). Pair discovery is the
+    * production LSH path; the rollup adds two broadcast-sized dimension
+    * joins and an enum-keyed aggregate — free at any scale. Mean Jaccard
+    * in fixed-point (sum of 6-decimal values is exact in doubles;
+    * floor-division per the round-half divergence rule). */
+  def sourceDedupCrossrate(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    minhashLshDups(spark, dir)
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("src_a")), "a_id")
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("src_b")), "b_id")
+      .groupBy(
+        least(col("src_a"), col("src_b")).as("source_1"),
+        greatest(col("src_a"), col("src_b")).as("source_2"))
+      .agg(
+        count(lit(1)).as("n_dup_pairs"),
+        (floor(sum(col("jaccard") * 1e6) / count(lit(1))) / 1e6).as("mean_jaccard"))
+      .withColumn("cross_source", col("source_1") =!= col("source_2"))
+      .orderBy("source_1", "source_2")
+  }
+
+  private val sourceDedupCrossrateSql: String =
+    s"""WITH $toksCte,
+       |$shinglesCte,
+       |$minhashCte,
+       |$bandsCandCtes,
+       |dup AS (
+       |  SELECT a_id, b_id, round($jaccardExpr, 6) AS jaccard
+       |  FROM cand
+       |  JOIN sh sa ON sa.doc_id = a_id
+       |  JOIN sh sb ON sb.doc_id = b_id
+       |  WHERE round($jaccardExpr, 6) >= 0.2)
+       |SELECT least(da.source, db.source) AS source_1,
+       |       greatest(da.source, db.source) AS source_2,
+       |       count(*) AS n_dup_pairs,
+       |       floor(sum(jaccard * 1e6) / count(*)) / 1e6 AS mean_jaccard,
+       |       least(da.source, db.source) <> greatest(da.source, db.source) AS cross_source
+       |FROM dup
+       |JOIN documents da ON da.doc_id = a_id
+       |JOIN documents db ON db.doc_id = b_id
+       |GROUP BY 1, 2
+       |ORDER BY source_1, source_2""".stripMargin
+
   /** Prefix-filtered EXACT similarity join (the AllPairs/PPJoin family) —
     * the deterministic no-miss counterpart to the MinHash-LSH and SimHash
     * sketch paths: every pair with Jaccard ≥ τ is guaranteed found, with
@@ -732,6 +778,7 @@ object DedupQueries {
     "doc_winnow_fingerprints" -> (winnowFps _),
     "minhash_signatures"  -> (minhashSigs _),
     "minhash_lsh_dups"    -> (minhashLshDups _),
+    "source_dedup_crossrate" -> (sourceDedupCrossrate _),
     "jaccard_prefix_join" -> (jaccardPrefixJoin _),
     "ngram_jaccard_pairs" -> (ngramJaccardPairs _),
     "doc_simhash"         -> (docSimhash _),
@@ -748,6 +795,7 @@ object DedupQueries {
     "doc_winnow_fingerprints" -> winnowFpsSql,
     "minhash_signatures"  -> minhashSigsSql,
     "minhash_lsh_dups"    -> minhashLshDupsSql,
+    "source_dedup_crossrate" -> sourceDedupCrossrateSql,
     "jaccard_prefix_join" -> jaccardPrefixJoinSql,
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
     "doc_simhash"         -> docSimhashSql,
