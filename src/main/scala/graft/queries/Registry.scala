@@ -26,4 +26,8 @@ object Registry {
   val oracle: Map[String, String] = modules.map(_._2).reduce(_ ++ _)
 
   require(modules.map(_._1.size).sum == queries.size, "duplicate query names across modules")
+  // every registered query carries a DuckDB oracle — a missing entry
+  // silently downgrades the driver's check to rows-only
+  require(queries.keySet == oracle.keySet,
+    s"query/oracle mismatch: ${(queries.keySet diff oracle.keySet) ++ (oracle.keySet diff queries.keySet)}")
 }
