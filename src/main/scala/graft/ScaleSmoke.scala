@@ -80,11 +80,13 @@ object ScaleSmoke {
     // corpus saturates shingle buckets (every 3-gram's df multiplies by K,
     // candidates grow as bucket² — the uncapped join OOMs here exactly like
     // uncapped SimHash banding), so the probe runs the production guard.
-    // Replica cliques still qualify (J ≈ 0.85 ≥ τ): verified pairs track
-    // cliques × K²/2, never corpus²
+    // Cap 2K keeps every clique's base-df-1 shingles (their replicated df
+    // is exactly K) while dropping the boilerplate head whose buckets grow
+    // as (K · base-df)². Replica cliques still qualify (J ≈ 0.85 ≥ τ):
+    // verified pairs track cliques × K²/2, never corpus²
     time("jaccard_prefix_capped")(
       graft.queries.DedupQueries.jaccardPrefixJoinFrom(spark, scaled,
-        maxBucket = Some(8 * k)).count())
+        maxBucket = Some(2 * k)).count())
 
     // duplicate-cluster extraction over the verified LSH pairs: rounds ∝
     // component diameter (replica cliques are near-cliques → 2-3), wall ∝

@@ -300,18 +300,57 @@ object DedupQueries {
         >= ceil(lit(tFrac) * (col("a_sz") + col("b_sz"))))
       .select("a_id", "b_id").distinct()
       .materializeOnce // ids only; the verify pipeline below reuses it thrice
+    // Exact-Jaccard verify, ADAPTIVE by candidate count (the count is one
+    // cheap job on the already-materialized pair frame — the tfidfTop
+    // scalar-count precedent, not a collect of rows):
+    //  - small candidate sets (the LSH-like regime: candidates ≪ corpus)
+    //    verify by carrying whole shingle arrays per pair — fewest
+    //    shuffles, measured fastest at sf0.1;
+    //  - large candidate sets (duplicate-saturated corpora, where the
+    //    prefix join's candidates ARE the qualifying pairs and grow as
+    //    cliques × K²) verify in NARROW form: stream (a, b, shingle)
+    //    rows through two equi-joins and count — identical |A∩B| with
+    //    constant-width rows. The array-carry form (2 × ~40-string
+    //    arrays per pair row) OOM'd the 25× replica probe; narrow form
+    //    completes it.
     val candIds = cand.select(col("a_id").as("doc_id"))
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
-    val shCand = DedupOps.docShingles(
-      docs.join(candIds, Seq("doc_id"), "left_semi"))
-    cand
-      .join(shCand.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
-      .join(shCand.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
-      .withColumn("jaccard", round(jaccard(col("sa"), col("sb")), 6))
+    val verified =
+      if (cand.count() <= WideVerifyMaxPairs) {
+        val shCand = DedupOps.docShingles(
+          docs.join(candIds, Seq("doc_id"), "left_semi"))
+        cand
+          .join(shCand.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
+          .join(shCand.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
+          .withColumn("jaccard", round(jaccard(col("sa"), col("sb")), 6))
+      } else {
+        val exCand = DedupOps.docShingles(
+            docs.join(candIds, Seq("doc_id"), "left_semi"))
+          .select(col("doc_id"), explode(col("shingles")).as("s"))
+          .materializeOnce // feeds the sizes aggregate and both join sides
+        val sizes = exCand.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        cand
+          .join(exCand.select(col("doc_id").as("a_id"), col("s")), "a_id")
+          .join(exCand.select(col("doc_id").as("b_id"), col("s")), Seq("b_id", "s"))
+          .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_inter"))
+          .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
+          .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+          .withColumn("jaccard", round(
+            col("n_inter").cast("double")
+              / (col("n_a") + col("n_b") - col("n_inter")), 6))
+      }
+    verified
       .filter(col("jaccard") >= tau)
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
   }
+
+  /** Verify-strategy crossover: below this many candidate pairs the
+    * array-carry verify wins (fewest shuffles); above it, pair rows
+    * dragging two ~40-string arrays dominate memory and the narrow
+    * exploded-join verify takes over. ~2 KB/pair ⇒ 500k pairs ≈ 1 GB
+    * spread over the shuffle — comfortably inside executor heaps. */
+  private val WideVerifyMaxPairs = 500000L
 
   private val jaccardPrefixJoinSql: String =
     s"""WITH $toksCte,
