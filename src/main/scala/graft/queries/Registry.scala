@@ -20,7 +20,8 @@ object Registry {
     (MultimodalQueries.queries, MultimodalQueries.oracle),
     (AnalyticsQueries.queries, AnalyticsQueries.oracle),
     (PipelineQueries.queries, PipelineQueries.oracle),
-    (StatQueries.queries, StatQueries.oracle))
+    (StatQueries.queries, StatQueries.oracle),
+    (TimeSeriesQueries.queries, TimeSeriesQueries.oracle))
 
   val queries: Map[String, Q] = modules.map(_._1).reduce(_ ++ _)
   val oracle: Map[String, String] = modules.map(_._2).reduce(_ ++ _)

@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Time-series diagnostics over the sensor feed (round 4 closing tier):
+  * seasonality extraction and autocorrelation — the two checks a telemetry
+  * or training-data freshness pipeline runs before trusting a series
+  * (is there a daily cycle? how sticky is the signal hour-to-hour?).
+  *
+  * Numeric discipline follows the module-wide rules: every fractional SUM
+  * goes through DECIMAL so partial-aggregation order cannot perturb it;
+  * ratios divide DOUBLE-cast decimal sums (correctly-rounded IEEE division,
+  * engine-deterministic) and round to 6 before any further arithmetic.
+  */
+object TimeSeriesQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Valid sensor readings: the parity wire-format shape with the
+    * reference's malformed rows ('error' events) dropped. */
+  private def validReadings(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") =!= "error" && col("value").isNotNull)
+      .select(
+        col("ts"),
+        col("event_type").as("sensor_id"),
+        col("value").as("value_numeric"))
+
+  /** Hour-of-day seasonality profile per sensor: for each (sensor, 0..23)
+    * cell, observation count, mean reading, and the deviation from the
+    * sensor's overall mean — the additive seasonal component a
+    * deseasonalization pass would subtract. One shuffle (the groupBy);
+    * the per-sensor totals come from a window over the ALREADY-GROUPED
+    * 24-row frames (sum of exact decimal partials, not a second scan) —
+    * at 100 TB the output stays sensors × 24 no matter the row count. */
+  def sensorSeasonalProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cells = validReadings(spark, dir)
+      .groupBy(col("sensor_id"), hour(col("ts")).as("hod"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        sum(col("value_numeric").cast("decimal(18,6)")).as("s1d"))
+    val bySensor = Window.partitionBy(col("sensor_id"))
+    cells
+      .withColumn("avg_v",
+        round(col("s1d").cast("double") / col("n_obs"), 6))
+      .withColumn("avg_all",
+        round(sum(col("s1d")).over(bySensor).cast("double") /
+          sum(col("n_obs")).over(bySensor), 6))
+      .select(
+        col("sensor_id"), col("hod"), col("n_obs"),
+        col("avg_v"),
+        round(col("avg_v") - col("avg_all"), 6).as("seasonal_dev"))
+      .orderBy("sensor_id", "hod")
+  }
+
+  private val sensorSeasonalProfileSql: String =
+    """WITH cells AS (
+      |  SELECT event_type AS sensor_id,
+      |         CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS INT) AS hod,
+      |         count(*) AS n_obs,
+      |         sum(CAST(value AS DECIMAL(18,6))) AS s1d
+      |  FROM events
+      |  WHERE event_type <> 'error' AND value IS NOT NULL
+      |  GROUP BY 1, 2)
+      |SELECT sensor_id, hod, n_obs,
+      |       round(CAST(s1d AS DOUBLE) / n_obs, 6) AS avg_v,
+      |       round(round(CAST(s1d AS DOUBLE) / n_obs, 6)
+      |             - round(CAST(sum(s1d) OVER (PARTITION BY sensor_id) AS DOUBLE)
+      |                     / sum(n_obs) OVER (PARTITION BY sensor_id), 6),
+      |             6) AS seasonal_dev
+      |FROM cells
+      |ORDER BY sensor_id, hod""".stripMargin
+
+  /** Lag-k autocorrelation (k = 1..6) of each sensor's HOURLY mean series:
+    * r_k = Σ (x_t − x̄)(x_{t−k} − x̄) / Σ (x_t − x̄)², positions taken over
+    * the observed hourly sequence (row_number, so a missing hour does not
+    * break the lag structure — the standard gap-tolerant formulation).
+    *
+    * Shape: the raw feed collapses to one row per (sensor, hour) FIRST —
+    * the only data-sized shuffle — then every subsequent stage (centering,
+    * the 6-lag self-join keyed on (sensor, pos − k), the per-(sensor, lag)
+    * products) runs on the hours-sized frame, which is ~5 orders of
+    * magnitude smaller than the feed at any scale. Numerator products are
+    * exact-decimal-summed; the shared denominator is computed once per
+    * sensor and broadcast back. */
+  def sensorAcf(spark: SparkSession, dir: String): DataFrame = {
+    import QueryConventions.MaterializeSyntax
+    val byHour = validReadings(spark, dir)
+      .groupBy(col("sensor_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value_numeric").cast("decimal(18,6)")).as("s1d"))
+      .select(col("sensor_id"), col("h"),
+        round(col("s1d").cast("double") / col("n"), 6).as("x"))
+    val pos = Window.partitionBy(col("sensor_id")).orderBy(col("h"))
+    val mean = Window.partitionBy(col("sensor_id"))
+    val centered = byHour
+      .withColumn("p", row_number().over(pos))
+      .withColumn("xbar",
+        round(sum(col("x").cast("decimal(18,6)")).over(mean).cast("double") /
+          count(lit(1)).over(mean), 6))
+      .select(col("sensor_id"), col("p"),
+        (col("x") - col("xbar")).as("cx"))
+      .materializeOnce // feeds the denominator, and both sides of the lag join
+    val den = centered.groupBy(col("sensor_id"))
+      .agg(sum((col("cx") * col("cx")).cast("decimal(28,10)"))
+        .cast("double").as("den"))
+    val lags = spark.range(1, 7).select(col("id").cast("int").as("lag"))
+    val a = centered.select(col("sensor_id"), col("p"), col("cx"))
+    val b = centered.select(
+      col("sensor_id").as("sensor_id_b"), col("p").as("p_b"), col("cx").as("cx_b"))
+    a.crossJoin(broadcast(lags))
+      .join(b,
+        col("sensor_id") === col("sensor_id_b") && col("p_b") === col("p") - col("lag"))
+      .groupBy(col("sensor_id"), col("lag"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum((col("cx") * col("cx_b")).cast("decimal(28,10)"))
+          .cast("double").as("num"))
+      .join(broadcast(den), Seq("sensor_id"))
+      .select(col("sensor_id"), col("lag"), col("n_terms"),
+        when(col("den") > 0, round(col("num") / col("den"), 6)).as("acf"))
+      .orderBy("sensor_id", "lag")
+  }
+
+  private val sensorAcfSql: String =
+    """WITH byhour AS (
+      |  SELECT event_type AS sensor_id,
+      |         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+      |         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS x
+      |  FROM events
+      |  WHERE event_type <> 'error' AND value IS NOT NULL
+      |  GROUP BY 1, 2),
+      |centered AS (
+      |  SELECT sensor_id,
+      |         row_number() OVER (PARTITION BY sensor_id ORDER BY h) AS p,
+      |         x - round(CAST(sum(CAST(x AS DECIMAL(18,6))) OVER (PARTITION BY sensor_id) AS DOUBLE)
+      |                   / count(*) OVER (PARTITION BY sensor_id), 6) AS cx
+      |  FROM byhour),
+      |den AS (
+      |  SELECT sensor_id,
+      |         CAST(sum(CAST(cx * cx AS DECIMAL(28,10))) AS DOUBLE) AS den
+      |  FROM centered GROUP BY 1),
+      |num AS (
+      |  SELECT a.sensor_id, k.lag,
+      |         count(*) AS n_terms,
+      |         CAST(sum(CAST(a.cx * b.cx AS DECIMAL(28,10))) AS DOUBLE) AS num
+      |  FROM centered a
+      |  CROSS JOIN (SELECT unnest(range(1, 7)) AS lag) k
+      |  JOIN centered b
+      |    ON b.sensor_id = a.sensor_id AND b.p = a.p - k.lag
+      |  GROUP BY 1, 2)
+      |SELECT num.sensor_id, CAST(num.lag AS INT) AS lag, num.n_terms,
+      |       CASE WHEN den.den > 0 THEN round(num.num / den.den, 6) END AS acf
+      |FROM num JOIN den ON den.sensor_id = num.sensor_id
+      |ORDER BY num.sensor_id, lag""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "sensor_seasonal_profile" -> (sensorSeasonalProfile _),
+    "sensor_acf"              -> (sensorAcf _))
+
+  val oracle: Map[String, String] = Map(
+    "sensor_seasonal_profile" -> sensorSeasonalProfileSql,
+    "sensor_acf"              -> sensorAcfSql)
+}
