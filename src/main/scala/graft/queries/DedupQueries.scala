@@ -535,9 +535,12 @@ object DedupQueries {
     DedupOps.winnowFingerprints(Tables.documents(spark, dir))
       .orderBy("doc_id", "fp")
 
-  private val winnowFpsSql: String =
-    s"""WITH $toksCte,
-       |th AS (
+  /** Shared winnowing CTE chain (token hashes → rolling triple hashes →
+    * 4-window minima → distinct fingerprints per doc), ending in a `fps`
+    * relation — the oracle mirror of DedupOps.winnowFingerprints, reused
+    * by the fingerprint dump AND the fingerprint-level decontamination. */
+  private val winnowCte =
+    s"""th AS (
        |  SELECT doc_id,
        |         list_transform(toks, t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % ${P}) AS th
        |  FROM toks),
@@ -553,10 +556,76 @@ object DedupQueries {
        |              ELSE list_transform(range(1, CAST(len(r) - 2 AS BIGINT)),
        |                     i -> least(r[CAST(i AS INT)], r[CAST(i AS INT) + 1],
        |                                r[CAST(i AS INT) + 2], r[CAST(i AS INT) + 3])) END AS wn
-       |  FROM r)
-       |SELECT doc_id, unnest(list_distinct(wn)) AS fp
-       |FROM w
+       |  FROM r),
+       |fps AS (SELECT doc_id, unnest(list_distinct(wn)) AS fp FROM w)""".stripMargin
+
+  private val winnowFpsSql: String =
+    s"""WITH $toksCte,
+       |$winnowCte
+       |SELECT doc_id, fp
+       |FROM fps
        |ORDER BY doc_id, fp""".stripMargin
+
+  /** Fingerprint-level decontamination — the substring-robust sibling of
+    * [[contaminationContainment]]: winnowing fingerprints (guaranteed to
+    * sample any shared run of ≥ WinnowW+2 tokens) replace raw shingles,
+    * so a benchmark answer PARAPHRASED AROUND a verbatim span still
+    * collides with the train doc that contains the span, while the
+    * position-independent distinct-fingerprint sets keep containment a
+    * simple integer ratio. Per benchmark doc (the doc_id % 97 eval
+    * stand-in): fingerprint count, overlapping corpus docs, max
+    * fingerprint containment by any one doc, docs above 50%. Scale shape
+    * is the decontamination standard: equi-join on the fingerprint —
+    * candidates ∝ shared fingerprints (winnowing keeps ~2/WinnowW of
+    * rolling hashes, so the join input is a fixed-density sample of the
+    * corpus), never eval × corpus. */
+  def winnowContamination(spark: SparkSession, dir: String): DataFrame = {
+    val fps = DedupOps.winnowFingerprints(Tables.documents(spark, dir))
+      .materializeOnce // feeds the eval side, corpus side and size aggregate
+    val isBench = pmod(col("doc_id"), lit(97)) === 0
+    val bSize = fps.filter(isBench)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps"))
+      .select(col("doc_id").as("b_id"), col("n_fps"))
+    val shared = fps.filter(isBench).select(col("doc_id").as("b_id"), col("fp"))
+      .join(fps.filter(!isBench).select(col("doc_id").as("c_id"), col("fp")), "fp")
+      .groupBy(col("b_id"), col("c_id")).agg(count(lit(1)).as("n_shared"))
+    val agg = shared.join(bSize, "b_id")
+      .withColumn("containment", col("n_shared").cast("double") / col("n_fps"))
+      .groupBy(col("b_id"))
+      .agg(
+        count(lit(1)).as("n_overlap_docs"),
+        max(col("containment")).as("max_c"),
+        sum(when(col("containment") >= 0.5, 1L).otherwise(0L)).as("n_high"))
+    bSize.join(agg, Seq("b_id"), "left")
+      .select(
+        col("b_id"), col("n_fps"),
+        coalesce(col("n_overlap_docs"), lit(0L)).as("n_overlap_docs"),
+        round(coalesce(col("max_c"), lit(0.0)), 6).as("max_containment"),
+        coalesce(col("n_high"), lit(0L)).as("n_high_containment"))
+      .orderBy("b_id")
+  }
+
+  private val winnowContaminationSql: String =
+    s"""WITH $toksCte,
+       |$winnowCte,
+       |bs AS (SELECT doc_id AS b_id, count(*) AS n_fps FROM fps WHERE doc_id % 97 = 0 GROUP BY 1),
+       |shared AS (
+       |  SELECT b.doc_id AS b_id, c.doc_id AS c_id, count(*) AS n_shared
+       |  FROM fps b JOIN fps c ON b.fp = c.fp
+       |  WHERE b.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
+       |  GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT shared.b_id, count(*) AS n_overlap,
+       |         max(CAST(n_shared AS DOUBLE) / bs.n_fps) AS max_c,
+       |         sum(CASE WHEN CAST(n_shared AS DOUBLE) / bs.n_fps >= 0.5 THEN 1 ELSE 0 END) AS n_high
+       |  FROM shared JOIN bs ON shared.b_id = bs.b_id
+       |  GROUP BY 1)
+       |SELECT bs.b_id, CAST(bs.n_fps AS BIGINT) AS n_fps,
+       |       CAST(coalesce(agg.n_overlap, 0) AS BIGINT) AS n_overlap_docs,
+       |       round(coalesce(agg.max_c, 0.0), 6) AS max_containment,
+       |       CAST(coalesce(agg.n_high, 0) AS BIGINT) AS n_high_containment
+       |FROM bs LEFT JOIN agg ON bs.b_id = agg.b_id
+       |ORDER BY bs.b_id""".stripMargin
 
   /** Benchmark decontamination: for each "benchmark" document (the
     * doc_id % 97 == 0 subset standing in for an eval set), count corpus
@@ -815,6 +884,7 @@ object DedupQueries {
     "contamination_containment" -> (contaminationContainment _),
     "benchmark_contamination" -> (benchmarkContamination _),
     "doc_winnow_fingerprints" -> (winnowFps _),
+    "winnow_contamination" -> (winnowContamination _),
     "minhash_signatures"  -> (minhashSigs _),
     "minhash_lsh_dups"    -> (minhashLshDups _),
     "source_dedup_crossrate" -> (sourceDedupCrossrate _),
@@ -832,6 +902,7 @@ object DedupQueries {
     "contamination_containment" -> contaminationContainmentSql,
     "benchmark_contamination" -> benchmarkContaminationSql,
     "doc_winnow_fingerprints" -> winnowFpsSql,
+    "winnow_contamination" -> winnowContaminationSql,
     "minhash_signatures"  -> minhashSigsSql,
     "minhash_lsh_dups"    -> minhashLshDupsSql,
     "source_dedup_crossrate" -> sourceDedupCrossrateSql,
