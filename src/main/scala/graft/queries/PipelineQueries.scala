@@ -137,6 +137,66 @@ object PipelineQueries {
       |FROM u CROSS JOIN z
       |ORDER BY source""".stripMargin
 
+  /** Epoch/repeat schedule — the data-repetition plan a training run is
+    * actually configured with: given a token budget (2× the corpus here)
+    * split by temperature-flattened (T=2) per-source TOKEN weights, how
+    * many epochs of each source to take, capped at 4 (the
+    * repetition-hurts threshold), and the tokens that plan actually
+    * delivers. Epochs are exact integer millis (floor(target·1000/have),
+    * capped), planned tokens exact BIGINT floor-div — no float crosses an
+    * engine boundary unrounded, so the plan a 100 TB run would execute is
+    * byte-identical on both engines. One token-count aggregate (the only
+    * data-sized stage) + source-sized arithmetic. */
+  def sourceEpochSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"), size(TextFunctions.tokens(col("text"))).as("n_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).cast("long").as("src_tokens"))
+    val tot = perSource.agg(sum(col("src_tokens")).cast("long").as("total"))
+    val u = perSource.crossJoin(broadcast(tot))
+      .withColumn("uw", round(sqrt(col("src_tokens").cast("double") / col("total")), 9))
+    val z = u.agg(sum(col("uw").cast("decimal(28,12)")).cast("double").as("z"))
+    u.crossJoin(broadcast(z))
+      .withColumn("weight", floor(col("uw") * 1e6 / col("z")) / lit(1e6))
+      .withColumn("budget", col("total") * 2)
+      .withColumn("target_tokens", floor(col("budget") * col("weight")).cast("long"))
+      .withColumn("epochs_millis",
+        least(floor(col("target_tokens") * 1000.0 / col("src_tokens")).cast("long"), lit(4000L)))
+      .withColumn("planned_tokens",
+        expr("src_tokens * epochs_millis div 1000").cast("long"))
+      .select("source", "n_docs", "src_tokens", "weight",
+        "target_tokens", "epochs_millis", "planned_tokens")
+      .orderBy("source")
+  }
+
+  private val sourceEpochScheduleSql: String =
+    """WITH c AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         sum(CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN 0
+      |                  ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+')) END) AS src_tokens
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total FROM c),
+      |u AS (
+      |  SELECT source, n_docs, src_tokens,
+      |         round(sqrt(CAST(src_tokens AS DOUBLE) / t.total), 9) AS uw, t.total
+      |  FROM c CROSS JOIN t),
+      |z AS (SELECT CAST(sum(CAST(uw AS DECIMAL(28,12))) AS DOUBLE) AS z FROM u),
+      |p AS (
+      |  SELECT source, n_docs, src_tokens,
+      |         floor(uw * 1e6 / z.z) / 1e6 AS weight,
+      |         total * 2 AS budget
+      |  FROM u CROSS JOIN z),
+      |q AS (
+      |  SELECT source, n_docs, src_tokens, weight,
+      |         CAST(floor(budget * weight) AS BIGINT) AS target_tokens
+      |  FROM p)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+      |       CAST(src_tokens AS BIGINT) AS src_tokens, weight, target_tokens,
+      |       least(CAST(floor(target_tokens * 1000.0 / src_tokens) AS BIGINT), 4000) AS epochs_millis,
+      |       CAST(CAST(src_tokens AS BIGINT) * least(CAST(floor(target_tokens * 1000.0 / src_tokens) AS BIGINT), 4000) // 1000 AS BIGINT) AS planned_tokens
+      |FROM q
+      |ORDER BY source""".stripMargin
+
   /** Quality deciles: ntile(10) over the composite quality score (ties
     * broken by doc_id so the tiling is total-ordered on both engines),
     * with per-decile population stats — the quality-tiered view a curator
@@ -1150,6 +1210,7 @@ object PipelineQueries {
     "source_caps"        -> (sourceCaps _),
     "doc_length_outliers" -> (docLengthOutliers _),
     "source_temperature_weights" -> (sourceTemperatureWeights _),
+    "source_epoch_schedule" -> (sourceEpochSchedule _),
     "doc_quality_deciles" -> (docQualityDeciles _),
     "vocab_zipf_fit"     -> (vocabZipfFit _),
     "doc_chunks"         -> (docChunks _),
@@ -1176,6 +1237,7 @@ object PipelineQueries {
     "source_caps"        -> sourceCapsSql,
     "doc_length_outliers" -> docLengthOutliersSql,
     "source_temperature_weights" -> sourceTemperatureWeightsSql,
+    "source_epoch_schedule" -> sourceEpochScheduleSql,
     "doc_quality_deciles" -> docQualityDecilesSql,
     "vocab_zipf_fit"     -> vocabZipfFitSql,
     "doc_chunks"         -> docChunksSql,
