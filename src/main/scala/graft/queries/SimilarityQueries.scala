@@ -1191,7 +1191,74 @@ object SimilarityQueries {
        |WHERE rank <= 5
        |ORDER BY q_id, rank""".stripMargin
 
+  /** Johnson–Lindenstrauss random projection, 64 → 16 dims — the
+    * dimensionality-reduction pass a 100 TB embedding store runs before
+    * indexing (4× less vector I/O for a bounded distance distortion).
+    * The projection matrix is a DETERMINISTIC ±1 sign matrix derived from
+    * the md5 integer hash of (i, j) — reproducible on any engine, nothing
+    * random at run time, no matrix to ship. All arithmetic is exact:
+    * inputs quantized to integer micro-units, projections are BIGINT
+    * sign-sums, and the reported per-vector norm distortion
+    * ‖y‖²/(m·‖x‖²) (expected 1 under JL) divides two exact integers.
+    * Scale shape: one posexplode + a broadcast join against the 64-row
+    * sign table + one aggregate — map-side everything except the final
+    * per-vector combine. */
+  def embeddingJlProjection(spark: SparkSession, dir: String): DataFrame = {
+    val m = 16
+    val signCols = (0 until m).map { j =>
+      (lit(1L) - lit(2L) * pmod(graft.operators.DedupOps.h60(concat_ws("_", col("i"), lit(j))), lit(2L)))
+        .as(s"s$j")
+    }
+    val signs = spark.range(0, 64)
+      .select(col("id").cast("int").as("i"))
+      .select((col("i") +: signCols): _*)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("vec_id"), col("i"), round(col("v") * 1e6).cast("long").as("xq"))
+    val sums = (0 until m).map(j => sum(col(s"s$j") * col("xq")).as(s"y$j"))
+    val agg = e.join(broadcast(signs), "i")
+      .groupBy(col("vec_id"))
+      .agg(sums.head, sums.tail :+ sum(col("xq") * col("xq")).as("nx2"): _*)
+    val ny2 = (0 until m).map(j => col(s"y$j") * col(s"y$j")).reduce(_ + _)
+    agg
+      .select(col("vec_id"),
+        col("y0"), col("y1"), col("y2"), col("y3"),
+        when(col("nx2") > 0,
+          round(ny2.cast("double") / (col("nx2") * m), 6)).as("norm_ratio"))
+      .orderBy("vec_id")
+  }
+
+  private val embeddingJlProjectionSql: String = {
+    val m = 16
+    val signDefs = (0 until m).map { j =>
+      s"1 - 2 * (CAST('0x' || substring(md5(CAST(i AS VARCHAR) || '_$j'), 1, 15) AS BIGINT) % 2) AS s$j"
+    }.mkString(",\n      |         ")
+    val sumDefs = (0 until m).map(j => s"sum(s$j * xq) AS y$j").mkString(", ")
+    val ny2 = (0 until m).map(j => s"y$j * y$j").mkString(" + ")
+    s"""WITH sm AS (
+       |  SELECT i,
+       |         $signDefs
+       |  FROM (SELECT unnest(range(0, 64)) AS i)),
+       |e AS (
+       |  SELECT vec_id, u.pos - 1 AS i, CAST(round(u.v * 1e6) AS BIGINT) AS xq
+       |  FROM embeddings,
+       |       LATERAL (SELECT unnest(embedding::DOUBLE[]) AS v,
+       |                       generate_subscripts(embedding, 1) AS pos) u),
+       |a AS (
+       |  SELECT vec_id, $sumDefs, sum(xq * xq) AS nx2
+       |  FROM e JOIN sm USING (i)
+       |  GROUP BY vec_id)
+       |SELECT vec_id,
+       |       CAST(y0 AS BIGINT) AS y0, CAST(y1 AS BIGINT) AS y1,
+       |       CAST(y2 AS BIGINT) AS y2, CAST(y3 AS BIGINT) AS y3,
+       |       CASE WHEN nx2 > 0
+       |            THEN round(CAST($ny2 AS DOUBLE) / CAST(nx2 * $m AS DOUBLE), 6) END AS norm_ratio
+       |FROM a
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "embedding_jl_projection" -> (embeddingJlProjection _),
     "knn_ivfpq"       -> (knnIvfPq _),
     "semantic_dedup"  -> (semanticDedup _),
     "embedding_pq"    -> (embeddingPq _),
@@ -1212,6 +1279,7 @@ object SimilarityQueries {
     "label_centroids" -> (labelCentroids _))
 
   val oracle: Map[String, String] = Map(
+    "embedding_jl_projection" -> embeddingJlProjectionSql,
     "knn_ivfpq"       -> knnIvfPqSql,
     "semantic_dedup"  -> semanticDedupSql,
     "embedding_pq"    -> embeddingPqSql,
