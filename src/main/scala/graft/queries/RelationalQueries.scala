@@ -750,6 +750,60 @@ object RelationalQueries {
        |${walkCte("edges", "VARCHAR")}
        |$walkSelect""".stripMargin
 
+  /** Weighted single-source shortest paths over the same contracted
+    * transition graph — reachability's min-hop walk upgraded to min-COST:
+    * edge cost is the exact integer 1000000 div n + 1 (rare transitions
+    * cost more), so "cheapest path" = "most-travelled route" from 'view'
+    * to every other event type. Positive integer costs on a ≤ |types|-node
+    * graph mean a shortest path has < |V| edges; the hops < 5 recursion
+    * bound therefore EXHAUSTS all candidate shortest paths and min(cost)
+    * is the true SSSP answer, not an approximation. Same scale split as
+    * reachability: the weighted edge list is derived distributedly
+    * (window + count over the events feed — the only data-sized stage),
+    * the recursion runs on the tiny contracted graph, and both engines
+    * execute the identical recursive ANSI text. */
+  def eventTypeSssp(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val edges = Tables.events(spark, dir)
+      .withColumn("src", lag(col("event_type"), 1).over(w))
+      .filter(col("src").isNotNull && col("src") =!= col("event_type"))
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("src"), col("dst"), expr("1000000 div n + 1").cast("long").as("cost"))
+      .materializeOnce
+    edges.count() // materialize: each recursive step re-reads the view
+    edges.createOrReplaceTempView("graft_type_wedges")
+    spark.sql(ssspSql("graft_type_wedges", "STRING"))
+  }
+
+  private def ssspCte(edges: String, typeName: String): String =
+    s"""paths(node, cost, hops) AS (
+       |  SELECT CAST('view' AS $typeName) AS node, CAST(0 AS BIGINT) AS cost, 0 AS hops
+       |  UNION ALL
+       |  SELECT e.dst AS node, p.cost + e.cost AS cost, p.hops + 1 AS hops
+       |  FROM paths p JOIN $edges e ON e.src = p.node
+       |  WHERE p.hops < 5)""".stripMargin
+
+  private val ssspSelect: String =
+    """SELECT node, min(cost) AS min_cost
+      |FROM paths GROUP BY node ORDER BY node""".stripMargin
+
+  private def ssspSql(edges: String, typeName: String): String =
+    s"""WITH RECURSIVE ${ssspCte(edges, typeName)}
+       |$ssspSelect""".stripMargin
+
+  private val eventTypeSsspSql: String =
+    s"""WITH RECURSIVE wedges AS (
+       |  SELECT src, dst, 1000000 // n + 1 AS cost FROM (
+       |    SELECT src, dst, count(*) AS n FROM (
+       |      SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS src,
+       |             event_type AS dst
+       |      FROM events)
+       |    WHERE src IS NOT NULL AND src <> dst
+       |    GROUP BY src, dst)),
+       |${ssspCte("wedges", "VARCHAR")}
+       |$ssspSelect""".stripMargin
+
   /** Spark-4 VARIANT path for semi-structured props: `parse_json` once
     * into the binary Variant encoding, then typed `try_variant_get`
     * extraction — the open-schema ingestion form (vs `from_json` with a
@@ -780,6 +834,7 @@ object RelationalQueries {
     "customers_above_all_suppliers" -> (customersAboveAllSuppliers _),
     "customers_all_priorities" -> (customersAllPriorities _),
     "event_type_reachability"  -> (eventTypeReachability _),
+    "event_type_sssp"          -> (eventTypeSssp _),
     "events_variant_extract"   -> (eventsVariantExtract _),
     "region_hierarchy"     -> (regionHierarchy _),
     "q1_pricing_summary"   -> (pricingSummary _),
@@ -803,6 +858,7 @@ object RelationalQueries {
     "customers_above_all_suppliers" -> customersAboveAllSuppliersSql,
     "customers_all_priorities" -> customersAllPrioritiesSql,
     "event_type_reachability"  -> eventTypeReachabilitySql,
+    "event_type_sssp"          -> eventTypeSsspSql,
     "events_variant_extract"   -> eventsVariantExtractSql,
     "region_hierarchy"     -> regionHierarchySql,
     "q1_pricing_summary"   -> pricingSummarySql,
