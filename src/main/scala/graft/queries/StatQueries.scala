@@ -456,6 +456,79 @@ object StatQueries {
       |FROM s4
       |ORDER BY zkey, o_orderkey""".stripMargin
 
+  /** Z-order file-skipping effectiveness — the report that justifies (or
+    * rejects) a Z-ORDER maintenance run BEFORE paying for it: lay orders
+    * out 32-files-wide under (a) the natural o_orderkey order and (b) the
+    * graft_zorder(o_custkey, day) curve, collect per-file min/max stats
+    * (what a parquet footer / Delta stats column would hold), and replay
+    * a 10-point probe workload on o_custkey against those stats. A file
+    * is scanned iff min ≤ probe ≤ max — the exact data-skipping rule.
+    * Natural layout spreads every custkey across every file (expect ~all
+    * files hit); the z-layout clusters the interleaved dims (expect a
+    * small fraction). ntile stands in for the writer's size-based file
+    * split; at 100 TB the stats come FROM footers rather than a re-sort —
+    * this query is the planning-time diagnostic over the same numbers,
+    * and the 32 × 10 stats⋈probes join is metadata-sized regardless of
+    * table size. */
+  def layoutSkippingGain(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("day",
+        datediff(col("o_orderdate").cast("date"), to_date(lit("1970-01-01"))).cast("int"))
+      .select(col("o_orderkey"), col("o_custkey"), col("day"))
+      .materializeOnce // both layout sorts and the probe bounds read it
+    val wNat = Window.orderBy(col("o_orderkey"))
+    val wZ = Window.orderBy(expr("graft_zorder(o_custkey, day)"), col("o_orderkey"))
+    val assigned = o
+      .select(lit("natural").as("layout"), ntile(32).over(wNat).as("file_id"), col("o_custkey"))
+      .union(o.select(lit("zorder").as("layout"), ntile(32).over(wZ).as("file_id"), col("o_custkey")))
+    val files = assigned.groupBy(col("layout"), col("file_id"))
+      .agg(min(col("o_custkey")).as("min_c"), max(col("o_custkey")).as("max_c"),
+        count(lit(1)).as("n_rows"))
+    val maxc = o.agg(max(col("o_custkey")).as("maxc"))
+    val probes = spark.range(1, 11).select(col("id").as("q"))
+      .crossJoin(broadcast(maxc))
+      .select(col("q").cast("int").as("q"), expr("maxc * q div 11").cast("long").as("probe_cust"))
+    val hit = col("min_c") <= col("probe_cust") && col("probe_cust") <= col("max_c")
+    files.crossJoin(broadcast(probes))
+      .groupBy(col("layout"), col("q"), col("probe_cust"))
+      .agg(
+        sum(when(hit, 1L).otherwise(0L)).as("n_files_hit"),
+        count(lit(1)).as("n_files"),
+        sum(when(hit, col("n_rows")).otherwise(0L)).as("rows_scanned"))
+      .orderBy("layout", "q")
+  }
+
+  private val layoutSkippingGainSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_custkey,
+      |         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+      |  FROM orders),
+      |s0 AS (SELECT *, o_custkey & 65535 AS x, day & 65535 AS y FROM o),
+      |s1 AS (SELECT * REPLACE ((x | (x << 8)) & 16711935 AS x, (y | (y << 8)) & 16711935 AS y) FROM s0),
+      |s2 AS (SELECT * REPLACE ((x | (x << 4)) & 252645135 AS x, (y | (y << 4)) & 252645135 AS y) FROM s1),
+      |s3 AS (SELECT * REPLACE ((x | (x << 2)) & 858993459 AS x, (y | (y << 2)) & 858993459 AS y) FROM s2),
+      |s4 AS (SELECT * REPLACE ((x | (x << 1)) & 1431655765 AS x, (y | (y << 1)) & 1431655765 AS y) FROM s3),
+      |z AS (SELECT o_orderkey, o_custkey, CAST(x | (y << 1) AS BIGINT) AS zkey FROM s4),
+      |a AS (
+      |  SELECT 'natural' AS layout, ntile(32) OVER (ORDER BY o_orderkey) AS file_id, o_custkey FROM o
+      |  UNION ALL
+      |  SELECT 'zorder' AS layout, ntile(32) OVER (ORDER BY zkey, o_orderkey) AS file_id, o_custkey FROM z),
+      |files AS (
+      |  SELECT layout, file_id, min(o_custkey) AS min_c, max(o_custkey) AS max_c,
+      |         count(*) AS n_rows
+      |  FROM a GROUP BY 1, 2),
+      |m AS (SELECT max(o_custkey) AS maxc FROM o),
+      |probes AS (
+      |  SELECT CAST(q AS INT) AS q, CAST(maxc * q // 11 AS BIGINT) AS probe_cust
+      |  FROM (SELECT unnest(range(1, 11)) AS q) CROSS JOIN m)
+      |SELECT layout, q, probe_cust,
+      |       CAST(sum(CASE WHEN min_c <= probe_cust AND probe_cust <= max_c THEN 1 ELSE 0 END) AS BIGINT) AS n_files_hit,
+      |       CAST(count(*) AS BIGINT) AS n_files,
+      |       CAST(sum(CASE WHEN min_c <= probe_cust AND probe_cust <= max_c THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+      |FROM files CROSS JOIN probes
+      |GROUP BY 1, 2, 3
+      |ORDER BY layout, q""".stripMargin
+
   /** Robust anomaly detection per station: median absolute deviation.
     * Outlier = |value − median| > 3·MAD — the robust z-score that, unlike
     * mean/stddev, is not dragged by the outliers it hunts. Two grouped
@@ -1084,6 +1157,7 @@ object StatQueries {
     "order_status_runs"            -> (orderStatusRuns _),
     "sensor_mad_outliers"          -> (sensorMadOutliers _),
     "orders_zorder_keys"           -> (ordersZorderKeys _),
+    "layout_skipping_gain"         -> (layoutSkippingGain _),
     "data_quality_report"          -> (dataQualityReport _),
     "salted_brand_revenue"         -> (saltedBrandRevenue _),
     "embedding_top_components"     -> (embeddingTopComponents _),
@@ -1116,6 +1190,7 @@ object StatQueries {
     "order_status_runs"            -> orderStatusRunsSql,
     "sensor_mad_outliers"          -> sensorMadOutliersSql,
     "orders_zorder_keys"           -> ordersZorderKeysSql,
+    "layout_skipping_gain"         -> layoutSkippingGainSql,
     "data_quality_report"          -> dataQualityReportSql,
     "salted_brand_revenue"         -> saltedBrandRevenueSql,
     "embedding_top_components"     -> embeddingTopComponentsSql,
