@@ -292,7 +292,73 @@ object MultimodalQueries {
        |WHERE frame_idx % 4 = 0
        |ORDER BY media_id, frame_idx""".stripMargin
 
+  /** Perceptual-hash near-dup for media — the family member between exact
+    * blob dedup (`media_dedup`, sha256: one flipped byte escapes) and
+    * embedding near-dup (needs a model): a 48-bit block pHash where bit j
+    * is the md5 parity of the j-th fixed-width block of the DECODED
+    * payload, so a localized edit flips only its block's bits and
+    * near-identical media land within small Hamming distance. The decode
+    * step is the identity for this text/plain-backed media table (the
+    * same stub boundary as frame sampling — a real codec would replace
+    * it); the hash, banding and verify plumbing is the production path:
+    * the SAME 2×24-bit pigeonhole banding as `simhash_banded_dup`
+    * (equi-join on (band, chunk) — complete for Hamming ≤ 1, candidates
+    * ∝ dup pairs, never corpus²) with bit_count verification. */
+  def mediaPhashDups(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.QueryConventions.MaterializeSyntax
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"), col("text").as("payload"))
+      .withColumn("blen",
+        greatest(ceil(length(col("payload")).cast("double") / 48).cast("int"), lit(1)))
+    val bits = (0 until 48).map { j =>
+      when(expr(
+        s"CAST(conv(substring(md5(substring(payload, 1 + $j * blen, blen)), 1, 15), 16, 10) AS BIGINT) % 2") === 1,
+        lit(1L << j)).otherwise(lit(0L))
+    }
+    val ph = media.select(col("media_id"), bits.reduce(_ + _).as("phash"))
+      .materializeOnce // both sides of the banding join
+    val banded = ph
+      .select(col("media_id"), col("phash"), explode(sequence(lit(0), lit(1))).as("band"))
+      .withColumn("chunk", expr("(phash >> (band * 24)) & 16777215"))
+    val a = banded.select(col("media_id").as("a_id"), col("phash").as("ha"),
+      col("band"), col("chunk"))
+    val b = banded.select(col("media_id").as("b_id"), col("phash").as("hb"),
+      col("band"), col("chunk"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "ha", "hb").distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= 1)
+      .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
+      .orderBy("a_id", "b_id")
+  }
+
+  private val mediaPhashDupsSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, text AS payload,
+      |         greatest(CAST(ceil(length(text) / 48.0) AS INT), 1) AS blen
+      |  FROM documents),
+      |ph AS (
+      |  SELECT media_id,
+      |         CAST(sum(CASE WHEN CAST('0x' || substring(md5(substring(payload, 1 + j * blen, blen)), 1, 15) AS BIGINT) % 2 = 1
+      |                       THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS phash
+      |  FROM m CROSS JOIN (SELECT unnest(range(0, 48)) AS j) jt
+      |  GROUP BY media_id),
+      |banded AS (
+      |  SELECT media_id, phash, b.band,
+      |         (phash >> (b.band * 24)) & 16777215 AS chunk
+      |  FROM ph CROSS JOIN (VALUES (0), (1)) b(band)),
+      |cand AS (
+      |  SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id,
+      |                  a.phash AS ha, b.phash AS hb
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.chunk = b.chunk AND a.media_id < b.media_id)
+      |SELECT a_id, b_id, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+      |FROM cand WHERE bit_count(xor(ha, hb)) <= 1
+      |ORDER BY a_id, b_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "media_phash_dups"   -> (mediaPhashDups _),
     "frame_manifest"       -> (frameManifest _),
     "media_clip_retrieval" -> (mediaClipRetrieval _),
     "media_dedup"        -> (mediaDedup _),
@@ -304,6 +370,7 @@ object MultimodalQueries {
     "media_exif_meta"     -> (mediaExifMeta _))
 
   val oracle: Map[String, String] = Map(
+    "media_phash_dups"   -> mediaPhashDupsSql,
     "frame_manifest"       -> frameManifestSql,
     "media_clip_retrieval" -> mediaClipRetrievalSql,
     "media_dedup"        -> mediaDedupSql,
