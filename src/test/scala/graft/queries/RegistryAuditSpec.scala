@@ -59,6 +59,9 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "doc_length_outliers", "doc_lm_score", "label_psi",
     "nation_revenue_share", "orders_winsorized", "region_acctbal_ttest",
     "source_temperature_weights", "supplier_pareto",
+    "source_epoch_schedule", // one-row total-tokens and Z frames × sources
+    "sensor_acf",            // 6-row broadcast lag frame × hours-sized series
+    "layout_skipping_gain",  // one-row max-key frame; 32-file stats × 10 probes
     // fixed query-vector / anchor set (|Q| constant, corpus streamed once)
     "knn_brute", "knn_filtered", "hard_negatives", "event_type_distances",
     "media_clip_retrieval",
