@@ -160,6 +160,63 @@ object DedupQueries {
        |FROM walk GROUP BY node
        |ORDER BY component_id, doc_id""".stripMargin
 
+  /** Canonical-keeper selection — the decision step BETWEEN clustering
+    * and deletion in a production dedup pipeline: within each duplicate
+    * cluster, keep the doc with the most content (max n_chars, doc_id as
+    * the tie-break) and map every other member to its keeper. This is the
+    * "keep longest" convention of web-corpus dedup (the min-id keeper of
+    * [[dedupComponents]] is layout-stable but content-blind); the emitted
+    * (doc_id → keeper_id) table is exactly what a downstream delete/remap
+    * join consumes. Shape: components (pairs-sized) ⋈ documents metadata
+    * (one hash join on doc_id) + one per-component window — every stage
+    * after pair generation is proportional to the DUPLICATE subset, not
+    * the corpus. */
+  def dedupCanonicalKeep(spark: SparkSession, dir: String): DataFrame = {
+    val comps = DedupOps.connectedComponents(
+      spark, minhashLshDups(spark, dir).select("a_id", "b_id"))
+    val meta = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy(col("component_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    comps.join(meta, Seq("doc_id"))
+      .withColumn("keeper_id", first(col("doc_id")).over(w))
+      .select(
+        col("doc_id"), col("component_id"), col("n_chars"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).as("is_kept"))
+      .orderBy("component_id", "doc_id")
+  }
+
+  private val dedupCanonicalKeepSql: String =
+    s"""WITH RECURSIVE $toksCte,
+       |$shinglesCte,
+       |$minhashCte,
+       |$bandsCandCtes,
+       |pairs AS (
+       |  SELECT a_id, b_id
+       |  FROM cand
+       |  JOIN sh sa ON sa.doc_id = a_id
+       |  JOIN sh sb ON sb.doc_id = b_id
+       |  WHERE round($jaccardExpr, 6) >= 0.2),
+       |edges AS (
+       |  SELECT a_id AS node, b_id AS nbr FROM pairs
+       |  UNION ALL
+       |  SELECT b_id, a_id FROM pairs),
+       |walk(node, reach) AS (
+       |  SELECT node, node FROM (SELECT DISTINCT node FROM edges) n
+       |  UNION
+       |  SELECT e.node, w.reach FROM edges e JOIN walk w ON w.node = e.nbr),
+       |comp AS (
+       |  SELECT node AS doc_id, min(reach) AS component_id
+       |  FROM walk GROUP BY node)
+       |SELECT c.doc_id, c.component_id, d.n_chars,
+       |       first_value(c.doc_id)
+       |         OVER (PARTITION BY c.component_id
+       |               ORDER BY d.n_chars DESC, c.doc_id) AS keeper_id,
+       |       c.doc_id = first_value(c.doc_id)
+       |         OVER (PARTITION BY c.component_id
+       |               ORDER BY d.n_chars DESC, c.doc_id) AS is_kept
+       |FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+       |ORDER BY c.component_id, c.doc_id""".stripMargin
+
   /** Exact all-pairs n-gram Jaccard baseline on a bounded id range —
     * the recall reference for the LSH path (O(N²); test-scale only). */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
@@ -881,6 +938,7 @@ object DedupQueries {
     "minhash_jaccard_est" -> (minhashJaccardEst _),
     "doc_ngram_novelty"   -> (docNgramNovelty _),
     "dedup_components"    -> (dedupComponents _),
+    "dedup_canonical_keep" -> (dedupCanonicalKeep _),
     "contamination_containment" -> (contaminationContainment _),
     "benchmark_contamination" -> (benchmarkContamination _),
     "doc_winnow_fingerprints" -> (winnowFps _),
@@ -899,6 +957,7 @@ object DedupQueries {
     "minhash_jaccard_est" -> minhashJaccardEstSql,
     "doc_ngram_novelty"   -> docNgramNoveltySql,
     "dedup_components"    -> dedupComponentsSql,
+    "dedup_canonical_keep" -> dedupCanonicalKeepSql,
     "contamination_containment" -> contaminationContainmentSql,
     "benchmark_contamination" -> benchmarkContaminationSql,
     "doc_winnow_fingerprints" -> winnowFpsSql,

@@ -137,6 +137,129 @@ object PipelineQueries {
       |FROM u CROSS JOIN z
       |ORDER BY source""".stripMargin
 
+  private val SampleTarget = 100
+
+  /** Materialized temperature-weighted sample — the draw the
+    * [[sourceTemperatureWeights]] plan PLANS: a deterministic Bernoulli
+    * thinning whose per-source keep-rate is the T=2 mixture weight scaled
+    * to a [[SampleTarget]]-doc expected total, so small sources survive at
+    * a higher rate than their raw share (the whole point of temperature
+    * mixing). keep ⇔ h60(text) mod 1e6 < rate_micro — content-hash
+    * Bernoulli, so the draw is reproducible across runs, engines and
+    * cluster sizes, and NO per-source sort or top-k is paid (contrast
+    * [[sourceCaps]]: rank-based capping needs a window sort; rate-based
+    * thinning is a stateless map-side filter — at 100 TB that difference
+    * is a full shuffle of the corpus).
+    *
+    * Exactness: weight is 6-dp fixed-point, so rate_micro =
+    * floor(target · weight · 1e6 / n_docs) is integer arithmetic on both
+    * engines (the double products stay ≤ 1e12, far under 2^53). */
+  def sourceWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).as("total"))
+    val u = counts.crossJoin(broadcast(tot))
+      .withColumn("uw", round(sqrt(col("n_docs").cast("double") / col("total")), 9))
+    val z = u.agg(sum(col("uw").cast("decimal(28,12)")).cast("double").as("z"))
+    val rates = u.crossJoin(broadcast(z))
+      .withColumn("weight", floor(col("uw") * 1e6 / col("z")) / lit(1e6))
+      .withColumn("rate_micro",
+        least(lit(1000000L),
+          floor(lit(SampleTarget) * col("weight") * 1e6 / col("n_docs")).cast("long")))
+      .select("source", "rate_micro")
+    docs.join(broadcast(rates), Seq("source"))
+      .filter(pmod(DedupOps.h60(col("text")), lit(1000000L)) < col("rate_micro"))
+      .select(col("doc_id"), col("source"), col("rate_micro"))
+      .orderBy("doc_id")
+  }
+
+  private val sourceWeightedSampleSql: String =
+    s"""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+       |t AS (SELECT sum(n_docs) AS total FROM c),
+       |u AS (
+       |  SELECT source, n_docs,
+       |         round(sqrt(CAST(n_docs AS DOUBLE) / t.total), 9) AS uw
+       |  FROM c CROSS JOIN t),
+       |z AS (SELECT CAST(sum(CAST(uw AS DECIMAL(28,12))) AS DOUBLE) AS z FROM u),
+       |r AS (
+       |  SELECT source,
+       |         least(1000000, CAST(floor($SampleTarget * (floor(uw * 1e6 / z.z) / 1e6) * 1e6 / n_docs) AS BIGINT)) AS rate_micro
+       |  FROM u CROSS JOIN z)
+       |SELECT d.doc_id, d.source, r.rate_micro
+       |FROM documents d JOIN r ON r.source = d.source
+       |WHERE ${hexpr.format("d.text")} % 1000000 < r.rate_micro
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Two-sample Kolmogorov–Smirnov drift matrix over document length —
+    * the distribution-shift alarm that [[labelPsi]]'s binned PSI can't
+    * give you for a CONTINUOUS metric (PSI needs a bin choice; KS is
+    * bin-free): for every source pair, D = max over x of
+    * |F_a(x) − F_b(x)| on the n_chars ECDFs, plus the √(n_a·n_b/(n_a+n_b))
+    * scaling that turns D into the test statistic. The max is attained at
+    * a jump point, so evaluating on the pooled distinct-value grid is
+    * exact, and the integer cross-multiplied form
+    * D = max|cum_a·n_b − cum_b·n_a| / (n_a·n_b) never compares doubles —
+    * the max is taken over exact BIGINTs, so Spark and any other engine
+    * agree bit-for-bit.
+    *
+    * Shape: ONE corpus scan to (source, v) counts; the ECDF grid is
+    * |sources|×|distinct v| (tiny — sources is a 20-row broadcast, the
+    * one sanctioned cross join); the pair stage joins the grid to itself
+    * on v (equi-join, |S|²·|V| rows of integers) and max-aggregates.
+    * Nothing downstream of the first groupBy ever rescans the corpus. */
+  def sourceLengthKs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("source"), col("n_chars").as("v"))
+    val cnt = docs.groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+      .materializeOnce // feeds the value grid, the per-source totals and the ECDF
+    val vals = cnt.select("v").distinct()
+    val srcs = cnt.select("source").distinct()
+    val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val w = Window.partitionBy(col("source")).orderBy(col("v"))
+    val ecdf = vals.crossJoin(broadcast(srcs))
+      .join(cnt, Seq("source", "v"), "left")
+      .withColumn("cum", sum(coalesce(col("c"), lit(0L))).over(w))
+      .join(broadcast(tot), Seq("source"))
+    val a = ecdf.select(col("source").as("source_a"), col("v"),
+      col("cum").as("cum_a"), col("n").as("n_a"))
+    val b = ecdf.select(col("source").as("source_b"), col("v"),
+      col("cum").as("cum_b"), col("n").as("n_b"))
+    a.join(b, Seq("v")).filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"), col("n_a"), col("n_b"))
+      .agg(max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a"))).as("d_int"))
+      .select(
+        col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        round(col("d_int").cast("double") / (col("n_a") * col("n_b")), 6).as("ks_stat"),
+        round(col("d_int").cast("double") / (col("n_a") * col("n_b"))
+          * sqrt((col("n_a") * col("n_b")).cast("double") / (col("n_a") + col("n_b"))), 6)
+          .as("ks_scaled"))
+      .orderBy("source_a", "source_b")
+  }
+
+  private val sourceLengthKsSql: String =
+    """WITH cnt AS (
+      |  SELECT source, n_chars AS v, count(*) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |vals AS (SELECT DISTINCT v FROM cnt),
+      |srcs AS (SELECT DISTINCT source FROM cnt),
+      |tot AS (SELECT source, sum(c) AS n FROM cnt GROUP BY source),
+      |ecdf AS (
+      |  SELECT s.source, g.v,
+      |         sum(coalesce(c.c, 0)) OVER (PARTITION BY s.source ORDER BY g.v) AS cum,
+      |         t.n
+      |  FROM vals g
+      |  CROSS JOIN srcs s
+      |  LEFT JOIN cnt c ON c.source = s.source AND c.v = g.v
+      |  JOIN tot t ON t.source = s.source)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |       a.n AS n_a, b.n AS n_b,
+      |       round(CAST(max(abs(a.cum * b.n - b.cum * a.n)) AS DOUBLE) / (a.n * b.n), 6) AS ks_stat,
+      |       round(CAST(max(abs(a.cum * b.n - b.cum * a.n)) AS DOUBLE) / (a.n * b.n)
+      |             * sqrt(CAST(a.n * b.n AS DOUBLE) / (a.n + b.n)), 6) AS ks_scaled
+      |FROM ecdf a
+      |JOIN ecdf b ON b.v = a.v AND a.source < b.source
+      |GROUP BY a.source, b.source, a.n, b.n
+      |ORDER BY source_a, source_b""".stripMargin
+
   /** Epoch/repeat schedule — the data-repetition plan a training run is
     * actually configured with: given a token budget (2× the corpus here)
     * split by temperature-flattened (T=2) per-source TOKEN weights, how
@@ -1210,6 +1333,8 @@ object PipelineQueries {
     "source_caps"        -> (sourceCaps _),
     "doc_length_outliers" -> (docLengthOutliers _),
     "source_temperature_weights" -> (sourceTemperatureWeights _),
+    "source_weighted_sample"     -> (sourceWeightedSample _),
+    "source_length_ks"           -> (sourceLengthKs _),
     "source_epoch_schedule" -> (sourceEpochSchedule _),
     "doc_quality_deciles" -> (docQualityDeciles _),
     "vocab_zipf_fit"     -> (vocabZipfFit _),
@@ -1237,6 +1362,8 @@ object PipelineQueries {
     "source_caps"        -> sourceCapsSql,
     "doc_length_outliers" -> docLengthOutliersSql,
     "source_temperature_weights" -> sourceTemperatureWeightsSql,
+    "source_weighted_sample"     -> sourceWeightedSampleSql,
+    "source_length_ks"           -> sourceLengthKsSql,
     "source_epoch_schedule" -> sourceEpochScheduleSql,
     "doc_quality_deciles" -> docQualityDecilesSql,
     "vocab_zipf_fit"     -> vocabZipfFitSql,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.queries.QueryConventions.MaterializeSyntax
 
@@ -412,6 +412,86 @@ object TextQueries {
       |ORDER BY n_bigram DESC, w1, w2
       |LIMIT 20""".stripMargin
 
+  /** Top collocations by pointwise mutual information over a ±2-token
+    * window — the collocation extractor ([[bigramLmTop]]'s conditional
+    * probability ranks by raw frequency; PMI ranks by ASSOCIATION, which
+    * is what "new york" / "machine learning" detection actually needs),
+    * with the standard min-count floors (pair ≥ 5, unigram ≥ 10) that
+    * keep rare-token PMI from exploding. PMI(x,y) =
+    * ln(c_xy·T²/(P·c_x·c_y)) computed as a sum of per-term lns, each ln
+    * taken over an exact integer count and rounded to 6 dp, combined in
+    * DECIMAL — identical operands and fixed evaluation order, so both
+    * engines produce the same ranking bit-for-bit.
+    *
+    * Shape: distance-1 and distance-2 pairs come from shifted-slice
+    * zip_with (two map-side explodes, output ∝ 2·tokens — never a
+    * positions self-join), unigram counts from one explode; the pair
+    * frame hash-joins the unigram frame twice on the token key and the
+    * two one-row totals broadcast. Everything is ∝ tokens at 100 TB. */
+  def tokenPmiTop(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(tokens(col("text")).as("toks"))
+      .materializeOnce // feeds the unigram explode and both pair explodes
+    val uni = docs.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .materializeOnce // joined twice (w1, w2) + summed for the total
+    val tot = uni.agg(sum(col("c")).as("t_tokens"))
+    def shiftPairs(d: Int): DataFrame = docs.select(
+      explode(zip_with(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - d, lit(0))),
+        slice(col("toks"), lit(1 + d), greatest(size(col("toks")) - d, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("pr"))
+      .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+    val pairs = shiftPairs(1).unionAll(shiftPairs(2))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      .materializeOnce // feeds the pair total AND the scored frame
+    val ptot = pairs.agg(sum(col("c_xy")).as("t_pairs"))
+    def lnd(c: Column): Column =
+      round(log(c.cast("double")), 6).cast("decimal(20,6)")
+    pairs.filter(col("c_xy") >= 5)
+      .join(uni.select(col("w").as("w1"), col("c").as("c_x")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), Seq("w2"))
+      .filter(col("c_x") >= 10 && col("c_y") >= 10)
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(ptot))
+      .withColumn("pmi",
+        (lnd(col("c_xy")) + lnd(col("t_tokens")) * 2
+          - lnd(col("t_pairs")) - lnd(col("c_x")) - lnd(col("c_y")))
+          .cast("double"))
+      .select(col("w1"), col("w2"), col("c_xy"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  private val tokenPmiTopSql: String =
+    """WITH t AS (
+      |  SELECT CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+      |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+') END AS toks
+      |  FROM documents),
+      |u AS (SELECT unnest(toks) AS w FROM t),
+      |uc AS (SELECT w, count(*) AS c FROM u GROUP BY w),
+      |tt AS (SELECT sum(c) AS t_tokens FROM uc),
+      |e AS (
+      |  SELECT toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+      |  FROM t, LATERAL (SELECT unnest(range(1, CAST(len(toks) AS BIGINT))) AS i) x
+      |  UNION ALL
+      |  SELECT toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 2] AS w2
+      |  FROM t, LATERAL (SELECT unnest(range(1, CAST(len(toks) AS BIGINT) - 1)) AS i) y),
+      |pc AS (SELECT w1, w2, count(*) AS c_xy FROM e GROUP BY w1, w2),
+      |pt AS (SELECT sum(c_xy) AS t_pairs FROM pc)
+      |SELECT pc.w1, pc.w2, pc.c_xy,
+      |       CAST(CAST(round(ln(pc.c_xy), 6) AS DECIMAL(20,6))
+      |            + CAST(round(ln(tt.t_tokens), 6) AS DECIMAL(20,6)) * 2
+      |            - CAST(round(ln(pt.t_pairs), 6) AS DECIMAL(20,6))
+      |            - CAST(round(ln(a.c), 6) AS DECIMAL(20,6))
+      |            - CAST(round(ln(b.c), 6) AS DECIMAL(20,6)) AS DOUBLE) AS pmi
+      |FROM pc
+      |JOIN uc a ON a.w = pc.w1
+      |JOIN uc b ON b.w = pc.w2
+      |CROSS JOIN tt CROSS JOIN pt
+      |WHERE pc.c_xy >= 5 AND a.c >= 10 AND b.c >= 10
+      |ORDER BY pmi DESC, w1, w2
+      |LIMIT 20""".stripMargin
+
   def tokenExplodeOuter(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode_outer(tokens(col("text"))).as("token"))
@@ -574,6 +654,7 @@ object TextQueries {
     "doc_lm_score"    -> (docLmScore _),
     "doc_classifier_score" -> (docClassifierScore _),
     "bigram_lm_top"   -> (bigramLmTop _),
+    "token_pmi_top"   -> (tokenPmiTop _),
     "doc_token_explode_outer" -> (tokenExplodeOuter _),
     "doc_repetition"  -> (repetition _),
     "doc_token_stats" -> (tokenStats _),
@@ -589,6 +670,7 @@ object TextQueries {
     "doc_lm_score"    -> docLmScoreSql,
     "doc_classifier_score" -> docClassifierScoreSql,
     "bigram_lm_top"   -> bigramLmTopSql,
+    "token_pmi_top"   -> tokenPmiTopSql,
     "doc_token_explode_outer" -> tokenExplodeOuterSql,
     "doc_repetition"  -> repetitionSql,
     "doc_token_stats" -> tokenStatsSql,

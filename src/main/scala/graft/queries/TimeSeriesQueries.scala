@@ -158,11 +158,88 @@ object TimeSeriesQueries {
       |FROM num JOIN den ON den.sensor_id = num.sensor_id
       |ORDER BY num.sensor_id, lag""".stripMargin
 
+  private val TrendWindow = 6
+
+  /** Rolling OLS trend: the least-squares slope of each sensor's hourly
+    * mean over its last [[TrendWindow]] observed hours — the "is this
+    * signal drifting, and how fast" detector that a threshold alert can't
+    * express (a level threshold fires on noise; a slope threshold fires
+    * on sustained movement). slope = (nΣpx − ΣpΣx) / (nΣp² − (Σp)²) with
+    * p the per-sensor hourly position.
+    *
+    * Engine-exactness: positions are integers and the hourly mean is a
+    * rounded 6-dp value, so every product is formed in DECIMAL (exact),
+    * the numerator is a difference of exact decimals, and the integer
+    * denominator divides once in correctly-rounded double — the same
+    * discipline as [[sensorAcf]]. Shape: the raw feed collapses to the
+    * hours-sized frame first; the five window sums share ONE frame
+    * specification (one shuffle + one sort per sensor), so the rolling
+    * regression costs the same as a moving average at any scale. */
+  def sensorRollingTrend(spark: SparkSession, dir: String): DataFrame = {
+    val byHour = validReadings(spark, dir)
+      .groupBy(col("sensor_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value_numeric").cast("decimal(18,6)")).as("s1d"))
+      .select(col("sensor_id"), col("h"),
+        round(col("s1d").cast("double") / col("n"), 6).as("x"))
+    val seq = Window.partitionBy(col("sensor_id")).orderBy(col("h"))
+    val frame = seq.rowsBetween(-(TrendWindow - 1), 0)
+    val pd = col("p").cast("decimal(10,0)")
+    val xd = col("x").cast("decimal(18,6)")
+    byHour
+      .withColumn("p", row_number().over(seq))
+      .withColumn("nw", count(lit(1)).over(frame))
+      .withColumn("sp", sum(col("p").cast("long")).over(frame))
+      .withColumn("spp", sum((col("p").cast("long") * col("p")).cast("long")).over(frame))
+      .withColumn("sx", sum(xd).over(frame))
+      .withColumn("spx", sum(pd * xd).over(frame))
+      .withColumn("den", col("nw") * col("spp") - col("sp") * col("sp"))
+      .select(
+        col("sensor_id"), col("h"), col("nw").as("n_win"), col("x"),
+        when(col("den") > 0,
+          round((col("nw").cast("decimal(10,0)") * col("spx")
+            - col("sp").cast("decimal(10,0)") * col("sx")).cast("double")
+            / col("den"), 6)).as("slope"))
+      .orderBy("sensor_id", "h")
+  }
+
+  private val sensorRollingTrendSql: String =
+    s"""WITH byhour AS (
+       |  SELECT event_type AS sensor_id,
+       |         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+       |         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS x
+       |  FROM events
+       |  WHERE event_type <> 'error' AND value IS NOT NULL
+       |  GROUP BY 1, 2),
+       |pos AS (
+       |  SELECT sensor_id, h, x,
+       |         row_number() OVER (PARTITION BY sensor_id ORDER BY h) AS p
+       |  FROM byhour),
+       |roll AS (
+       |  SELECT sensor_id, h, x,
+       |         count(*) OVER w AS nw,
+       |         sum(p) OVER w AS sp,
+       |         sum(p * p) OVER w AS spp,
+       |         sum(CAST(x AS DECIMAL(18,6))) OVER w AS sx,
+       |         sum(CAST(p AS DECIMAL(10,0)) * CAST(x AS DECIMAL(18,6))) OVER w AS spx
+       |  FROM pos
+       |  WINDOW w AS (PARTITION BY sensor_id ORDER BY h
+       |               ROWS BETWEEN ${TrendWindow - 1} PRECEDING AND CURRENT ROW))
+       |SELECT sensor_id, h, nw AS n_win, x,
+       |       CASE WHEN nw * spp - sp * sp > 0
+       |            THEN round(CAST(CAST(nw AS DECIMAL(10,0)) * spx
+       |                            - CAST(sp AS DECIMAL(10,0)) * sx AS DOUBLE)
+       |                       / (nw * spp - sp * sp), 6) END AS slope
+       |FROM roll
+       |ORDER BY sensor_id, h""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sensor_seasonal_profile" -> (sensorSeasonalProfile _),
-    "sensor_acf"              -> (sensorAcf _))
+    "sensor_acf"              -> (sensorAcf _),
+    "sensor_rolling_trend"    -> (sensorRollingTrend _))
 
   val oracle: Map[String, String] = Map(
     "sensor_seasonal_profile" -> sensorSeasonalProfileSql,
-    "sensor_acf"              -> sensorAcfSql)
+    "sensor_acf"              -> sensorAcfSql,
+    "sensor_rolling_trend"    -> sensorRollingTrendSql)
 }

@@ -59,7 +59,9 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "doc_length_outliers", "doc_lm_score", "label_psi",
     "nation_revenue_share", "orders_winsorized", "region_acctbal_ttest",
     "source_temperature_weights", "supplier_pareto",
+    "source_weighted_sample", // one-row corpus-total and Z frames × the 20-source rate table
     "source_epoch_schedule", // one-row total-tokens and Z frames × sources
+    "source_length_ks",      // 20-row source dim × pooled value grid (ECDF evaluation points)
     "sensor_acf",            // 6-row broadcast lag frame × hours-sized series
     "layout_skipping_gain",  // one-row max-key frame; 32-file stats × 10 probes
     // fixed query-vector / anchor set (|Q| constant, corpus streamed once)
@@ -71,6 +73,7 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "embedding_outliers",
     // BM25 corpus-stats / RRF fusion constants
     "doc_bm25_top", "hybrid_rrf",
+    "token_pmi_top", // one-row token-total and pair-total frames × scored pairs
     // generated hourly spine × small station dim
     "sensor_hourly_spine",
     // bounded pair stage (Σ basket², measured linear to 50× in ScaleSmoke)
