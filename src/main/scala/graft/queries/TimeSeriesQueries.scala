@@ -233,13 +233,108 @@ object TimeSeriesQueries {
        |FROM roll
        |ORDER BY sensor_id, h""".stripMargin
 
+  /** Tabular CUSUM changepoint detection per sensor — the sustained-shift
+    * alarm that completes the anomaly family: MAD flags level outliers,
+    * the rolling z-score flags local spikes, the rolling trend measures
+    * drift SPEED, and CUSUM accumulates small persistent deviations until
+    * they cross a decision threshold (a 0.6σ mean shift never trips a
+    * 3σ-style gate but trips CUSUM within hours). Standard two-sided form
+    * with slack k = σ/2 and threshold h = 4σ over the hourly mean series,
+    * against the sensor's own global (μ, σ).
+    *
+    * The textbook recursion S⁺_t = max(0, S⁺_{t-1} + x_t − μ − kσ) looks
+    * window-inexpressible, but has the exact closed form
+    * S⁺_t = C_t − min(0, min_{j≤t} C_j) for the cumulative sum C of the
+    * slack-adjusted deviations — a running sum plus a running min, both
+    * plain window functions, so the whole detector is ONE window pass per
+    * side (no per-row iteration, no UDF, no state store). Deviations are
+    * rounded to 6 dp and accumulated in DECIMAL, making every running
+    * aggregate order-independent and the S values exact on both engines;
+    * (μ, σ) come from DECIMAL moment sums over the same window partition
+    * (no second scan, no join). Scale: everything after the hours-sized
+    * groupBy is windows over sensors × hours rows. */
+  def sensorCusum(spark: SparkSession, dir: String): DataFrame = {
+    val byHour = validReadings(spark, dir)
+      .groupBy(col("sensor_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value_numeric").cast("decimal(18,6)")).as("s1d"))
+      .select(col("sensor_id"), col("h"),
+        round(col("s1d").cast("double") / col("n"), 6).as("x"))
+    val part = Window.partitionBy(col("sensor_id"))
+    val seq = part.orderBy(col("h")).rowsBetween(Window.unboundedPreceding, 0)
+    val xd = col("x").cast("decimal(18,6)")
+    val stats = byHour
+      .withColumn("nh", count(lit(1)).over(part))
+      .withColumn("s1", sum(xd).over(part))
+      .withColumn("s2", sum(xd * xd).over(part))
+      .withColumn("mu", col("s1").cast("double") / col("nh"))
+      .withColumn("sigma",
+        sqrt((col("s2").cast("double") - col("s1").cast("double") * col("s1").cast("double") / col("nh"))
+          / (col("nh") - 1)))
+    val zp = round(col("x") - col("mu") - col("sigma") * 0.5, 6).cast("decimal(18,6)")
+    val zn = round(col("mu") - col("x") - col("sigma") * 0.5, 6).cast("decimal(18,6)")
+    stats
+      .withColumn("cp", sum(zp).over(seq))
+      .withColumn("cn", sum(zn).over(seq))
+      .withColumn("sp", col("cp") - least(min(col("cp")).over(seq), lit(0).cast("decimal(18,6)")))
+      .withColumn("sn", col("cn") - least(min(col("cn")).over(seq), lit(0).cast("decimal(18,6)")))
+      .select(
+        col("sensor_id"), col("h"), col("x"),
+        round(col("sp").cast("double"), 6).as("cusum_pos"),
+        round(col("sn").cast("double"), 6).as("cusum_neg"),
+        (col("sp").cast("double") > col("sigma") * 4 ||
+          col("sn").cast("double") > col("sigma") * 4).as("is_shift"))
+      .orderBy("sensor_id", "h")
+  }
+
+  private val sensorCusumSql: String =
+    """WITH byhour AS (
+      |  SELECT event_type AS sensor_id,
+      |         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+      |         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS x
+      |  FROM events
+      |  WHERE event_type <> 'error' AND value IS NOT NULL
+      |  GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT sensor_id, h, x,
+      |         count(*) OVER p AS nh,
+      |         sum(CAST(x AS DECIMAL(18,6))) OVER p AS s1,
+      |         sum(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6))) OVER p AS s2
+      |  FROM byhour
+      |  WINDOW p AS (PARTITION BY sensor_id)),
+      |mu AS (
+      |  SELECT sensor_id, h, x,
+      |         CAST(s1 AS DOUBLE) / nh AS mu,
+      |         sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / nh) / (nh - 1)) AS sigma
+      |  FROM stats),
+      |cum AS (
+      |  SELECT sensor_id, h, x, sigma,
+      |         sum(CAST(round(x - mu - sigma * 0.5, 6) AS DECIMAL(18,6))) OVER s AS cp,
+      |         sum(CAST(round(mu - x - sigma * 0.5, 6) AS DECIMAL(18,6))) OVER s AS cn
+      |  FROM mu
+      |  WINDOW s AS (PARTITION BY sensor_id ORDER BY h ROWS UNBOUNDED PRECEDING)),
+      |sv AS (
+      |  SELECT sensor_id, h, x, sigma,
+      |         cp - least(min(cp) OVER s, CAST(0 AS DECIMAL(18,6))) AS sp,
+      |         cn - least(min(cn) OVER s, CAST(0 AS DECIMAL(18,6))) AS sn
+      |  FROM cum
+      |  WINDOW s AS (PARTITION BY sensor_id ORDER BY h ROWS UNBOUNDED PRECEDING))
+      |SELECT sensor_id, h, x,
+      |       round(CAST(sp AS DOUBLE), 6) AS cusum_pos,
+      |       round(CAST(sn AS DOUBLE), 6) AS cusum_neg,
+      |       (CAST(sp AS DOUBLE) > sigma * 4 OR CAST(sn AS DOUBLE) > sigma * 4) AS is_shift
+      |FROM sv
+      |ORDER BY sensor_id, h""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sensor_seasonal_profile" -> (sensorSeasonalProfile _),
     "sensor_acf"              -> (sensorAcf _),
-    "sensor_rolling_trend"    -> (sensorRollingTrend _))
+    "sensor_rolling_trend"    -> (sensorRollingTrend _),
+    "sensor_cusum"            -> (sensorCusum _))
 
   val oracle: Map[String, String] = Map(
     "sensor_seasonal_profile" -> sensorSeasonalProfileSql,
     "sensor_acf"              -> sensorAcfSql,
-    "sensor_rolling_trend"    -> sensorRollingTrendSql)
+    "sensor_rolling_trend"    -> sensorRollingTrendSql,
+    "sensor_cusum"            -> sensorCusumSql)
 }

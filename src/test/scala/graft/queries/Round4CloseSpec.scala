@@ -57,6 +57,31 @@ class Round4CloseSpec extends AnyFunSuite with SparkSpec {
       compRows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component_id"))).toSet)
   }
 
+  test("sensor_cusum closed form equals the textbook max(0,...) recursion") {
+    val rows = TimeSeriesQueries.sensorCusum(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("sensor_id")).foreach { case (_, rs) =>
+      val xs = rs.map(_.getAs[Double]("x"))
+      val n = xs.length
+      val mu = xs.sum / n
+      val sigma = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / (n - 1))
+      def r6(v: Double) =
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      var sp = BigDecimal(0); var sn = BigDecimal(0)
+      rs.foreach { r =>
+        val x = r.getAs[Double]("x")
+        sp = (sp + r6(x - mu - sigma * 0.5)).max(0)
+        sn = (sn + r6(mu - x - sigma * 0.5)).max(0)
+        // loose tolerance: the recount's mu/sigma come from double sums,
+        // the query's from exact decimal moments
+        assert(math.abs(r.getAs[Double]("cusum_pos") - sp.toDouble) < 1e-3,
+          s"S+ at ${r.getAs[Any]("h")}")
+        assert(math.abs(r.getAs[Double]("cusum_neg") - sn.toDouble) < 1e-3)
+        assert(r.getAs[Double]("cusum_pos") >= 0 && r.getAs[Double]("cusum_neg") >= 0)
+      }
+    }
+  }
+
   test("token_pmi_top matches a brute-force windowed PMI recount") {
     val rows = TextQueries.tokenPmiTop(spark, dir).collect()
     assert(rows.nonEmpty && rows.length <= 20)
