@@ -76,6 +76,31 @@ object ScaleSmoke {
       perDoc.join(novel, Seq("doc_id"), "left").count()
     }
 
+    // PMI collocation mining (mirrors token_pmi_top minus the fixed top-20
+    // tail): unigram + shifted-slice pair counts are ∝ tokens (map-side
+    // explodes, one groupBy each); the scored join is on the pair-vocab
+    // frame, which saturates at vocab² regardless of corpus size — wall
+    // should track K, not K²
+    time("token_pmi") {
+      val docs = scaled
+        .select(graft.functions.TextFunctions.tokens(col("text")).as("toks")).cache()
+      val uni = docs.select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c")).cache()
+      def sp(d: Int) = docs.select(explode(zip_with(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - d, lit(0))),
+        slice(col("toks"), lit(1 + d), greatest(size(col("toks")) - d, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("pr"))
+        .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+      val pairs = sp(1).unionAll(sp(2))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      val n = pairs
+        .join(uni.select(col("w").as("w1"), col("c").as("c_x")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c").as("c_y")), Seq("w2"))
+        .filter(col("c_xy") >= 5 && col("c_x") >= 10 && col("c_y") >= 10)
+        .count()
+      docs.unpersist(); uni.unpersist(); n
+    }
+
     // prefix-filtered exact similarity join, hot-bucket capped: the replica
     // corpus saturates shingle buckets (every 3-gram's df multiplies by K,
     // candidates grow as bucket² — the uncapped join OOMs here exactly like
