@@ -217,6 +217,80 @@ object DedupQueries {
        |FROM comp c JOIN documents d ON d.doc_id = c.doc_id
        |ORDER BY c.component_id, c.doc_id""".stripMargin
 
+  private val SnmWindow = 5
+  private val SnmKeyLen = 40
+
+  /** Sorted-neighborhood near-dup detection — the fourth member of the
+    * similarity-join taxonomy alongside MinHash-LSH (probabilistic
+    * bucketing), SimHash banding (pigeonhole bucketing) and the prefix
+    * join (exact filtering): sort the corpus by a normalized key (first
+    * [[SnmKeyLen]] chars of the canonical text), compare each doc only to
+    * its [[SnmWindow]]−1 successors in sort order, verify candidates with
+    * exact Jaccard. The classic record-linkage SNM move — candidates are
+    * exactly N·(w−1) regardless of how skewed the key distribution is
+    * (blocking's hot-bucket pathology cannot occur by construction),
+    * at the price of missing near-dups whose edits fall inside the key
+    * prefix; production runs multi-pass SNM with rotated keys.
+    *
+    * Shape: the global row_number is the one scale-sensitive step (a
+    * single-partition window at test scale); at 100 TB it becomes the
+    * standard two-phase numbering — range-partitioned sort, per-partition
+    * row_number, broadcast per-partition offsets — and the neighborhood
+    * join stays a plain equi-join on the shifted rank, output ∝ N·w.
+    * Verification re-derives shingles for candidate docs only
+    * (semi-join), the same recompute-narrow discipline as the LSH verify
+    * path. */
+  def sortedNeighborDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val rn = docs
+      .select(col("doc_id"),
+        substring(graft.functions.TextFunctions.normText(col("text")), 1, SnmKeyLen)
+          .as("snm_key"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("snm_key"), col("doc_id"))))
+      .select("doc_id", "rn")
+      .materializeOnce // both sides of the neighborhood join
+    val cand = rn
+      .withColumn("d", explode(array((1 until SnmWindow).map(lit(_)): _*)))
+      .select(col("doc_id").as("l_id"), (col("rn") + col("d")).as("rn_b"))
+      .join(rn.select(col("doc_id").as("r_id"), col("rn").as("rn_b")), Seq("rn_b"))
+      .select(least(col("l_id"), col("r_id")).as("a_id"),
+        greatest(col("l_id"), col("r_id")).as("b_id"))
+      .materializeOnce // ids only; feeds the semi-join and the verify join
+    val candIds = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    val shCand = DedupOps.docShingles(docs.join(candIds, Seq("doc_id"), "left_semi"))
+    cand
+      .join(shCand.select(col("doc_id").as("a_id"), col("shingles").as("sa")), Seq("a_id"))
+      .join(shCand.select(col("doc_id").as("b_id"), col("shingles").as("sb")), Seq("b_id"))
+      .filter(size(col("sa")) > 0 && size(col("sb")) > 0)
+      .withColumn("jaccard", round(DedupOps.jaccard(col("sa"), col("sb")), 6))
+      .filter(col("jaccard") >= 0.2)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  private val sortedNeighborDupsSql: String =
+    s"""WITH $toksCte,
+       |$shinglesCte,
+       |keyed AS (
+       |  SELECT doc_id,
+       |         substring(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), 1, $SnmKeyLen) AS snm_key
+       |  FROM documents),
+       |rn AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY snm_key, doc_id) AS rn
+       |  FROM keyed),
+       |cand AS (
+       |  SELECT least(a.doc_id, b.doc_id) AS a_id,
+       |         greatest(a.doc_id, b.doc_id) AS b_id
+       |  FROM rn a JOIN rn b ON b.rn BETWEEN a.rn + 1 AND a.rn + ${SnmWindow - 1})
+       |SELECT a_id, b_id, round($jaccardExpr, 6) AS jaccard
+       |FROM cand
+       |JOIN sh sa ON sa.doc_id = a_id
+       |JOIN sh sb ON sb.doc_id = b_id
+       |WHERE len(sa.shingles) > 0 AND len(sb.shingles) > 0
+       |  AND round($jaccardExpr, 6) >= 0.2
+       |ORDER BY a_id, b_id""".stripMargin
+
   /** Exact all-pairs n-gram Jaccard baseline on a bounded id range —
     * the recall reference for the LSH path (O(N²); test-scale only). */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
@@ -939,6 +1013,7 @@ object DedupQueries {
     "doc_ngram_novelty"   -> (docNgramNovelty _),
     "dedup_components"    -> (dedupComponents _),
     "dedup_canonical_keep" -> (dedupCanonicalKeep _),
+    "sorted_neighbor_dups" -> (sortedNeighborDups _),
     "contamination_containment" -> (contaminationContainment _),
     "benchmark_contamination" -> (benchmarkContamination _),
     "doc_winnow_fingerprints" -> (winnowFps _),
@@ -958,6 +1033,7 @@ object DedupQueries {
     "doc_ngram_novelty"   -> docNgramNoveltySql,
     "dedup_components"    -> dedupComponentsSql,
     "dedup_canonical_keep" -> dedupCanonicalKeepSql,
+    "sorted_neighbor_dups" -> sortedNeighborDupsSql,
     "contamination_containment" -> contaminationContainmentSql,
     "benchmark_contamination" -> benchmarkContaminationSql,
     "doc_winnow_fingerprints" -> winnowFpsSql,

@@ -57,6 +57,28 @@ class Round4CloseSpec extends AnyFunSuite with SparkSpec {
       compRows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component_id"))).toSet)
   }
 
+  test("sorted_neighbor_dups: pairs lie within the sort window, jaccard verified") {
+    val rows = DedupQueries.sortedNeighborDups(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // recompute the sort order with the same normalization
+    val ranks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val norm = r.getAs[String]("text").toLowerCase
+          .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+        (norm.take(40), r.getAs[Long]("doc_id"))
+      }
+      .sortBy(identity)
+      .zipWithIndex.map { case ((_, id), i) => id -> i }.toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
+      assert(a < b, "pairs are id-ordered")
+      assert(math.abs(ranks(a) - ranks(b)) < 5,
+        s"($a,$b) not within the w=5 neighborhood")
+      assert(r.getAs[Double]("jaccard") >= 0.2)
+    }
+  }
+
   test("sensor_cusum closed form equals the textbook max(0,...) recursion") {
     val rows = TimeSeriesQueries.sensorCusum(spark, dir).collect()
     assert(rows.nonEmpty)
