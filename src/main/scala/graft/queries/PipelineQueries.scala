@@ -320,6 +320,97 @@ object PipelineQueries {
       |FROM q
       |ORDER BY source""".stripMargin
 
+  /** Cross-source quantile normalization of the quality score — the
+    * batch-effect correction a mixed-source curation run needs before any
+    * GLOBAL quality threshold: each doc's within-source quantile position
+    * is mapped onto the global score distribution, so "top 30% of its
+    * source" means the same thing for a source whose raw scores run high
+    * and one whose scores run low (a global cutoff alone would gut the
+    * latter). The centile index is the exact integer ceil(rank·100/count)
+    * (surjective onto 1..100 for any source size — ntile would misalign
+    * sources of different sizes), and the normalized value is the global
+    * centile's upper-boundary score.
+    *
+    * Shape: one scoring scan; a per-source window (shuffle on source) for
+    * the ranks; the global boundary frame is 100 rows, broadcast into the
+    * final join. The global rank window is single-partition at test scale
+    * — at 100 TB it becomes exact distributed quantiles (the
+    * quantity_quantiles shape) feeding the same 100-row boundary frame. */
+  def qualityQuantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    val score = TextFunctions.qualityScore(
+      col("n_tokens"), col("alpha_ratio"), col("stop_ratio"))
+    val scored = Tables.documents(spark, dir)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("alpha_ratio", TextFunctions.alphaRatio(col("text")))
+      .withColumn("stop_ratio",
+        when(col("n_tokens") > 0,
+          TextFunctions.stopwordCount(col("toks"), TextFunctions.enStopwords)
+            .cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .withColumn("q", round(score, 6))
+      .select(col("doc_id"), col("source"), col("q"))
+      .materializeOnce // feeds the per-source ranks AND the global boundary frame
+    val srcW = Window.partitionBy(col("source")).orderBy(col("q"), col("doc_id"))
+    val gloW = Window.orderBy(col("q"), col("doc_id"))
+    def centile(rn: Column, cnt: Column): Column =
+      floor((rn * 100 + cnt - 1).cast("double") / cnt).cast("int")
+    val tiled = scored
+      .withColumn("rn", row_number().over(srcW))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .withColumn("tile", centile(col("rn"), col("cnt")))
+    val bounds = scored
+      .withColumn("grn", row_number().over(gloW))
+      .withColumn("gcnt", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("tile", centile(col("grn"), col("gcnt")))
+      .groupBy(col("tile")).agg(max(col("q")).as("q_norm"))
+    tiled.join(broadcast(bounds), Seq("tile"))
+      .select(col("doc_id"), col("source"), col("q"), col("tile"), col("q_norm"))
+      .orderBy("doc_id")
+  }
+
+  private val qualityQuantileNormSql: String = {
+    val stopList = TextFunctions.enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, source, text,
+       |         CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') END AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(toks) AS INT) AS n_tokens,
+       |         CASE WHEN length(text) > 0
+       |              THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
+       |              ELSE 0.0 END AS alpha_ratio,
+       |         CASE WHEN len(toks) > 0
+       |              THEN CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) / len(toks)
+       |              ELSE 0.0 END AS stop_ratio
+       |  FROM t),
+       |q AS (
+       |  SELECT doc_id, source,
+       |         round(0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+       |               + 0.3 * alpha_ratio
+       |               + 0.4 * least(1.0, stop_ratio * 5.0), 6) AS q
+       |  FROM m),
+       |tiled AS (
+       |  SELECT doc_id, source, q,
+       |         CAST(floor(CAST(row_number() OVER (PARTITION BY source ORDER BY q, doc_id) * 100
+       |                         + count(*) OVER (PARTITION BY source) - 1 AS DOUBLE)
+       |                    / count(*) OVER (PARTITION BY source)) AS INT) AS tile
+       |  FROM q),
+       |bounds AS (
+       |  SELECT tile, max(q) AS q_norm FROM (
+       |    SELECT q,
+       |           CAST(floor(CAST(row_number() OVER (ORDER BY q, doc_id) * 100
+       |                           + count(*) OVER () - 1 AS DOUBLE)
+       |                      / count(*) OVER ()) AS INT) AS tile
+       |    FROM q) g
+       |  GROUP BY tile)
+       |SELECT tiled.doc_id, tiled.source, tiled.q, tiled.tile, bounds.q_norm
+       |FROM tiled JOIN bounds ON bounds.tile = tiled.tile
+       |ORDER BY tiled.doc_id""".stripMargin
+  }
+
   /** Quality deciles: ntile(10) over the composite quality score (ties
     * broken by doc_id so the tiling is total-ordered on both engines),
     * with per-decile population stats — the quality-tiered view a curator
@@ -1337,6 +1428,7 @@ object PipelineQueries {
     "source_length_ks"           -> (sourceLengthKs _),
     "source_epoch_schedule" -> (sourceEpochSchedule _),
     "doc_quality_deciles" -> (docQualityDeciles _),
+    "quality_quantile_norm" -> (qualityQuantileNorm _),
     "vocab_zipf_fit"     -> (vocabZipfFit _),
     "doc_chunks"         -> (docChunks _),
     "chunk_dedup_stats"  -> (chunkDedupStats _),
@@ -1366,6 +1458,7 @@ object PipelineQueries {
     "source_length_ks"           -> sourceLengthKsSql,
     "source_epoch_schedule" -> sourceEpochScheduleSql,
     "doc_quality_deciles" -> docQualityDecilesSql,
+    "quality_quantile_norm" -> qualityQuantileNormSql,
     "vocab_zipf_fit"     -> vocabZipfFitSql,
     "doc_chunks"         -> docChunksSql,
     "chunk_dedup_stats"  -> chunkDedupStatsSql,

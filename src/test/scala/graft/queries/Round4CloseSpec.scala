@@ -57,6 +57,29 @@ class Round4CloseSpec extends AnyFunSuite with SparkSpec {
       compRows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component_id"))).toSet)
   }
 
+  test("quality_quantile_norm: surjective centiles, monotone mapping") {
+    val rows = PipelineQueries.qualityQuantileNorm(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, rs) =>
+      // every source's best doc reaches centile 100, worst stays >= 1
+      assert(rs.map(_.getAs[Int]("tile")).max === 100, s"$src top centile")
+      assert(rs.map(_.getAs[Int]("tile")).min >= 1)
+      // within a source, a higher raw score never maps to a lower centile
+      val sorted = rs.sortBy(r => (r.getAs[Double]("q"), r.getAs[Long]("doc_id")))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Int]("tile") <= b.getAs[Int]("tile"))
+          assert(a.getAs[Double]("q_norm") <= b.getAs[Double]("q_norm"))
+        case _ =>
+      }
+    }
+    // the normalized value is a real global score: q_norm values are a
+    // subset of the observed raw scores
+    val qs = rows.map(_.getAs[Double]("q")).toSet
+    rows.foreach(r => assert(qs.contains(r.getAs[Double]("q_norm"))))
+  }
+
   test("sorted_neighbor_dups: pairs lie within the sort window, jaccard verified") {
     val rows = DedupQueries.sortedNeighborDups(spark, dir).collect()
     assert(rows.nonEmpty)
