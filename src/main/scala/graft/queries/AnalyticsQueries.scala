@@ -88,6 +88,58 @@ object AnalyticsQueries {
       |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
       |ORDER BY priority, status""".stripMargin
 
+  /** Exact WEIGHTED median per group — the weighted-quantile member the
+    * unweighted [[quantityQuantiles]] can't stand in for: the
+    * quantity-weighted median price is the "typical price per unit
+    * SHIPPED", robust to both price outliers and the row-vs-volume
+    * mismatch (a thousand 1-unit rows shouldn't out-vote one 50-unit
+    * row). Definition: the smallest price whose cumulative weight reaches
+    * half the group's total — the lower weighted median, exact and
+    * interpolation-free, so no floating split point exists to diverge
+    * across engines.
+    *
+    * Shape: the fact table collapses to (group, price) with summed
+    * DECIMAL weights FIRST (one shuffle, the only data-sized stage); the
+    * cumulative/total windows and the half-mass filter run on the
+    * collapsed frame, ∝ distinct prices per group. The 2·cumw ≥ totw
+    * comparison is exact decimal arithmetic. */
+  def returnflagWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val byPrice = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("w"))
+    val ord = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.partitionBy(col("l_returnflag"))
+    byPrice
+      .withColumn("cumw", sum(col("w")).over(ord))
+      .withColumn("totw", sum(col("w")).over(all))
+      .filter(col("cumw") * 2 >= col("totw"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(col("l_extendedprice")).as("weighted_median_price"),
+        round(max(col("totw")).cast("double"), 2).as("total_weight"))
+      .orderBy("l_returnflag")
+  }
+
+  private val returnflagWeightedMedianSql: String =
+    """WITH b AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT l_returnflag, l_extendedprice, w,
+      |         sum(w) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+      |                      ROWS UNBOUNDED PRECEDING) AS cumw,
+      |         sum(w) OVER (PARTITION BY l_returnflag) AS totw
+      |  FROM b)
+      |SELECT l_returnflag,
+      |       min(l_extendedprice) AS weighted_median_price,
+      |       round(CAST(max(totw) AS DOUBLE), 2) AS total_weight
+      |FROM c
+      |WHERE cumw * 2 >= totw
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** Exact interpolated quantiles of an integral-valued measure per group
     * (integral values ⇒ interpolation arithmetic is engine-stable). */
   def quantityQuantiles(spark: SparkSession, dir: String): DataFrame =
@@ -1210,6 +1262,7 @@ object AnalyticsQueries {
     "order_flow_union"         -> (orderFlowUnion _),
     "orders_rollup"            -> (ordersRollup _),
     "quantity_quantiles"       -> (quantityQuantiles _),
+    "returnflag_weighted_median" -> (returnflagWeightedMedian _),
     "quantity_quantiles_approx" -> (quantityQuantilesApprox _),
     "quantity_histogram"       -> (quantityHistogram _),
     "orders_skew_profile"      -> (ordersSkewProfile _),
@@ -1243,6 +1296,7 @@ object AnalyticsQueries {
     "order_flow_union"         -> orderFlowUnionSql,
     "orders_rollup"            -> ordersRollupSql,
     "quantity_quantiles"       -> quantityQuantilesSql,
+    "returnflag_weighted_median" -> returnflagWeightedMedianSql,
     "quantity_quantiles_approx" -> quantityQuantilesApproxSql,
     "quantity_histogram"       -> quantityHistogramSql,
     "orders_skew_profile"      -> ordersSkewProfileSql,

@@ -57,6 +57,26 @@ class Round4CloseSpec extends AnyFunSuite with SparkSpec {
       compRows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component_id"))).toSet)
   }
 
+  test("returnflag_weighted_median matches a brute-force half-mass scan") {
+    val rows = AnalyticsQueries.returnflagWeightedMedian(spark, dir).collect()
+    assert(rows.length === 3)
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity")).collect()
+      .map(r => (r.getAs[String]("l_returnflag"),
+        r.getAs[Double]("l_extendedprice"), r.getAs[Double]("l_quantity")))
+    rows.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val grp = li.filter(_._1 == flag).sortBy(_._2)
+      val tot = BigDecimal(grp.map(_._3).sum).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      var cum = BigDecimal(0)
+      val med = grp.collectFirst {
+        case (_, p, q) if { cum += BigDecimal(q).setScale(2, BigDecimal.RoundingMode.HALF_UP); cum * 2 >= tot } => p
+      }.get
+      assert(r.getAs[Double]("weighted_median_price") === med, s"median of $flag")
+      assert(math.abs(r.getAs[Double]("total_weight") - tot.toDouble) < 1e-6)
+    }
+  }
+
   test("quality_quantile_norm: surjective centiles, monotone mapping") {
     val rows = PipelineQueries.qualityQuantileNorm(spark, dir).collect()
     assert(rows.nonEmpty)
