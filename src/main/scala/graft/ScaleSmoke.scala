@@ -101,6 +101,24 @@ object ScaleSmoke {
       docs.unpersist(); uni.unpersist(); n
     }
 
+    // sorted-neighborhood candidate generation (mirrors sorted_neighbor_dups
+    // pre-verify): candidates are exactly N·(w−1) by construction; the
+    // scale-sensitive step is the GLOBAL row_number (single-partition sort
+    // here — this probe measures when the two-phase range-partitioned
+    // numbering the scaladoc prescribes becomes mandatory)
+    time("snm_candidates") {
+      val rn = scaled.select(col("doc_id"),
+        substring(graft.functions.TextFunctions.normText(col("text")), 1, 40).as("k"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("doc_id"))))
+        .select("doc_id", "rn").cache()
+      val n = rn.withColumn("d", explode(array((1 until 5).map(lit(_)): _*)))
+        .select(col("doc_id").as("a"), (col("rn") + col("d")).as("rn_b"))
+        .join(rn.select(col("doc_id").as("b"), col("rn").as("rn_b")), Seq("rn_b"))
+        .count()
+      rn.unpersist(); n
+    }
+
     // prefix-filtered exact similarity join, hot-bucket capped: the replica
     // corpus saturates shingle buckets (every 3-gram's df multiplies by K,
     // candidates grow as bucket² — the uncapped join OOMs here exactly like
