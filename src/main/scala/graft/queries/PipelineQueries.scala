@@ -228,10 +228,11 @@ object PipelineQueries {
       .agg(max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a"))).as("d_int"))
       .select(
         col("source_a"), col("source_b"), col("n_a"), col("n_b"),
-        round(col("d_int").cast("double") / (col("n_a") * col("n_b")), 6).as("ks_stat"),
-        round(col("d_int").cast("double") / (col("n_a") * col("n_b"))
-          * sqrt((col("n_a") * col("n_b")).cast("double") / (col("n_a") + col("n_b"))), 6)
-          .as("ks_scaled"))
+        (floor(col("d_int").cast("double") / (col("n_a") * col("n_b")) * 1e6) / 1e6)
+          .as("ks_stat"),
+        (floor(col("d_int").cast("double") / (col("n_a") * col("n_b"))
+          * sqrt((col("n_a") * col("n_b")).cast("double") / (col("n_a") + col("n_b"))) * 1e6)
+          / 1e6).as("ks_scaled"))
       .orderBy("source_a", "source_b")
   }
 
@@ -252,9 +253,9 @@ object PipelineQueries {
       |  JOIN tot t ON t.source = s.source)
       |SELECT a.source AS source_a, b.source AS source_b,
       |       a.n AS n_a, b.n AS n_b,
-      |       round(CAST(max(abs(a.cum * b.n - b.cum * a.n)) AS DOUBLE) / (a.n * b.n), 6) AS ks_stat,
-      |       round(CAST(max(abs(a.cum * b.n - b.cum * a.n)) AS DOUBLE) / (a.n * b.n)
-      |             * sqrt(CAST(a.n * b.n AS DOUBLE) / (a.n + b.n)), 6) AS ks_scaled
+      |       floor(CAST(max(abs(a.cum * b.n - b.cum * a.n)) AS DOUBLE) / (a.n * b.n) * 1e6) / 1e6 AS ks_stat,
+      |       floor(CAST(max(abs(a.cum * b.n - b.cum * a.n)) AS DOUBLE) / (a.n * b.n)
+      |             * sqrt(CAST(a.n * b.n AS DOUBLE) / (a.n + b.n)) * 1e6) / 1e6 AS ks_scaled
       |FROM ecdf a
       |JOIN ecdf b ON b.v = a.v AND a.source < b.source
       |GROUP BY a.source, b.source, a.n, b.n
