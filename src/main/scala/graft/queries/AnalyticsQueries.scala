@@ -1135,10 +1135,10 @@ object AnalyticsQueries {
     * frequency (order count), monetary (exact-decimal revenue), each cut
     * into quintiles (ntile with custkey tiebreak, so tile edges are
     * engine-deterministic), plus a coarse segment label. The per-customer
-    * aggregate is one shuffle on the fact; the three ntile windows run
-    * over the DIMENSION-sized customer frame (same bound/argument as
-    * supplier_pareto; two-phase range partitioning if the dimension ever
-    * grows fact-like). */
+    * aggregate is one shuffle on the fact; the three quintile cuts run
+    * over the customer frame through [[graft.queries.GlobalWindow.ntile]]
+    * (two-phase range-partitioned numbering), so even a fact-sized
+    * customer dimension never hits a single-task sort. */
   def customerRfm(spark: SparkSession, dir: String): DataFrame = {
     val asof = Tables.orders(spark, dir).agg(max(col("o_orderdate")).as("asof"))
     val per = Tables.orders(spark, dir)
@@ -1149,10 +1149,14 @@ object AnalyticsQueries {
         decSum(col("o_totalprice")).as("monetary"))
       .crossJoin(broadcast(asof))
       .withColumn("recency_days", datediff(col("asof"), col("last_order")))
-    val rT = ntile(5).over(Window.orderBy(col("recency_days").asc, col("o_custkey")))
-    val fT = ntile(5).over(Window.orderBy(col("frequency").desc, col("o_custkey")))
-    val mT = ntile(5).over(Window.orderBy(col("monetary").desc, col("o_custkey")))
-    per.withColumn("r_tile", rT).withColumn("f_tile", fT).withColumn("m_tile", mT)
+    val tiled = Seq[(String, Seq[Column])](
+      ("r_tile", Seq(col("recency_days").asc, col("o_custkey"))),
+      ("f_tile", Seq(col("frequency").desc, col("o_custkey"))),
+      ("m_tile", Seq(col("monetary").desc, col("o_custkey"))))
+      .foldLeft(per) { case (acc, (name, ord)) =>
+        GlobalWindow.ntile(acc, 5, name)(ord: _*)
+      }
+    tiled
       .withColumn("segment",
         when(col("r_tile") <= 2 && col("f_tile") <= 2 && col("m_tile") <= 2, lit("champion"))
           .when(col("r_tile") >= 4 && col("f_tile") >= 4, lit("at_risk"))

@@ -228,22 +228,22 @@ object CorpusQueries {
   def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions
     val dotF = VectorFunctions.dotFast(spark) _
-    val byText = Window.orderBy(col("bm25").desc, col("doc_id"))
-    val text = docBm25Top(spark, dir)
-      .withColumn("r_text", row_number().over(byText))
-      .select(col("doc_id"), col("r_text"))
+    val text = GlobalWindow.rowNumber(docBm25Top(spark, dir), "r_text")(
+      col("bm25").desc, col("doc_id"))
+      .select(col("doc_id"), col("r_text").cast("int").as("r_text"))
     val emb = Tables.embeddings(spark, dir)
       .withColumn("norm", sqrt(dotF(col("embedding"), col("embedding"))))
     val qv = emb.filter(col("vec_id") === 0)
       .select(col("embedding").as("q_emb"), col("norm").as("q_norm"))
-    val byVec = Window.orderBy(col("cos_sim").desc, col("vec_id"))
-    val vec = emb.crossJoin(broadcast(qv))
+    val scoredVec = emb.crossJoin(broadcast(qv))
       .filter(col("vec_id") =!= 0)
       .withColumn("cos_sim",
         round(dotF(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")), 6))
-      .withColumn("r_vec", row_number().over(byVec))
+      .select(col("vec_id"), col("cos_sim"))
+    val vec = GlobalWindow.rowNumber(scoredVec, "r_vec")(
+      col("cos_sim").desc, col("vec_id"))
       .filter(col("r_vec") <= 20)
-      .select(col("vec_id").as("doc_id"), col("r_vec"))
+      .select(col("vec_id").as("doc_id"), col("r_vec").cast("int").as("r_vec"))
     text.join(vec, Seq("doc_id"), "full_outer")
       .withColumn("rrf",
         round(

@@ -232,21 +232,21 @@ object DedupQueries {
     * at the price of missing near-dups whose edits fall inside the key
     * prefix; production runs multi-pass SNM with rotated keys.
     *
-    * Shape: the global row_number is the one scale-sensitive step (a
-    * single-partition window at test scale); at 100 TB it becomes the
-    * standard two-phase numbering — range-partitioned sort, per-partition
-    * row_number, broadcast per-partition offsets — and the neighborhood
-    * join stays a plain equi-join on the shifted rank, output ∝ N·w.
+    * Shape: the global numbering runs through [[GlobalWindow.rowNumber]]
+    * — range-partitioned sort, per-partition row_number, broadcast
+    * per-partition offsets — so no single-task sort appears anywhere in
+    * the plan, and the neighborhood join stays a plain equi-join on the
+    * shifted rank, output ∝ N·w.
     * Verification re-derives shingles for candidate docs only
     * (semi-join), the same recompute-narrow discipline as the LSH verify
     * path. */
   def sortedNeighborDups(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val rn = docs
-      .select(col("doc_id"),
+    val rn = GlobalWindow.rowNumber(
+      docs.select(col("doc_id"),
         substring(graft.functions.TextFunctions.normText(col("text")), 1, SnmKeyLen)
-          .as("snm_key"))
-      .withColumn("rn", row_number().over(Window.orderBy(col("snm_key"), col("doc_id"))))
+          .as("snm_key")),
+      "rn")(col("snm_key"), col("doc_id"))
       .select("doc_id", "rn")
       .materializeOnce // both sides of the neighborhood join
     val cand = rn

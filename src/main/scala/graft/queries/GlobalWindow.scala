@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-phase global numbering — the 100 TB replacement for
+  * `Window.orderBy(...)` with no `partitionBy` (which plans a
+  * SINGLE-TASK global sort: every row through one executor thread, the
+  * classic scale wall):
+  *
+  *   1. `repartitionByRange` on the sort key — a parallel range shuffle;
+  *      each output partition holds a contiguous key range, so partition
+  *      index order IS global sort order.
+  *   2. Number (or running-sum) WITHIN each partition with an ordinary
+  *      partitioned window — parallel across partitions.
+  *   3. Add per-partition offsets: a `numParts`-row count frame, turned
+  *      into exclusive prefix sums by an exploded pid-triangle equi-join
+  *      (no driver collect, no window over the offset frame itself), and
+  *      broadcast back onto the data by pid.
+  *
+  * The result is byte-identical to the single-partition window for any
+  * TOTAL order — global rank does not depend on where the range
+  * boundaries fall — so callers MUST include a tiebreak column (every
+  * registry query already orders by a unique key). The range frame is
+  * materialized once so the count pass and the numbering pass see the
+  * SAME partitioner instantiation (under `graft.materialize=off` the
+  * two structurally-identical range exchanges are deduped by Spark's
+  * ReuseExchange rule instead — that mode only builds plans for audits).
+  *
+  * Cost at scale: one range shuffle + one hash(pid) shuffle of the
+  * (usually narrow) frame, both numParts-parallel, vs. the
+  * single-partition window's one-task sort of everything.
+  */
+object GlobalWindow {
+
+  private val Pid = "__gw_pid"
+
+  /** Default parallelism for the range phase — matches
+    * spark.sql.shuffle.partitions in the session builder. */
+  val DefaultParts = 32
+
+  /** `df` + `out` := 1-based global row number (LONG) under `order`. */
+  def rowNumber(df: DataFrame, out: String, numParts: Int = DefaultParts)(
+      order: Column*): DataFrame =
+    numbered(df, numParts, order, rn = Some(out), total = None, runSum = None)
+
+  /** `df` + `rnOut` (LONG global row number) + `cntOut` (LONG total row
+    * count) — the pair that exact-centile arithmetic needs. */
+  def rowNumberWithCount(df: DataFrame, rnOut: String, cntOut: String,
+      numParts: Int = DefaultParts)(order: Column*): DataFrame =
+    numbered(df, numParts, order, rn = Some(rnOut), total = Some(cntOut),
+      runSum = None)
+
+  /** `df` + `out` := global running sum of `value` over the inclusive
+    * unbounded-preceding..current frame under `order`. Sum type follows
+    * `sum(value)` (LONG for integral inputs). */
+  def runningSum(df: DataFrame, value: Column, out: String,
+      numParts: Int = DefaultParts)(order: Column*): DataFrame =
+    numbered(df, numParts, order, rn = None, total = None,
+      runSum = Some(value -> out))
+
+  /** `df` + `rnOut` (LONG row number) + `sumOut` (running sum of
+    * `value`) under one shared `order` — rank + cumulative mass in a
+    * single two-phase pass (the Pareto / concurrency shapes). */
+  def rowNumberAndRunningSum(df: DataFrame, value: Column, rnOut: String,
+      sumOut: String, numParts: Int = DefaultParts)(order: Column*): DataFrame =
+    numbered(df, numParts, order, rn = Some(rnOut), total = None,
+      runSum = Some(value -> sumOut))
+
+  /** `df` + `out` := `ntile(n) OVER (ORDER BY order)` (INT), derived
+    * from the global row number and total count by the SQL-standard
+    * bucket rule — the first (total % n) buckets take one extra row —
+    * so the result matches the windowed ntile exactly on both engines. */
+  def ntile(df: DataFrame, n: Int, out: String,
+      numParts: Int = DefaultParts)(order: Column*): DataFrame = {
+    val rn = "__gw_ntile_rn"
+    val tot = "__gw_ntile_tot"
+    numbered(df, numParts, order, rn = Some(rn), total = Some(tot),
+      runSum = None)
+      .withColumn(out, ntileFromRowNumber(col(rn), n, col(tot)))
+      .drop(rn, tot)
+  }
+
+  /** The ntile bucket of global row `rn` among `total` rows: bucket
+    * sizes are floor(total/n) with the first (total % n) buckets one
+    * larger. All arithmetic is exact for counts < 2^52 (the integer
+    * divisions go through doubles, exact in that range). */
+  private def ntileFromRowNumber(rn: Column, n: Int, total: Column): Column = {
+    val big = total % n                                  // buckets with an extra row
+    val szSmall = ((total - big) / n).cast("long")       // exact: numerator divisible by n
+    val szBig = szSmall + lit(1L)
+    val cutoff = big * szBig                             // rows covered by the big buckets
+    when(rn <= cutoff, floor((rn - 1) / szBig).cast("long") + 1)
+      .otherwise(big + floor((rn - cutoff - 1) / szSmall).cast("long") + 1)
+      .cast("int")
+  }
+
+  private def numbered(df: DataFrame, numParts: Int, order: Seq[Column],
+      rn: Option[String], total: Option[String],
+      runSum: Option[(Column, String)]): DataFrame = {
+    import QueryConventions.MaterializeSyntax
+    require(numParts >= 1, s"numParts must be positive, got $numParts")
+    val ranged = df.repartitionByRange(numParts, order: _*)
+      .withColumn(Pid, spark_partition_id())
+      .materializeOnce // one partitioner: count pass and numbering pass must agree on pid
+    // per-partition totals (≤ numParts rows), exploded into the full
+    // pid grid so exclusive prefix sums come from a plain equi-join
+    // aggregate — no collect, no window over the offset frame
+    val perPart = ranged.groupBy(col(Pid)).agg(
+      count(lit(1)).as("__gw_cnt"),
+      runSum.map { case (v, _) => sum(v).as("__gw_vsum") }.toSeq: _*)
+    val grid = perPart.select(
+      Seq(col(Pid).as("__gw_src"),
+        explode(sequence(lit(0), lit(numParts - 1))).as(Pid),
+        col("__gw_cnt")) ++
+        runSum.map(_ => col("__gw_vsum")): _*)
+    val before = col("__gw_src") < col(Pid)
+    val offsets = grid.groupBy(col(Pid)).agg(
+      sum(when(before, col("__gw_cnt")).otherwise(lit(0L))).as("__gw_rn_off"),
+      sum(col("__gw_cnt")).as("__gw_tot") +:
+        runSum.map(_ =>
+          sum(when(before, col("__gw_vsum"))).as("__gw_sum_off")).toSeq: _*)
+    val w = Window.partitionBy(col(Pid)).orderBy(order: _*)
+    val local = Seq(
+      rn.map(c => (frame: DataFrame) =>
+        frame.withColumn(c, row_number().over(w).cast("long"))),
+      runSum.map { case (v, c) => (frame: DataFrame) =>
+        frame.withColumn(c, sum(v).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))) }
+    ).flatten.foldLeft(ranged)((acc, f) => f(acc))
+    val joined = local.join(broadcast(offsets), Seq(Pid))
+    val globalized = Seq(
+      rn.map(c => (frame: DataFrame) =>
+        frame.withColumn(c, col(c) + col("__gw_rn_off"))),
+      total.map(c => (frame: DataFrame) =>
+        frame.withColumn(c, col("__gw_tot"))),
+      runSum.map { case (_, c) => (frame: DataFrame) =>
+        frame.withColumn(c, col(c) + coalesce(col("__gw_sum_off"), lit(0L))) }
+    ).flatten.foldLeft(joined)((acc, f) => f(acc))
+    globalized.drop(Pid, "__gw_rn_off", "__gw_tot", "__gw_sum_off")
+  }
+}

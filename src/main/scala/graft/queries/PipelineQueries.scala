@@ -334,9 +334,9 @@ object PipelineQueries {
     *
     * Shape: one scoring scan; a per-source window (shuffle on source) for
     * the ranks; the global boundary frame is 100 rows, broadcast into the
-    * final join. The global rank window is single-partition at test scale
-    * — at 100 TB it becomes exact distributed quantiles (the
-    * quantity_quantiles shape) feeding the same 100-row boundary frame. */
+    * final join. The global ranks come from [[GlobalWindow]]'s two-phase
+    * range-partitioned numbering, so no single-task sort exists at any
+    * scale. */
   def qualityQuantileNorm(spark: SparkSession, dir: String): DataFrame = {
     val score = TextFunctions.qualityScore(
       col("n_tokens"), col("alpha_ratio"), col("stop_ratio"))
@@ -353,16 +353,14 @@ object PipelineQueries {
       .select(col("doc_id"), col("source"), col("q"))
       .materializeOnce // feeds the per-source ranks AND the global boundary frame
     val srcW = Window.partitionBy(col("source")).orderBy(col("q"), col("doc_id"))
-    val gloW = Window.orderBy(col("q"), col("doc_id"))
     def centile(rn: Column, cnt: Column): Column =
       floor((rn * 100 + cnt - 1).cast("double") / cnt).cast("int")
     val tiled = scored
       .withColumn("rn", row_number().over(srcW))
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("source"))))
       .withColumn("tile", centile(col("rn"), col("cnt")))
-    val bounds = scored
-      .withColumn("grn", row_number().over(gloW))
-      .withColumn("gcnt", count(lit(1)).over(Window.partitionBy()))
+    val bounds = GlobalWindow.rowNumberWithCount(scored, "grn", "gcnt")(
+      col("q"), col("doc_id"))
       .withColumn("tile", centile(col("grn"), col("gcnt")))
       .groupBy(col("tile")).agg(max(col("q")).as("q_norm"))
     tiled.join(broadcast(bounds), Seq("tile"))
@@ -415,13 +413,14 @@ object PipelineQueries {
   /** Quality deciles: ntile(10) over the composite quality score (ties
     * broken by doc_id so the tiling is total-ordered on both engines),
     * with per-decile population stats — the quality-tiered view a curator
-    * mixes from ("top-3-decile corpus"). One window sort + one aggregate. */
+    * mixes from ("top-3-decile corpus"). The tiling runs through
+    * [[GlobalWindow.ntile]] (two-phase range-partitioned numbering +
+    * the exact SQL bucket rule) + one aggregate — no single-task sort. */
   def docQualityDeciles(spark: SparkSession, dir: String): DataFrame = {
     val toks = TextFunctions.tokens(col("text"))
     val score = TextFunctions.qualityScore(
       col("n_tokens"), col("alpha_ratio"), col("stop_ratio"))
-    val w = Window.orderBy(col("quality_score"), col("doc_id"))
-    Tables.documents(spark, dir)
+    val scored = Tables.documents(spark, dir)
       .withColumn("toks", toks)
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("alpha_ratio", TextFunctions.alphaRatio(col("text")))
@@ -431,7 +430,8 @@ object PipelineQueries {
             .cast("double") / col("n_tokens"))
           .otherwise(lit(0.0)))
       .withColumn("quality_score", round(score, 6))
-      .withColumn("decile", ntile(10).over(w))
+    GlobalWindow.ntile(scored, 10, "decile")(
+      col("quality_score"), col("doc_id"))
       .groupBy(col("decile"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -483,13 +483,15 @@ object PipelineQueries {
     * deviate). The regression moments are computed relationally from
     * per-rank terms (each ln rounded to 6 — ulp-divergent otherwise —
     * products rounded to 9, DECIMAL sums), then slope = fixed-point
-    * ratio. One token aggregate + a vocabulary-sized window. */
+    * ratio. One token aggregate + a two-phase [[GlobalWindow]] ranking
+    * of the vocabulary frame (vocab is sublinear in the corpus but
+    * unbounded — no single-task sort even there). */
   def vocabZipfFit(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("freq").desc, col("token"))
-    val ranked = Tables.documents(spark, dir)
+    val freqs = Tables.documents(spark, dir)
       .select(explode(TextFunctions.tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
-      .withColumn("rank", row_number().over(w))
+    val ranked = GlobalWindow.rowNumber(freqs, "rank")(
+      col("freq").desc, col("token"))
       .filter(col("rank") <= ZipfTopN)
       .withColumn("x", round(log(col("rank").cast("double")), 6))
       .withColumn("y", round(log(col("freq").cast("double")), 6))

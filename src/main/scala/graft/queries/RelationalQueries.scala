@@ -260,12 +260,11 @@ object RelationalQueries {
     * revenue with its exact-cents cumulative share and the 80%-coverage
     * head flag — the "which 20% of suppliers carry 80% of revenue" view.
     * The fact side collapses to one row per supplier in a single
-    * partial-agg shuffle; the ordered cumulative pass then runs over a
-    * DIMENSION-sized frame (|supplier| ≪ |lineitem| at every SF), so the
-    * single-partition window is bounded by the dimension, not the data —
-    * and if the dimension itself ever grew fact-like, the same two-phase
-    * split used by orders_skyline (per-range partial sums + broadcast
-    * offsets) applies. Share arithmetic runs in exact integer cents; the
+    * partial-agg shuffle; the ordered cumulative pass runs through
+    * [[graft.queries.GlobalWindow.rowNumberAndRunningSum]] — rank and
+    * cumulative cents in ONE two-phase range-partitioned pass — so even
+    * a fact-sized supplier dimension never serializes through a
+    * single-task sort. Share arithmetic runs in exact integer cents; the
     * head flag compares 5·(preceding cumulative) < 4·total so no float
     * can flip a boundary row. */
   def supplierPareto(spark: SparkSession, dir: String): DataFrame = {
@@ -277,11 +276,10 @@ object RelationalQueries {
       .withColumn("revenue", coalesce(col("revenue"), lit(0.0)))
       .withColumn("cents", round(col("revenue") * 100).cast("long"))
     val tot = bySupp.agg(sum(col("cents")).as("tot"))
-    val ord = Window.orderBy(col("cents").desc, col("s_suppkey"))
-    bySupp.crossJoin(broadcast(tot))
-      .withColumn("rk", row_number().over(ord))
-      .withColumn("cum_cents",
-        sum(col("cents")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    GlobalWindow.rowNumberAndRunningSum(
+      bySupp.crossJoin(broadcast(tot)), col("cents"), "rk", "cum_cents")(
+      col("cents").desc, col("s_suppkey"))
+      .withColumn("rk", col("rk").cast("int"))
       .withColumn("cum_share", floor(col("cum_cents") * 1e6 / col("tot")) / lit(1e6))
       .withColumn("in_top80", (col("cum_cents") - col("cents")) * 5 < col("tot") * 4)
       .select("rk", "s_suppkey", "s_name", "revenue", "cum_share", "in_top80")
@@ -461,10 +459,10 @@ object RelationalQueries {
     * session emits +1 at start and −1 at end (ends sort before starts at
     * the same instant, so back-to-back sessions never double-count); a
     * running sum over the event stream is the concurrency curve. The
-    * ordered pass runs over 2·|sessions| delta rows — already aggregated
-    * far below the event count; at larger scale the same two-phase trick
-    * as orders_skyline applies (per-range partial sums + broadcast
-    * offsets). Peer rows (identical ts, delta) make row-level prefix
+    * ordered pass runs over 2·|sessions| delta rows through
+    * [[graft.queries.GlobalWindow.runningSum]] (per-range partial sums +
+    * broadcast offsets), so the sweep parallelizes across range
+    * partitions. Peer rows (identical ts, delta) make row-level prefix
     * sums order-ambiguous, but the (ts, concurrency) MULTISET is
     * permutation-invariant within peers, so the max and its first
     * timestamp are engine-deterministic. */
@@ -472,9 +470,8 @@ object RelationalQueries {
     val s = userSessions(spark, dir)
     val deltas = s.select(col("session_start").as("ts"), lit(1).as("d"))
       .unionAll(s.select(col("session_end").as("ts"), lit(-1).as("d")))
-    val run = Window.orderBy(col("ts"), col("d"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    deltas.withColumn("concurrent", sum(col("d")).over(run))
+    GlobalWindow.runningSum(deltas, col("d"), "concurrent")(
+      col("ts"), col("d"))
       .orderBy(col("concurrent").desc, col("ts"))
       .limit(1)
       .select(col("concurrent").as("max_concurrent"), col("ts").as("first_at"))

@@ -476,11 +476,12 @@ object StatQueries {
         datediff(col("o_orderdate").cast("date"), to_date(lit("1970-01-01"))).cast("int"))
       .select(col("o_orderkey"), col("o_custkey"), col("day"))
       .materializeOnce // both layout sorts and the probe bounds read it
-    val wNat = Window.orderBy(col("o_orderkey"))
-    val wZ = Window.orderBy(expr("graft_zorder(o_custkey, day)"), col("o_orderkey"))
-    val assigned = o
-      .select(lit("natural").as("layout"), ntile(32).over(wNat).as("file_id"), col("o_custkey"))
-      .union(o.select(lit("zorder").as("layout"), ntile(32).over(wZ).as("file_id"), col("o_custkey")))
+    val nat = GlobalWindow.ntile(o, 32, "file_id")(col("o_orderkey"))
+      .select(lit("natural").as("layout"), col("file_id"), col("o_custkey"))
+    val zord = GlobalWindow.ntile(o, 32, "file_id")(
+      expr("graft_zorder(o_custkey, day)"), col("o_orderkey"))
+      .select(lit("zorder").as("layout"), col("file_id"), col("o_custkey"))
+    val assigned = nat.union(zord)
     val files = assigned.groupBy(col("layout"), col("file_id"))
       .agg(min(col("o_custkey")).as("min_c"), max(col("o_custkey")).as("max_c"),
         count(lit(1)).as("n_rows"))

@@ -26,17 +26,72 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
   }
 
-  test("no UDF nodes in any registered query plan") { withFullPlans {
+  // Scala UDFs print as `UDF(...)`, NOT `ScalaUDF`, in plan strings — a
+  // string grep is vacuous — so this walk collects actual ScalaUDF
+  // expression instances from the optimized plan. The one deliberate
+  // exception: token_heavy_hitters_cms deserializes the CMS sketch for
+  // its 20 anchor rows via a UDF (driver-scale, not a hot path — the
+  // sketch itself is built by the codegen'd count_min_sketch aggregate).
+  private val scalaUdfAllowed = Set("token_heavy_hitters_cms")
+
+  test("no UDF expressions in any registered query plan") { withFullPlans {
     val dir = "/root/testdata/sf0.001"
     val offenders = Registry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, dir).queryExecution.executedPlan.toString
-      if (plan.contains("ScalaUDF") || plan.contains("BatchEvalPython"))
-        Some(name)
+      val qe = fn(spark, dir).queryExecution
+      val scalaUdfs = qe.optimizedPlan.flatMap(_.expressions).flatMap(_.collect {
+        case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+      })
+      val python = qe.executedPlan.toString.contains("BatchEvalPython")
+      if ((scalaUdfs.nonEmpty && !scalaUdfAllowed(name)) || python) Some(name)
       else None
     }
     spark.catalog.clearCache() // several queries cache build frames
     assert(offenders.isEmpty, s"UDF nodes in: $offenders")
   }}
+
+  test("the UDF walk actually sees ScalaUDF expressions") {
+    // guards the audit above against going vacuous again: a frame with a
+    // known UDF must be caught by the same collect
+    import org.apache.spark.sql.functions.{col, udf}
+    val canary = udf((x: Long) => x + 1)
+    val plan = spark.range(3).select(canary(col("id")).as("y"))
+      .queryExecution.optimizedPlan
+    val seen = plan.flatMap(_.expressions).flatMap(_.collect {
+      case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+    })
+    assert(seen.nonEmpty, "ScalaUDF canary not detected — audit is vacuous")
+  }
+
+  // A Window with an empty PARTITION BY but a non-empty ORDER BY plans a
+  // single-task global sort — every row through one thread, the classic
+  // 100 TB wall. Data-sized frames must go through GlobalWindow's
+  // two-phase range-partitioned numbering instead; the names below are
+  // the reviewed exceptions whose windowed frame is BOUNDED by
+  // construction (post-aggregate frames that cannot grow with the fact
+  // data), so the single-partition sort is over a handful of rows at
+  // any SF.
+  private val globalWindowSortAllowed = Map(
+    "nation_revenue_share" -> "25-row nation aggregate",
+    "orders_mom_growth"    -> "month frame — dozens of rows at any SF",
+    "orders_skyline"       -> "phase-2 frontier over bucket-pruned survivors (documented two-phase skyline)")
+
+  test("no unpartitioned window sort outside the bounded-frame allowlist") {
+    withFullPlans {
+      val dir = "/root/testdata/sf0.001"
+      val offenders = Registry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          val globalSorts = fn(spark, dir).queryExecution.optimizedPlan.collect {
+            case w: org.apache.spark.sql.catalyst.plans.logical.Window
+                if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty => w
+          }
+          if (globalSorts.nonEmpty && !globalWindowSortAllowed.contains(name))
+            Some(name)
+          else None
+      }
+      spark.catalog.clearCache()
+      assert(offenders.isEmpty, s"unpartitioned window sorts in: $offenders")
+    }
+  }
 
   // the labeled O(const²) recall baselines are the ONLY queries allowed
   // to plan an all-pairs product, and each is BOUNDED to a fixed id range
