@@ -497,6 +497,51 @@ object DedupQueries {
        |WHERE round($jaccardExpr, 6) >= 0.5
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Hot-bucket cap for the PRODUCTION prefix-join configuration: prefix
+    * shingles held by more than this many docs are excluded from
+    * candidate generation (they contribute bucket²/2 candidates while
+    * signaling boilerplate / exact-dup cliques that belong to the exact
+    * pass). This is the bound that kept the 10×-replica ScaleSmoke probe
+    * from the OOM the uncapped shape hit. */
+  val PrefixCap = 64
+
+  /** The CAPPED prefix join as its own oracled entry — the configuration
+    * a 100 TB run would actually execute (candidate volume bounded by
+    * Σ df²_prefix over sub-cap buckets), coexisting with the uncapped
+    * [[jaccardPrefixJoin]] exactly as [[simhashBandedDup]] coexists with
+    * the exact [[simhashNearDup]] baseline: the uncapped entry's
+    * brute-force oracle proves the no-miss lemma, this entry's oracle
+    * mirrors the df-filter so the driver verifies the PRODUCTION plan.
+    * `PrefixJoinSpec` separately proves capped ⊆ exact. */
+  def jaccardPrefixJoinCapped(spark: SparkSession, dir: String): DataFrame =
+    jaccardPrefixJoinFrom(spark, Tables.documents(spark, dir),
+      maxBucket = Some(PrefixCap))
+
+  private val jaccardPrefixJoinCappedSql: String =
+    s"""WITH $toksCte,
+       |$shinglesCte,
+       |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |f AS (SELECT s, count(*) AS df FROM e GROUP BY s),
+       |p0 AS (
+       |  SELECT e.doc_id, e.s, f.df,
+       |         row_number() OVER (PARTITION BY e.doc_id ORDER BY f.df, e.s) AS pos,
+       |         count(*) OVER (PARTITION BY e.doc_id) AS sz
+       |  FROM e JOIN f USING (s)),
+       |p AS (
+       |  SELECT doc_id, s, pos, sz FROM p0
+       |  WHERE pos <= sz - ceil(sz * $PrefixTau) + 1 AND df <= $PrefixCap),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM p a JOIN p b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  WHERE 1 + least(a.sz - a.pos, b.sz - b.pos)
+       |        >= ceil(($PrefixTau/(1+$PrefixTau)) * (a.sz + b.sz)))
+       |SELECT a_id, b_id, round($jaccardExpr, 6) AS jaccard
+       |FROM cand
+       |JOIN sh sa ON sa.doc_id = a_id
+       |JOIN sh sb ON sb.doc_id = b_id
+       |WHERE round($jaccardExpr, 6) >= $PrefixTau
+       |ORDER BY a_id, b_id""".stripMargin
+
   /** 48-bit SimHash per document. */
   def docSimhash(spark: SparkSession, dir: String): DataFrame =
     DedupOps.simhash48(spark, Tables.documents(spark, dir))
@@ -1022,6 +1067,7 @@ object DedupQueries {
     "minhash_lsh_dups"    -> (minhashLshDups _),
     "source_dedup_crossrate" -> (sourceDedupCrossrate _),
     "jaccard_prefix_join" -> (jaccardPrefixJoin _),
+    "jaccard_prefix_join_capped" -> (jaccardPrefixJoinCapped _),
     "ngram_jaccard_pairs" -> (ngramJaccardPairs _),
     "doc_simhash"         -> (docSimhash _),
     "simhash_near_dup"    -> (simhashNearDup _),
@@ -1042,6 +1088,7 @@ object DedupQueries {
     "minhash_lsh_dups"    -> minhashLshDupsSql,
     "source_dedup_crossrate" -> sourceDedupCrossrateSql,
     "jaccard_prefix_join" -> jaccardPrefixJoinSql,
+    "jaccard_prefix_join_capped" -> jaccardPrefixJoinCappedSql,
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
     "doc_simhash"         -> docSimhashSql,
     "simhash_near_dup"    -> simhashNearDupSql,
