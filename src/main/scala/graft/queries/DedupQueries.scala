@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.queries.QueryConventions.MaterializeSyntax
@@ -242,19 +242,42 @@ object DedupQueries {
     * path. */
   def sortedNeighborDups(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    snmVerify(docs, snmCandidates(docs, snmKey(0)))
+  }
+
+  /** The pass-p SNM sort key: [[SnmKeyLen]] chars of the normalized text
+    * starting at offset p·[[SnmKeyLen]] — pass 0 is the classic prefix
+    * key, pass 1 the "rotated" key that catches near-dups whose edits
+    * fall inside the pass-0 prefix (they sort far apart on pass 0 but
+    * adjacent on pass 1 when the later content still matches). */
+  private[queries] def snmKey(pass: Int): Column =
+    substring(graft.functions.TextFunctions.normText(col("text")),
+      pass * SnmKeyLen + 1, SnmKeyLen)
+
+  /** Window-[[SnmWindow]] neighborhood candidates under an arbitrary
+    * sort key: two-phase global numbering by (key, doc_id) via
+    * [[GlobalWindow.rowNumber]], then each doc pairs with its w−1
+    * successors through an equi-join on the shifted rank — exactly
+    * N·(w−1) candidates regardless of key skew. Exposed to the spec so
+    * per-pass recall can be asserted directly. */
+  private[queries] def snmCandidates(docs: DataFrame, key: Column): DataFrame = {
     val rn = GlobalWindow.rowNumber(
-      docs.select(col("doc_id"),
-        substring(graft.functions.TextFunctions.normText(col("text")), 1, SnmKeyLen)
-          .as("snm_key")),
+      docs.select(col("doc_id"), key.as("snm_key")),
       "rn")(col("snm_key"), col("doc_id"))
       .select("doc_id", "rn")
       .materializeOnce // both sides of the neighborhood join
-    val cand = rn
-      .withColumn("d", explode(array((1 until SnmWindow).map(lit(_)): _*)))
+    rn.withColumn("d", explode(array((1 until SnmWindow).map(lit(_)): _*)))
       .select(col("doc_id").as("l_id"), (col("rn") + col("d")).as("rn_b"))
       .join(rn.select(col("doc_id").as("r_id"), col("rn").as("rn_b")), Seq("rn_b"))
       .select(least(col("l_id"), col("r_id")).as("a_id"),
         greatest(col("l_id"), col("r_id")).as("b_id"))
+  }
+
+  /** Exact-Jaccard verification of SNM candidate pairs — shingles
+    * re-derived for candidate docs only (semi-join), the same
+    * recompute-narrow discipline as the LSH verify path. */
+  private[queries] def snmVerify(docs: DataFrame, cand0: DataFrame): DataFrame = {
+    val cand = cand0
       .materializeOnce // ids only; feeds the semi-join and the verify join
     val candIds = cand.select(col("a_id").as("doc_id"))
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
@@ -267,6 +290,21 @@ object DedupQueries {
       .filter(col("jaccard") >= 0.2)
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
+  }
+
+  /** Multi-pass SNM — the production answer to single-pass SNM's one
+    * blind spot (near-dups whose edits fall inside the sort-key prefix):
+    * run the neighborhood pass under BOTH the prefix key and the rotated
+    * key ([[snmKey]]), union + distinct the candidate id pairs, verify
+    * once. Candidates stay ≤ 2·N·(w−1) by construction — the skew
+    * immunity survives the extra pass — and recall strictly improves on
+    * prefix-edited near-dups (`SnmMultipassSpec` plants them). */
+  def snmMultipassDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    snmVerify(docs,
+      snmCandidates(docs, snmKey(0))
+        .union(snmCandidates(docs, snmKey(1)))
+        .distinct())
   }
 
   private val sortedNeighborDupsSql: String =
@@ -283,6 +321,36 @@ object DedupQueries {
        |  SELECT least(a.doc_id, b.doc_id) AS a_id,
        |         greatest(a.doc_id, b.doc_id) AS b_id
        |  FROM rn a JOIN rn b ON b.rn BETWEEN a.rn + 1 AND a.rn + ${SnmWindow - 1})
+       |SELECT a_id, b_id, round($jaccardExpr, 6) AS jaccard
+       |FROM cand
+       |JOIN sh sa ON sa.doc_id = a_id
+       |JOIN sh sb ON sb.doc_id = b_id
+       |WHERE len(sa.shingles) > 0 AND len(sb.shingles) > 0
+       |  AND round($jaccardExpr, 6) >= 0.2
+       |ORDER BY a_id, b_id""".stripMargin
+
+  private val snmMultipassDupsSql: String =
+    s"""WITH $toksCte,
+       |$shinglesCte,
+       |keyed AS (
+       |  SELECT doc_id,
+       |         substring(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), 1, $SnmKeyLen) AS k0,
+       |         substring(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ${SnmKeyLen + 1}, $SnmKeyLen) AS k1
+       |  FROM documents),
+       |r0 AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY k0, doc_id) AS rn
+       |  FROM keyed),
+       |r1 AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY k1, doc_id) AS rn
+       |  FROM keyed),
+       |cand AS (
+       |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS a_id,
+       |                  greatest(a.doc_id, b.doc_id) AS b_id
+       |  FROM r0 a JOIN r0 b ON b.rn BETWEEN a.rn + 1 AND a.rn + ${SnmWindow - 1}
+       |  UNION
+       |  SELECT DISTINCT least(a.doc_id, b.doc_id),
+       |                  greatest(a.doc_id, b.doc_id)
+       |  FROM r1 a JOIN r1 b ON b.rn BETWEEN a.rn + 1 AND a.rn + ${SnmWindow - 1})
        |SELECT a_id, b_id, round($jaccardExpr, 6) AS jaccard
        |FROM cand
        |JOIN sh sa ON sa.doc_id = a_id
@@ -1059,6 +1127,7 @@ object DedupQueries {
     "dedup_components"    -> (dedupComponents _),
     "dedup_canonical_keep" -> (dedupCanonicalKeep _),
     "sorted_neighbor_dups" -> (sortedNeighborDups _),
+    "snm_multipass_dups"  -> (snmMultipassDups _),
     "contamination_containment" -> (contaminationContainment _),
     "benchmark_contamination" -> (benchmarkContamination _),
     "doc_winnow_fingerprints" -> (winnowFps _),
@@ -1080,6 +1149,7 @@ object DedupQueries {
     "dedup_components"    -> dedupComponentsSql,
     "dedup_canonical_keep" -> dedupCanonicalKeepSql,
     "sorted_neighbor_dups" -> sortedNeighborDupsSql,
+    "snm_multipass_dups"  -> snmMultipassDupsSql,
     "contamination_containment" -> contaminationContainmentSql,
     "benchmark_contamination" -> benchmarkContaminationSql,
     "doc_winnow_fingerprints" -> winnowFpsSql,
