@@ -102,21 +102,15 @@ object ScaleSmoke {
     }
 
     // sorted-neighborhood candidate generation (mirrors sorted_neighbor_dups
-    // pre-verify): candidates are exactly N·(w−1) by construction; the
-    // scale-sensitive step is the GLOBAL row_number (single-partition sort
-    // here — this probe measures when the two-phase range-partitioned
-    // numbering the scaladoc prescribes becomes mandatory)
+    // pre-verify, PRODUCTION numbering): candidates are exactly N·(w−1) by
+    // construction, and the global numbering now runs through GlobalWindow's
+    // two-phase range-partitioned form — this probe checks the parallel
+    // numbering holds its near-linear wall as K grows (the old
+    // single-partition window was the one scale-sensitive step)
     time("snm_candidates") {
-      val rn = scaled.select(col("doc_id"),
-        substring(graft.functions.TextFunctions.normText(col("text")), 1, 40).as("k"))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("doc_id"))))
-        .select("doc_id", "rn").cache()
-      val n = rn.withColumn("d", explode(array((1 until 5).map(lit(_)): _*)))
-        .select(col("doc_id").as("a"), (col("rn") + col("d")).as("rn_b"))
-        .join(rn.select(col("doc_id").as("b"), col("rn").as("rn_b")), Seq("rn_b"))
+      graft.queries.DedupQueries.snmCandidates(scaled,
+        substring(graft.functions.TextFunctions.normText(col("text")), 1, 40))
         .count()
-      rn.unpersist(); n
     }
 
     // prefix-filtered exact similarity join, hot-bucket capped: the replica
@@ -146,6 +140,39 @@ object ScaleSmoke {
       n
     }
 
+    // canonical-keeper selection END-TO-END (pairs → components → keeper
+    // window): everything after pair generation is ∝ the dup subset, so
+    // the wall should track dedup_components + a dup-sized window
+    time("dedup_canonical_keep") {
+      val pairs = graft.queries.DedupQueries.minhashLshDupsFrom(spark, scaled)
+        .select(col("a_id"), col("b_id"))
+      val comps = DedupOps.connectedComponents(spark, pairs)
+      val meta = scaled.select(col("doc_id"), length(col("text")).as("n_chars"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("component_id"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      comps.join(meta, Seq("doc_id"))
+        .withColumn("keeper_id", first(col("doc_id")).over(w))
+        .count()
+    }
+
+    // cross-source dup attribution END-TO-END (pairs → 2 broadcast dim
+    // joins → enum-keyed aggregate): cost is the LSH pipeline; the
+    // attribution adds two dup-sized hash joins + a 20²-group aggregate
+    time("source_dedup_crossrate") {
+      val pairs = graft.queries.DedupQueries.minhashLshDupsFrom(spark, scaled)
+      val src = scaled.select(col("doc_id"),
+        pmod(hash(col("doc_id")), lit(20)).as("source"))
+      pairs
+        .join(src.select(col("doc_id").as("a_id"), col("source").as("src_a")), "a_id")
+        .join(src.select(col("doc_id").as("b_id"), col("source").as("src_b")), "b_id")
+        .groupBy(least(col("src_a"), col("src_b")).as("s1"),
+          greatest(col("src_a"), col("src_b")).as("s2"))
+        .agg(count(lit(1)).as("n"),
+          (floor(sum(col("jaccard") * 1e6) / count(lit(1))) / 1e6).as("mj"))
+        .count()
+    }
+
     // relational tier: K× the order baskets through the co-purchase pair
     // generation (the dominant stage of part_pair_lift/part_triangles).
     // Replicated orders multiply each pair's support by K (so the
@@ -166,6 +193,35 @@ object ScaleSmoke {
       a.join(b, "ok").filter(col("src") < col("dst"))
         .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
         .filter(col("n") >= 2).count()
+    }
+
+    // exact weighted median (mirrors returnflag_weighted_median): the
+    // fact collapses to (group, price) DECIMAL weight sums FIRST — one
+    // shuffle, the only data-sized stage; prices are perturbed per
+    // replica so the collapsed frame grows with K too (the worst case
+    // for the windowed half-mass pass)
+    time("weighted_median") {
+      val li = graft.sources.Tables.lineitem(spark, sfDir)
+        .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      val liK = (0 until k).map { i =>
+        li.select(col("l_returnflag"),
+          (col("l_extendedprice") + lit(i * 0.01)).as("l_extendedprice"),
+          col("l_quantity"))
+      }.reduce(_ unionAll _)
+      val byPrice = liK.groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("w"))
+      val ord = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val all = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+      byPrice
+        .withColumn("cumw", sum(col("w")).over(ord))
+        .withColumn("totw", sum(col("w")).over(all))
+        .filter(col("cumw") * 2 >= col("totw"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("l_extendedprice")), max(col("totw")))
+        .count()
     }
 
     // vector tier: K× the embeddings corpus through the IVF refine step
@@ -189,6 +245,18 @@ object ScaleSmoke {
     // map-side stages + dim×K partial-agg shuffles — ~linear in corpus
     time("ivfpq_codes")(
       graft.queries.SimilarityQueries.ivfPqParts(spark, scaledEmb)._3.count())
+    // incremental IVF maintenance: centroids trained on the K×-scaled
+    // base OUTSIDE the timed stage (build ∝ corpus, paid once); the
+    // timed stage is the maintenance op itself — broadcast-assign a
+    // FIXED-size delta (the unscaled embeddings table) to the existing
+    // centroids. Wall must track |delta|, i.e. stay ~flat as K grows —
+    // the number that justifies calling the index incremental
+    val centInc = graft.queries.SimilarityQueries
+      .refinedCentroidsFrom(spark, scaledEmb).cache()
+    println(s"[scale] ivf centroids trained on ${k}x base (${centInc.count()} cells, untimed)")
+    time("ivf_delta_assign")(
+      graft.queries.SimilarityQueries.assignToCentroids(spark, emb, centInc).count())
+    centInc.unpersist()
 
     // multimodal tier: real binary blobs (non-UTF-8, varied lengths) at
     // K× the base media count. decode_fanout is the mapPartitions frame

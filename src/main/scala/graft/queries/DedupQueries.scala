@@ -250,7 +250,7 @@ object DedupQueries {
     * key, pass 1 the "rotated" key that catches near-dups whose edits
     * fall inside the pass-0 prefix (they sort far apart on pass 0 but
     * adjacent on pass 1 when the later content still matches). */
-  private[queries] def snmKey(pass: Int): Column =
+  private[graft] def snmKey(pass: Int): Column =
     substring(graft.functions.TextFunctions.normText(col("text")),
       pass * SnmKeyLen + 1, SnmKeyLen)
 
@@ -260,7 +260,7 @@ object DedupQueries {
     * successors through an equi-join on the shifted rank — exactly
     * N·(w−1) candidates regardless of key skew. Exposed to the spec so
     * per-pass recall can be asserted directly. */
-  private[queries] def snmCandidates(docs: DataFrame, key: Column): DataFrame = {
+  private[graft] def snmCandidates(docs: DataFrame, key: Column): DataFrame = {
     val rn = GlobalWindow.rowNumber(
       docs.select(col("doc_id"), key.as("snm_key")),
       "rn")(col("snm_key"), col("doc_id"))
@@ -276,7 +276,7 @@ object DedupQueries {
   /** Exact-Jaccard verification of SNM candidate pairs — shingles
     * re-derived for candidate docs only (semi-join), the same
     * recompute-narrow discipline as the LSH verify path. */
-  private[queries] def snmVerify(docs: DataFrame, cand0: DataFrame): DataFrame = {
+  private[graft] def snmVerify(docs: DataFrame, cand0: DataFrame): DataFrame = {
     val cand = cand0
       .materializeOnce // ids only; feeds the semi-join and the verify join
     val candIds = cand.select(col("a_id").as("doc_id"))

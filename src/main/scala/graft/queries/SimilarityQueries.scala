@@ -429,6 +429,82 @@ object SimilarityQueries {
       .select("q_id", "cluster", "rank", "vec_id", "cos_sim")
       .orderBy("q_id", "rank")
 
+  /** Lloyd-refined centroid frame over an arbitrary embeddings frame —
+    * the INDEX half of the IVF build, exposed so incremental maintenance
+    * (and ScaleSmoke) can train once and assign deltas later. */
+  private[graft] def refinedCentroidsFrom(spark: SparkSession,
+      embIn: DataFrame, iters: Int = 3): DataFrame = {
+    val emb = embIn
+      .withColumn("norm", sqrt(dotFast(spark)(col("embedding"), col("embedding"))))
+      .materializeOnce
+    val cent0 = centroidsOf(spark,
+      emb.select(col("label").as("cluster"), col("embedding")))
+    (1 to iters).foldLeft(cent0)((c, _) =>
+      centroidsOf(spark, assignTo(spark, emb, c)))
+  }
+
+  /** Broadcast map-side assignment of an embeddings frame to an EXISTING
+    * centroid frame — the whole cost of admitting a delta batch into an
+    * IVF index: ∝ |delta|, zero touches of the indexed corpus. */
+  private[graft] def assignToCentroids(spark: SparkSession,
+      embIn: DataFrame, cent: DataFrame): DataFrame =
+    assignTo(spark,
+      embIn.withColumn("norm",
+        sqrt(dotFast(spark)(col("embedding"), col("embedding")))),
+      cent)
+
+  /** Incremental IVF index maintenance — the ANN analog of
+    * [[graft.queries.DedupQueries]]'s `incremental_dedup` (delta-vs-base,
+    * never base×base): the refined centroids are trained on the BASE
+    * corpus only (vec_id % 10 < 8, the incremental_dedup split), the
+    * delta batch is admitted by a broadcast map-side assignment against
+    * those EXISTING centroids — cost ∝ |delta|, the base postings are
+    * untouched — and search runs unchanged over the unioned postings
+    * (probe-2, same budget as knn_ivf_refined). Without this operator a
+    * delta batch means a full index rebuild ∝ corpus. Trade-off: cell
+    * geometry reflects the base distribution until the next re-train;
+    * `IvfIncrementalSpec` pins the union-vs-one-shot assignment identity
+    * and the delta-only cost, ScaleSmoke's `ivf_delta_assign` stage
+    * measures it at 10×/25× base scale. */
+  def knnIvfIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val dotF = dotFast(spark) _
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("norm", sqrt(dotFast(spark)(col("embedding"), col("embedding"))))
+      .materializeOnce
+    val base = emb.filter(col("vec_id") % 10 < 8)
+    val delta = emb.filter(col("vec_id") % 10 >= 8)
+    val cent2 = (1 to 3)
+      .foldLeft(centroidsOf(spark,
+        base.select(col("label").as("cluster"), col("embedding"))))(
+        (c, _) => centroidsOf(spark, assignTo(spark, base, c)))
+      .materializeOnce
+    // the incremental union: base postings + broadcast-assigned delta
+    val idx = assignTo(spark, base, cent2)
+      .unionAll(assignTo(spark, delta, cent2))
+      .materializeOnce
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val wAssign = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_sim").desc, col("c_label"))
+    val qa = q.crossJoin(broadcast(cent2))
+      .withColumn("c_sim",
+        round(dotF(col("q_emb"), col("centroid")) / (col("q_norm") * col("c_norm")), 6))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") <= 2)
+      .select(col("q_id"), col("q_emb"), col("q_norm"), col("c_label").as("cluster"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    qa.join(idx, "cluster")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim",
+        round(dotF(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")), 6))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 5)
+      .select("q_id", "cluster", "rank", "vec_id", "cos_sim")
+      .orderBy("q_id", "rank")
+  }
+
   /** Shared refined-search core: builds the Lloyd-refined index ONCE and
     * emits the top-5 per query for EVERY probe budget in `probesList`
     * (tagged in a `probes` column). A budget-p result is derivable from
@@ -494,14 +570,15 @@ object SimilarityQueries {
        |c${i}n AS (SELECT cl, centroid,
        |               sqrt(list_dot_product(centroid, centroid)) AS c_norm FROM c$i)""".stripMargin
 
-  private def assignCte(name: String, centTable: String): String =
+  private def assignCte(name: String, centTable: String,
+      src: String = "e"): String =
     s"""$name AS (
        |  SELECT vec_id, emb, norm, cl AS cluster FROM (
        |    SELECT e.vec_id, e.emb, e.norm, c.cl,
        |           row_number() OVER (PARTITION BY e.vec_id
        |             ORDER BY round(list_dot_product(e.emb, c.centroid) / (e.norm * c.c_norm), 6) DESC,
        |                      c.cl) AS rn
-       |    FROM e CROSS JOIN $centTable c)
+       |    FROM $src e CROSS JOIN $centTable c)
        |  WHERE rn = 1)""".stripMargin
 
   /** Shared refined-index CTE chain (`e`, `iters` Lloyd rounds, `idx`,
@@ -548,6 +625,35 @@ object SimilarityQueries {
        |FROM top$probes
        |WHERE rank <= 5
        |ORDER BY q_id, rank""".stripMargin
+
+  /** Incremental-index oracle: Lloyd rounds and the base postings come
+    * from the BASE split only; the delta is assigned to the final
+    * centroids and unioned; the probe-2 search CTEs are reused verbatim
+    * (they only reference c3n / idx / q). */
+  private val knnIvfIncrementalSql: String = {
+    val iters = 3
+    val rounds = (1 to iters).map { i =>
+      s"""${assignCte(s"a$i", s"c${i - 1}n", "b")},
+         |${centCtes(i, s"a$i", "cluster")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+       |  FROM embeddings),
+       |b AS (SELECT * FROM e WHERE vec_id % 10 < 8),
+       |d AS (SELECT * FROM e WHERE vec_id % 10 >= 8),
+       |${centCtes(0, "b", "label")},
+       |$rounds,
+       |${assignCte("idxb", s"c${iters}n", "b")},
+       |${assignCte("idxd", s"c${iters}n", "d")},
+       |idx AS (SELECT * FROM idxb UNION ALL SELECT * FROM idxd),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb, norm AS q_norm FROM e WHERE vec_id < 10),
+       |${refinedSearchCtes(2, iters)}
+       |SELECT q_id, cluster, rank, vec_id, cos_sim
+       |FROM top2
+       |WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+  }
 
   /** The recall-vs-probes curve as a first-class oracled report: for each
     * probe budget (1, 2, 4), recall@5 of the Lloyd-refined IVF search
@@ -1267,6 +1373,7 @@ object SimilarityQueries {
     "knn_ivf"         -> (knnIvf _),
     "knn_ivf_probe2"  -> ((s: SparkSession, d: String) => knnIvfProbes(s, d, probes = 2)),
     "knn_ivf_refined" -> ((s: SparkSession, d: String) => knnIvfRefined(s, d, probes = 2)),
+    "knn_ivf_incremental" -> (knnIvfIncremental _),
     "knn_recall_curve" -> (knnRecallCurve _),
     "knn_brute"       -> (knnBrute _),
     "knn_filtered"    -> (knnFiltered _),
@@ -1288,6 +1395,7 @@ object SimilarityQueries {
     "knn_ivf"         -> knnIvfSqlProbes(1),
     "knn_ivf_probe2"  -> knnIvfSqlProbes(2),
     "knn_ivf_refined" -> knnIvfRefinedSql(2),
+    "knn_ivf_incremental" -> knnIvfIncrementalSql,
     "knn_recall_curve" -> knnRecallCurveSql,
     "knn_brute"       -> knnBruteSql,
     "knn_filtered"    -> knnFilteredSql,

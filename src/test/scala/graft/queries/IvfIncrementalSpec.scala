@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** The two claims that make knn_ivf_incremental INCREMENTAL:
+  * (1) admitting a delta by broadcast-assigning it to the existing
+  * centroids and unioning postings yields EXACTLY the index a one-shot
+  * assignment of base∪delta against the same centroids would — per-vector
+  * assignment is map-side, so union maintenance introduces zero drift;
+  * (2) the maintenance operation touches only delta rows. ScaleSmoke's
+  * `ivf_delta_assign` stage measures claim (2)'s wall-clock at scaled
+  * base sizes. */
+class IvfIncrementalSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("union maintenance equals one-shot assignment on the same centroids") {
+    val emb = Tables.embeddings(spark, dir)
+    val base = emb.filter(col("vec_id") % 10 < 8)
+    val delta = emb.filter(col("vec_id") % 10 >= 8)
+    val cent = SimilarityQueries.refinedCentroidsFrom(spark, base)
+      .localCheckpoint(true) // one partitioner/plan for all three assignments
+    val incremental = SimilarityQueries.assignToCentroids(spark, base, cent)
+      .unionAll(SimilarityQueries.assignToCentroids(spark, delta, cent))
+      .select("vec_id", "cluster")
+    val oneShot = SimilarityQueries.assignToCentroids(spark, emb, cent)
+      .select("vec_id", "cluster")
+    assert(incremental.except(oneShot).isEmpty
+      && oneShot.except(incremental).isEmpty,
+      "delta-union postings diverge from one-shot assignment")
+  }
+
+  test("delta admission emits exactly one posting per delta vector") {
+    val emb = Tables.embeddings(spark, dir)
+    val base = emb.filter(col("vec_id") % 10 < 8)
+    val delta = emb.filter(col("vec_id") % 10 >= 8)
+    val cent = SimilarityQueries.refinedCentroidsFrom(spark, base)
+    val assigned = SimilarityQueries.assignToCentroids(spark, delta, cent)
+    assert(assigned.count() === delta.count())
+  }
+
+  test("the registered query answers all 10 queries at full depth") {
+    val out = SimilarityQueries.knnIvfIncremental(spark, dir)
+    val rows = out.collect()
+    assert(rows.length === 50, s"expected 10 queries x 5 ranks, got ${rows.length}")
+    assert(rows.map(_.getAs[Long]("q_id")).distinct.length === 10)
+    // delta vectors must be searchable immediately: at least one result
+    // row should surface a delta member (vec_id % 10 >= 8)
+    assert(rows.exists(r => r.getAs[Long]("vec_id") % 10 >= 8),
+      "no delta vector in any result -- the union is not being searched")
+  }
+}

@@ -124,8 +124,8 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "media_clip_retrieval",
     // broadcast centroid / codebook frames (K constant)
     "ivf_kmeans_refine", "knn_ivf", "knn_ivf_filtered", "knn_ivf_probe2",
-    "knn_ivf_refined", "knn_recall_curve", "knn_ivfpq", "semantic_dedup",
-    "embedding_outliers",
+    "knn_ivf_refined", "knn_ivf_incremental", "knn_recall_curve",
+    "knn_ivfpq", "semantic_dedup", "embedding_outliers",
     // BM25 corpus-stats / RRF fusion constants
     "doc_bm25_top", "hybrid_rrf",
     "token_pmi_top", // one-row token-total and pair-total frames × scored pairs
