@@ -96,16 +96,31 @@ object Bench {
     val loadEnd = loadAvg()
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sf":"$sfDir"}"""
-    // The per-query map (one entry per registered query) outgrows a stdout tail
-    // buffer, which truncates away the leading "metric":"total" — so the
-    // full line goes to a file and to stdout FIRST, and a short
-    // self-contained summary line goes LAST, where a tail always keeps it.
+    // The driver archives only the LAST 2000 chars of stdout (measured on
+    // BENCH_r04.json: `tail` is exactly 2000 chars, clipped mid-dict), and
+    // ~196 NAMED per-query entries are ~6 KB — they can never fit. What
+    // does fit, and makes the archive self-contained: all per-query values
+    // as a positional CSV (3-decimal seconds, sorted-name order) — the
+    // names are recoverable by zipping with the sorted keys of
+    // CORRECTNESS_r{N}.json, which the driver archives alongside and which
+    // covers the identical registry. ~1.4 KB for 196 queries, so the tail
+    // keeps it plus the summary line (LAST — where the driver's parser
+    // found it in r4). Full-precision NAMED timings still go to stdout
+    // earlier (chunked, for anyone reading the whole log) and to
+    // BENCH.out.json.
     val summary =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors":$errs,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH.out.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(full)
+    val chunks = results.grouped(40).toSeq
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val body = chunk.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"queries_part","part":${i + 1},"of":${chunks.size},"queries":$body}""")
+    }
+    val csv = results.map { case (_, v) => f"$v%.3f" }.mkString(",")
+    println(s"""{"metric":"queries_csv","order":"sorted query names - zip with CORRECTNESS keys","n":${results.size},"values":[$csv]}""")
     println(summary)
     spark.stop()
   }

@@ -1120,7 +1120,86 @@ object DedupQueries {
       |FROM delta LEFT JOIN base ON delta.fingerprint = base.fingerprint
       |ORDER BY doc_id""".stripMargin
 
+  /** Bloom-filter membership gate for incremental ingest — the
+    * constant-memory fast path in front of [[incrementalDedup]]'s exact
+    * fingerprint index: the base partition is summarized as a k-hash bit
+    * set (k = [[BloomK]] positions per fingerprint in an m = [[BloomM]]
+    * array), and each delta doc probes its k positions — all set ⇒
+    * POSSIBLE duplicate (verify against the exact index), any clear ⇒
+    * DEFINITELY new (skip the index entirely). At 100 TB the bitmap is
+    * GBs where the fingerprint index is TBs, so the gate turns most of
+    * an ingest batch into pure map-side work; the classic trade is
+    * spelled out per doc here: `bloom_hit` vs ground-truth `exact_dup`,
+    * with `false_positive` marking the docs the bloom would send to
+    * verification needlessly (m is sized SMALL — 2048 bits for ~400 base
+    * fingerprints — precisely so the ~10% false-positive regime is
+    * visible and oracle-checked; production sizes m to ~10 bits/element
+    * for <1%). No false NEGATIVE is possible by construction — the spec
+    * and the oracle's `exact_dup ⇒ bloom_hit` rows both pin it.
+    *
+    * Shape: base → explode k positions → distinct (≤ m rows, broadcast);
+    * delta → explode k positions → broadcast-join + per-doc all-set
+    * count; one exact-fingerprint left join for the ground truth. The
+    * engine-exact positions come from [[DedupOps.h60]] over salted
+    * fingerprints. */
+  private val BloomM = 2048L
+  private val BloomK = 2
+
+  def bloomIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("fingerprint",
+        graft.functions.TextFunctions.fingerprint(col("text")))
+    val posArr = array((0 until BloomK).map { j =>
+      pmod(DedupOps.h60(concat(lit(s"bf$j:"), col("fingerprint"))), lit(BloomM))
+    }: _*)
+    val base = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+    val baseBits = base.select(explode(posArr).as("pos")).distinct()
+      .withColumn("is_set", lit(true)) // the bit set: ≤ m rows regardless of corpus size
+    val baseFps = base.select(col("fingerprint")).distinct()
+      .withColumn("in_base", lit(true))
+    val delta = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    val hits = delta.select(col("doc_id"), explode(posArr).as("pos"))
+      .join(broadcast(baseBits), Seq("pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("is_set"), 1).otherwise(0)).as("n_set"))
+    delta.join(hits, Seq("doc_id"))
+      .join(baseFps, Seq("fingerprint"), "left")
+      .select(col("doc_id"),
+        (col("n_set") === BloomK).as("bloom_hit"),
+        coalesce(col("in_base"), lit(false)).as("exact_dup"))
+      .withColumn("false_positive", col("bloom_hit") && !col("exact_dup"))
+      .orderBy("doc_id")
+  }
+
+  private val bloomIncrementalDedupSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, fingerprint,
+       |         CAST('0x' || substring(md5(pfx || fingerprint), 1, 15) AS BIGINT) % $BloomM AS pos
+       |  FROM d, LATERAL (SELECT unnest(['bf0:', 'bf1:']) AS pfx) u),
+       |basebits AS (SELECT DISTINCT pos FROM pos WHERE doc_id % 10 < 8),
+       |basefps AS (SELECT DISTINCT fingerprint FROM d WHERE doc_id % 10 < 8),
+       |hits AS (
+       |  SELECT p.doc_id,
+       |         sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS n_set
+       |  FROM pos p LEFT JOIN basebits b ON b.pos = p.pos
+       |  WHERE p.doc_id % 10 >= 8
+       |  GROUP BY p.doc_id)
+       |SELECT d.doc_id,
+       |       hits.n_set = $BloomK AS bloom_hit,
+       |       basefps.fingerprint IS NOT NULL AS exact_dup,
+       |       (hits.n_set = $BloomK) AND basefps.fingerprint IS NULL AS false_positive
+       |FROM d
+       |JOIN hits ON hits.doc_id = d.doc_id
+       |LEFT JOIN basefps ON basefps.fingerprint = d.fingerprint
+       |WHERE d.doc_id % 10 >= 8
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "bloom_incremental_dedup" -> (bloomIncrementalDedup _),
     "incremental_dedup"   -> (incrementalDedup _),
     "minhash_jaccard_est" -> (minhashJaccardEst _),
     "doc_ngram_novelty"   -> (docNgramNovelty _),
@@ -1143,6 +1222,7 @@ object DedupQueries {
     "simhash_banded_dup"  -> (simhashBandedDup _))
 
   val oracle: Map[String, String] = Map(
+    "bloom_incremental_dedup" -> bloomIncrementalDedupSql,
     "incremental_dedup"   -> incrementalDedupSql,
     "minhash_jaccard_est" -> minhashJaccardEstSql,
     "doc_ngram_novelty"   -> docNgramNoveltySql,

@@ -1415,7 +1415,101 @@ object PipelineQueries {
       |FROM h
       |ORDER BY shard, pos""".stripMargin
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how much more likely its hashed-bigram bag is under a TARGET
+    * distribution (here the `lang = 'en'` slice) than under the RAW
+    * corpus distribution — the importance-resampling gate that upsamples
+    * target-like data without training a classifier.
+    *
+    * log w(x) = Σ_bigrams [ln p_t(b) − ln p_raw(b)] over hashed feature
+    * buckets b, add-one smoothed: p(b) = (c(b)+1)/(T+B) with B = 512
+    * buckets ([[DedupOps.h60]] of the bigram text, mod B — the same
+    * engine-exact md5 hash every deterministic sampler here uses).
+    *
+    * Shape at 100 TB: ONE bigram explode (shifted-slice zip_with — the
+    * linear pass, no index lambdas) feeds both the bucket histogram
+    * (groupBy(bucket), 512 groups, map-side partials) and the per-doc
+    * scoring (groupBy(doc, bucket) then a 512-row broadcast-able hash
+    * join onto the bucket terms) — corpus scanned once, everything else
+    * ∝ docs. Numerics: each ln over exact integers rounded to 6dp
+    * (the [[AnalyticsQueries.labelPsi]] convention), combined and
+    * occurrence-weighted in DECIMAL, one final cast — engine-exact.
+    * Zero-bigram docs emit n_bigrams = 0 with NULL log_w (undefined, not
+    * silently zero). */
+  private val DsirBuckets = 512L
+
+  def docDsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val toks = col("toks")
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("lang") === "en").as("is_t"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("is_t"), explode(zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b))).as("bg"))
+      .select(col("doc_id"), col("is_t"),
+        pmod(DedupOps.h60(col("bg")), lit(DsirBuckets)).as("b"))
+      .materializeOnce // feeds the bucket histogram AND the per-doc scoring
+    val counts = bg.groupBy(col("b")).agg(
+      count(lit(1)).as("c_raw"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
+    val tot = counts.agg(
+      sum(col("c_raw")).as("t_raw"), sum(col("c_t")).as("t_t"))
+    def rln(c: Column): Column =
+      round(log(c.cast("double")), 6).cast("decimal(20,6)")
+    val terms = counts.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (rln(col("c_t") + 1) - rln(col("c_raw") + 1)
+          - rln(col("t_t") + DsirBuckets) + rln(col("t_raw") + DsirBuckets))
+          .as("term"))
+    val perDoc = bg.groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("k"))
+      .join(terms, Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        round(sum(col("k") * col("term")).cast("double"), 6).as("log_w"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("log_w"))
+      .orderBy("doc_id")
+  }
+
+  private val docDsirWeightsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, lang = 'en' AS is_t,
+       |         CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') END AS toks
+       |  FROM documents),
+       |e AS (
+       |  SELECT doc_id, is_t,
+       |         ${hexpr.format("toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]")} % $DsirBuckets AS b
+       |  FROM t, LATERAL (SELECT unnest(range(1, CAST(len(toks) AS BIGINT))) AS i) u),
+       |c AS (SELECT b, count(*) AS c_raw,
+       |             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t
+       |      FROM e GROUP BY b),
+       |tt AS (SELECT sum(c_raw) AS t_raw, sum(c_t) AS t_t FROM c),
+       |term AS (
+       |  SELECT b,
+       |         CAST(round(ln(c_t + 1), 6) AS DECIMAL(20,6))
+       |       - CAST(round(ln(c_raw + 1), 6) AS DECIMAL(20,6))
+       |       - CAST(round(ln(t_t + $DsirBuckets), 6) AS DECIMAL(20,6))
+       |       + CAST(round(ln(t_raw + $DsirBuckets), 6) AS DECIMAL(20,6)) AS term
+       |  FROM c CROSS JOIN tt),
+       |pd AS (SELECT doc_id, b, count(*) AS k FROM e GROUP BY doc_id, b),
+       |s AS (
+       |  SELECT pd.doc_id, sum(pd.k) AS n_bigrams,
+       |         round(CAST(sum(pd.k * term.term) AS DOUBLE), 6) AS log_w
+       |  FROM pd JOIN term ON term.b = pd.b GROUP BY pd.doc_id)
+       |SELECT d.doc_id, d.lang,
+       |       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |       s.log_w
+       |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "doc_dsir_weights"   -> (docDsirWeights _),
     "corpus_shuffle"     -> ((s: SparkSession, d: String) => corpusShuffle(s, d)),
     "events_profile"     -> (eventsProfile _),
     "embedding_quantize" -> (embeddingQuantize _),
@@ -1446,6 +1540,7 @@ object PipelineQueries {
     "embedding_stats"  -> (embeddingStats _))
 
   val oracle: Map[String, String] = Map(
+    "doc_dsir_weights"   -> docDsirWeightsSql,
     "corpus_shuffle"     -> corpusShuffleSql,
     "events_profile"     -> eventsProfileSql,
     "embedding_quantize" -> embeddingQuantizeSql,

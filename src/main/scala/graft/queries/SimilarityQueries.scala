@@ -1363,7 +1363,118 @@ object SimilarityQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** Top principal component of the embedding corpus by POWER ITERATION
+    * over the exact scaled-covariance matrix — the spectral view of the
+    * embedding store (dominant drift/variance direction, the PCA step
+    * before whitening or picking a JL/PQ budget), computed without any
+    * linear-algebra library and engine-exactly.
+    *
+    * Exactness strategy: floating-point matrix iteration diverges across
+    * engines through SUM ORDER, so every sum here is over exact integers.
+    * Inputs quantize to micro-units; the scaled covariance
+    * A = n·Σxxᵀ − (Σx)(Σx)ᵀ (= n²·Cov, PSD, same eigenvectors) is exact
+    * DECIMAL(38,0) from one nested-posexplode pass (n·d² rows, map-side
+    * partials into d² = 4096 groups — the moment-matrix shape; for
+    * d ≫ 10³ you'd sketch instead). Each of the [[PcaIters]] iterations
+    * is w = A·v (exact DECIMAL products/sums), then L∞ renormalization
+    * back to ±1e6 micro-units via ONE double division per component
+    * (floor(w·1e6 / max|w|)) — identical IEEE ops both engines, no
+    * accumulated float error because the next iteration is exact again.
+    * λ falls out of the last iteration for free (max|w|/1e6 at a
+    * max|v| = 1e6 input); `lambda_share` = λ/trace(A) is the explained
+    * variance fraction, floor-fixed-pointed. The d-row window max is a
+    * bounded frame (64 rows at any corpus size), not a data-sized global
+    * sort. */
+  private val PcaIters = 6
+
+  def embeddingPcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    // (i, xi, j, xj) per vector — nested posexplode, no self-join
+    val mvec = emb.select(
+      transform(col("embedding"), x => round(x * 1e6).cast("long")).as("m"))
+      .materializeOnce // feeds the moment pass AND the per-dim sums
+    val pairs = mvec
+      .select(col("m"), posexplode(col("m")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("m")).as(Seq("j", "xj")))
+    val op = pairs.groupBy(col("i"), col("j"))
+      .agg(sum((col("xi") * col("xj")).cast("decimal(38,0)")).as("sxx"))
+    val sx = mvec.select(posexplode(col("m")).as(Seq("i", "xi")))
+      .groupBy(col("i")).agg(sum(col("xi").cast("decimal(38,0)")).as("sx"))
+      .materializeOnce // joined on both sides of the outer product
+    val nRow = mvec.agg(count(lit(1)).as("n"))
+    val a = op
+      .join(sx.select(col("i"), col("sx").as("sx_i")), "i")
+      .join(sx.select(col("i").as("j"), col("sx").as("sx_j")), "j")
+      .crossJoin(broadcast(nRow))
+      .select(col("i"), col("j"),
+        (col("n") * col("sxx") - col("sx_i") * col("sx_j")).as("a"))
+      .materializeOnce // the 4096-row matrix drives every iteration
+    val whole = Window.partitionBy() // d-row frame: bounded at any scale
+    def step(v: DataFrame): DataFrame =
+      a.join(v, Seq("j")).groupBy(col("i"))
+        .agg(sum(col("a") * col("v")).as("w"))
+        .materializeOnce // consumed by normalize AND (last round) the report
+    def normalize(w: DataFrame): DataFrame = w
+      .withColumn("mx", max(abs(col("w"))).over(whole))
+      .select(col("i").as("j"),
+        floor(col("w").cast("double") * lit(1e6) / col("mx").cast("double"))
+          .as("v"))
+    val v0 = spark.range(0, 64)
+      .select(col("id").cast("int").as("j"), lit(1000000L).as("v"))
+    val wLast = (2 to PcaIters).foldLeft(step(v0)) { (w, _) => step(normalize(w)) }
+    val tr = a.filter(col("i") === col("j")).agg(sum(col("a")).as("tr"))
+    wLast
+      .withColumn("mx", max(abs(col("w"))).over(whole))
+      .crossJoin(broadcast(tr))
+      .select(col("i").as("dim"),
+        floor(col("w").cast("double") * lit(1e6) / col("mx").cast("double"))
+          .as("loading"),
+        (floor(col("mx").cast("double") / col("tr").cast("double")) / 1e6)
+          .as("lambda_share"))
+      .orderBy("dim")
+  }
+
+  private val embeddingPcaPowerSql: String = {
+    val iters = (2 to PcaIters).map { t =>
+      s"""w$t AS (
+         |  SELECT am.i, sum(am.a * v${t - 1}.v) AS w
+         |  FROM am JOIN v${t - 1} ON v${t - 1}.j = am.i_j GROUP BY am.i),
+         |v$t AS (
+         |  SELECT i AS j,
+         |         CAST(floor(CAST(w AS DOUBLE) * 1e6 / CAST(max(abs(w)) OVER () AS DOUBLE)) AS BIGINT) AS v
+         |  FROM w$t),""".stripMargin
+    }.mkString("\n")
+    s"""WITH px AS (
+       |  SELECT vec_id, u.pos - 1 AS i, CAST(round(u.v * 1e6) AS BIGINT) AS xi
+       |  FROM embeddings,
+       |       LATERAL (SELECT unnest(embedding::DOUBLE[]) AS v,
+       |                       generate_subscripts(embedding, 1) AS pos) u),
+       |op AS (
+       |  SELECT a.i AS i, b.i AS i_j, sum(CAST(a.xi * b.xi AS HUGEINT)) AS sxx
+       |  FROM px a JOIN px b USING (vec_id) GROUP BY 1, 2),
+       |sx AS (SELECT i, sum(CAST(xi AS HUGEINT)) AS sx FROM px GROUP BY i),
+       |nn AS (SELECT count(*) AS n FROM embeddings),
+       |am AS (
+       |  SELECT op.i, op.i_j, nn.n * op.sxx - sa.sx * sb.sx AS a
+       |  FROM op CROSS JOIN nn
+       |  JOIN sx sa ON sa.i = op.i
+       |  JOIN sx sb ON sb.i = op.i_j),
+       |v1 AS (
+       |  SELECT i AS j,
+       |         CAST(floor(CAST(w AS DOUBLE) * 1e6 / CAST(max(abs(w)) OVER () AS DOUBLE)) AS BIGINT) AS v
+       |  FROM (SELECT am.i, sum(am.a * 1000000) AS w FROM am GROUP BY am.i)),
+       |$iters
+       |tr AS (SELECT sum(a) AS tr FROM am WHERE i = i_j),
+       |f AS (SELECT i, w, max(abs(w)) OVER () AS mx FROM w$PcaIters)
+       |SELECT CAST(f.i AS INT) AS dim,
+       |       CAST(floor(CAST(f.w AS DOUBLE) * 1e6 / CAST(f.mx AS DOUBLE)) AS BIGINT) AS loading,
+       |       floor(CAST(f.mx AS DOUBLE) / CAST(tr.tr AS DOUBLE)) / 1e6 AS lambda_share
+       |FROM f CROSS JOIN tr
+       |ORDER BY dim""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "embedding_pca_power" -> (embeddingPcaPower _),
     "embedding_jl_projection" -> (embeddingJlProjection _),
     "knn_ivfpq"       -> (knnIvfPq _),
     "semantic_dedup"  -> (semanticDedup _),
@@ -1386,6 +1497,7 @@ object SimilarityQueries {
     "label_centroids" -> (labelCentroids _))
 
   val oracle: Map[String, String] = Map(
+    "embedding_pca_power" -> embeddingPcaPowerSql,
     "embedding_jl_projection" -> embeddingJlProjectionSql,
     "knn_ivfpq"       -> knnIvfPqSql,
     "semantic_dedup"  -> semanticDedupSql,

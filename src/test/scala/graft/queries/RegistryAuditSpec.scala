@@ -117,6 +117,8 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "source_weighted_sample", // one-row corpus-total and Z frames × the 20-source rate table
     "source_epoch_schedule", // one-row total-tokens and Z frames × sources
     "source_length_ks",      // 20-row source dim × pooled value grid (ECDF evaluation points)
+    "embedding_pca_power",   // one-row n and trace frames × the 4096-row moment matrix / 64-row component
+    "doc_dsir_weights",      // one-row bigram-total frame × the 512-bucket histogram
     "sensor_acf",            // 6-row broadcast lag frame × hours-sized series
     "layout_skipping_gain",  // one-row max-key frame; 32-file stats × 10 probes
     // fixed query-vector / anchor set (|Q| constant, corpus streamed once)
