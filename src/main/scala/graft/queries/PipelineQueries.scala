@@ -261,6 +261,221 @@ object PipelineQueries {
       |GROUP BY a.source, b.source, a.n, b.n
       |ORDER BY source_a, source_b""".stripMargin
 
+  /** Two-sample Mann–Whitney U drift matrix over document length — the
+    * RANK-based member of the drift family beside [[sourceLengthKs]]'s
+    * ECDF-distance form: KS is sensitive to any distribution difference,
+    * MWU specifically to a LOCATION shift (one source's docs stochastically
+    * longer than another's), and U/(n_a·n_b) is the common-language effect
+    * size — P(random a-doc > random b-doc), i.e. exactly the AUC — which a
+    * mixture dashboard can read without a p-value table.
+    *
+    * Never ranks the pooled sample: U_ab = Σ_{x∈a,y∈b}([x>y] + ½[x=y])
+    * depends only on the two VALUE HISTOGRAMS, so 2·U (an exact BIGINT —
+    * the ½ never materializes as a float) comes off the same
+    * (source, value, count) grid the KS query uses:
+    * 2U = Σ_v c_a(v)·(2·cum_b(v) − c_b(v)). One corpus scan to counts, the
+    * |S|×|V| grid, a pair equi-join on v — nothing downstream rescans the
+    * corpus, and there is no global sort anywhere (the textbook pooled-rank
+    * formulation would need one per pair).
+    *
+    * The normal-approximation z uses the tie-corrected variance
+    * Var(U) = n_a·n_b·((n³−n) − Σ_t(t³−t)) / (12·n·(n−1)) with tie counts
+    * t taken over the POOLED pair histogram — Σ(t³−t) is summed in
+    * DECIMAL(38,0) (t³ outgrows a BIGINT once a value bucket holds >2M
+    * docs, which a 100 TB length histogram will). z and auc go through the
+    * repo's floor fixed-point (never round(double,6) — the
+    * [[sourceLengthKs]] lesson); all-tied pairs (zero variance) emit NULL
+    * rather than an engine-specific ±inf. */
+  def sourceLengthMwu(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("source"), col("n_chars").as("v"))
+    val cnt = docs.groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+      .materializeOnce // feeds the value grid, per-source totals and both pair legs
+    val vals = cnt.select("v").distinct()
+    val srcs = cnt.select("source").distinct()
+    val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val w = Window.partitionBy(col("source")).orderBy(col("v"))
+    val ecdf = vals.crossJoin(broadcast(srcs))
+      .join(cnt, Seq("source", "v"), "left")
+      .withColumn("cv", coalesce(col("c"), lit(0L)))
+      .withColumn("cum", sum(col("cv")).over(w))
+      .join(broadcast(tot), Seq("source"))
+    val a = ecdf.select(col("source").as("source_a"), col("v"),
+      col("cv").as("cv_a"), col("cum").as("cum_a"), col("n").as("n_a"))
+    val b = ecdf.select(col("source").as("source_b"), col("v"),
+      col("cv").as("cv_b"), col("cum").as("cum_b"), col("n").as("n_b"))
+    val t = col("cv_a") + col("cv_b")
+    val pairs = a.join(b, Seq("v")).filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"), col("n_a"), col("n_b"))
+      .agg(
+        sum(col("cv_a") * (lit(2L) * col("cum_b") - col("cv_b"))).as("u2"),
+        sum((t * t * t - t).cast("decimal(38,0)")).as("ties"))
+    val nn = col("n_a") + col("n_b")
+    // (n³−n) − Σ(t³−t): exact in DECIMAL; 0 iff every pooled value is tied
+    val aTerm = (nn * nn * nn - nn).cast("decimal(38,0)") - col("ties")
+    pairs.select(
+      col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("u2"),
+      (floor(col("u2").cast("double") / (lit(2.0) * col("n_a") * col("n_b")) * 1e6) / 1e6)
+        .as("auc"),
+      when(aTerm === lit(0).cast("decimal(38,0)"), lit(null).cast("double"))
+        .otherwise(
+          floor((col("u2") - col("n_a") * col("n_b")).cast("double") /
+            (lit(2.0) * sqrt(
+              col("n_a").cast("double") * col("n_b").cast("double") * aTerm.cast("double") /
+                (lit(12.0) * nn.cast("double") * (nn - lit(1L)).cast("double")))) * 1e6) / 1e6)
+        .as("z"))
+      .orderBy("source_a", "source_b")
+  }
+
+  private val sourceLengthMwuSql: String =
+    """WITH cnt AS (
+      |  SELECT source, n_chars AS v, count(*) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |vals AS (SELECT DISTINCT v FROM cnt),
+      |srcs AS (SELECT DISTINCT source FROM cnt),
+      |tot AS (SELECT source, sum(c) AS n FROM cnt GROUP BY source),
+      |ecdf AS (
+      |  SELECT s.source, g.v,
+      |         coalesce(c.c, 0) AS cv,
+      |         sum(coalesce(c.c, 0)) OVER (PARTITION BY s.source ORDER BY g.v) AS cum,
+      |         t.n
+      |  FROM vals g
+      |  CROSS JOIN srcs s
+      |  LEFT JOIN cnt c ON c.source = s.source AND c.v = g.v
+      |  JOIN tot t ON t.source = s.source),
+      |pairs AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |         CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+      |         CAST(sum(a.cv * (2 * b.cum - b.cv)) AS BIGINT) AS u2,
+      |         CAST(sum((a.cv + b.cv) * (a.cv + b.cv) * (a.cv + b.cv)
+      |                  - (a.cv + b.cv)) AS DECIMAL(38,0)) AS ties
+      |  FROM ecdf a
+      |  JOIN ecdf b ON b.v = a.v AND a.source < b.source
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT source_a, source_b, n_a, n_b, u2,
+      |       floor(CAST(u2 AS DOUBLE) / (2.0 * n_a * n_b) * 1e6) / 1e6 AS auc,
+      |       CASE WHEN CAST((n_a + n_b) AS DECIMAL(38,0)) * (n_a + n_b) * (n_a + n_b)
+      |                 - (n_a + n_b) - ties = 0 THEN NULL
+      |            ELSE floor(CAST(u2 - n_a * n_b AS DOUBLE) /
+      |                 (2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+      |                   * CAST(CAST((n_a + n_b) AS DECIMAL(38,0)) * (n_a + n_b) * (n_a + n_b)
+      |                          - (n_a + n_b) - ties AS DOUBLE)
+      |                   / (12.0 * (n_a + n_b) * (n_a + n_b - 1)))) * 1e6) / 1e6
+      |       END AS z
+      |FROM pairs
+      |ORDER BY source_a, source_b""".stripMargin
+
+  /** Per-source Spearman vs Pearson correlation between character length
+    * and whitespace-token count — the markup/formatting drift diagnostic:
+    * chars-per-token is a near-constant of clean prose, so Spearman ρ sits
+    * near 1 for every healthy source, and a source where ρ holds but
+    * Pearson r sags has heavy-tailed outliers (huge unbroken blobs —
+    * minified JS, base64) while BOTH sagging means the chars↔tokens
+    * relation itself broke (binary junk, wide markup). Reading the pair is
+    * the point of emitting both.
+    *
+    * Spearman never sorts the corpus: the average rank of a value v within
+    * its source is a function of v alone — rank₂(v) = 2·cum(v) − c(v) + 1,
+    * an exact odd integer off the per-source VALUE HISTOGRAM (doubling
+    * dodges the ½ on even tie groups; Pearson is scale-invariant so ρ is
+    * unchanged). Two histogram builds (shuffles ∝ distinct values, not
+    * docs), equi-joins back, then ONE moment aggregate per source; the
+    * textbook per-source row_number would be a data-sized sort per source.
+    * Moment sums are DECIMAL(38,0)-exact (ranks ≤ 2n keep n·Σr² inside 38
+    * digits up to n ≈ 10⁹ rows per source); only the final ratio is IEEE
+    * double, identically associated in both dialects, floor fixed-point,
+    * NULL on a constant column (zero variance) rather than ±inf. */
+  def sourceRankSpearman(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").as("v"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("w"))
+      .materializeOnce // feeds both histograms and the moment join
+    def rank2(col0: String): DataFrame = {
+      val win = Window.partitionBy(col("source")).orderBy(col(col0))
+      base.groupBy(col("source"), col(col0))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("r2",
+          lit(2L) * sum(col("c")).over(win) - col("c") + lit(1L))
+        .drop("c")
+    }
+    val dec = "decimal(38,0)"
+    val m = base
+      .join(rank2("v").withColumnRenamed("r2", "rx2"), Seq("source", "v"))
+      .join(rank2("w").withColumnRenamed("r2", "ry2"), Seq("source", "w"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("rx2").cast(dec)).as("sx"), sum(col("ry2").cast(dec)).as("sy"),
+        sum((col("rx2") * col("rx2")).cast(dec)).as("sxx"),
+        sum((col("ry2") * col("ry2")).cast(dec)).as("syy"),
+        sum((col("rx2") * col("ry2")).cast(dec)).as("sxy"),
+        sum(col("v").cast(dec)).as("tx"), sum(col("w").cast(dec)).as("ty"),
+        sum((col("v") * col("v")).cast(dec)).as("txx"),
+        sum((col("w") * col("w")).cast(dec)).as("tyy"),
+        sum((col("v") * col("w")).cast(dec)).as("txy"))
+    def corr6(s1: Column, s2: Column, s11: Column, s22: Column, s12: Column): Column = {
+      val n = col("n_docs").cast(dec)
+      val num = (n * s12 - s1 * s2).cast("double")
+      val d1 = (n * s11 - s1 * s1).cast("double")
+      val d2 = (n * s22 - s2 * s2).cast("double")
+      when(d1 * d2 === 0.0, lit(null).cast("double"))
+        .otherwise(floor(num / sqrt(d1 * d2) * 1e6) / 1e6)
+    }
+    m.select(
+      col("source"), col("n_docs"),
+      corr6(col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"))
+        .as("spearman_rho"),
+      corr6(col("tx"), col("ty"), col("txx"), col("tyy"), col("txy"))
+        .as("pearson_r"))
+      .orderBy("source")
+  }
+
+  private val sourceRankSpearmanSql: String = {
+    val ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    s"""WITH base AS (
+       |  SELECT source, n_chars AS v,
+       |         CASE WHEN length(trim(text, $ws)) = 0 THEN 0
+       |              ELSE len(string_split_regex(trim(text, $ws), '\\s+')) END AS w
+       |  FROM documents),
+       |hx AS (
+       |  SELECT source, v,
+       |         2 * sum(count(*)) OVER (PARTITION BY source ORDER BY v)
+       |           - count(*) + 1 AS rx2
+       |  FROM base GROUP BY source, v),
+       |hy AS (
+       |  SELECT source, w,
+       |         2 * sum(count(*)) OVER (PARTITION BY source ORDER BY w)
+       |           - count(*) + 1 AS ry2
+       |  FROM base GROUP BY source, w),
+       |m AS (
+       |  SELECT b.source, count(*) AS n_docs,
+       |         sum(rx2) AS sx, sum(ry2) AS sy,
+       |         sum(rx2 * rx2) AS sxx, sum(ry2 * ry2) AS syy,
+       |         sum(rx2 * ry2) AS sxy,
+       |         sum(b.v) AS tx, sum(b.w) AS ty,
+       |         sum(CAST(b.v AS HUGEINT) * b.v) AS txx,
+       |         sum(CAST(b.w AS HUGEINT) * b.w) AS tyy,
+       |         sum(CAST(b.v AS HUGEINT) * b.w) AS txy
+       |  FROM base b
+       |  JOIN hx ON hx.source = b.source AND hx.v = b.v
+       |  JOIN hy ON hy.source = b.source AND hy.w = b.w
+       |  GROUP BY b.source)
+       |SELECT source, n_docs,
+       |       CASE WHEN CAST(n_docs * sxx - sx * sx AS DOUBLE)
+       |                 * CAST(n_docs * syy - sy * sy AS DOUBLE) = 0 THEN NULL
+       |            ELSE floor(CAST(n_docs * sxy - sx * sy AS DOUBLE)
+       |                 / sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)
+       |                        * CAST(n_docs * syy - sy * sy AS DOUBLE)) * 1e6) / 1e6
+       |       END AS spearman_rho,
+       |       CASE WHEN CAST(n_docs * txx - tx * tx AS DOUBLE)
+       |                 * CAST(n_docs * tyy - ty * ty AS DOUBLE) = 0 THEN NULL
+       |            ELSE floor(CAST(n_docs * txy - tx * ty AS DOUBLE)
+       |                 / sqrt(CAST(n_docs * txx - tx * tx AS DOUBLE)
+       |                        * CAST(n_docs * tyy - ty * ty AS DOUBLE)) * 1e6) / 1e6
+       |       END AS pearson_r
+       |FROM m
+       |ORDER BY source""".stripMargin
+  }
+
   /** Epoch/repeat schedule — the data-repetition plan a training run is
     * actually configured with: given a token budget (2× the corpus here)
     * split by temperature-flattened (T=2) per-source TOKEN weights, how
@@ -1523,6 +1738,8 @@ object PipelineQueries {
     "source_temperature_weights" -> (sourceTemperatureWeights _),
     "source_weighted_sample"     -> (sourceWeightedSample _),
     "source_length_ks"           -> (sourceLengthKs _),
+    "source_length_mwu"          -> (sourceLengthMwu _),
+    "source_rank_spearman"       -> (sourceRankSpearman _),
     "source_epoch_schedule" -> (sourceEpochSchedule _),
     "doc_quality_deciles" -> (docQualityDeciles _),
     "quality_quantile_norm" -> (qualityQuantileNorm _),
@@ -1554,6 +1771,8 @@ object PipelineQueries {
     "source_temperature_weights" -> sourceTemperatureWeightsSql,
     "source_weighted_sample"     -> sourceWeightedSampleSql,
     "source_length_ks"           -> sourceLengthKsSql,
+    "source_length_mwu"          -> sourceLengthMwuSql,
+    "source_rank_spearman"       -> sourceRankSpearmanSql,
     "source_epoch_schedule" -> sourceEpochScheduleSql,
     "doc_quality_deciles" -> docQualityDecilesSql,
     "quality_quantile_norm" -> qualityQuantileNormSql,

@@ -16,16 +16,28 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default. Read it as long nanos (legacy conf, set at runtime so any
-    * caller-provided session works) and convert to TimestampType with
-    * exact integer division — `ts div 1000` on longs; a double division
-    * would lose precision above 2^53 ns (~1970+104 days).
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    * generations (Spark 4 rejects NANOS by default — read as long nanos
+    * via the legacy conf and convert with exact integer division: `ts div
+    * 1000` on longs, since a double division would lose precision above
+    * 2^53 ns) and as naive TIMESTAMP(MICROS) in others (read as
+    * TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ default). Branch on
+    * the type actually read and normalize BOTH to TimestampType (LTZ) —
+    * the type the nanos path always produced — so every downstream
+    * consumer (windows, watermarks, the DuckDB-oracle output encoding)
+    * sees one stable type regardless of which generation is on disk;
+    * under the fixed UTC session the NTZ→LTZ cast is value-identity.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

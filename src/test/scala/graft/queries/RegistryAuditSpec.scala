@@ -117,6 +117,7 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "source_weighted_sample", // one-row corpus-total and Z frames × the 20-source rate table
     "source_epoch_schedule", // one-row total-tokens and Z frames × sources
     "source_length_ks",      // 20-row source dim × pooled value grid (ECDF evaluation points)
+    "source_length_mwu",     // same 20-row source dim × pooled value grid as the KS matrix
     "embedding_pca_power",   // one-row n and trace frames × the 4096-row moment matrix / 64-row component
     "doc_dsir_weights",      // one-row bigram-total frame × the 512-bucket histogram
     "sensor_acf",            // 6-row broadcast lag frame × hours-sized series

@@ -24,12 +24,19 @@ class BatchStreamEquivalenceSpec extends AnyFunSuite with SparkSpec {
       evDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // ts ships as TIMESTAMP(NANOS) (read as long) in some testdata
+    // generations and naive TIMESTAMP(MICROS) (read as NTZ) in others —
+    // probe the batch reader and mirror Tables.events' normalization
+    val tsType = spark.read.parquet(evDir.toString).schema("ts").dataType
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    val raw = spark.readStream.schema(schema).parquet(evDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw0 = spark.readStream.schema(schema).parquet(evDir.toString)
+    val raw =
+      if (tsType == LongType)
+        raw0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw0.withColumn("ts", col("ts").cast(TimestampType))
 
     val shaped = raw.select(
       col("ts"),
