@@ -53,8 +53,14 @@ object Bench {
     val loadStart = loadAvg()
 
     // sorted order: per-query timings comparable across rounds regardless
-    // of Map iteration order
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // of Map iteration order. SPARK_GRAFT_BENCH_ONLY (comma-separated
+    // names, dev only) narrows the run for adjudicating a single query's
+    // regression without paying the full-registry sweep.
+    val only: String => Boolean = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(s) if s.nonEmpty => s.split(",").toSet
+      case _                     => _ => true
+    }
+    val queries = SparkEntry.queries.filter(kv => only(kv._1)).toSeq.sortBy(_._1)
 
     // warmup: one untimed pass over EVERY query — session init, parquet
     // footer reads, and per-query codegen all land outside the timings.

@@ -41,6 +41,20 @@ object DedupOps {
   def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  // ---- Bloom ingest gate — ONE definition of (m, k, positions) shared
+  // by the batch registry entry (DedupQueries.bloomIncrementalDedup) and
+  // the streaming leg (graft.streaming.BloomGate), so the two gates can
+  // never drift apart.
+  val BloomM = 2048L
+  val BloomK = 2
+
+  /** The k Bloom bit positions of a fingerprint — engine-exact
+    * ([[h60]] over salted fingerprints, mod [[BloomM]]). */
+  def bloomPositions(fp: Column): Column =
+    array((0 until BloomK).map { j =>
+      pmod(h60(concat(lit(s"bf$j:"), fp)), lit(BloomM))
+    }: _*)
+
   def h31(c: Column): Column = h60(c) % P
 
   /** Distinct word 3-gram shingles; docs with 1–2 tokens fall back to a

@@ -367,8 +367,116 @@ object CorpusQueries {
        |ORDER BY n DESC, pair
        |LIMIT 20""".stripMargin
 
+  private val BpeMergeRounds = 10
+
+  /** k UNROLLED BPE merges — completing [[bpeMergePairs]]'s counting pass
+    * into actual tokenizer training: the corpus collapses ONCE to its
+    * word-frequency table (lowercase-alpha word forms), each word becomes
+    * a '|'-bounded symbol string (initially single characters), and each
+    * of the [[BpeMergeRounds]] rounds
+    *   (1) counts adjacent symbol pairs weighted by word frequency,
+    *   (2) picks the most frequent pair (count desc, then lexicographic
+    *       on both symbols — the deterministic tie-break both engines
+    *       share on ASCII), and
+    *   (3) rewrites every word by merging non-overlapping occurrences
+    *       left-to-right via an ordered fold — canonical greedy BPE:
+    *       'aaaa' + (a,a) → [aa, aa], and the freshly-built symbol is
+    *       never itself re-merged in the same pass.
+    * Emitted: the k merge rules in order with their support — exactly a
+    * tokenizer's merges.txt prefix. The DuckDB mirror unrolls the same k
+    * rounds as CTEs with the identical fold (list_reduce over a string
+    * accumulator), so every rule and count is engine-exact.
+    *
+    * Scale shape: everything after the one corpus-collapse shuffle is
+    * VOCABULARY-sized (why BPE training over 100 TB is feasible at all);
+    * each round is one explode → partial-agg over the vocab plus a top-1
+    * TakeOrdered (per-partition heap, no global sort) and a one-row
+    * broadcast join carrying the merge rule into the rewrite map. */
+  def bpeMergesK(spark: SparkSession, dir: String): DataFrame = {
+    import QueryConventions.MaterializeSyntax
+    val v0 = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|")).as("s"),
+        col("freq"))
+      .materializeOnce // the evolving vocab state; re-materialized per round
+    def bestPair(v: DataFrame, step: Int): DataFrame = v
+      .select(col("freq"), filter(split(col("s"), "\\|"), x => x =!= "").as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(col("freq"),
+        explode(transform(sequence(lit(1), size(col("a")) - 1),
+          i => struct(element_at(col("a"), i).as("pa"),
+            element_at(col("a"), i + 1).as("pb")))).as("p"))
+      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pa"), col("pb"))
+      .limit(1)
+      .select(lit(step).as("step"), col("pa"), col("pb"), col("n"))
+      .materializeOnce // consumed by the rewrite AND the output union
+    def rewrite(v: DataFrame, best: DataFrame): DataFrame = v
+      .crossJoin(broadcast(best.select("pa", "pb")))
+      .select(
+        aggregate(
+          filter(split(col("s"), "\\|"), x => x =!= ""),
+          lit("|"),
+          (acc, x) =>
+            when(acc.endsWith(concat(lit("|"), col("pa"), lit("|")))
+                && (x === col("pb")),
+              concat(acc.substr(lit(1), length(acc) - length(col("pa")) - 1),
+                col("pa"), col("pb"), lit("|")))
+              .otherwise(concat(acc, x, lit("|")))).as("s"),
+        col("freq"))
+      .materializeOnce
+    var state = v0
+    val rules = (1 to BpeMergeRounds).map { t =>
+      val b = bestPair(state, t)
+      if (t < BpeMergeRounds) state = rewrite(state, b)
+      b
+    }
+    rules.reduce(_ union _)
+      .select(col("step"), col("pa").as("pair_a"), col("pb").as("pair_b"), col("n"))
+      .orderBy("step")
+  }
+
+  private val bpeMergesKSql: String = {
+    val rounds = (1 to BpeMergeRounds).map { t =>
+      val rewriteCte =
+        if (t == BpeMergeRounds) ""
+        else
+          s"""
+             |v$t AS MATERIALIZED (
+             |  SELECT list_reduce(list_prepend('|', list_filter(string_split(s, '|'), x -> x <> '')),
+             |           (acc, x) -> CASE WHEN ends_with(acc, '|' || b.pa || '|') AND x = b.pb
+             |                            THEN substring(acc, 1, length(acc) - length(b.pa) - 1) || b.pa || b.pb || '|'
+             |                            ELSE acc || x || '|' END) AS s,
+             |         freq
+             |  FROM v${t - 1} CROSS JOIN b$t b),""".stripMargin
+      s"""p$t AS MATERIALIZED (
+         |  SELECT a[i] AS pa, a[i+1] AS pb, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM (SELECT list_filter(string_split(s, '|'), x -> x <> '') AS a, freq FROM v${t - 1}) q,
+         |       LATERAL (SELECT unnest(range(1, len(a))) AS i) u
+         |  GROUP BY 1, 2),
+         |b$t AS MATERIALIZED (SELECT $t AS step, pa, pb, n FROM p$t ORDER BY n DESC, pa, pb LIMIT 1),$rewriteCte""".stripMargin
+    }.mkString("\n")
+    val unions = (1 to BpeMergeRounds).map(t => s"SELECT * FROM b$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $toksCte,
+       |words AS (SELECT unnest(toks) AS w FROM t),
+       |fq AS MATERIALIZED (
+       |  SELECT w, count(*) AS freq FROM words
+       |  WHERE regexp_matches(w, '^[a-z]+${"$"}') GROUP BY w),
+       |v0 AS MATERIALIZED (
+       |  SELECT '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS s, freq FROM fq),
+       |$rounds
+       |u AS ($unions)
+       |SELECT step, pa AS pair_a, pb AS pair_b, n
+       |FROM u ORDER BY step""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "bpe_merge_pairs"      -> (bpeMergePairs _),
+    "bpe_merges_k"         -> (bpeMergesK _),
     "source_tokenizer_fertility" -> (sourceTokenizerFertility _),
     "source_token_entropy" -> (sourceTokenEntropy _),
     "doc_bm25_top"         -> (docBm25Top _),
@@ -377,6 +485,7 @@ object CorpusQueries {
 
   val oracle: Map[String, String] = Map(
     "bpe_merge_pairs"      -> bpeMergePairsSql,
+    "bpe_merges_k"         -> bpeMergesKSql,
     "source_tokenizer_fertility" -> sourceTokenizerFertilitySql,
     "source_token_entropy" -> sourceTokenEntropySql,
     "doc_bm25_top"         -> docBm25TopSql,

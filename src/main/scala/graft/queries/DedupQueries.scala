@@ -1142,16 +1142,14 @@ object DedupQueries {
     * count; one exact-fingerprint left join for the ground truth. The
     * engine-exact positions come from [[DedupOps.h60]] over salted
     * fingerprints. */
-  private val BloomM = 2048L
-  private val BloomK = 2
+  private val BloomM = DedupOps.BloomM
+  private val BloomK = DedupOps.BloomK
 
   def bloomIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .withColumn("fingerprint",
         graft.functions.TextFunctions.fingerprint(col("text")))
-    val posArr = array((0 until BloomK).map { j =>
-      pmod(DedupOps.h60(concat(lit(s"bf$j:"), col("fingerprint"))), lit(BloomM))
-    }: _*)
+    val posArr = DedupOps.bloomPositions(col("fingerprint"))
     val base = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
     val baseBits = base.select(explode(posArr).as("pos")).distinct()
       .withColumn("is_set", lit(true)) // the bit set: ≤ m rows regardless of corpus size

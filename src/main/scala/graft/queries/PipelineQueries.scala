@@ -202,6 +202,16 @@ object PipelineQueries {
     * the max is taken over exact BIGINTs, so Spark and any other engine
     * agree bit-for-bit.
     *
+    * The OUTPUT is integer-exact too — no float op anywhere, so no two
+    * engines (and no result-hash canonicalization of a result file) can
+    * ever disagree on a bit: `d_int` is the exact BIGINT numerator,
+    * `ks_stat_micro` = ⌊10⁶·D⌋ via integral division, and
+    * `ks_scaled_sq_micro` = ⌊10⁶·D²·n_a·n_b/(n_a+n_b)⌋ — the SQUARE of
+    * the scaled statistic in micro-units (critical-value tables compare
+    * equally well against c(α)², and the square keeps the whole pipeline
+    * in integral division: Spark's `div` on DECIMAL(38,0) and DuckDB's
+    * `//` on HUGEINT are both exact integral quotients).
+    *
     * Shape: ONE corpus scan to (source, v) counts; the ECDF grid is
     * |sources|×|distinct v| (tiny — sources is a 20-row broadcast, the
     * one sanctioned cross join); the pair stage joins the grid to itself
@@ -227,12 +237,11 @@ object PipelineQueries {
       .groupBy(col("source_a"), col("source_b"), col("n_a"), col("n_b"))
       .agg(max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a"))).as("d_int"))
       .select(
-        col("source_a"), col("source_b"), col("n_a"), col("n_b"),
-        (floor(col("d_int").cast("double") / (col("n_a") * col("n_b")) * 1e6) / 1e6)
-          .as("ks_stat"),
-        (floor(col("d_int").cast("double") / (col("n_a") * col("n_b"))
-          * sqrt((col("n_a") * col("n_b")).cast("double") / (col("n_a") + col("n_b"))) * 1e6)
-          / 1e6).as("ks_scaled"))
+        col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("d_int"),
+        expr("CAST(d_int AS DECIMAL(38,0)) * 1000000 div " +
+          "(CAST(n_a AS DECIMAL(38,0)) * n_b)").as("ks_stat_micro"),
+        expr("CAST(d_int AS DECIMAL(38,0)) * d_int * 1000000 div " +
+          "(CAST(n_a AS DECIMAL(38,0)) * n_b * (n_a + n_b))").as("ks_scaled_sq_micro"))
       .orderBy("source_a", "source_b")
   }
 
@@ -250,15 +259,20 @@ object PipelineQueries {
       |  FROM vals g
       |  CROSS JOIN srcs s
       |  LEFT JOIN cnt c ON c.source = s.source AND c.v = g.v
-      |  JOIN tot t ON t.source = s.source)
-      |SELECT a.source AS source_a, b.source AS source_b,
-      |       a.n AS n_a, b.n AS n_b,
-      |       floor(CAST(max(abs(a.cum * b.n - b.cum * a.n)) AS DOUBLE) / (a.n * b.n) * 1e6) / 1e6 AS ks_stat,
-      |       floor(CAST(max(abs(a.cum * b.n - b.cum * a.n)) AS DOUBLE) / (a.n * b.n)
-      |             * sqrt(CAST(a.n * b.n AS DOUBLE) / (a.n + b.n)) * 1e6) / 1e6 AS ks_scaled
-      |FROM ecdf a
-      |JOIN ecdf b ON b.v = a.v AND a.source < b.source
-      |GROUP BY a.source, b.source, a.n, b.n
+      |  JOIN tot t ON t.source = s.source),
+      |pairs AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |         CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+      |         CAST(max(abs(a.cum * b.n - b.cum * a.n)) AS BIGINT) AS d_int
+      |  FROM ecdf a
+      |  JOIN ecdf b ON b.v = a.v AND a.source < b.source
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT source_a, source_b, n_a, n_b, d_int,
+      |       CAST((CAST(d_int AS HUGEINT) * 1000000)
+      |            // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS ks_stat_micro,
+      |       CAST((CAST(d_int AS HUGEINT) * d_int * 1000000)
+      |            // (CAST(n_a AS HUGEINT) * n_b * (n_a + n_b)) AS BIGINT) AS ks_scaled_sq_micro
+      |FROM pairs
       |ORDER BY source_a, source_b""".stripMargin
 
   /** Two-sample Mann–Whitney U drift matrix over document length — the
@@ -270,8 +284,9 @@ object PipelineQueries {
     * mixture dashboard can read without a p-value table.
     *
     * Never ranks the pooled sample: U_ab = Σ_{x∈a,y∈b}([x>y] + ½[x=y])
-    * depends only on the two VALUE HISTOGRAMS, so 2·U (an exact BIGINT —
-    * the ½ never materializes as a float) comes off the same
+    * depends only on the two VALUE HISTOGRAMS, so 2·U (an exact BIGINT
+    * while n_a·n_b < 2⁶², the same envelope as [[sourceLengthKs]]'s
+    * cross-multiply — the ½ never materializes as a float) comes off the same
     * (source, value, count) grid the KS query uses:
     * 2U = Σ_v c_a(v)·(2·cum_b(v) − c_b(v)). One corpus scan to counts, the
     * |S|×|V| grid, a pair equi-join on v — nothing downstream rescans the
@@ -280,9 +295,11 @@ object PipelineQueries {
     *
     * The normal-approximation z uses the tie-corrected variance
     * Var(U) = n_a·n_b·((n³−n) − Σ_t(t³−t)) / (12·n·(n−1)) with tie counts
-    * t taken over the POOLED pair histogram — Σ(t³−t) is summed in
-    * DECIMAL(38,0) (t³ outgrows a BIGINT once a value bucket holds >2M
-    * docs, which a 100 TB length histogram will). z and auc go through the
+    * t taken over the POOLED pair histogram — t is cast to DECIMAL(38,0)
+    * BEFORE cubing (HUGEINT in the DuckDB mirror), because t³ outgrows a
+    * BIGINT once a value bucket holds >2M docs, which a 100 TB length
+    * histogram will; cubing in BIGINT and casting the result would
+    * overflow exactly there. z and auc go through the
     * repo's floor fixed-point (never round(double,6) — the
     * [[sourceLengthKs]] lesson); all-tied pairs (zero variance) emit NULL
     * rather than an engine-specific ±inf. */
@@ -303,15 +320,20 @@ object PipelineQueries {
       col("cv").as("cv_a"), col("cum").as("cum_a"), col("n").as("n_a"))
     val b = ecdf.select(col("source").as("source_b"), col("v"),
       col("cv").as("cv_b"), col("cum").as("cum_b"), col("n").as("n_b"))
-    val t = col("cv_a") + col("cv_b")
+    // the cubes go DECIMAL-FIRST: t³ outgrows a BIGINT once a pooled value
+    // bucket holds >2M docs — cubing in LongType and casting after would
+    // overflow exactly where the decimal sum is supposed to save us
+    val td = (col("cv_a") + col("cv_b")).cast("decimal(38,0)")
     val pairs = a.join(b, Seq("v")).filter(col("source_a") < col("source_b"))
       .groupBy(col("source_a"), col("source_b"), col("n_a"), col("n_b"))
       .agg(
         sum(col("cv_a") * (lit(2L) * col("cum_b") - col("cv_b"))).as("u2"),
-        sum((t * t * t - t).cast("decimal(38,0)")).as("ties"))
+        sum(td * td * td - td).as("ties"))
+    // (n³−n) − Σ(t³−t): exact in DECIMAL (nn cast BEFORE the cube);
+    // 0 iff every pooled value is tied
     val nn = col("n_a") + col("n_b")
-    // (n³−n) − Σ(t³−t): exact in DECIMAL; 0 iff every pooled value is tied
-    val aTerm = (nn * nn * nn - nn).cast("decimal(38,0)") - col("ties")
+    val nnd = nn.cast("decimal(38,0)")
+    val aTerm = nnd * nnd * nnd - nnd - col("ties")
     pairs.select(
       col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("u2"),
       (floor(col("u2").cast("double") / (lit(2.0) * col("n_a") * col("n_b")) * 1e6) / 1e6)
@@ -346,18 +368,18 @@ object PipelineQueries {
       |  SELECT a.source AS source_a, b.source AS source_b,
       |         CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
       |         CAST(sum(a.cv * (2 * b.cum - b.cv)) AS BIGINT) AS u2,
-      |         CAST(sum((a.cv + b.cv) * (a.cv + b.cv) * (a.cv + b.cv)
-      |                  - (a.cv + b.cv)) AS DECIMAL(38,0)) AS ties
+      |         sum(CAST(a.cv + b.cv AS HUGEINT) * (a.cv + b.cv) * (a.cv + b.cv)
+      |             - (a.cv + b.cv)) AS ties
       |  FROM ecdf a
       |  JOIN ecdf b ON b.v = a.v AND a.source < b.source
       |  GROUP BY 1, 2, 3, 4)
       |SELECT source_a, source_b, n_a, n_b, u2,
       |       floor(CAST(u2 AS DOUBLE) / (2.0 * n_a * n_b) * 1e6) / 1e6 AS auc,
-      |       CASE WHEN CAST((n_a + n_b) AS DECIMAL(38,0)) * (n_a + n_b) * (n_a + n_b)
+      |       CASE WHEN CAST(n_a + n_b AS HUGEINT) * (n_a + n_b) * (n_a + n_b)
       |                 - (n_a + n_b) - ties = 0 THEN NULL
       |            ELSE floor(CAST(u2 - n_a * n_b AS DOUBLE) /
       |                 (2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
-      |                   * CAST(CAST((n_a + n_b) AS DECIMAL(38,0)) * (n_a + n_b) * (n_a + n_b)
+      |                   * CAST(CAST(n_a + n_b AS HUGEINT) * (n_a + n_b) * (n_a + n_b)
       |                          - (n_a + n_b) - ties AS DOUBLE)
       |                   / (12.0 * (n_a + n_b) * (n_a + n_b - 1)))) * 1e6) / 1e6
       |       END AS z

@@ -26,7 +26,17 @@ object Tables {
     * the type the nanos path always produced — so every downstream
     * consumer (windows, watermarks, the DuckDB-oracle output encoding)
     * sees one stable type regardless of which generation is on disk;
-    * under the fixed UTC session the NTZ→LTZ cast is value-identity.
+    * The NTZ wall-times in the testdata are UTC instants, but a bare
+    * NTZ→LTZ cast interprets the wall clock in the SESSION zone — under a
+    * non-UTC session that would silently shift every instant by the zone
+    * offset (the nanos generation, being epoch-based, never shifts). So
+    * the NTZ branch re-zones the wall from UTC into the session zone
+    * first; the final cast then lands on the true instant regardless of
+    * `spark.sql.session.timeZone`. (Identity under a UTC session; in a
+    * non-UTC session the one residual ambiguity is the DST fall-back
+    * hour, where a wall time maps to two instants — irrelevant for the
+    * UTC-pinned harnesses and strictly better than an always-shifted
+    * read.)
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -35,7 +45,9 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        df.withColumn("ts",
+          convert_timezone(lit("UTC"), current_timezone(), col("ts"))
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }

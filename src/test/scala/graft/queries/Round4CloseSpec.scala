@@ -197,17 +197,25 @@ class Round4CloseSpec extends AnyFunSuite with SparkSpec {
     val va = docs.filter(_._1 == sa).map(_._2).sorted
     val vb = docs.filter(_._1 == sb).map(_._2).sorted
     val pooled = (va ++ vb).distinct
-    val d = pooled.map { x =>
-      math.abs(va.count(_ <= x).toDouble / va.length -
-        vb.count(_ <= x).toDouble / vb.length)
+    // exact integer numerator: D·n_a·n_b = max |cum_a·n_b − cum_b·n_a|
+    val dInt = pooled.map { x =>
+      math.abs(va.count(_ <= x).toLong * vb.length -
+        vb.count(_ <= x).toLong * va.length)
     }.max
-    assert(math.abs(r0.getAs[Double]("ks_stat") - d) < 1e-6)
+    assert(r0.getAs[Long]("d_int") === dInt)
+    assert(r0.getAs[Long]("ks_stat_micro") ===
+      dInt * 1000000L / (va.length.toLong * vb.length))
     assert(r0.getAs[Long]("n_a") === va.length.toLong)
     assert(r0.getAs[Long]("n_b") === vb.length.toLong)
-    // KS is a [0,1] statistic everywhere
+    // micro-unit D stays a [0, 10⁶] integer everywhere, and the scaled
+    // square is exactly ⌊10⁶·d²/(n_a·n_b·(n_a+n_b))⌋
     rows.foreach { r =>
-      val ks = r.getAs[Double]("ks_stat")
-      assert(ks >= 0.0 && ks <= 1.0)
+      val ks = r.getAs[Long]("ks_stat_micro")
+      assert(ks >= 0L && ks <= 1000000L)
+      val na = r.getAs[Long]("n_a"); val nb = r.getAs[Long]("n_b")
+      val d = r.getAs[Long]("d_int")
+      assert(r.getAs[Long]("ks_scaled_sq_micro") ===
+        (BigInt(d) * d * 1000000 / (BigInt(na) * nb * (na + nb))).toLong)
     }
   }
 
