@@ -257,6 +257,21 @@ object ScaleSmoke {
     time("ivf_delta_assign")(
       graft.queries.SimilarityQueries.assignToCentroids(spark, emb, centInc).count())
     centInc.unpersist()
+    // PCA moment pass, r6 Gram-row fold (N·d rows with a per-row array
+    // product) vs the r5 double-posexplode (N·d² individual rows): same
+    // exact integers into the same 4096-key aggregate — the probe
+    // measures the row-machinery cut as the corpus scales
+    time("pca_moment_gram")(
+      graft.queries.SimilarityQueries.pcaMomentFrom(spark, scaledEmb).count())
+    time("pca_moment_posexplode") {
+      val mv = scaledEmb.select(
+        transform(col("embedding"), x => round(x * 1e6).cast("long")).as("m"))
+      mv.select(col("m"), posexplode(col("m")).as(Seq("i", "xi")))
+        .select(col("i"), col("xi"), posexplode(col("m")).as(Seq("j", "xj")))
+        .groupBy(col("i"), col("j"))
+        .agg(sum((col("xi") * col("xj")).cast("decimal(38,0)")).as("sxx"))
+        .count()
+    }
 
     // multimodal tier: real binary blobs (non-UTF-8, varied lengths) at
     // K× the base media count. decode_fanout is the mapPartitions frame

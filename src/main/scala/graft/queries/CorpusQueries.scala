@@ -228,7 +228,10 @@ object CorpusQueries {
   def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions
     val dotF = VectorFunctions.dotFast(spark) _
-    val text = GlobalWindow.rowNumber(docBm25Top(spark, dir), "r_text")(
+    // the BM25 leg is a ≤20-row frame (bounded by the upstream limit),
+    // so it takes the plain-window path — two-phase numbering here costs
+    // two shuffles + a materialization for 20 rows (r6 A/B, BASELINE.md)
+    val text = GlobalWindow.boundedRowNumber(docBm25Top(spark, dir), "r_text")(
       col("bm25").desc, col("doc_id"))
       .select(col("doc_id"), col("r_text").cast("int").as("r_text"))
     val emb = Tables.embeddings(spark, dir)

@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   *   1. `repartitionByRange` on the sort key — a parallel range shuffle;
   *      each output partition holds a contiguous key range, so partition
   *      index order IS global sort order.
-  *   2. Number (or running-sum) WITHIN each partition with an ordinary
-  *      partitioned window — parallel across partitions.
+  *   2. Number WITHIN each partition MAP-SIDE: sort in place and read
+  *      (pid, local position) off `monotonically_increasing_id` — no
+  *      second exchange. (Running sums still use a partitioned window:
+  *      a prefix SUM has no id trick.)
   *   3. Add per-partition offsets: a `numParts`-row count frame, turned
   *      into exclusive prefix sums by an exploded pid-triangle equi-join
   *      (no driver collect, no window over the offset frame itself), and
@@ -44,6 +46,17 @@ object GlobalWindow {
   def rowNumber(df: DataFrame, out: String, numParts: Int = DefaultParts)(
       order: Column*): DataFrame =
     numbered(df, numParts, order, rn = Some(out), total = None, runSum = None)
+
+  /** [[rowNumber]] via the PLAIN single-partition window — ONLY for
+    * frames BOUNDED BY CONSTRUCTION (post-`limit` / fixed-k frames that
+    * cannot grow with the data), where two-phase numbering pays two
+    * data shuffles plus a materialization for a handful of rows (the
+    * r6 A/B adjudication in BASELINE.md measured that overhead at
+    * 0.5–1.2 s per invocation at local sf0.1). Every caller must be
+    * registered in RegistryAuditSpec's bounded-frame allowlist with the
+    * reason the frame is bounded; data-sized frames use [[rowNumber]]. */
+  def boundedRowNumber(df: DataFrame, out: String)(order: Column*): DataFrame =
+    df.withColumn(out, row_number().over(Window.orderBy(order: _*)).cast("long"))
 
   /** `df` + `rnOut` (LONG global row number) + `cntOut` (LONG total row
     * count) — the pair that exact-centile arithmetic needs. */
@@ -96,13 +109,49 @@ object GlobalWindow {
       .cast("int")
   }
 
+  /** GRAFT_GLOBALWINDOW=plain (adjudication-only escape hatch): the
+    * pre-conversion single-task global window, so the two-phase overhead
+    * can be A/B-measured against the plain form in ONE JVM under
+    * identical JIT/load conditions (the r5→r6 regression adjudication in
+    * BASELINE.md). Never the default, never set by any execution path;
+    * the RegistryAuditSpec ban keeps registered plans two-phase. */
+  private def plainNumbered(df: DataFrame, order: Seq[Column],
+      rn: Option[String], total: Option[String],
+      runSum: Option[(Column, String)]): DataFrame = {
+    val w = Window.orderBy(order: _*)
+    val whole = Window.partitionBy()
+    Seq(
+      rn.map(c => (f: DataFrame) =>
+        f.withColumn(c, row_number().over(w).cast("long"))),
+      total.map(c => (f: DataFrame) =>
+        f.withColumn(c, count(lit(1)).over(whole))),
+      runSum.map { case (v, c) => (f: DataFrame) =>
+        f.withColumn(c, sum(v).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))) }
+    ).flatten.foldLeft(df)((acc, f) => f(acc))
+  }
+
   private def numbered(df: DataFrame, numParts: Int, order: Seq[Column],
       rn: Option[String], total: Option[String],
       runSum: Option[(Column, String)]): DataFrame = {
     import QueryConventions.MaterializeSyntax
     require(numParts >= 1, s"numParts must be positive, got $numParts")
+    if (sys.env.get("GRAFT_GLOBALWINDOW").contains("plain"))
+      return plainNumbered(df, order, rn, total, runSum)
+    // Local numbering is MAP-SIDE: after the range shuffle the partition
+    // is sorted in place and monotonically_increasing_id reads off
+    // (partition index << 33 | within-partition position) in that sorted
+    // order — no hash(pid) exchange, no per-partition window sort. The
+    // running-sum variant still needs the ordered window (a prefix sum
+    // has no id trick), so only it pays the pid exchange. 2^33 rows per
+    // range partition bounds the id's position field — size numParts so
+    // partitions stay under ~8.5e9 rows (they must fit an executor
+    // anyway, so this never binds in practice.)
+    val mid = "__gw_mid"
     val ranged = df.repartitionByRange(numParts, order: _*)
-      .withColumn(Pid, spark_partition_id())
+      .sortWithinPartitions(order: _*)
+      .withColumn(mid, monotonically_increasing_id())
+      .withColumn(Pid, shiftright(col(mid), 33).cast("int"))
       .materializeOnce // one partitioner: count pass and numbering pass must agree on pid
     // per-partition totals (≤ numParts rows), exploded into the full
     // pid grid so exclusive prefix sums come from a plain equi-join
@@ -124,7 +173,8 @@ object GlobalWindow {
     val w = Window.partitionBy(col(Pid)).orderBy(order: _*)
     val local = Seq(
       rn.map(c => (frame: DataFrame) =>
-        frame.withColumn(c, row_number().over(w).cast("long"))),
+        frame.withColumn(c,
+          (col(mid).bitwiseAND(lit((1L << 33) - 1)) + 1L).as(c))),
       runSum.map { case (v, c) => (frame: DataFrame) =>
         frame.withColumn(c, sum(v).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow))) }
@@ -138,6 +188,6 @@ object GlobalWindow {
       runSum.map { case (_, c) => (frame: DataFrame) =>
         frame.withColumn(c, col(c) + coalesce(col("__gw_sum_off"), lit(0L))) }
     ).flatten.foldLeft(joined)((acc, f) => f(acc))
-    globalized.drop(Pid, "__gw_rn_off", "__gw_tot", "__gw_sum_off")
+    globalized.drop(Pid, mid, "__gw_rn_off", "__gw_tot", "__gw_sum_off")
   }
 }

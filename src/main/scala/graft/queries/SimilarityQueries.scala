@@ -1400,8 +1400,13 @@ object SimilarityQueries {
     * row-machinery cut the r5 VERDICT asked for (the shuffle was always
     * bounded at d² keys; this removes the CPU of materializing and
     * hashing N·d² individual rows). */
-  private def pcaMoment(spark: SparkSession, dir: String): DataFrame = {
-    val mvec = Tables.embeddings(spark, dir).select(
+  private def pcaMoment(spark: SparkSession, dir: String): DataFrame =
+    pcaMomentFrom(spark, Tables.embeddings(spark, dir))
+
+  /** [[pcaMoment]] over an arbitrary embeddings frame — the ScaleSmoke
+    * entry point for probing the moment pass at K× corpus sizes. */
+  def pcaMomentFrom(spark: SparkSession, emb: DataFrame): DataFrame = {
+    val mvec = emb.select(
       transform(col("embedding"), x => round(x * 1e6).cast("long")).as("m"))
       .materializeOnce // feeds the moment pass AND the per-dim sums
     val gram = mvec
@@ -1416,10 +1421,16 @@ object SimilarityQueries {
         .as(Seq("j", "sxx")))
     val sx = mvec.select(posexplode(col("m")).as(Seq("i", "xi")))
       .groupBy(col("i")).agg(sum(col("xi").cast("decimal(38,0)")).as("sx"))
-      .materializeOnce // joined on both sides of the outer product
+    // (no checkpoint: both uses are one cheap scan of the mvec
+    // checkpoint each — a materialization point here costs more in job
+    // latency than the recompute)
     val nRow = mvec.agg(count(lit(1)).as("n"))
-    op.join(sx.select(col("i"), col("sx").as("sx_i")), "i")
-      .join(sx.select(col("i").as("j"), col("sx").as("sx_j")), "j")
+    // the checkpoint boundary hides stats, so every tiny frame is
+    // broadcast EXPLICITLY — otherwise Catalyst plans sort-merge joins
+    // (3 shuffles each) for 64-row sides, which dominated the wall in
+    // the r6 probe (pcaMomentFrom ~5 s of which the aggregate was 0.4 s)
+    op.join(broadcast(sx.select(col("i"), col("sx").as("sx_i"))), "i")
+      .join(broadcast(sx.select(col("i").as("j"), col("sx").as("sx_j"))), "j")
       .crossJoin(broadcast(nRow))
       .select(col("i"), col("j"),
         (col("n") * col("sxx") - col("sx_i") * col("sx_j")).as("a"))
@@ -1430,7 +1441,14 @@ object SimilarityQueries {
 
   /** w = A·v — exact DECIMAL products/sums over the d²-row matrix. */
   private def pcaStep(a: DataFrame)(v: DataFrame): DataFrame = {
-    a.join(v, Seq("j")).groupBy(col("i"))
+    import QueryConventions.MaterializeSyntax
+    // broadcast the d-row iterate: the checkpoint boundary hides its
+    // size from the planner, which otherwise plans a sort-merge join.
+    // The per-step materialization stays: the deflation chain consumes
+    // each iterate at TWO points (dot + rewrite), so an unmaterialized
+    // chain re-executes upstream multiplicatively (measured 10 s vs 6 s
+    // for embedding_pca_two in the r6 probe)
+    a.join(broadcast(v), Seq("j")).groupBy(col("i"))
       .agg(sum(col("a") * col("v")).as("w"))
       .materializeOnce // consumed by normalize AND (last round) the report
   }
@@ -1486,10 +1504,10 @@ object SimilarityQueries {
     val den = c1.agg(sum((col("c") * col("c")).cast("decimal(38,0)")).as("den"))
     // v ← normalize(v·den − (cᵀv)·c): exact-integer Gram–Schmidt against c
     def orth(v: DataFrame): DataFrame = {
-      val dot = v.join(c1, Seq("j"))
+      val dot = v.join(broadcast(c1), Seq("j"))
         .agg(sum((col("v") * col("c")).cast("decimal(38,0)")).as("dot"))
       pcaNormalize(
-        v.join(c1, Seq("j"))
+        v.join(broadcast(c1), Seq("j"))
           .crossJoin(broadcast(den)).crossJoin(broadcast(dot))
           .select(col("j").as("i"), (col("v") * col("den") - col("dot") * col("c")).as("w")))
     }
@@ -1500,7 +1518,7 @@ object SimilarityQueries {
     w2Last
       .withColumn("mx", max(abs(col("w"))).over(pcaWhole))
       .crossJoin(broadcast(tr))
-      .join(c1.select(col("j").as("i"), col("c")), "i")
+      .join(broadcast(c1.select(col("j").as("i"), col("c"))), "i")
       .select(col("i").as("dim"),
         col("c").as("loading1"),
         floor(col("w").cast("double") * lit(1e6) / col("mx").cast("double"))

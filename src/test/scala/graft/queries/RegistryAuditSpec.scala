@@ -91,7 +91,8 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
   private val globalWindowSortAllowed = Map(
     "nation_revenue_share" -> "25-row nation aggregate",
     "orders_mom_growth"    -> "month frame — dozens of rows at any SF",
-    "orders_skyline"       -> "phase-2 frontier over bucket-pruned survivors (documented two-phase skyline)")
+    "orders_skyline"       -> "phase-2 frontier over bucket-pruned survivors (documented two-phase skyline)",
+    "hybrid_rrf"           -> "RRF text leg — rank over the top-20 BM25 frame, bounded by the upstream limit")
 
   test("no unpartitioned window sort outside the bounded-frame allowlist") {
     withFullPlans {
