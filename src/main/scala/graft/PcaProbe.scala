@@ -70,6 +70,33 @@ object PcaProbe {
       time(s"pcaMomentFrom pass$pass")(
         graft.queries.SimilarityQueries.pcaMomentFrom(spark, scaled).count())
     }
+    // stage-by-stage breakdown of the moment build
+    (1 to 2).foreach { pass =>
+      val mv = scaled.select(
+        transform(col("embedding"), x => round(x * 1e6).cast("long")).as("m"))
+        .localCheckpoint(false)
+      time(s"stage_checkpoint pass$pass")(mv.count())
+      val gram = mv
+        .select(posexplode(col("m")).as(Seq("i", "xi")), col("m"))
+        .select(col("i"),
+          transform(col("m"), xj => (col("xi") * xj).cast("decimal(38,0)")).as("p"))
+      val sums = gram.groupBy(col("i")).agg(
+        sum(element_at(col("p"), 1)).as("s0"),
+        (1 until 64).map(j => sum(element_at(col("p"), j + 1)).as(s"s$j")): _*)
+      time(s"stage_gram_agg pass$pass")(sums.count())
+      val op = sums.select(col("i"),
+        posexplode(array((0 until 64).map(j => col(s"s$j")): _*)).as(Seq("j", "sxx")))
+      val sx = mv.select(posexplode(col("m")).as(Seq("i", "xi")))
+        .groupBy(col("i")).agg(sum(col("xi").cast("decimal(38,0)")).as("sx"))
+      val nRow = mv.agg(count(lit(1)).as("n"))
+      val a = op.join(broadcast(sx.select(col("i"), col("sx").as("sx_i"))), "i")
+        .join(broadcast(sx.select(col("i").as("j"), col("sx").as("sx_j"))), "j")
+        .crossJoin(broadcast(nRow))
+        .select(col("i"), col("j"),
+          (col("n") * col("sxx") - col("sx_i") * col("sx_j")).as("a"))
+      time(s"stage_joins pass$pass")(a.count())
+      time(s"stage_a_checkpoint pass$pass")(a.localCheckpoint(false).count())
+    }
     spark.stop()
   }
 }

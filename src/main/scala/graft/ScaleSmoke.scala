@@ -257,13 +257,14 @@ object ScaleSmoke {
     time("ivf_delta_assign")(
       graft.queries.SimilarityQueries.assignToCentroids(spark, emb, centInc).count())
     centInc.unpersist()
-    // PCA moment pass, r6 Gram-row fold (N·d rows with a per-row array
-    // product) vs the r5 double-posexplode (N·d² individual rows): same
-    // exact integers into the same 4096-key aggregate — the probe
-    // measures the row-machinery cut as the corpus scales
-    time("pca_moment_gram")(
+    // PCA moment matrix: the full build (checkpoint + d²-key aggregate +
+    // broadcast joins) and the bare aggregate — both must stay ~flat as
+    // K grows because the shuffle is bounded at d² keys (the
+    // gram-fold-vs-posexplode shape adjudication itself lives in
+    // graft.PcaProbe; posexplode won end-to-end on codegen size)
+    time("pca_moment_build")(
       graft.queries.SimilarityQueries.pcaMomentFrom(spark, scaledEmb).count())
-    time("pca_moment_posexplode") {
+    time("pca_moment_op") {
       val mv = scaledEmb.select(
         transform(col("embedding"), x => round(x * 1e6).cast("long")).as("m"))
       mv.select(col("m"), posexplode(col("m")).as(Seq("i", "xi")))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.queries.QueryConventions.MaterializeSyntax
@@ -1404,21 +1404,26 @@ object SimilarityQueries {
     pcaMomentFrom(spark, Tables.embeddings(spark, dir))
 
   /** [[pcaMoment]] over an arbitrary embeddings frame — the ScaleSmoke
-    * entry point for probing the moment pass at K× corpus sizes. */
+    * entry point for probing the moment pass at K× corpus sizes.
+    *
+    * Moment shape, ADJUDICATED r6 (PcaProbe + ScaleSmoke datapoints):
+    * the double posexplode (N·d² narrow rows into a d²-key map-side
+    * partial agg) BEATS the per-vector Gram-row fold end-to-end. The
+    * fold's aggregate alone is faster (0.4 s vs 0.7 s at 10× sf0.1),
+    * but re-shaping its 64-wide decimal sum row back to (i, j, sxx)
+    * costs a 64-element array unpivot whose generated code dominates
+    * the stage (seconds of compile, flat 10×→25× — compile-bound, not
+    * data-bound). Narrow rows keep every stage's codegen small, and the
+    * shuffle was always bounded at d² keys either way. */
   def pcaMomentFrom(spark: SparkSession, emb: DataFrame): DataFrame = {
     val mvec = emb.select(
       transform(col("embedding"), x => round(x * 1e6).cast("long")).as("m"))
       .materializeOnce // feeds the moment pass AND the per-dim sums
-    val gram = mvec
-      .select(posexplode(col("m")).as(Seq("i", "xi")), col("m"))
-      .select(col("i"),
-        transform(col("m"), xj => (col("xi") * xj).cast("decimal(38,0)")).as("p"))
-    val sums = gram.groupBy(col("i")).agg(
-      sum(element_at(col("p"), 1)).as("s0"),
-      (1 until EmbDim).map(j => sum(element_at(col("p"), j + 1)).as(s"s$j")): _*)
-    val op = sums.select(col("i"),
-      posexplode(array((0 until EmbDim).map(j => col(s"s$j")): _*))
-        .as(Seq("j", "sxx")))
+    val op = mvec
+      .select(col("m"), posexplode(col("m")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("m")).as(Seq("j", "xj")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("xi") * col("xj")).cast("decimal(38,0)")).as("sxx"))
     val sx = mvec.select(posexplode(col("m")).as(Seq("i", "xi")))
       .groupBy(col("i")).agg(sum(col("xi").cast("decimal(38,0)")).as("sx"))
     // (no checkpoint: both uses are one cheap scan of the mvec
@@ -1440,36 +1445,61 @@ object SimilarityQueries {
   private val pcaWhole = Window.partitionBy() // d-row frame: bounded at any scale
 
   /** w = A·v — exact DECIMAL products/sums over the d²-row matrix. */
-  private def pcaStep(a: DataFrame)(v: DataFrame): DataFrame = {
+  /** The moment matrix reshaped to its d ROW VECTORS — 64 rows of
+    * (i, row: array<decimal>) — the form the iterations consume with
+    * ROW-LOCAL array arithmetic. The r6 finding behind this shape: the
+    * (i, j, a)-row join form planned every 64-row iterate through its
+    * own checkpoint + join + window jobs, so six iterations cost ~15
+    * driver-latency-bound jobs (~5 s at sf0.1 for 4096 trivial rows);
+    * carrying the iterate as ONE ROW of arrays makes each round two
+    * tiny stages inside a single linear job. */
+  private def pcaMatrixRows(a: DataFrame): DataFrame = {
     import QueryConventions.MaterializeSyntax
-    // broadcast the d-row iterate: the checkpoint boundary hides its
-    // size from the planner, which otherwise plans a sort-merge join.
-    // The per-step materialization stays: the deflation chain consumes
-    // each iterate at TWO points (dot + rewrite), so an unmaterialized
-    // chain re-executes upstream multiplicatively (measured 10 s vs 6 s
-    // for embedding_pca_two in the r6 probe)
-    a.join(broadcast(v), Seq("j")).groupBy(col("i"))
-      .agg(sum(col("a") * col("v")).as("w"))
-      .materializeOnce // consumed by normalize AND (last round) the report
+    a.groupBy(col("i"))
+      .agg(array_sort(collect_list(struct(col("j"), col("a")))).as("ja"))
+      .select(col("i"), transform(col("ja"), e => e.getField("a")).as("row"))
+      .materializeOnce // 64 rows drive every iteration
   }
 
-  /** L∞ renormalization of a (i|j, w) frame back to ±1e6 micro-units —
-    * ONE double division per component (identical IEEE ops both
-    * engines); the next iteration is exact integers again. */
-  private def pcaNormalize(w: DataFrame, in: String = "i"): DataFrame = w
-    .withColumn("mx", max(abs(col("w"))).over(pcaWhole))
-    .select(col(in).as("j"),
-      floor(col("w").cast("double") * lit(1e6) / col("mx").cast("double"))
-        .as("v"))
+  private def decZero = lit(0).cast("decimal(38,0)")
+
+  /** Σ over zip_with products — the exact row-local dot product. */
+  private def dotArr(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (a, b) => (a * b).cast("decimal(38,0)")),
+      decZero, (acc, e) => acc + e)
+
+  /** One fused power-iteration round: w = A·v (64 row-local exact
+    * dots), then L∞ renormalization back to ±1e6 micro-units via ONE
+    * double division per component (identical IEEE ops both engines) —
+    * returned as the next ONE-ROW iterate `varr`. Nothing materializes:
+    * the chain is strictly linear, so the whole iteration tower
+    * executes as one job. */
+  private def pcaIterate(aRows: DataFrame)(v: DataFrame): DataFrame =
+    aRows.crossJoin(broadcast(v))
+      .select(col("i"), dotArr(col("row"), col("varr")).as("w"))
+      .agg(max(abs(col("w"))).as("mx"),
+        array_sort(collect_list(struct(col("i"), col("w")))).as("iw"))
+      .select(transform(col("iw"), e =>
+        floor(e.getField("w").cast("double") * lit(1e6) / col("mx").cast("double")))
+        .as("varr"))
+
+  /** The UN-normalized last step as (i, w) rows — the report tail reads
+    * the L∞ norm (→ λ) and the loadings off it. */
+  private def pcaLastStep(aRows: DataFrame)(v: DataFrame): DataFrame =
+    aRows.crossJoin(broadcast(v))
+      .select(col("i"), dotArr(col("row"), col("varr")).as("w"))
+
+  private def pcaOnes(spark: SparkSession): DataFrame =
+    spark.range(1).select(array_repeat(lit(1000000L), EmbDim).as("varr"))
 
   def embeddingPcaPower(spark: SparkSession, dir: String): DataFrame = {
     val a = pcaMoment(spark, dir)
-    val step = pcaStep(a) _
-    val v0 = spark.range(0, EmbDim)
-      .select(col("id").cast("int").as("j"), lit(1000000L).as("v"))
-    val wLast = (2 to PcaIters).foldLeft(step(v0)) { (w, _) => step(pcaNormalize(w)) }
+    val aRows = pcaMatrixRows(a)
+    val vPen = (1 until PcaIters).foldLeft(pcaOnes(spark)) { (v, _) =>
+      pcaIterate(aRows)(v)
+    }
     val tr = a.filter(col("i") === col("j")).agg(sum(col("a")).as("tr"))
-    wLast
+    pcaLastStep(aRows)(vPen)
       .withColumn("mx", max(abs(col("w"))).over(pcaWhole))
       .crossJoin(broadcast(tr))
       .select(col("i").as("dim"),
@@ -1494,31 +1524,42 @@ object SimilarityQueries {
     * iterations on either engine. λ₂ share falls out of the last
     * iteration's L∞ norm exactly like PC1's. */
   def embeddingPcaTwo(spark: SparkSession, dir: String): DataFrame = {
+    import QueryConventions.MaterializeSyntax
     val a = pcaMoment(spark, dir)
-    val step = pcaStep(a) _
-    val v0 = spark.range(0, EmbDim)
-      .select(col("id").cast("int").as("j"), lit(1000000L).as("v"))
-    val w1Last = (2 to PcaIters).foldLeft(step(v0)) { (w, _) => step(pcaNormalize(w)) }
-    val c1 = pcaNormalize(w1Last).select(col("j"), col("v").as("c"))
-      .materializeOnce // PC1 loadings: joined into every deflation step
-    val den = c1.agg(sum((col("c") * col("c")).cast("decimal(38,0)")).as("den"))
-    // v ← normalize(v·den − (cᵀv)·c): exact-integer Gram–Schmidt against c
-    def orth(v: DataFrame): DataFrame = {
-      val dot = v.join(broadcast(c1), Seq("j"))
-        .agg(sum((col("v") * col("c")).cast("decimal(38,0)")).as("dot"))
-      pcaNormalize(
-        v.join(broadcast(c1), Seq("j"))
-          .crossJoin(broadcast(den)).crossJoin(broadcast(dot))
-          .select(col("j").as("i"), (col("v") * col("den") - col("dot") * col("c")).as("w")))
+    val aRows = pcaMatrixRows(a)
+    val vPen1 = (1 until PcaIters).foldLeft(pcaOnes(spark)) { (v, _) =>
+      pcaIterate(aRows)(v)
     }
-    val w2Last = (2 to PcaIters).foldLeft(step(orth(v0))) { (w, _) =>
-      step(orth(pcaNormalize(w)))
+    // c = PC1's normalized loadings + den = cᵀc, carried as the ONE ROW
+    // every deflation round crosses in — computed once and materialized
+    // (it is read by all six rounds AND the report tail)
+    val cRow = pcaLastStep(aRows)(vPen1)
+      .agg(max(abs(col("w"))).as("mx"),
+        array_sort(collect_list(struct(col("i"), col("w")))).as("iw"))
+      .select(transform(col("iw"), e =>
+        floor(e.getField("w").cast("double") * lit(1e6) / col("mx").cast("double")))
+        .as("carr"))
+      .withColumn("den", dotArr(col("carr"), col("carr")))
+      .materializeOnce
+    // v ← normalize(v·den − (cᵀv)·c): exact-integer Gram–Schmidt
+    // against c, ALL row-local on the one-row iterate
+    def orth(v: DataFrame): DataFrame =
+      v.crossJoin(broadcast(cRow))
+        .withColumn("dot", dotArr(col("varr"), col("carr")))
+        .withColumn("u", zip_with(col("varr"), col("carr"),
+          (x, c) => x * col("den") - col("dot") * c))
+        .withColumn("mx", array_max(transform(col("u"), e => abs(e))))
+        .select(transform(col("u"), e =>
+          floor(e.cast("double") * lit(1e6) / col("mx").cast("double"))).as("varr"))
+    val vPen2 = (1 until PcaIters).foldLeft(orth(pcaOnes(spark))) { (v, _) =>
+      orth(pcaIterate(aRows)(v))
     }
     val tr = a.filter(col("i") === col("j")).agg(sum(col("a")).as("tr"))
-    w2Last
+    val c1 = cRow.select(posexplode(col("carr")).as(Seq("i", "c")))
+    pcaLastStep(aRows)(vPen2)
       .withColumn("mx", max(abs(col("w"))).over(pcaWhole))
       .crossJoin(broadcast(tr))
-      .join(broadcast(c1.select(col("j").as("i"), col("c"))), "i")
+      .join(broadcast(c1), "i")
       .select(col("i").as("dim"),
         col("c").as("loading1"),
         floor(col("w").cast("double") * lit(1e6) / col("mx").cast("double"))

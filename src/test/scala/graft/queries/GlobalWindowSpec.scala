@@ -34,6 +34,19 @@ class GlobalWindowSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("rowNumber matches the global window under DESCENDING order") {
+    // the map-side local numbering reads positions off the in-partition
+    // sort — a descending order must range-partition AND sort descending
+    val df = fixture
+    val expected = df.withColumn("rn",
+      row_number().over(Window.orderBy(col("k").desc, col("id"))).cast("long"))
+    for (parts <- Seq(3, 32)) {
+      val got = GlobalWindow.rowNumber(df, "rn", parts)(col("k").desc, col("id"))
+      assert(got.except(expected).isEmpty && expected.except(got).isEmpty,
+        s"descending rowNumber diverged at numParts=$parts")
+    }
+  }
+
   test("rowNumberWithCount carries the exact total") {
     val df = fixture
     val got = GlobalWindow.rowNumberWithCount(df, "rn", "cnt", 8)(
