@@ -1196,7 +1196,113 @@ object DedupQueries {
        |WHERE d.doc_id % 10 >= 8
        |ORDER BY d.doc_id""".stripMargin
 
+  /** ExactSubstr-style duplicated-span profile (the relational form of the
+    * suffix-array pass in Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): for every document, the tokens
+    * covered by a word [[DupSpanK]]-gram that occurs MORE THAN ONCE in the
+    * corpus — in another document or as a self-repeat — merged into
+    * maximal duplicated spans. This is the per-document "fraction of text
+    * inside a corpus-level duplicate" curation signal that exact-hash and
+    * pair-level near-dup queries cannot produce: a doc can be globally
+    * unique yet 60% boilerplate.
+    *
+    * Relational formulation: hash every length-K token window (60-bit
+    * [[DedupOps.h60]], identical in the oracle), count occurrences
+    * corpus-wide, keep windows whose hash repeats, then merge each doc's
+    * duplicated window STARTS into islands — a start within K positions
+    * of the previous duplicated start overlaps-or-abuts its span, so it
+    * extends the same island; span length = last_start − first_start + K.
+    * The covered fraction is emitted as exact BIGINT micro-units
+    * (integer `div` — no float anywhere, the source_length_ks lesson).
+    *
+    * Scale shape: gram build is posexplode + K−1 leads inside a per-doc
+    * window (one hash shuffle on doc_id, then narrow); the occurrence
+    * count is one aggregate keyed by the 60-bit hash with map-side
+    * partials (shuffle rows ∝ distinct grams, not corpus positions); the
+    * join-back is a hash semi-join; island numbering is a per-doc
+    * partitioned window. No global sort, nothing quadratic — two passes
+    * over the token stream, the suffix-array alternative's I/O without
+    * the suffix sort. */
+  private val DupSpanK = 8
+
+  def docDupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tok = docs.select(col("doc_id"),
+      posexplode(graft.functions.TextFunctions.tokens(col("text"))).as(Seq("pos", "t")))
+    val leads = (1 until DupSpanK).map(i => lead(col("t"), i).over(byPos).as(s"t$i"))
+    val gramCols = col("t") +: (1 until DupSpanK).map(i => col(s"t$i"))
+    val grams = tok
+      .select(col("doc_id") +: col("pos") +: col("t") +: leads: _*)
+      .filter(col(s"t${DupSpanK - 1}").isNotNull) // full windows only
+      .select(col("doc_id"), col("pos"), h60(concat_ws(" ", gramCols: _*)).as("h"))
+      .materializeOnce // feeds the corpus-wide count AND the join-back
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("h")
+    val isl = grams.join(dup, Seq("h"), "left_semi")
+      .withColumn("prev", lag(col("pos"), 1).over(byPos))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") > DupSpanK, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(byPos))
+    val spans = isl.groupBy(col("doc_id"), col("island"))
+      .agg((max(col("pos")) - min(col("pos")) + DupSpanK).as("span_len"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("span_len")).as("dup_tokens"))
+    docs
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("bigint").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_frac_micro",
+        when(col("n_tokens") > 0, expr("dup_tokens * 1000000 div n_tokens"))
+          .otherwise(lit(0L)))
+      .orderBy("doc_id")
+  }
+
+  private val docDupSpansSql: String = {
+    val k = DupSpanK
+    val leadDefs = (1 until k).map(i => s"lead(t, $i) OVER w AS t$i").mkString(", ")
+    val gramArgs = ("t" +: (1 until k).map(i => s"t$i")).mkString(", ")
+    s"""WITH $toksCte,
+       |tok AS (
+       |  SELECT doc_id, CAST(u.pos - 1 AS INT) AS pos, u.t AS t
+       |  FROM toks,
+       |       LATERAL (SELECT unnest(toks) AS t, generate_subscripts(toks, 1) AS pos) u),
+       |g0 AS (
+       |  SELECT doc_id, pos, t, $leadDefs
+       |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |grams AS (
+       |  SELECT doc_id, pos,
+       |         CAST('0x' || substring(md5(concat_ws(' ', $gramArgs)), 1, 15) AS BIGINT) AS h
+       |  FROM g0 WHERE t${k - 1} IS NOT NULL),
+       |dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |         sum(CASE WHEN prev IS NULL OR pos - prev > $k THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM (SELECT g.doc_id, g.pos,
+       |               lag(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS prev
+       |        FROM grams g JOIN dup USING (h))),
+       |spans AS (
+       |  SELECT doc_id, island, max(pos) - min(pos) + $k AS span_len
+       |  FROM isl GROUP BY doc_id, island),
+       |perdoc AS (
+       |  SELECT doc_id, count(*) AS n_dup_spans, sum(span_len) AS dup_tokens
+       |  FROM spans GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |       CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       |       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |       CAST(CASE WHEN len(t.toks) > 0
+       |                 THEN coalesce(p.dup_tokens, 0) * 1000000 // len(t.toks)
+       |                 ELSE 0 END AS BIGINT) AS dup_frac_micro
+       |FROM toks t LEFT JOIN perdoc p USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "doc_dup_spans"       -> (docDupSpans _),
     "bloom_incremental_dedup" -> (bloomIncrementalDedup _),
     "incremental_dedup"   -> (incrementalDedup _),
     "minhash_jaccard_est" -> (minhashJaccardEst _),
@@ -1220,6 +1326,7 @@ object DedupQueries {
     "simhash_banded_dup"  -> (simhashBandedDup _))
 
   val oracle: Map[String, String] = Map(
+    "doc_dup_spans"       -> docDupSpansSql,
     "bloom_incremental_dedup" -> bloomIncrementalDedupSql,
     "incremental_dedup"   -> incrementalDedupSql,
     "minhash_jaccard_est" -> minhashJaccardEstSql,

@@ -284,9 +284,9 @@ object PipelineQueries {
     * mixture dashboard can read without a p-value table.
     *
     * Never ranks the pooled sample: U_ab = Σ_{x∈a,y∈b}([x>y] + ½[x=y])
-    * depends only on the two VALUE HISTOGRAMS, so 2·U (an exact BIGINT
-    * while n_a·n_b < 2⁶², the same envelope as [[sourceLengthKs]]'s
-    * cross-multiply — the ½ never materializes as a float) comes off the same
+    * depends only on the two VALUE HISTOGRAMS, so 2·U (accumulated and
+    * emitted DECIMAL(38,0) — it outgrows a BIGINT once n_a·n_b > 2⁶², and
+    * the ½ never materializes as a float) comes off the same
     * (source, value, count) grid the KS query uses:
     * 2U = Σ_v c_a(v)·(2·cum_b(v) − c_b(v)). One corpus scan to counts, the
     * |S|×|V| grid, a pair equi-join on v — nothing downstream rescans the
@@ -327,7 +327,10 @@ object PipelineQueries {
     val pairs = a.join(b, Seq("v")).filter(col("source_a") < col("source_b"))
       .groupBy(col("source_a"), col("source_b"), col("n_a"), col("n_b"))
       .agg(
-        sum(col("cv_a") * (lit(2L) * col("cum_b") - col("cv_b"))).as("u2"),
+        // 2U itself outgrows a BIGINT once n_a·n_b > 2⁶² — accumulate AND
+        // emit it DECIMAL(38,0), same envelope as the ties term
+        sum((col("cv_a") * (lit(2L) * col("cum_b") - col("cv_b"))).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("u2"),
         sum(td * td * td - td).as("ties"))
     // (n³−n) − Σ(t³−t): exact in DECIMAL (nn cast BEFORE the cube);
     // 0 iff every pooled value is tied
@@ -367,7 +370,7 @@ object PipelineQueries {
       |pairs AS (
       |  SELECT a.source AS source_a, b.source AS source_b,
       |         CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
-      |         CAST(sum(a.cv * (2 * b.cum - b.cv)) AS BIGINT) AS u2,
+      |         CAST(sum(CAST(a.cv * (2 * b.cum - b.cv) AS HUGEINT)) AS DECIMAL(38,0)) AS u2,
       |         sum(CAST(a.cv + b.cv AS HUGEINT) * (a.cv + b.cv) * (a.cv + b.cv)
       |             - (a.cv + b.cv)) AS ties
       |  FROM ecdf a

@@ -1658,7 +1658,143 @@ object SimilarityQueries {
        |ORDER BY dim""".stripMargin
   }
 
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
+    * diversified top-k: greedily picks [[MmrK]] results per query from its
+    * [[MmrCand]]-candidate shortlist, each step taking the candidate that
+    * maximizes λ·rel(c,q) − (1−λ)·max_{s∈S} sim(c,s) at λ = ½ — the
+    * standard redundancy-suppressing rerank (a dense near-dup clique in
+    * the top-k yields one representative, not five). For a training-data
+    * engine this is the retrieval-side diversity selector: hard-negative
+    * mining and demonstration selection both want relevant-but-mutually-
+    * diverse sets, which plain top-k cannot produce.
+    *
+    * Engine-exactness: every comparison the greedy argmax makes is over
+    * BIGINT micro-unit similarities (cosine rounded to 1e-6 once, at
+    * candidate build), with vec_id tie-break — λ = ½ makes the score
+    * 2·MMR = rel − maxsim, so no float arithmetic exists anywhere in the
+    * selection and both engines walk the identical greedy path. The k−1
+    * selection rounds are unrolled (the [[embeddingPcaPower]] technique);
+    * the oracle mirrors them as a CTE chain.
+    *
+    * Scale shape: candidate build is the [[knnBrute]] scan (broadcast
+    * query set, per-partition top-k; an IVF probe at index scale);
+    * everything after operates on |Q|·k² bounded frames — the candidate
+    * pair matrix is |Q|·k(k−1) rows and each greedy round is a join +
+    * aggregate on frames whose size is independent of corpus size. */
+  private val MmrCand = 20
+  private val MmrK = 5
+
+  def knnMmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val dotF = dotFast(spark) _
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("norm", sqrt(dotF(col("embedding"), col("embedding"))))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val wRel = Window.partitionBy(col("q_id")).orderBy(col("rel_micro").desc, col("vec_id"))
+    val cand = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rel_micro",
+        round(dotF(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")) * 1e6)
+          .cast("long"))
+      .withColumn("rk", row_number().over(wRel))
+      .filter(col("rk") <= MmrCand)
+      .select(col("q_id"), col("vec_id"), col("rel_micro"))
+      .materializeOnce // feeds the pair matrix and every greedy round
+    val ca = cand.join(emb, "vec_id")
+      .select(col("q_id"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"), col("norm").as("a_norm"))
+    val cb = cand.join(emb, "vec_id")
+      .select(col("q_id"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"), col("norm").as("b_norm"))
+    val sims = ca.join(cb, Seq("q_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("sim_micro",
+        round(dotF(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")) * 1e6)
+          .cast("long"))
+      .select(col("q_id"), col("a_id"), col("b_id"), col("sim_micro"))
+      .materializeOnce // reused by each of the k−1 greedy rounds
+    var selected = cand
+      .withColumn("rk", row_number().over(wRel))
+      .filter(col("rk") === 1)
+      .select(col("q_id"), col("vec_id"), lit(1).as("step"), col("rel_micro"),
+        lit(0L).as("maxsim_micro"), col("rel_micro").as("score2x_micro"))
+      .materializeOnce
+    for (t <- 2 to MmrK) {
+      val selIds = selected.select(col("q_id"), col("vec_id").as("b_id"))
+      val msim = sims.join(selIds, Seq("q_id", "b_id"))
+        .groupBy(col("q_id"), col("a_id"))
+        .agg(max(col("sim_micro")).as("maxsim_micro"))
+      val wScore = Window.partitionBy(col("q_id"))
+        .orderBy(col("score2x_micro").desc, col("vec_id"))
+      val pick = cand
+        .join(selected.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"), "left_anti")
+        .join(msim.withColumnRenamed("a_id", "vec_id"), Seq("q_id", "vec_id"))
+        .withColumn("score2x_micro", col("rel_micro") - col("maxsim_micro"))
+        .withColumn("rk", row_number().over(wScore))
+        .filter(col("rk") === 1)
+        .select(col("q_id"), col("vec_id"), lit(t).as("step"), col("rel_micro"),
+          col("maxsim_micro"), col("score2x_micro"))
+      selected = selected.unionByName(pick).materializeOnce
+    }
+    selected.orderBy("q_id", "step")
+  }
+
+  private val knnMmrRerankSql: String = {
+    val steps = (2 to MmrK).map { t =>
+      s"""s$t AS (
+         |  SELECT q_id, vec_id, $t AS step, rel_micro, maxsim_micro,
+         |         rel_micro - maxsim_micro AS score2x_micro
+         |  FROM (
+         |    SELECT c.q_id, c.vec_id, c.rel_micro, m.maxsim_micro,
+         |           row_number() OVER (PARTITION BY c.q_id
+         |                              ORDER BY c.rel_micro - m.maxsim_micro DESC,
+         |                                       c.vec_id) AS rk
+         |    FROM cand c
+         |    JOIN (SELECT s.q_id, s.a_id, max(s.sim_micro) AS maxsim_micro
+         |          FROM sims s JOIN u${t - 1} p ON p.q_id = s.q_id AND p.vec_id = s.b_id
+         |          GROUP BY s.q_id, s.a_id) m
+         |      ON m.q_id = c.q_id AND m.a_id = c.vec_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM u${t - 1} p2
+         |                      WHERE p2.q_id = c.q_id AND p2.vec_id = c.vec_id))
+         |  WHERE rk = 1),
+         |u$t AS (SELECT * FROM u${t - 1} UNION ALL SELECT * FROM s$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH emb AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT q_id, vec_id, rel_micro FROM (
+       |    SELECT b.vec_id AS q_id, a.vec_id AS vec_id,
+       |           CAST(round(list_dot_product(a.e, b.e) / (a.n * b.n) * 1e6) AS BIGINT) AS rel_micro,
+       |           row_number() OVER (PARTITION BY b.vec_id
+       |                              ORDER BY CAST(round(list_dot_product(a.e, b.e) / (a.n * b.n) * 1e6) AS BIGINT) DESC,
+       |                                       a.vec_id) AS rk
+       |    FROM emb a CROSS JOIN (SELECT * FROM emb WHERE vec_id < 10) b
+       |    WHERE a.vec_id <> b.vec_id)
+       |  WHERE rk <= $MmrCand),
+       |sims AS (
+       |  SELECT c1.q_id, c1.vec_id AS a_id, c2.vec_id AS b_id,
+       |         CAST(round(list_dot_product(ea.e, eb.e) / (ea.n * eb.n) * 1e6) AS BIGINT) AS sim_micro
+       |  FROM cand c1
+       |  JOIN cand c2 ON c2.q_id = c1.q_id AND c2.vec_id <> c1.vec_id
+       |  JOIN emb ea ON ea.vec_id = c1.vec_id
+       |  JOIN emb eb ON eb.vec_id = c2.vec_id),
+       |u1 AS (
+       |  SELECT q_id, vec_id, 1 AS step, rel_micro,
+       |         CAST(0 AS BIGINT) AS maxsim_micro, rel_micro AS score2x_micro
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |                                     ORDER BY rel_micro DESC, vec_id) AS rk
+       |        FROM cand)
+       |  WHERE rk = 1),
+       |$steps
+       |SELECT q_id, step, vec_id, rel_micro, maxsim_micro, score2x_micro
+       |FROM u$MmrK
+       |ORDER BY q_id, step""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "knn_mmr_rerank"  -> (knnMmrRerank _),
     "embedding_pca_power" -> (embeddingPcaPower _),
     "embedding_pca_two"   -> (embeddingPcaTwo _),
     "embedding_jl_projection" -> (embeddingJlProjection _),
@@ -1683,6 +1819,7 @@ object SimilarityQueries {
     "label_centroids" -> (labelCentroids _))
 
   val oracle: Map[String, String] = Map(
+    "knn_mmr_rerank"  -> knnMmrRerankSql,
     "embedding_pca_power" -> embeddingPcaPowerSql,
     "embedding_pca_two"   -> embeddingPcaTwoSql,
     "embedding_jl_projection" -> embeddingJlProjectionSql,
