@@ -1793,7 +1793,93 @@ object SimilarityQueries {
        |ORDER BY q_id, step""".stripMargin
   }
 
+  /** Greedy k-center coreset (Gonzalez 1985 farthest-point traversal) over
+    * the embedding corpus — the geometric data-selection pass: pick
+    * [[KCenterK]] vectors such that every corpus vector is close to some
+    * pick, by repeatedly taking the vector FARTHEST from the current
+    * picks. The emitted radius sequence (each pick's distance² to the
+    * prior picks) is the coverage curve — the 2-approximation certificate
+    * of the optimal k-center cost, and the diminishing-returns signal
+    * that tells a curation pipeline when additional coreset points stop
+    * buying coverage. Complements [[knnMmrRerank]]: MMR diversifies a
+    * query-relative shortlist; k-center covers the corpus globally.
+    *
+    * Engine-exactness: vectors quantize once to BIGINT micro-units, every
+    * distance² is an exact integer sum of squares, and each greedy argmax
+    * is a max-struct aggregate over (dist², −vec_id) — integer compare
+    * with deterministic tie-break, no float op anywhere. The walk seeds
+    * at the ORIGIN (round 1 picks the max-norm² vector): deterministic
+    * and data-independent, so both engines start identically.
+    *
+    * Scale shape: k passes over the corpus, each a map-only distance
+    * update against a broadcast ONE-ROW pick frame plus a max-struct
+    * aggregate with map-side partials — the textbook distributed
+    * Gonzalez. No corpus-sized window, sort, or pairwise join exists; the
+    * running min-distance column is the only state and it lives in the
+    * rows themselves. */
+  private val KCenterK = 8
+
+  def coresetKcenter(spark: SparkSession, dir: String): DataFrame = {
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+    var state = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), v => round(v * 1e6).cast("long")).as("xq"))
+      .withColumn("mind2", d2(col("xq"), transform(col("xq"), _ => lit(0L))))
+      .materializeOnce
+    var picks = Vector.empty[DataFrame]
+    for (t <- 1 to KCenterK) {
+      val top = state
+        .agg(max(struct(col("mind2").as("d"), (-col("vec_id")).as("nv"))).as("m"))
+        .select((-col("m.nv")).as("sel_id"), col("m.d").as("sel_d"))
+      val sel = state.join(broadcast(top), col("vec_id") === col("sel_id"))
+        .select(col("sel_id"), col("xq").as("sel_xq"), col("sel_d"))
+        .materializeOnce // one row: feeds the pick output AND the update pass
+      picks :+= sel.select(lit(t).as("step"), col("sel_id").as("vec_id"),
+        col("sel_d").as("radius2"))
+      if (t < KCenterK)
+        state = state.crossJoin(broadcast(sel))
+          .withColumn("mind2", least(col("mind2"), d2(col("xq"), col("sel_xq"))))
+          .select("vec_id", "xq", "mind2")
+          .materializeOnce
+    }
+    picks.reduce(_ unionByName _).orderBy("step")
+  }
+
+  private val coresetKcenterSql: String = {
+    val dim = EmbDim
+    val steps = (2 to KCenterK).map { t =>
+      s"""st$t AS (
+         |  SELECT s.vec_id, s.xq,
+         |         LEAST(s.mind2,
+         |               CAST(list_sum(list_transform(range(1, ${dim + 1}),
+         |                 i -> (s.xq[i] - p.sel_xq[i]) * (s.xq[i] - p.sel_xq[i]))) AS BIGINT)) AS mind2
+         |  FROM st${t - 1} s CROSS JOIN p${t - 1} p),
+         |p$t AS (
+         |  SELECT vec_id AS sel_id, xq AS sel_xq, mind2 AS sel_d
+         |  FROM st$t ORDER BY mind2 DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to KCenterK)
+      .map(t => s"SELECT $t AS step, sel_id AS vec_id, sel_d AS radius2 FROM p$t")
+      .mkString("\n|", "\n|UNION ALL\n|", "")
+      .stripMargin
+    s"""WITH st1 AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[], v -> CAST(round(v * 1e6) AS BIGINT)) AS xq,
+       |         CAST(list_sum(list_transform(
+       |           list_transform(embedding::DOUBLE[], v -> CAST(round(v * 1e6) AS BIGINT)),
+       |           v -> v * v)) AS BIGINT) AS mind2
+       |  FROM embeddings),
+       |p1 AS (
+       |  SELECT vec_id AS sel_id, xq AS sel_xq, mind2 AS sel_d
+       |  FROM st1 ORDER BY mind2 DESC, vec_id LIMIT 1),
+       |$steps
+       |SELECT step, vec_id, radius2 FROM ($unions)
+       |ORDER BY step""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "coreset_kcenter" -> (coresetKcenter _),
     "knn_mmr_rerank"  -> (knnMmrRerank _),
     "embedding_pca_power" -> (embeddingPcaPower _),
     "embedding_pca_two"   -> (embeddingPcaTwo _),
@@ -1819,6 +1905,7 @@ object SimilarityQueries {
     "label_centroids" -> (labelCentroids _))
 
   val oracle: Map[String, String] = Map(
+    "coreset_kcenter" -> coresetKcenterSql,
     "knn_mmr_rerank"  -> knnMmrRerankSql,
     "embedding_pca_power" -> embeddingPcaPowerSql,
     "embedding_pca_two"   -> embeddingPcaTwoSql,

@@ -146,6 +146,7 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "knn_brute", "knn_filtered", "hard_negatives", "event_type_distances",
     "media_clip_retrieval",
     "knn_mmr_rerank", // knn_brute candidate scan; greedy rounds on |Q|·k² frames
+    "coreset_kcenter", // one-row pick frame × corpus per Gonzalez round
     // broadcast centroid / codebook frames (K constant)
     "ivf_kmeans_refine", "knn_ivf", "knn_ivf_filtered", "knn_ivf_probe2",
     "knn_ivf_refined", "knn_ivf_incremental", "knn_recall_curve",
