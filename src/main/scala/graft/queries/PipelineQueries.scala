@@ -1644,6 +1644,64 @@ object PipelineQueries {
       .orderBy("shard", "pos")
   }
 
+  /** Source-stratified ROUND-ROBIN training order — the mixing complement
+    * of [[corpusShuffle]]: instead of dealing documents into independent
+    * shards, it alternates sources (doc 1 of src0, doc 1 of src1, …, then
+    * doc 2 of each) so no long same-source run ever reaches the trainer —
+    * the data-order regularizer a multi-source pretraining mix wants.
+    * Within each source the order is the seeded content-hash shuffle.
+    *
+    * `interleave_key` = (rank_within_source − 1)·|S| + source_index is a
+    * deterministic TOTAL order (keys are distinct by construction), not a
+    * dense position: once a small source exhausts, its residue-class
+    * positions go unused — by design; consumers sort by the key.
+    *
+    * Scale shape — per-GROUP numbering WITHOUT a data-sized partition
+    * window: one two-phase [[GlobalWindow.rowNumber]] under
+    * (source, h, doc_id) gives the global rank; rank-within-source falls
+    * out by subtracting the per-source exclusive offset, computed on the
+    * |S|-row count frame via a |S|²-row triangle join (the same
+    * no-collect prefix-sum trick GlobalWindow itself uses). A plain
+    * `Window.partitionBy(source)` would sort corpus/|S| rows in ONE task
+    * per source — the exact wall the two-phase form removes. */
+  def corpusInterleave(spark: SparkSession, dir: String, seed: Int = 42): DataFrame = {
+    val h = DedupOps.h60(concat_ws(":", lit(s"il$seed"), col("doc_id")))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), h.as("h"))
+    val g = GlobalWindow.rowNumber(base, "grn")(col("source"), col("h"), col("doc_id"))
+    val cnt = g.groupBy(col("source")).agg(count(lit(1)).as("c")).materializeOnce
+    val cb = cnt.select(col("source").as("src_b"), col("c").as("c_b"))
+    val dims = cnt.join(cb, col("src_b") < col("source"), "left")
+      .groupBy(col("source"))
+      .agg(coalesce(sum(col("c_b")), lit(0L)).as("off"),
+        count(col("src_b")).as("idx0"))
+    val nsrc = cnt.agg(count(lit(1)).as("nsrc"))
+    g.join(broadcast(dims), Seq("source"))
+      .crossJoin(broadcast(nsrc))
+      .withColumn("src_rank", col("grn") - col("off"))
+      .withColumn("interleave_key", (col("src_rank") - 1) * col("nsrc") + col("idx0"))
+      .select("doc_id", "source", "src_rank", "interleave_key")
+      .orderBy("interleave_key")
+  }
+
+  private val corpusInterleaveSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, source,
+      |         CAST('0x' || substring(md5('il42:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source,
+      |         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS src_rank
+      |  FROM h),
+      |d AS (
+      |  SELECT source, row_number() OVER (ORDER BY source) - 1 AS idx0
+      |  FROM (SELECT DISTINCT source FROM h)),
+      |n AS (SELECT count(*) AS nsrc FROM d)
+      |SELECT r.doc_id, r.source, CAST(r.src_rank AS BIGINT) AS src_rank,
+      |       CAST((r.src_rank - 1) * n.nsrc + d.idx0 AS BIGINT) AS interleave_key
+      |FROM r JOIN d USING (source) CROSS JOIN n
+      |ORDER BY interleave_key""".stripMargin
+
   private val corpusShuffleSql: String =
     """WITH h AS (
       |  SELECT doc_id,
@@ -1751,6 +1809,7 @@ object PipelineQueries {
   val queries: Map[String, Q] = Map(
     "doc_dsir_weights"   -> (docDsirWeights _),
     "corpus_shuffle"     -> ((s: SparkSession, d: String) => corpusShuffle(s, d)),
+    "corpus_interleave"  -> ((s: SparkSession, d: String) => corpusInterleave(s, d)),
     "events_profile"     -> (eventsProfile _),
     "embedding_quantize" -> (embeddingQuantize _),
     "clean_corpus"     -> (cleanCorpus _),
@@ -1784,6 +1843,7 @@ object PipelineQueries {
   val oracle: Map[String, String] = Map(
     "doc_dsir_weights"   -> docDsirWeightsSql,
     "corpus_shuffle"     -> corpusShuffleSql,
+    "corpus_interleave"  -> corpusInterleaveSql,
     "events_profile"     -> eventsProfileSql,
     "embedding_quantize" -> embeddingQuantizeSql,
     "clean_corpus"     -> cleanCorpusSql,

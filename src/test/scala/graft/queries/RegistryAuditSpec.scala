@@ -147,6 +147,7 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "media_clip_retrieval",
     "knn_mmr_rerank", // knn_brute candidate scan; greedy rounds on |Q|·k² frames
     "coreset_kcenter", // one-row pick frame × corpus per Gonzalez round
+    "corpus_interleave", // |S|²-row source-dim triangle join + one-row |S| frame
     // broadcast centroid / codebook frames (K constant)
     "ivf_kmeans_refine", "knn_ivf", "knn_ivf_filtered", "knn_ivf_probe2",
     "knn_ivf_refined", "knn_ivf_incremental", "knn_recall_curve",
