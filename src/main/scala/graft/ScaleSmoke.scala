@@ -64,6 +64,13 @@ object ScaleSmoke {
       graft.queries.DedupQueries.simhashBandedCandidates(spark, scaled,
         maxBucket = Some(4 * k)).count())
     time("winnow_fps")(DedupOps.winnowFingerprints(scaled).count())
+    // duplicated-span profiling (mirrors doc_dup_spans): the gram pass is
+    // ∝ tokens and the count shuffle ∝ DISTINCT grams — replicas multiply
+    // each gram's count, not the distinct-gram set (the replica suffix
+    // only perturbs each doc's final window), so wall should track K
+    // ~linearly while the span stages stay ∝ duplicated positions
+    time("dup_spans")(
+      graft.queries.DedupQueries.docDupSpansFrom(spark, scaled).count())
     // ingestion-order novelty, aggregate-only shape (mirrors the registered
     // query): per-doc denominators + first-occurrence counts, joined as two
     // doc-sized frames — the only shingle-sized shuffle is groupBy(shingle)

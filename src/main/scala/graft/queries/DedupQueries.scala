@@ -1225,8 +1225,12 @@ object DedupQueries {
     * the suffix sort. */
   private val DupSpanK = 8
 
-  def docDupSpans(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def docDupSpans(spark: SparkSession, dir: String): DataFrame =
+    docDupSpansFrom(spark, Tables.documents(spark, dir))
+
+  /** [[docDupSpans]] over an arbitrary (doc_id, text) frame — the
+    * ScaleSmoke probe entry. */
+  def docDupSpansFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val tok = docs.select(col("doc_id"),
       posexplode(graft.functions.TextFunctions.tokens(col("text"))).as(Seq("pos", "t")))

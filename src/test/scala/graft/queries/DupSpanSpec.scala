@@ -63,4 +63,27 @@ class DupSpanSpec extends AnyFunSuite with SparkSpec {
     assert(expected.exists(_._4 > 0), "corpus has no duplicated spans — vacuous test")
     assert(expected.exists(_._4 == 0), "every doc fully duplicated — suspicious fixture")
   }
+
+  test("boundary cases: short docs, exact duplicates, unique docs") {
+    import scala.jdk.CollectionConverters._
+    val twelve = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val rows = Seq(
+      (1L, "a b c"),                                   // < K tokens: no window at all
+      (2L, twelve), (3L, twelve),                      // exact dups: fully covered
+      (4L, (1 to 20).map(i => s"uniq$i").mkString(" ")) // unique: zero coverage
+    ).map { case (id, t) => org.apache.spark.sql.Row(id, t) }
+    val df = spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    val got = DedupQueries.docDupSpansFrom(spark, df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1L, 3L, 0L, 0L, 0L),
+      (2L, 12L, 1L, 12L, 1000000L),
+      (3L, 12L, 1L, 12L, 1000000L),
+      (4L, 20L, 0L, 0L, 0L)))
+  }
 }
