@@ -396,16 +396,36 @@ object CorpusQueries {
     * TakeOrdered (per-partition heap, no global sort) and a one-row
     * broadcast join carrying the merge rule into the rewrite map. */
   def bpeMergesK(spark: SparkSession, dir: String): DataFrame = {
+    val v0 = bpeVocab(Tables.documents(spark, dir))
+    var state = v0
+    val rules = (1 to BpeMergeRounds).map { t =>
+      val b = bpeBestPair(state, t)
+      if (t < BpeMergeRounds) state = bpeRewrite(state, b)
+      b
+    }
+    rules.reduce(_ union _)
+      .select(col("step"), col("pa").as("pair_a"), col("pb").as("pair_b"), col("n"))
+      .orderBy("step")
+  }
+
+  /** The '|'-bounded initial BPE state over the corpus-wide
+    * lowercase-alpha word-frequency table. */
+  private def bpeVocab(docs: DataFrame): DataFrame = {
     import QueryConventions.MaterializeSyntax
-    val v0 = Tables.documents(spark, dir)
+    docs
       .select(explode(tokens(col("text"))).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|")).as("s"),
         col("freq"))
       .materializeOnce // the evolving vocab state; re-materialized per round
-    def bestPair(v: DataFrame, step: Int): DataFrame = v
-      .select(col("freq"), filter(split(col("s"), "\\|"), x => x =!= "").as("a"))
+  }
+
+  /** One BPE round's winning pair: adjacent-symbol counts weighted by word
+    * frequency, top-1 by (count desc, pa, pb) — a TakeOrdered heap. */
+  private def bpeBestPair(v: DataFrame, step: Int): DataFrame = {
+    import QueryConventions.MaterializeSyntax
+    v.select(col("freq"), filter(split(col("s"), "\\|"), x => x =!= "").as("a"))
       .filter(size(col("a")) >= 2)
       .select(col("freq"),
         explode(transform(sequence(lit(1), size(col("a")) - 1),
@@ -417,8 +437,13 @@ object CorpusQueries {
       .limit(1)
       .select(lit(step).as("step"), col("pa"), col("pb"), col("n"))
       .materializeOnce // consumed by the rewrite AND the output union
-    def rewrite(v: DataFrame, best: DataFrame): DataFrame = v
-      .crossJoin(broadcast(best.select("pa", "pb")))
+  }
+
+  /** Apply one merge rule to every word: greedy left-to-right
+    * non-overlapping fold over the symbol string. */
+  private def bpeRewrite(v: DataFrame, best: DataFrame): DataFrame = {
+    import QueryConventions.MaterializeSyntax
+    v.crossJoin(broadcast(best.select("pa", "pb")))
       .select(
         aggregate(
           filter(split(col("s"), "\\|"), x => x =!= ""),
@@ -431,15 +456,89 @@ object CorpusQueries {
               .otherwise(concat(acc, x, lit("|")))).as("s"),
         col("freq"))
       .materializeOnce
+  }
+
+  /** Tokenizer APPLICATION — the inference half [[bpeMergesK]] trains:
+    * run all [[BpeMergeRounds]] learned merges to their final vocabulary
+    * state, segment every (collapsed, lowercase-alpha) word with it, and
+    * report per source how the learned tokenizer performs on that
+    * source's word stream: total alpha words, distinct word forms, total
+    * BPE tokens produced, and fertility (BPE tokens per word) in exact
+    * integer micro-units. Fertility-per-source is the standard check that
+    * a tokenizer trained on the corpus mix doesn't bloat one source's
+    * token bill (the multilingual-tokenizer-fairness metric).
+    *
+    * Scale shape: ONE corpus collapse to (source, word, count) — the only
+    * data-sized shuffle; the merge loop runs on the vocabulary exactly as
+    * in [[bpeMergesK]]; segmentation joins back to per-source counts via
+    * a BROADCAST of the vocab-sized segmentation map, and the final
+    * aggregate has |sources| keys. The corpus is never re-scanned. */
+  def bpeApply(spark: SparkSession, dir: String): DataFrame = {
+    import QueryConventions.MaterializeSyntax
+    val srcCnt = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .materializeOnce // feeds the global vocab AND the per-source join-back
+    val v0 = srcCnt.groupBy(col("w")).agg(sum(col("c")).as("freq"))
+      .select(concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|")).as("s"),
+        col("freq"))
+      .materializeOnce
     var state = v0
-    val rules = (1 to BpeMergeRounds).map { t =>
-      val b = bestPair(state, t)
-      if (t < BpeMergeRounds) state = rewrite(state, b)
-      b
+    (1 to BpeMergeRounds).foreach { t =>
+      state = bpeRewrite(state, bpeBestPair(state, t))
     }
-    rules.reduce(_ union _)
-      .select(col("step"), col("pa").as("pair_a"), col("pb").as("pair_b"), col("n"))
-      .orderBy("step")
+    val seg = state.select(
+      translate(col("s"), "|", "").as("w"),
+      size(filter(split(col("s"), "\\|"), x => x =!= "")).cast("bigint").as("n_bpe"))
+    srcCnt.join(broadcast(seg), Seq("w"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("alpha_words"),
+        count(lit(1)).as("distinct_alpha_words"),
+        sum(col("c") * col("n_bpe")).as("bpe_tokens"))
+      .withColumn("fertility_micro", expr("bpe_tokens * 1000000 div alpha_words"))
+      .orderBy("source")
+  }
+
+  private val bpeApplySql: String = {
+    // the same unrolled chain as bpeMergesKSql, but the rewrite runs on
+    // EVERY round (the final state is what segmentation needs)
+    val rounds = (1 to BpeMergeRounds).map { t =>
+      s"""p$t AS MATERIALIZED (
+         |  SELECT a[i] AS pa, a[i+1] AS pb, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM (SELECT list_filter(string_split(s, '|'), x -> x <> '') AS a, freq FROM v${t - 1}) q,
+         |       LATERAL (SELECT unnest(range(1, len(a))) AS i) u
+         |  GROUP BY 1, 2),
+         |b$t AS MATERIALIZED (SELECT $t AS step, pa, pb, n FROM p$t ORDER BY n DESC, pa, pb LIMIT 1),
+         |v$t AS MATERIALIZED (
+         |  SELECT list_reduce(list_prepend('|', list_filter(string_split(s, '|'), x -> x <> '')),
+         |           (acc, x) -> CASE WHEN ends_with(acc, '|' || b.pa || '|') AND x = b.pb
+         |                            THEN substring(acc, 1, length(acc) - length(b.pa) - 1) || b.pa || b.pb || '|'
+         |                            ELSE acc || x || '|' END) AS s,
+         |         freq
+         |  FROM v${t - 1} CROSS JOIN b$t b),""".stripMargin
+    }.mkString("\n")
+    s"""WITH $toksCte,
+       |sw AS (SELECT source, unnest(toks) AS w FROM t),
+       |sc AS MATERIALIZED (
+       |  SELECT source, w, count(*) AS c FROM sw
+       |  WHERE regexp_matches(w, '^[a-z]+${"$"}') GROUP BY source, w),
+       |fq AS MATERIALIZED (SELECT w, sum(c) AS freq FROM sc GROUP BY w),
+       |v0 AS MATERIALIZED (
+       |  SELECT '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS s, freq FROM fq),
+       |$rounds
+       |seg AS (
+       |  SELECT replace(s, '|', '') AS w,
+       |         CAST(len(list_filter(string_split(s, '|'), x -> x <> '')) AS BIGINT) AS n_bpe
+       |  FROM v$BpeMergeRounds)
+       |SELECT source,
+       |       CAST(sum(c) AS BIGINT) AS alpha_words,
+       |       CAST(count(*) AS BIGINT) AS distinct_alpha_words,
+       |       CAST(sum(c * n_bpe) AS BIGINT) AS bpe_tokens,
+       |       CAST(sum(c * n_bpe) * 1000000 // sum(c) AS BIGINT) AS fertility_micro
+       |FROM sc JOIN seg USING (w)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
   }
 
   private val bpeMergesKSql: String = {
@@ -480,6 +579,7 @@ object CorpusQueries {
   val queries: Map[String, Q] = Map(
     "bpe_merge_pairs"      -> (bpeMergePairs _),
     "bpe_merges_k"         -> (bpeMergesK _),
+    "bpe_apply"            -> (bpeApply _),
     "source_tokenizer_fertility" -> (sourceTokenizerFertility _),
     "source_token_entropy" -> (sourceTokenEntropy _),
     "doc_bm25_top"         -> (docBm25Top _),
@@ -489,6 +589,7 @@ object CorpusQueries {
   val oracle: Map[String, String] = Map(
     "bpe_merge_pairs"      -> bpeMergePairsSql,
     "bpe_merges_k"         -> bpeMergesKSql,
+    "bpe_apply"            -> bpeApplySql,
     "source_tokenizer_fertility" -> sourceTokenizerFertilitySql,
     "source_token_entropy" -> sourceTokenEntropySql,
     "doc_bm25_top"         -> docBm25TopSql,

@@ -1265,6 +1265,117 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** ExactSubstr-style span DELETION — the rewrite step [[docDupSpans]]
+    * only profiles (Lee et al. 2022 §3.2 remove ALL BUT ONE occurrence of
+    * each duplicated substring): every token covered by a repeated
+    * [[DupSpanK]]-gram whose occurrence is NOT the corpus-wide first
+    * (first = lexicographic min (doc_id, pos)) is deleted, and the
+    * surviving tokens are re-joined into the cleaned text. The globally
+    * first copy of each duplicated span survives in place, self-repeats
+    * within one document keep only their first window, and a document can
+    * come back shorter but never empty-handed: short docs (< K tokens)
+    * have no grams and pass through verbatim (modulo whitespace
+    * canonicalization — both dialects rebuild from the token stream).
+    *
+    * Relational formulation: gram build as in [[docDupSpans]]; one
+    * aggregate per gram hash takes `min(struct(doc_id, pos))` + count
+    * (map-side partials, keys ∝ distinct grams); a hash join back marks
+    * every non-first occurrence START; a per-doc RANGE window
+    * (`K−1 PRECEDING .. CURRENT`) turns starts into per-token coverage
+    * (a token is deleted iff some dup start lies in the K-window ending
+    * at it — the island union of [[docDupSpans]] expressed as a running
+    * max, no interval self-join); the rebuild is a per-doc aggregate over
+    * surviving (pos, token) pairs. Shuffles: doc_id (gram windows +
+    * rebuild, AQE-reusable), gram hash (count + join back) — all
+    * equi-keyed, nothing quadratic, work ∝ corpus + dup starts. At
+    * 100 TB this is the suffix-array deletion pass of
+    * deduplicate-text-datasets re-expressed as two hash shuffles. */
+  def dedupSpanRewrite(spark: SparkSession, dir: String): DataFrame =
+    dedupSpanRewriteFrom(spark, Tables.documents(spark, dir))
+
+  /** [[dedupSpanRewrite]] over an arbitrary (doc_id, text) frame — the
+    * ScaleSmoke probe entry. */
+  def dedupSpanRewriteFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tok = docs.select(col("doc_id"),
+      posexplode(graft.functions.TextFunctions.tokens(col("text"))).as(Seq("pos", "t")))
+      .materializeOnce // feeds the gram build AND the coverage join-back
+    val leads = (1 until DupSpanK).map(i => lead(col("t"), i).over(byPos).as(s"t$i"))
+    val gramCols = col("t") +: (1 until DupSpanK).map(i => col(s"t$i"))
+    val grams = tok
+      .select(col("doc_id") +: col("pos") +: col("t") +: leads: _*)
+      .filter(col(s"t${DupSpanK - 1}").isNotNull) // full windows only
+      .select(col("doc_id"), col("pos"), h60(concat_ws(" ", gramCols: _*)).as("h"))
+      .materializeOnce // feeds the first-occurrence agg AND the mark join
+    val firstOcc = grams.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("h"), col("f"))
+    // each (doc_id, pos) carries exactly one gram, so the join yields at
+    // most one mark per position — no distinct needed
+    val dupStart = grams.join(firstOcc, Seq("h"))
+      .filter(struct(col("doc_id"), col("pos")) =!= col("f"))
+      .select(col("doc_id"), col("pos"), lit(1).as("st"))
+    val coverW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rangeBetween(-(DupSpanK - 1), 0)
+    val kept = tok
+      .join(dupStart, Seq("doc_id", "pos"), "left")
+      .withColumn("cov", max(col("st")).over(coverW))
+      .filter(col("cov").isNull)
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_tokens"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("t")))),
+            x => x.getField("t"))).as("text_clean"))
+    docs
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("bigint").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L))).as("removed_tokens"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupSpanRewriteSql: String = {
+    val k = DupSpanK
+    val leadDefs = (1 until k).map(i => s"lead(t, $i) OVER w AS t$i").mkString(", ")
+    val gramArgs = ("t" +: (1 until k).map(i => s"t$i")).mkString(", ")
+    s"""WITH $toksCte,
+       |tok AS (
+       |  SELECT doc_id, CAST(u.pos - 1 AS INT) AS pos, u.t AS t
+       |  FROM toks,
+       |       LATERAL (SELECT unnest(toks) AS t, generate_subscripts(toks, 1) AS pos) u),
+       |g0 AS (
+       |  SELECT doc_id, pos, t, $leadDefs
+       |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |grams AS (
+       |  SELECT doc_id, pos,
+       |         CAST('0x' || substring(md5(concat_ws(' ', $gramArgs)), 1, 15) AS BIGINT) AS h
+       |  FROM g0 WHERE t${k - 1} IS NOT NULL),
+       |occ AS (
+       |  SELECT doc_id, pos,
+       |         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |  FROM grams),
+       |covd AS (
+       |  SELECT k.doc_id, k.pos, k.t,
+       |         max(d.st) OVER (PARTITION BY k.doc_id ORDER BY k.pos
+       |                         RANGE BETWEEN ${k - 1} PRECEDING AND CURRENT ROW) AS cov
+       |  FROM tok k LEFT JOIN (SELECT doc_id, pos, 1 AS st FROM occ WHERE rn >= 2) d
+       |       USING (doc_id, pos)),
+       |reb AS (
+       |  SELECT doc_id, count(*) AS kept_tokens,
+       |         string_agg(t, ' ' ORDER BY pos) AS text_clean
+       |  FROM covd WHERE cov IS NULL GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |       CAST(coalesce(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       |       CAST(len(t.toks) - coalesce(r.kept_tokens, 0) AS BIGINT) AS removed_tokens,
+       |       coalesce(r.text_clean, '') AS text_clean
+       |FROM toks t LEFT JOIN reb r USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   private val docDupSpansSql: String = {
     val k = DupSpanK
     val leadDefs = (1 until k).map(i => s"lead(t, $i) OVER w AS t$i").mkString(", ")
@@ -1307,6 +1418,7 @@ object DedupQueries {
 
   val queries: Map[String, Q] = Map(
     "doc_dup_spans"       -> (docDupSpans _),
+    "dedup_span_rewrite"  -> (dedupSpanRewrite _),
     "bloom_incremental_dedup" -> (bloomIncrementalDedup _),
     "incremental_dedup"   -> (incrementalDedup _),
     "minhash_jaccard_est" -> (minhashJaccardEst _),
@@ -1331,6 +1443,7 @@ object DedupQueries {
 
   val oracle: Map[String, String] = Map(
     "doc_dup_spans"       -> docDupSpansSql,
+    "dedup_span_rewrite"  -> dedupSpanRewriteSql,
     "bloom_incremental_dedup" -> bloomIncrementalDedupSql,
     "incremental_dedup"   -> incrementalDedupSql,
     "minhash_jaccard_est" -> minhashJaccardEstSql,
