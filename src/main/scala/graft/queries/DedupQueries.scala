@@ -565,6 +565,106 @@ object DedupQueries {
        |WHERE round($jaccardExpr, 6) >= 0.5
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** LSH parameter-tuning report — the (bands × rows-per-band) sweep an
+    * engineer runs on a corpus SAMPLE before committing a 100 TB dedup
+    * pass to one operating point: all five factorizations of the same
+    * [[DedupOps.NumHashes]]=12 MinHash signature (12×1, 6×2, 4×3, 3×4,
+    * 2×6) are banded, and each configuration's candidate volume is scored
+    * against the EXACT Jaccard-≥-0.5 pair set (the no-miss prefix join,
+    * [[jaccardPrefixJoinFrom]]) as recall and precision in integer
+    * micro-units. More rows per band → sharper S-curve → fewer, more
+    * precise candidates at lower recall; this report is the measured
+    * trade-off, the dedup twin of knn_recall_curve.
+    *
+    * Scale shape: the signature build (shingle explode + 12 partial
+    * mins) runs ONCE and is materialized; each configuration adds only a
+    * vocabulary-of-buckets equi-join on its band keys, and the exact
+    * baseline is shared across all five legs. Counts come from a tagged
+    * union → one aggregate per leg (no one-row cross joins). On a real
+    * corpus this runs on a deterministic hash-sample of documents; here
+    * the corpus IS the sample. */
+  def lshTuningReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val wide = DedupOps.minhashWide(spark, DedupOps.docShingles(docs))
+      .materializeOnce // one signature build feeds all five band layouts
+    val exact = jaccardPrefixJoinFrom(spark, docs)
+      .select("a_id", "b_id").materializeOnce // shared ground truth
+    val legs = Seq(1, 2, 3, 4, 6).map { r =>
+      val nB = DedupOps.NumHashes / r
+      val bandStructs = (0 until nB).map { b =>
+        val keyCols = (0 until r).map(i => col(s"mh${b * r + i}").cast("string"))
+        struct(lit(b).as("band"), md5(concat_ws("_", keyCols: _*)).as("band_key"))
+      }
+      val bands = wide
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+      val cand = bands.select(col("doc_id").as("a_id"), col("band"), col("band_key"))
+        .join(bands.select(col("doc_id").as("b_id"), col("band"), col("band_key")),
+          Seq("band", "band_key"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+        .materializeOnce // counted AND probed against exact
+      val hits = cand.join(exact, Seq("a_id", "b_id"), "left_semi")
+      cand.select(lit(1L).as("c"), lit(0L).as("h"), lit(0L).as("e"))
+        .union(hits.select(lit(0L).as("c"), lit(1L).as("h"), lit(0L).as("e")))
+        .union(exact.select(lit(0L).as("c"), lit(0L).as("h"), lit(1L).as("e")))
+        .agg(coalesce(sum(col("c")), lit(0L)).as("n_candidates"),
+          coalesce(sum(col("h")), lit(0L)).as("n_hits"),
+          coalesce(sum(col("e")), lit(0L)).as("n_exact"))
+        .select(lit(r.toLong).as("rows_per_band"), lit(nB.toLong).as("n_bands"),
+          col("n_candidates"), col("n_exact"), col("n_hits"))
+    }
+    legs.reduce(_ union _)
+      .withColumn("recall_micro",
+        expr("CASE WHEN n_exact > 0 THEN n_hits * 1000000 div n_exact ELSE 0 END"))
+      .withColumn("precision_micro",
+        expr("CASE WHEN n_candidates > 0 THEN n_hits * 1000000 div n_candidates ELSE 0 END"))
+      .orderBy("rows_per_band")
+  }
+
+  private val lshTuningReportSql: String = {
+    val legs = Seq(1, 2, 3, 4, 6).map { r =>
+      val nB = DedupOps.NumHashes / r
+      s"""bands$r AS (
+         |  SELECT doc_id, k // $r AS band,
+         |         md5(string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY k)) AS band_key
+         |  FROM mh GROUP BY doc_id, k // $r),
+         |cand$r AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands$r a JOIN bands$r b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |leg$r AS (
+         |  SELECT $r AS rows_per_band, $nB AS n_bands,
+         |         (SELECT count(*) FROM cand$r) AS n_candidates,
+         |         (SELECT count(*) FROM exact) AS n_exact,
+         |         (SELECT count(*) FROM cand$r c JOIN exact e
+         |            ON c.a_id = e.a_id AND c.b_id = e.b_id) AS n_hits)""".stripMargin
+    }.mkString(",\n")
+    val unions = Seq(1, 2, 3, 4, 6).map(r => s"SELECT * FROM leg$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $toksCte,
+       |$shinglesCte,
+       |$minhashCte,
+       |bf AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |exact AS (
+       |  SELECT a_id, b_id FROM bf
+       |  JOIN sh sa ON sa.doc_id = a_id
+       |  JOIN sh sb ON sb.doc_id = b_id
+       |  WHERE round($jaccardExpr, 6) >= 0.5),
+       |$legs,
+       |u AS ($unions)
+       |SELECT CAST(rows_per_band AS BIGINT) AS rows_per_band,
+       |       CAST(n_bands AS BIGINT) AS n_bands,
+       |       CAST(n_candidates AS BIGINT) AS n_candidates,
+       |       CAST(n_exact AS BIGINT) AS n_exact,
+       |       CAST(n_hits AS BIGINT) AS n_hits,
+       |       CAST(CASE WHEN n_exact > 0 THEN n_hits * 1000000 // n_exact ELSE 0 END AS BIGINT) AS recall_micro,
+       |       CAST(CASE WHEN n_candidates > 0 THEN n_hits * 1000000 // n_candidates ELSE 0 END AS BIGINT) AS precision_micro
+       |FROM u ORDER BY rows_per_band""".stripMargin
+  }
+
   /** Hot-bucket cap for the PRODUCTION prefix-join configuration: prefix
     * shingles held by more than this many docs are excluded from
     * candidate generation (they contribute bucket²/2 candidates while
@@ -1435,6 +1535,7 @@ object DedupQueries {
     "minhash_lsh_dups"    -> (minhashLshDups _),
     "source_dedup_crossrate" -> (sourceDedupCrossrate _),
     "jaccard_prefix_join" -> (jaccardPrefixJoin _),
+    "lsh_tuning_report"   -> (lshTuningReport _),
     "jaccard_prefix_join_capped" -> (jaccardPrefixJoinCapped _),
     "ngram_jaccard_pairs" -> (ngramJaccardPairs _),
     "doc_simhash"         -> (docSimhash _),
@@ -1460,6 +1561,7 @@ object DedupQueries {
     "minhash_lsh_dups"    -> minhashLshDupsSql,
     "source_dedup_crossrate" -> sourceDedupCrossrateSql,
     "jaccard_prefix_join" -> jaccardPrefixJoinSql,
+    "lsh_tuning_report"   -> lshTuningReportSql,
     "jaccard_prefix_join_capped" -> jaccardPrefixJoinCappedSql,
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
     "doc_simhash"         -> docSimhashSql,

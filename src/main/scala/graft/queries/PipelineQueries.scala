@@ -1806,7 +1806,80 @@ object PipelineQueries {
        |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Right-to-be-forgotten deletion cascade — the governance pass a
+    * training-data platform must run before every snapshot: given a
+    * tombstone list of user keys (deterministic stand-in:
+    * `c_custkey % 97 = 0`), report per table how many rows the deletion
+    * reaches transitively — customers themselves, their orders, the
+    * lineitems OF those orders (two hops), and their behavioral events —
+    * with surviving counts and the deleted fraction in ppm. This is the
+    * audit artifact (scope + blast radius) that precedes the physical
+    * delete; the delete itself is these joins with the filters flipped.
+    *
+    * Scale shape: the tombstone list is broadcast into every
+    * customer-keyed leg (map-side, no shuffle of the big tables); the
+    * two-hop lineitem leg joins on the deleted-ORDER key set, which is
+    * data-sized (∝ deleted fraction) and therefore a plain hash join —
+    * never broadcast-forced — materialized once from the orders leg's
+    * frame so orders is scanned a single time. Four one-row aggregates
+    * union at the end. */
+  def deletionPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val del = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("dk"))
+      .materializeOnce // three probe legs share the tombstone list
+    def leg(name: String, df: DataFrame, key: String): DataFrame = df
+      .join(broadcast(del), col(key) === col("dk"), "left")
+      .agg(count(lit(1)).as("n_rows"), count(col("dk")).as("n_deleted"))
+      .select(lit(name).as("tbl"), col("n_rows"), col("n_deleted"))
+    val om = Tables.orders(spark, dir)
+      .join(broadcast(del), col("o_custkey") === col("dk"), "left")
+      .select(col("o_orderkey"), col("dk"))
+      .materializeOnce // feeds the orders count AND the two-hop key set
+    val ordersLeg = om
+      .agg(count(lit(1)).as("n_rows"), count(col("dk")).as("n_deleted"))
+      .select(lit("orders").as("tbl"), col("n_rows"), col("n_deleted"))
+    val delOrders = om.filter(col("dk").isNotNull).select(col("o_orderkey").as("ok"))
+    val lineitemLeg = Tables.lineitem(spark, dir)
+      .join(delOrders, col("l_orderkey") === col("ok"), "left")
+      .agg(count(lit(1)).as("n_rows"), count(col("ok")).as("n_deleted"))
+      .select(lit("lineitem").as("tbl"), col("n_rows"), col("n_deleted"))
+    leg("customer", Tables.customer(spark, dir), "c_custkey")
+      .union(ordersLeg)
+      .union(lineitemLeg)
+      .union(leg("events", Tables.events(spark, dir), "user_id"))
+      .withColumn("n_surviving", col("n_rows") - col("n_deleted"))
+      .withColumn("deleted_ppm", expr("n_deleted * 1000000 div n_rows"))
+      .orderBy("tbl")
+  }
+
+  private val deletionPropagationSql: String =
+    """WITH del AS (SELECT c_custkey AS dk FROM customer WHERE c_custkey % 97 = 0),
+      |c AS (
+      |  SELECT 'customer' AS tbl, count(*) AS n_rows, count(d.dk) AS n_deleted
+      |  FROM customer LEFT JOIN del d ON c_custkey = d.dk),
+      |o AS (
+      |  SELECT 'orders' AS tbl, count(*) AS n_rows, count(d.dk) AS n_deleted
+      |  FROM orders LEFT JOIN del d ON o_custkey = d.dk),
+      |delord AS (
+      |  SELECT o_orderkey AS ok FROM orders JOIN del d ON o_custkey = d.dk),
+      |l AS (
+      |  SELECT 'lineitem' AS tbl, count(*) AS n_rows, count(d.ok) AS n_deleted
+      |  FROM lineitem LEFT JOIN delord d ON l_orderkey = d.ok),
+      |ev AS (
+      |  SELECT 'events' AS tbl, count(*) AS n_rows, count(d.dk) AS n_deleted
+      |  FROM events LEFT JOIN del d ON user_id = d.dk),
+      |u AS (
+      |  SELECT * FROM c UNION ALL SELECT * FROM o
+      |  UNION ALL SELECT * FROM l UNION ALL SELECT * FROM ev)
+      |SELECT tbl, CAST(n_rows AS BIGINT) AS n_rows,
+      |       CAST(n_deleted AS BIGINT) AS n_deleted,
+      |       CAST(n_rows - n_deleted AS BIGINT) AS n_surviving,
+      |       CAST(n_deleted * 1000000 // n_rows AS BIGINT) AS deleted_ppm
+      |FROM u ORDER BY tbl""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "deletion_propagation" -> (deletionPropagation _),
     "doc_dsir_weights"   -> (docDsirWeights _),
     "corpus_shuffle"     -> ((s: SparkSession, d: String) => corpusShuffle(s, d)),
     "corpus_interleave"  -> ((s: SparkSession, d: String) => corpusInterleave(s, d)),
@@ -1865,6 +1938,7 @@ object PipelineQueries {
     "doc_chunks"         -> docChunksSql,
     "chunk_dedup_stats"  -> chunkDedupStatsSql,
     "split_leakage"      -> splitLeakageSql,
+    "deletion_propagation" -> deletionPropagationSql,
     "stratified_sample_counts" -> stratifiedSampleCountsSql,
     "source_mixture_profile"   -> sourceMixtureProfileSql,
     "vocab_coverage"     -> vocabCoverageSql,

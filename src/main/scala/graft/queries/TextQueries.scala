@@ -650,9 +650,85 @@ object TextQueries {
        |FROM s
        |ORDER BY doc_id""".stripMargin
 
+  /** Reliability diagram for [[docClassifierScore]] — the calibration
+    * check that decides whether a quality classifier's probabilities can
+    * gate a corpus at a fixed threshold: docs are bucketed into ten
+    * equal-width probability bins, and each bin reports its size, mean
+    * predicted probability (confidence) and empirical positive rate
+    * (accuracy against the deterministic length label `n_chars >= 300`),
+    * plus |conf − acc| — the per-bin term of Expected Calibration Error
+    * (ECE = Σ n_b·gap_b / N, recoverable from the output).
+    *
+    * Numeric discipline: prob is already rounded to 6 decimals, so its
+    * DECIMAL(18,6) cast is EXACT and the bin sum is order-independent;
+    * conf/acc are integer micro-units via truncating division of exact
+    * integers (both engines truncate nonnegative values identically —
+    * no float mean anywhere). Scale shape: the label rides the SAME
+    * single corpus scan as the classifier (a `max` alongside the token
+    * aggregate — no second scan, no join), and the bin aggregate has
+    * ten keys. */
+  def classifierCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(graft.operators.DedupOps.h60(col("token")), lit(HashDim.toLong))
+    val weight = (bucket * lit(2654435761L)) % 1001 - 500
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), explode(tokens(col("text"))).as("token"))
+      .withColumn("w", weight)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        max((col("n_chars") >= 300).cast("long")).as("y"),
+        (floor(sum(col("w")).cast("double") * 1000.0 / count(lit(1)))
+          / lit(1e6)).as("score"))
+      .withColumn("prob", round(lit(1.0) / (lit(1.0) + exp(col("score") * -4)), 6))
+    scored
+      .withColumn("bin", least(floor(col("prob") * 10), lit(9.0)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("y")).as("n_pos"),
+        sum(col("prob").cast("decimal(18,6)")).as("psum"))
+      .withColumn("conf_micro", expr("CAST(psum * 1000000 AS BIGINT) div n_docs"))
+      .withColumn("acc_micro", expr("n_pos * 1000000 div n_docs"))
+      .withColumn("gap_micro", abs(col("conf_micro") - col("acc_micro")))
+      .select("bin", "n_docs", "n_pos", "conf_micro", "acc_micro", "gap_micro")
+      .orderBy("bin")
+  }
+
+  private val classifierCalibrationSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, n_chars,
+       |         CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') END AS toks
+       |  FROM documents),
+       |e AS (SELECT doc_id, n_chars, unnest(toks) AS token FROM t),
+       |f AS (
+       |  SELECT doc_id, n_chars,
+       |         (CAST('0x' || substring(md5(token), 1, 15) AS BIGINT) % $HashDim)
+       |           * 2654435761 % 1001 - 500 AS w
+       |  FROM e),
+       |s AS (
+       |  SELECT doc_id,
+       |         max(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS y,
+       |         floor(CAST(sum(w) AS DOUBLE) * 1000.0 / count(*)) / 1e6 AS score
+       |  FROM f GROUP BY doc_id),
+       |p AS (
+       |  SELECT y, round(1.0 / (1.0 + exp(score * -4)), 6) AS prob FROM s),
+       |g AS (
+       |  SELECT CAST(least(floor(prob * 10), 9) AS BIGINT) AS bin,
+       |         count(*) AS n_docs,
+       |         CAST(sum(y) AS BIGINT) AS n_pos,
+       |         sum(CAST(prob AS DECIMAL(18,6))) AS psum
+       |  FROM p GROUP BY 1)
+       |SELECT bin, CAST(n_docs AS BIGINT) AS n_docs, n_pos,
+       |       CAST(CAST(psum * 1000000 AS BIGINT) // n_docs AS BIGINT) AS conf_micro,
+       |       CAST(n_pos * 1000000 // n_docs AS BIGINT) AS acc_micro,
+       |       CAST(abs(CAST(psum * 1000000 AS BIGINT) // n_docs
+       |                - n_pos * 1000000 // n_docs) AS BIGINT) AS gap_micro
+       |FROM g ORDER BY bin""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "doc_lm_score"    -> (docLmScore _),
     "doc_classifier_score" -> (docClassifierScore _),
+    "classifier_calibration" -> (classifierCalibration _),
     "bigram_lm_top"   -> (bigramLmTop _),
     "token_pmi_top"   -> (tokenPmiTop _),
     "doc_token_explode_outer" -> (tokenExplodeOuter _),
@@ -669,6 +745,7 @@ object TextQueries {
   val oracle: Map[String, String] = Map(
     "doc_lm_score"    -> docLmScoreSql,
     "doc_classifier_score" -> docClassifierScoreSql,
+    "classifier_calibration" -> classifierCalibrationSql,
     "bigram_lm_top"   -> bigramLmTopSql,
     "token_pmi_top"   -> tokenPmiTopSql,
     "doc_token_explode_outer" -> tokenExplodeOuterSql,
