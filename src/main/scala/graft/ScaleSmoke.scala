@@ -71,6 +71,13 @@ object ScaleSmoke {
     // ~linearly while the span stages stay ∝ duplicated positions
     time("dup_spans")(
       graft.queries.DedupQueries.docDupSpansFrom(spark, scaled).count())
+    // span DELETION end-to-end (mirrors dedup_span_rewrite): adds to the
+    // dup_spans shape one first-occurrence aggregate keyed by gram hash,
+    // one (doc_id, pos) mark join and the per-doc rebuild aggregate — all
+    // ∝ corpus (the dup-start set is ∝ duplicated positions), so wall
+    // should track dup_spans within a small constant factor
+    time("span_rewrite")(
+      graft.queries.DedupQueries.dedupSpanRewriteFrom(spark, scaled).count())
     // ingestion-order novelty, aggregate-only shape (mirrors the registered
     // query): per-doc denominators + first-occurrence counts, joined as two
     // doc-sized frames — the only shingle-sized shuffle is groupBy(shingle)
@@ -131,6 +138,13 @@ object ScaleSmoke {
     time("jaccard_prefix_capped")(
       graft.queries.DedupQueries.jaccardPrefixJoinFrom(spark, scaled,
         maxBucket = Some(2 * k)).count())
+
+    // asymmetric containment join: candidates bounded by Σ df²_subcap
+    // (the df≤64 guard drops replica-saturated shingles here exactly as
+    // the prefix join's cap does), verify carries arrays for candidates
+    // only — wall must track the candidate volume, never corpus²
+    time("containment_pairs")(
+      graft.queries.DedupQueries.docContainmentPairsFrom(spark, scaled).count())
 
     // duplicate-cluster extraction over the verified LSH pairs: rounds ∝
     // component diameter (replica cliques are near-cliques → 2-3), wall ∝

@@ -565,6 +565,93 @@ object DedupQueries {
        |WHERE round($jaccardExpr, 6) >= 0.5
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Shingle-df cap for the containment join's candidate stage — the
+    * standard frequent-bucket guard (boilerplate shingles shared by more
+    * docs than this generate bucket²/2 candidates while proving nothing
+    * about containment). */
+  val ContainCap = 64
+
+  /** Asymmetric CONTAINMENT join — the near-dup relation Jaccard misses:
+    * a short document quoted wholesale inside a long one has tiny Jaccard
+    * (the union is dominated by the long doc) but containment
+    * C(A→B) = |S_A ∩ S_B| / |S_A| ≈ 1. This is the subsumption detector
+    * (quote farms, wrapper pages, chunk-of-another-doc) every curation
+    * stack runs next to the symmetric near-dup pass. Emits every ORDERED
+    * pair with containment ≥ 0.8 — near-identical docs appear in both
+    * directions, a strict quote only as (quoted → quoter).
+    *
+    * Candidates are pairs sharing at least one shingle with document
+    * frequency ≤ [[ContainCap]] (a df aggregate + semi-filter before the
+    * pair join — the same hot-bucket guard as the banded/prefix
+    * families, so candidate volume is Σ df²_subcap, never corpus²);
+    * verification carries the two shingle arrays for candidate docs only
+    * and computes the exact intersection; the containment ratio is an
+    * exact integer micro-division. */
+  def docContainmentPairs(spark: SparkSession, dir: String): DataFrame =
+    docContainmentPairsFrom(spark, Tables.documents(spark, dir))
+
+  /** Frame-based core of [[docContainmentPairs]] (ScaleSmoke probes it at
+    * K× corpus size). */
+  def docContainmentPairsFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val sh = DedupOps.docShingles(docs).materializeOnce // candidates + both verify sides
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val rare = ex.join(
+      ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= ContainCap).select("s"),
+      Seq("s"), "left_semi")
+    val cand = rare.select(col("doc_id").as("a_id"), col("s"))
+      .join(rare.select(col("doc_id").as("b_id"), col("s")), Seq("s"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val v = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+        size(col("sa")).cast("long").as("sza"),
+        size(col("sb")).cast("long").as("szb"))
+      .materializeOnce // both ordered directions read it
+    val fwd = v.filter(col("sza") > 0 && expr("inter * 1000000 div sza") >= 800000)
+      .select(col("a_id").as("contained_id"), col("b_id").as("container_id"),
+        col("inter"), col("sza").as("sz_contained"), col("szb").as("sz_container"))
+    val rev = v.filter(col("szb") > 0 && expr("inter * 1000000 div szb") >= 800000)
+      .select(col("b_id").as("contained_id"), col("a_id").as("container_id"),
+        col("inter"), col("szb").as("sz_contained"), col("sza").as("sz_container"))
+    fwd.union(rev)
+      .withColumn("containment_micro", expr("inter * 1000000 div sz_contained"))
+      .orderBy("contained_id", "container_id")
+  }
+
+  private val docContainmentPairsSql: String =
+    s"""WITH $toksCte,
+       |$shinglesCte,
+       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |rare AS (
+       |  SELECT ex.doc_id, ex.s FROM ex
+       |  JOIN (SELECT s FROM ex GROUP BY s HAVING count(*) <= $ContainCap) r
+       |    ON r.s = ex.s),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |v AS (
+       |  SELECT a_id, b_id,
+       |         CAST(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS BIGINT) AS inter,
+       |         CAST(len(sa.shingles) AS BIGINT) AS sza,
+       |         CAST(len(sb.shingles) AS BIGINT) AS szb
+       |  FROM cand
+       |  JOIN sh sa ON sa.doc_id = a_id
+       |  JOIN sh sb ON sb.doc_id = b_id),
+       |u AS (
+       |  SELECT a_id AS contained_id, b_id AS container_id, inter,
+       |         sza AS sz_contained, szb AS sz_container
+       |  FROM v WHERE sza > 0 AND inter * 1000000 // sza >= 800000
+       |  UNION ALL
+       |  SELECT b_id, a_id, inter, szb, sza
+       |  FROM v WHERE szb > 0 AND inter * 1000000 // szb >= 800000)
+       |SELECT contained_id, container_id, inter, sz_contained, sz_container,
+       |       CAST(inter * 1000000 // sz_contained AS BIGINT) AS containment_micro
+       |FROM u ORDER BY contained_id, container_id""".stripMargin
+
   /** LSH parameter-tuning report — the (bands × rows-per-band) sweep an
     * engineer runs on a corpus SAMPLE before committing a 100 TB dedup
     * pass to one operating point: all five factorizations of the same
@@ -1536,6 +1623,7 @@ object DedupQueries {
     "source_dedup_crossrate" -> (sourceDedupCrossrate _),
     "jaccard_prefix_join" -> (jaccardPrefixJoin _),
     "lsh_tuning_report"   -> (lshTuningReport _),
+    "doc_containment_pairs" -> (docContainmentPairs _),
     "jaccard_prefix_join_capped" -> (jaccardPrefixJoinCapped _),
     "ngram_jaccard_pairs" -> (ngramJaccardPairs _),
     "doc_simhash"         -> (docSimhash _),
@@ -1562,6 +1650,7 @@ object DedupQueries {
     "source_dedup_crossrate" -> sourceDedupCrossrateSql,
     "jaccard_prefix_join" -> jaccardPrefixJoinSql,
     "lsh_tuning_report"   -> lshTuningReportSql,
+    "doc_containment_pairs" -> docContainmentPairsSql,
     "jaccard_prefix_join_capped" -> jaccardPrefixJoinCappedSql,
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
     "doc_simhash"         -> docSimhashSql,

@@ -715,6 +715,217 @@ object PipelineQueries {
        |FROM d GROUP BY decile ORDER BY decile""".stripMargin
   }
 
+  /** Jensen–Shannon divergence between every pair of per-source unigram
+    * distributions — the symmetric, bounded (≤ ln 2) drift statistic a
+    * mixture dashboard actually plots (KS/MWU compare LENGTH
+    * distributions; χ² is unbounded and sample-size-inflated; JS is the
+    * standard for comparing token distributions across sources or
+    * snapshots). Identity used: with u = c_a·n_b and v = c_b·n_a
+    * (exact integers), p/m = 2u/(u+v), so each token's contribution is
+    * c_a·(ln 2u − ln(u+v))/n_a + c_b·(ln 2v − ln(u+v))/n_b — zero-count
+    * sides contribute nothing and no probability is ever formed in
+    * floating point before the final divisions. Each ln is rounded to 6
+    * (the sourceTokenEntropy discipline), products are summed through
+    * DECIMAL(28,10) so partial-agg order cannot perturb them, and the
+    * result is emitted as floor-fixed-point micro-units.
+    *
+    * Scale shape: one corpus scan → (source, token) counts; the pair
+    * stage runs on the |S|×|V| grid (the same bounded frame as the
+    * KS/MWU matrix — |S| is a dimension, |V| the vocabulary, never the
+    * corpus); the final aggregate has |S|² keys. */
+  def sourceJsDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .materializeOnce // feeds the vocab grid, totals, and both pair legs
+    val vocab = cnt.select("w").distinct()
+    val srcs = cnt.select("source").distinct()
+    val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val grid = vocab.crossJoin(broadcast(srcs))
+      .join(cnt, Seq("source", "w"), "left")
+      .withColumn("cv", coalesce(col("c"), lit(0L)))
+      .join(broadcast(tot), Seq("source"))
+    val a = grid.select(col("source").as("source_a"), col("w"),
+      col("cv").as("ca"), col("n").as("n_a"))
+    val b = grid.select(col("source").as("source_b"), col("w"),
+      col("cv").as("cb"), col("n").as("n_b"))
+    val u = col("ca") * col("n_b")
+    val v = col("cb") * col("n_a")
+    val luv = round(log((u + v).cast("double")), 6)
+    val zero = lit(0).cast("decimal(28,10)")
+    a.join(b, Seq("w")).filter(col("source_a") < col("source_b"))
+      .filter(col("ca") + col("cb") > 0)
+      .groupBy(col("source_a"), col("source_b"), col("n_a"), col("n_b"))
+      .agg(
+        sum(when(col("ca") > 0,
+          (col("ca") * (round(log(lit(2.0) * u.cast("double")), 6) - luv))
+            .cast("decimal(28,10)")).otherwise(zero)).as("ta"),
+        sum(when(col("cb") > 0,
+          (col("cb") * (round(log(lit(2.0) * v.cast("double")), 6) - luv))
+            .cast("decimal(28,10)")).otherwise(zero)).as("tb"),
+        sum(when(col("ca") > 0 && col("cb") > 0, 1L).otherwise(0L)).as("shared_vocab"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("shared_vocab"),
+        floor((col("ta").cast("double") / col("n_a")
+          + col("tb").cast("double") / col("n_b")) * 500000).cast("long")
+          .as("js_micro"))
+      .orderBy("source_a", "source_b")
+  }
+
+  private val sourceJsDivergenceSql: String =
+    s"""WITH t AS (
+       |  SELECT source,
+       |         CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') END AS toks
+       |  FROM documents),
+       |wc AS (SELECT source, unnest(toks) AS w FROM t),
+       |cnt AS MATERIALIZED (SELECT source, w, count(*) AS c FROM wc GROUP BY 1, 2),
+       |vocab AS (SELECT DISTINCT w FROM cnt),
+       |srcs AS (SELECT DISTINCT source FROM cnt),
+       |tot AS (SELECT source, sum(c) AS n FROM cnt GROUP BY source),
+       |grid AS (
+       |  SELECT s.source, vv.w, coalesce(c.c, 0) AS cv, tt.n
+       |  FROM vocab vv CROSS JOIN srcs s
+       |  LEFT JOIN cnt c ON c.source = s.source AND c.w = vv.w
+       |  JOIN tot tt ON tt.source = s.source),
+       |p AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |         a.n AS n_a, b.n AS n_b, a.cv AS ca, b.cv AS cb,
+       |         a.cv * b.n AS u, b.cv * a.n AS v
+       |  FROM grid a JOIN grid b ON a.w = b.w AND a.source < b.source
+       |  WHERE a.cv + b.cv > 0),
+       |g AS (
+       |  SELECT source_a, source_b, n_a, n_b,
+       |         sum(CASE WHEN ca > 0
+       |                  THEN CAST(ca * (round(ln(2.0 * u), 6) - round(ln(CAST(u + v AS DOUBLE)), 6)) AS DECIMAL(28,10))
+       |                  ELSE CAST(0 AS DECIMAL(28,10)) END) AS ta,
+       |         sum(CASE WHEN cb > 0
+       |                  THEN CAST(cb * (round(ln(2.0 * v), 6) - round(ln(CAST(u + v AS DOUBLE)), 6)) AS DECIMAL(28,10))
+       |                  ELSE CAST(0 AS DECIMAL(28,10)) END) AS tb,
+       |         sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS shared_vocab
+       |  FROM p GROUP BY 1, 2, 3, 4)
+       |SELECT source_a, source_b,
+       |       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |       CAST(shared_vocab AS BIGINT) AS shared_vocab,
+       |       CAST(floor((CAST(ta AS DOUBLE) / n_a + CAST(tb AS DOUBLE) / n_b) * 500000) AS BIGINT) AS js_micro
+       |FROM g ORDER BY source_a, source_b""".stripMargin
+
+  /** Duplication × quality cross-diagnostic — the curation question the
+    * per-signal reports can't answer alone: IS duplicated text
+    * concentrated in low-quality content (template spam repeating
+    * itself), or spread evenly (organic syndication)? The duplication
+    * signal is the span-level one ([[DedupQueries.docDupSpans]]: tokens
+    * covered by a corpus-repeated 8-gram — the signal that fires on
+    * near-dup and boilerplate content, not just byte-identical copies).
+    * Per quality decile (same score and ntile as doc_quality_deciles):
+    * document count, documents containing any duplicated span, and the
+    * duplicated-token fraction of the decile's token mass in ppm.
+    *
+    * Scale shape: the quality scan is map-side; the span profile is the
+    * docDupSpans pipeline (gram-hash aggregate + semi-join, ∝ corpus);
+    * the two per-doc frames meet in a doc_id equi-join; the decile
+    * numbering is the two-phase GlobalWindow; the final aggregate has
+    * ten keys. */
+  def dupRateByQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val score = TextFunctions.qualityScore(
+      col("n_tokens"), col("alpha_ratio"), col("stop_ratio"))
+    val scored = Tables.documents(spark, dir)
+      .withColumn("toks", toks)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("alpha_ratio", TextFunctions.alphaRatio(col("text")))
+      .withColumn("stop_ratio",
+        when(col("n_tokens") > 0,
+          TextFunctions.stopwordCount(col("toks"), TextFunctions.enStopwords)
+            .cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .withColumn("quality_score", round(score, 6))
+      .select("doc_id", "quality_score")
+    val spans = DedupQueries.docDupSpans(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("dup_tokens"))
+    val marked = scored.join(spans, Seq("doc_id"))
+      .withColumn("has_dup", (col("dup_tokens") > 0).cast("long"))
+    GlobalWindow.ntile(marked, 10, "decile")(col("quality_score"), col("doc_id"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("has_dup")).as("n_dup_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("dup_tokens")).as("dup_tokens"))
+      .withColumn("dup_token_ppm",
+        expr("CASE WHEN total_tokens > 0 THEN dup_tokens * 1000000 div total_tokens ELSE 0 END"))
+      .orderBy("decile")
+  }
+
+  private val dupRateByQualitySql: String = {
+    val stopList = TextFunctions.enStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val k = 8 // DedupQueries.DupSpanK — the span gram width, mirrored
+    val leadDefs = (1 until k).map(i => s"lead(tk, $i) OVER w AS t$i").mkString(", ")
+    val gramArgs = ("tk" +: (1 until k).map(i => s"t$i")).mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |         CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') END AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |         CAST(len(toks) AS INT) AS n_tokens,
+       |         CASE WHEN length(text) > 0
+       |              THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
+       |              ELSE 0.0 END AS alpha_ratio,
+       |         CASE WHEN len(toks) > 0
+       |              THEN CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) / len(toks)
+       |              ELSE 0.0 END AS stop_ratio
+       |  FROM t),
+       |q AS (
+       |  SELECT doc_id,
+       |         round(0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+       |               + 0.3 * alpha_ratio
+       |               + 0.4 * least(1.0, stop_ratio * 5.0), 6) AS quality_score
+       |  FROM m),
+       |tok AS (
+       |  SELECT doc_id, CAST(u.pos - 1 AS INT) AS pos, u.tk AS tk
+       |  FROM t,
+       |       LATERAL (SELECT unnest(toks) AS tk, generate_subscripts(toks, 1) AS pos) u),
+       |g0 AS (
+       |  SELECT doc_id, pos, tk, $leadDefs
+       |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |grams AS (
+       |  SELECT doc_id, pos,
+       |         CAST('0x' || substring(md5(concat_ws(' ', $gramArgs)), 1, 15) AS BIGINT) AS h
+       |  FROM g0 WHERE t${k - 1} IS NOT NULL),
+       |dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |         sum(CASE WHEN prev IS NULL OR pos - prev > $k THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM (SELECT g.doc_id, g.pos,
+       |               lag(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS prev
+       |        FROM grams g JOIN dup USING (h))),
+       |spans AS (
+       |  SELECT doc_id, island, max(pos) - min(pos) + $k AS span_len
+       |  FROM isl GROUP BY doc_id, island),
+       |perdoc AS (
+       |  SELECT doc_id, sum(span_len) AS dup_tokens FROM spans GROUP BY doc_id),
+       |j AS (
+       |  SELECT q.doc_id, q.quality_score,
+       |         CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |         CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens
+       |  FROM q JOIN t USING (doc_id) LEFT JOIN perdoc p USING (doc_id)),
+       |d AS (
+       |  SELECT n_tokens, dup_tokens,
+       |         CASE WHEN dup_tokens > 0 THEN 1 ELSE 0 END AS has_dup,
+       |         ntile(10) OVER (ORDER BY quality_score, doc_id) AS decile
+       |  FROM j)
+       |SELECT decile, count(*) AS n_docs,
+       |       CAST(sum(has_dup) AS BIGINT) AS n_dup_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |       CAST(sum(dup_tokens) AS BIGINT) AS dup_tokens,
+       |       CAST(CASE WHEN sum(n_tokens) > 0
+       |                 THEN sum(dup_tokens) * 1000000 // sum(n_tokens)
+       |                 ELSE 0 END AS BIGINT) AS dup_token_ppm
+       |FROM d GROUP BY decile ORDER BY decile""".stripMargin
+  }
+
   private val ZipfTopN = 200
 
   /** Zipf fit of the token frequency distribution: OLS slope/intercept of
@@ -1896,9 +2107,11 @@ object PipelineQueries {
     "source_weighted_sample"     -> (sourceWeightedSample _),
     "source_length_ks"           -> (sourceLengthKs _),
     "source_length_mwu"          -> (sourceLengthMwu _),
+    "source_js_divergence"       -> (sourceJsDivergence _),
     "source_rank_spearman"       -> (sourceRankSpearman _),
     "source_epoch_schedule" -> (sourceEpochSchedule _),
     "doc_quality_deciles" -> (docQualityDeciles _),
+    "dup_rate_by_quality" -> (dupRateByQuality _),
     "quality_quantile_norm" -> (qualityQuantileNorm _),
     "vocab_zipf_fit"     -> (vocabZipfFit _),
     "doc_chunks"         -> (docChunks _),
@@ -1930,9 +2143,11 @@ object PipelineQueries {
     "source_weighted_sample"     -> sourceWeightedSampleSql,
     "source_length_ks"           -> sourceLengthKsSql,
     "source_length_mwu"          -> sourceLengthMwuSql,
+    "source_js_divergence"       -> sourceJsDivergenceSql,
     "source_rank_spearman"       -> sourceRankSpearmanSql,
     "source_epoch_schedule" -> sourceEpochScheduleSql,
     "doc_quality_deciles" -> docQualityDecilesSql,
+    "dup_rate_by_quality" -> dupRateByQualitySql,
     "quality_quantile_norm" -> qualityQuantileNormSql,
     "vocab_zipf_fit"     -> vocabZipfFitSql,
     "doc_chunks"         -> docChunksSql,

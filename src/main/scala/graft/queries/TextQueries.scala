@@ -725,10 +725,97 @@ object TextQueries {
        |                - n_pos * 1000000 // n_docs) AS BIGINT) AS gap_micro
        |FROM g ORDER BY bin""".stripMargin
 
+  /** Threshold sweep for [[docClassifierScore]] — the precision/recall/F1
+    * curve that picks the operating point a corpus gate will run at
+    * (calibration says whether probabilities are honest; this says where
+    * to cut). Nine thresholds 0.1..0.9; per threshold: predicted
+    * positives, true positives against the `n_chars >= 300` label, and
+    * precision / recall / F1 in integer micro-units (F1 via the dice
+    * identity 2TP/(2TP+FP+FN) = 2·tp/(pred_pos+pos) — one exact integer
+    * division, no float ratio composition).
+    *
+    * prob is compared in exact DECIMAL micro-units, so threshold
+    * equality cannot straddle a double ulp across engines. Scale shape:
+    * the scored scan is the classifier's map-side pass; the 9× threshold
+    * explode happens AFTER per-doc aggregation (9·docs tiny rows), and
+    * the final aggregate has nine keys. */
+  def classifierPrCurve(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(graft.operators.DedupOps.h60(col("token")), lit(HashDim.toLong))
+    val weight = (bucket * lit(2654435761L)) % 1001 - 500
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), explode(tokens(col("text"))).as("token"))
+      .withColumn("w", weight)
+      .groupBy(col("doc_id"))
+      .agg(
+        max((col("n_chars") >= 300).cast("long")).as("y"),
+        (floor(sum(col("w")).cast("double") * 1000.0 / count(lit(1)))
+          / lit(1e6)).as("score"))
+      .withColumn("prob", round(lit(1.0) / (lit(1.0) + exp(col("score") * -4)), 6))
+      .withColumn("pm", (col("prob").cast("decimal(18,6)") * 1000000).cast("long"))
+    scored
+      .withColumn("thr_micro",
+        explode(array((1 to 9).map(i => lit(i * 100000L)): _*)))
+      .groupBy(col("thr_micro"))
+      .agg(
+        sum((col("pm") >= col("thr_micro")).cast("long")).as("n_pred_pos"),
+        sum(col("y")).as("n_pos"),
+        sum(((col("pm") >= col("thr_micro")).cast("long") * col("y"))).as("tp"))
+      .withColumn("precision_micro",
+        expr("CASE WHEN n_pred_pos > 0 THEN tp * 1000000 div n_pred_pos ELSE 0 END"))
+      .withColumn("recall_micro",
+        expr("CASE WHEN n_pos > 0 THEN tp * 1000000 div n_pos ELSE 0 END"))
+      .withColumn("f1_micro",
+        expr("CASE WHEN n_pred_pos + n_pos > 0 THEN 2 * tp * 1000000 div (n_pred_pos + n_pos) ELSE 0 END"))
+      .select("thr_micro", "n_pred_pos", "n_pos", "tp",
+        "precision_micro", "recall_micro", "f1_micro")
+      .orderBy("thr_micro")
+  }
+
+  private val classifierPrCurveSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, n_chars,
+       |         CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') END AS toks
+       |  FROM documents),
+       |e AS (SELECT doc_id, n_chars, unnest(toks) AS token FROM t),
+       |f AS (
+       |  SELECT doc_id, n_chars,
+       |         (CAST('0x' || substring(md5(token), 1, 15) AS BIGINT) % $HashDim)
+       |           * 2654435761 % 1001 - 500 AS w
+       |  FROM e),
+       |s AS (
+       |  SELECT doc_id,
+       |         max(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS y,
+       |         floor(CAST(sum(w) AS DOUBLE) * 1000.0 / count(*)) / 1e6 AS score
+       |  FROM f GROUP BY doc_id),
+       |p AS (
+       |  SELECT y,
+       |         CAST(CAST(round(1.0 / (1.0 + exp(score * -4)), 6) AS DECIMAL(18,6))
+       |              * 1000000 AS BIGINT) AS pm
+       |  FROM s),
+       |x AS (
+       |  SELECT u.thr * 100000 AS thr_micro, p.pm, p.y
+       |  FROM p, LATERAL (SELECT unnest(range(1, 10)) AS thr) u),
+       |g AS (
+       |  SELECT thr_micro,
+       |         sum(CASE WHEN pm >= thr_micro THEN 1 ELSE 0 END) AS n_pred_pos,
+       |         sum(y) AS n_pos,
+       |         sum(CASE WHEN pm >= thr_micro THEN y ELSE 0 END) AS tp
+       |  FROM x GROUP BY thr_micro)
+       |SELECT CAST(thr_micro AS BIGINT) AS thr_micro,
+       |       CAST(n_pred_pos AS BIGINT) AS n_pred_pos,
+       |       CAST(n_pos AS BIGINT) AS n_pos,
+       |       CAST(tp AS BIGINT) AS tp,
+       |       CAST(CASE WHEN n_pred_pos > 0 THEN tp * 1000000 // n_pred_pos ELSE 0 END AS BIGINT) AS precision_micro,
+       |       CAST(CASE WHEN n_pos > 0 THEN tp * 1000000 // n_pos ELSE 0 END AS BIGINT) AS recall_micro,
+       |       CAST(CASE WHEN n_pred_pos + n_pos > 0 THEN 2 * tp * 1000000 // (n_pred_pos + n_pos) ELSE 0 END AS BIGINT) AS f1_micro
+       |FROM g ORDER BY thr_micro""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "doc_lm_score"    -> (docLmScore _),
     "doc_classifier_score" -> (docClassifierScore _),
     "classifier_calibration" -> (classifierCalibration _),
+    "classifier_pr_curve" -> (classifierPrCurve _),
     "bigram_lm_top"   -> (bigramLmTop _),
     "token_pmi_top"   -> (tokenPmiTop _),
     "doc_token_explode_outer" -> (tokenExplodeOuter _),
@@ -746,6 +833,7 @@ object TextQueries {
     "doc_lm_score"    -> docLmScoreSql,
     "doc_classifier_score" -> docClassifierScoreSql,
     "classifier_calibration" -> classifierCalibrationSql,
+    "classifier_pr_curve" -> classifierPrCurveSql,
     "bigram_lm_top"   -> bigramLmTopSql,
     "token_pmi_top"   -> tokenPmiTopSql,
     "doc_token_explode_outer" -> tokenExplodeOuterSql,

@@ -137,6 +137,7 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "source_epoch_schedule", // one-row total-tokens and Z frames × sources
     "source_length_ks",      // 20-row source dim × pooled value grid (ECDF evaluation points)
     "source_length_mwu",     // same 20-row source dim × pooled value grid as the KS matrix
+    "source_js_divergence",  // same 20-row source dim × token-vocab grid (the JS pair matrix)
     "embedding_pca_power",   // one-row n and trace frames × the 4096-row moment matrix / 64-row component
     "embedding_pca_two",     // same one-row n/trace frames, plus one-row den/dot deflation scalars × the 64-row iterate
     "doc_dsir_weights",      // one-row bigram-total frame × the 512-bucket histogram
@@ -155,6 +156,7 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     // BM25 corpus-stats / RRF fusion constants
     "doc_bm25_top", "hybrid_rrf",
     "bpe_merges_k", // one-row merge-rule frame × the vocabulary state, once per round
+    "bpe_apply",    // same one-row merge-rule frame per round, then a broadcast vocab-sized segmentation map
     "token_pmi_top", // one-row token-total and pair-total frames × scored pairs
     // generated hourly spine × small station dim
     "sensor_hourly_spine",
