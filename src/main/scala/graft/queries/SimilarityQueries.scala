@@ -1878,7 +1878,73 @@ object SimilarityQueries {
        |ORDER BY step""".stripMargin
   }
 
+  /** Embedding-space drift per label between the even/odd vec_id halves
+    * (the same split convention as label_psi) — the vector-tier member
+    * of the drift family: PSI/χ²/JS watch categorical and token
+    * distributions, this watches whether each label's REGION of
+    * embedding space moved. Cosine between the two half-centroids is
+    * computed from SUM vectors (cosine is scale-invariant, so means
+    * never need to be formed — no per-element float division anywhere):
+    * per (label, half, dim) exact micro-integer sums, then one dot/norm
+    * aggregate per label, decimal-first products so d·Σ² can't overflow
+    * BIGINT at corpus scale. cos_micro near 10⁶ = stable geometry;
+    * a drop flags embedding drift for that label.
+    *
+    * Scale shape: one corpus scan exploded to (label, half, dim) —
+    * map-side partial sums into |labels|·2·64 keys; everything after is
+    * dimension-sized. */
+  def embeddingCentroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val sums = Tables.embeddings(spark, dir)
+      .select(col("label"), (col("vec_id") % 2 === 0).cast("int").as("even"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("label"), col("even"), col("i"),
+        expr("cast(round(cast(x as double) * 1000000) as bigint)").as("xm"))
+      .groupBy(col("label"), col("even"), col("i"))
+      .agg(sum(col("xm")).as("s"), count(lit(1)).as("n"))
+    val a = sums.filter(col("even") === 1)
+      .select(col("label"), col("i"), col("s").as("sa"), col("n").as("na"))
+    val b = sums.filter(col("even") === 0)
+      .select(col("label"), col("i"), col("s").as("sb"), col("n").as("nb"))
+    a.join(b, Seq("label", "i"))
+      .groupBy(col("label"))
+      .agg(max(col("na")).as("n_even"), max(col("nb")).as("n_odd"),
+        sum(col("sa").cast("decimal(38,0)") * col("sb")).as("dot"),
+        sum(col("sa").cast("decimal(38,0)") * col("sa")).as("naa"),
+        sum(col("sb").cast("decimal(38,0)") * col("sb")).as("nbb"))
+      .select(col("label"), col("n_even"), col("n_odd"),
+        floor(col("dot").cast("double")
+          / sqrt(col("naa").cast("double") * col("nbb").cast("double")) * 1e6)
+          .cast("long").as("cos_micro"))
+      .orderBy("label")
+  }
+
+  private val embeddingCentroidDriftSql: String =
+    """WITH e AS (
+      |  SELECT label, CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS even,
+      |         CAST(u.i - 1 AS INT) AS i,
+      |         CAST(round(CAST(u.x AS DOUBLE) * 1000000) AS BIGINT) AS xm
+      |  FROM embeddings,
+      |       LATERAL (SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i) u),
+      |s AS (
+      |  SELECT label, even, i, sum(xm) AS s, count(*) AS n
+      |  FROM e GROUP BY 1, 2, 3),
+      |j AS (
+      |  SELECT a.label, a.i, a.s AS sa, a.n AS na, b.s AS sb, b.n AS nb
+      |  FROM s a JOIN s b
+      |    ON a.label = b.label AND a.i = b.i AND a.even = 1 AND b.even = 0),
+      |g AS (
+      |  SELECT label, max(na) AS n_even, max(nb) AS n_odd,
+      |         sum(CAST(sa AS HUGEINT) * sb) AS dot,
+      |         sum(CAST(sa AS HUGEINT) * sa) AS naa,
+      |         sum(CAST(sb AS HUGEINT) * sb) AS nbb
+      |  FROM j GROUP BY label)
+      |SELECT label, CAST(n_even AS BIGINT) AS n_even, CAST(n_odd AS BIGINT) AS n_odd,
+      |       CAST(floor(CAST(dot AS DOUBLE)
+      |            / sqrt(CAST(naa AS DOUBLE) * CAST(nbb AS DOUBLE)) * 1e6) AS BIGINT) AS cos_micro
+      |FROM g ORDER BY label""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "embedding_centroid_drift" -> (embeddingCentroidDrift _),
     "coreset_kcenter" -> (coresetKcenter _),
     "knn_mmr_rerank"  -> (knnMmrRerank _),
     "embedding_pca_power" -> (embeddingPcaPower _),
@@ -1907,6 +1973,7 @@ object SimilarityQueries {
   val oracle: Map[String, String] = Map(
     "coreset_kcenter" -> coresetKcenterSql,
     "knn_mmr_rerank"  -> knnMmrRerankSql,
+    "embedding_centroid_drift" -> embeddingCentroidDriftSql,
     "embedding_pca_power" -> embeddingPcaPowerSql,
     "embedding_pca_two"   -> embeddingPcaTwoSql,
     "embedding_jl_projection" -> embeddingJlProjectionSql,

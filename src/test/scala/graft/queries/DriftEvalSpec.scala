@@ -61,6 +61,41 @@ class DriftEvalSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.exists(_._4 > 0), "all JS zero — vacuous fixture")
   }
 
+  test("embedding_centroid_drift matches a plain-Scala recompute") {
+    val rows = graft.sources.Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "label",
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint)) as m")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toArray))
+
+    val byLabel = rows.groupBy(_._2)
+    val expected = byLabel.flatMap { case (lbl, vs) =>
+      val ev = vs.filter(_._1 % 2 == 0).map(_._3)
+      val od = vs.filter(_._1 % 2 != 0).map(_._3)
+      if (ev.isEmpty || od.isEmpty) None
+      else {
+        val d = ev.head.length
+        val sa = (0 until d).map(i => ev.map(_(i)).sum).toArray
+        val sb = (0 until d).map(i => od.map(_(i)).sum).toArray
+        val dot = (0 until d).map(i => BigInt(sa(i)) * sb(i)).sum
+        val naa = (0 until d).map(i => BigInt(sa(i)) * sa(i)).sum
+        val nbb = (0 until d).map(i => BigInt(sb(i)) * sb(i)).sum
+        val cos = dot.toDouble / math.sqrt(naa.toDouble * nbb.toDouble)
+        Some((lbl, ev.length.toLong, od.length.toLong,
+          math.floor(cos * 1e6).toLong))
+      }
+    }.toSeq.sortBy(_._1)
+
+    val got = SimilarityQueries.embeddingCentroidDrift(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected)
+    // cosine stays in [-1, 1] and must not be degenerate (saturated at
+    // exactly 10^6 everywhere); near-random sf0.001 embeddings can land
+    // individual labels anywhere in the range, including below zero
+    assert(got.forall(g => g._4 >= -1000000L && g._4 <= 1000000L))
+    assert(got.exists(g => g._4 < 1000000L), "cosine saturated — vacuous")
+  }
+
   test("classifier_pr_curve is monotone and self-consistent") {
     val rows = TextQueries.classifierPrCurve(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
