@@ -1242,6 +1242,61 @@ object AnalyticsQueries {
       |       round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS win_stddev
       |FROM s""".stripMargin
 
+  /** Markov entropy of the per-user event-type chain — the behavioral
+    * predictability diagnostic next to [[eventTypePagerank]]'s
+    * centrality: for each source state, the Shannon entropy of its
+    * out-transition distribution (H = ln T − Σ c·ln c / T, the
+    * sourceTokenEntropy identity — rounded-ln + DECIMAL sums), its
+    * out-degree, and its share of all transitions in ppm. The empirical
+    * entropy RATE of the chain is Σ share·H, recoverable exactly from
+    * the output; a state whose H collapses is a funnel (one dominant next
+    * step), one near ln(out-degree) is noise. Self-transitions count —
+    * unlike the pagerank graph, a repeated action is signal here.
+    *
+    * Scale shape: per-user ordered lag (partitioned window on the
+    * events scan), one enum²-keyed count aggregate, then everything is
+    * |event types|-sized; the total-transitions window is over that
+    * bounded frame with no ordering (no single-task sort). */
+  def eventMarkovEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .withColumn("src", lag(col("event_type"), 1).over(w))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("c"))
+    val h = trans.groupBy(col("src"))
+      .agg(sum(col("c")).as("n_trans"), count(lit(1)).as("out_degree"),
+        sum((col("c") * round(log(col("c").cast("double")), 6))
+          .cast("decimal(28,10)")).as("sum_clnc"))
+      .withColumn("h_out",
+        round(round(log(col("n_trans").cast("double")), 6)
+          - col("sum_clnc").cast("double") / col("n_trans"), 6))
+    h.withColumn("tt", sum(col("n_trans")).over(Window.partitionBy()))
+      .select(col("src"), col("n_trans"), col("out_degree"), col("h_out"),
+        expr("n_trans * 1000000 div tt").as("share_micro"))
+      .orderBy("src")
+  }
+
+  private val eventMarkovEntropySql: String =
+    """WITH tr AS (
+      |  SELECT event_type AS dst,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS src
+      |  FROM events),
+      |c AS (SELECT src, dst, count(*) AS c FROM tr WHERE src IS NOT NULL GROUP BY 1, 2),
+      |h AS (
+      |  SELECT src, sum(c) AS n_trans, count(*) AS out_degree,
+      |         CAST(sum(CAST(c * round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(28,10))) AS DOUBLE) AS sum_clnc
+      |  FROM c GROUP BY src),
+      |f AS (
+      |  SELECT src, n_trans, out_degree,
+      |         round(round(ln(CAST(n_trans AS DOUBLE)), 6) - sum_clnc / n_trans, 6) AS h_out,
+      |         sum(n_trans) OVER () AS tt
+      |  FROM h)
+      |SELECT src, CAST(n_trans AS BIGINT) AS n_trans,
+      |       CAST(out_degree AS BIGINT) AS out_degree, h_out,
+      |       CAST(n_trans * 1000000 // tt AS BIGINT) AS share_micro
+      |FROM f ORDER BY src""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "part_triangles"     -> (partTriangles _),
     "customer_rfm"       -> (customerRfm _),
@@ -1253,6 +1308,7 @@ object AnalyticsQueries {
     "orders_winsorized"  -> (ordersWinsorized _),
     "range_join_binned"  -> (rangeJoinBinned _),
     "event_type_pagerank" -> (eventTypePagerank _),
+    "event_markov_entropy" -> (eventMarkovEntropy _),
     "orders_skyline"      -> (ordersSkyline _),
     "part_pair_lift"      -> (partPairLift _),
     "event_type_distances"     -> (eventTypeDistances _),
@@ -1287,6 +1343,7 @@ object AnalyticsQueries {
     "orders_winsorized"  -> ordersWinsorizedSql,
     "range_join_binned"  -> rangeJoinBinnedSql,
     "event_type_pagerank" -> eventTypePagerankSql,
+    "event_markov_entropy" -> eventMarkovEntropySql,
     "orders_skyline"      -> ordersSkylineSql,
     "part_pair_lift"      -> partPairLiftSql,
     "event_type_distances"     -> eventTypeDistancesSql,

@@ -326,14 +326,86 @@ object TimeSeriesQueries {
       |FROM sv
       |ORDER BY sensor_id, h""".stripMargin
 
+  /** Seasonality-ADJUSTED anomaly detection — the pass that makes the
+    * [[sensorSeasonalProfile]] actionable: a reading is anomalous only
+    * against its OWN (sensor, hour-of-day) baseline, so a sensor that
+    * legitimately runs hot at noon doesn't alarm every noon. The 3σ test
+    * is evaluated as the cross-multiplied EXACT integer inequality
+    * (n·x − s1)² > 9·(n·s2 − s1²) over centi-unit readings —
+    * algebraically identical to |x − μ| > 3σ_pop but with no division,
+    * no sqrt and no float compare anywhere, so the flag cannot straddle
+    * an ulp across engines. Exactness envelope: both sides < 2^63
+    * (Spark) and < 2^53 (the oracle's widest fallback) while
+    * n_cell·(100·max|x|)² stays below ~9·10¹⁵ — beyond that, re-derive
+    * in DECIMAL(38,0) per the MWU recipe.
+    * Per sensor: observations, anomalies, anomaly ppm, and the number of
+    * (hod) cells with enough support (n ≥ 2; singleton cells have σ = 0
+    * and are excluded from flagging rather than alarming always).
+    *
+    * Scale shape: one scan builds the 24·|sensors| moment cells; the
+    * join-back broadcasts that bounded dim onto the readings scan
+    * (map-side); the final aggregate has |sensors| keys. */
+  def sensorSeasonalResiduals(spark: SparkSession, dir: String): DataFrame = {
+    // centi-unit integers (readings carry 2 decimals): every moment and
+    // both inequality sides are exact integers small enough (< 2^53 at
+    // these cell sizes — envelope documented above) that even an engine
+    // evaluating wide products in DOUBLE keeps them exact
+    val base = validReadings(spark, dir)
+      .select(col("sensor_id"), hour(col("ts")).as("hod"),
+        round(col("value_numeric") * 100).cast("long").as("xc"))
+    val cells = base.groupBy(col("sensor_id"), col("hod"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xc")).as("s1"),
+        sum(col("xc") * col("xc")).as("s2"))
+    val lhs = col("n") * col("xc") - col("s1")
+    val rhs = lit(9L) * (col("n") * col("s2") - col("s1") * col("s1"))
+    base.join(broadcast(cells), Seq("sensor_id", "hod"))
+      .withColumn("is_anom", (col("n") >= 2 && lhs * lhs > rhs).cast("long"))
+      .groupBy(col("sensor_id"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("is_anom")).as("n_anom"),
+        sum(when(col("n") >= 2, 0L).otherwise(1L)).as("n_unsupported"))
+      .withColumn("anom_ppm", expr("n_anom * 1000000 div n_obs"))
+      .orderBy("sensor_id")
+  }
+
+  private val sensorSeasonalResidualsSql: String =
+    """WITH base AS (
+      |  SELECT event_type AS sensor_id,
+      |         CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS INT) AS hod,
+      |         CAST(round(value * 100) AS BIGINT) AS xc
+      |  FROM events
+      |  WHERE event_type <> 'error' AND value IS NOT NULL),
+      |cells AS (
+      |  SELECT sensor_id, hod, count(*) AS n,
+      |         sum(xc) AS s1,
+      |         sum(xc * xc) AS s2
+      |  FROM base GROUP BY 1, 2),
+      |j AS (
+      |  SELECT b.sensor_id,
+      |         CASE WHEN c.n >= 2
+      |                   AND (c.n * b.xc - c.s1) * (c.n * b.xc - c.s1)
+      |                       > 9 * (c.n * c.s2 - c.s1 * c.s1)
+      |              THEN 1 ELSE 0 END AS is_anom,
+      |         CASE WHEN c.n >= 2 THEN 0 ELSE 1 END AS unsupported
+      |  FROM base b JOIN cells c ON b.sensor_id = c.sensor_id AND b.hod = c.hod)
+      |SELECT sensor_id, count(*) AS n_obs,
+      |       CAST(sum(is_anom) AS BIGINT) AS n_anom,
+      |       CAST(sum(unsupported) AS BIGINT) AS n_unsupported,
+      |       CAST(sum(is_anom) * 1000000 // count(*) AS BIGINT) AS anom_ppm
+      |FROM j GROUP BY sensor_id
+      |ORDER BY sensor_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sensor_seasonal_profile" -> (sensorSeasonalProfile _),
+    "sensor_seasonal_residuals" -> (sensorSeasonalResiduals _),
     "sensor_acf"              -> (sensorAcf _),
     "sensor_rolling_trend"    -> (sensorRollingTrend _),
     "sensor_cusum"            -> (sensorCusum _))
 
   val oracle: Map[String, String] = Map(
     "sensor_seasonal_profile" -> sensorSeasonalProfileSql,
+    "sensor_seasonal_residuals" -> sensorSeasonalResidualsSql,
     "sensor_acf"              -> sensorAcfSql,
     "sensor_rolling_trend"    -> sensorRollingTrendSql,
     "sensor_cusum"            -> sensorCusumSql)
