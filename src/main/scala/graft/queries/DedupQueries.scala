@@ -1236,6 +1236,87 @@ object DedupQueries {
       .orderBy("a_id", "b_id")
   }
 
+  /** Containment ESTIMATED from MinHash signatures — the sketch-scale
+    * path for [[docContainmentPairs]], exactly as [[minhashJaccardEst]]
+    * is for the Jaccard join: with Ĵ = signature agreement and the two
+    * exact set sizes (one integer per doc — cheap to keep next to any
+    * signature store), inclusion–exclusion gives
+    * |A∩B| ≈ Ĵ·(|A|+|B|)/(1+Ĵ), so Ĉ(A→B) = that over |A| — both
+    * directions estimated from ONE signature comparison, clamped to 1.
+    * The exact containments and absolute errors ride along per LSH
+    * candidate, so the report quantifies whether the sketch suffices
+    * before a 100 TB run pays for exact verification.
+    *
+    * Scale shape: identical to minhashJaccardEst — candidates from
+    * banding, signatures and shingles re-derived for candidate docs
+    * only. */
+  def containmentMinhashEst(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cand = DedupOps.lshCandidates(spark, docs).materializeOnce
+    val candIds = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    val shCand = DedupOps.docShingles(
+      docs.join(candIds, Seq("doc_id"), "left_semi")).materializeOnce
+    val mh = DedupOps.minhashFromShingles(spark, shCand)
+    val agree = cand
+      .join(mh.select(col("doc_id").as("a_id"), col("k"), col("minhash").as("ma")), Seq("a_id"))
+      .join(mh.select(col("doc_id").as("b_id"), col("k"), col("minhash").as("mb")), Seq("b_id", "k"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(when(col("ma") === col("mb"), 1).otherwise(0)).cast("int").as("n_match"))
+    val ej = col("n_match").cast("double") / DedupOps.NumHashes
+    val estInter = ej * (col("sza") + col("szb")) / (ej + lit(1.0))
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    agree
+      .join(shCand.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
+      .join(shCand.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
+      .withColumn("sza", size(col("sa")).cast("long"))
+      .withColumn("szb", size(col("sb")).cast("long"))
+      .withColumn("est_cont_a", round(least(lit(1.0), estInter / col("sza")), 6))
+      .withColumn("est_cont_b", round(least(lit(1.0), estInter / col("szb")), 6))
+      .withColumn("exact_cont_a", round(inter / col("sza"), 6))
+      .withColumn("exact_cont_b", round(inter / col("szb"), 6))
+      .select(col("a_id"), col("b_id"), col("n_match"), col("sza"), col("szb"),
+        col("est_cont_a"), col("exact_cont_a"),
+        round(abs(col("est_cont_a") - col("exact_cont_a")), 6).as("err_a"),
+        col("est_cont_b"), col("exact_cont_b"),
+        round(abs(col("est_cont_b") - col("exact_cont_b")), 6).as("err_b"))
+      .orderBy("a_id", "b_id")
+  }
+
+  private val containmentMinhashEstSql: String =
+    s"""WITH $toksCte,
+       |$shinglesCte,
+       |$minhashCte,
+       |$bandsCandCtes,
+       |agree AS (
+       |  SELECT c.a_id, c.b_id,
+       |         CAST(sum(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END) AS INT) AS n_match
+       |  FROM cand c
+       |  JOIN mh ma ON ma.doc_id = c.a_id
+       |  JOIN mh mb ON mb.doc_id = c.b_id AND mb.k = ma.k
+       |  GROUP BY 1, 2),
+       |f AS (
+       |  SELECT e.a_id, e.b_id, e.n_match,
+       |         CAST(len(sa.shingles) AS BIGINT) AS sza,
+       |         CAST(len(sb.shingles) AS BIGINT) AS szb,
+       |         CAST(e.n_match AS DOUBLE) / ${DedupOps.NumHashes} AS ej,
+       |         CAST(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS DOUBLE) AS inter
+       |  FROM agree e
+       |  JOIN sh sa ON sa.doc_id = e.a_id
+       |  JOIN sh sb ON sb.doc_id = e.b_id),
+       |g AS (
+       |  SELECT a_id, b_id, n_match, sza, szb,
+       |         ej * (sza + szb) / (ej + 1.0) AS est_inter, inter
+       |  FROM f)
+       |SELECT a_id, b_id, n_match, sza, szb,
+       |       round(least(1.0, est_inter / sza), 6) AS est_cont_a,
+       |       round(inter / sza, 6) AS exact_cont_a,
+       |       round(abs(round(least(1.0, est_inter / sza), 6) - round(inter / sza, 6)), 6) AS err_a,
+       |       round(least(1.0, est_inter / szb), 6) AS est_cont_b,
+       |       round(inter / szb, 6) AS exact_cont_b,
+       |       round(abs(round(least(1.0, est_inter / szb), 6) - round(inter / szb, 6)), 6) AS err_b
+       |FROM g ORDER BY a_id, b_id""".stripMargin
+
   private val minhashJaccardEstSql: String =
     s"""WITH $toksCte,
        |$shinglesCte,
@@ -1609,6 +1690,7 @@ object DedupQueries {
     "bloom_incremental_dedup" -> (bloomIncrementalDedup _),
     "incremental_dedup"   -> (incrementalDedup _),
     "minhash_jaccard_est" -> (minhashJaccardEst _),
+    "containment_minhash_est" -> (containmentMinhashEst _),
     "doc_ngram_novelty"   -> (docNgramNovelty _),
     "dedup_components"    -> (dedupComponents _),
     "dedup_canonical_keep" -> (dedupCanonicalKeep _),
@@ -1636,6 +1718,7 @@ object DedupQueries {
     "bloom_incremental_dedup" -> bloomIncrementalDedupSql,
     "incremental_dedup"   -> incrementalDedupSql,
     "minhash_jaccard_est" -> minhashJaccardEstSql,
+    "containment_minhash_est" -> containmentMinhashEstSql,
     "doc_ngram_novelty"   -> docNgramNoveltySql,
     "dedup_components"    -> dedupComponentsSql,
     "dedup_canonical_keep" -> dedupCanonicalKeepSql,

@@ -1160,6 +1160,18 @@ object SimilarityQueries {
   }
 
   def knnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
+    ivfPqAdc(spark, dir)
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "cell", "vec_id", "adc_dist")
+      .orderBy("q_id", "rank")
+  }
+
+  /** The shared IVF-PQ ADC scan: (q_id, vec_id, cell, adc_dist) for every
+    * code row in the probed cells — [[knnIvfPq]] ranks it directly,
+    * [[knnIvfPqRerank]] reranks its shortlist with exact vectors. */
+  private def ivfPqAdc(spark: SparkSession, dir: String): DataFrame = {
     val dotF = dotFast(spark) _
     val (cp, codebook, codes) = ivfPqParts(spark, Tables.embeddings(spark, dir))
     // query cell probes: top-2 coarse cells by cosine against packed centroids
@@ -1196,18 +1208,49 @@ object SimilarityQueries {
     val dtable = sqDists(qr, codebook, Seq("q_id", "cell"))
       .select(col("q_id"), col("cell"), col("s"), col("code_label"), col("sqd"))
     // ADC scan: codes of probed cells only, distance = Σ table lookups
-    val wRank = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
     codes.join(broadcast(dtable), Seq("cell", "s", "code_label"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"), col("cell"))
       .agg((sum(col("sqd")).cast("double") / lit(1e12)).as("adc_dist"))
-      .withColumn("rank", row_number().over(wRank))
+  }
+
+  /** IVF-PQ search with exact REFINEMENT — the rerank step a production
+    * ADC deployment always runs (FAISS's refine/`k_factor`): the
+    * quantized scan is only used to cut the corpus to a top-20 shortlist
+    * per query, then the shortlist's FULL vectors are fetched and the
+    * final top-5 ranked by exact cosine. The output keeps each hit's
+    * `adc_rank` next to its exact `rank`, so the reranking's effect
+    * (codes-only ordering vs true ordering) is visible in the result —
+    * the quality argument for paying the small exact pass.
+    *
+    * Scale shape: the ADC stages are [[knnIvfPq]]'s (broadcast distance
+    * tables, codes never leave their cells); the refinement joins a
+    * |Q|·20-row shortlist against the vector store by id — a hash
+    * equi-join on the primary key, negligible next to the scan it
+    * replaces. */
+  def knnIvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val dotF = dotFast(spark) _
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
+    val short = ivfPqAdc(spark, dir)
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= 20)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val wCos = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    short
+      .join(emb.select(col("vec_id").as("q_id"), col("embedding").as("qe")), "q_id")
+      .join(emb.select(col("vec_id"), col("embedding").as("de")), "vec_id")
+      .withColumn("cos_sim",
+        round(dotF(col("qe"), col("de"))
+          / (sqrt(dotF(col("qe"), col("qe"))) * sqrt(dotF(col("de"), col("de")))), 6))
+      .withColumn("rank", row_number().over(wCos))
       .filter(col("rank") <= 5)
-      .select("q_id", "rank", "cell", "vec_id", "adc_dist")
+      .select("q_id", "rank", "vec_id", "adc_rank", "cos_sim")
       .orderBy("q_id", "rank")
   }
 
-  private val knnIvfPqSql: String =
+  /** Shared CTE chain of the IVF-PQ oracle, through the ADC scan. */
+  private val ivfPqAdcCtes: String =
     s"""WITH pts AS (
        |  SELECT vec_id, label, CAST(u.pos - 1 AS INT) AS pos, u.v AS v
        |  FROM embeddings,
@@ -1289,11 +1332,37 @@ object SimilarityQueries {
        |  FROM codes c
        |  JOIN dtable dt ON dt.cell = c.cell AND dt.s = c.s AND dt.code_label = c.code_label
        |  WHERE c.vec_id <> dt.q_id
-       |  GROUP BY dt.q_id, c.vec_id, c.cell)
+       |  GROUP BY dt.q_id, c.vec_id, c.cell)""".stripMargin
+
+  private val knnIvfPqSql: String =
+    s"""$ivfPqAdcCtes
        |SELECT q_id, rank, cell, vec_id, adc_dist FROM (
        |  SELECT q_id, cell, vec_id, adc_dist,
        |         row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rank
        |  FROM adc)
+       |WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+
+  private val knnIvfPqRerankSql: String =
+    s"""$ivfPqAdcCtes,
+       |short AS (
+       |  SELECT q_id, vec_id, adc_rank FROM (
+       |    SELECT q_id, vec_id, adc_dist,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS adc_rank
+       |    FROM adc)
+       |  WHERE adc_rank <= 20),
+       |ex AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |rr AS (
+       |  SELECT s.q_id, s.vec_id, s.adc_rank,
+       |         round(list_dot_product(a.e, b.e)
+       |               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+       |  FROM short s
+       |  JOIN ex a ON a.vec_id = s.q_id
+       |  JOIN ex b ON b.vec_id = s.vec_id)
+       |SELECT q_id, rank, vec_id, adc_rank, cos_sim FROM (
+       |  SELECT q_id, vec_id, adc_rank, cos_sim,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
+       |  FROM rr)
        |WHERE rank <= 5
        |ORDER BY q_id, rank""".stripMargin
 
@@ -1951,6 +2020,7 @@ object SimilarityQueries {
     "embedding_pca_two"   -> (embeddingPcaTwo _),
     "embedding_jl_projection" -> (embeddingJlProjection _),
     "knn_ivfpq"       -> (knnIvfPq _),
+    "knn_ivfpq_rerank" -> (knnIvfPqRerank _),
     "semantic_dedup"  -> (semanticDedup _),
     "embedding_pq"    -> (embeddingPq _),
     "knn_pq_adc"      -> (knnPqAdc _),
@@ -1978,6 +2048,7 @@ object SimilarityQueries {
     "embedding_pca_two"   -> embeddingPcaTwoSql,
     "embedding_jl_projection" -> embeddingJlProjectionSql,
     "knn_ivfpq"       -> knnIvfPqSql,
+    "knn_ivfpq_rerank" -> knnIvfPqRerankSql,
     "semantic_dedup"  -> semanticDedupSql,
     "embedding_pq"    -> embeddingPqSql,
     "knn_pq_adc"      -> knnPqAdcSql,
