@@ -192,7 +192,7 @@ object DedupOps {
     * per document. All arithmetic stays in BIGINT and is mirrored
     * literally in the DuckDB oracle. Output: (doc_id, fp) exploded.
     */
-  def winnowFingerprints(docs: DataFrame): DataFrame = {
+  def winnowFingerprints(docs: DataFrame, w: Int = WinnowW): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Relational formulation: posexplode + codegen'd hash projection +
     // lead/min analytic windows. The array-lambda formulation (hashing
@@ -207,14 +207,14 @@ object DedupOps {
       .withColumn("h2", lead(col("h"), 2).over(byPos))
       .filter(col("h2").isNotNull)
       .withColumn("r", pmod(pmod(col("h") * B + col("h1"), lit(P)) * B + col("h2"), lit(P)))
-    val winFrame = byPos.rowsBetween(0, WinnowW - 1)
+    val winFrame = byPos.rowsBetween(0, w - 1)
     val winnowed = rolled
       .withColumn("w", min(col("r")).over(winFrame))
       .withColumn("rn", row_number().over(byPos))
       .withColumn("m", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       // keep only full windows; docs with < WinnowW rolling hashes keep
       // their single global min (the frame at rn=1 spans the whole doc)
-      .filter(col("rn") <= greatest(col("m") - (WinnowW - 1), lit(1)))
+      .filter(col("rn") <= greatest(col("m") - (w - 1), lit(1)))
     winnowed.select(col("doc_id"), col("w").as("fp")).distinct()
   }
 

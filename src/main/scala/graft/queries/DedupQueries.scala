@@ -997,6 +997,82 @@ object DedupQueries {
        |FROM fps
        |ORDER BY doc_id, fp""".stripMargin
 
+  /** Winnowing window-size sweep — the third tuning report beside
+    * [[lshTuningReport]] (bands) and knn_recall_curve (probes): the
+    * window w trades fingerprint STORAGE density against the shortest
+    * verbatim run winnowing is guaranteed to sample (w+2 tokens). For
+    * w ∈ {4, 8, 16}, from ONE rolling-hash build: total rolling hashes,
+    * per-doc-distinct fingerprints kept, globally distinct fingerprints,
+    * measured density in ppm, and the 2/(w+1) random-hash reference
+    * density. A decontamination deployment reads this to size its
+    * fingerprint store against its shortest-span detection contract.
+    *
+    * Scale shape: the rolling build (posexplode + per-doc windows) runs
+    * per leg on the same doc-partitioned shape as [[DedupOps
+    * .winnowFingerprints]]; counts come from tagged unions → one
+    * aggregate per leg, no one-row cross joins. */
+  def winnowTuningReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val rolling = docs.select(
+      greatest(size(graft.functions.TextFunctions.tokens(col("text"))) - 2, lit(0))
+        .cast("long").as("nr"))
+    val legs = Seq(4, 8, 16).map { w =>
+      val fps = DedupOps.winnowFingerprints(docs, w).materializeOnce
+      fps.select(lit(1L).as("kept"), lit(0L).as("gd"), lit(0L).as("nr"))
+        .union(fps.select(col("fp")).distinct()
+          .select(lit(0L).as("kept"), lit(1L).as("gd"), lit(0L).as("nr")))
+        .union(rolling.select(lit(0L).as("kept"), lit(0L).as("gd"), col("nr")))
+        .agg(coalesce(sum(col("kept")), lit(0L)).as("n_kept"),
+          coalesce(sum(col("gd")), lit(0L)).as("n_global_distinct"),
+          coalesce(sum(col("nr")), lit(0L)).as("n_rolling"))
+        .select(lit(w.toLong).as("w"), col("n_rolling"), col("n_kept"),
+          col("n_global_distinct"))
+    }
+    legs.reduce(_ union _)
+      .withColumn("density_ppm",
+        expr("CASE WHEN n_rolling > 0 THEN n_kept * 1000000 div n_rolling ELSE 0 END"))
+      .withColumn("theory_ppm", expr("2000000 div (w + 1)"))
+      .orderBy("w")
+  }
+
+  private val winnowTuningReportSql: String = {
+    val legs = Seq(4, 8, 16).map { w =>
+      s"""w$w AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(r) = 0 THEN []::BIGINT[]
+         |              WHEN len(r) < $w THEN [list_min(r)]
+         |              ELSE list_transform(range(1, CAST(len(r) - $w + 2 AS BIGINT)),
+         |                     i -> list_min(r[CAST(i AS INT):CAST(i + $w - 1 AS INT)])) END AS wn
+         |  FROM r),
+         |f$w AS (SELECT doc_id, unnest(list_distinct(wn)) AS fp FROM w$w),
+         |leg$w AS (
+         |  SELECT $w AS w,
+         |         (SELECT coalesce(sum(len(r)), 0) FROM r) AS n_rolling,
+         |         (SELECT count(*) FROM f$w) AS n_kept,
+         |         (SELECT count(DISTINCT fp) FROM f$w) AS n_global_distinct)""".stripMargin
+    }.mkString(",\n")
+    val unions = Seq(4, 8, 16).map(w => s"SELECT * FROM leg$w").mkString("\nUNION ALL\n")
+    s"""WITH $toksCte,
+       |th AS (
+       |  SELECT doc_id,
+       |         list_transform(toks, t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % ${P}) AS th
+       |  FROM toks),
+       |r AS (
+       |  SELECT doc_id,
+       |         list_transform(range(1, CAST(len(th) - 1 AS BIGINT)),
+       |           i -> ((th[CAST(i AS INT)] * ${B} + th[CAST(i AS INT) + 1]) % ${P} * ${B} + th[CAST(i AS INT) + 2]) % ${P}) AS r
+       |  FROM th),
+       |$legs,
+       |u AS ($unions)
+       |SELECT CAST(w AS BIGINT) AS w,
+       |       CAST(n_rolling AS BIGINT) AS n_rolling,
+       |       CAST(n_kept AS BIGINT) AS n_kept,
+       |       CAST(n_global_distinct AS BIGINT) AS n_global_distinct,
+       |       CAST(CASE WHEN n_rolling > 0 THEN n_kept * 1000000 // n_rolling ELSE 0 END AS BIGINT) AS density_ppm,
+       |       CAST(2000000 // (w + 1) AS BIGINT) AS theory_ppm
+       |FROM u ORDER BY w""".stripMargin
+  }
+
   /** Fingerprint-level decontamination — the substring-robust sibling of
     * [[contaminationContainment]]: winnowing fingerprints (guaranteed to
     * sample any shared run of ≥ WinnowW+2 tokens) replace raw shingles,
@@ -1699,6 +1775,7 @@ object DedupQueries {
     "contamination_containment" -> (contaminationContainment _),
     "benchmark_contamination" -> (benchmarkContamination _),
     "doc_winnow_fingerprints" -> (winnowFps _),
+    "winnow_tuning_report" -> (winnowTuningReport _),
     "winnow_contamination" -> (winnowContamination _),
     "minhash_signatures"  -> (minhashSigs _),
     "minhash_lsh_dups"    -> (minhashLshDups _),
@@ -1727,6 +1804,7 @@ object DedupQueries {
     "contamination_containment" -> contaminationContainmentSql,
     "benchmark_contamination" -> benchmarkContaminationSql,
     "doc_winnow_fingerprints" -> winnowFpsSql,
+    "winnow_tuning_report" -> winnowTuningReportSql,
     "winnow_contamination" -> winnowContaminationSql,
     "minhash_signatures"  -> minhashSigsSql,
     "minhash_lsh_dups"    -> minhashLshDupsSql,
