@@ -1769,6 +1769,92 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
+  /** Quantization bit-width sweep — [[embeddingQuantize]] generalized to
+    * the int4/int6/int8 trade-off table a vector store reads before
+    * committing storage format: per bit width (symmetric, levels =
+    * 2^(b−1)−1), the corpus mean and worst per-vector max reconstruction
+    * error. Per-vector errors are rounded to 6 before the DECIMAL mean
+    * (order-independent); everything is one scan with a 3× per-vector
+    * explode and a 3-key aggregate. */
+  def embeddingQuantizeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val xd = transform(col("embedding"), _.cast("double"))
+    val maxAbs = array_max(transform(xd, x => abs(x)))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), xd.as("x"), maxAbs.as("ma"))
+      .withColumn("bits", explode(array(lit(4), lit(6), lit(8))))
+      .withColumn("levels", expr("cast(shiftleft(1, bits - 1) - 1 as bigint)"))
+      .withColumn("scale", col("levels").cast("double") / col("ma"))
+      .withColumn("vmax", round(aggregate(col("x"), lit(0.0),
+        (acc, x) => greatest(acc, abs(x - round(x * col("scale"), 0) / col("scale")))), 6))
+      .groupBy(col("bits").cast("long").as("bits"), col("levels"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (floor(sum(col("vmax").cast("decimal(18,6)")).cast("double") * 1e6
+          / count(lit(1))) / 1e6).as("mean_max_err"),
+        max(col("vmax")).as("worst_err"))
+      .orderBy("bits")
+  }
+
+  private val embeddingQuantizeSweepSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS x,
+      |         list_max(list_transform(embedding::DOUBLE[], v -> abs(v))) AS ma
+      |  FROM embeddings),
+      |b AS (
+      |  SELECT e.x, u.bits,
+      |         CAST((1 << (u.bits - 1)) - 1 AS BIGINT) AS levels,
+      |         CAST((1 << (u.bits - 1)) - 1 AS DOUBLE) / e.ma AS scale
+      |  FROM e, LATERAL (SELECT unnest([4, 6, 8]) AS bits) u),
+      |v AS (
+      |  SELECT bits, levels,
+      |         round(list_max(list_transform(x, vv -> abs(vv - round(vv * scale, 0) / scale))), 6) AS vmax
+      |  FROM b)
+      |SELECT CAST(bits AS BIGINT) AS bits, levels,
+      |       count(*) AS n_vecs,
+      |       floor(CAST(sum(CAST(vmax AS DECIMAL(18,6))) AS DOUBLE) * 1e6 / count(*)) / 1e6 AS mean_max_err,
+      |       max(vmax) AS worst_err
+      |FROM v GROUP BY bits, levels
+      |ORDER BY bits""".stripMargin
+
+  /** Per-source log-length moments — the lognormal parameter fit (μ, σ
+    * of ln chars) a mixture designer records next to the nonparametric
+    * KS/MWU drift tests: document lengths are classically lognormal, so
+    * these two numbers characterize each source's length profile
+    * compactly. ln is rounded to 6 (libm parity), the first moment sums
+    * EXACT DECIMAL(12,6) values, the second moment is the exact decimal
+    * square (scale 12 — no double product is ever cast), and the final
+    * μ/σ derivations use identical double operand order in both
+    * dialects (the winsorized-moments recipe). One scan, |S| keys. */
+  def sourceLoglengthMoments(spark: SparkSession, dir: String): DataFrame = {
+    val ld = round(log(col("n_chars").cast("double")), 6).cast("decimal(12,6)")
+    Tables.documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("source"), ld.as("l"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("l")).as("s1"),
+        sum(col("l") * col("l")).as("s2"))
+      .select(col("source"), col("n_docs"),
+        (floor(col("s1").cast("double") * 1e6 / col("n_docs")) / 1e6).as("mu_ln"),
+        round(sqrt((col("s2").cast("double")
+          - col("s1").cast("double") * col("s1").cast("double") / col("n_docs"))
+          / (col("n_docs") - 1)), 6).as("sigma_ln"))
+      .orderBy("source")
+  }
+
+  private val sourceLoglengthMomentsSql: String =
+    """WITH l AS (
+      |  SELECT source,
+      |         CAST(round(ln(CAST(n_chars AS DOUBLE)), 6) AS DECIMAL(12,6)) AS l
+      |  FROM documents WHERE n_chars > 0),
+      |s AS (
+      |  SELECT source, count(*) AS n_docs, sum(l) AS s1, sum(l * l) AS s2
+      |  FROM l GROUP BY source)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+      |       floor(CAST(s1 AS DOUBLE) * 1e6 / n_docs) / 1e6 AS mu_ln,
+      |       round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_docs)
+      |             / (n_docs - 1)), 6) AS sigma_ln
+      |FROM s ORDER BY source""".stripMargin
+
   private val embeddingQuantizeSql: String =
     """WITH e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS x,
@@ -2096,6 +2182,8 @@ object PipelineQueries {
     "corpus_interleave"  -> ((s: SparkSession, d: String) => corpusInterleave(s, d)),
     "events_profile"     -> (eventsProfile _),
     "embedding_quantize" -> (embeddingQuantize _),
+    "embedding_quantize_sweep" -> (embeddingQuantizeSweep _),
+    "source_loglength_moments" -> (sourceLoglengthMoments _),
     "clean_corpus"     -> (cleanCorpus _),
     "clean_corpus_packing" -> (cleanCorpusPacking _),
     "corpus_yield_report" -> (corpusYieldReport _),
@@ -2132,6 +2220,8 @@ object PipelineQueries {
     "corpus_interleave"  -> corpusInterleaveSql,
     "events_profile"     -> eventsProfileSql,
     "embedding_quantize" -> embeddingQuantizeSql,
+    "embedding_quantize_sweep" -> embeddingQuantizeSweepSql,
+    "source_loglength_moments" -> sourceLoglengthMomentsSql,
     "clean_corpus"     -> cleanCorpusSql,
     "clean_corpus_packing" -> cleanCorpusPackingSql,
     "corpus_yield_report" -> corpusYieldReportSql,
