@@ -160,6 +160,57 @@ object DedupQueries {
        |FROM walk GROUP BY node
        |ORDER BY component_id, doc_id""".stripMargin
 
+  /** Duplicate-cluster SIZE distribution — the one-page ops view of the
+    * near-dup landscape a curation run reports before deleting anything:
+    * for each cluster size, how many clusters and how many documents
+    * (and therefore how many deletions keep-one implies:
+    * docs − clusters). A long tail of pairs is organic duplication; a
+    * few giant clusters are template/boilerplate families that deserve
+    * a dedicated exact pass — the histogram is how you notice which
+    * regime a corpus is in. Shape: the verified LSH pair pipeline +
+    * min-label components, then two tiny aggregates (per-component
+    * size, per-size histogram) — everything after pair generation
+    * ∝ the duplicate subset. */
+  def dupClusterHistogram(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.connectedComponents(spark, minhashLshDups(spark, dir).select("a_id", "b_id"))
+      .groupBy(col("component_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .withColumn("n_deletions_keep_one", col("n_docs") - col("n_clusters"))
+      .orderBy("cluster_size")
+
+  private val dupClusterHistogramSql: String =
+    s"""WITH RECURSIVE $toksCte,
+       |$shinglesCte,
+       |$minhashCte,
+       |$bandsCandCtes,
+       |pairs AS (
+       |  SELECT a_id, b_id
+       |  FROM cand
+       |  JOIN sh sa ON sa.doc_id = a_id
+       |  JOIN sh sb ON sb.doc_id = b_id
+       |  WHERE round($jaccardExpr, 6) >= 0.2),
+       |edges AS (
+       |  SELECT a_id AS node, b_id AS nbr FROM pairs
+       |  UNION ALL
+       |  SELECT b_id, a_id FROM pairs),
+       |walk(node, reach) AS (
+       |  SELECT node, node FROM (SELECT DISTINCT node FROM edges) n
+       |  UNION
+       |  SELECT e.node, w.reach FROM edges e JOIN walk w ON w.node = e.nbr)
+       |, comp AS (
+       |  SELECT node AS doc_id, min(reach) AS component_id
+       |  FROM walk GROUP BY node),
+       |sz AS (
+       |  SELECT component_id, count(*) AS cluster_size
+       |  FROM comp GROUP BY component_id)
+       |SELECT cluster_size, count(*) AS n_clusters,
+       |       CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+       |       CAST(cluster_size * count(*) - count(*) AS BIGINT) AS n_deletions_keep_one
+       |FROM sz GROUP BY cluster_size
+       |ORDER BY cluster_size""".stripMargin
+
   /** Canonical-keeper selection — the decision step BETWEEN clustering
     * and deletion in a production dedup pipeline: within each duplicate
     * cluster, keep the doc with the most content (max n_chars, doc_id as
@@ -1769,6 +1820,7 @@ object DedupQueries {
     "containment_minhash_est" -> (containmentMinhashEst _),
     "doc_ngram_novelty"   -> (docNgramNovelty _),
     "dedup_components"    -> (dedupComponents _),
+    "dup_cluster_histogram" -> (dupClusterHistogram _),
     "dedup_canonical_keep" -> (dedupCanonicalKeep _),
     "sorted_neighbor_dups" -> (sortedNeighborDups _),
     "snm_multipass_dups"  -> (snmMultipassDups _),
@@ -1798,6 +1850,7 @@ object DedupQueries {
     "containment_minhash_est" -> containmentMinhashEstSql,
     "doc_ngram_novelty"   -> docNgramNoveltySql,
     "dedup_components"    -> dedupComponentsSql,
+    "dup_cluster_histogram" -> dupClusterHistogramSql,
     "dedup_canonical_keep" -> dedupCanonicalKeepSql,
     "sorted_neighbor_dups" -> sortedNeighborDupsSql,
     "snm_multipass_dups"  -> snmMultipassDupsSql,
