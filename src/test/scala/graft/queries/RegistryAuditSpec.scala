@@ -153,6 +153,7 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "ivf_kmeans_refine", "knn_ivf", "knn_ivf_filtered", "knn_ivf_probe2",
     "knn_ivf_refined", "knn_ivf_incremental", "knn_recall_curve",
     "knn_ivfpq", "semantic_dedup", "embedding_outliers",
+    "knn_ivfpq_rerank", // same bounded centroid-probe frame as knn_ivfpq (shared ADC pipeline)
     // BM25 corpus-stats / RRF fusion constants
     "doc_bm25_top", "hybrid_rrf",
     "bpe_merges_k", // one-row merge-rule frame × the vocabulary state, once per round
