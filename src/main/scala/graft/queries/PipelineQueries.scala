@@ -2175,7 +2175,56 @@ object PipelineQueries {
       |       CAST(n_deleted * 1000000 // n_rows AS BIGINT) AS deleted_ppm
       |FROM u ORDER BY tbl""".stripMargin
 
+  /** k-anonymity over the generalization lattice — the privacy audit
+    * beside [[deletionPropagation]] in the governance tier: for each
+    * rollup level of the quasi-identifier chain (nation, market segment,
+    * account-balance bucket) — level 0 = all three attributes, each
+    * further level generalizes one away — report equivalence-class
+    * counts, the smallest class, classes below k = 5, records at risk
+    * (members of sub-k classes: the re-identifiable population), and the
+    * at-risk fraction in ppm. The table IS the anonymization decision:
+    * the first level whose risk hits zero is the release granularity.
+    *
+    * One pass: ROLLUP computes every level's class sizes in a single
+    * aggregate (no per-level re-scan), then a 4-key re-aggregate. */
+  def customerKanonymity(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal").cast("double") / 1000).cast("long").as("bal_bucket"))
+    base.rollup(col("nat"), col("seg"), col("bal_bucket"))
+      .agg(count(lit(1)).as("g"),
+        (grouping(col("nat")) + grouping(col("seg")) + grouping(col("bal_bucket")))
+          .cast("long").as("level"))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_groups"),
+        min(col("g")).as("min_group"),
+        sum(when(col("g") < 5, 1L).otherwise(0L)).as("n_violating_groups"),
+        sum(when(col("g") < 5, col("g")).otherwise(0L)).as("n_records_at_risk"),
+        sum(col("g")).as("n_rows"))
+      .withColumn("risk_ppm", expr("n_records_at_risk * 1000000 div n_rows"))
+      .orderBy("level")
+  }
+
+  private val customerKanonymitySql: String =
+    """WITH base AS (
+      |  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+      |         CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT) AS bal_bucket
+      |  FROM customer),
+      |sizes AS (
+      |  SELECT CAST(GROUPING(nat) + GROUPING(seg) + GROUPING(bal_bucket) AS BIGINT) AS level,
+      |         count(*) AS g
+      |  FROM base GROUP BY ROLLUP (nat, seg, bal_bucket))
+      |SELECT level, count(*) AS n_groups,
+      |       CAST(min(g) AS BIGINT) AS min_group,
+      |       CAST(sum(CASE WHEN g < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+      |       CAST(sum(CASE WHEN g < 5 THEN g ELSE 0 END) AS BIGINT) AS n_records_at_risk,
+      |       CAST(sum(g) AS BIGINT) AS n_rows,
+      |       CAST(sum(CASE WHEN g < 5 THEN g ELSE 0 END) * 1000000 // sum(g) AS BIGINT) AS risk_ppm
+      |FROM sizes GROUP BY level
+      |ORDER BY level""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "customer_kanonymity" -> (customerKanonymity _),
     "deletion_propagation" -> (deletionPropagation _),
     "doc_dsir_weights"   -> (docDsirWeights _),
     "corpus_shuffle"     -> ((s: SparkSession, d: String) => corpusShuffle(s, d)),
@@ -2244,6 +2293,7 @@ object PipelineQueries {
     "chunk_dedup_stats"  -> chunkDedupStatsSql,
     "split_leakage"      -> splitLeakageSql,
     "deletion_propagation" -> deletionPropagationSql,
+    "customer_kanonymity" -> customerKanonymitySql,
     "stratified_sample_counts" -> stratifiedSampleCountsSql,
     "source_mixture_profile"   -> sourceMixtureProfileSql,
     "vocab_coverage"     -> vocabCoverageSql,
