@@ -160,6 +160,45 @@ object DedupQueries {
        |FROM walk GROUP BY node
        |ORDER BY component_id, doc_id""".stripMargin
 
+  /** Per-document BOILERPLATE share — the corpus-frequency complement of
+    * doc_repetition's within-doc signal: the fraction of a doc's
+    * distinct shingles whose corpus document-frequency is ≥ 5
+    * (navigation chrome, legal footers, templates — content that is
+    * nobody's near-dup pair yet trains nothing). This is the per-doc
+    * number the C4/RefinedWeb-style line filters threshold on (production uses a
+    * corpus-share threshold; a fixed df ≥ 5 keeps both test SFs
+    * exercising the filter); `keep`
+    * flags docs under 50% boilerplate. One shingle explode feeds the df
+    * aggregate and the join-back (hash-keyed, map-side partials); at
+    * 100 TB the df table is the vocabulary of shingles — large but
+    * ∝ distinct content, never corpus positions. */
+  def docBoilerplateShare(spark: SparkSession, dir: String): DataFrame = {
+    val ex = DedupOps.docShingles(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .materializeOnce // feeds the df aggregate AND the join-back
+    val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    ex.join(dfreq, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 5, 1L).otherwise(0L)).as("n_common"))
+      .withColumn("boilerplate_ppm", expr("n_common * 1000000 div n_shingles"))
+      .withColumn("keep", col("boilerplate_ppm") < 500000)
+      .orderBy("doc_id")
+  }
+
+  private val docBoilerplateShareSql: String =
+    s"""WITH $toksCte,
+       |$shinglesCte,
+       |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |f AS (SELECT s, count(*) AS df FROM e GROUP BY s)
+       |SELECT e.doc_id, count(*) AS n_shingles,
+       |       CAST(sum(CASE WHEN f.df >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       |       CAST(sum(CASE WHEN f.df >= 5 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS boilerplate_ppm,
+       |       sum(CASE WHEN f.df >= 5 THEN 1 ELSE 0 END) * 1000000 // count(*) < 500000 AS keep
+       |FROM e JOIN f USING (s)
+       |GROUP BY e.doc_id
+       |ORDER BY e.doc_id""".stripMargin
+
   /** Duplicate-cluster SIZE distribution — the one-page ops view of the
     * near-dup landscape a curation run reports before deleting anything:
     * for each cluster size, how many clusters and how many documents
@@ -1821,6 +1860,7 @@ object DedupQueries {
     "doc_ngram_novelty"   -> (docNgramNovelty _),
     "dedup_components"    -> (dedupComponents _),
     "dup_cluster_histogram" -> (dupClusterHistogram _),
+    "doc_boilerplate_share" -> (docBoilerplateShare _),
     "dedup_canonical_keep" -> (dedupCanonicalKeep _),
     "sorted_neighbor_dups" -> (sortedNeighborDups _),
     "snm_multipass_dups"  -> (snmMultipassDups _),
@@ -1851,6 +1891,7 @@ object DedupQueries {
     "doc_ngram_novelty"   -> docNgramNoveltySql,
     "dedup_components"    -> dedupComponentsSql,
     "dup_cluster_histogram" -> dupClusterHistogramSql,
+    "doc_boilerplate_share" -> docBoilerplateShareSql,
     "dedup_canonical_keep" -> dedupCanonicalKeepSql,
     "sorted_neighbor_dups" -> sortedNeighborDupsSql,
     "snm_multipass_dups"  -> snmMultipassDupsSql,

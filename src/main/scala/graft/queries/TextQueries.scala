@@ -268,6 +268,67 @@ object TextQueries {
             numPat, "<NUM>")).as("scrubbed_len"))
       .orderBy("doc_id")
 
+  /** PII density rollup per source — [[scrubCounts]] aggregated to the
+    * grain a compliance dashboard actually watches: URLs / emails /
+    * number-runs per million tokens for every source, plus the share of
+    * documents carrying any PII-shaped span. A source whose density
+    * jumps is a scraping-config regression; one far above its peers
+    * needs a stronger scrub before release. Map-side regex counting +
+    * one |S|-key aggregate; exact integer per-Mtoken rates. (The
+    * synthetic corpus is deliberately PII-free, so all-zero densities
+    * ARE the correct output here — the oracle verifies the counting
+    * machinery end to end, the langId-precedent convention for
+    * operators whose fixture can't exhibit every regime.) */
+  def piiDensityBySource(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        tokenCount(col("text")).cast("long").as("n_toks"),
+        size(regexp_extract_all(col("text"), lit(urlPat), lit(0))).cast("long").as("u"),
+        size(regexp_extract_all(col("text"), lit(emailPat), lit(0))).cast("long").as("e"),
+        size(regexp_extract_all(col("text"), lit(numPat), lit(0))).cast("long").as("m"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("u")).as("n_urls"),
+        sum(col("e")).as("n_emails"),
+        sum(col("m")).as("n_nums"),
+        sum(when(col("u") + col("e") + col("m") > 0, 1L).otherwise(0L)).as("n_docs_with_pii"))
+      .withColumn("url_per_mtok",
+        expr("CASE WHEN n_tokens > 0 THEN n_urls * 1000000 div n_tokens ELSE 0 END"))
+      .withColumn("email_per_mtok",
+        expr("CASE WHEN n_tokens > 0 THEN n_emails * 1000000 div n_tokens ELSE 0 END"))
+      .withColumn("num_per_mtok",
+        expr("CASE WHEN n_tokens > 0 THEN n_nums * 1000000 div n_tokens ELSE 0 END"))
+      .withColumn("docs_with_pii_ppm", expr("n_docs_with_pii * 1000000 div n_docs"))
+      .orderBy("source")
+
+  private val piiDensityBySourceSql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |         CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN 0
+      |              ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+')) END AS n_toks,
+      |         len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS u,
+      |         len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS e,
+      |         len(regexp_extract_all(text, '[0-9]+')) AS m
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         sum(n_toks) AS n_tokens, sum(u) AS n_urls,
+      |         sum(e) AS n_emails, sum(m) AS n_nums,
+      |         sum(CASE WHEN u + e + m > 0 THEN 1 ELSE 0 END) AS n_docs_with_pii
+      |  FROM d GROUP BY source)
+      |SELECT source, n_docs,
+      |       CAST(n_tokens AS BIGINT) AS n_tokens,
+      |       CAST(n_urls AS BIGINT) AS n_urls,
+      |       CAST(n_emails AS BIGINT) AS n_emails,
+      |       CAST(n_nums AS BIGINT) AS n_nums,
+      |       CAST(n_docs_with_pii AS BIGINT) AS n_docs_with_pii,
+      |       CAST(CASE WHEN n_tokens > 0 THEN n_urls * 1000000 // n_tokens ELSE 0 END AS BIGINT) AS url_per_mtok,
+      |       CAST(CASE WHEN n_tokens > 0 THEN n_emails * 1000000 // n_tokens ELSE 0 END AS BIGINT) AS email_per_mtok,
+      |       CAST(CASE WHEN n_tokens > 0 THEN n_nums * 1000000 // n_tokens ELSE 0 END AS BIGINT) AS num_per_mtok,
+      |       CAST(n_docs_with_pii * 1000000 // n_docs AS BIGINT) AS docs_with_pii_ppm
+      |FROM g ORDER BY source""".stripMargin
+
   private val scrubCountsSql: String =
     """SELECT doc_id,
       |       CAST(len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS INT) AS n_urls,
@@ -826,6 +887,7 @@ object TextQueries {
     "lang_confusion"  -> (langConfusion _),
     "lang_source_chi2" -> (langSourceChi2 _),
     "doc_scrub_counts" -> (scrubCounts _),
+    "pii_density_by_source" -> (piiDensityBySource _),
     "doc_c4_rules"    -> (c4Rules _),
     "dedup_exact"     -> (dedupExact _))
 
@@ -844,6 +906,7 @@ object TextQueries {
     "lang_confusion"  -> langConfusionSql,
     "lang_source_chi2" -> langSourceChi2Sql,
     "doc_scrub_counts" -> scrubCountsSql,
+    "pii_density_by_source" -> piiDensityBySourceSql,
     "doc_c4_rules"    -> c4RulesSql,
     "dedup_exact"     -> dedupExactSql)
 }
