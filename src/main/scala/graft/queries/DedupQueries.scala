@@ -172,8 +172,12 @@ object DedupQueries {
     * aggregate and the join-back (hash-keyed, map-side partials); at
     * 100 TB the df table is the vocabulary of shingles — large but
     * ∝ distinct content, never corpus positions. */
-  def docBoilerplateShare(spark: SparkSession, dir: String): DataFrame = {
-    val ex = DedupOps.docShingles(Tables.documents(spark, dir))
+  def docBoilerplateShare(spark: SparkSession, dir: String): DataFrame =
+    docBoilerplateShareFrom(spark, Tables.documents(spark, dir))
+
+  /** [[docBoilerplateShare]] over an arbitrary (doc_id, text) frame. */
+  def docBoilerplateShareFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val ex = DedupOps.docShingles(docs)
       .select(col("doc_id"), explode(col("shingles")).as("s"))
       .materializeOnce // feeds the df aggregate AND the join-back
     val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))

@@ -280,7 +280,12 @@ object TextQueries {
     * machinery end to end, the langId-precedent convention for
     * operators whose fixture can't exhibit every regime.) */
   def piiDensityBySource(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    piiDensityFrom(Tables.documents(spark, dir))
+
+  /** [[piiDensityBySource]] over an arbitrary (source, text) frame — the
+    * fixture entry the non-vacuity canary drives with real PII spans. */
+  def piiDensityFrom(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"),
         tokenCount(col("text")).cast("long").as("n_toks"),
         size(regexp_extract_all(col("text"), lit(urlPat), lit(0))).cast("long").as("u"),
