@@ -146,6 +146,11 @@ object ScaleSmoke {
     time("containment_pairs")(
       graft.queries.DedupQueries.docContainmentPairsFrom(spark, scaled).count())
 
+    // boilerplate share: one shingle explode -> df aggregate -> join-back;
+    // both stages are the novelty/df shapes already probed — wall ~linear
+    time("boilerplate_share")(
+      graft.queries.DedupQueries.docBoilerplateShareFrom(spark, scaled).count())
+
     // duplicate-cluster extraction over the verified LSH pairs: rounds ∝
     // component diameter (replica cliques are near-cliques → 2-3), wall ∝
     // the DUP subset, never the corpus. If rounds ever grow with K here,

@@ -1297,7 +1297,62 @@ object AnalyticsQueries {
       |       CAST(n_trans * 1000000 // tt AS BIGINT) AS share_micro
       |FROM f ORDER BY src""".stripMargin
 
+  /** Time-to-convert quantiles for the click→purchase funnel — the
+    * latency distribution behind [[conversionFunnel]]'s rate: per user,
+    * the first purchase at-or-after the first click; the p25/p50/p75/p90
+    * of those latencies as EXACT k-th order statistics (k = ⌈q·n/100⌉ in
+    * pure integer arithmetic, GlobalWindow global numbering — no
+    * interpolated percentile for engines to disagree on). A drifting p90
+    * with a stable median is the classic long-tail regression.
+    *
+    * Shapes: two filtered aggregates on user_id, one join, the two-phase
+    * numbering, then a 4-row selection. */
+  def funnelLatencyQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("es"))
+    val firstClick = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("es")).as("c_es"))
+    val lat = ev.filter(col("event_type") === "purchase")
+      .join(firstClick, "user_id")
+      .filter(col("es") >= col("c_es"))
+      .groupBy(col("user_id"), col("c_es")).agg(min(col("es")).as("p_es"))
+      .select(col("user_id"), (col("p_es") - col("c_es")).as("lat_s"))
+    GlobalWindow.rowNumberWithCount(lat, "rnk", "n")(col("lat_s"), col("user_id"))
+      .withColumn("q", explode(array(Seq(25, 50, 75, 90).map(q => lit(q.toLong)): _*)))
+      .filter(col("rnk") === expr("(n * q + 99) div 100"))
+      .select(col("q").as("q_pct"), col("n").as("n_converted"), col("lat_s").as("latency_s"))
+      .orderBy("q_pct")
+  }
+
+  private val funnelLatencyQuantilesSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type,
+      |         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
+      |  FROM events),
+      |fc AS (
+      |  SELECT user_id, min(es) AS c_es FROM ev
+      |  WHERE event_type = 'click' GROUP BY user_id),
+      |lat AS (
+      |  SELECT ev.user_id, min(ev.es) - fc.c_es AS lat_s
+      |  FROM ev JOIN fc ON ev.user_id = fc.user_id
+      |  WHERE ev.event_type = 'purchase' AND ev.es >= fc.c_es
+      |  GROUP BY ev.user_id, fc.c_es),
+      |r AS (
+      |  SELECT lat_s,
+      |         row_number() OVER (ORDER BY lat_s, user_id) AS rnk,
+      |         count(*) OVER () AS n
+      |  FROM lat),
+      |x AS (
+      |  SELECT u.q, r.n, r.lat_s
+      |  FROM r, LATERAL (SELECT unnest([25, 50, 75, 90]) AS q) u
+      |  WHERE r.rnk = (r.n * u.q + 99) // 100)
+      |SELECT CAST(q AS BIGINT) AS q_pct,
+      |       CAST(n AS BIGINT) AS n_converted,
+      |       CAST(lat_s AS BIGINT) AS latency_s
+      |FROM x ORDER BY q_pct""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "funnel_latency_quantiles" -> (funnelLatencyQuantiles _),
     "part_triangles"     -> (partTriangles _),
     "customer_rfm"       -> (customerRfm _),
     "label_psi"          -> (labelPsi _),
@@ -1344,6 +1399,7 @@ object AnalyticsQueries {
     "range_join_binned"  -> rangeJoinBinnedSql,
     "event_type_pagerank" -> eventTypePagerankSql,
     "event_markov_entropy" -> eventMarkovEntropySql,
+    "funnel_latency_quantiles" -> funnelLatencyQuantilesSql,
     "orders_skyline"      -> ordersSkylineSql,
     "part_pair_lift"      -> partPairLiftSql,
     "event_type_distances"     -> eventTypeDistancesSql,

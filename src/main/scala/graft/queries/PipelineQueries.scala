@@ -1147,6 +1147,57 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Corpus-level vocabulary coverage CURVE — [[vocabCoverage]]'s fixed
+    * top-100 generalized to the vocab-size decision sweep: what share of
+    * the corpus token mass does a top-k vocabulary cover, for
+    * k ∈ {10, 20, 50, 100}? The marginal coverage per added vocab entry
+    * is exactly the tokenizer/feature-hashing budget curve. Ranking uses
+    * the two-phase GlobalWindow (vocabulary-sized frame, no single-task
+    * sort); all four coverages come from ONE conditional aggregate over
+    * the ranked counts (no cumulative window, no per-k re-scan), and
+    * the stack unpivot emits the 4-row curve in exact integer ppm. */
+  def vocabCoverageCurve(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val ranked = GlobalWindow.rowNumber(counts, "rnk")(col("c").desc, col("tok"))
+    val ks = Seq(10, 20, 50, 100)
+    val aggs = ks.map(k =>
+      sum(when(col("rnk") <= k, col("c")).otherwise(lit(0L))).as(s"cov$k")) :+
+      sum(col("c")).as("total")
+    ranked.agg(aggs.head, aggs.tail: _*)
+      .select(
+        expr(s"stack(4, ${ks.map(k => s"${k}L, cov$k").mkString(", ")}) AS (k, covered_tokens)"),
+        col("total").as("total_tokens"))
+      .withColumn("coverage_ppm", expr("covered_tokens * 1000000 div total_tokens"))
+      .orderBy("k")
+  }
+
+  private val vocabCoverageCurveSql: String =
+    s"""WITH $toksCteSql,
+       |e AS (SELECT unnest(toks) AS tok FROM t),
+       |v AS (
+       |  SELECT count(*) AS c,
+       |         row_number() OVER (ORDER BY count(*) DESC, tok) AS rnk
+       |  FROM e GROUP BY tok),
+       |agg AS (
+       |  SELECT sum(CASE WHEN rnk <= 10 THEN c ELSE 0 END) AS cov10,
+       |         sum(CASE WHEN rnk <= 20 THEN c ELSE 0 END) AS cov20,
+       |         sum(CASE WHEN rnk <= 50 THEN c ELSE 0 END) AS cov50,
+       |         sum(CASE WHEN rnk <= 100 THEN c ELSE 0 END) AS cov100,
+       |         sum(c) AS total
+       |  FROM v),
+       |u AS (
+       |  SELECT 10 AS k, cov10 AS covered_tokens, total FROM agg
+       |  UNION ALL SELECT 20, cov20, total FROM agg
+       |  UNION ALL SELECT 50, cov50, total FROM agg
+       |  UNION ALL SELECT 100, cov100, total FROM agg)
+       |SELECT CAST(k AS BIGINT) AS k,
+       |       CAST(covered_tokens AS BIGINT) AS covered_tokens,
+       |       CAST(total AS BIGINT) AS total_tokens,
+       |       CAST(covered_tokens * 1000000 // total AS BIGINT) AS coverage_ppm
+       |FROM u ORDER BY k""".stripMargin
+
   private val vocabCoverageSql: String =
     s"""WITH $toksCteSql,
       |e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
@@ -2257,6 +2308,7 @@ object PipelineQueries {
     "stratified_sample_counts" -> (stratifiedSampleCounts _),
     "source_mixture_profile"   -> (sourceMixtureProfile _),
     "vocab_coverage"     -> (vocabCoverage _),
+    "vocab_coverage_curve" -> (vocabCoverageCurve _),
     "doc_split_counts" -> (docSplitCounts _),
     "top_tokens"       -> (topTokens _),
     "token_heavy_hitters_cms" -> (tokenHeavyHittersCms _),
@@ -2297,6 +2349,7 @@ object PipelineQueries {
     "stratified_sample_counts" -> stratifiedSampleCountsSql,
     "source_mixture_profile"   -> sourceMixtureProfileSql,
     "vocab_coverage"     -> vocabCoverageSql,
+    "vocab_coverage_curve" -> vocabCoverageCurveSql,
     "doc_split_counts" -> docSplitCountsSql,
     "top_tokens"       -> topTokensSql,
     "token_heavy_hitters_cms" -> tokenHeavyHittersCmsSql,

@@ -396,9 +396,66 @@ object TimeSeriesQueries {
       |FROM j GROUP BY sensor_id
       |ORDER BY sensor_id""".stripMargin
 
+  /** Sensor DOWNTIME report — the telemetry liveness audit the
+    * interpolation/spine entries assume has already run: per sensor, the
+    * gap distribution of consecutive valid readings (floored epoch
+    * seconds; ties on ts broken by event_id so the gap sequence is a
+    * total order in both dialects), outage count and cumulative downtime
+    * for gaps above one hour (~4× the median cadence of this feed), and
+    * the downtime share of the sensor's observed span in ppm. A sensor
+    * whose downtime_ppm spikes is a collection outage; one whose
+    * max_gap dwarfs its outage sum died once and recovered.
+    *
+    * One partitioned lag + one |sensors|-key aggregate; everything
+    * integer-exact. */
+  def sensorDowntimeReport(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("sensor_id")).orderBy(col("ts"), col("event_id"))
+    val g = Tables.events(spark, dir)
+      .filter(col("event_type") =!= "error" && col("value").isNotNull)
+      .select(col("event_type").as("sensor_id"),
+        unix_timestamp(col("ts")).as("es"), col("ts"), col("event_id"))
+      .withColumn("gap_s", col("es") - lag(col("es"), 1).over(w))
+    g.groupBy(col("sensor_id"))
+      .agg(count(lit(1)).as("n_obs"),
+        (max(col("es")) - min(col("es"))).as("span_s"),
+        max(col("gap_s")).as("max_gap_s"),
+        sum(when(col("gap_s") > 3600, 1L).otherwise(0L)).as("n_outages"),
+        sum(when(col("gap_s") > 3600, col("gap_s")).otherwise(0L)).as("downtime_s"))
+      .withColumn("downtime_ppm",
+        expr("CASE WHEN span_s > 0 THEN downtime_s * 1000000 div span_s ELSE 0 END"))
+      .orderBy("sensor_id")
+  }
+
+  private val sensorDowntimeReportSql: String =
+    """WITH e AS (
+      |  SELECT event_type AS sensor_id,
+      |         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+      |         CAST(ts AS TIMESTAMP) AS tsx, event_id
+      |  FROM events
+      |  WHERE event_type <> 'error' AND value IS NOT NULL),
+      |g AS (
+      |  SELECT sensor_id, es,
+      |         es - lag(es) OVER (PARTITION BY sensor_id ORDER BY tsx, event_id) AS gap_s
+      |  FROM e),
+      |a AS (
+      |  SELECT sensor_id, count(*) AS n_obs,
+      |         max(es) - min(es) AS span_s,
+      |         max(gap_s) AS max_gap_s,
+      |         sum(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END) AS n_outages,
+      |         sum(CASE WHEN gap_s > 3600 THEN gap_s ELSE 0 END) AS downtime_s
+      |  FROM g GROUP BY sensor_id)
+      |SELECT sensor_id, n_obs,
+      |       CAST(span_s AS BIGINT) AS span_s,
+      |       CAST(max_gap_s AS BIGINT) AS max_gap_s,
+      |       CAST(n_outages AS BIGINT) AS n_outages,
+      |       CAST(downtime_s AS BIGINT) AS downtime_s,
+      |       CAST(CASE WHEN span_s > 0 THEN downtime_s * 1000000 // span_s ELSE 0 END AS BIGINT) AS downtime_ppm
+      |FROM a ORDER BY sensor_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sensor_seasonal_profile" -> (sensorSeasonalProfile _),
     "sensor_seasonal_residuals" -> (sensorSeasonalResiduals _),
+    "sensor_downtime_report"  -> (sensorDowntimeReport _),
     "sensor_acf"              -> (sensorAcf _),
     "sensor_rolling_trend"    -> (sensorRollingTrend _),
     "sensor_cusum"            -> (sensorCusum _))
@@ -406,6 +463,7 @@ object TimeSeriesQueries {
   val oracle: Map[String, String] = Map(
     "sensor_seasonal_profile" -> sensorSeasonalProfileSql,
     "sensor_seasonal_residuals" -> sensorSeasonalResidualsSql,
+    "sensor_downtime_report"  -> sensorDowntimeReportSql,
     "sensor_acf"              -> sensorAcfSql,
     "sensor_rolling_trend"    -> sensorRollingTrendSql,
     "sensor_cusum"            -> sensorCusumSql)
