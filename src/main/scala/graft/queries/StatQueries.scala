@@ -1143,7 +1143,66 @@ object StatQueries {
       |FROM z
       |ORDER BY station_id, sensor_id, event_id""".stripMargin
 
+  /** Shared first-significant-digit Benford expectation, micro-units:
+    * ONE Scala computation feeds both the broadcast Spark dim and the
+    * oracle VALUES literal — log10 is not correctly-rounded across libm
+    * implementations, so it must never be evaluated independently per
+    * engine. */
+  private val benfordExpected: Seq[(Int, Long)] =
+    (1 to 9).map(d => (d, math.round(math.log10(1.0 + 1.0 / d) * 1e6)))
+
+  /** Benford first-digit audit on order totals — the fraud/synthetic-data
+    * screen a finance or data-quality pipeline runs on any organically-
+    * grown monetary column: the first significant digit of o_totalprice
+    * against the Benford expectation log10(1 + 1/d), with per-digit
+    * deviation and chi-square-style terms in integer micro-units. A
+    * fabricated or truncated feed shows up as a flat (or 1-heavy-beyond-
+    * Benford) digit histogram long before any semantic check fires.
+    *
+    * The first digit comes from the decimal string of floor(price) — no
+    * log10/pow on data (a float log at a power-of-10 boundary can land on
+    * the wrong side; string truncation cannot). One scan, a 9-key
+    * aggregate, a one-row total frame broadcast back — all integer
+    * arithmetic after the scan. */
+  def ordersBenford(spark: SparkSession, dir: String): DataFrame = {
+    val expected = spark.createDataFrame(benfordExpected).toDF("digit", "exp_micro")
+    val digits = Tables.orders(spark, dir)
+      .select(expr(
+        "CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS INT)")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+    val tot = digits.agg(sum(col("n_orders")).as("n_total"))
+    digits.crossJoin(broadcast(tot))
+      .join(broadcast(expected), Seq("digit"))
+      .withColumn("obs_micro", expr("n_orders * 1000000 div n_total"))
+      .withColumn("dev_micro", abs(col("obs_micro") - col("exp_micro")))
+      .withColumn("chi_term_micro",
+        expr("(obs_micro - exp_micro) * (obs_micro - exp_micro) div exp_micro"))
+      .select("digit", "n_orders", "n_total", "obs_micro", "exp_micro",
+        "dev_micro", "chi_term_micro")
+      .orderBy("digit")
+  }
+
+  private val ordersBenfordSql: String = {
+    val values = benfordExpected.map { case (d, m) => s"($d, $m)" }.mkString(", ")
+    s"""WITH expected(digit, exp_micro) AS (VALUES $values),
+       |d AS (
+       |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+       |         count(*) AS n_orders
+       |  FROM orders GROUP BY 1),
+       |t AS (SELECT sum(n_orders) AS n_total FROM d)
+       |SELECT d.digit, d.n_orders, CAST(t.n_total AS BIGINT) AS n_total,
+       |       CAST(d.n_orders * 1000000 // t.n_total AS BIGINT) AS obs_micro,
+       |       CAST(e.exp_micro AS BIGINT) AS exp_micro,
+       |       CAST(abs(d.n_orders * 1000000 // t.n_total - e.exp_micro) AS BIGINT) AS dev_micro,
+       |       CAST((d.n_orders * 1000000 // t.n_total - e.exp_micro)
+       |            * (d.n_orders * 1000000 // t.n_total - e.exp_micro) // e.exp_micro AS BIGINT) AS chi_term_micro
+       |FROM d CROSS JOIN t JOIN expected e ON e.digit = d.digit
+       |ORDER BY d.digit""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "orders_benford" -> (ordersBenford _),
     "sensor_rolling_zscore" -> (sensorRollingZscore _),
     "sensor_hourly_spine"          -> (sensorHourlySpine _),
     "top_order_lateral"            -> (topOrderLateral _),
@@ -1177,6 +1236,7 @@ object StatQueries {
     "embedding_normalize"          -> (embeddingNormalize _))
 
   val oracle: Map[String, String] = Map(
+    "orders_benford" -> ordersBenfordSql,
     "sensor_rolling_zscore" -> sensorRollingZscoreSql,
     "sensor_hourly_spine"          -> sensorHourlySpineSql,
     "top_order_lateral"            -> lateralText,

@@ -877,10 +877,162 @@ object TextQueries {
        |       CAST(CASE WHEN n_pred_pos + n_pos > 0 THEN 2 * tp * 1000000 // (n_pred_pos + n_pos) ELSE 0 END AS BIGINT) AS f1_micro
        |FROM g ORDER BY thr_micro""".stripMargin
 
+  /** Isotonic (PAV) recalibration of [[classifierCalibration]]'s
+    * reliability bins — the step a miscalibrated-but-monotone classifier
+    * gets before its probabilities are trusted: the weighted isotonic
+    * regression of observed accuracy on confidence bin, computed through
+    * the minimax identity iso(k) = max_{i≤k} min_{j≥k} rate(i..j)
+    * (pool-adjacent-violators' closed form), which turns the seemingly
+    * sequential PAV loop into three joins over the TEN-row bin frame —
+    * no iteration, no UDF, and the corpus is scanned exactly once (the
+    * classifier pass); everything downstream is constant-sized (≤ 10³
+    * interval triples). A bin whose iso_micro differs from raw_micro was
+    * pooled with a neighbor — the calibration map to apply at inference.
+    *
+    * Interval rates divide exact integer sums in IEEE double (identical
+    * operands both engines → identical ordering under min/max); the
+    * emitted fit goes through floor micro fixed-point. */
+  def calibrationIsotonic(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(graft.operators.DedupOps.h60(col("token")), lit(HashDim.toLong))
+    val weight = (bucket * lit(2654435761L)) % 1001 - 500
+    val bins = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), explode(tokens(col("text"))).as("token"))
+      .withColumn("w", weight)
+      .groupBy(col("doc_id"))
+      .agg(
+        max((col("n_chars") >= 300).cast("long")).as("y"),
+        (floor(sum(col("w")).cast("double") * 1000.0 / count(lit(1)))
+          / lit(1e6)).as("score"))
+      .withColumn("prob", round(lit(1.0) / (lit(1.0) + exp(col("score") * -4)), 6))
+      .withColumn("bin", least(floor(col("prob") * 10), lit(9.0)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"))
+      .materializeOnce // four legs of the PAV minimax over the 10-row frame
+    val m = bins.select(col("bin").as("mb"), col("n_docs").as("md"), col("n_pos").as("mp"))
+    val intervals = bins.select(col("bin").as("i"))
+      .crossJoin(broadcast(bins.select(col("bin").as("j"))))
+      .filter(col("i") <= col("j"))
+      .join(broadcast(m), col("mb") >= col("i") && col("mb") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("mp")).as("ip"), sum(col("md")).as("id_"))
+      .withColumn("iavg", col("ip").cast("double") / col("id_"))
+    val iso = intervals
+      .join(broadcast(bins.select(col("bin").as("k"))),
+        col("i") <= col("k") && col("j") >= col("k"))
+      .groupBy(col("k"), col("i")).agg(min(col("iavg")).as("mn"))
+      .groupBy(col("k")).agg(max(col("mn")).as("iso"))
+    bins.join(iso, col("bin") === col("k"))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        expr("n_pos * 1000000 div n_docs").as("raw_micro"),
+        floor(col("iso") * 1e6).cast("long").as("iso_micro"))
+      .withColumn("pooled", col("raw_micro") =!= col("iso_micro"))
+      .orderBy("bin")
+  }
+
+  private val calibrationIsotonicSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, n_chars,
+       |         CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') END AS toks
+       |  FROM documents),
+       |e AS (SELECT doc_id, n_chars, unnest(toks) AS token FROM t),
+       |f AS (
+       |  SELECT doc_id, n_chars,
+       |         (CAST('0x' || substring(md5(token), 1, 15) AS BIGINT) % $HashDim)
+       |           * 2654435761 % 1001 - 500 AS w
+       |  FROM e),
+       |s AS (
+       |  SELECT doc_id,
+       |         max(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS y,
+       |         floor(CAST(sum(w) AS DOUBLE) * 1000.0 / count(*)) / 1e6 AS score
+       |  FROM f GROUP BY doc_id),
+       |bins AS (
+       |  SELECT CAST(least(floor(round(1.0 / (1.0 + exp(score * -4)), 6) * 10), 9) AS BIGINT) AS bin,
+       |         count(*) AS n_docs, CAST(sum(y) AS BIGINT) AS n_pos
+       |  FROM s GROUP BY 1),
+       |intervals AS (
+       |  SELECT a.bin AS i, b.bin AS j,
+       |         CAST(sum(m.n_pos) AS DOUBLE) / sum(m.n_docs) AS iavg
+       |  FROM bins a JOIN bins b ON b.bin >= a.bin
+       |  JOIN bins m ON m.bin >= a.bin AND m.bin <= b.bin
+       |  GROUP BY 1, 2),
+       |iso AS (
+       |  SELECT k, max(mn) AS iso FROM (
+       |    SELECT kb.bin AS k, iv.i, min(iv.iavg) AS mn
+       |    FROM intervals iv JOIN bins kb ON iv.i <= kb.bin AND iv.j >= kb.bin
+       |    GROUP BY 1, 2)
+       |  GROUP BY k)
+       |SELECT b.bin, b.n_docs, b.n_pos,
+       |       CAST(b.n_pos * 1000000 // b.n_docs AS BIGINT) AS raw_micro,
+       |       CAST(floor(iso.iso * 1e6) AS BIGINT) AS iso_micro,
+       |       b.n_pos * 1000000 // b.n_docs <> CAST(floor(iso.iso * 1e6) AS BIGINT) AS pooled
+       |FROM bins b JOIN iso ON iso.k = b.bin
+       |ORDER BY b.bin""".stripMargin
+
+  /** Good–Turing count-of-counts spectrum over trigram-shingle DOCUMENT
+    * frequency — the table (r → how many distinct shingles appear in
+    * exactly r documents) that tunes every fingerprint-dedup knob in this
+    * repo: N₁ is the truly-novel shingle mass (the denominator of any
+    * novelty score), the head's decay rate decides the df-cap for the
+    * prefix/containment joins, and r* = (r+1)·N_{r+1}/N_r is the
+    * Good–Turing adjusted count a smoothed novelty estimate substitutes
+    * for small r. Emitted for r ≤ 20 — the informative head (unigram
+    * counts are useless here: this corpus' closed vocabulary pushes every
+    * unigram far beyond it, which is itself why dedup keys on shingles).
+    *
+    * Scale shape: per-doc shingling is narrow map work; the only
+    * data-sized shuffle is groupBy(shingle) (the same key the dedup
+    * pipeline shuffles on); the spectrum aggregate collapses to
+    * |distinct r| rows and the r+1 shift is a self-join on that tiny
+    * frame. The adjusted count is one exact integer multiply-divide —
+    * no floats anywhere. */
+  def ngramCountOfCounts(spark: SparkSession, dir: String): DataFrame = {
+    val spectrum = graft.operators.DedupOps.docShingles(Tables.documents(spark, dir))
+      .select(explode(col("shingles")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("r"))
+      .groupBy(col("r")).agg(count(lit(1)).as("n_types"))
+      .materializeOnce // both legs of the r+1 shift join
+    val nxt = spectrum.select((col("r") - 1).as("r"), col("n_types").as("nt_next"))
+    spectrum.join(nxt, Seq("r"), "left")
+      .filter(col("r") <= 20)
+      .select(col("r"), col("n_types"),
+        (col("r") * col("n_types")).as("n_occurrences_at_r"),
+        expr("CASE WHEN nt_next IS NOT NULL THEN (r + 1) * nt_next * 1000000 div n_types END")
+          .as("gt_rstar_micro"))
+      .orderBy("r")
+  }
+
+  private val ngramCountOfCountsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+      |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+') END AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(
+      |           CASE WHEN len(toks) >= 3
+      |                THEN list_transform(range(1, CAST(len(toks) - 1 AS BIGINT)),
+      |                       i -> concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i AS INT)+1], toks[CAST(i AS INT)+2]))
+      |                WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+      |                ELSE []::VARCHAR[] END) AS shingles
+      |  FROM toks),
+      |e AS (SELECT unnest(shingles) AS s FROM sh),
+      |c AS (SELECT s, count(*) AS r FROM e GROUP BY 1),
+      |sp AS (SELECT r, count(*) AS n_types FROM c GROUP BY 1)
+      |SELECT sp.r, sp.n_types, sp.r * sp.n_types AS n_occurrences_at_r,
+      |       CASE WHEN s2.n_types IS NOT NULL
+      |            THEN (sp.r + 1) * s2.n_types * 1000000 // sp.n_types END AS gt_rstar_micro
+      |FROM sp LEFT JOIN sp s2 ON s2.r = sp.r + 1
+      |WHERE sp.r <= 20
+      |ORDER BY sp.r""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "doc_lm_score"    -> (docLmScore _),
     "doc_classifier_score" -> (docClassifierScore _),
     "classifier_calibration" -> (classifierCalibration _),
+    "calibration_isotonic" -> (calibrationIsotonic _),
+    "ngram_count_of_counts" -> (ngramCountOfCounts _),
     "classifier_pr_curve" -> (classifierPrCurve _),
     "bigram_lm_top"   -> (bigramLmTop _),
     "token_pmi_top"   -> (tokenPmiTop _),
@@ -900,6 +1052,8 @@ object TextQueries {
     "doc_lm_score"    -> docLmScoreSql,
     "doc_classifier_score" -> docClassifierScoreSql,
     "classifier_calibration" -> classifierCalibrationSql,
+    "calibration_isotonic" -> calibrationIsotonicSql,
+    "ngram_count_of_counts" -> ngramCountOfCountsSql,
     "classifier_pr_curve" -> classifierPrCurveSql,
     "bigram_lm_top"   -> bigramLmTopSql,
     "token_pmi_top"   -> tokenPmiTopSql,

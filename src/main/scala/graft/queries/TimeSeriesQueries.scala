@@ -452,12 +452,187 @@ object TimeSeriesQueries {
       |       CAST(CASE WHEN span_s > 0 THEN downtime_s * 1000000 // span_s ELSE 0 END AS BIGINT) AS downtime_ppm
       |FROM a ORDER BY sensor_id""".stripMargin
 
+  /** The shared hourly-mean build frame: one data-sized shuffle collapses
+    * the feed to (sensor, hour, x) with x the 6-dp rounded mean — the
+    * calendar-bounded frame every detector in this module runs on. */
+  private def hourlyMeans(spark: SparkSession, dir: String): DataFrame =
+    validReadings(spark, dir)
+      .groupBy(col("sensor_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value_numeric").cast("decimal(18,6)")).as("s1d"))
+      .select(col("sensor_id"), col("h"),
+        round(col("s1d").cast("double") / col("n"), 6).as("x"))
+
+  private val hourlyMeansSql: String =
+    """SELECT event_type AS sensor_id,
+      |         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+      |         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS x
+      |  FROM events
+      |  WHERE event_type <> 'error' AND value IS NOT NULL
+      |  GROUP BY 1, 2""".stripMargin
+
+  /** Theil–Sen robust trend per sensor: the MEDIAN of all pairwise slopes
+    * (x_j − x_i)/(j − i) over the hourly-mean series — the estimator that
+    * shrugs off up to ~29% arbitrarily-corrupted hours, where the
+    * [[sensorRollingTrend]] OLS slope chases every outlier. The reported
+    * slope is in value-units per hour of observed sequence.
+    *
+    * Scale shape: the raw feed collapses to the hours frame FIRST (the
+    * only data-sized stage), and the pair self-join is CALENDAR²-bounded —
+    * |hours|²/2 per sensor regardless of row count (720 observed hours →
+    * ~259k pairs/sensor at ANY data scale; a year is ~38M/sensor, still a
+    * dimension-sized frame). The per-sensor median is a window over that
+    * bounded frame, not over data-sized input.
+    *
+    * Engine-exactness: Δx is formed in DECIMAL(18,6) and emitted as an
+    * exact micro-unit BIGINT; the ordering key Δx_micro/gap is one IEEE
+    * double division of a long-exact numerator by a small integer —
+    * correctly rounded, so both engines order identically (ties broken by
+    * (Δx, gap, i, j) anyway); the lower median (rank ⌈n/2⌉) avoids
+    * averaging two middle elements; the final slope_micro is floor() of
+    * the same correctly-rounded division. */
+  def sensorTheilSenTrend(spark: SparkSession, dir: String): DataFrame = {
+    import QueryConventions.MaterializeSyntax
+    val seq = Window.partitionBy(col("sensor_id")).orderBy(col("h"))
+    val pos = hourlyMeans(spark, dir)
+      .withColumn("p", row_number().over(seq))
+      .select(col("sensor_id"), col("p"), col("x"))
+      .materializeOnce // both sides of the pair self-join
+    val a = pos.select(col("sensor_id"), col("p").as("pa"), col("x").as("xa"))
+    val b = pos.select(col("sensor_id"), col("p").as("pb"), col("x").as("xb"))
+    val pairs = a.join(b, Seq("sensor_id")).filter(col("pb") > col("pa"))
+      .select(col("sensor_id"), col("pa"), col("pb"),
+        ((col("xb").cast("decimal(18,6)") - col("xa").cast("decimal(18,6)")) * 1000000)
+          .cast("long").as("dx_micro"),
+        (col("pb") - col("pa")).cast("long").as("gap"))
+      .withColumn("ratio", col("dx_micro").cast("double") / col("gap"))
+    val ord = Window.partitionBy(col("sensor_id"))
+      .orderBy(col("ratio"), col("dx_micro"), col("gap"), col("pa"), col("pb"))
+    val cnt = Window.partitionBy(col("sensor_id"))
+    pairs
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("n_pairs", count(lit(1)).over(cnt))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("sensor_id"), col("n_pairs"),
+        col("dx_micro").as("med_dx_micro"), col("gap").as("med_gap"),
+        floor(col("dx_micro").cast("double") / col("gap")).cast("long").as("slope_micro"))
+      .orderBy("sensor_id")
+  }
+
+  private val sensorTheilSenTrendSql: String =
+    s"""WITH byhour AS (
+       |  $hourlyMeansSql),
+       |pos AS (
+       |  SELECT sensor_id, x,
+       |         row_number() OVER (PARTITION BY sensor_id ORDER BY h) AS p
+       |  FROM byhour),
+       |pairs AS (
+       |  SELECT a.sensor_id, a.p AS pa, b.p AS pb,
+       |         CAST((CAST(b.x AS DECIMAL(18,6)) - CAST(a.x AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS dx_micro,
+       |         CAST(b.p - a.p AS BIGINT) AS gap
+       |  FROM pos a JOIN pos b ON b.sensor_id = a.sensor_id AND b.p > a.p),
+       |ranked AS (
+       |  SELECT sensor_id, dx_micro, gap,
+       |         row_number() OVER (PARTITION BY sensor_id
+       |                            ORDER BY CAST(dx_micro AS DOUBLE) / gap, dx_micro, gap, pa, pb) AS rn,
+       |         count(*) OVER (PARTITION BY sensor_id) AS n_pairs
+       |  FROM pairs)
+       |SELECT sensor_id, n_pairs,
+       |       dx_micro AS med_dx_micro, gap AS med_gap,
+       |       CAST(floor(CAST(dx_micro AS DOUBLE) / gap) AS BIGINT) AS slope_micro
+       |FROM ranked WHERE rn = (n_pairs + 1) // 2
+       |ORDER BY sensor_id""".stripMargin
+
+  /** The 24-point micro-unit trig tables for the daily-cycle DFT: ONE
+    * Scala computation feeds both the broadcast Spark dim and the oracle
+    * VALUES literal, so the two dialects share bit-identical coefficients
+    * by construction (cos/sin are NOT correctly-rounded across libm
+    * implementations — never call them independently on both engines). */
+  private val trigTable: Seq[(Int, Long, Long)] =
+    (0 until 24).map { i =>
+      val th = 2.0 * math.Pi * i / 24.0
+      (i, math.round(math.cos(th) * 1e6), math.round(math.sin(th) * 1e6))
+    }
+
+  /** Spectral periodicity check — the frequency-domain member of the
+    * seasonality family: per sensor, the DFT power at harmonics k = 1..4
+    * of the daily (24 h) cycle over the hourly-mean series,
+    * P_k = (Σ_t x_t·cos(2πkt/24))² + (Σ_t x_t·sin(2πkt/24))². A sensor
+    * with a genuine daily rhythm concentrates power at k = 1 (rank 1);
+    * flat-spectrum sensors are aperiodic — the check
+    * [[sensorSeasonalProfile]]'s hour-of-day table assumes.
+    *
+    * All arithmetic is integer-exact end to end: readings enter as exact
+    * micro-unit BIGINTs (via DECIMAL, never a double multiply), trig
+    * coefficients come from the shared [[trigTable]] (micro-unit
+    * integers, same literals both dialects), each product is a BIGINT
+    * (≤ ~1e14), the two sums accumulate in DECIMAL(38,0), and the power
+    * is a DECIMAL(38,0) sum of squares — no float op anywhere, so no
+    * hash canonicalization can diverge (the source_length_ks lesson).
+    *
+    * Scale: one data-sized shuffle to the hours frame; the trig dim is a
+    * broadcast 24-row table keyed on (k·t) mod 24; output is
+    * |sensors|×4. */
+  def sensorDftPower(spark: SparkSession, dir: String): DataFrame = {
+    val seq = Window.partitionBy(col("sensor_id")).orderBy(col("h"))
+    val trig = spark.createDataFrame(trigTable).toDF("idx", "cosc", "sinc")
+    val harmonics = spark.range(1, 5).select(col("id").cast("int").as("k"))
+    val pos = hourlyMeans(spark, dir)
+      .withColumn("t", row_number().over(seq) - 1)
+      .select(col("sensor_id"), col("t"),
+        (col("x").cast("decimal(18,6)") * 1000000).cast("long").as("xm"))
+    pos.crossJoin(broadcast(harmonics))
+      .withColumn("idx", (col("k") * col("t")) % 24)
+      .join(broadcast(trig), Seq("idx"))
+      .groupBy(col("sensor_id"), col("k"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum((col("xm") * col("cosc")).cast("decimal(38,0)")).as("ca"),
+        sum((col("xm") * col("sinc")).cast("decimal(38,0)")).as("sa"))
+      .withColumn("power", (col("ca") * col("ca") + col("sa") * col("sa"))
+        .cast("decimal(38,0)"))
+      .withColumn("power_rank",
+        row_number().over(Window.partitionBy(col("sensor_id"))
+          .orderBy(col("power").desc, col("k"))))
+      .select("sensor_id", "k", "n_terms", "ca", "sa", "power", "power_rank")
+      .orderBy("sensor_id", "k")
+  }
+
+  private val sensorDftPowerSql: String = {
+    val values = trigTable.map { case (i, c, s) => s"($i, $c, $s)" }.mkString(", ")
+    s"""WITH byhour AS (
+       |  $hourlyMeansSql),
+       |trig(idx, cosc, sinc) AS (VALUES $values),
+       |pos AS (
+       |  SELECT sensor_id,
+       |         row_number() OVER (PARTITION BY sensor_id ORDER BY h) - 1 AS t,
+       |         CAST(CAST(x AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xm
+       |  FROM byhour),
+       |terms AS (
+       |  SELECT p.sensor_id, k.k, p.xm, tr.cosc, tr.sinc
+       |  FROM pos p
+       |  CROSS JOIN (SELECT unnest(range(1, 5)) AS k) k
+       |  JOIN trig tr ON tr.idx = (k.k * p.t) % 24),
+       |agg AS (
+       |  SELECT sensor_id, CAST(k AS INT) AS k, count(*) AS n_terms,
+       |         CAST(sum(CAST(xm * cosc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ca,
+       |         CAST(sum(CAST(xm * sinc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sa
+       |  FROM terms GROUP BY 1, 2)
+       |SELECT sensor_id, k, n_terms, ca, sa,
+       |       CAST(ca * ca + sa * sa AS DECIMAL(38,0)) AS power,
+       |       CAST(row_number() OVER (PARTITION BY sensor_id
+       |                               ORDER BY ca * ca + sa * sa DESC, k) AS INT) AS power_rank
+       |FROM agg
+       |ORDER BY sensor_id, k""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "sensor_seasonal_profile" -> (sensorSeasonalProfile _),
     "sensor_seasonal_residuals" -> (sensorSeasonalResiduals _),
     "sensor_downtime_report"  -> (sensorDowntimeReport _),
     "sensor_acf"              -> (sensorAcf _),
     "sensor_rolling_trend"    -> (sensorRollingTrend _),
+    "sensor_theilsen_trend"   -> (sensorTheilSenTrend _),
+    "sensor_dft_power"        -> (sensorDftPower _),
     "sensor_cusum"            -> (sensorCusum _))
 
   val oracle: Map[String, String] = Map(
@@ -466,5 +641,7 @@ object TimeSeriesQueries {
     "sensor_downtime_report"  -> sensorDowntimeReportSql,
     "sensor_acf"              -> sensorAcfSql,
     "sensor_rolling_trend"    -> sensorRollingTrendSql,
+    "sensor_theilsen_trend"   -> sensorTheilSenTrendSql,
+    "sensor_dft_power"        -> sensorDftPowerSql,
     "sensor_cusum"            -> sensorCusumSql)
 }

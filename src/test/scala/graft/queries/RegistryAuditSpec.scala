@@ -159,6 +159,9 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "bpe_merges_k", // one-row merge-rule frame × the vocabulary state, once per round
     "bpe_apply",    // same one-row merge-rule frame per round, then a broadcast vocab-sized segmentation map
     "token_pmi_top", // one-row token-total and pair-total frames × scored pairs
+    "orders_benford",        // one-row total frame × the 9-digit histogram
+    "sensor_dft_power",      // 4-row harmonic dim × the hours-sized series
+    "calibration_isotonic",  // PAV minimax joins over the 10-row bin frame
     // generated hourly spine × small station dim
     "sensor_hourly_spine",
     // bounded pair stage (Σ basket², measured linear to 50× in ScaleSmoke)
