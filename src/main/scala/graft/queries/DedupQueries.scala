@@ -1854,7 +1854,64 @@ object DedupQueries {
        |ORDER BY t.doc_id""".stripMargin
   }
 
+  /** Edit-distance near-dup pairs over document TITLES (the leading 40
+    * chars) — the record-linkage family member the token-set joins can't
+    * cover: Jaccard/MinHash/SimHash all treat "the cat sat" ≡ "sat the
+    * cat" and miss single-character corruptions inside tokens (OCR noise,
+    * mojibake, truncation), which is exactly what Levenshtein distance
+    * measures. The classic ER recipe: BLOCK on the 12-char title prefix,
+    * CAP each block at [[ErBlockCap]] members (rank by doc_id — the
+    * standard block-size cap of production linkage systems: a mega-block
+    * is a non-discriminating key, not a workload), then verify candidate
+    * pairs with the O(len²) edit distance only inside blocks and keep
+    * lev ≤ 8. Similarity = 1 − lev/40 in ppm (titles are fixed-width by
+    * construction, so the normalization is a constant, not a data max).
+    *
+    * Scale shape: pair volume is ≤ cap²/2 per block by construction
+    * (never Σ block², which a hot prefix would blow up); the expensive
+    * primitive (levenshtein, codegen'd) runs on candidates only. Both
+    * engines implement unit-cost Wagner–Fischer, so the distances agree
+    * exactly. */
+  def titleEditDups(spark: SparkSession, dir: String): DataFrame = {
+    val capped = Tables.documents(spark, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("title"))
+      .withColumn("blk", substring(col("title"), 1, 12))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("blk")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= ErBlockCap)
+      .materializeOnce // both legs of the within-block pair join
+    val a = capped.select(col("blk"), col("doc_id").as("doc_a"), col("title").as("title_a"))
+    val b = capped.select(col("blk"), col("doc_id").as("doc_b"), col("title").as("title_b"))
+    a.join(b, Seq("blk")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("lev", levenshtein(col("title_a"), col("title_b")).cast("long"))
+      .filter(col("lev") <= 8)
+      .select(col("doc_a"), col("doc_b"), col("lev"),
+        expr("(40 - lev) * 1000000 div 40").as("sim_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val ErBlockCap = 40
+
+  private val titleEditDupsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, substring(text, 1, 40) AS title,
+       |         substring(text, 1, 12) AS blk
+       |  FROM documents),
+       |capped AS (
+       |  SELECT doc_id, title, blk,
+       |         row_number() OVER (PARTITION BY blk ORDER BY doc_id) AS rn
+       |  FROM t QUALIFY rn <= $ErBlockCap),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(levenshtein(a.title, b.title) AS BIGINT) AS lev
+       |  FROM capped a JOIN capped b ON b.blk = a.blk AND b.doc_id > a.doc_id)
+       |SELECT doc_a, doc_b, lev,
+       |       CAST((40 - lev) * 1000000 // 40 AS BIGINT) AS sim_ppm
+       |FROM pairs WHERE lev <= 8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "title_edit_dups"     -> (titleEditDups _),
     "doc_dup_spans"       -> (docDupSpans _),
     "dedup_span_rewrite"  -> (dedupSpanRewrite _),
     "bloom_incremental_dedup" -> (bloomIncrementalDedup _),
@@ -1888,6 +1945,7 @@ object DedupQueries {
   val oracle: Map[String, String] = Map(
     "doc_dup_spans"       -> docDupSpansSql,
     "dedup_span_rewrite"  -> dedupSpanRewriteSql,
+    "title_edit_dups"     -> titleEditDupsSql,
     "bloom_incremental_dedup" -> bloomIncrementalDedupSql,
     "incremental_dedup"   -> incrementalDedupSql,
     "minhash_jaccard_est" -> minhashJaccardEstSql,

@@ -389,6 +389,86 @@ object PipelineQueries {
       |FROM pairs
       |ORDER BY source_a, source_b""".stripMargin
 
+  /** Two-sample 1-D Wasserstein (earth-mover) drift matrix over document
+    * length — the third member of the drift family: [[sourceLengthKs]]
+    * reports the WORST pointwise ECDF gap (sup-norm, jump-sensitive) and
+    * [[sourceLengthMwu]] a rank-based location shift; EMD is the L1 AREA
+    * between the ECDFs, W₁ = ∫|F_a − F_b|dx — the only one of the three
+    * that says HOW FAR the mass moved in value units (chars), which is
+    * what a mixture rebalancer actually budgets against. Two sources can
+    * share a KS statistic while one needs 10× the transport.
+    *
+    * Exactly the KS grid, exactly integer: both ECDFs are step functions
+    * constant between pooled jump points, so W₁ = Σ_v |F_a(v) − F_b(v)| ·
+    * gap(v) over the pooled distinct-value grid is EXACT (extra grid
+    * points only split intervals carrying the same |ΔF|), and the
+    * cross-multiplied form Σ|cum_a·n_b − cum_b·n_a|·gap accumulates in
+    * DECIMAL(38,0) with the division deferred to one integral `div` —
+    * no float op anywhere (the source_length_ks lesson). gap = lead(v)
+    * INSIDE the per-source partition (every source carries the full
+    * grid, so the per-source lead IS the global lead) — no unpartitioned
+    * window over anything.
+    *
+    * Shape: identical to KS — one corpus scan to (source, v) counts, the
+    * |S|×|V| broadcast-grid ECDF, a pair equi-join on v, one aggregate. */
+  def sourceLengthEmd(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("source"), col("n_chars").as("v"))
+    val cnt = docs.groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+      .materializeOnce // feeds the value grid, per-source totals and both pair legs
+    val vals = cnt.select("v").distinct()
+    val srcs = cnt.select("source").distinct()
+    val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val w = Window.partitionBy(col("source")).orderBy(col("v"))
+    val ecdf = vals.crossJoin(broadcast(srcs))
+      .join(cnt, Seq("source", "v"), "left")
+      .withColumn("cum", sum(coalesce(col("c"), lit(0L))).over(w))
+      .withColumn("gap", coalesce(lead(col("v"), 1).over(w) - col("v"), lit(0L)))
+      .join(broadcast(tot), Seq("source"))
+    val a = ecdf.select(col("source").as("source_a"), col("v"), col("gap"),
+      col("cum").as("cum_a"), col("n").as("n_a"))
+    val b = ecdf.select(col("source").as("source_b"), col("v"),
+      col("cum").as("cum_b"), col("n").as("n_b"))
+    a.join(b, Seq("v")).filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"), col("n_a"), col("n_b"))
+      .agg(sum((abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")) * col("gap"))
+        .cast("decimal(38,0)")).cast("decimal(38,0)").as("emd_int"))
+      .select(
+        col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("emd_int"),
+        expr("emd_int * 1000000 div (CAST(n_a AS DECIMAL(38,0)) * n_b)")
+          .cast("long").as("emd_micro"))
+      .orderBy("source_a", "source_b")
+  }
+
+  private val sourceLengthEmdSql: String =
+    """WITH cnt AS (
+      |  SELECT source, n_chars AS v, count(*) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |vals AS (SELECT DISTINCT v FROM cnt),
+      |srcs AS (SELECT DISTINCT source FROM cnt),
+      |tot AS (SELECT source, sum(c) AS n FROM cnt GROUP BY source),
+      |ecdf AS (
+      |  SELECT s.source, g.v,
+      |         sum(coalesce(c.c, 0)) OVER (PARTITION BY s.source ORDER BY g.v) AS cum,
+      |         coalesce(lead(g.v) OVER (PARTITION BY s.source ORDER BY g.v) - g.v, 0) AS gap,
+      |         t.n
+      |  FROM vals g
+      |  CROSS JOIN srcs s
+      |  LEFT JOIN cnt c ON c.source = s.source AND c.v = g.v
+      |  JOIN tot t ON t.source = s.source),
+      |pairs AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |         CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+      |         CAST(sum(CAST(abs(a.cum * b.n - b.cum * a.n) AS HUGEINT) * a.gap)
+      |              AS DECIMAL(38,0)) AS emd_int
+      |  FROM ecdf a
+      |  JOIN ecdf b ON b.v = a.v AND a.source < b.source
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT source_a, source_b, n_a, n_b, emd_int,
+      |       CAST(CAST(emd_int AS HUGEINT) * 1000000
+      |            // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS emd_micro
+      |FROM pairs
+      |ORDER BY source_a, source_b""".stripMargin
+
   /** Per-source Spearman vs Pearson correlation between character length
     * and whitespace-token count — the markup/formatting drift diagnostic:
     * chars-per-token is a near-constant of clean prose, so Spearman ρ sits
@@ -2274,7 +2354,59 @@ object PipelineQueries {
       |FROM sizes GROUP BY level
       |ORDER BY level""".stripMargin
 
+  /** l-diversity audit — the homogeneity-attack check [[customerKanonymity]]
+    * cannot make: a k-anonymous equivalence class is still fully
+    * re-identifying if every member shares the same SENSITIVE value (the
+    * attacker learns the attribute without picking the individual). Over
+    * the quasi-identifier classes (nation, account-balance bucket) with
+    * market segment as the sensitive attribute, report per-diversity-level
+    * class counts, the records in classes below l = 3 distinct sensitive
+    * values, and the worst single-value share in ppm (1,000,000 = a fully
+    * homogeneous class — the attack succeeds with certainty).
+    *
+    * Two cheap aggregates: (class, sensitive) counts, then per-class
+    * diversity/size/max-share, then the one-row-per-diversity report —
+    * every stage after the first groupBy is classes-sized. All integer. */
+  def customerLdiversity(spark: SparkSession, dir: String): DataFrame = {
+    val cls = Tables.customer(spark, dir)
+      .select(col("c_nationkey").as("nat"),
+        floor(col("c_acctbal").cast("double") / 1000).cast("long").as("bal_bucket"),
+        col("c_mktsegment").as("seg"))
+      .groupBy(col("nat"), col("bal_bucket"), col("seg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("nat"), col("bal_bucket"))
+      .agg(count(lit(1)).as("diversity"), sum(col("c")).as("g"), max(col("c")).as("maxc"))
+      .withColumn("max_share_ppm", expr("maxc * 1000000 div g"))
+    cls.groupBy(col("diversity"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("g")).as("n_records"),
+        min(col("g")).as("min_class"),
+        max(col("max_share_ppm")).as("worst_share_ppm"),
+        sum(when(col("diversity") < 3, col("g")).otherwise(0L)).as("n_records_at_risk"))
+      .orderBy("diversity")
+  }
+
+  private val customerLdiversitySql: String =
+    """WITH sc AS (
+      |  SELECT c_nationkey AS nat,
+      |         CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT) AS bal_bucket,
+      |         c_mktsegment AS seg, count(*) AS c
+      |  FROM customer GROUP BY 1, 2, 3),
+      |cls AS (
+      |  SELECT nat, bal_bucket, count(*) AS diversity, sum(c) AS g, max(c) AS maxc
+      |  FROM sc GROUP BY 1, 2)
+      |SELECT CAST(diversity AS BIGINT) AS diversity,
+      |       count(*) AS n_classes,
+      |       CAST(sum(g) AS BIGINT) AS n_records,
+      |       CAST(min(g) AS BIGINT) AS min_class,
+      |       CAST(max(maxc * 1000000 // g) AS BIGINT) AS worst_share_ppm,
+      |       CAST(sum(CASE WHEN diversity < 3 THEN g ELSE 0 END) AS BIGINT) AS n_records_at_risk
+      |FROM cls GROUP BY 1
+      |ORDER BY diversity""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "customer_ldiversity" -> (customerLdiversity _),
+    "source_length_emd"   -> (sourceLengthEmd _),
     "customer_kanonymity" -> (customerKanonymity _),
     "deletion_propagation" -> (deletionPropagation _),
     "doc_dsir_weights"   -> (docDsirWeights _),
@@ -2345,6 +2477,8 @@ object PipelineQueries {
     "chunk_dedup_stats"  -> chunkDedupStatsSql,
     "split_leakage"      -> splitLeakageSql,
     "deletion_propagation" -> deletionPropagationSql,
+    "customer_ldiversity" -> customerLdiversitySql,
+    "source_length_emd"   -> sourceLengthEmdSql,
     "customer_kanonymity" -> customerKanonymitySql,
     "stratified_sample_counts" -> stratifiedSampleCountsSql,
     "source_mixture_profile"   -> sourceMixtureProfileSql,

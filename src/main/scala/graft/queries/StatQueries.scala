@@ -1201,7 +1201,87 @@ object StatQueries {
        |ORDER BY d.digit""".stripMargin
   }
 
+  /** Deterministic half-sample bootstrap of the mean order value — the
+    * uncertainty quantification beside the point estimates everywhere
+    * else in this module: [[BootstrapReps]] subsample replicates, each
+    * keeping an order iff hash(orderkey ⊕ replicate) is even (so the
+    * "resampling" is reproducible, cluster-size-independent and
+    * oracle-verifiable — a seeded RNG is none of those), and the report
+    * is the replicate-mean spread: the 2nd/19th order statistics of 20
+    * half-sample means bracket an ~80% subsampling interval (half-sample
+    * deviations overstate full-sample ones by √2 — the reader applies
+    * the m-out-of-n correction; the SPREAD is the decision signal).
+    *
+    * Shape: the replicate dim is a broadcast 20-row frame; the corpus
+    * is scanned once with a 20× map-side hash fan-out into a 20-key
+    * aggregate (replicate count = CPU multiplier, the standard Poisson-
+    * bootstrap trade); everything downstream is a 20-row frame. Money
+    * stays exact: DECIMAL micro-units end to end, integral division. */
+  def ordersBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DedupOps
+    val reps = spark.range(0, BootstrapReps).select(col("id").as("rep"))
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,6)") * 1000000)
+          .cast("decimal(38,0)").as("pm"))
+    val repMeans = base.crossJoin(broadcast(reps))
+      .filter(pmod(DedupOps.h60(
+        concat(col("o_orderkey").cast("string"), lit(":"), col("rep").cast("string"))),
+        lit(2L)) === 0)
+      .groupBy(col("rep"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("pm")).as("sum_pm"))
+      .withColumn("mean_micro", expr("sum_pm div n_orders").cast("long"))
+    val ranked = repMeans
+      .withColumn("rk", row_number().over(Window.orderBy(col("mean_micro"), col("rep"))))
+    val full = base.agg(count(lit(1)).as("n_full"),
+      expr("sum(pm) div count(1)").cast("long").as("mean_full_micro"))
+    ranked.agg(
+      count(lit(1)).as("n_reps"),
+      min(col("n_orders")).as("min_rep_n"),
+      max(when(col("rk") === 2, col("mean_micro"))).as("rep_lo_micro"),
+      max(when(col("rk") === lit(BootstrapReps - 1), col("mean_micro"))).as("rep_hi_micro"))
+      .crossJoin(broadcast(full))
+      .withColumn("spread_micro", col("rep_hi_micro") - col("rep_lo_micro"))
+      .select("n_reps", "n_full", "mean_full_micro", "min_rep_n",
+        "rep_lo_micro", "rep_hi_micro", "spread_micro")
+  }
+
+  private val BootstrapReps = 20
+
+  private val ordersBootstrapCiSql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey,
+       |         CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0)) AS pm
+       |  FROM orders),
+       |reps AS (SELECT unnest(range(0, $BootstrapReps)) AS rep),
+       |rm AS (
+       |  SELECT r.rep, count(*) AS n_orders,
+       |         -- HUGEINT first: DuckDB's // on DECIMAL rounds, it does not floor
+       |         CAST(CAST(sum(b.pm) AS HUGEINT) // count(*) AS BIGINT) AS mean_micro
+       |  FROM base b CROSS JOIN reps r
+       |  WHERE CAST('0x' || substring(md5(CAST(b.o_orderkey AS VARCHAR) || ':' || CAST(r.rep AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0
+       |  GROUP BY r.rep),
+       |rk AS (
+       |  SELECT rep, n_orders, mean_micro,
+       |         row_number() OVER (ORDER BY mean_micro, rep) AS rk
+       |  FROM rm),
+       |full_est AS (
+       |  SELECT count(*) AS n_full,
+       |         CAST(CAST(sum(pm) AS HUGEINT) // count(*) AS BIGINT) AS mean_full_micro
+       |  FROM base)
+       |SELECT count(*) AS n_reps,
+       |       f.n_full,
+       |       f.mean_full_micro,
+       |       CAST(min(n_orders) AS BIGINT) AS min_rep_n,
+       |       CAST(max(CASE WHEN rk = 2 THEN mean_micro END) AS BIGINT) AS rep_lo_micro,
+       |       CAST(max(CASE WHEN rk = ${BootstrapReps - 1} THEN mean_micro END) AS BIGINT) AS rep_hi_micro,
+       |       CAST(max(CASE WHEN rk = ${BootstrapReps - 1} THEN mean_micro END)
+       |            - max(CASE WHEN rk = 2 THEN mean_micro END) AS BIGINT) AS spread_micro
+       |FROM rk CROSS JOIN full_est f
+       |GROUP BY f.n_full, f.mean_full_micro""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "orders_bootstrap_ci" -> (ordersBootstrapCi _),
     "orders_benford" -> (ordersBenford _),
     "sensor_rolling_zscore" -> (sensorRollingZscore _),
     "sensor_hourly_spine"          -> (sensorHourlySpine _),
@@ -1236,6 +1316,7 @@ object StatQueries {
     "embedding_normalize"          -> (embeddingNormalize _))
 
   val oracle: Map[String, String] = Map(
+    "orders_bootstrap_ci" -> ordersBootstrapCiSql,
     "orders_benford" -> ordersBenfordSql,
     "sensor_rolling_zscore" -> sensorRollingZscoreSql,
     "sensor_hourly_spine"          -> sensorHourlySpineSql,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.queries.QueryConventions.MaterializeSyntax
 
@@ -969,6 +970,127 @@ object TextQueries {
        |FROM bins b JOIN iso ON iso.k = b.bin
        |ORDER BY b.bin""".stripMargin
 
+  /** Split-conformal prediction thresholds per source (Mondrian
+    * conformal) — the distribution-free guarantee layer over the
+    * [[classifierCalibration]] family: on a held-out calibration half
+    * (even doc_id), the per-source nonconformity quantile q̂ at the
+    * ⌈(n+1)(1−α)⌉-th smallest score (α = 0.1) such that predicting
+    * {labels with nonconformity ≤ q̂} covers the true label with
+    * probability ≥ 90% on exchangeable data — NO calibration of the
+    * classifier required, which is why production filters wrap their
+    * quality scorers in exactly this. The odd-doc_id half then audits
+    * the claim: empirical coverage in ppm beside the guarantee.
+    *
+    * The rank-(k) order statistic never sorts docs: nonconformity is an
+    * integer micro-unit, so q̂ = min{s : cum(s) ≥ k} off the per-source
+    * VALUE HISTOGRAM (the sourceLengthKs trick applied to quantiles) —
+    * one corpus scan to doc scores, histogram-sized everything after.
+    * A source whose calibration half is smaller than k (n_cal < 9 at
+    * α = 0.1) has no finite quantile — q̂ = 10⁶ (predict everything),
+    * exactly the math's answer, not a silent drop. The cal/test split is
+    * HASH-based, not doc_id-parity: a round-robin id scheme makes parity
+    * a function of source, which silently puts whole sources on one side
+    * of the split. */
+  def scoreConformalThreshold(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(graft.operators.DedupOps.h60(col("token")), lit(HashDim.toLong))
+    val weight = (bucket * lit(2654435761L)) % 1001 - 500
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        explode(tokens(col("text"))).as("token"))
+      .withColumn("w", weight)
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        max((col("n_chars") >= 300).cast("long")).as("y"),
+        (floor(sum(col("w")).cast("double") * 1000.0 / count(lit(1)))
+          / lit(1e6)).as("score"))
+      .withColumn("pm",
+        floor(round(lit(1.0) / (lit(1.0) + exp(col("score") * -4)), 6) * 1e6).cast("long"))
+      .withColumn("s_micro",
+        when(col("y") === 1L, lit(1000000L) - col("pm")).otherwise(col("pm")))
+      // the split MUST be hash-based: doc_id parity is confounded with
+      // source in any id scheme that deals ids round-robin by source
+      .withColumn("is_cal",
+        pmod(graft.operators.DedupOps.h60(concat(lit("cal:"), col("doc_id").cast("string"))),
+          lit(2L)) === 0)
+      .materializeOnce // feeds the calibration histogram AND the test audit
+    val calTot = scored.filter(col("is_cal")).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_cal"))
+      .withColumn("k_rank", expr("((n_cal + 1) * 9 + 9) div 10"))
+    val w = Window.partitionBy(col("source")).orderBy(col("s_micro"))
+    val qhat = scored.filter(col("is_cal"))
+      .groupBy(col("source"), col("s_micro")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(w))
+      .join(broadcast(calTot), Seq("source"))
+      .filter(col("cum") >= col("k_rank"))
+      .groupBy(col("source")).agg(min(col("s_micro")).as("q_micro"))
+    val thr = calTot.join(broadcast(qhat), Seq("source"), "left")
+      .withColumn("q_micro", coalesce(col("q_micro"), lit(1000000L)))
+    scored.filter(!col("is_cal"))
+      .join(broadcast(thr), Seq("source"))
+      .groupBy(col("source"), col("n_cal"), col("k_rank"), col("q_micro"))
+      .agg(count(lit(1)).as("n_test"),
+        sum((col("s_micro") <= col("q_micro")).cast("long")).as("n_covered"))
+      .withColumn("coverage_ppm", expr("n_covered * 1000000 div n_test"))
+      .orderBy("source")
+  }
+
+  private val scoreConformalThresholdSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, n_chars,
+       |         CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') END AS toks
+       |  FROM documents),
+       |e AS (SELECT doc_id, source, n_chars, unnest(toks) AS token FROM t),
+       |f AS (
+       |  SELECT doc_id, source, n_chars,
+       |         (CAST('0x' || substring(md5(token), 1, 15) AS BIGINT) % $HashDim)
+       |           * 2654435761 % 1001 - 500 AS w
+       |  FROM e),
+       |s AS (
+       |  SELECT doc_id, source,
+       |         max(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS y,
+       |         floor(CAST(sum(w) AS DOUBLE) * 1000.0 / count(*)) / 1e6 AS score
+       |  FROM f GROUP BY doc_id, source),
+       |sc AS (
+       |  SELECT doc_id, source, y,
+       |         CAST(floor(round(1.0 / (1.0 + exp(score * -4)), 6) * 1e6) AS BIGINT) AS pm
+       |  FROM s),
+       |nc AS (
+       |  SELECT doc_id, source,
+       |         CASE WHEN y = 1 THEN 1000000 - pm ELSE pm END AS s_micro,
+       |         CAST('0x' || substring(md5('cal:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0 AS is_cal
+       |  FROM sc),
+       |ct AS (
+       |  SELECT source, count(*) AS n_cal,
+       |         ((count(*) + 1) * 9 + 9) // 10 AS k_rank
+       |  FROM nc WHERE is_cal GROUP BY source),
+       |h AS (
+       |  SELECT source, s_micro, count(*) AS c
+       |  FROM nc WHERE is_cal GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT source, s_micro,
+       |         sum(c) OVER (PARTITION BY source ORDER BY s_micro) AS cum
+       |  FROM h),
+       |q AS (
+       |  SELECT cum.source, min(cum.s_micro) AS q_micro
+       |  FROM cum JOIN ct ON ct.source = cum.source
+       |  WHERE cum.cum >= ct.k_rank GROUP BY 1),
+       |thr AS (
+       |  SELECT ct.source, ct.n_cal, ct.k_rank,
+       |         coalesce(q.q_micro, 1000000) AS q_micro
+       |  FROM ct LEFT JOIN q ON q.source = ct.source)
+       |SELECT nc.source, CAST(thr.n_cal AS BIGINT) AS n_cal,
+       |       CAST(thr.k_rank AS BIGINT) AS k_rank,
+       |       CAST(thr.q_micro AS BIGINT) AS q_micro,
+       |       count(*) AS n_test,
+       |       CAST(sum(CASE WHEN nc.s_micro <= thr.q_micro THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       |       CAST(sum(CASE WHEN nc.s_micro <= thr.q_micro THEN 1 ELSE 0 END) * 1000000
+       |            // count(*) AS BIGINT) AS coverage_ppm
+       |FROM nc JOIN thr ON thr.source = nc.source
+       |WHERE NOT nc.is_cal
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY nc.source""".stripMargin
+
   /** Good–Turing count-of-counts spectrum over trigram-shingle DOCUMENT
     * frequency — the table (r → how many distinct shingles appear in
     * exactly r documents) that tunes every fingerprint-dedup knob in this
@@ -1032,6 +1154,7 @@ object TextQueries {
     "doc_classifier_score" -> (docClassifierScore _),
     "classifier_calibration" -> (classifierCalibration _),
     "calibration_isotonic" -> (calibrationIsotonic _),
+    "score_conformal_threshold" -> (scoreConformalThreshold _),
     "ngram_count_of_counts" -> (ngramCountOfCounts _),
     "classifier_pr_curve" -> (classifierPrCurve _),
     "bigram_lm_top"   -> (bigramLmTop _),
@@ -1053,6 +1176,7 @@ object TextQueries {
     "doc_classifier_score" -> docClassifierScoreSql,
     "classifier_calibration" -> classifierCalibrationSql,
     "calibration_isotonic" -> calibrationIsotonicSql,
+    "score_conformal_threshold" -> scoreConformalThresholdSql,
     "ngram_count_of_counts" -> ngramCountOfCountsSql,
     "classifier_pr_curve" -> classifierPrCurveSql,
     "bigram_lm_top"   -> bigramLmTopSql,

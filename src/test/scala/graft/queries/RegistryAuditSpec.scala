@@ -92,7 +92,8 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "nation_revenue_share" -> "25-row nation aggregate",
     "orders_mom_growth"    -> "month frame — dozens of rows at any SF",
     "orders_skyline"       -> "phase-2 frontier over bucket-pruned survivors (documented two-phase skyline)",
-    "hybrid_rrf"           -> "RRF text leg — rank over the top-20 BM25 frame, bounded by the upstream limit")
+    "hybrid_rrf"           -> "RRF text leg — rank over the top-20 BM25 frame, bounded by the upstream limit",
+    "orders_bootstrap_ci"  -> "rank over the 20-row replicate-mean frame")
 
   test("no unpartitioned window sort outside the bounded-frame allowlist") {
     withFullPlans {
@@ -137,6 +138,8 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "source_epoch_schedule", // one-row total-tokens and Z frames × sources
     "source_length_ks",      // 20-row source dim × pooled value grid (ECDF evaluation points)
     "source_length_mwu",     // same 20-row source dim × pooled value grid as the KS matrix
+    "source_length_emd",     // same 20-row source dim × pooled value grid (Wasserstein leg)
+    "orders_bootstrap_ci",   // 20-row replicate dim × the scan; one-row full-estimate frame
     "source_js_divergence",  // same 20-row source dim × token-vocab grid (the JS pair matrix)
     "embedding_pca_power",   // one-row n and trace frames × the 4096-row moment matrix / 64-row component
     "embedding_pca_two",     // same one-row n/trace frames, plus one-row den/dot deflation scalars × the 64-row iterate
