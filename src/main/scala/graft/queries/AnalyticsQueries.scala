@@ -941,6 +941,72 @@ object AnalyticsQueries {
       |            ELSE 0.0 END AS clustering
       |FROM ne CROSS JOIN w CROSS JOIN tri""".stripMargin
 
+  /** Per-node local clustering coefficient on the co-purchase graph —
+    * the node-level refinement of [[partTriangles]]' single global
+    * number: lcc(v) = 2·tri(v) / (d(v)·(d(v)−1)), the fraction of v's
+    * neighbor pairs that are themselves connected. The DISTRIBUTION is
+    * the diagnostic the global coefficient averages away: a bimodal lcc
+    * (tight cliques + hub spokes) and a uniform one can share the same
+    * global value. Same canonical a<b<c triangle enumeration (each
+    * triangle credited to all three corners), same oriented edge frame;
+    * everything past the two-hop join is node-sized. Integer end to end:
+    * lcc in ppm via integral division, d ≥ 2 rows only (lcc undefined
+    * on degree-1 nodes). */
+  def partLocalClustering(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = li.select(col("ok"), col("pk").as("src"))
+      .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+      .filter(col("src") < col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n_orders_joint"))
+      .filter(col("n_orders_joint") >= 2)
+      .select("src", "dst")
+      .materializeOnce // feeds degrees, the two-hop join, and the closing join
+    val deg = edges.select(col("src").as("v"))
+      .unionAll(edges.select(col("dst").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val tris = edges.select(col("src").as("x"), col("dst").as("y"))
+      .join(edges.select(col("src").as("y"), col("dst").as("z")), "y")
+      .join(edges.select(col("src").as("x"), col("dst").as("z")), Seq("x", "z"), "left_semi")
+    val triPerNode = tris.select(col("x").as("v"))
+      .unionAll(tris.select(col("y").as("v")))
+      .unionAll(tris.select(col("z").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
+    deg.filter(col("d") >= 2)
+      .join(triPerNode, Seq("v"), "left")
+      .select(col("v").as("part_id"), col("d"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("lcc_ppm", expr("2 * n_tri * 1000000 div (d * (d - 1))"))
+      .orderBy("part_id")
+  }
+
+  private val partLocalClusteringSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (
+      |  SELECT a.pk AS src, b.pk AS dst
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |deg AS (SELECT v, count(*) AS d
+      |        FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
+      |        GROUP BY v),
+      |tri AS (
+      |  SELECT p.x, p.y, p.z
+      |  FROM (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+      |        FROM e e1 JOIN e e2 ON e2.src = e1.dst) p
+      |  WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.src = p.x AND e3.dst = p.z)),
+      |tpn AS (
+      |  SELECT v, count(*) AS n_tri
+      |  FROM (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+      |  GROUP BY v)
+      |SELECT deg.v AS part_id, CAST(deg.d AS BIGINT) AS d,
+      |       CAST(coalesce(tpn.n_tri, 0) AS BIGINT) AS n_tri,
+      |       CAST(2 * coalesce(tpn.n_tri, 0) * 1000000 // (deg.d * (deg.d - 1)) AS BIGINT) AS lcc_ppm
+      |FROM deg LEFT JOIN tpn ON tpn.v = deg.v
+      |WHERE deg.d >= 2
+      |ORDER BY part_id""".stripMargin
+
   /** WAU/MAU engagement — the product-analytics staple: monthly active
     * users, average weekly actives (ISO weeks assigned to the month of
     * their Monday), and the stickiness ratio avg_wau/mau. Two distinct
@@ -1354,6 +1420,7 @@ object AnalyticsQueries {
   val queries: Map[String, Q] = Map(
     "funnel_latency_quantiles" -> (funnelLatencyQuantiles _),
     "part_triangles"     -> (partTriangles _),
+    "part_local_clustering" -> (partLocalClustering _),
     "customer_rfm"       -> (customerRfm _),
     "label_psi"          -> (labelPsi _),
     "distinct_users_hll_union" -> (distinctUsersHllUnion _),
@@ -1389,6 +1456,7 @@ object AnalyticsQueries {
 
   val oracle: Map[String, String] = Map(
     "part_triangles"     -> partTrianglesSql,
+    "part_local_clustering" -> partLocalClusteringSql,
     "customer_rfm"       -> customerRfmSql,
     "label_psi"          -> labelPsiSql,
     "distinct_users_hll_union" -> distinctUsersHllUnionSql,

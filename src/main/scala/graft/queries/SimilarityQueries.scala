@@ -183,6 +183,71 @@ object SimilarityQueries {
     s"""SELECT vec_id, ${bucketSql("embedding")} AS bucket
        |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  /** Reciprocal-best-match mining across two corpus halves (even vs odd
+    * vec_id) — the bitext/pair-mining primitive of parallel-corpus
+    * construction (CCMatrix-style): a pair survives only if a is b's best
+    * match AND b is a's best match, the mutual-NN criterion that kills
+    * the hubness false positives a one-directional top-1 keeps (a "hub"
+    * vector that is everyone's nearest neighbor can be the best match OF
+    * many, but it has only ONE best match itself). Candidates come from
+    * the shared 6-bit hyperplane buckets — the documented approximate
+    * scale path ([[lshBuckets]]): both argmaxes are taken WITHIN bucket,
+    * so the candidate volume is Σ|A_b|·|B_b|, never |A|·|B|; at 100 TB
+    * the same shape runs per band with the bucket join bucketed on the
+    * signature.
+    *
+    * Both directional argmaxes read ONE materialized candidate frame
+    * (rank desc by the 6-dp cosine, id tie-break — deterministic on both
+    * engines), then equi-join on the pair key. */
+  def embeddingMutualNn(spark: SparkSession, dir: String): DataFrame = {
+    val dotF = dotFast(spark) _
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("bkt", lshBucket(col("embedding"), planes, dotF))
+      .withColumn("norm", sqrt(dotF(col("embedding"), col("embedding"))))
+    val a = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("bkt"), col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("norm").as("a_norm"))
+    val b = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("bkt"), col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("norm").as("b_norm"))
+    val cand = a.join(b, Seq("bkt"))
+      .withColumn("cos_sim",
+        round(dotF(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")), 6))
+      .select("a_id", "b_id", "cos_sim")
+      .materializeOnce // both directional argmaxes below
+    val bestA = cand.withColumn("r", row_number().over(
+      Window.partitionBy(col("a_id")).orderBy(col("cos_sim").desc, col("b_id"))))
+      .filter(col("r") === 1).select("a_id", "b_id", "cos_sim")
+    val bestB = cand.withColumn("r", row_number().over(
+      Window.partitionBy(col("b_id")).orderBy(col("cos_sim").desc, col("a_id"))))
+      .filter(col("r") === 1).select(col("a_id").as("a2"), col("b_id").as("b2"))
+    bestA.join(bestB, col("a_id") === col("a2") && col("b_id") === col("b2"))
+      .select("a_id", "b_id", "cos_sim")
+      .orderBy("a_id")
+  }
+
+  private val embeddingMutualNnSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bkt
+       |  FROM embeddings),
+       |a AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+       |b AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+       |cand AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, round($cosSql, 6) AS cos_sim
+       |  FROM a JOIN b ON b.bkt = a.bkt),
+       |ba AS (
+       |  SELECT a_id, b_id, cos_sim,
+       |         row_number() OVER (PARTITION BY a_id ORDER BY cos_sim DESC, b_id) AS r
+       |  FROM cand),
+       |bb AS (
+       |  SELECT a_id, b_id,
+       |         row_number() OVER (PARTITION BY b_id ORDER BY cos_sim DESC, a_id) AS r
+       |  FROM cand)
+       |SELECT ba.a_id, ba.b_id, ba.cos_sim
+       |FROM ba JOIN bb ON bb.a_id = ba.a_id AND bb.b_id = ba.b_id AND bb.r = 1
+       |WHERE ba.r = 1
+       |ORDER BY ba.a_id""".stripMargin
+
   /** LSH candidate pairs with their exact cosine — the approximate
     * near-dup: same bucket ⇒ compare. */
   def lshNearDup(spark: SparkSession, dir: String): DataFrame = {
@@ -2037,6 +2102,7 @@ object SimilarityQueries {
     "embedding_outliers" -> (embeddingOutliers _),
     "near_dup_pairs"  -> (nearDupPairs _),
     "lsh_buckets"     -> (lshBuckets _),
+    "embedding_mutual_nn" -> (embeddingMutualNn _),
     "lsh_near_dup"    -> (lshNearDup _),
     "label_centroids" -> (labelCentroids _))
 
@@ -2066,6 +2132,7 @@ object SimilarityQueries {
     "embedding_outliers" -> embeddingOutliersSql,
     "near_dup_pairs"  -> nearDupPairsSql,
     "lsh_buckets"     -> lshBucketsSql,
+    "embedding_mutual_nn" -> embeddingMutualNnSql,
     "lsh_near_dup"    -> lshNearDupSql,
     "label_centroids" -> labelCentroidsSql)
 }

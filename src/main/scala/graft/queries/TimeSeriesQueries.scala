@@ -625,7 +625,89 @@ object TimeSeriesQueries {
        |ORDER BY sensor_id, k""".stripMargin
   }
 
+  /** Single-changepoint localization per sensor (the first step of binary
+    * segmentation): the split position t* maximizing the between-segment
+    * fit gain SL²/n_l + SR²/n_r − S²/n over the hourly-mean series —
+    * where [[sensorCusum]] ALARMS on drift, this LOCATES the level shift
+    * (and its gain is the CUSUM-square identity: the t maximizing it is
+    * the max-|CUSUM| point). Emits the argmax split, both segment means,
+    * and the gain; a near-zero gain means "no level shift" (feed it a
+    * threshold, or recurse on the two halves for full binary
+    * segmentation).
+    *
+    * Never a per-candidate rescan: prefix sums off ONE partitioned
+    * window pass make every candidate's gain O(1), so the whole detector
+    * is the hours frame + one window + one (bounded) candidate frame per
+    * sensor. Arithmetic is integer-exact BY DEFINITION: the series is
+    * centi-unit integers for the gain (⌊·⌋ per term — part of the
+    * statistic's definition, identical in both engines since every
+    * operand is positive and both `div` and HUGEINT `//` truncate) and
+    * micro-unit integers for the reported means; ties broken by smallest
+    * t. Gain terms are sized so SL²/n_l ≤ n·xm² ≈ 10¹³ — BIGINT-safe at
+    * any calendar length. */
+  def sensorChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val seq = Window.partitionBy(col("sensor_id")).orderBy(col("h"))
+    val pos = hourlyMeans(spark, dir)
+      .withColumn("t", row_number().over(seq))
+      .withColumn("xm", (col("x").cast("decimal(18,6)") * 1000000).cast("long"))
+      .withColumn("xc", expr("xm div 10000"))
+      .withColumn("cum_micro", sum(col("xm")).over(seq))
+      .withColumn("cum_centi", sum(col("xc")).over(seq))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("sensor_id"))))
+      .withColumn("s_micro", sum(col("xm")).over(Window.partitionBy(col("sensor_id"))))
+      .withColumn("s_centi", sum(col("xc")).over(Window.partitionBy(col("sensor_id"))))
+    val gains = pos.filter(col("t") < col("n"))
+      .withColumn("gain_c2",
+        expr("""CAST(cum_centi AS DECIMAL(38,0)) * cum_centi div t
+               | + CAST(s_centi - cum_centi AS DECIMAL(38,0)) * (s_centi - cum_centi) div (n - t)
+               | - CAST(s_centi AS DECIMAL(38,0)) * s_centi div n""".stripMargin))
+    gains
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("sensor_id")).orderBy(col("gain_c2").desc, col("t"))))
+      .filter(col("rk") === 1)
+      .select(col("sensor_id"), col("n").as("n_hours"), col("t").as("cp_pos"),
+        col("h").as("cp_last_left_hour"), col("gain_c2"),
+        expr("cum_micro div t").as("left_mean_micro"),
+        expr("(s_micro - cum_micro) div (n - t)").as("right_mean_micro"))
+      .orderBy("sensor_id")
+  }
+
+  private val sensorChangepointSql: String =
+    s"""WITH byhour AS (
+       |  $hourlyMeansSql),
+       |pos AS (
+       |  SELECT sensor_id, h,
+       |         row_number() OVER w AS t,
+       |         CAST(CAST(x AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xm
+       |  FROM byhour WINDOW w AS (PARTITION BY sensor_id ORDER BY h)),
+       |pre AS (
+       |  SELECT sensor_id, h, t, xm,
+       |         xm // 10000 AS xc,
+       |         sum(xm) OVER w AS cum_micro,
+       |         sum(xm // 10000) OVER w AS cum_centi,
+       |         count(*) OVER (PARTITION BY sensor_id) AS n,
+       |         sum(xm) OVER (PARTITION BY sensor_id) AS s_micro,
+       |         sum(xm // 10000) OVER (PARTITION BY sensor_id) AS s_centi
+       |  FROM pos WINDOW w AS (PARTITION BY sensor_id ORDER BY h)),
+       |gains AS (
+       |  SELECT sensor_id, h, t, n, cum_micro, s_micro,
+       |         CAST(CAST(cum_centi AS HUGEINT) * cum_centi // t
+       |              + CAST(s_centi - cum_centi AS HUGEINT) * (s_centi - cum_centi) // (n - t)
+       |              - CAST(s_centi AS HUGEINT) * s_centi // n AS BIGINT) AS gain_c2
+       |  FROM pre WHERE t < n),
+       |best AS (
+       |  SELECT *, row_number() OVER (PARTITION BY sensor_id
+       |                               ORDER BY gain_c2 DESC, t) AS rk
+       |  FROM gains)
+       |SELECT sensor_id, CAST(n AS BIGINT) AS n_hours, CAST(t AS BIGINT) AS cp_pos,
+       |       h AS cp_last_left_hour, gain_c2,
+       |       CAST(cum_micro // t AS BIGINT) AS left_mean_micro,
+       |       CAST((s_micro - cum_micro) // (n - t) AS BIGINT) AS right_mean_micro
+       |FROM best WHERE rk = 1
+       |ORDER BY sensor_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sensor_changepoint"      -> (sensorChangepoint _),
     "sensor_seasonal_profile" -> (sensorSeasonalProfile _),
     "sensor_seasonal_residuals" -> (sensorSeasonalResiduals _),
     "sensor_downtime_report"  -> (sensorDowntimeReport _),
@@ -636,6 +718,7 @@ object TimeSeriesQueries {
     "sensor_cusum"            -> (sensorCusum _))
 
   val oracle: Map[String, String] = Map(
+    "sensor_changepoint"      -> sensorChangepointSql,
     "sensor_seasonal_profile" -> sensorSeasonalProfileSql,
     "sensor_seasonal_residuals" -> sensorSeasonalResidualsSql,
     "sensor_downtime_report"  -> sensorDowntimeReportSql,
