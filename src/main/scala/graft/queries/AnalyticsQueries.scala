@@ -941,6 +941,130 @@ object AnalyticsQueries {
       |            ELSE 0.0 END AS clustering
       |FROM ne CROSS JOIN w CROSS JOIN tri""".stripMargin
 
+  /** Kaplan–Meier survival curve of user engagement — the churn analysis
+    * [[cohortRetention]]'s fixed-grid table can't give: per observed
+    * lifetime day d, the at-risk population, churn events, discrete
+    * hazard, and the KM survival estimate S(d) = Π_{d'≤d}(1 − h(d')) with
+    * RIGHT-CENSORING handled correctly (a user whose last event is within
+    * 7 days of the corpus edge hasn't churned — they just ran out of
+    * observation window; counting them as churned biases every hazard
+    * up — they leave the risk set without entering any numerator).
+    *
+    * The KM product is sequential, but the day frame is CALENDAR-bounded
+    * (≤ observation-window days at any data scale), so the curve folds in
+    * one `aggregate` HOF over the collected day frame — the corpus-sized
+    * work is exactly two aggregates (per-user lifespan, per-day counts).
+    * Fixed-point exactness: hazard and survival in ppm; the fold's
+    * integral division is (num − num mod den)/den over longs ≤ 10¹⁰ —
+    * every op exact in both engines (no naked float division anywhere). */
+  def userSurvivalCurve(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
+    val per = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+    val end = ev.agg(max(col("ts")).as("obs_end"))
+    val life = per.crossJoin(broadcast(end))
+      .select(
+        datediff(to_date(col("last_ts")), to_date(col("first_ts"))).cast("long").as("d"),
+        (datediff(to_date(col("obs_end")), to_date(col("last_ts"))) < 7).as("censored"))
+    val byDay = life.groupBy(col("d"))
+      .agg(count(lit(1)).as("n_leaving"),
+        sum(when(col("censored"), 0L).otherwise(1L)).as("n_churn"))
+    val risk = byDay.withColumn("n_risk",
+      sum(col("n_leaving")).over(
+        Window.orderBy(col("d")).rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    // the sequential KM product: fold the (bounded) day frame once; the
+    // accumulator carries the running survival in ppm
+    val folded = risk
+      .agg(array_sort(collect_list(struct(col("d"), col("n_leaving"), col("n_churn"),
+        col("n_risk")))).as("days"))
+      .select(explode(aggregate(
+        col("days"),
+        array(struct(lit(-1L).as("d"), lit(0L).as("n_leaving"), lit(0L).as("n_churn"),
+          lit(0L).as("n_risk"), lit(1000000L).as("s_ppm"))),
+        (acc, x) => {
+          val prev = element_at(acc, -1)("s_ppm")
+          val num = prev * (x("n_risk") - x("n_churn"))
+          val s = ((num - pmod(num, x("n_risk"))) / x("n_risk")).cast("long")
+          concat(acc, array(struct(x("d").as("d"), x("n_leaving").as("n_leaving"),
+            x("n_churn").as("n_churn"), x("n_risk").as("n_risk"), s.as("s_ppm"))))
+        })).as("r"))
+      .filter(col("r.d") >= 0)
+    folded.select(col("r.d").as("day"), col("r.n_risk").as("n_risk"),
+      col("r.n_churn").as("n_churn"), col("r.n_leaving").as("n_leaving"),
+      expr("r.n_churn * 1000000 div r.n_risk").as("hazard_ppm"),
+      col("r.s_ppm").as("survival_ppm"))
+      .orderBy("day")
+  }
+
+  private val userSurvivalCurveSql: String =
+    """WITH per AS (
+      |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_ts,
+      |         max(CAST(ts AS TIMESTAMP)) AS last_ts
+      |  FROM events GROUP BY user_id),
+      |e AS (SELECT max(CAST(ts AS TIMESTAMP)) AS obs_end FROM events),
+      |life AS (
+      |  SELECT CAST(date_diff('day', CAST(first_ts AS DATE), CAST(last_ts AS DATE)) AS BIGINT) AS d,
+      |         date_diff('day', CAST(last_ts AS DATE), CAST(obs_end AS DATE)) < 7 AS censored
+      |  FROM per CROSS JOIN e),
+      |byday AS (
+      |  SELECT d, count(*) AS n_leaving,
+      |         sum(CASE WHEN censored THEN 0 ELSE 1 END) AS n_churn
+      |  FROM life GROUP BY d),
+      |risk AS (
+      |  SELECT d, n_leaving, n_churn,
+      |         sum(n_leaving) OVER (ORDER BY d
+      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+      |  FROM byday),
+      |km AS (
+      |  WITH RECURSIVE walk(rn, d, n_leaving, n_churn, n_risk, s_ppm) AS (
+      |    SELECT 0, CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+      |           CAST(0 AS BIGINT), CAST(1000000 AS BIGINT)
+      |    UNION ALL
+      |    SELECT w.rn + 1, r.d, r.n_leaving, CAST(r.n_churn AS BIGINT), r.n_risk,
+      |           w.s_ppm * (r.n_risk - r.n_churn) // r.n_risk
+      |    FROM walk w
+      |    JOIN (SELECT *, row_number() OVER (ORDER BY d) AS rn FROM risk) r
+      |      ON r.rn = w.rn + 1)
+      |  SELECT * FROM walk WHERE rn > 0)
+      |SELECT d AS day, CAST(n_risk AS BIGINT) AS n_risk,
+      |       CAST(n_churn AS BIGINT) AS n_churn,
+      |       CAST(n_leaving AS BIGINT) AS n_leaving,
+      |       CAST(n_churn * 1000000 // n_risk AS BIGINT) AS hazard_ppm,
+      |       CAST(s_ppm AS BIGINT) AS survival_ppm
+      |FROM km
+      |ORDER BY day""".stripMargin
+
+  /** Top consecutive three-event paths — the sequence-mining companion to
+    * [[eventMarkovEntropy]]'s first-order transition view: second-order
+    * structure (e.g. click→click→purchase vs view→click→purchase) that a
+    * Markov chain's memorylessness assumption erases. Two lags over the
+    * per-user event order, one aggregate over the ≤|types|³ bounded path
+    * frame, deterministic top-20 (count desc, path tie-break) — no
+    * window over data, no state. */
+  def eventTrigramPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("e1", lag(col("event_type"), 2).over(w))
+      .withColumn("e2", lag(col("event_type"), 1).over(w))
+      .filter(col("e1").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("event_type").as("e3"))
+      .agg(count(lit(1)).as("n_paths"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_paths").desc, col("e1"), col("e2"), col("e3"))
+      .limit(20)
+  }
+
+  private val eventTrigramPathsSql: String =
+    """WITH tr AS (
+      |  SELECT user_id, event_type AS e3,
+      |         lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY event_id) AS e1,
+      |         lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS e2
+      |  FROM events)
+      |SELECT e1, e2, e3, count(*) AS n_paths, count(DISTINCT user_id) AS n_users
+      |FROM tr WHERE e1 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY n_paths DESC, e1, e2, e3
+      |LIMIT 20""".stripMargin
+
   /** Per-node local clustering coefficient on the co-purchase graph —
     * the node-level refinement of [[partTriangles]]' single global
     * number: lcc(v) = 2·tri(v) / (d(v)·(d(v)−1)), the fraction of v's
@@ -1421,6 +1545,8 @@ object AnalyticsQueries {
     "funnel_latency_quantiles" -> (funnelLatencyQuantiles _),
     "part_triangles"     -> (partTriangles _),
     "part_local_clustering" -> (partLocalClustering _),
+    "user_survival_curve" -> (userSurvivalCurve _),
+    "event_trigram_paths" -> (eventTrigramPaths _),
     "customer_rfm"       -> (customerRfm _),
     "label_psi"          -> (labelPsi _),
     "distinct_users_hll_union" -> (distinctUsersHllUnion _),
@@ -1457,6 +1583,8 @@ object AnalyticsQueries {
   val oracle: Map[String, String] = Map(
     "part_triangles"     -> partTrianglesSql,
     "part_local_clustering" -> partLocalClusteringSql,
+    "user_survival_curve" -> userSurvivalCurveSql,
+    "event_trigram_paths" -> eventTrigramPathsSql,
     "customer_rfm"       -> customerRfmSql,
     "label_psi"          -> labelPsiSql,
     "distinct_users_hll_union" -> distinctUsersHllUnionSql,
