@@ -1,0 +1,285 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** First-principles recounts for the round-6 late operators: changepoint
+  * localization, Kaplan–Meier survival, mutual-NN mining, edit-distance
+  * blocking, Wasserstein drift, l-diversity, local clustering, trigram
+  * paths, bootstrap CI. Every recount re-derives the expected output from
+  * the raw tables with independent Scala code (no shared query plumbing),
+  * at sf0.001 where exhaustive checks are cheap. */
+class Round6LateSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** The hourly-mean series exactly as TimeSeriesQueries builds it. */
+  private def hourlySeries(): Map[String, Vector[Long]] = {
+    val rows = Tables.events(spark, dir)
+      .filter(col("event_type") =!= "error" && col("value").isNotNull)
+      .groupBy(col("event_type").as("sensor_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg((round(sum(col("value").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6))
+        .as("x"))
+      .orderBy("sensor_id", "h")
+      .collect()
+    rows.groupBy(_.getAs[String]("sensor_id")).map { case (s, rs) =>
+      // micro-units via BigDecimal — the same exactness the query's
+      // DECIMAL(18,6) × 1e6 cast guarantees
+      s -> rs.map(r => BigDecimal(r.getAs[Double]("x"))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(1000000)).toLongExact).toVector
+    }
+  }
+
+  test("sensor_changepoint: argmax matches an exhaustive gain scan") {
+    val series = hourlySeries()
+    val rows = TimeSeriesQueries.sensorChangepoint(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[String]("sensor_id")
+      val xm = series(s)
+      val xc = xm.map(_ / 10000)
+      val n = xm.length
+      assert(r.getAs[Long]("n_hours") === n.toLong)
+      def gain(t: Int): Long = {
+        val sl = xc.take(t).sum; val sr = xc.drop(t).sum; val tot = sl + sr
+        sl * sl / t + sr * sr / (n - t) - tot * tot / n
+      }
+      val best = (1 until n).maxBy(t => (gain(t), -t))
+      assert(r.getAs[Long]("cp_pos") === best.toLong, s"argmax mismatch for $s")
+      assert(r.getAs[Long]("gain_c2") === gain(best))
+      assert(r.getAs[Long]("left_mean_micro") === xm.take(best).sum / best)
+      assert(r.getAs[Long]("right_mean_micro") === xm.drop(best).sum / (n - best))
+    }
+  }
+
+  test("sensor_changepoint localizes a synthetic step exactly") {
+    // a clean level shift must be found at its true position: the gain at
+    // the true split dominates every other candidate for a noiseless step
+    val xm = Vector.fill(30)(100000000L) ++ Vector.fill(20)(300000000L)
+    val xc = xm.map(_ / 10000)
+    val n = xm.length
+    def gain(t: Int): Long = {
+      val sl = xc.take(t).sum; val sr = xc.drop(t).sum; val tot = sl + sr
+      sl * sl / t + sr * sr / (n - t) - tot * tot / n
+    }
+    assert((1 until n).maxBy(t => (gain(t), -t)) === 30)
+  }
+
+  test("user_survival_curve: KM recount with right-censoring") {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).collect()
+    val byUser = ev.groupBy(_.getAs[Long]("user_id"))
+    val end = ev.map(_.getAs[java.sql.Date]("d").toLocalDate).max
+    val lives = byUser.values.map { rs =>
+      val ds = rs.map(_.getAs[java.sql.Date]("d").toLocalDate)
+      val (first, last) = (ds.min, ds.max)
+      val life = java.time.temporal.ChronoUnit.DAYS.between(first, last)
+      val censored = java.time.temporal.ChronoUnit.DAYS.between(last, end) < 7
+      (life, censored)
+    }.toVector
+    val days = lives.groupBy(_._1).toVector.sortBy(_._1)
+    var sPpm = 1000000L
+    val expected = days.map { case (d, ls) =>
+      val nRisk = lives.count(_._1 >= d).toLong
+      val churn = ls.count(!_._2).toLong
+      sPpm = sPpm * (nRisk - churn) / nRisk
+      (d, nRisk, churn, ls.size.toLong, churn * 1000000 / nRisk, sPpm)
+    }
+    val got = AnalyticsQueries.userSurvivalCurve(spark, dir).collect().map { r =>
+      (r.getAs[Long]("day"), r.getAs[Long]("n_risk"), r.getAs[Long]("n_churn"),
+        r.getAs[Long]("n_leaving"), r.getAs[Long]("hazard_ppm"),
+        r.getAs[Long]("survival_ppm"))
+    }.toVector
+    assert(got === expected)
+    // survival must be nonincreasing and the risk set telescopes
+    assert(got.map(_._6) === got.map(_._6).sorted.reverse)
+  }
+
+  test("embedding_mutual_nn: an injective matching, mutual by recount") {
+    val pairs = SimilarityQueries.embeddingMutualNn(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    assert(pairs.nonEmpty)
+    // mutual best-match is an injective partial matching: no vector can
+    // appear twice on either side (a hub CAN be best-of-many, but it has
+    // only one best itself — that is the point of the criterion)
+    assert(pairs.map(_._1).distinct.length === pairs.length)
+    assert(pairs.map(_._2).distinct.length === pairs.length)
+    // recount: brute-force the within-bucket argmaxes from the raw vectors
+    val emb = Tables.embeddings(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      .toMap
+    val planes = graft.functions.VectorFunctions.hyperplanes(nPlanes = 6, dim = 64)
+    def bucket(v: Array[Double]): Long =
+      planes.zipWithIndex.map { case (h, j) =>
+        if (h.zip(v).map { case (a, b) => a * b }.sum >= 0) 1L << j else 0L
+      }.sum
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byBkt = emb.toVector.groupBy { case (id, v) => bucket(v) }
+    val cands = byBkt.values.flatMap { vs =>
+      val as = vs.filter(_._1 % 2 == 0); val bs = vs.filter(_._1 % 2 == 1)
+      for { (ai, av) <- as; (bi, bv) <- bs } yield (ai, bi, cos(av, bv))
+    }.toVector
+    val bestA = cands.groupBy(_._1).map { case (a, cs) =>
+      a -> cs.maxBy(c => (c._3, -c._2))._2 }
+    val bestB = cands.groupBy(_._2).map { case (b, cs) =>
+      b -> cs.maxBy(c => (c._3, -c._1))._1 }
+    val expected = bestA.collect {
+      case (a, b) if bestB(b) == a => (a, b) }.toSet
+    assert(pairs.toSet === expected)
+  }
+
+  test("title_edit_dups: exact recount with a reference Levenshtein") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("title")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("title")))
+    val capped = docs.groupBy(_._2.take(12)).values.flatMap(_.sortBy(_._1).take(40))
+    val expected = (for {
+      (ai, at) <- capped; (bi, bt) <- capped
+      if ai < bi && at.take(12) == bt.take(12)
+      d = lev(at, bt) if d <= 8
+    } yield (ai, bi, d.toLong)).toSet
+    val got = DedupQueries.titleEditDups(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("lev")))
+      .toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("source_length_emd: recount off hand-built ECDFs") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_chars")))
+    val bySrc = docs.groupBy(_._1).map { case (s, vs) => s -> vs.map(_._2).sorted }
+    val grid = docs.map(_._2).distinct.sorted
+    def emd(a: Vector[Long], b: Vector[Long]): (BigInt, Long) = {
+      val na = a.length.toLong; val nb = b.length.toLong
+      var acc = BigInt(0)
+      grid.zip(grid.drop(1)).foreach { case (v, nxt) =>
+        val ca = a.count(_ <= v).toLong; val cb = b.count(_ <= v).toLong
+        acc += BigInt((ca * nb - cb * na).abs) * (nxt - v)
+      }
+      (acc, (acc * 1000000 / (BigInt(na) * nb)).toLong)
+    }
+    val got = PipelineQueries.sourceLengthEmd(spark, dir).collect()
+    assert(got.length === bySrc.size * (bySrc.size - 1) / 2)
+    got.foreach { r =>
+      val (ei, em) = emd(bySrc(r.getAs[String]("source_a")).toVector,
+        bySrc(r.getAs[String]("source_b")).toVector)
+      assert(BigInt(r.getAs[java.math.BigDecimal]("emd_int").toBigInteger) === ei)
+      assert(r.getAs[Long]("emd_micro") === em)
+    }
+  }
+
+  test("customer_ldiversity: recount from the raw quasi-identifier classes") {
+    val rows = Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")).collect()
+      .map(r => ((r.getAs[Int]("c_nationkey"),
+        math.floor(r.getAs[Double]("c_acctbal") / 1000).toLong),
+        r.getAs[String]("c_mktsegment")))
+    val classes = rows.groupBy(_._1).map { case (_, ms) =>
+      val segs = ms.map(_._2)
+      (segs.distinct.length.toLong, segs.length.toLong,
+        segs.groupBy(identity).values.map(_.length).max.toLong)
+    }.toVector
+    val expected = classes.groupBy(_._1).map { case (div, cs) =>
+      (div, cs.length.toLong, cs.map(_._2).sum, cs.map(_._2).min,
+        cs.map(c => c._3 * 1000000 / c._2).max,
+        if (div < 3) cs.map(_._2).sum else 0L)
+    }.toSet
+    val got = PipelineQueries.customerLdiversity(spark, dir).collect().map { r =>
+      (r.getAs[Long]("diversity"), r.getAs[Long]("n_classes"), r.getAs[Long]("n_records"),
+        r.getAs[Long]("min_class"), r.getAs[Long]("worst_share_ppm"),
+        r.getAs[Long]("n_records_at_risk"))
+    }.toSet
+    assert(got === expected)
+  }
+
+  test("part_local_clustering: corner credits sum to 3x the triangle census") {
+    val local = AnalyticsQueries.partLocalClustering(spark, dir).collect()
+    val global = AnalyticsQueries.partTriangles(spark, dir).collect().head
+    assert(local.map(_.getAs[Long]("n_tri")).sum ===
+      3 * global.getAs[Long]("n_triangles"))
+    local.foreach { r =>
+      val d = r.getAs[Long]("d"); val t = r.getAs[Long]("n_tri")
+      assert(d >= 2)
+      assert(t <= d * (d - 1) / 2, "triangles cannot exceed neighbor pairs")
+      assert(r.getAs[Long]("lcc_ppm") === 2 * t * 1000000 / (d * (d - 1)))
+    }
+  }
+
+  test("event_trigram_paths: recount the top consecutive triples") {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("event_type")))
+    val triples = ev.groupBy(_._1).toVector.flatMap { case (u, rs) =>
+      rs.sortBy(_._2).map(_._3).sliding(3).filter(_.length == 3)
+        .map(t => (u, (t(0), t(1), t(2)))).toVector
+    }
+    val expected = triples.groupBy(_._2).map { case (p, ts) =>
+      (p, ts.length.toLong, ts.map(_._1).distinct.length.toLong)
+    }.toVector
+      .sortBy { case ((a, b, c), n, _) => (-n, a, b, c) }.take(20)
+    val got = AnalyticsQueries.eventTrigramPaths(spark, dir).collect().map { r =>
+      ((r.getAs[String]("e1"), r.getAs[String]("e2"), r.getAs[String]("e3")),
+        r.getAs[Long]("n_paths"), r.getAs[Long]("n_users"))
+    }.toVector
+    assert(got === expected)
+  }
+
+  test("orders_bootstrap_ci: full mean is exact; interval is ordered") {
+    val r = StatQueries.ordersBootstrapCi(spark, dir).collect().head
+    val prices = Tables.orders(spark, dir).select(col("o_totalprice")).collect()
+      .map(x => BigDecimal(x.getAs[Double]("o_totalprice"))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+    val sumMicro = prices.map(_ * BigDecimal(1000000)).sum.toBigIntExact.get
+    assert(r.getAs[Long]("n_full") === prices.length.toLong)
+    assert(r.getAs[Long]("mean_full_micro") ===
+      (sumMicro / prices.length).toLong)
+    assert(r.getAs[Long]("n_reps") === 20L)
+    assert(r.getAs[Long]("rep_lo_micro") <= r.getAs[Long]("rep_hi_micro"))
+    assert(r.getAs[Long]("spread_micro") ===
+      r.getAs[Long]("rep_hi_micro") - r.getAs[Long]("rep_lo_micro"))
+  }
+
+  test("score_conformal_threshold: ranks and coverage accounting hold") {
+    val rows = TextQueries.scoreConformalThreshold(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nCal = r.getAs[Long]("n_cal")
+      assert(r.getAs[Long]("k_rank") === ((nCal + 1) * 9 + 9) / 10)
+      val q = r.getAs[Long]("q_micro")
+      assert(q >= 0 && q <= 1000000)
+      assert(r.getAs[Long]("n_covered") <= r.getAs[Long]("n_test"))
+      assert(r.getAs[Long]("coverage_ppm") ===
+        r.getAs[Long]("n_covered") * 1000000 / r.getAs[Long]("n_test"))
+    }
+    // pooled across sources, the 90% marginal guarantee should hold with
+    // slack for per-source finite-sample wobble
+    val cov = rows.map(r => (r.getAs[Long]("n_covered"), r.getAs[Long]("n_test")))
+    val pooled = cov.map(_._1).sum.toDouble / cov.map(_._2).sum
+    assert(pooled >= 0.80, s"pooled conformal coverage $pooled below slack bound")
+  }
+}
