@@ -2404,7 +2404,92 @@ object PipelineQueries {
       |FROM cls GROUP BY 1
       |ORDER BY diversity""".stripMargin
 
+  /** Referential-integrity audit over every foreign-key edge of the star
+    * schema — the structural health check that runs BEFORE any semantic
+    * query is trusted: per edge, child rows, null keys (allowed but
+    * counted — they silently vanish from inner joins), orphans (keys with
+    * no parent — they vanish from inner joins AND inflate left-join
+    * nulls), and orphan ppm. A nonzero orphan row is an ingestion bug
+    * found at the schema level, not after a revenue number looks wrong.
+    *
+    * Each edge is one left join + one aggregate; dimension parents
+    * broadcast, fact-sized parents hash-join on the key they're already
+    * often bucketed by. The parent side collapses to DISTINCT keys first
+    * — the join carries no payload. */
+  def referentialIntegrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String, small: Boolean): DataFrame = {
+      val pk = parent.select(col(pkey).cast("long").as("pk")).distinct()
+      child.select(col(key).cast("long").as("k"))
+        .join(if (small) broadcast(pk) else pk, col("k") === col("pk"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_keys"),
+          sum(when(col("k").isNotNull && col("pk").isNull, 1L).otherwise(0L))
+            .as("n_orphans"))
+        .select(lit(name).as("edge"), col("n_child"), col("n_null_keys"),
+          col("n_orphans"))
+    }
+    val c = Tables.customer(spark, dir); val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    edge("customer.nation", c, "c_nationkey", Tables.nation(spark, dir), "n_nationkey", small = true)
+      .unionAll(edge("events.user", Tables.events(spark, dir), "user_id", c, "c_custkey", small = false))
+      .unionAll(edge("lineitem.order", l, "l_orderkey", o, "o_orderkey", small = false))
+      .unionAll(edge("lineitem.part", l, "l_partkey", Tables.part(spark, dir), "p_partkey", small = true))
+      .unionAll(edge("lineitem.supplier", l, "l_suppkey", Tables.supplier(spark, dir), "s_suppkey", small = true))
+      .unionAll(edge("orders.customer", o, "o_custkey", c, "c_custkey", small = false))
+      .withColumn("orphan_ppm", expr("n_orphans * 1000000 div n_child"))
+      .orderBy("edge")
+  }
+
+  private val referentialIntegrityAuditSql: String =
+    """WITH
+      |e1 AS (
+      |  SELECT 'customer.nation' AS edge, count(*) AS n_child,
+      |         sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS n_null_keys,
+      |         sum(CASE WHEN c_nationkey IS NOT NULL AND p.pk IS NULL THEN 1 ELSE 0 END) AS n_orphans
+      |  FROM customer LEFT JOIN (SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS pk FROM nation) p
+      |    ON CAST(c_nationkey AS BIGINT) = p.pk),
+      |e2 AS (
+      |  SELECT 'events.user', count(*),
+      |         sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+      |         sum(CASE WHEN user_id IS NOT NULL AND p.pk IS NULL THEN 1 ELSE 0 END)
+      |  FROM events LEFT JOIN (SELECT DISTINCT c_custkey AS pk FROM customer) p
+      |    ON user_id = p.pk),
+      |e3 AS (
+      |  SELECT 'lineitem.order', count(*),
+      |         sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END),
+      |         sum(CASE WHEN l_orderkey IS NOT NULL AND p.pk IS NULL THEN 1 ELSE 0 END)
+      |  FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey AS pk FROM orders) p
+      |    ON l_orderkey = p.pk),
+      |e4 AS (
+      |  SELECT 'lineitem.part', count(*),
+      |         sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END),
+      |         sum(CASE WHEN l_partkey IS NOT NULL AND p.pk IS NULL THEN 1 ELSE 0 END)
+      |  FROM lineitem LEFT JOIN (SELECT DISTINCT p_partkey AS pk FROM part) p
+      |    ON l_partkey = p.pk),
+      |e5 AS (
+      |  SELECT 'lineitem.supplier', count(*),
+      |         sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END),
+      |         sum(CASE WHEN l_suppkey IS NOT NULL AND p.pk IS NULL THEN 1 ELSE 0 END)
+      |  FROM lineitem LEFT JOIN (SELECT DISTINCT s_suppkey AS pk FROM supplier) p
+      |    ON l_suppkey = p.pk),
+      |e6 AS (
+      |  SELECT 'orders.customer', count(*),
+      |         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+      |         sum(CASE WHEN o_custkey IS NOT NULL AND p.pk IS NULL THEN 1 ELSE 0 END)
+      |  FROM orders LEFT JOIN (SELECT DISTINCT c_custkey AS pk FROM customer) p
+      |    ON o_custkey = p.pk),
+      |u AS (
+      |  SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3
+      |  UNION ALL SELECT * FROM e4 UNION ALL SELECT * FROM e5 UNION ALL SELECT * FROM e6)
+      |SELECT edge, CAST(n_child AS BIGINT) AS n_child,
+      |       CAST(n_null_keys AS BIGINT) AS n_null_keys,
+      |       CAST(n_orphans AS BIGINT) AS n_orphans,
+      |       CAST(n_orphans * 1000000 // n_child AS BIGINT) AS orphan_ppm
+      |FROM u ORDER BY edge""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "referential_integrity_audit" -> (referentialIntegrityAudit _),
     "customer_ldiversity" -> (customerLdiversity _),
     "source_length_emd"   -> (sourceLengthEmd _),
     "customer_kanonymity" -> (customerKanonymity _),
@@ -2477,6 +2562,7 @@ object PipelineQueries {
     "chunk_dedup_stats"  -> chunkDedupStatsSql,
     "split_leakage"      -> splitLeakageSql,
     "deletion_propagation" -> deletionPropagationSql,
+    "referential_integrity_audit" -> referentialIntegrityAuditSql,
     "customer_ldiversity" -> customerLdiversitySql,
     "source_length_emd"   -> sourceLengthEmdSql,
     "customer_kanonymity" -> customerKanonymitySql,

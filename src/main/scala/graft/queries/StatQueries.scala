@@ -1280,7 +1280,70 @@ object StatQueries {
        |FROM rk CROSS JOIN full_est f
        |GROUP BY f.n_full, f.mean_full_micro""".stripMargin
 
+  /** Hill tail-index estimate over the top order values — the heavy-tail
+    * diagnostic beside [[ordersWinsorized]]'s symptom treatment and
+    * `orders_skew_profile`'s moments: Ĥ = (1/k)Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over
+    * the k = 100 largest values, whose reciprocal α̂ = 1/Ĥ is the Pareto
+    * tail exponent — α ≤ 2 means infinite variance (sample means never
+    * stabilize; cap or winsorize), α ≤ 1 means infinite MEAN. The
+    * capacity planner's answer to "can I trust this average at all".
+    *
+    * Scale shape: top-(k+1) is a distributed TakeOrdered (per-partition
+    * heaps merged on one reducer — never a global sort); everything
+    * after is a 101-row frame. Cross-engine ln discipline follows the
+    * markov-entropy precedent: each ln is rounded to 6 dp BEFORE the
+    * DECIMAL-exact sum, so a ≤1-ulp libm divergence cannot reach the
+    * aggregate; the division inputs are identical decimals-cast-double
+    * in both engines. */
+  def ordersHillTail(spark: SparkSession, dir: String): DataFrame = {
+    val k = 100
+    val top = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice").cast("decimal(18,6)").as("p"))
+      .orderBy(col("p").desc, col("o_orderkey"))
+      .limit(k + 1)
+    val thr = top.agg(min(col("p")).as("thr"))
+    top.crossJoin(broadcast(thr))
+      .withColumn("rn", row_number().over(Window.orderBy(col("p").desc, col("o_orderkey"))))
+      .filter(col("rn") <= k)
+      .withColumn("lr",
+        round(log(col("p").cast("double") / col("thr").cast("double")), 6))
+      .groupBy(col("thr"))
+      .agg(count(lit(1)).as("k_top"),
+        sum(col("lr").cast("decimal(18,6)")).as("sum_lr"))
+      .select(
+        col("k_top"),
+        (col("thr") * 1000000).cast("long").as("thr_micro"),
+        expr("CAST(sum_lr * 1000000 AS DECIMAL(38,0)) div k_top").cast("long")
+          .as("hill_micro"),
+        expr("CASE WHEN CAST(sum_lr * 1000000 AS DECIMAL(38,0)) div k_top > 0 " +
+          "THEN 1000000000000 div (CAST(sum_lr * 1000000 AS DECIMAL(38,0)) div k_top) END")
+          .cast("long").as("alpha_micro"))
+  }
+
+  private val ordersHillTailSql: String =
+    """WITH top AS (
+      |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,6)) AS p
+      |  FROM orders ORDER BY p DESC, o_orderkey LIMIT 101),
+      |thr AS (SELECT min(p) AS thr FROM top),
+      |r AS (
+      |  SELECT p, t.thr,
+      |         row_number() OVER (ORDER BY p DESC, o_orderkey) AS rn
+      |  FROM top CROSS JOIN thr t),
+      |s AS (
+      |  SELECT thr, count(*) AS k_top,
+      |         sum(CAST(round(ln(CAST(p AS DOUBLE) / CAST(thr AS DOUBLE)), 6)
+      |                  AS DECIMAL(18,6))) AS sum_lr
+      |  FROM r WHERE rn <= 100 GROUP BY thr)
+      |SELECT k_top,
+      |       CAST(thr * 1000000 AS BIGINT) AS thr_micro,
+      |       CAST(CAST(sum_lr * 1000000 AS HUGEINT) // k_top AS BIGINT) AS hill_micro,
+      |       CASE WHEN CAST(sum_lr * 1000000 AS HUGEINT) // k_top > 0
+      |            THEN CAST(1000000000000 // (CAST(sum_lr * 1000000 AS HUGEINT) // k_top) AS BIGINT)
+      |       END AS alpha_micro
+      |FROM s""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "orders_hill_tail"    -> (ordersHillTail _),
     "orders_bootstrap_ci" -> (ordersBootstrapCi _),
     "orders_benford" -> (ordersBenford _),
     "sensor_rolling_zscore" -> (sensorRollingZscore _),
@@ -1316,6 +1379,7 @@ object StatQueries {
     "embedding_normalize"          -> (embeddingNormalize _))
 
   val oracle: Map[String, String] = Map(
+    "orders_hill_tail"    -> ordersHillTailSql,
     "orders_bootstrap_ci" -> ordersBootstrapCiSql,
     "orders_benford" -> ordersBenfordSql,
     "sensor_rolling_zscore" -> sensorRollingZscoreSql,

@@ -1091,6 +1091,105 @@ object TextQueries {
        |GROUP BY 1, 2, 3, 4
        |ORDER BY nc.source""".stripMargin
 
+  /** Murphy decomposition of the Brier score — the one-row scorecard over
+    * the same classifier the calibration family audits bin-by-bin:
+    * BRIER (mean squared error of the probability) split into
+    * RELIABILITY (calibration error — what [[calibrationIsotonic]]
+    * repairs), RESOLUTION (how much the bins separate outcomes — what no
+    * recalibration can add) and UNCERTAINTY (the outcome's own variance —
+    * the floor no classifier beats). REL − RES + UNC reconstructs the
+    * binned Brier, so the three numbers say WHY the score is what it is.
+    *
+    * Everything is integer micro² fixed-point: probabilities enter as
+    * floored micro ints, per-row squared errors and all three components
+    * accumulate in DECIMAL(38,0), per-bin means are integral divisions —
+    * the only rounding is the component definitions' own floors,
+    * identical in both engines. One corpus scan; the decomposition runs
+    * on the 10-row bin frame. */
+  def brierDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(graft.operators.DedupOps.h60(col("token")), lit(HashDim.toLong))
+    val weight = (bucket * lit(2654435761L)) % 1001 - 500
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), explode(tokens(col("text"))).as("token"))
+      .withColumn("w", weight)
+      .groupBy(col("doc_id"))
+      .agg(
+        max((col("n_chars") >= 300).cast("long")).as("y"),
+        (floor(sum(col("w")).cast("double") * 1000.0 / count(lit(1)))
+          / lit(1e6)).as("score"))
+      .withColumn("pm",
+        floor(round(lit(1.0) / (lit(1.0) + exp(col("score") * -4)), 6) * 1e6).cast("long"))
+      .withColumn("bin", least(expr("pm div 100000"), lit(9L)))
+      .materializeOnce // feeds the global moments AND the bin frame
+    val glob = scored.agg(
+      count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"),
+      sum(((col("pm") - col("y") * 1000000) * (col("pm") - col("y") * 1000000))
+        .cast("decimal(38,0)")).as("sq"))
+      .withColumn("o_bar", expr("n_pos * 1000000 div n_docs"))
+    val bins = scored.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_k"), sum(col("pm")).as("sum_pm"), sum(col("y")).as("sum_y"))
+      .withColumn("pbar", expr("sum_pm div n_k"))
+      .withColumn("obar_k", expr("sum_y * 1000000 div n_k"))
+    bins.crossJoin(broadcast(glob))
+      .groupBy(col("n_docs"), col("o_bar"), col("sq"))
+      .agg(
+        // n_k casts to DECIMAL BEFORE the squared-diff product: n_k·10¹²
+        // outgrows a BIGINT past ~9M docs per bin (the MWU-cube lesson)
+        sum(col("n_k").cast("decimal(38,0)")
+          * (col("pbar") - col("obar_k")) * (col("pbar") - col("obar_k")))
+          .cast("decimal(38,0)").as("rel_num"),
+        sum(col("n_k").cast("decimal(38,0)")
+          * (col("obar_k") - col("o_bar")) * (col("obar_k") - col("o_bar")))
+          .cast("decimal(38,0)").as("res_num"))
+      .select(col("n_docs"), col("o_bar").as("o_bar_micro"),
+        expr("sq div n_docs").cast("long").as("brier_micro2"),
+        expr("rel_num div n_docs").cast("long").as("rel_micro2"),
+        expr("res_num div n_docs").cast("long").as("res_micro2"),
+        expr("o_bar * (1000000 - o_bar)").as("unc_micro2"))
+  }
+
+  private val brierDecompositionSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, n_chars,
+       |         CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') END AS toks
+       |  FROM documents),
+       |e AS (SELECT doc_id, n_chars, unnest(toks) AS token FROM t),
+       |f AS (
+       |  SELECT doc_id, n_chars,
+       |         (CAST('0x' || substring(md5(token), 1, 15) AS BIGINT) % $HashDim)
+       |           * 2654435761 % 1001 - 500 AS w
+       |  FROM e),
+       |s AS (
+       |  SELECT doc_id,
+       |         max(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS y,
+       |         floor(CAST(sum(w) AS DOUBLE) * 1000.0 / count(*)) / 1e6 AS score
+       |  FROM f GROUP BY doc_id),
+       |sc AS (
+       |  SELECT doc_id, y,
+       |         CAST(floor(round(1.0 / (1.0 + exp(score * -4)), 6) * 1e6) AS BIGINT) AS pm
+       |  FROM s),
+       |g AS (
+       |  SELECT count(*) AS n_docs, sum(y) AS n_pos,
+       |         sum(CAST((pm - y * 1000000) * (pm - y * 1000000) AS HUGEINT)) AS sq,
+       |         sum(y) * 1000000 // count(*) AS o_bar
+       |  FROM sc),
+       |b AS (
+       |  SELECT least(pm // 100000, 9) AS bin, count(*) AS n_k,
+       |         sum(pm) // count(*) AS pbar,
+       |         sum(y) * 1000000 // count(*) AS obar_k
+       |  FROM sc GROUP BY 1)
+       |SELECT g.n_docs,
+       |       CAST(g.o_bar AS BIGINT) AS o_bar_micro,
+       |       CAST(g.sq // g.n_docs AS BIGINT) AS brier_micro2,
+       |       CAST(sum(CAST(b.n_k AS HUGEINT) * (b.pbar - b.obar_k) * (b.pbar - b.obar_k))
+       |            // g.n_docs AS BIGINT) AS rel_micro2,
+       |       CAST(sum(CAST(b.n_k AS HUGEINT) * (b.obar_k - g.o_bar) * (b.obar_k - g.o_bar))
+       |            // g.n_docs AS BIGINT) AS res_micro2,
+       |       CAST(g.o_bar * (1000000 - g.o_bar) AS BIGINT) AS unc_micro2
+       |FROM b CROSS JOIN g
+       |GROUP BY g.n_docs, g.o_bar, g.sq""".stripMargin
+
   /** Good–Turing count-of-counts spectrum over trigram-shingle DOCUMENT
     * frequency — the table (r → how many distinct shingles appear in
     * exactly r documents) that tunes every fingerprint-dedup knob in this
@@ -1155,6 +1254,7 @@ object TextQueries {
     "classifier_calibration" -> (classifierCalibration _),
     "calibration_isotonic" -> (calibrationIsotonic _),
     "score_conformal_threshold" -> (scoreConformalThreshold _),
+    "brier_decomposition" -> (brierDecomposition _),
     "ngram_count_of_counts" -> (ngramCountOfCounts _),
     "classifier_pr_curve" -> (classifierPrCurve _),
     "bigram_lm_top"   -> (bigramLmTop _),
@@ -1177,6 +1277,7 @@ object TextQueries {
     "classifier_calibration" -> classifierCalibrationSql,
     "calibration_isotonic" -> calibrationIsotonicSql,
     "score_conformal_threshold" -> scoreConformalThresholdSql,
+    "brier_decomposition" -> brierDecompositionSql,
     "ngram_count_of_counts" -> ngramCountOfCountsSql,
     "classifier_pr_curve" -> classifierPrCurveSql,
     "bigram_lm_top"   -> bigramLmTopSql,

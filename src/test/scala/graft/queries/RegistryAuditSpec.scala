@@ -94,7 +94,8 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "orders_skyline"       -> "phase-2 frontier over bucket-pruned survivors (documented two-phase skyline)",
     "hybrid_rrf"           -> "RRF text leg — rank over the top-20 BM25 frame, bounded by the upstream limit",
     "orders_bootstrap_ci"  -> "rank over the 20-row replicate-mean frame",
-    "user_survival_curve"  -> "reverse cumsum over the calendar-bounded day frame")
+    "user_survival_curve"  -> "reverse cumsum over the calendar-bounded day frame",
+    "orders_hill_tail"     -> "rank over the top-101 frame (post-TakeOrdered)")
 
   test("no unpartitioned window sort outside the bounded-frame allowlist") {
     withFullPlans {
@@ -142,6 +143,9 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "source_length_emd",     // same 20-row source dim × pooled value grid (Wasserstein leg)
     "orders_bootstrap_ci",   // 20-row replicate dim × the scan; one-row full-estimate frame
     "user_survival_curve",   // one-row observation-end frame × per-user lifespans
+    "brier_decomposition",   // one-row global-moment frame × the 10-row bin frame
+    "orders_hill_tail",      // one-row threshold frame × the top-101 frame
+    "part_kcore",            // one-row convergence-probe frame × core members
     "source_js_divergence",  // same 20-row source dim × token-vocab grid (the JS pair matrix)
     "embedding_pca_power",   // one-row n and trace frames × the 4096-row moment matrix / 64-row component
     "embedding_pca_two",     // same one-row n/trace frames, plus one-row den/dot deflation scalars × the 64-row iterate

@@ -264,6 +264,103 @@ class Round6LateSpec extends AnyFunSuite with SparkSpec {
       r.getAs[Long]("rep_hi_micro") - r.getAs[Long]("rep_lo_micro"))
   }
 
+  test("orders_hill_tail: recount from a driver-side sort") {
+    val prices = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => (BigDecimal(r.getAs[Double]("o_totalprice"))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP), r.getAs[Long]("o_orderkey")))
+      .sortBy { case (p, k) => (-p, k) }
+    val top = prices.take(101)
+    val thr = top.map(_._1).min
+    val sumLr = top.take(100).map { case (p, _) =>
+      BigDecimal(math.log((p / thr).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    val hill = (sumLr * BigDecimal(1000000)).toBigIntExact.get / 100
+    val r = StatQueries.ordersHillTail(spark, dir).collect().head
+    assert(r.getAs[Long]("k_top") === 100L)
+    assert(r.getAs[Long]("thr_micro") ===
+      (thr * BigDecimal(1000000)).toBigIntExact.get.toLong)
+    assert(r.getAs[Long]("hill_micro") === hill.toLong)
+    assert(r.getAs[Long]("alpha_micro") === (BigInt("1000000000000") / hill).toLong)
+  }
+
+  test("brier_decomposition: components are consistent") {
+    val r = TextQueries.brierDecomposition(spark, dir).collect().head
+    val o = r.getAs[Long]("o_bar_micro")
+    assert(r.getAs[Long]("unc_micro2") === o * (1000000 - o))
+    assert(r.getAs[Long]("rel_micro2") >= 0 && r.getAs[Long]("res_micro2") >= 0)
+    // Murphy identity with a within-bin variance residual: the binned
+    // decomposition understates the raw Brier by exactly the within-bin
+    // spread (nonnegative), so brier ≥ rel − res + unc up to floor slack
+    assert(r.getAs[Long]("brier_micro2") + 10 >=
+      r.getAs[Long]("rel_micro2") - r.getAs[Long]("res_micro2")
+        + r.getAs[Long]("unc_micro2"))
+    // resolution can never exceed the outcome's own variance
+    assert(r.getAs[Long]("res_micro2") <= r.getAs[Long]("unc_micro2") + 10)
+  }
+
+  test("referential_integrity_audit: recount every edge from raw key sets") {
+    def keys(df: org.apache.spark.sql.DataFrame, c: String): Array[Option[Long]] =
+      df.select(col(c).cast("long")).collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    val c = Tables.customer(spark, dir); val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val edges = Map(
+      "customer.nation" -> (keys(c, "c_nationkey"),
+        keys(Tables.nation(spark, dir), "n_nationkey").flatten.toSet),
+      "events.user" -> (keys(Tables.events(spark, dir), "user_id"),
+        keys(c, "c_custkey").flatten.toSet),
+      "lineitem.order" -> (keys(l, "l_orderkey"), keys(o, "o_orderkey").flatten.toSet),
+      "lineitem.part" -> (keys(l, "l_partkey"),
+        keys(Tables.part(spark, dir), "p_partkey").flatten.toSet),
+      "lineitem.supplier" -> (keys(l, "l_suppkey"),
+        keys(Tables.supplier(spark, dir), "s_suppkey").flatten.toSet),
+      "orders.customer" -> (keys(o, "o_custkey"), keys(c, "c_custkey").flatten.toSet))
+    val got = PipelineQueries.referentialIntegrityAudit(spark, dir).collect()
+    assert(got.length === edges.size)
+    got.foreach { r =>
+      val (child, parents) = edges(r.getAs[String]("edge"))
+      assert(r.getAs[Long]("n_child") === child.length.toLong)
+      assert(r.getAs[Long]("n_null_keys") === child.count(_.isEmpty).toLong)
+      assert(r.getAs[Long]("n_orphans") ===
+        child.count(k => k.isDefined && !parents(k.get)).toLong)
+    }
+  }
+
+  test("part_kcore: recount the peel; members have core degree >= 3 when converged") {
+    // rebuild the >=2-joint-orders co-purchase edges from raw lineitem
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_partkey"))).toVector
+    val allPairs = li.groupBy(_._1).values.toVector.flatMap { ps =>
+      val ks = ps.map(_._2).distinct
+      for (a <- ks; b <- ks if a < b) yield (a, b)
+    }
+    // .filter(...).keySet, NOT .collect { ... => tupleKey }: Map.collect
+    // with a tuple result REBUILDS a Map and silently dedups by the
+    // tuple's first element (188 of 2324 edges survived that bug)
+    var edges: Set[(Long, Long)] =
+      allPairs.groupBy(identity).filter(_._2.size >= 2).keySet.toSet
+    var rounds = 0
+    while (rounds < 12) {
+      val deg = edges.toVector.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (v, vs) => v -> vs.size }
+      val alive = deg.filter(_._2 >= 3).keySet
+      edges = edges.filter(e => alive(e._1) && alive(e._2))
+      rounds += 1
+    }
+    val deg = edges.toVector.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (v, vs) => v -> vs.size.toLong }
+    val converged = deg.values.forall(_ >= 3)
+    val got = AnalyticsQueries.partKcore(spark, dir).collect()
+    assert(got.map(r => (r.getAs[Long]("part_id"), r.getAs[Long]("core_deg"))).toMap === deg)
+    got.foreach { r =>
+      assert(r.getAs[Boolean]("converged") === converged)
+      if (converged) assert(r.getAs[Long]("core_deg") >= 3)
+    }
+  }
+
   test("score_conformal_threshold: ranks and coverage accounting hold") {
     val rows = TextQueries.scoreConformalThreshold(spark, dir).collect()
     assert(rows.nonEmpty)
