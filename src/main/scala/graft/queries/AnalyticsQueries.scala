@@ -821,6 +821,148 @@ object AnalyticsQueries {
        |ORDER BY node""".stripMargin
   }
 
+  private val AttribIters = 8
+  private val AttribChannels = Seq("click", "error", "signup", "view")
+  private val AttribStates =
+    Seq("start", "click", "error", "signup", "view", "purchase", "drop")
+
+  /** Markov removal-effect attribution — the data-driven replacement for
+    * [[purchaseClickAttribution]]'s positional rules: model each user's
+    * pre-conversion journey as a first-order chain over event types
+    * (virtual `start`, absorbing `purchase` = conversion and `drop` =
+    * journey ended unconverted), compute the conversion-absorption
+    * probability from `start`, then for each channel recompute it with
+    * that channel's state deleted — the drop in reach IS the channel's
+    * causal contribution under the chain model (a channel whose removal
+    * barely moves reach was a pass-through; positional rules credit it
+    * anyway).
+    *
+    * Absorption probabilities are the [[AttribIters]]-step backward value
+    * iteration r(i) = Σⱼ p(i→j)·r(j), r(purchase)=1, r(drop)=0 — the
+    * statistic is DEFINED as the ≤K-step absorption mass (unabsorbed
+    * residual decays geometrically), and both dialects run the identical
+    * unrolled recursion with the event_type_pagerank float discipline
+    * (round(·,9) per term, DECIMAL sums). State space is the STATIC
+    * 7-literal list, so every per-iteration frame is constant-sized; the
+    * corpus is scanned once to build the transition counts. */
+  def attributionMarkovRemoval(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val ranked = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("conv_rn",
+        min(when(col("event_type") === "purchase", col("rn")))
+          .over(Window.partitionBy(col("user_id"))))
+      .filter(col("conv_rn").isNull || col("rn") <= col("conv_rn"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+    val steps = ranked
+      .select(coalesce(lag(col("event_type"), 1).over(w2), lit("start")).as("src"),
+        col("event_type").as("dst"))
+    val drops = ranked
+      .withColumn("nxt", lead(col("event_type"), 1).over(w2))
+      .filter(col("nxt").isNull && col("event_type") =!= "purchase")
+      .select(col("event_type").as("src"), lit("drop").as("dst"))
+    val trans = steps.unionAll(drops)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+    val outdeg = trans.groupBy(col("src")).agg(sum(col("cnt")).as("od"))
+    val edges = trans.join(outdeg, "src")
+      .select(col("src"), col("dst"), (col("cnt") / col("od")).as("wgt"))
+      .materializeOnce // base chain + one filtered copy per channel
+    val states = spark.createDataFrame(AttribStates.map(Tuple1(_))).toDF("node")
+    def reach(e: DataFrame): DataFrame = {
+      var r = states.select(col("node"),
+        when(col("node") === "purchase", 1.0).otherwise(0.0).as("r"))
+      for (_ <- 1 to AttribIters) {
+        val contrib = e.join(r, col("dst") === col("node"))
+          .select(col("src"), round(col("wgt") * col("r"), 9).as("t"))
+        r = states.join(contrib, col("node") === col("src"), "left")
+          .groupBy(col("node"))
+          .agg(coalesce(sum(col("t").cast("decimal(28,12)")).cast("double"), lit(0.0))
+            .as("acc"))
+          .select(col("node"),
+            when(col("node") === "purchase", 1.0)
+              .when(col("node") === "drop", 0.0)
+              .otherwise(col("acc")).as("r"))
+      }
+      r.filter(col("node") === "start")
+    }
+    val base = reach(edges).select(col("r").as("base_reach"))
+    val perChannel = AttribChannels.map { c =>
+      reach(edges.filter(col("src") =!= c && col("dst") =!= c))
+        .select(lit(c).as("channel"), col("r").as("removed_reach"))
+    }.reduce(_ unionAll _)
+    perChannel.crossJoin(broadcast(base))
+      .select(col("channel"),
+        round(col("base_reach"), 6).as("base_reach"),
+        round(col("removed_reach"), 6).as("removed_reach"),
+        round(col("base_reach") - col("removed_reach"), 6).as("removal_effect"))
+      .orderBy("channel")
+  }
+
+  private val attributionMarkovRemovalSql: String = {
+    val statesVals = AttribStates.map(s => s"('$s')").mkString(", ")
+    def chain(tag: String, edgesCte: String): String = {
+      val r0 =
+        s"""r${tag}0 AS (
+           |  SELECT node, CASE WHEN node = 'purchase' THEN 1.0 ELSE 0.0 END AS r
+           |  FROM states)""".stripMargin
+      val stepsSql = (1 to AttribIters).map { i =>
+        s"""r$tag$i AS (
+           |  SELECT s.node,
+           |         CASE WHEN s.node = 'purchase' THEN 1.0
+           |              WHEN s.node = 'drop' THEN 0.0
+           |              ELSE coalesce(CAST(sum(CAST(round(e.wgt * p.r, 9) AS DECIMAL(28,12))) AS DOUBLE), 0.0)
+           |         END AS r
+           |  FROM states s
+           |  LEFT JOIN $edgesCte e ON e.src = s.node
+           |  LEFT JOIN r$tag${i - 1} p ON p.node = e.dst
+           |  GROUP BY s.node)""".stripMargin
+      }
+      (r0 +: stepsSql).mkString(",\n")
+    }
+    val channelCtes = AttribChannels.map { c =>
+      s"""ef_$c AS (SELECT * FROM edges WHERE src <> '$c' AND dst <> '$c'),
+         |${chain(s"_${c}_", s"ef_$c")}""".stripMargin
+    }.mkString(",\n")
+    val channelRows = AttribChannels.map { c =>
+      s"""SELECT '$c' AS channel,
+         |       (SELECT r FROM r_base_$AttribIters WHERE node = 'start') AS base_reach,
+         |       (SELECT r FROM r_${c}_$AttribIters WHERE node = 'start') AS removed_reach""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ranked AS (
+       |  SELECT user_id, event_id, event_type, rn0 AS rn,
+       |         min(CASE WHEN event_type = 'purchase' THEN rn0 END)
+       |           OVER (PARTITION BY user_id) AS conv_rn
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn0
+       |        FROM events)),
+       |kept AS (SELECT * FROM ranked WHERE conv_rn IS NULL OR rn <= conv_rn),
+       |steps AS (
+       |  SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id ORDER BY rn), 'start') AS src,
+       |         event_type AS dst,
+       |         lead(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS nxt,
+       |         event_type
+       |  FROM kept),
+       |trans AS (
+       |  SELECT src, dst, count(*) AS cnt FROM (
+       |    SELECT src, dst FROM steps
+       |    UNION ALL
+       |    SELECT event_type, 'drop' FROM steps WHERE nxt IS NULL AND event_type <> 'purchase')
+       |  GROUP BY 1, 2),
+       |outdeg AS (SELECT src, sum(cnt) AS od FROM trans GROUP BY src),
+       |edges AS MATERIALIZED (
+       |  SELECT t.src, t.dst, t.cnt / o.od AS wgt
+       |  FROM trans t JOIN outdeg o ON t.src = o.src),
+       |states(node) AS (VALUES $statesVals),
+       |${chain("_base_", "edges")},
+       |$channelCtes
+       |SELECT channel,
+       |       round(base_reach, 6) AS base_reach,
+       |       round(removed_reach, 6) AS removed_reach,
+       |       round(base_reach - removed_reach, 6) AS removal_effect
+       |FROM ($channelRows)
+       |ORDER BY channel""".stripMargin
+  }
+
   private val PromoWindowUs = 6L * 3600 * 1000000 // 6 h in µs
 
   /** Point-in-interval range join, in its scale form: every "promo"
@@ -1640,6 +1782,7 @@ object AnalyticsQueries {
     "user_survival_curve" -> (userSurvivalCurve _),
     "event_trigram_paths" -> (eventTrigramPaths _),
     "part_kcore" -> (partKcore _),
+    "attribution_markov_removal" -> (attributionMarkovRemoval _),
     "customer_rfm"       -> (customerRfm _),
     "label_psi"          -> (labelPsi _),
     "distinct_users_hll_union" -> (distinctUsersHllUnion _),
@@ -1679,6 +1822,7 @@ object AnalyticsQueries {
     "user_survival_curve" -> userSurvivalCurveSql,
     "event_trigram_paths" -> eventTrigramPathsSql,
     "part_kcore" -> partKcoreSql,
+    "attribution_markov_removal" -> attributionMarkovRemovalSql,
     "customer_rfm"       -> customerRfmSql,
     "label_psi"          -> labelPsiSql,
     "distinct_users_hll_union" -> distinctUsersHllUnionSql,

@@ -576,7 +576,270 @@ object CorpusQueries {
        |FROM u ORDER BY step""".stripMargin
   }
 
+  private val TextrankIters = 4
+
+  /** TextRank keyword scores over the token co-occurrence graph — the
+    * graph-centrality member of the keyword family beside raw frequency
+    * (`top_tokens`) and TF-IDF: a token ranks high when it co-occurs with
+    * tokens that themselves rank high, which separates connective
+    * vocabulary from load-bearing terms that frequency alone conflates.
+    * Edges are ADJACENT-token pairs (window 1, both directions — the
+    * undirected TextRank form), weighted by corpus count; then the
+    * damped power iteration, [[TextrankIters]] rounds unrolled
+    * identically in both dialects (the event_type_pagerank conventions:
+    * per-term round(·,9) before a DECIMAL(28,12) sum, so libm-free
+    * arithmetic order cannot diverge).
+    *
+    * Scale shape: ONE corpus scan builds the (src,dst,count) frame; the
+    * graph is vocabulary-sized, so every iteration is a join over a
+    * broadcast-scale frame regardless of corpus size. */
+  def tokenTextrank(spark: SparkSession, dir: String): DataFrame = {
+    import QueryConventions.MaterializeSyntax
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val adj = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull && col("nxt") =!= col("tok"))
+    val trans = adj.select(col("tok").as("src"), col("nxt").as("dst"))
+      .unionAll(adj.select(col("nxt").as("src"), col("tok").as("dst")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+      .materializeOnce // feeds nodes, outdeg, and every iteration
+    val nodes = trans.select(col("src").as("node")).distinct().materializeOnce
+    val n = nodes.count() // vocabulary-sized by construction
+    val outdeg = trans.groupBy(col("src")).agg(sum(col("cnt")).as("od"))
+    val edges = trans.join(outdeg, "src")
+      .select(col("src"), col("dst"), (col("cnt") / col("od")).as("wgt"))
+      .materializeOnce
+    val base = 0.15 / n
+    var pr = nodes.select(col("node"), (lit(1.0) / n).as("pr"))
+    (1 to TextrankIters).foreach { _ =>
+      val contrib = edges.join(pr, col("src") === col("node"))
+        .select(col("dst"), round(col("pr") * col("wgt"), 9).as("t"))
+      pr = nodes.join(contrib, col("node") === col("dst"), "left")
+        .groupBy(col("node"))
+        .agg((lit(base) + lit(0.85) *
+          coalesce(sum(col("t").cast("decimal(28,12)")).cast("double"), lit(0.0)))
+          .as("pr"))
+    }
+    pr.select(col("node").as("token"), round(col("pr"), 6).as("textrank"))
+      .orderBy("token")
+  }
+
+  private val tokenTextrankSql: String = {
+    def step(i: Int): String =
+      s"""pr$i AS (
+         |  SELECT n.node,
+         |         (CAST(0.15 AS DOUBLE) / (SELECT cnt FROM nn)) + CAST(0.85 AS DOUBLE) *
+         |         coalesce(CAST(sum(CAST(round(p.pr * e.wgt, 9) AS DECIMAL(28,12))) AS DOUBLE), 0.0) AS pr
+         |  FROM nodes n
+         |  LEFT JOIN edges e ON e.dst = n.node
+         |  LEFT JOIN pr${i - 1} p ON p.node = e.src
+         |  GROUP BY n.node)""".stripMargin
+    s"""WITH $toksCte,
+       |tok AS (
+       |  SELECT doc_id, CAST(u.pos AS INT) AS pos, u.tk AS tok
+       |  FROM t,
+       |       LATERAL (SELECT unnest(toks) AS tk, generate_subscripts(toks, 1) AS pos) u),
+       |adj AS (
+       |  SELECT tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+       |  FROM tok),
+       |trans AS (
+       |  SELECT src, dst, count(*) AS cnt FROM (
+       |    SELECT tok AS src, nxt AS dst FROM adj WHERE nxt IS NOT NULL AND nxt <> tok
+       |    UNION ALL
+       |    SELECT nxt, tok FROM adj WHERE nxt IS NOT NULL AND nxt <> tok)
+       |  GROUP BY 1, 2),
+       |nodes AS (SELECT DISTINCT src AS node FROM trans),
+       |nn AS (SELECT count(*) AS cnt FROM nodes),
+       |outdeg AS (SELECT src, sum(cnt) AS od FROM trans GROUP BY src),
+       |edges AS (
+       |  SELECT t.src, t.dst, t.cnt / o.od AS wgt
+       |  FROM trans t JOIN outdeg o ON t.src = o.src),
+       |pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT cnt FROM nn) AS pr FROM nodes),
+       |${(1 to TextrankIters).map(step).mkString(",\n")}
+       |SELECT node AS token, round(pr, 6) AS textrank FROM pr$TextrankIters
+       |ORDER BY token""".stripMargin
+  }
+
+  private val UniMaxLen = 8     // corpus word types are ≤8 chars at every SF
+  private val UniMaxPiece = 4
+  private val UniTopPieces = 40
+  private val UniKeyOffset = 500000000L
+
+  /** The unigram-LM tokenizer build + Viterbi segmentation shared by
+    * [[unigramLmSegment]] and [[unigramEmCounts]] — the SentencePiece
+    * counterpart that completes the tokenizer-training story next to the
+    * BPE family (merge counting, k merges, apply): seed a piece
+    * vocabulary from frequency-weighted substring counts (top
+    * [[UniTopPieces]] + all single chars for coverage), score pieces by
+    * log unigram probability, then segment every WORD TYPE (never the
+    * corpus — the type frame is vocabulary-sized) by exact Viterbi DP,
+    * unrolled to [[UniMaxLen]] positions.
+    *
+    * Exactness: piece scores are micro-unit integers (one 6-dp-rounded
+    * ln per VOCAB PIECE — identical input doubles in both engines, the
+    * markov-entropy discipline), so the DP total is an integer SUM and
+    * the argmax is exact; ties break by fewest pieces then lexicographic
+    * segmentation, all encoded in one sortable string key (zero-padded
+    * score ‖ inverted piece count ‖ segmentation) whose max() both
+    * engines order identically. Each DP step joins the previous states
+    * with the broadcast vocab and is lineage-truncated (a step is read
+    * by up to [[UniMaxPiece]] later steps — the k-core lesson: the PLAN,
+    * not the data, explodes without it). */
+  private def unigramViterbi(spark: SparkSession, dir: String): DataFrame = {
+    import QueryConventions.MaterializeSyntax
+    val fq = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w").rlike(s"^[a-z]{1,$UniMaxLen}$$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("len", length(col("w")).cast("int"))
+      .materializeOnce // word-TYPE frame: feeds piece candidates and the DP
+    val cand = fq
+      .select(col("w"), col("freq"), col("len"),
+        explode(expr(s"sequence(1, $UniMaxPiece)")).as("k"))
+      .filter(col("k") <= col("len"))
+      .select(col("w"), col("freq"), col("k"),
+        explode(expr("sequence(1, len - k + 1)")).as("i"))
+      .select(expr("substring(w, i, k)").as("piece"), col("freq"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("sub_freq"))
+      .materializeOnce // feeds the top-N rank and the single-char union
+    val ranked = cand.withColumn("rk",
+      row_number().over(Window.orderBy(col("sub_freq").desc, col("piece"))))
+    val vocab0 = ranked.filter(col("rk") <= UniTopPieces).select("piece", "sub_freq")
+      .unionAll(cand.filter(length(col("piece")) === 1).select("piece", "sub_freq"))
+      .distinct()
+    val tot = vocab0.agg(sum(col("sub_freq")).as("tot"))
+    val vocab = vocab0.crossJoin(broadcast(tot))
+      .select(col("piece"),
+        round(log(col("sub_freq").cast("double") / col("tot")) * 1e6)
+          .cast("long").as("score_micro"))
+      .materializeOnce // joined once per DP step
+    val b0 = fq.select(col("w"), col("len"), col("freq"),
+      lit(0L).as("best"), lit(0).as("np"), lit("").as("seg"))
+    val bs = scala.collection.mutable.ArrayBuffer(b0)
+    for (j <- 1 to UniMaxLen) {
+      val cands = (1 to math.min(UniMaxPiece, j)).map { k =>
+        bs(j - k).filter(col("len") >= j)
+          .withColumn("piece", expr(s"substring(w, ${j - k + 1}, $k)"))
+          .join(vocab, "piece")
+          .select(col("w"), col("len"), col("freq"),
+            (col("best") + col("score_micro")).as("nb"),
+            (col("np") + 1).as("nnp"),
+            concat(col("seg"), lit("|"), col("piece")).as("nseg"))
+      }
+      val bj = cands.reduce(_ unionAll _)
+        .withColumn("key",
+          concat(lpad((col("nb") + UniKeyOffset).cast("string"), 9, "0"),
+            lpad((lit(99) - col("nnp")).cast("string"), 2, "0"),
+            col("nseg")))
+        .groupBy(col("w"), col("len"), col("freq")).agg(max(col("key")).as("key"))
+        .select(col("w"), col("len"), col("freq"),
+          (expr("CAST(substring(key, 1, 9) AS BIGINT)") - UniKeyOffset).as("best"),
+          (lit(99) - expr("CAST(substring(key, 10, 2) AS INT)")).as("np"),
+          expr("substring(key, 12)").as("seg"))
+        .localCheckpoint(false) // read by up to UniMaxPiece later steps
+      bs += bj
+    }
+    (1 to UniMaxLen).map(j => bs(j).filter(col("len") === j)).reduce(_ unionAll _)
+  }
+
+  /** Shared SQL prefix: word types, piece vocabulary with micro scores,
+    * and the unrolled Viterbi CTEs b1..b[[UniMaxLen]] (b_len rows carry
+    * each word's optimal segmentation). */
+  private val unigramCtes: String = {
+    val steps = (1 to UniMaxLen).map { j =>
+      val ks = (1 to math.min(UniMaxPiece, j)).map { k =>
+        s"""SELECT b.w, b.len, b.freq,
+           |       b.best + v.score_micro AS nb, b.np + 1 AS nnp,
+           |       b.seg || '|' || v.piece AS nseg
+           |FROM b${j - k} b JOIN vocab v ON v.piece = substring(b.w, ${j - k + 1}, $k)
+           |WHERE b.len >= $j""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""b$j AS MATERIALIZED (
+         |  SELECT w, len, freq,
+         |         CAST(substring(key, 1, 9) AS BIGINT) - $UniKeyOffset AS best,
+         |         99 - CAST(substring(key, 10, 2) AS INT) AS np,
+         |         substring(key, 12) AS seg
+         |  FROM (
+         |    SELECT w, len, freq,
+         |           max(concat(lpad(CAST(nb + $UniKeyOffset AS VARCHAR), 9, '0'),
+         |                      lpad(CAST(99 - nnp AS VARCHAR), 2, '0'), nseg)) AS key
+         |    FROM ($ks)
+         |    GROUP BY w, len, freq))""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to UniMaxLen).map(j => s"SELECT * FROM b$j WHERE len = $j")
+      .mkString("\nUNION ALL\n")
+    s"""$toksCte,
+       |fq AS MATERIALIZED (
+       |  SELECT w, count(*) AS freq, CAST(len(w) AS INT) AS len FROM (
+       |    SELECT unnest(toks) AS w FROM t)
+       |  WHERE regexp_matches(w, '^[a-z]{1,$UniMaxLen}$$') GROUP BY w),
+       |cand AS MATERIALIZED (
+       |  SELECT substring(w, CAST(u.i AS INT), CAST(u.k AS INT)) AS piece,
+       |         sum(freq) AS sub_freq
+       |  FROM fq,
+       |       LATERAL (SELECT k, unnest(range(1, len - CAST(k AS INT) + 2)) AS i
+       |                FROM (SELECT unnest(range(1, $UniMaxPiece + 1)) AS k)
+       |                WHERE k <= len) u
+       |  GROUP BY 1),
+       |vocab0 AS (
+       |  SELECT DISTINCT piece, sub_freq FROM (
+       |    SELECT piece, sub_freq,
+       |           row_number() OVER (ORDER BY sub_freq DESC, piece) AS rk
+       |    FROM cand)
+       |  WHERE rk <= $UniTopPieces OR len(piece) = 1),
+       |tt AS (SELECT sum(sub_freq) AS tot FROM vocab0),
+       |vocab AS MATERIALIZED (
+       |  SELECT piece,
+       |         CAST(round(ln(CAST(sub_freq AS DOUBLE) / tt.tot) * 1e6) AS BIGINT) AS score_micro
+       |  FROM vocab0 CROSS JOIN tt),
+       |b0 AS (SELECT w, len, freq, CAST(0 AS BIGINT) AS best, 0 AS np, '' AS seg FROM fq),
+       |$steps,
+       |finals AS ($finals)""".stripMargin
+  }
+
+  /** Per-word-type Viterbi segmentation under the seeded unigram LM —
+    * see [[unigramViterbi]]. Emits the optimal piece split, piece count
+    * and the exact integer log-probability. */
+  def unigramLmSegment(spark: SparkSession, dir: String): DataFrame =
+    unigramViterbi(spark, dir)
+      .select(col("w").as("word"), col("freq"), col("np").as("n_pieces"),
+        expr("substring(seg, 2)").as("segmentation"),
+        col("best").as("logp_micro"))
+      .orderBy("word")
+
+  private val unigramLmSegmentSql: String =
+    s"""WITH $unigramCtes
+       |SELECT w AS word, freq, np AS n_pieces,
+       |       substring(seg, 2) AS segmentation,
+       |       best AS logp_micro
+       |FROM finals
+       |ORDER BY word""".stripMargin
+
+  /** The EM E-step count table over [[unigramLmSegment]]'s Viterbi
+    * segmentations: expected (here: hard-EM) piece usage weighted by
+    * word-type frequency — exactly the statistics the next unigram-LM
+    * M-step renormalizes, and the table a vocabulary-pruning pass reads
+    * (a piece with a near-zero count is the next deletion candidate). */
+  def unigramEmCounts(spark: SparkSession, dir: String): DataFrame =
+    unigramViterbi(spark, dir)
+      .select(col("freq"), explode(split(expr("substring(seg, 2)"), "\\|")).as("piece"))
+      .groupBy(col("piece"))
+      .agg(sum(col("freq")).as("em_count"), count(lit(1)).as("n_word_types"))
+      .orderBy("piece")
+
+  private val unigramEmCountsSql: String =
+    s"""WITH $unigramCtes
+       |SELECT u.piece, CAST(sum(freq) AS BIGINT) AS em_count,
+       |       count(*) AS n_word_types
+       |FROM finals, LATERAL (SELECT unnest(string_split(substring(seg, 2), '|')) AS piece) u
+       |GROUP BY u.piece
+       |ORDER BY u.piece""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "unigram_lm_segment"   -> (unigramLmSegment _),
+    "unigram_em_counts"    -> (unigramEmCounts _),
+    "token_textrank"       -> (tokenTextrank _),
     "bpe_merge_pairs"      -> (bpeMergePairs _),
     "bpe_merges_k"         -> (bpeMergesK _),
     "bpe_apply"            -> (bpeApply _),
@@ -587,6 +850,9 @@ object CorpusQueries {
     "doc_pack_bins"        -> (docPackBins _))
 
   val oracle: Map[String, String] = Map(
+    "unigram_lm_segment"   -> unigramLmSegmentSql,
+    "unigram_em_counts"    -> unigramEmCountsSql,
+    "token_textrank"       -> tokenTextrankSql,
     "bpe_merge_pairs"      -> bpeMergePairsSql,
     "bpe_merges_k"         -> bpeMergesKSql,
     "bpe_apply"            -> bpeApplySql,

@@ -95,7 +95,9 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "hybrid_rrf"           -> "RRF text leg — rank over the top-20 BM25 frame, bounded by the upstream limit",
     "orders_bootstrap_ci"  -> "rank over the 20-row replicate-mean frame",
     "user_survival_curve"  -> "reverse cumsum over the calendar-bounded day frame",
-    "orders_hill_tail"     -> "rank over the top-101 frame (post-TakeOrdered)")
+    "orders_hill_tail"     -> "rank over the top-101 frame (post-TakeOrdered)",
+    "unigram_lm_segment"   -> "piece-vocab rank over the ~300-row substring-candidate frame",
+    "unigram_em_counts"    -> "same piece-vocab rank (shared unigram builder)")
 
   test("no unpartitioned window sort outside the bounded-frame allowlist") {
     withFullPlans {
@@ -146,6 +148,9 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "brier_decomposition",   // one-row global-moment frame × the 10-row bin frame
     "orders_hill_tail",      // one-row threshold frame × the top-101 frame
     "part_kcore",            // one-row convergence-probe frame × core members
+    "unigram_lm_segment",    // one-row piece-total frame × the piece vocabulary
+    "unigram_em_counts",     // same one-row piece-total frame (shared builder)
+    "attribution_markov_removal", // one-row base-reach frame × the 4-channel rows
     "source_js_divergence",  // same 20-row source dim × token-vocab grid (the JS pair matrix)
     "embedding_pca_power",   // one-row n and trace frames × the 4096-row moment matrix / 64-row component
     "embedding_pca_two",     // same one-row n/trace frames, plus one-row den/dot deflation scalars × the 64-row iterate

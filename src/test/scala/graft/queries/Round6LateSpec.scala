@@ -361,6 +361,144 @@ class Round6LateSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("token_textrank: exact recount of the damped iteration") {
+    // rebuild adjacency from raw documents with the whitespace tokenizer
+    val ws = " \t\n\r\f"
+    val docs = Tables.documents(spark, dir).select(col("text")).collect()
+      .map(_.getAs[String]("text"))
+    val adj = docs.flatMap { text =>
+      val trimmed = text.dropWhile(ws.contains(_)).reverse.dropWhile(ws.contains(_)).reverse
+      val toks = if (trimmed.isEmpty) Array.empty[String] else trimmed.split("\\s+")
+      toks.sliding(2).collect { case Array(a, b) if a != b => (a, b) }.toVector
+    }
+    val trans = (adj ++ adj.map(_.swap)).groupBy(identity)
+      .map { case (e, es) => e -> es.length.toLong }
+    val nodes = trans.keys.map(_._1).toVector.distinct.sorted
+    val od = trans.groupBy(_._1._1).map { case (s, es) => s -> es.values.sum }
+    var pr = nodes.map(n => n -> 1.0 / nodes.size).toMap
+    for (_ <- 1 to 4) {
+      val contrib = trans.toVector.map { case ((s, d), c) =>
+        d -> BigDecimal(pr(s) * (c.toDouble / od(s)))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.groupBy(_._1).map { case (d, ts) => d -> ts.map(_._2).sum.toDouble }
+      pr = nodes.map(n =>
+        n -> (0.15 / nodes.size + 0.85 * contrib.getOrElse(n, 0.0))).toMap
+    }
+    val got = CorpusQueries.tokenTextrank(spark, dir).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Double]("textrank")).toMap
+    assert(got.keySet === pr.keySet)
+    pr.foreach { case (n, v) =>
+      assert(got(n) === BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"textrank mismatch at $n")
+    }
+    // stochastic graph with no dangling nodes: mass is conserved
+    assert(math.abs(got.values.sum - 1.0) < 0.02)
+  }
+
+  test("attribution_markov_removal: exact recount; removal never adds reach") {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("event_type")))
+    val trans = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    ev.groupBy(_._1).values.foreach { rs =>
+      val path0 = rs.sortBy(_._2).map(_._3).toVector
+      val cut = path0.indexOf("purchase")
+      val path = if (cut >= 0) path0.take(cut + 1) else path0
+      ("start" +: path).sliding(2).foreach { case Seq(a, b) => trans((a, b)) += 1 }
+      if (cut < 0) trans((path.last, "drop")) += 1
+    }
+    val od = trans.groupBy(_._1._1).map { case (s, es) => s -> es.values.sum }
+    def reach(removed: Option[String]): Double = {
+      val edges = trans.toVector.collect {
+        case ((s, d), c) if !removed.contains(s) && !removed.contains(d) =>
+          (s, d, c.toDouble / od(s))
+      }
+      var r = Map("purchase" -> 1.0).withDefaultValue(0.0)
+      for (_ <- 1 to 8) {
+        val acc = edges.map { case (s, d, w) =>
+          s -> BigDecimal(w * r(d)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        }.groupBy(_._1).map { case (s, ts) => s -> ts.map(_._2).sum.toDouble }
+        r = (acc - "purchase" - "drop").withDefaultValue(0.0) + ("purchase" -> 1.0)
+      }
+      r("start")
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val base = reach(None)
+    val got = AnalyticsQueries.attributionMarkovRemoval(spark, dir).collect()
+    assert(got.length === 4)
+    got.foreach { r =>
+      val c = r.getAs[String]("channel")
+      assert(r.getAs[Double]("base_reach") === r6(base), s"base at $c")
+      assert(r.getAs[Double]("removed_reach") === r6(reach(Some(c))), s"removed at $c")
+      // deleting a state can only delete conversion paths, never add them
+      assert(r.getAs[Double]("removal_effect") >= -1e-6)
+    }
+  }
+
+  test("unigram_lm_segment: Viterbi recount from first principles") {
+    val ws = " \t\n\r\f"
+    val words = Tables.documents(spark, dir).select(col("text")).collect()
+      .flatMap { r =>
+        val t = r.getAs[String]("text")
+        val trimmed = t.dropWhile(ws.contains(_)).reverse.dropWhile(ws.contains(_)).reverse
+        if (trimmed.isEmpty) Array.empty[String] else trimmed.split("\\s+")
+      }
+      .filter(_.matches("^[a-z]{1,8}$"))
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    // piece vocabulary: top-40 substrings by weighted count + all chars
+    val sub = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    words.foreach { case (w, f) =>
+      for (k <- 1 to math.min(4, w.length); i <- 0 to w.length - k)
+        sub(w.substring(i, i + k)) += f
+    }
+    val top = sub.toVector.sortBy { case (p, f) => (-f, p) }.take(40).map(_._1).toSet
+    val vocab = sub.filter { case (p, _) => top(p) || p.length == 1 }
+    val tot = vocab.values.sum
+    val score = vocab.map { case (p, f) =>
+      p -> BigDecimal(math.log(f.toDouble / tot) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    // exact integer Viterbi with (score, fewest pieces, lexicographic seg) ties
+    def segment(w: String): (Long, Int, String) = {
+      val best = Array.fill[Option[(Long, Int, String)]](w.length + 1)(None)
+      best(0) = Some((0L, 0, ""))
+      for (j <- 1 to w.length; k <- 1 to math.min(4, j); prev <- best(j - k)) {
+        val piece = w.substring(j - k, j)
+        score.get(piece).foreach { s =>
+          val cand = (prev._1 + s, prev._2 + 1, prev._3 + "|" + piece)
+          val better = best(j).forall { cur =>
+            val key = (c: (Long, Int, String)) =>
+              f"${c._1 + 500000000L}%09d" + f"${99 - c._2}%02d" + c._3
+            key(cand) > key(cur)
+          }
+          if (better) best(j) = Some(cand)
+        }
+      }
+      val r = best(w.length).get
+      (r._1, r._2, r._3.drop(1))
+    }
+    val got = CorpusQueries.unigramLmSegment(spark, dir).collect()
+    assert(got.length === words.size)
+    got.foreach { r =>
+      val w = r.getAs[String]("word")
+      val (lp, np, seg) = segment(w)
+      assert(r.getAs[Long]("freq") === words(w))
+      assert(r.getAs[Long]("logp_micro") === lp, s"logp at $w")
+      assert(r.getAs[Int]("n_pieces") === np, s"n_pieces at $w")
+      assert(r.getAs[String]("segmentation") === seg, s"seg at $w")
+    }
+    // EM counts re-aggregate the segmentations exactly
+    val em = CorpusQueries.unigramEmCounts(spark, dir).collect()
+      .map(r => (r.getAs[String]("piece"), r.getAs[Long]("em_count"))).toMap
+    val expectedEm = words.toVector.flatMap { case (w, f) =>
+      segment(w)._3.split("\\|").toVector.map(_ -> f)
+    }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    assert(em === expectedEm)
+  }
+
   test("score_conformal_threshold: ranks and coverage accounting hold") {
     val rows = TextQueries.scoreConformalThreshold(spark, dir).collect()
     assert(rows.nonEmpty)
