@@ -2488,7 +2488,75 @@ object PipelineQueries {
       |       CAST(n_orphans * 1000000 // n_child AS BIGINT) AS orphan_ppm
       |FROM u ORDER BY edge""".stripMargin
 
+  /** Wald–Wolfowitz-style runs audit of [[corpusShuffle]]'s training
+    * order — the check that the shuffle actually MIXED sources instead of
+    * leaving same-source runs for the trainer to overfit on: per shard,
+    * the observed count of adjacent same-source pairs against its exact
+    * permutation expectation E = Σᵢ nᵢ(nᵢ−1)/n (each of the n−1 adjacent
+    * slots is a same-source pair with probability Σ nᵢ(nᵢ−1)/(n(n−1))).
+    * A ratio ≫ 10⁶ means clumping (bad shuffle / correlated ids); ≪ 10⁶
+    * means anti-correlation (an interleaver, not a shuffle). This audits
+    * the engine's own operator with its own math.
+    *
+    * One pass over the shuffle output: a per-shard lag for the observed
+    * count, a (shard, source) aggregate for the expectation — both
+    * shard-partitioned, all integer (ratio via cross-multiplied integral
+    * division, NULL when a shard is single-source). */
+  def shuffleRunsTest(spark: SparkSession, dir: String): DataFrame = {
+    import QueryConventions.MaterializeSyntax
+    val order = corpusShuffle(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+      .materializeOnce // observed leg + expectation leg
+    val w = Window.partitionBy(col("shard")).orderBy(col("pos"))
+    val obs = order
+      .withColumn("prev", lag(col("source"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_adjacent"),
+        sum((col("source") === col("prev")).cast("long")).as("same_adjacent"))
+    val exp = order.groupBy(col("shard"), col("source")).agg(count(lit(1)).as("ni"))
+      .groupBy(col("shard"))
+      .agg(sum(col("ni")).as("n"), sum(col("ni") * (col("ni") - 1)).as("pairs2"))
+    obs.join(exp, "shard")
+      .select(col("shard"), col("n"), col("n_adjacent"), col("same_adjacent"),
+        expr("pairs2 * 1000000 div n").as("expected_micro"),
+        expr("CASE WHEN pairs2 > 0 THEN same_adjacent * n * 1000000 div pairs2 END")
+          .as("ratio_micro"))
+      .orderBy("shard")
+  }
+
+  private val shuffleRunsTestSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |         CAST(${hexpr.format("'shuf42:' || CAST(doc_id AS VARCHAR)")} % 8 AS INT) AS shard,
+       |         ${hexpr.format("'shuf42:' || CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM documents),
+       |ord AS (
+       |  SELECT s.shard, d.source,
+       |         row_number() OVER (PARTITION BY s.shard ORDER BY s.h, s.doc_id) AS pos
+       |  FROM sh s JOIN documents d USING (doc_id)),
+       |obs AS (
+       |  SELECT shard, count(*) AS n_adjacent,
+       |         sum(CASE WHEN source = prev THEN 1 ELSE 0 END) AS same_adjacent
+       |  FROM (SELECT shard, source,
+       |               lag(source) OVER (PARTITION BY shard ORDER BY pos) AS prev
+       |        FROM ord)
+       |  WHERE prev IS NOT NULL GROUP BY shard),
+       |ex AS (
+       |  SELECT shard, sum(ni) AS n, sum(ni * (ni - 1)) AS pairs2 FROM (
+       |    SELECT shard, source, count(*) AS ni FROM ord GROUP BY 1, 2)
+       |  GROUP BY shard)
+       |SELECT o.shard, CAST(e.n AS BIGINT) AS n,
+       |       CAST(o.n_adjacent AS BIGINT) AS n_adjacent,
+       |       CAST(o.same_adjacent AS BIGINT) AS same_adjacent,
+       |       CAST(e.pairs2 * 1000000 // e.n AS BIGINT) AS expected_micro,
+       |       CASE WHEN e.pairs2 > 0
+       |            THEN CAST(o.same_adjacent * e.n * 1000000 // e.pairs2 AS BIGINT) END AS ratio_micro
+       |FROM obs o JOIN ex e USING (shard)
+       |ORDER BY o.shard""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "shuffle_runs_test" -> (shuffleRunsTest _),
     "referential_integrity_audit" -> (referentialIntegrityAudit _),
     "customer_ldiversity" -> (customerLdiversity _),
     "source_length_emd"   -> (sourceLengthEmd _),
@@ -2562,6 +2630,7 @@ object PipelineQueries {
     "chunk_dedup_stats"  -> chunkDedupStatsSql,
     "split_leakage"      -> splitLeakageSql,
     "deletion_propagation" -> deletionPropagationSql,
+    "shuffle_runs_test" -> shuffleRunsTestSql,
     "referential_integrity_audit" -> referentialIntegrityAuditSql,
     "customer_ldiversity" -> customerLdiversitySql,
     "source_length_emd"   -> sourceLengthEmdSql,

@@ -706,7 +706,101 @@ object TimeSeriesQueries {
        |FROM best WHERE rk = 1
        |ORDER BY sensor_id""".stripMargin
 
+  /** Out-of-orderness profile per sensor — the measurement that PICKS a
+    * streaming watermark delay instead of guessing it: lateness of each
+    * event = (max event-time seen so far in arrival order) − (its own
+    * event time), then per sensor the exact p50/p95/p99 lateness and the
+    * max. `withWatermark(pXX)` then bounds state with a KNOWN drop rate
+    * (1−XX%); a watermark picked without this table is folklore.
+    * The harness feed is TOTALLY ordered (event time is monotone in
+    * `event_id` — verified, which would make every lateness zero), so
+    * arrival order is the feed replayed through a deterministic
+    * simulated transport: each event delayed by hash(event_id) mod 1 h.
+    * The profile measures exactly the disorder that transport induces —
+    * the number `withWatermark` must cover — and stays reproducible
+    * batch-over-stream because the delay is content-keyed, not
+    * wall-clock.
+    *
+    * The quantiles never sort the stream: lateness collapses to a
+    * per-sensor ms-value HISTOGRAM and each pXX is min{v : cum ≥
+    * ⌈q·n⌉} off the cumulative counts (the conformal-threshold trick) —
+    * windows only over histogram rows. All integer µs→ms end to end. */
+  def eventLatenessProfile(spark: SparkSession, dir: String): DataFrame = {
+    import QueryConventions.MaterializeSyntax
+    val late = Tables.events(spark, dir)
+      .select(col("event_type").as("sensor_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("arrival_us",
+        col("ts_us") + pmod(graft.operators.DedupOps.h60(col("event_id").cast("string")),
+          lit(3600000L)) * 1000)
+      .withColumn("late_ms",
+        expr("(max(ts_us) OVER (PARTITION BY sensor_id ORDER BY arrival_us, event_id)" +
+          " - ts_us) div 1000"))
+    val hist = late.groupBy(col("sensor_id"), col("late_ms"))
+      .agg(count(lit(1)).as("c"))
+      .materializeOnce // totals + three quantile probes off one histogram
+    val tot = hist.groupBy(col("sensor_id"))
+      .agg(sum(col("c")).as("n"), max(col("late_ms")).as("max_late_ms"))
+    val w = Window.partitionBy(col("sensor_id")).orderBy(col("late_ms"))
+    val cum = hist.withColumn("cum", sum(col("c")).over(w))
+      .join(broadcast(tot), Seq("sensor_id"))
+    def q(p: Int): DataFrame = cum
+      .filter(col("cum") >= expr(s"(n * $p + 99) div 100"))
+      .groupBy(col("sensor_id")).agg(min(col("late_ms")).as(s"p${p}_ms"))
+    val nLate = late.filter(col("late_ms") > 0).groupBy(col("sensor_id"))
+      .agg(count(lit(1)).as("n_late"))
+    tot.join(broadcast(q(50)), Seq("sensor_id"))
+      .join(broadcast(q(95)), Seq("sensor_id"))
+      .join(broadcast(q(99)), Seq("sensor_id"))
+      .join(broadcast(nLate), Seq("sensor_id"), "left")
+      .select(col("sensor_id"), col("n"), coalesce(col("n_late"), lit(0L)).as("n_late"),
+        col("max_late_ms"), col("p50_ms"), col("p95_ms"), col("p99_ms"))
+      .orderBy("sensor_id")
+  }
+
+  private val eventLatenessProfileSql: String =
+    """WITH arr AS (
+      |  SELECT event_type AS sensor_id, event_id,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |         epoch_us(CAST(ts AS TIMESTAMP))
+      |           + (CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)
+      |              % 3600000) * 1000 AS arrival_us
+      |  FROM events),
+      |late AS (
+      |  SELECT sensor_id, event_id,
+      |         (max(ts_us) OVER (PARTITION BY sensor_id ORDER BY arrival_us, event_id)
+      |          - ts_us) // 1000 AS late_ms
+      |  FROM arr),
+      |hist AS (
+      |  SELECT sensor_id, late_ms, count(*) AS c FROM late GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT sensor_id, sum(c) AS n, max(late_ms) AS max_late_ms
+      |  FROM hist GROUP BY 1),
+      |cum AS (
+      |  SELECT h.sensor_id, h.late_ms,
+      |         sum(h.c) OVER (PARTITION BY h.sensor_id ORDER BY h.late_ms) AS cum,
+      |         t.n
+      |  FROM hist h JOIN tot t ON t.sensor_id = h.sensor_id),
+      |q50 AS (SELECT sensor_id, min(late_ms) AS p50_ms FROM cum
+      |        WHERE cum >= (n * 50 + 99) // 100 GROUP BY 1),
+      |q95 AS (SELECT sensor_id, min(late_ms) AS p95_ms FROM cum
+      |        WHERE cum >= (n * 95 + 99) // 100 GROUP BY 1),
+      |q99 AS (SELECT sensor_id, min(late_ms) AS p99_ms FROM cum
+      |        WHERE cum >= (n * 99 + 99) // 100 GROUP BY 1),
+      |nl AS (SELECT sensor_id, count(*) AS n_late FROM late WHERE late_ms > 0 GROUP BY 1)
+      |SELECT t.sensor_id, CAST(t.n AS BIGINT) AS n,
+      |       CAST(coalesce(nl.n_late, 0) AS BIGINT) AS n_late,
+      |       CAST(t.max_late_ms AS BIGINT) AS max_late_ms,
+      |       CAST(q50.p50_ms AS BIGINT) AS p50_ms,
+      |       CAST(q95.p95_ms AS BIGINT) AS p95_ms,
+      |       CAST(q99.p99_ms AS BIGINT) AS p99_ms
+      |FROM tot t
+      |JOIN q50 USING (sensor_id) JOIN q95 USING (sensor_id) JOIN q99 USING (sensor_id)
+      |LEFT JOIN nl USING (sensor_id)
+      |ORDER BY t.sensor_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "event_lateness_profile"  -> (eventLatenessProfile _),
     "sensor_changepoint"      -> (sensorChangepoint _),
     "sensor_seasonal_profile" -> (sensorSeasonalProfile _),
     "sensor_seasonal_residuals" -> (sensorSeasonalResiduals _),
@@ -718,6 +812,7 @@ object TimeSeriesQueries {
     "sensor_cusum"            -> (sensorCusum _))
 
   val oracle: Map[String, String] = Map(
+    "event_lateness_profile"  -> eventLatenessProfileSql,
     "sensor_changepoint"      -> sensorChangepointSql,
     "sensor_seasonal_profile" -> sensorSeasonalProfileSql,
     "sensor_seasonal_residuals" -> sensorSeasonalResidualsSql,

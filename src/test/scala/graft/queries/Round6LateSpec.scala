@@ -499,6 +499,63 @@ class Round6LateSpec extends AnyFunSuite with SparkSpec {
     assert(em === expectedEm)
   }
 
+  test("event_lateness_profile: recount under the simulated transport") {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("us")))
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    val expected = ev.groupBy(_._1).map { case (sid, rs) =>
+      val arr = rs.map { case (_, id, us) =>
+        (us + (h60(id.toString) % 3600000L) * 1000, id, us)
+      }.sortBy(a => (a._1, a._2))
+      var mx = Long.MinValue
+      val lates = arr.map { case (_, _, us) =>
+        mx = math.max(mx, us); (mx - us) / 1000
+      }
+      def q(p: Int): Long = {
+        val k = ((lates.length.toLong * p + 99) / 100).toInt
+        lates.sorted.apply(k - 1)
+      }
+      sid -> (lates.length.toLong, lates.count(_ > 0).toLong, lates.max,
+        q(50), q(95), q(99))
+    }
+    val got = TimeSeriesQueries.eventLatenessProfile(spark, dir).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val e = expected(r.getAs[String]("sensor_id"))
+      assert((r.getAs[Long]("n"), r.getAs[Long]("n_late"), r.getAs[Long]("max_late_ms"),
+        r.getAs[Long]("p50_ms"), r.getAs[Long]("p95_ms"), r.getAs[Long]("p99_ms")) === e)
+    }
+  }
+
+  test("shuffle_runs_test: recount off the shuffle's own output") {
+    val order = PipelineQueries.corpusShuffle(spark, dir).collect()
+      .map(r => (r.getAs[Int]("shard"), r.getAs[Int]("pos"), r.getAs[Long]("doc_id")))
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val got = PipelineQueries.shuffleRunsTest(spark, dir).collect()
+    val byShard = order.groupBy(_._1)
+    assert(got.length === byShard.size)
+    got.foreach { r =>
+      val sh = r.getAs[Int]("shard")
+      val seq = byShard(sh).sortBy(_._2).map(t => src(t._3)).toVector
+      val same = seq.zip(seq.tail).count { case (a, b) => a == b }.toLong
+      val pairs2 = seq.groupBy(identity).values.map(g => g.size.toLong * (g.size - 1)).sum
+      assert(r.getAs[Long]("n") === seq.length.toLong)
+      assert(r.getAs[Long]("n_adjacent") === seq.length.toLong - 1)
+      assert(r.getAs[Long]("same_adjacent") === same)
+      assert(r.getAs[Long]("expected_micro") === pairs2 * 1000000 / seq.length)
+      if (pairs2 > 0)
+        assert(r.getAs[Long]("ratio_micro") === same * seq.length * 1000000 / pairs2)
+    }
+  }
+
   test("score_conformal_threshold: ranks and coverage accounting hold") {
     val rows = TextQueries.scoreConformalThreshold(spark, dir).collect()
     assert(rows.nonEmpty)
