@@ -1158,6 +1158,66 @@ object AnalyticsQueries {
        |ORDER BY part_id""".stripMargin
   }
 
+  /** Degree assortativity of the co-purchase graph — the mixing pattern
+    * that completes the graph-census family: the Pearson correlation of
+    * endpoint degrees over symmetrized edges. Positive = hubs buy with
+    * hubs (assortative, social-network-like); negative = hubs connect to
+    * leaves (disassortative, catalog-like) — it determines whether
+    * removing hub parts fragments the graph, which the triangle and core
+    * views cannot say.
+    *
+    * Moments Σx, Σx², Σxy accumulate as DECIMAL(38,0) integers over the
+    * 2|E| symmetrized endpoint pairs; the single division is floor
+    * micro fixed-point, NULL on a degree-regular graph (zero variance)
+    * rather than an engine-specific ±inf. Node-sized degree frame, one
+    * edge join. */
+  def partAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, dir)
+    val deg = edges.select(col("src").as("v"))
+      .unionAll(edges.select(col("dst").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val sym = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
+      .join(deg.select(col("v").as("a"), col("d").as("dx")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("dy")), "b")
+    sym.agg(count(lit(1)).as("m"),
+      sum(col("dx").cast("decimal(38,0)")).as("sx"),
+      sum((col("dx").cast("decimal(38,0)") * col("dx"))).as("sxx"),
+      sum((col("dx").cast("decimal(38,0)") * col("dy"))).as("sxy"))
+      .select((col("m") / 2).cast("long").as("n_edges"),
+        expr("""CASE WHEN m * sxx - sx * sx > 0
+               |  THEN (m * sxy - sx * sx) * 1000000 div (m * sxx - sx * sx)
+               |END""".stripMargin).cast("long").as("assortativity_micro"))
+  }
+
+  private val partAssortativitySql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (
+      |  SELECT a.pk AS src, b.pk AS dst
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |deg AS (SELECT v, count(*) AS d
+      |        FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
+      |        GROUP BY v),
+      |sym AS (
+      |  SELECT da.d AS dx, db.d AS dy FROM (
+      |    SELECT src AS a, dst AS b FROM e
+      |    UNION ALL
+      |    SELECT dst, src FROM e) s
+      |  JOIN deg da ON da.v = s.a
+      |  JOIN deg db ON db.v = s.b),
+      |agg AS (
+      |  SELECT count(*) AS m,
+      |         sum(CAST(dx AS HUGEINT)) AS sx,
+      |         sum(CAST(dx AS HUGEINT) * dx) AS sxx,
+      |         sum(CAST(dx AS HUGEINT) * dy) AS sxy
+      |  FROM sym)
+      |SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+      |       CASE WHEN m * sxx - sx * sx > 0
+      |            THEN CAST((m * sxy - sx * sx) * 1000000 // (m * sxx - sx * sx) AS BIGINT)
+      |       END AS assortativity_micro
+      |FROM agg""".stripMargin
+
   /** The oriented ≥2-joint-orders co-purchase edge frame shared by the
     * graph-census family ([[partTriangles]], [[partLocalClustering]],
     * [[partKcore]]). */
@@ -1783,6 +1843,7 @@ object AnalyticsQueries {
     "event_trigram_paths" -> (eventTrigramPaths _),
     "part_kcore" -> (partKcore _),
     "attribution_markov_removal" -> (attributionMarkovRemoval _),
+    "part_assortativity" -> (partAssortativity _),
     "customer_rfm"       -> (customerRfm _),
     "label_psi"          -> (labelPsi _),
     "distinct_users_hll_union" -> (distinctUsersHllUnion _),
@@ -1823,6 +1884,7 @@ object AnalyticsQueries {
     "event_trigram_paths" -> eventTrigramPathsSql,
     "part_kcore" -> partKcoreSql,
     "attribution_markov_removal" -> attributionMarkovRemovalSql,
+    "part_assortativity" -> partAssortativitySql,
     "customer_rfm"       -> customerRfmSql,
     "label_psi"          -> labelPsiSql,
     "distinct_users_hll_union" -> distinctUsersHllUnionSql,

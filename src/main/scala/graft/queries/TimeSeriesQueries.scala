@@ -799,7 +799,61 @@ object TimeSeriesQueries {
       |LEFT JOIN nl USING (sensor_id)
       |ORDER BY t.sensor_id""".stripMargin
 
+  /** Burstiness (index of dispersion) per sensor — the arrival-process
+    * check beside the value-domain detectors: variance-to-mean ratio of
+    * per-minute event counts over the sensor's FULL calendar span
+    * (empty minutes count as zeros — dropping them is the classic bug
+    * that makes every feed look calm). A Poisson arrival process sits at
+    * 10⁶ micro; ≫ 10⁶ means bursts (batchy upstream, retry storms),
+    * ≪ 10⁶ means suspiciously regular (a heartbeat pretending to be
+    * traffic).
+    *
+    * Zeros never materialize: with S = Σc and Q = Σc² over OBSERVED
+    * minutes, the grid variance is (n·Q − S²)/(n·(n−1)) with n = span
+    * minutes — so one groupBy and a 4-column per-sensor aggregate give
+    * the exact grid statistic. All integer: D_micro =
+    * (n·Q − S²)·10⁶ div ((n−1)·S), DECIMAL(38,0) through the cross
+    * terms. */
+  def sensorBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val perMin = Tables.events(spark, dir)
+      .groupBy(col("event_type").as("sensor_id"),
+        date_trunc("minute", col("ts")).as("m"))
+      .agg(count(lit(1)).as("c"))
+    perMin.groupBy(col("sensor_id"))
+      .agg(count(lit(1)).as("observed_minutes"),
+        sum(col("c")).as("s"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("q"),
+        ((unix_micros(max(col("m"))) - unix_micros(min(col("m")))) / 60000000L + 1)
+          .cast("long").as("span_minutes"))
+      .select(col("sensor_id"), col("s").as("n_events"),
+        col("span_minutes"), col("observed_minutes"),
+        expr("""(CAST(span_minutes AS DECIMAL(38,0)) * q - CAST(s AS DECIMAL(38,0)) * s)
+               | * 1000000 div (CAST(span_minutes - 1 AS DECIMAL(38,0)) * s)""".stripMargin)
+          .cast("long").as("dispersion_micro"))
+      .orderBy("sensor_id")
+  }
+
+  private val sensorBurstinessSql: String =
+    """WITH perm AS (
+      |  SELECT event_type AS sensor_id,
+      |         date_trunc('minute', CAST(ts AS TIMESTAMP)) AS m,
+      |         count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT sensor_id, count(*) AS observed_minutes,
+      |         sum(c) AS s,
+      |         sum(CAST(c AS HUGEINT) * c) AS q,
+      |         (epoch_us(max(m)) - epoch_us(min(m))) // 60000000 + 1 AS span_minutes
+      |  FROM perm GROUP BY 1)
+      |SELECT sensor_id, CAST(s AS BIGINT) AS n_events,
+      |       CAST(span_minutes AS BIGINT) AS span_minutes,
+      |       CAST(observed_minutes AS BIGINT) AS observed_minutes,
+      |       CAST((CAST(span_minutes AS HUGEINT) * q - CAST(s AS HUGEINT) * s) * 1000000
+      |            // ((span_minutes - 1) * CAST(s AS HUGEINT)) AS BIGINT) AS dispersion_micro
+      |FROM agg ORDER BY sensor_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sensor_burstiness"       -> (sensorBurstiness _),
     "event_lateness_profile"  -> (eventLatenessProfile _),
     "sensor_changepoint"      -> (sensorChangepoint _),
     "sensor_seasonal_profile" -> (sensorSeasonalProfile _),
@@ -812,6 +866,7 @@ object TimeSeriesQueries {
     "sensor_cusum"            -> (sensorCusum _))
 
   val oracle: Map[String, String] = Map(
+    "sensor_burstiness"       -> sensorBurstinessSql,
     "event_lateness_profile"  -> eventLatenessProfileSql,
     "sensor_changepoint"      -> sensorChangepointSql,
     "sensor_seasonal_profile" -> sensorSeasonalProfileSql,

@@ -556,6 +556,54 @@ class Round6LateSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("sensor_burstiness: recount over an explicit zero-filled grid") {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("minute", col("ts")).as("m")).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("m").getTime))
+    val expected = ev.groupBy(_._1).map { case (sid, rs) =>
+      val counts = rs.groupBy(_._2).map { case (m, xs) => m -> xs.length.toLong }
+      val (lo, hi) = (counts.keys.min, counts.keys.max)
+      val n = (hi - lo) / 60000 + 1
+      // the naive way: materialize every grid minute including zeros
+      val grid = (0L until n).map(i => counts.getOrElse(lo + i * 60000, 0L))
+      val s = grid.sum; val q = grid.map(c => BigInt(c) * c).sum
+      val disp = (BigInt(n) * q - BigInt(s) * s) * 1000000 / (BigInt(n - 1) * s)
+      sid -> (s, n, counts.size.toLong, disp.toLong)
+    }
+    val got = TimeSeriesQueries.sensorBurstiness(spark, dir).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      assert((r.getAs[Long]("n_events"), r.getAs[Long]("span_minutes"),
+        r.getAs[Long]("observed_minutes"), r.getAs[Long]("dispersion_micro")) ===
+        expected(r.getAs[String]("sensor_id")))
+    }
+  }
+
+  test("part_assortativity: recount from raw degrees; bounded in [-1, 1]") {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_partkey"))).toVector
+    val allPairs = li.groupBy(_._1).values.toVector.flatMap { ps =>
+      val ks = ps.map(_._2).distinct
+      for (a <- ks; b <- ks if a < b) yield (a, b)
+    }
+    val edges = allPairs.groupBy(identity).filter(_._2.size >= 2).keySet.toVector
+    val deg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (v, vs) => v -> vs.size.toLong }
+    val sym = edges.flatMap(e => Seq((deg(e._1), deg(e._2)), (deg(e._2), deg(e._1))))
+    val m = BigInt(sym.length)
+    val sx = sym.map(p => BigInt(p._1)).sum
+    val sxx = sym.map(p => BigInt(p._1) * p._1).sum
+    val sxy = sym.map(p => BigInt(p._1) * p._2).sum
+    val expected = (m * sxy - sx * sx) * 1000000 / (m * sxx - sx * sx)
+    val r = AnalyticsQueries.partAssortativity(spark, dir).collect().head
+    assert(r.getAs[Long]("n_edges") === edges.length.toLong)
+    val a = r.getAs[Long]("assortativity_micro")
+    assert(a === expected.toLong)
+    assert(a >= -1000000 && a <= 1000000)
+  }
+
   test("score_conformal_threshold: ranks and coverage accounting hold") {
     val rows = TextQueries.scoreConformalThreshold(spark, dir).collect()
     assert(rows.nonEmpty)
