@@ -1,0 +1,254 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.QueryConventions.MaterializeSyntax
+
+import graft.sources.Tables
+
+/** Experimentation & causal-analytics tier — the operators an A/B or
+  * observational-impact platform runs over the same event/order feeds the
+  * rest of the engine already serves: coarsened-exact-matched treatment
+  * effects, difference-in-differences, and sequential (SPRT) testing.
+  * Everything follows the module-wide exactness rules: deterministic
+  * hash/parity assignments (reproducible, cluster-size-independent),
+  * integer micro fixed-point for every reported estimate, and the few
+  * genuinely transcendental constants (SPRT log-likelihood increments)
+  * computed ONCE in Scala and shared as literals by both dialects.
+  */
+object ExperimentQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Coarsened Exact Matching ATT estimate — the observational answer to
+    * "did onboarding through signup change purchasing?" when no
+    * experiment exists: treated = users whose FIRST event (min event_id,
+    * `min_by`/`arg_min` in the two dialects) is a `signup` — a ~20%
+    * prevalence exposure (every user eventually signs up on this feed,
+    * so "ever signed up" would leave zero controls — checked), outcome =
+    * purchase count, confounders coarsened into strata (activity-volume
+    * bucket × active-days bucket). Within a stratum, treated and control are
+    * comparable BY CONSTRUCTION (that is CEM's whole move — prune any
+    * stratum lacking either side instead of modeling the imbalance),
+    * and the ATT is the treated-weighted average of within-stratum mean
+    * differences. The pruned counts are emitted because they ARE the
+    * method's honesty: a large pruned-treated count means the estimate
+    * no longer speaks for the full treated population.
+    *
+    * One user-level aggregate, one strata-level aggregate, one row out —
+    * all integer (per-stratum diffs via integral division in micro). */
+  def cemAttEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(to_date(col("ts"))).as("active_days"),
+        (min_by(col("event_type"), col("event_id")) === "signup")
+          .cast("long").as("treated"),
+        sum((col("event_type") === "purchase").cast("long")).as("purchases"))
+      .withColumn("eb", expr("n_events div 10"))
+      .withColumn("db", expr("active_days div 5"))
+    val strata = users.groupBy(col("eb"), col("db"))
+      .agg(sum(col("treated")).as("nt"),
+        sum(lit(1L) - col("treated")).as("nc"),
+        sum(col("treated") * col("purchases")).as("pt"),
+        sum((lit(1L) - col("treated")) * col("purchases")).as("pc"))
+      .materializeOnce // matched and pruned legs read it once each
+    val matched = strata.filter(col("nt") > 0 && col("nc") > 0)
+      .withColumn("diff_micro",
+        expr("pt * 1000000 div nt - pc * 1000000 div nc"))
+      .agg(count(lit(1)).as("n_strata_matched"),
+        sum(col("nt")).as("n_treated_matched"),
+        sum(col("nc")).as("n_control_matched"),
+        expr("sum(nt * diff_micro) div sum(nt)").as("att_micro"))
+    val pruned = strata.filter(col("nt") === 0 || col("nc") === 0)
+      .agg(coalesce(sum(col("nt")), lit(0L)).as("n_treated_pruned"),
+        coalesce(sum(col("nc")), lit(0L)).as("n_control_pruned"))
+    matched.crossJoin(broadcast(pruned))
+      .select("n_strata_matched", "n_treated_matched", "n_control_matched",
+        "n_treated_pruned", "n_control_pruned", "att_micro")
+  }
+
+  private val cemAttEstimateSql: String =
+    """WITH users AS (
+      |  SELECT user_id, count(*) AS n_events,
+      |         count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS active_days,
+      |         CASE WHEN arg_min(event_type, event_id) = 'signup' THEN 1 ELSE 0 END AS treated,
+      |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases
+      |  FROM events GROUP BY user_id),
+      |strata AS (
+      |  SELECT n_events // 10 AS eb, active_days // 5 AS db,
+      |         sum(treated) AS nt, sum(1 - treated) AS nc,
+      |         sum(treated * purchases) AS pt,
+      |         sum((1 - treated) * purchases) AS pc
+      |  FROM users GROUP BY 1, 2),
+      |matched AS (
+      |  SELECT count(*) AS n_strata_matched,
+      |         sum(nt) AS n_treated_matched,
+      |         sum(nc) AS n_control_matched,
+      |         sum(nt * (pt * 1000000 // nt - pc * 1000000 // nc)) // sum(nt) AS att_micro
+      |  FROM strata WHERE nt > 0 AND nc > 0),
+      |pruned AS (
+      |  SELECT coalesce(sum(nt), 0) AS n_treated_pruned,
+      |         coalesce(sum(nc), 0) AS n_control_pruned
+      |  FROM strata WHERE nt = 0 OR nc = 0)
+      |SELECT CAST(m.n_strata_matched AS BIGINT) AS n_strata_matched,
+      |       CAST(m.n_treated_matched AS BIGINT) AS n_treated_matched,
+      |       CAST(m.n_control_matched AS BIGINT) AS n_control_matched,
+      |       CAST(p.n_treated_pruned AS BIGINT) AS n_treated_pruned,
+      |       CAST(p.n_control_pruned AS BIGINT) AS n_control_pruned,
+      |       CAST(m.att_micro AS BIGINT) AS att_micro
+      |FROM matched m CROSS JOIN pruned p""".stripMargin
+
+  /** Difference-in-differences on average order value — the quasi-
+    * experimental estimate when a change hit one customer population at
+    * a known date: treated = customers in nations 0–11 (a deterministic
+    * population split), intervention at 1998-07-01, symmetric one-year
+    * pre/post windows. DiD = (T_post − T_pre) − (C_post − C_pre)
+    * cancels both the level difference between the populations and the
+    * common time trend — exactly what a naive post-only comparison
+    * can't. All four cell means are emitted so the parallel-trends
+    * reader can see what the estimate is made of.
+    *
+    * One scan, one 4-cell aggregate, money exact in DECIMAL micro. */
+  def ordersDidEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), (col("c_nationkey") < 12).as("treated"))
+    val cells = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-07-01") &&
+        col("o_orderdate") < lit("1999-07-01"))
+      .withColumn("post", col("o_orderdate") >= lit("1998-07-01"))
+      .join(cust.hint("broadcast"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("treated"), col("post"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("o_totalprice").cast("decimal(18,6)") * 1000000)
+          .cast("decimal(38,0)")).as("s"))
+      .withColumn("mean_micro", expr("CAST(s div n AS BIGINT)"))
+      .materializeOnce // four pivot legs below
+    def cell(t: Boolean, p: Boolean, as: String): DataFrame =
+      cells.filter(col("treated") === t && col("post") === p)
+        .select(col("n").as(s"n_$as"), col("mean_micro").as(s"mean_${as}_micro"))
+    cell(t = true, p = false, "t_pre")
+      .crossJoin(broadcast(cell(t = true, p = true, "t_post")))
+      .crossJoin(broadcast(cell(t = false, p = false, "c_pre")))
+      .crossJoin(broadcast(cell(t = false, p = true, "c_post")))
+      .withColumn("did_micro",
+        (col("mean_t_post_micro") - col("mean_t_pre_micro"))
+          - (col("mean_c_post_micro") - col("mean_c_pre_micro")))
+  }
+
+  private val ordersDidEstimateSql: String =
+    """WITH cells AS (
+      |  SELECT c.c_nationkey < 12 AS treated,
+      |         o.o_orderdate >= TIMESTAMP '1998-07-01' AS post,
+      |         count(*) AS n,
+      |         CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0)))
+      |              AS HUGEINT) AS s
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+      |    AND o.o_orderdate < TIMESTAMP '1999-07-01'
+      |  GROUP BY 1, 2),
+      |m AS (SELECT treated, post, n, CAST(s // n AS BIGINT) AS mean_micro FROM cells)
+      |SELECT tp.n AS n_t_pre, tp.mean_micro AS mean_t_pre_micro,
+      |       tq.n AS n_t_post, tq.mean_micro AS mean_t_post_micro,
+      |       cp.n AS n_c_pre, cp.mean_micro AS mean_c_pre_micro,
+      |       cq.n AS n_c_post, cq.mean_micro AS mean_c_post_micro,
+      |       (tq.mean_micro - tp.mean_micro) - (cq.mean_micro - cp.mean_micro) AS did_micro
+      |FROM (SELECT * FROM m WHERE treated AND NOT post) tp
+      |CROSS JOIN (SELECT * FROM m WHERE treated AND post) tq
+      |CROSS JOIN (SELECT * FROM m WHERE NOT treated AND NOT post) cp
+      |CROSS JOIN (SELECT * FROM m WHERE NOT treated AND post) cq""".stripMargin
+
+  // ---- SPRT constants: computed ONCE here, shared as literals by both
+  // dialects (ln is not correctly-rounded across libm implementations —
+  // never evaluate it independently per engine). H0: p = 0.18, H1:
+  // p = 0.22 purchase share; α = β = 0.05.
+  private val SprtP0 = 0.18
+  private val SprtP1 = 0.22
+  private val SprtWinMicro =
+    math.round(math.log(SprtP1 / SprtP0) * 1e6) // per-success increment
+  private val SprtLossMicro =
+    math.round(math.log((1 - SprtP1) / (1 - SprtP0)) * 1e6) // per-failure
+  private val SprtUpperMicro = math.round(math.log(0.95 / 0.05) * 1e6)
+  private val SprtLowerMicro = math.round(math.log(0.05 / 0.95) * 1e6)
+
+  /** Daily sequential probability-ratio test (SPRT) on the B arm's
+    * purchase share — the always-valid sequential member of the testing
+    * family ([[StatQueries]] holds the fixed-horizon t/χ²/MWU forms):
+    * users hash into arms by parity, each B-arm event is a Bernoulli
+    * trial (success = purchase), and the log-likelihood-ratio walk
+    * Λ_d = Σ k_d·ln(p₁/p₀) + (n_d−k_d)·ln((1−p₁)/(1−p₀)) accrues
+    * DAILY; the first day Λ exits (ln B, ln A) is the decision day —
+    * the whole point being that peeking every day is VALID for this
+    * test, unlike for the fixed-horizon ones.
+    *
+    * The walk is over the CALENDAR-day frame (bounded at any data
+    * scale), increments are integer micro via the shared Scala-literal
+    * log constants, the cumulative sum is a day-ordered window over
+    * that bounded frame, and the decision column is pure integer
+    * comparison — engine-exact end to end. */
+  def abSprtDaily(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .filter(col("user_id") % 2 === 1) // the B arm
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_trials"),
+        sum((col("event_type") === "purchase").cast("long")).as("n_success"))
+      .withColumn("llr_inc_micro",
+        col("n_success") * SprtWinMicro
+          + (col("n_trials") - col("n_success")) * SprtLossMicro)
+    val w = Window.orderBy(col("day"))
+    val walk = daily
+      .withColumn("llr_cum_micro", sum(col("llr_inc_micro")).over(w))
+      .withColumn("decision",
+        when(col("llr_cum_micro") >= SprtUpperMicro, "reject_h0")
+          .when(col("llr_cum_micro") <= SprtLowerMicro, "accept_h0")
+          .otherwise("continue"))
+    val firstStop = walk.filter(col("decision") =!= "continue")
+      .agg(min(col("day")).as("first_decision_day"))
+    walk.crossJoin(broadcast(firstStop))
+      .withColumn("is_decision_day",
+        col("first_decision_day").isNotNull && col("day") === col("first_decision_day"))
+      .select("day", "n_trials", "n_success", "llr_inc_micro", "llr_cum_micro",
+        "decision", "is_decision_day")
+      .orderBy("day")
+  }
+
+  private val abSprtDailySql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+       |         count(*) AS n_trials,
+       |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_success
+       |  FROM events WHERE user_id % 2 = 1
+       |  GROUP BY 1),
+       |walk AS (
+       |  SELECT day, n_trials, n_success,
+       |         n_success * $SprtWinMicro + (n_trials - n_success) * $SprtLossMicro AS llr_inc_micro,
+       |         sum(n_success * $SprtWinMicro + (n_trials - n_success) * $SprtLossMicro)
+       |           OVER (ORDER BY day) AS llr_cum_micro
+       |  FROM daily),
+       |dec AS (
+       |  SELECT *,
+       |         CASE WHEN llr_cum_micro >= $SprtUpperMicro THEN 'reject_h0'
+       |              WHEN llr_cum_micro <= $SprtLowerMicro THEN 'accept_h0'
+       |              ELSE 'continue' END AS decision
+       |  FROM walk),
+       |fs AS (SELECT min(day) AS first_decision_day FROM dec WHERE decision <> 'continue')
+       |SELECT d.day, CAST(d.n_trials AS BIGINT) AS n_trials,
+       |       CAST(d.n_success AS BIGINT) AS n_success,
+       |       CAST(d.llr_inc_micro AS BIGINT) AS llr_inc_micro,
+       |       CAST(d.llr_cum_micro AS BIGINT) AS llr_cum_micro,
+       |       d.decision,
+       |       fs.first_decision_day IS NOT NULL AND d.day = fs.first_decision_day AS is_decision_day
+       |FROM dec d CROSS JOIN fs
+       |ORDER BY d.day""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "cem_att_estimate"    -> (cemAttEstimate _),
+    "orders_did_estimate" -> (ordersDidEstimate _),
+    "ab_sprt_daily"       -> (abSprtDaily _))
+
+  val oracle: Map[String, String] = Map(
+    "cem_att_estimate"    -> cemAttEstimateSql,
+    "orders_did_estimate" -> ordersDidEstimateSql,
+    "ab_sprt_daily"       -> abSprtDailySql)
+}

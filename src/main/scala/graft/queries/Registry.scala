@@ -21,7 +21,8 @@ object Registry {
     (AnalyticsQueries.queries, AnalyticsQueries.oracle),
     (PipelineQueries.queries, PipelineQueries.oracle),
     (StatQueries.queries, StatQueries.oracle),
-    (TimeSeriesQueries.queries, TimeSeriesQueries.oracle))
+    (TimeSeriesQueries.queries, TimeSeriesQueries.oracle),
+    (ExperimentQueries.queries, ExperimentQueries.oracle))
 
   val queries: Map[String, Q] = modules.map(_._1).reduce(_ ++ _)
   val oracle: Map[String, String] = modules.map(_._2).reduce(_ ++ _)

@@ -97,7 +97,8 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "user_survival_curve"  -> "reverse cumsum over the calendar-bounded day frame",
     "orders_hill_tail"     -> "rank over the top-101 frame (post-TakeOrdered)",
     "unigram_lm_segment"   -> "piece-vocab rank over the ~300-row substring-candidate frame",
-    "unigram_em_counts"    -> "same piece-vocab rank (shared unigram builder)")
+    "unigram_em_counts"    -> "same piece-vocab rank (shared unigram builder)",
+    "ab_sprt_daily"        -> "cumulative LLR walk over the calendar-bounded day frame")
 
   test("no unpartitioned window sort outside the bounded-frame allowlist") {
     withFullPlans {
@@ -151,6 +152,9 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "unigram_lm_segment",    // one-row piece-total frame × the piece vocabulary
     "unigram_em_counts",     // same one-row piece-total frame (shared builder)
     "attribution_markov_removal", // one-row base-reach frame × the 4-channel rows
+    "cem_att_estimate",      // one-row pruned-counts frame × the one-row matched frame
+    "orders_did_estimate",   // four one-row cell frames of the 4-cell pivot
+    "ab_sprt_daily",         // one-row first-crossing frame × the day walk
     "source_js_divergence",  // same 20-row source dim × token-vocab grid (the JS pair matrix)
     "embedding_pca_power",   // one-row n and trace frames × the 4096-row moment matrix / 64-row component
     "embedding_pca_two",     // same one-row n/trace frames, plus one-row den/dot deflation scalars × the 64-row iterate

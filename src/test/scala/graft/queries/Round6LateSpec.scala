@@ -604,6 +604,67 @@ class Round6LateSpec extends AnyFunSuite with SparkSpec {
     assert(a >= -1000000 && a <= 1000000)
   }
 
+  test("cem_att_estimate: recount matching, pruning and the weighted ATT") {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), to_date(col("ts")).as("d"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("event_type"), r.getAs[java.sql.Date]("d")))
+    val users = ev.groupBy(_._1).values.map { rs =>
+      val treated = rs.minBy(_._2)._3 == "signup"
+      val purchases = rs.count(_._3 == "purchase").toLong
+      val eb = rs.length / 10
+      val db = rs.map(_._4).distinct.length / 5
+      ((eb, db), treated, purchases)
+    }.toVector
+    val strata = users.groupBy(_._1).values.map { us =>
+      val (t, c) = us.partition(_._2)
+      (t.length.toLong, c.length.toLong, t.map(_._3).sum, c.map(_._3).sum)
+    }.toVector
+    val matched = strata.filter(s => s._1 > 0 && s._2 > 0)
+    val att = matched.map { case (nt, nc, pt, pc) =>
+      nt * (pt * 1000000 / nt - pc * 1000000 / nc)
+    }.sum / matched.map(_._1).sum
+    val r = ExperimentQueries.cemAttEstimate(spark, dir).collect().head
+    assert(r.getAs[Long]("n_strata_matched") === matched.length.toLong)
+    assert(r.getAs[Long]("n_treated_matched") === matched.map(_._1).sum)
+    assert(r.getAs[Long]("n_control_matched") === matched.map(_._2).sum)
+    assert(r.getAs[Long]("n_treated_pruned") ===
+      strata.filter(s => s._1 == 0 || s._2 == 0).map(_._1).sum)
+    assert(r.getAs[Long]("att_micro") === att)
+  }
+
+  test("orders_did_estimate: the DiD identity holds over its own cells") {
+    val r = ExperimentQueries.ordersDidEstimate(spark, dir).collect().head
+    assert(r.getAs[Long]("did_micro") ===
+      (r.getAs[Long]("mean_t_post_micro") - r.getAs[Long]("mean_t_pre_micro"))
+        - (r.getAs[Long]("mean_c_post_micro") - r.getAs[Long]("mean_c_pre_micro")))
+    Seq("n_t_pre", "n_t_post", "n_c_pre", "n_c_post")
+      .foreach(c => assert(r.getAs[Long](c) > 0, s"empty cell $c"))
+  }
+
+  test("ab_sprt_daily: the walk telescopes and the decision is the boundary") {
+    val rows = ExperimentQueries.abSprtDaily(spark, dir).collect()
+    assert(rows.nonEmpty)
+    var cum = 0L
+    var decided = false
+    rows.foreach { r =>
+      cum += r.getAs[Long]("llr_inc_micro")
+      assert(r.getAs[Long]("llr_cum_micro") === cum)
+      val d = r.getAs[String]("decision")
+      val upper = math.round(math.log(0.95 / 0.05) * 1e6)
+      val lower = math.round(math.log(0.05 / 0.95) * 1e6)
+      if (cum >= upper) assert(d === "reject_h0")
+      else if (cum <= lower) assert(d === "accept_h0")
+      else assert(d === "continue")
+      if (r.getAs[Boolean]("is_decision_day")) {
+        assert(!decided, "only the first crossing is flagged")
+        assert(d !== "continue")
+        decided = true
+      }
+    }
+  }
+
   test("score_conformal_threshold: ranks and coverage accounting hold") {
     val rows = TextQueries.scoreConformalThreshold(spark, dir).collect()
     assert(rows.nonEmpty)
