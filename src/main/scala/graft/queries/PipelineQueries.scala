@@ -284,9 +284,11 @@ object PipelineQueries {
     * mixture dashboard can read without a p-value table.
     *
     * Never ranks the pooled sample: U_ab = Σ_{x∈a,y∈b}([x>y] + ½[x=y])
-    * depends only on the two VALUE HISTOGRAMS, so 2·U (accumulated and
-    * emitted DECIMAL(38,0) — it outgrows a BIGINT once n_a·n_b > 2⁶², and
-    * the ½ never materializes as a float) comes off the same
+    * depends only on the two VALUE HISTOGRAMS, so 2·U (accumulated in
+    * DECIMAL(38,0), emitted BIGINT — the ½ never materializes as a float,
+    * and the final ANSI cast is a loud range assert: it throws once
+    * n_a·n_b > 2⁶², i.e. >2·10⁹ docs per source, instead of silently
+    * wrapping) comes off the same
     * (source, value, count) grid the KS query uses:
     * 2U = Σ_v c_a(v)·(2·cum_b(v) − c_b(v)). One corpus scan to counts, the
     * |S|×|V| grid, a pair equi-join on v — nothing downstream rescans the
@@ -327,10 +329,15 @@ object PipelineQueries {
     val pairs = a.join(b, Seq("v")).filter(col("source_a") < col("source_b"))
       .groupBy(col("source_a"), col("source_b"), col("n_a"), col("n_b"))
       .agg(
-        // 2U itself outgrows a BIGINT once n_a·n_b > 2⁶² — accumulate AND
-        // emit it DECIMAL(38,0), same envelope as the ties term
+        // accumulate 2U in DECIMAL(38,0) (overflow-safe ordering of the
+        // partials), but EMIT it BIGINT: n_a·n_b > 2⁶² needs >2·10⁹ docs
+        // per source, and the cast is the loud range assert — ANSI cast
+        // overflow throws in both engines rather than corrupting (the r6
+        // lesson: a DECIMAL(38,0) output column hash-diverges between the
+        // driver's canonicalizer and the DuckDB rendering even when the
+        // values are equal; RegistryAuditSpec now bans decimal outputs)
         sum((col("cv_a") * (lit(2L) * col("cum_b") - col("cv_b"))).cast("decimal(38,0)"))
-          .cast("decimal(38,0)").as("u2"),
+          .cast("long").as("u2"),
         sum(td * td * td - td).as("ties"))
     // (n³−n) − Σ(t³−t): exact in DECIMAL (nn cast BEFORE the cube);
     // 0 iff every pooled value is tied
@@ -370,7 +377,7 @@ object PipelineQueries {
       |pairs AS (
       |  SELECT a.source AS source_a, b.source AS source_b,
       |         CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
-      |         CAST(sum(CAST(a.cv * (2 * b.cum - b.cv) AS HUGEINT)) AS DECIMAL(38,0)) AS u2,
+      |         CAST(sum(CAST(a.cv * (2 * b.cum - b.cv) AS HUGEINT)) AS BIGINT) AS u2,
       |         sum(CAST(a.cv + b.cv AS HUGEINT) * (a.cv + b.cv) * (a.cv + b.cv)
       |             - (a.cv + b.cv)) AS ties
       |  FROM ecdf a
@@ -432,8 +439,13 @@ object PipelineQueries {
       .groupBy(col("source_a"), col("source_b"), col("n_a"), col("n_b"))
       .agg(sum((abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")) * col("gap"))
         .cast("decimal(38,0)")).cast("decimal(38,0)").as("emd_int"))
+      // emd_int stays INTERNAL (decimal accumulator); the output carries
+      // only the micro-scaled BIGINT — a DECIMAL(38,0) output column
+      // hash-diverges between the driver's canonicalizer and the DuckDB
+      // rendering even at equal values (the r6 lesson, now banned by
+      // RegistryAuditSpec)
       .select(
-        col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("emd_int"),
+        col("source_a"), col("source_b"), col("n_a"), col("n_b"),
         expr("emd_int * 1000000 div (CAST(n_a AS DECIMAL(38,0)) * n_b)")
           .cast("long").as("emd_micro"))
       .orderBy("source_a", "source_b")
@@ -463,7 +475,7 @@ object PipelineQueries {
       |  FROM ecdf a
       |  JOIN ecdf b ON b.v = a.v AND a.source < b.source
       |  GROUP BY 1, 2, 3, 4)
-      |SELECT source_a, source_b, n_a, n_b, emd_int,
+      |SELECT source_a, source_b, n_a, n_b,
       |       CAST(CAST(emd_int AS HUGEINT) * 1000000
       |            // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS emd_micro
       |FROM pairs

@@ -453,20 +453,34 @@ object TimeSeriesQueries {
       |FROM a ORDER BY sensor_id""".stripMargin
 
   /** The shared hourly-mean build frame: one data-sized shuffle collapses
-    * the feed to (sensor, hour, x) with x the 6-dp rounded mean — the
-    * calendar-bounded frame every detector in this module runs on. */
-  private def hourlyMeans(spark: SparkSession, dir: String): DataFrame =
+    * the feed to (sensor, hour, x_micro) — the calendar-bounded frame
+    * every detector in this module runs on.
+    *
+    * x_micro is the TRUNCATED micro-unit mean, integer-exact end to end:
+    * the per-hour sum accumulates in DECIMAL(18,6) (never a double sum —
+    * partial-agg order cannot perturb it), is scaled to exact integer
+    * micro-units while still decimal, and ONE integral division by the
+    * count produces the mean (Spark `div` and DuckDB HUGEINT `//` both
+    * truncate toward zero; readings are positive, so the dialects agree
+    * bit-for-bit). No `round(double/n, 6)` anywhere — a sum landing on a
+    * .xxxxxx5 half has no half-even coin-flip to disagree on, it simply
+    * truncates (audited by the boundary spec in HourlyMeanExactSpec).
+    * Downstream detectors consume x_micro directly, so their
+    * "integer-exact" claims are true by construction. */
+  private[graft] def hourlyMeans(spark: SparkSession, dir: String): DataFrame =
     validReadings(spark, dir)
       .groupBy(col("sensor_id"), date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value_numeric").cast("decimal(18,6)")).as("s1d"))
+        (sum(col("value_numeric").cast("decimal(18,6)")) * 1000000)
+          .cast("decimal(38,0)").as("s1u"))
       .select(col("sensor_id"), col("h"),
-        round(col("s1d").cast("double") / col("n"), 6).as("x"))
+        expr("s1u div n").as("x_micro"))
 
   private val hourlyMeansSql: String =
     """SELECT event_type AS sensor_id,
       |         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
-      |         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS x
+      |         CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS HUGEINT)
+      |              // count(*) AS BIGINT) AS x_micro
       |  FROM events
       |  WHERE event_type <> 'error' AND value IS NOT NULL
       |  GROUP BY 1, 2""".stripMargin
@@ -496,14 +510,13 @@ object TimeSeriesQueries {
     val seq = Window.partitionBy(col("sensor_id")).orderBy(col("h"))
     val pos = hourlyMeans(spark, dir)
       .withColumn("p", row_number().over(seq))
-      .select(col("sensor_id"), col("p"), col("x"))
+      .select(col("sensor_id"), col("p"), col("x_micro"))
       .materializeOnce // both sides of the pair self-join
-    val a = pos.select(col("sensor_id"), col("p").as("pa"), col("x").as("xa"))
-    val b = pos.select(col("sensor_id"), col("p").as("pb"), col("x").as("xb"))
+    val a = pos.select(col("sensor_id"), col("p").as("pa"), col("x_micro").as("xa"))
+    val b = pos.select(col("sensor_id"), col("p").as("pb"), col("x_micro").as("xb"))
     val pairs = a.join(b, Seq("sensor_id")).filter(col("pb") > col("pa"))
       .select(col("sensor_id"), col("pa"), col("pb"),
-        ((col("xb").cast("decimal(18,6)") - col("xa").cast("decimal(18,6)")) * 1000000)
-          .cast("long").as("dx_micro"),
+        (col("xb") - col("xa")).as("dx_micro"),
         (col("pb") - col("pa")).cast("long").as("gap"))
       .withColumn("ratio", col("dx_micro").cast("double") / col("gap"))
     val ord = Window.partitionBy(col("sensor_id"))
@@ -523,12 +536,12 @@ object TimeSeriesQueries {
     s"""WITH byhour AS (
        |  $hourlyMeansSql),
        |pos AS (
-       |  SELECT sensor_id, x,
+       |  SELECT sensor_id, x_micro,
        |         row_number() OVER (PARTITION BY sensor_id ORDER BY h) AS p
        |  FROM byhour),
        |pairs AS (
        |  SELECT a.sensor_id, a.p AS pa, b.p AS pb,
-       |         CAST((CAST(b.x AS DECIMAL(18,6)) - CAST(a.x AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS dx_micro,
+       |         b.x_micro - a.x_micro AS dx_micro,
        |         CAST(b.p - a.p AS BIGINT) AS gap
        |  FROM pos a JOIN pos b ON b.sensor_id = a.sensor_id AND b.p > a.p),
        |ranked AS (
@@ -563,12 +576,18 @@ object TimeSeriesQueries {
     * [[sensorSeasonalProfile]]'s hour-of-day table assumes.
     *
     * All arithmetic is integer-exact end to end: readings enter as exact
-    * micro-unit BIGINTs (via DECIMAL, never a double multiply), trig
+    * micro-unit BIGINTs (the shared [[hourlyMeans]] x_micro), trig
     * coefficients come from the shared [[trigTable]] (micro-unit
     * integers, same literals both dialects), each product is a BIGINT
-    * (≤ ~1e14), the two sums accumulate in DECIMAL(38,0), and the power
-    * is a DECIMAL(38,0) sum of squares — no float op anywhere, so no
-    * hash canonicalization can diverge (the source_length_ks lesson).
+    * (≤ ~1e14), and the two sums accumulate in DECIMAL(38,0). The OUTPUT
+    * carries no decimal column (the r6 lesson: the driver's hash
+    * canonicalizes DECIMAL(38,0) differently from the DuckDB rendering
+    * even when values are equal — RegistryAuditSpec now bans decimal
+    * output schemas outright): ca/sa re-emit as BIGINT (≤ ~7e16 even at
+    * year-long calendars), and the power — up to ~1e34, genuinely beyond
+    * BIGINT — emits as an EXACT hi/lo split, power = power_hi·10¹⁸ +
+    * power_lo, both halves BIGINT. The rank still orders by the full
+    * decimal power internally.
     *
     * Scale: one data-sized shuffle to the hours frame; the trig dim is a
     * broadcast 24-row table keyed on (k·t) mod 24; output is
@@ -579,21 +598,26 @@ object TimeSeriesQueries {
     val harmonics = spark.range(1, 5).select(col("id").cast("int").as("k"))
     val pos = hourlyMeans(spark, dir)
       .withColumn("t", row_number().over(seq) - 1)
-      .select(col("sensor_id"), col("t"),
-        (col("x").cast("decimal(18,6)") * 1000000).cast("long").as("xm"))
+      .select(col("sensor_id"), col("t"), col("x_micro").as("xm"))
     pos.crossJoin(broadcast(harmonics))
       .withColumn("idx", (col("k") * col("t")) % 24)
       .join(broadcast(trig), Seq("idx"))
       .groupBy(col("sensor_id"), col("k"))
       .agg(count(lit(1)).as("n_terms"),
-        sum((col("xm") * col("cosc")).cast("decimal(38,0)")).as("ca"),
-        sum((col("xm") * col("sinc")).cast("decimal(38,0)")).as("sa"))
-      .withColumn("power", (col("ca") * col("ca") + col("sa") * col("sa"))
+        sum((col("xm") * col("cosc")).cast("decimal(38,0)")).as("cad"),
+        sum((col("xm") * col("sinc")).cast("decimal(38,0)")).as("sad"))
+      .withColumn("powerd", (col("cad") * col("cad") + col("sad") * col("sad"))
         .cast("decimal(38,0)"))
       .withColumn("power_rank",
         row_number().over(Window.partitionBy(col("sensor_id"))
-          .orderBy(col("power").desc, col("k"))))
-      .select("sensor_id", "k", "n_terms", "ca", "sa", "power", "power_rank")
+          .orderBy(col("powerd").desc, col("k"))))
+      .select(col("sensor_id"), col("k"), col("n_terms"),
+        col("cad").cast("long").as("ca"),
+        col("sad").cast("long").as("sa"),
+        expr("powerd div 1000000000000000000").as("power_hi"),
+        (col("powerd") % lit(1000000000000000000L).cast("decimal(38,0)"))
+          .cast("long").as("power_lo"),
+        col("power_rank"))
       .orderBy("sensor_id", "k")
   }
 
@@ -605,7 +629,7 @@ object TimeSeriesQueries {
        |pos AS (
        |  SELECT sensor_id,
        |         row_number() OVER (PARTITION BY sensor_id ORDER BY h) - 1 AS t,
-       |         CAST(CAST(x AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xm
+       |         x_micro AS xm
        |  FROM byhour),
        |terms AS (
        |  SELECT p.sensor_id, k.k, p.xm, tr.cosc, tr.sinc
@@ -614,13 +638,16 @@ object TimeSeriesQueries {
        |  JOIN trig tr ON tr.idx = (k.k * p.t) % 24),
        |agg AS (
        |  SELECT sensor_id, CAST(k AS INT) AS k, count(*) AS n_terms,
-       |         CAST(sum(CAST(xm * cosc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ca,
-       |         CAST(sum(CAST(xm * sinc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sa
+       |         sum(CAST(xm AS HUGEINT) * cosc) AS cad,
+       |         sum(CAST(xm AS HUGEINT) * sinc) AS sad
        |  FROM terms GROUP BY 1, 2)
-       |SELECT sensor_id, k, n_terms, ca, sa,
-       |       CAST(ca * ca + sa * sa AS DECIMAL(38,0)) AS power,
+       |SELECT sensor_id, k, n_terms,
+       |       CAST(cad AS BIGINT) AS ca,
+       |       CAST(sad AS BIGINT) AS sa,
+       |       CAST((cad * cad + sad * sad) // 1000000000000000000 AS BIGINT) AS power_hi,
+       |       CAST((cad * cad + sad * sad) % 1000000000000000000 AS BIGINT) AS power_lo,
        |       CAST(row_number() OVER (PARTITION BY sensor_id
-       |                               ORDER BY ca * ca + sa * sa DESC, k) AS INT) AS power_rank
+       |                               ORDER BY cad * cad + sad * sad DESC, k) AS INT) AS power_rank
        |FROM agg
        |ORDER BY sensor_id, k""".stripMargin
   }
@@ -649,7 +676,7 @@ object TimeSeriesQueries {
     val seq = Window.partitionBy(col("sensor_id")).orderBy(col("h"))
     val pos = hourlyMeans(spark, dir)
       .withColumn("t", row_number().over(seq))
-      .withColumn("xm", (col("x").cast("decimal(18,6)") * 1000000).cast("long"))
+      .withColumn("xm", col("x_micro"))
       .withColumn("xc", expr("xm div 10000"))
       .withColumn("cum_micro", sum(col("xm")).over(seq))
       .withColumn("cum_centi", sum(col("xc")).over(seq))
@@ -678,7 +705,7 @@ object TimeSeriesQueries {
        |pos AS (
        |  SELECT sensor_id, h,
        |         row_number() OVER w AS t,
-       |         CAST(CAST(x AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xm
+       |         x_micro AS xm
        |  FROM byhour WINDOW w AS (PARTITION BY sensor_id ORDER BY h)),
        |pre AS (
        |  SELECT sensor_id, h, t, xm,

@@ -33,8 +33,9 @@ class RankStatsSpec extends AnyFunSuite with SparkSpec {
       // 2U = Σ_{x∈a, y∈b} (2·[x>y] + [x=y]) — the definition, O(n_a·n_b)
       val u2ref = (for (x <- a; y <- b)
         yield (if (x > y) 2L else 0L) + (if (x == y) 1L else 0L)).sum
-      // u2 is DECIMAL(38,0) since the >2⁶² envelope fix — compare as long
-      assert(r.getAs[java.math.BigDecimal]("u2").longValueExact === u2ref,
+      // u2 ACCUMULATES in DECIMAL(38,0) (the >2⁶² envelope fix) but
+      // emits BIGINT since r7 (DECIMAL output ban)
+      assert(r.getAs[Long]("u2") === u2ref,
         s"${r.getAs[String]("source_a")} vs ${r.getAs[String]("source_b")}")
       // AUC is 2U normalized into [0,1]
       val auc = r.getAs[Double]("auc")

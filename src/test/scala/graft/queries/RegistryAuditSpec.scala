@@ -67,6 +67,31 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     assert(offenders.isEmpty, s"UDF nodes in: $offenders")
   }}
 
+  // The r4–r6 recurring disease, banned structurally: a DECIMAL output
+  // column is value-correct but HASH-RED — the driver's canonicalizer
+  // renders decimals differently from the DuckDB oracle rendering even
+  // when every cell is equal (r6: sensor_dft_power, source_length_emd,
+  // source_length_mwu — all cell-exact, all hash-mismatched). Decimals
+  // are fine as ACCUMULATORS mid-plan; the final schema must re-emit
+  // them as BIGINT (loud ANSI-cast range assert) or as an exact hi/lo
+  // BIGINT split when the value genuinely exceeds 2⁶³ (dft power).
+  test("no DecimalType column in any registered query's output schema") {
+    withFullPlans {
+      val dir = "/root/testdata/sf0.001"
+      val offenders = Registry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          val bad = fn(spark, dir).schema.fields.collect {
+            case f if f.dataType
+              .isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
+          }
+          if (bad.nonEmpty) Some(s"$name(${bad.mkString(",")})") else None
+      }
+      spark.catalog.clearCache()
+      assert(offenders.isEmpty,
+        s"DECIMAL output columns (re-emit as BIGINT or hi/lo split): $offenders")
+    }
+  }
+
   test("the UDF walk actually sees ScalaUDF expressions") {
     // guards the audit above against going vacuous again: a frame with a
     // known UDF must be caught by the same collect

@@ -16,22 +16,30 @@ class Round6LateSpec extends AnyFunSuite with SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  /** The hourly-mean series exactly as TimeSeriesQueries builds it. */
+  /** The hourly-mean series recounted from the RAW readings with
+    * independent BigDecimal arithmetic (no shared query plumbing):
+    * per-reading HALF_UP quantization to 6 dp (the double→DECIMAL(18,6)
+    * cast contract), exact decimal sum, ×10⁶ to integer micro-units, ONE
+    * truncating division by the count — the r7 hourlyMeans contract
+    * (truncated micro-unit mean, no round(double/n, 6) anywhere). */
   private def hourlySeries(): Map[String, Vector[Long]] = {
     val rows = Tables.events(spark, dir)
       .filter(col("event_type") =!= "error" && col("value").isNotNull)
-      .groupBy(col("event_type").as("sensor_id"), date_trunc("hour", col("ts")).as("h"))
-      .agg((round(sum(col("value").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6))
-        .as("x"))
-      .orderBy("sensor_id", "h")
+      .select(col("event_type").as("sensor_id"),
+        date_trunc("hour", col("ts")).as("h"), col("value"))
       .collect()
-    rows.groupBy(_.getAs[String]("sensor_id")).map { case (s, rs) =>
-      // micro-units via BigDecimal — the same exactness the query's
-      // DECIMAL(18,6) × 1e6 cast guarantees
-      s -> rs.map(r => BigDecimal(r.getAs[Double]("x"))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
-        .*(BigDecimal(1000000)).toLongExact).toVector
-    }
+    rows.groupBy(r =>
+      (r.getAs[String]("sensor_id"), r.getAs[java.sql.Timestamp]("h")))
+      .map { case ((s, h), rs) =>
+        val sumMicro = rs.map(r => BigDecimal(r.getAs[Double]("value"))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .*(BigDecimal(1000000)).toLongExact).sum
+        (s, h, sumMicro / rs.length) // positive → truncation = both engines
+      }
+      .groupBy(_._1)
+      .map { case (s, cells) =>
+        s -> cells.toVector.sortBy(_._2.getTime).map(_._3)
+      }
   }
 
   test("sensor_changepoint: argmax matches an exhaustive gain scan") {
@@ -185,9 +193,10 @@ class Round6LateSpec extends AnyFunSuite with SparkSpec {
     val got = PipelineQueries.sourceLengthEmd(spark, dir).collect()
     assert(got.length === bySrc.size * (bySrc.size - 1) / 2)
     got.foreach { r =>
-      val (ei, em) = emd(bySrc(r.getAs[String]("source_a")).toVector,
+      // emd_int is internal-only since r7 (DECIMAL output ban) — the
+      // micro-scaled BIGINT is the full observable, recounted exactly
+      val (_, em) = emd(bySrc(r.getAs[String]("source_a")).toVector,
         bySrc(r.getAs[String]("source_b")).toVector)
-      assert(BigInt(r.getAs[java.math.BigDecimal]("emd_int").toBigInteger) === ei)
       assert(r.getAs[Long]("emd_micro") === em)
     }
   }
