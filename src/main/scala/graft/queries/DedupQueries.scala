@@ -29,6 +29,16 @@ object DedupQueries {
       |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+') END AS toks
       |  FROM documents)""".stripMargin
 
+  /** [[toksCte]] over the deterministic 25% md5 hash-sample — the tuning
+    * report's corpus view. Derived by string surgery so the two CTEs
+    * cannot drift; the require fails the build if the base shape moves. */
+  private val sampledToksCte = {
+    val out = toksCte.replace("FROM documents)",
+      "FROM documents WHERE md5(CAST(doc_id AS VARCHAR)) < '4')")
+    require(out != toksCte, "toksCte shape changed — update the sample surgery")
+    out
+  }
+
   private val shinglesCte =
     """sh AS (
       |  SELECT doc_id,
@@ -761,11 +771,30 @@ object DedupQueries {
     * mins) runs ONCE and is materialized; each configuration adds only a
     * vocabulary-of-buckets equi-join on its band keys, and the exact
     * baseline is shared across all five legs. Counts come from a tagged
-    * union → one aggregate per leg (no one-row cross joins). On a real
-    * corpus this runs on a deterministic hash-sample of documents; here
-    * the corpus IS the sample. */
-  def lshTuningReport(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    * union → one aggregate per leg (no one-row cross joins).
+    *
+    * The REGISTERED entry runs on a deterministic 25% md5 hash-sample of
+    * documents (`md5(doc_id) < '4'` — same lowercase-hex md5 both
+    * dialects, so the oracle sees the identical sample), because that IS
+    * the production shape: the exact ground-truth leg is quadratic-ish in
+    * sample size (Σ df² of the prefix join), and a 100 TB corpus can only
+    * ever be tuned on a sample — recall/precision estimates off 25% of a
+    * corpus carry the same information at 1/16 the exact-leg cost. The
+    * full-corpus form stays available as [[lshTuningReportFull]], a
+    * spec-only baseline (GovernanceTuningSpec runs banding-theory checks
+    * on BOTH). */
+  def lshTuningReport(spark: SparkSession, dir: String): DataFrame =
+    lshTuningReportFrom(spark,
+      Tables.documents(spark, dir)
+        .filter(md5(col("doc_id").cast("string")) < lit("4")))
+
+  /** The full-corpus sweep — spec-only baseline, NOT registered (its
+    * exact leg is the corpus-quadratic cost the sampled form avoids). */
+  def lshTuningReportFull(spark: SparkSession, dir: String): DataFrame =
+    lshTuningReportFrom(spark, Tables.documents(spark, dir))
+
+  private def lshTuningReportFrom(
+      spark: SparkSession, docs: DataFrame): DataFrame = {
     val wide = DedupOps.minhashWide(spark, DedupOps.docShingles(docs))
       .materializeOnce // one signature build feeds all five band layouts
     val exact = jaccardPrefixJoinFrom(spark, docs)
@@ -823,7 +852,7 @@ object DedupQueries {
     }.mkString(",\n")
     val unions = Seq(1, 2, 3, 4, 6).map(r => s"SELECT * FROM leg$r")
       .mkString("\nUNION ALL\n")
-    s"""WITH $toksCte,
+    s"""WITH $sampledToksCte,
        |$shinglesCte,
        |$minhashCte,
        |bf AS (

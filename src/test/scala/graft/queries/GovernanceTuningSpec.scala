@@ -69,26 +69,45 @@ class GovernanceTuningSpec extends AnyFunSuite with SparkSpec {
     assert(ece >= 0 && ece <= 1000000)
   }
 
-  test("lsh_tuning_report obeys banding theory") {
-    val rows = DedupQueries.lshTuningReport(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5), r.getLong(6)))
-    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L, 6L))
-    rows.foreach { r =>
-      assert(r._1 * r._2 === 12L, "bands × rows must use the whole signature")
-      assert(r._5 <= math.min(r._3, r._4), s"hits exceed candidates/exact at r=${r._1}")
-      assert(r._6 <= 1000000L && r._7 <= 1000000L)
-    }
-    // coarser bands (larger r) can only shrink the candidate set and
-    // recall WHEN every coarse band contains a complete finer band
-    // (true for 1→2, 2→3, 4→6 here; NOT for 3→4, whose band [4..7]
-    // spans the r=3 boundary — that step is excluded)
-    rows.sliding(2).foreach { case Array(a, b) =>
-      if (!(a._1 == 3L && b._1 == 4L)) {
-        assert(b._3 <= a._3, s"candidates grew from r=${a._1} to r=${b._1}")
-        assert(b._6 <= a._6, s"recall grew from r=${a._1} to r=${b._1}")
+  test("lsh_tuning_report obeys banding theory (sampled registered + full baseline)") {
+    // the registered entry runs on the deterministic 25% md5 sample (the
+    // production shape); the full-corpus form is the spec-only baseline —
+    // banding theory must hold on BOTH, and the sample can only shrink
+    // the exact ground-truth pair set
+    val forms = Seq(
+      "sampled" -> DedupQueries.lshTuningReport(spark, dir),
+      "full" -> DedupQueries.lshTuningReportFull(spark, dir))
+    val byForm = forms.map { case (label, df) =>
+      val rows = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6)))
+      assert(rows.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L, 6L), label)
+      rows.foreach { r =>
+        assert(r._1 * r._2 === 12L, s"$label: bands × rows must use the whole signature")
+        assert(r._5 <= math.min(r._3, r._4),
+          s"$label: hits exceed candidates/exact at r=${r._1}")
+        assert(r._6 <= 1000000L && r._7 <= 1000000L)
       }
+      // coarser bands (larger r) can only shrink the candidate set and
+      // recall WHEN every coarse band contains a complete finer band
+      // (true for 1→2, 2→3, 4→6 here; NOT for 3→4, whose band [4..7]
+      // spans the r=3 boundary — that step is excluded)
+      rows.sliding(2).foreach { case Array(a, b) =>
+        if (!(a._1 == 3L && b._1 == 4L)) {
+          assert(b._3 <= a._3, s"$label: candidates grew from r=${a._1} to r=${b._1}")
+          assert(b._6 <= a._6, s"$label: recall grew from r=${a._1} to r=${b._1}")
+        }
+      }
+      assert(rows.head._3 > rows.last._3, s"$label: sweep is flat — vacuous fixture")
+      label -> rows
+    }.toMap
+    // the sample is a strict subset of the corpus: per leg, every count
+    // is bounded by the full form's
+    byForm("sampled").zip(byForm("full")).foreach { case (s, f) =>
+      assert(s._3 <= f._3 && s._4 <= f._4 && s._5 <= f._5,
+        s"sampled counts exceed full-corpus counts at r=${s._1}")
     }
-    assert(rows.head._3 > rows.last._3, "sweep is flat — vacuous fixture")
+    assert(byForm("sampled").map(_._4).sum > 0,
+      "25% sample carries no exact pairs — tuning signal vacuous at this SF")
   }
 }
