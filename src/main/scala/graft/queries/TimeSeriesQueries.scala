@@ -879,7 +879,74 @@ object TimeSeriesQueries {
       |            // ((span_minutes - 1) * CAST(s AS HUGEINT)) AS BIGINT) AS dispersion_micro
       |FROM agg ORDER BY sensor_id""".stripMargin
 
+  /** Error-context enrichment — the BATCH twin of the streaming
+    * stream-stream interval join ([[graft.streaming.IntervalJoin]]): for
+    * every malformed ('error') event, profile the SAME USER's valid
+    * readings within ±5 minutes — how many, from how many distinct
+    * sensors, their exact micro-unit value sum, and the nearest reading's
+    * |Δt| in microseconds. This is the enrichment shape every monitoring
+    * deployment needs ("what was this user's telemetry doing around the
+    * failure?"); the reference's per-station fan-out is its degenerate
+    * single-stream form.
+    *
+    * Scale shape: ONE equi-join shuffle on user_id (both sides hash to
+    * the same partitioning — the range predicate evaluates inside the
+    * joined partitions, never a cartesian), then an aggregate on the
+    * already-co-located error keys. Skewed users are AQE's skew-join
+    * problem, not a plan problem. The streaming twin runs the identical
+    * join condition with watermarks bounding both sides' state
+    * (StreamStreamJoinSpec proves eviction); LEFT join keeps
+    * context-free errors in the profile (n_ctx = 0, NULL nearest).
+    *
+    * Exactness: values enter as per-reading exact micro longs, the sum
+    * is a long sum; Δt is integer microseconds (unix_micros/epoch_us) —
+    * no float op anywhere. */
+  def errorContextJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        col("ts").as("error_ts"))
+    val rd = ev.filter(col("event_type") =!= "error" && col("value").isNotNull)
+      .select(col("user_id").as("r_user"), col("event_type").as("sensor_id"),
+        col("ts").as("r_ts"),
+        (col("value").cast("decimal(18,6)") * 1000000).cast("long").as("v_micro"))
+    err.join(rd,
+        col("user_id") === col("r_user") &&
+          col("r_ts") >= col("error_ts") - expr("INTERVAL 5 MINUTES") &&
+          col("r_ts") <= col("error_ts") + expr("INTERVAL 5 MINUTES"), "left")
+      .groupBy(col("error_id"), col("user_id"), col("error_ts"))
+      .agg(
+        count(col("r_ts")).as("n_ctx"),
+        countDistinct(col("sensor_id")).as("n_sensors"),
+        coalesce(sum(col("v_micro")), lit(0L)).as("sum_value_micro"),
+        min(abs(unix_micros(col("r_ts")) - unix_micros(col("error_ts"))))
+          .as("nearest_dt_us"))
+      .orderBy("error_id")
+  }
+
+  private val errorContextJoinSql: String =
+    """WITH err AS (
+      |  SELECT event_id AS error_id, user_id, CAST(ts AS TIMESTAMP) AS error_ts
+      |  FROM events WHERE event_type = 'error'),
+      |rd AS (
+      |  SELECT user_id, event_type AS sensor_id, CAST(ts AS TIMESTAMP) AS r_ts,
+      |         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_micro
+      |  FROM events WHERE event_type <> 'error' AND value IS NOT NULL)
+      |SELECT e.error_id, e.user_id, e.error_ts,
+      |       count(r.r_ts) AS n_ctx,
+      |       count(DISTINCT r.sensor_id) AS n_sensors,
+      |       CAST(coalesce(sum(r.v_micro), 0) AS BIGINT) AS sum_value_micro,
+      |       min(abs(epoch_us(r.r_ts) - epoch_us(e.error_ts))) AS nearest_dt_us
+      |FROM err e
+      |LEFT JOIN rd r
+      |  ON r.user_id = e.user_id
+      | AND r.r_ts BETWEEN e.error_ts - INTERVAL 5 MINUTE
+      |                AND e.error_ts + INTERVAL 5 MINUTE
+      |GROUP BY 1, 2, 3
+      |ORDER BY error_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "error_context_join"      -> (errorContextJoin _),
     "sensor_burstiness"       -> (sensorBurstiness _),
     "event_lateness_profile"  -> (eventLatenessProfile _),
     "sensor_changepoint"      -> (sensorChangepoint _),
@@ -893,6 +960,7 @@ object TimeSeriesQueries {
     "sensor_cusum"            -> (sensorCusum _))
 
   val oracle: Map[String, String] = Map(
+    "error_context_join"      -> errorContextJoinSql,
     "sensor_burstiness"       -> sensorBurstinessSql,
     "event_lateness_profile"  -> eventLatenessProfileSql,
     "sensor_changepoint"      -> sensorChangepointSql,

@@ -76,4 +76,103 @@ class StreamStreamJoinSpec extends AnyFunSuite with SparkSpec {
       assert(rows(2L).isEmpty, "unmatched click must emit with NULL purchase")
     } finally q.stop()
   }
+
+  /** The production error-context join: streamed pairs must equal the
+    * batch twin's join (the pre-aggregation frame of the oracled
+    * `error_context_join` entry) on the same corpus. Chronological
+    * micro-batches mean no row is later than the watermark delay, and
+    * the eviction horizon (watermark − range) then PROVES no emittable
+    * pair's partner state is dropped early — so stream ≡ batch exactly. */
+  test("IntervalJoin.errorContext ≡ batch twin pairs across chronological micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.events(spark, dir)
+    val errRows = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts")).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("ts"))).sortBy(_._3.getTime)
+    val rdRows = ev.filter(col("event_type") =!= "error" && col("value").isNotNull)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        (col("value").cast("decimal(18,6)") * 1000000).cast("long").as("vm"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Timestamp]("ts"), r.getAs[Long]("vm"))).sortBy(_._3.getTime)
+
+    val expected = {
+      val err = errRows.toSeq.toDF("error_id", "user_id", "error_ts")
+      val rd = rdRows.toSeq.toDF("r_user", "sensor_id", "r_ts", "v_micro")
+      err.join(rd, col("user_id") === col("r_user") &&
+          col("r_ts") >= col("error_ts") - expr("INTERVAL 5 MINUTES") &&
+          col("r_ts") <= col("error_ts") + expr("INTERVAL 5 MINUTES"))
+        .select("error_id", "sensor_id", "r_ts", "v_micro").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getLong(3)))
+        .toSet
+    }
+    assert(expected.nonEmpty, "fixture has no in-range pairs — vacuous")
+
+    val errors = MemoryStream[(Long, Long, Timestamp)]
+    val readings = MemoryStream[(Long, String, Timestamp, Long)]
+    val joined = IntervalJoin.errorContext(
+      errors.toDS().toDF("error_id", "user_id", "error_ts"),
+      readings.toDS().toDF("user_id", "sensor_id", "r_ts", "v_micro"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("errctx").start()
+    try {
+      // three chronological chunks per side, split at the global time
+      // terciles so both streams' watermarks advance together
+      val cut = rdRows.map(_._3.getTime)
+      val (t1, t2) = (cut(cut.length / 3), cut(2 * cut.length / 3))
+      Seq[Long => Boolean](_ <= t1, t => t > t1 && t <= t2, _ > t2)
+        .foreach { in =>
+          errors.addData(errRows.filter(r => in(r._3.getTime)).toSeq)
+          readings.addData(rdRows.filter(r => in(r._3.getTime)).toSeq)
+          q.processAllAvailable()
+        }
+      val got = spark.table("errctx")
+        .select("error_id", "sensor_id", "r_ts", "v_micro").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getLong(3)))
+        .toSet
+      assert(got === expected)
+    } finally q.stop()
+  }
+
+  test("both sides' join state is evicted once the watermark passes the range") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val errors = MemoryStream[(Long, Long, Timestamp)]
+    val readings = MemoryStream[(Long, String, Timestamp, Long)]
+    val joined = IntervalJoin.errorContext(
+      errors.toDS().toDF("error_id", "user_id", "error_ts"),
+      readings.toDS().toDF("user_id", "sensor_id", "r_ts", "v_micro"),
+      delay = "1 minute")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("errctx_state").start()
+    try {
+      def stateRows(): Long =
+        Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+          .map(_.numRowsTotal).sum
+      // load: 200 readings + 2 errors in one tight window
+      readings.addData((0 until 200).map(i => (1L, "s1", ts(i), i.toLong)))
+      errors.addData((1L, 1L, ts(50)), (2L, 1L, ts(150)))
+      q.processAllAvailable()
+      val loaded = stateRows()
+      assert(loaded >= 200L, s"expected both sides buffered, state=$loaded")
+      // advance event time on BOTH streams by 2 h: the watermark passes
+      // every loaded row's eviction horizon (ts + 5 min range + 1 min
+      // delay), so the state store must shed the old rows. The extra
+      // trailing batch lets the purge (computed from the PREVIOUS
+      // batch's max event time) actually run.
+      errors.addData((3L, 9L, ts(7200)))
+      readings.addData((9L, "s9", ts(7201), 0L))
+      q.processAllAvailable()
+      errors.addData((4L, 9L, ts(7300)))
+      readings.addData((9L, "s9", ts(7301), 0L))
+      q.processAllAvailable()
+      val drained = stateRows()
+      assert(drained < 10L,
+        s"watermark advanced 2h past the range but state still holds $drained rows " +
+          s"(was $loaded) — eviction is not bounding the join")
+    } finally q.stop()
+  }
 }
