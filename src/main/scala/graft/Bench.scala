@@ -32,6 +32,14 @@ import graft.plans.GraftExtensions
 object Bench {
   private val Sweeps = 3
 
+  /** Idle-box reference for the calibration probe (min-of-3 of the
+    * twice-warmed 400M-row range sum at 32 threads, measured on the
+    * harness machine near-idle; re-measure if the hardware changes). A
+    * run's contention factor is probe_sec / ProbeIdleRef; probe_sec_end
+    * is the cleaner sample (fully JIT-warm JVM — the start probe can
+    * read ~0.04 s high on a cold session even idle). */
+  val ProbeIdleRef = 0.11
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -51,6 +59,26 @@ object Bench {
       math.round(l * 100) / 100.0
     }
     val loadStart = loadAvg()
+
+    // Contention calibration: a fixed CPU-bound reference job (a codegen'd
+    // 400M-row range sum — no I/O, no shuffle, no data dependence) timed
+    // before the warm pass and after the last sweep. On this box idle it
+    // reads ~ProbeIdleRef s; under co-located load it stretches by the
+    // same contention factor the query timings do, so a reader normalizes
+    // as query_sec × (ProbeIdleRef / probe_sec) WITHOUT consulting the
+    // baseline archive (the r6 lesson: load_avg_start 8.74 made an 8%
+    // idle improvement read as a 5% regression until manual archaeology).
+    def calibrationProbe(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0, 400000000L, 1, cpus.toInt)
+          .selectExpr("sum(id * 3 + 1)").head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once(); once() // codegen + JIT warm (one pass leaves ~60% overhead)
+      math.round(Seq(once(), once(), once()).min * 1000) / 1000.0
+    }
+    val probeStart = calibrationProbe()
 
     // sorted order: per-query timings comparable across rounds regardless
     // of Map iteration order. SPARK_GRAFT_BENCH_ONLY (comma-separated
@@ -94,14 +122,18 @@ object Bench {
       name -> (if (samples.exists(_ < 0)) -1.0 else samples.min)
     }
 
+    val probeEnd = calibrationProbe()
+
     val failed = results.collect { case (k, v) if v < 0 => k }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val loadEnd = loadAvg()
+    val probes =
+      s""""probe_sec_start":$probeStart,"probe_sec_end":$probeEnd,"probe_idle_ref":${Bench.ProbeIdleRef}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,$probes,"sf":"$sfDir"}"""
     // The driver archives only the LAST 2000 chars of stdout (measured on
     // BENCH_r04.json: `tail` is exactly 2000 chars, clipped mid-dict), and
     // ~196 NAMED per-query entries are ~6 KB — they can never fit. What
@@ -115,7 +147,7 @@ object Bench {
     // earlier (chunked, for anyone reading the whole log) and to
     // BENCH.out.json.
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors":$errs,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors":$errs,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,$probes,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH.out.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -41,7 +41,10 @@ object ScaleSmoke {
     val n = scaled.count()
     println(s"[scale] corpus ${n0} -> $n docs (${k}x)")
 
-    def time(name: String)(f: => Long): Unit = {
+    // optional 2nd arg: comma-separated probe-name subset, so a single
+    // new probe can be sized at several K without re-running the sweep
+    val only: Option[Set[String]] = args.lift(1).map(_.split(",").toSet)
+    def time(name: String)(f: => Long): Unit = if (only.forall(_.contains(name))) {
       val t0 = System.nanoTime()
       val rows = f
       println(f"[scale] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows)")
@@ -325,6 +328,29 @@ object ScaleSmoke {
           expr("aggregate(embedding, 0L, (acc, x) -> " +
             "acc + cast(round(cast(x as double) * 1000000) as bigint))"))
         .count())
+
+    // causal tier: K× the event feed through the CEM matching shape.
+    // event_id/user_id offsets keep replica users DISTINCT (users × K —
+    // the worst case for the user-level aggregate, since shared users
+    // would collapse); the strata frame is then bounded by the (eb × db)
+    // bin GRID regardless of user count — CEM's "matching join" is a
+    // grid-sized aggregate plus a one-row broadcast cross, never users² —
+    // so wall must track the single user-level shuffle ~linearly in K
+    val ev0 = graft.sources.Tables.events(spark, sfDir)
+    val uOff = Option(ev0.agg(max(col("user_id"))).head().get(0))
+      .fold(sys.error(s"empty events table in $sfDir"))(_.asInstanceOf[Number].longValue) + 1
+    val eOff = Option(ev0.agg(max(col("event_id"))).head().get(0))
+      .fold(0L)(_.asInstanceOf[Number].longValue) + 1
+    val evK = (0 until k).map { i =>
+      ev0.select(
+        (col("event_id") + lit(i.toLong * eOff)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(i.toLong * uOff)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionAll _).repartition(32)
+    println(s"[scale] events ${ev0.count()} -> ${evK.count()} rows (${k}x, distinct users)")
+    time("cem_att")(
+      graft.queries.ExperimentQueries.cemAttEstimateFrom(spark, evK).count())
     spark.stop()
   }
 }
