@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSpec
@@ -109,5 +110,39 @@ class RankStatsSpec extends AnyFunSuite with SparkSpec {
       // chars vs tokens must correlate strongly positively on real text
       assert(rho > 0.5, s"$src: implausible rank correlation $rho")
     }
+  }
+
+  // The control-character fixture behind the recount's explicit 6-char
+  // whitespace set (and the query's trim contract): the token boundary
+  // is EXACTLY Java-regex \s = { space, \t, \n, \u000B, \f, \r } — both
+  // dialects trim/split on that set and nothing else. Java String.trim
+  // instead strips EVERY char ≤ U+0020, so a document whose text is a
+  // bare control character (U+0001 here) is where the two definitions
+  // visibly part: the contract counts one token, String.trim counts
+  // zero. A recount written with .trim would pass on clean corpora and
+  // silently diverge on real-world dirty text — this pins the contract
+  // so it cannot.
+  test("token boundary is the 6-char \\s set, not String.trim's ≤U+0020") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val rows = Seq(
+      "\u0001" -> 1L, // control char IS a token; String.trim would say 0
+      " \n\tabc \u000B" -> 1L, // all six ws chars strip/split
+      "a\u0001b" -> 1L, // \u0001 does not split a token
+      " \t\n\u000B\f\r" -> 0L, // pure 6-set whitespace → empty
+      "" -> 0L)
+    val got = rows.map(_._1).toDF("text")
+      .select(TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === rows.map(_._2))
+    // and the divergence is REAL: a String.trim recount disagrees on the
+    // control-char rows — the exact bug the 6-char set in this spec's
+    // Spearman recount guards against
+    def trimRecount(s: String): Long = {
+      val t = s.trim
+      if (t.isEmpty) 0L else t.split("\\s+").length.toLong
+    }
+    assert(trimRecount("\u0001") === 0L)
+    assert(trimRecount("\u0001") !== rows.head._2)
   }
 }
