@@ -945,7 +945,84 @@ object TimeSeriesQueries {
       |GROUP BY 1, 2, 3
       |ORDER BY error_id""".stripMargin
 
+  /** AS-OF join — the second enrichment primitive beside the interval
+    * join: for every malformed event, the SAME USER's most recent valid
+    * reading AT OR BEFORE the failure instant (the "what was the last
+    * thing we heard from this user" question; the interval join answers
+    * "what happened around it"). Spark has no native ASOF operator, and
+    * the naive formulations are both scale-broken: join+filter+argmax
+    * re-materializes every (error × earlier reading) pair, and a
+    * per-error correlated subquery rescans the feed. This is the
+    * UNION-TAG form instead — the one a 100 TB run wants: tag both
+    * sides, ONE hash shuffle on user_id, one per-user chronological
+    * sort, and a running `last(_, ignoreNulls)` window carries the most
+    * recent reading forward onto each error row. Never a pair blowup:
+    * the cost is the sort, parallel across users.
+    *
+    * Determinism under same-timestamp duplicates: readings collapse to
+    * one row per (user, ts) first (max event_id wins, both dialects), so
+    * "the most recent reading" is well-defined; at an exact tie the
+    * reading sorts BEFORE the error (tag order), matching ASOF's `>=`.
+    * The oracle is DuckDB's native ASOF LEFT JOIN — the engine-level
+    * reference semantics this operator re-expresses in Spark.
+    *
+    * Errors with no prior reading emit NULL reading columns (ASOF LEFT).
+    * gap_us is exact integer microseconds. */
+  def errorAsofReading(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val byUserTs = Window.partitionBy(col("user_id"), col("ts"))
+      .orderBy(col("event_id").desc)
+    val rd = ev.filter(col("event_type") =!= "error" && col("value").isNotNull)
+      .withColumn("rn", row_number().over(byUserTs))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts"),
+        col("event_type").as("sensor_id"),
+        (col("value").cast("decimal(18,6)") * 1000000).cast("long").as("v_micro"))
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts"))
+    val tagged = rd
+      .select(col("user_id"), col("ts"), lit(0).as("tag"),
+        lit(null).cast("long").as("error_id"), col("sensor_id"), col("v_micro"))
+      .unionByName(err.select(col("user_id"), col("ts"), lit(1).as("tag"),
+        col("error_id"), lit(null).cast("string").as("sensor_id"),
+        lit(null).cast("long").as("v_micro")))
+    val carry = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("r_sensor", last(col("sensor_id"), ignoreNulls = true).over(carry))
+      .withColumn("r_v", last(col("v_micro"), ignoreNulls = true).over(carry))
+      .withColumn("r_ts",
+        last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(carry))
+      .filter(col("tag") === 1)
+      .select(col("error_id"), col("user_id"), col("ts").as("error_ts"),
+        col("r_sensor").as("sensor_id"), col("r_ts"), col("r_v").as("v_micro"),
+        (unix_micros(col("ts")) - unix_micros(col("r_ts"))).as("gap_us"))
+      .orderBy("error_id")
+  }
+
+  private val errorAsofReadingSql: String =
+    """WITH rd0 AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS r_ts,
+      |         event_type AS sensor_id,
+      |         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_micro,
+      |         row_number() OVER (PARTITION BY user_id, ts
+      |                            ORDER BY event_id DESC) AS rn
+      |  FROM events WHERE event_type <> 'error' AND value IS NOT NULL),
+      |rd AS (SELECT user_id, r_ts, sensor_id, v_micro FROM rd0 WHERE rn = 1),
+      |err AS (
+      |  SELECT event_id AS error_id, user_id, CAST(ts AS TIMESTAMP) AS error_ts
+      |  FROM events WHERE event_type = 'error')
+      |SELECT e.error_id, e.user_id, e.error_ts,
+      |       r.sensor_id, r.r_ts, r.v_micro,
+      |       epoch_us(e.error_ts) - epoch_us(r.r_ts) AS gap_us
+      |FROM err e
+      |ASOF LEFT JOIN rd r
+      |  ON e.user_id = r.user_id AND e.error_ts >= r.r_ts
+      |ORDER BY error_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "error_asof_reading"      -> (errorAsofReading _),
     "error_context_join"      -> (errorContextJoin _),
     "sensor_burstiness"       -> (sensorBurstiness _),
     "event_lateness_profile"  -> (eventLatenessProfile _),
@@ -960,6 +1037,7 @@ object TimeSeriesQueries {
     "sensor_cusum"            -> (sensorCusum _))
 
   val oracle: Map[String, String] = Map(
+    "error_asof_reading"      -> errorAsofReadingSql,
     "error_context_join"      -> errorContextJoinSql,
     "sensor_burstiness"       -> sensorBurstinessSql,
     "event_lateness_profile"  -> eventLatenessProfileSql,
