@@ -959,35 +959,35 @@ object TimeSeriesQueries {
     * recent reading forward onto each error row. Never a pair blowup:
     * the cost is the sort, parallel across users.
     *
-    * Determinism under same-timestamp duplicates: readings collapse to
-    * one row per (user, ts) first (max event_id wins, both dialects), so
-    * "the most recent reading" is well-defined; at an exact tie the
-    * reading sorts BEFORE the error (tag order), matching ASOF's `>=`.
-    * The oracle is DuckDB's native ASOF LEFT JOIN — the engine-level
-    * reference semantics this operator re-expresses in Spark.
+    * Determinism under same-timestamp duplicates: the carry order is
+    * (ts, tag, event_id), so among readings sharing a timestamp the MAX
+    * event_id wins — the same row the oracle's per-(user, ts) rn = 1
+    * dedup keeps — and at an exact error-ts tie the reading sorts BEFORE
+    * the error (tag order), matching ASOF's `>=`. Folding the tiebreak
+    * into the carry ordering (instead of a separate dedup window) keeps
+    * the whole operator at TWO exchanges: the user_id hash for the
+    * window and the final presentation sort — locked in by
+    * `AsofJoinSpec`'s plan-shape test. The oracle is DuckDB's native
+    * ASOF LEFT JOIN — engine-level reference semantics, not a
+    * self-mirror.
     *
     * Errors with no prior reading emit NULL reading columns (ASOF LEFT).
     * gap_us is exact integer microseconds. */
   def errorAsofReading(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    val byUserTs = Window.partitionBy(col("user_id"), col("ts"))
-      .orderBy(col("event_id").desc)
     val rd = ev.filter(col("event_type") =!= "error" && col("value").isNotNull)
-      .withColumn("rn", row_number().over(byUserTs))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("ts"),
+      .select(col("user_id"), col("ts"), lit(0).as("tag"), col("event_id"),
+        lit(null).cast("long").as("error_id"),
         col("event_type").as("sensor_id"),
         (col("value").cast("decimal(18,6)") * 1000000).cast("long").as("v_micro"))
     val err = ev.filter(col("event_type") === "error")
-      .select(col("event_id").as("error_id"), col("user_id"), col("ts"))
-    val tagged = rd
-      .select(col("user_id"), col("ts"), lit(0).as("tag"),
-        lit(null).cast("long").as("error_id"), col("sensor_id"), col("v_micro"))
-      .unionByName(err.select(col("user_id"), col("ts"), lit(1).as("tag"),
-        col("error_id"), lit(null).cast("string").as("sensor_id"),
-        lit(null).cast("long").as("v_micro")))
+      .select(col("user_id"), col("ts"), lit(1).as("tag"), col("event_id"),
+        col("event_id").as("error_id"),
+        lit(null).cast("string").as("sensor_id"),
+        lit(null).cast("long").as("v_micro"))
+    val tagged = rd.unionByName(err)
     val carry = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("tag"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       .withColumn("r_sensor", last(col("sensor_id"), ignoreNulls = true).over(carry))
