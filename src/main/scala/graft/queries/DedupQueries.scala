@@ -1939,7 +1939,99 @@ object DedupQueries {
        |FROM pairs WHERE lev <= 8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- HyperLogLog cardinality --------------------------------------------
+
+  /** Deterministic HyperLogLog over document texts — the sketch that answers
+    * "how many distinct documents" in ONE aggregate pass with 256 registers
+    * of state, where an exact count-distinct shuffles every fingerprint.
+    * At 100 TB this is the difference between a constant-size partial
+    * aggregate (each executor carries 256 bytes of register maxima,
+    * map-side combined) and a corpus-wide distinct shuffle; the registered
+    * entry ALSO computes the exact count so the estimate's error is part
+    * of the oracled output, not a claim.
+    *
+    * Companion to `distinct_users_hll_union` (AnalyticsQueries), which
+    * exercises Spark's NATIVE hll_sketch_agg/union and is oracled only by
+    * error BOUND: this entry is the engine-neutral twin whose every
+    * register — and the final estimate — is value-oracled in DuckDB.
+    * Built engine-neutral instead of Spark's `approx_count_distinct` so
+    * the oracle can reproduce it bit-for-bit: h = md5-derived 60-bit
+    * integer (DedupOps.h60 — the corpus-wide hash family), register
+    * index = h mod 256, rho = leading-zero rank of the remaining 52 bits
+    * via `53 - length(bin(rest))` (rest = 0 → 53). The harmonic-mean
+    * estimate is EXACT integer arithmetic end-to-end: registers are
+    * summed as 2^(53-M_j) (BIGINT, no fractions since M_j <= 53), empty
+    * registers contribute 2^53, and alpha_256·m² = 0.7213/(1+1.079/256)
+    * ·256² is carried as the exact rational 7213·256³·2^53 /
+    * (10000·256+10790) — a 28-digit DECIMAL(38,0) numerator divided with
+    * integral `div` (HUGEINT `//` in DuckDB), so both engines floor the
+    * same quotient. No DOUBLE and no DecimalType reaches the output
+    * (RegistryAuditSpec's type ban). */
+  def docsHllCardinality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(h60(col("text")).as("h"), col("text"))
+    val regs = docs
+      .withColumn("idx", pmod(col("h"), lit(256L)))
+      .withColumn("rest", expr("h div 256"))
+      .withColumn("rho",
+        when(col("rest") === 0, lit(53))
+          .otherwise(lit(53) - length(bin(col("rest")))))
+      .groupBy(col("idx")).agg(max(col("rho")).as("mreg"))
+    val s = regs.agg(
+      count(lit(1)).as("nonempty"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - mreg)")).as("s_present"))
+      .withColumn("s_scaled",
+        col("s_present") + (lit(256L) - col("nonempty")) * lit(1L << 53))
+      .withColumn("est", expr(
+        s"CAST('$HllNumerator' AS DECIMAL(38,0)) div " +
+          "(CAST(2570790 AS DECIMAL(38,0)) * s_scaled)"))
+    val exact = docs.agg(countDistinct(col("text")).as("exact_distinct"))
+    s.crossJoin(exact)
+      .select(lit(256L).as("m"), col("nonempty"), col("s_scaled"), col("est"),
+        col("exact_distinct"),
+        expr("(abs(est - exact_distinct) * 1000000L) div exact_distinct")
+          .as("abs_err_ppm"))
+  }
+
+  /** alpha_256 · 256² · 2^53 as the exact integer 7213·256³·2^53 (the
+    * /10000 of 0.7213 and /(m+0.1079·10) fold into [[HllDenominator]]). */
+  private val HllNumerator: String =
+    (BigInt(7213) * BigInt(256).pow(3) * BigInt(2).pow(53)).toString
+  require(HllNumerator == "1089997742110040029644455936", "HLL constant drift")
+
+  private val docsHllCardinalitySql: String =
+    s"""WITH h AS (
+       |  SELECT CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS h, text
+       |  FROM documents),
+       |r AS (
+       |  SELECT h % 256 AS idx,
+       |         CASE WHEN h // 256 = 0 THEN 53
+       |              ELSE 53 - length(bin(h // 256)) END AS rho
+       |  FROM h),
+       |regs AS (SELECT idx, max(rho) AS mreg FROM r GROUP BY idx),
+       |s AS (
+       |  SELECT count(*) AS nonempty,
+       |         sum(1::BIGINT << (53 - mreg)) AS s_present
+       |  FROM regs),
+       |e AS (
+       |  SELECT nonempty,
+       |         CAST(s_present + (256 - nonempty) * (1::BIGINT << 53)
+       |              AS BIGINT) AS s_scaled
+       |  FROM s),
+       |e2 AS (
+       |  SELECT nonempty, s_scaled,
+       |         CAST(CAST('$HllNumerator' AS HUGEINT)
+       |              // (2570790::HUGEINT * s_scaled) AS BIGINT) AS est
+       |  FROM e),
+       |x AS (SELECT count(DISTINCT text) AS exact_distinct FROM h)
+       |SELECT 256::BIGINT AS m, e2.nonempty, e2.s_scaled, e2.est,
+       |       x.exact_distinct,
+       |       CAST(abs(e2.est - x.exact_distinct) * 1000000
+       |            // x.exact_distinct AS BIGINT) AS abs_err_ppm
+       |FROM e2, x""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "docs_hll_cardinality" -> (docsHllCardinality _),
     "title_edit_dups"     -> (titleEditDups _),
     "doc_dup_spans"       -> (docDupSpans _),
     "dedup_span_rewrite"  -> (dedupSpanRewrite _),
@@ -1972,6 +2064,7 @@ object DedupQueries {
     "simhash_banded_dup"  -> (simhashBandedDup _))
 
   val oracle: Map[String, String] = Map(
+    "docs_hll_cardinality" -> docsHllCardinalitySql,
     "doc_dup_spans"       -> docDupSpansSql,
     "dedup_span_rewrite"  -> dedupSpanRewriteSql,
     "title_edit_dups"     -> titleEditDupsSql,

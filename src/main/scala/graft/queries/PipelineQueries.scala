@@ -2567,7 +2567,61 @@ object PipelineQueries {
        |FROM obs o JOIN ex e USING (shard)
        |ORDER BY o.shard""".stripMargin
 
+  // ---- temperature-scaled mixture weights ---------------------------------
+
+  /** Temperature-scaled language mixture weights — the sampling schedule a
+    * multilingual training run uses to keep low-resource languages from
+    * drowning (p_i ∝ c_i^(1/T); the multilingual-LM upsampling rule). Emits the
+    * T=2 schedule (∝ sqrt of the doc count) next to the natural T=1
+    * (proportional) shares so the flattening is the oracled observable.
+    * One source-sized aggregate — a SMALL frame joined to a 1-row total
+    * (broadcast), nothing corpus-scale after the first count.
+    *
+    * sqrt(c) is carried EXACTLY in micro units: w = isqrt(c·10¹²) where
+    * isqrt is floor-sqrt made engine-independent by seeding with the
+    * DOUBLE sqrt and applying a ±1 integer correction — any float seed
+    * within 1 of the true root (guaranteed: ulp(sqrt(1e18)) ≪ 1) lands
+    * on exactly floor(√x) in BOTH engines, so no float rounding ever
+    * reaches the output. Shares are floor fixed-point ppm via integral
+    * div. */
+  def langTemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.documents(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val x = col("n_docs") * lit(1000000000000L)
+    val s0 = floor(sqrt(x.cast("double"))).cast("long")
+    val w = c.withColumn("w_micro",
+      s0 - when(s0 * s0 > x, lit(1L)).otherwise(lit(0L))
+         + when((s0 + lit(1L)) * (s0 + lit(1L)) <= x, lit(1L)).otherwise(lit(0L)))
+    val tot = w.agg(sum("n_docs").as("tot_docs"), sum("w_micro").as("tot_w"))
+    w.crossJoin(tot)
+      .select(col("lang"), col("n_docs"), col("w_micro"),
+        expr("(w_micro * 1000000L) div tot_w").as("share_ppm_t2"),
+        expr("(n_docs * 1000000L) div tot_docs").as("share_ppm_t1"))
+      .orderBy("lang")
+  }
+
+  private val langTemperatureMixSql: String =
+    """WITH c AS (
+      |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+      |i AS (
+      |  SELECT lang, n_docs, n_docs * 1000000000000 AS x,
+      |         CAST(floor(sqrt(CAST(n_docs * 1000000000000 AS DOUBLE)))
+      |              AS BIGINT) AS s0
+      |  FROM c),
+      |w AS (
+      |  SELECT lang, n_docs,
+      |         s0 - (CASE WHEN s0 * s0 > x THEN 1 ELSE 0 END)
+      |            + (CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN 1 ELSE 0 END)
+      |           AS w_micro
+      |  FROM i),
+      |t AS (SELECT sum(n_docs) AS tot_docs, sum(w_micro) AS tot_w FROM w)
+      |SELECT w.lang, w.n_docs, CAST(w.w_micro AS BIGINT) AS w_micro,
+      |       CAST(w.w_micro * 1000000 // t.tot_w AS BIGINT) AS share_ppm_t2,
+      |       CAST(w.n_docs * 1000000 // t.tot_docs AS BIGINT) AS share_ppm_t1
+      |FROM w, t ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "lang_temperature_mix" -> (langTemperatureMix _),
     "shuffle_runs_test" -> (shuffleRunsTest _),
     "referential_integrity_audit" -> (referentialIntegrityAudit _),
     "customer_ldiversity" -> (customerLdiversity _),
@@ -2613,6 +2667,7 @@ object PipelineQueries {
     "embedding_stats"  -> (embeddingStats _))
 
   val oracle: Map[String, String] = Map(
+    "lang_temperature_mix" -> langTemperatureMixSql,
     "doc_dsir_weights"   -> docDsirWeightsSql,
     "corpus_shuffle"     -> corpusShuffleSql,
     "corpus_interleave"  -> corpusInterleaveSql,

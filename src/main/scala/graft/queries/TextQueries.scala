@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.queries.QueryConventions.MaterializeSyntax
 
 import graft.functions.TextFunctions._
+import graft.operators.DedupOps
 import graft.sources.Tables
 
 /** Text-analysis tier over `documents` (training-data-pipeline operators):
@@ -1248,7 +1249,93 @@ object TextQueries {
       |WHERE sp.r <= 20
       |ORDER BY sp.r""".stripMargin
 
+  // ---- Count-Min sketch ---------------------------------------------------
+
+  /** Count-Min sketch frequency estimation over corpus tokens, with the
+    * exact counts alongside so the sketch's one-sided error is an ORACLED
+    * observable. Companion to `token_heavy_hitters_cms` (PipelineQueries),
+    * which exercises Spark's NATIVE count_min_sketch aggregate and is
+    * oracled only by its eps BOUND: this entry is the engine-neutral twin
+    * whose every cell and estimate is value-oracled in DuckDB. The 100 TB rationale: a d×w = 4×1024 integer grid is the
+    * fixed-size state a streaming heavy-hitter monitor carries per
+    * executor (map-side combinable, mergeable across partitions by cell
+    * addition), where exact token counting shuffles the whole vocabulary.
+    * The sketch is built from the per-token count frame — one corpus
+    * explode + vocab-sized work, never a per-occurrence × per-row fanout
+    * — which yields cell counts identical to per-occurrence insertion
+    * (sketch[k][c] = Σ counts of tokens hashing to c).
+    *
+    * Hash family: the corpus-wide seeded universal family
+    * (DedupOps.seeds, h_k(x) = (a_k·h31 + b_k) mod P, P = 2³¹−1) over
+    * the md5-derived base hash, identical literals in the DuckDB mirror,
+    * so every sketch cell — not just the final estimates — is
+    * cross-engine deterministic. Output: the 20 most frequent tokens
+    * (count-desc, token-asc tiebreak), exact count, CMS estimate
+    * (min over the 4 rows), and the overestimate, which CMS guarantees
+    * is >= 0 — all BIGINT integer arithmetic. */
+  def tokenCmsFreqEst(spark: SparkSession, dir: String): DataFrame = {
+    val d = 4
+    val w = 1024L
+    val cnt = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      .materializeOnce // feeds the sketch build AND the top-20 ranking
+    val seedRows = array(DedupOps.seeds.take(d).map { case (k, a, b) =>
+      struct(lit(k).as("k"), lit(a).as("a"), lit(b).as("b"))
+    }: _*)
+    def cells(df: DataFrame): DataFrame = df
+      .withColumn("h31", pmod(DedupOps.h60(col("tok")), lit(DedupOps.P)))
+      .withColumn("s", explode(seedRows))
+      .select(df.columns.map(col) :+ col("s.k").as("k") :+
+        pmod(pmod(col("s.a") * col("h31") + col("s.b"), lit(DedupOps.P)),
+          lit(w)).as("cell"): _*)
+    val sketch = cells(cnt).groupBy("k", "cell")
+      .agg(sum("exact_cnt").as("cnt"))
+    val top = cnt.orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+    cells(top)
+      .join(sketch, Seq("k", "cell"))
+      .groupBy("tok", "exact_cnt").agg(min("cnt").as("est_cnt"))
+      .select(col("tok"), col("exact_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("exact_cnt")).as("overest"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
+  private val tokenCmsFreqEstSql: String = {
+    val seedVals = DedupOps.seeds.take(4)
+      .map { case (k, a, b) => s"($k, $a, $b)" }.mkString(", ")
+    val P = DedupOps.P
+    s"""WITH t AS (
+       |  SELECT CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') END AS toks
+       |  FROM documents),
+       |tok AS (SELECT unnest(toks) AS tok FROM t),
+       |cnt AS (SELECT tok, count(*) AS exact_cnt FROM tok GROUP BY tok),
+       |seeds(k, a, b) AS (VALUES $seedVals),
+       |h AS (
+       |  SELECT tok, exact_cnt,
+       |         CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) % $P AS h31
+       |  FROM cnt),
+       |cells AS (
+       |  SELECT h.tok, h.exact_cnt, s.k,
+       |         ((s.a * h.h31 + s.b) % $P) % 1024 AS cell
+       |  FROM h CROSS JOIN seeds s),
+       |sk AS (
+       |  SELECT k, cell, CAST(sum(exact_cnt) AS BIGINT) AS cnt
+       |  FROM cells GROUP BY k, cell),
+       |top AS (SELECT tok, exact_cnt FROM cnt
+       |        ORDER BY exact_cnt DESC, tok LIMIT 20),
+       |est AS (
+       |  SELECT c.tok, c.exact_cnt, min(sk.cnt) AS est_cnt
+       |  FROM cells c
+       |  JOIN top USING (tok)
+       |  JOIN sk ON sk.k = c.k AND sk.cell = c.cell
+       |  GROUP BY c.tok, c.exact_cnt)
+       |SELECT tok, exact_cnt, est_cnt, est_cnt - exact_cnt AS overest
+       |FROM est ORDER BY exact_cnt DESC, tok""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "token_cms_freq_est" -> (tokenCmsFreqEst _),
     "doc_lm_score"    -> (docLmScore _),
     "doc_classifier_score" -> (docClassifierScore _),
     "classifier_calibration" -> (classifierCalibration _),
@@ -1272,6 +1359,7 @@ object TextQueries {
     "dedup_exact"     -> (dedupExact _))
 
   val oracle: Map[String, String] = Map(
+    "token_cms_freq_est" -> tokenCmsFreqEstSql,
     "doc_lm_score"    -> docLmScoreSql,
     "doc_classifier_score" -> docClassifierScoreSql,
     "classifier_calibration" -> classifierCalibrationSql,

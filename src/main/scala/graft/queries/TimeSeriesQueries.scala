@@ -1021,8 +1021,123 @@ object TimeSeriesQueries {
       |  ON e.user_id = r.user_id AND e.error_ts >= r.r_ts
       |ORDER BY error_id""".stripMargin
 
+  /** Bidirectional as-of ("nearest-in-time") join — the third enrichment
+    * primitive: for every malformed event, the SAME USER's nearest valid
+    * reading in EITHER direction (the sensor frame a diagnostics UI pins
+    * next to a failure). Same union-tag shape as [[errorAsofReading]] —
+    * ONE hash shuffle on user_id, no pair blowup — but TWO running
+    * carries over the same partitioning: a backward `last(_, ignoreNulls)`
+    * and a forward `first(_, ignoreNulls)` whose window is ordered
+    * (ts, tag, event_id DESC) so that, at the nearest future timestamp,
+    * the MAX event_id reading wins — the same per-(user, ts) row the
+    * backward carry and the oracle's rn = 1 dedup keep. Spark plans both
+    * carries over one exchange (two sorts); the picked side is decided
+    * row-locally: prev wins ties (gap_back <= gap_fwd), matching the
+    * oracle's CASE.
+    *
+    * Same-ts readings sort BEFORE the error in both orderings (tag), so
+    * the backward carry claims them with gap 0 and the forward frame
+    * (currentRow → following) never sees them — equality belongs to
+    * 'prev', and the oracle's forward ASOF (`<=`, which does admit
+    * equality) agrees because a 0-gap tie resolves to 'prev' there too.
+    * Errors with no reading on either side emit direction 'none' and
+    * NULLs. gap_us is the exact |microsecond| distance to the picked
+    * reading. Oracle: DuckDB native backward + forward ASOF LEFT JOINs
+    * combined by the same nearest/tie CASE. */
+  def errorNearestReading(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val rd = ev.filter(col("event_type") =!= "error" && col("value").isNotNull)
+      .select(col("user_id"), col("ts"), lit(0).as("tag"), col("event_id"),
+        lit(null).cast("long").as("error_id"),
+        col("event_type").as("sensor_id"),
+        (col("value").cast("decimal(18,6)") * 1000000).cast("long").as("v_micro"))
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), lit(1).as("tag"), col("event_id"),
+        col("event_id").as("error_id"),
+        lit(null).cast("string").as("sensor_id"),
+        lit(null).cast("long").as("v_micro"))
+    val tagged = rd.unionByName(err)
+    val back = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("event_id").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tsMicro = unix_micros(col("ts"))
+    val picked = tagged
+      .withColumn("b_sensor", last(col("sensor_id"), ignoreNulls = true).over(back))
+      .withColumn("b_v", last(col("v_micro"), ignoreNulls = true).over(back))
+      .withColumn("b_ts",
+        last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(back))
+      .withColumn("f_sensor", first(col("sensor_id"), ignoreNulls = true).over(fwd))
+      .withColumn("f_v", first(col("v_micro"), ignoreNulls = true).over(fwd))
+      .withColumn("f_ts",
+        first(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(fwd))
+      .filter(col("tag") === 1)
+      .withColumn("gap_b", tsMicro - unix_micros(col("b_ts")))
+      .withColumn("gap_f", unix_micros(col("f_ts")) - tsMicro)
+      .withColumn("direction",
+        when(col("b_ts").isNull && col("f_ts").isNull, lit("none"))
+          .when(col("f_ts").isNull, lit("prev"))
+          .when(col("b_ts").isNull, lit("next"))
+          .when(col("gap_b") <= col("gap_f"), lit("prev"))
+          .otherwise(lit("next")))
+    val prev = col("direction") === "prev"
+    picked.select(
+      col("error_id"), col("user_id"), col("ts").as("error_ts"),
+      col("direction"),
+      when(prev, col("b_sensor")).otherwise(col("f_sensor")).as("sensor_id"),
+      when(prev, col("b_ts")).otherwise(col("f_ts")).as("r_ts"),
+      when(prev, col("b_v")).otherwise(col("f_v")).as("v_micro"),
+      when(prev, col("gap_b")).otherwise(col("gap_f")).as("gap_us"))
+      .orderBy("error_id")
+  }
+
+  private val errorNearestReadingSql: String =
+    """WITH rd0 AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS r_ts,
+      |         event_type AS sensor_id,
+      |         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_micro,
+      |         row_number() OVER (PARTITION BY user_id, ts
+      |                            ORDER BY event_id DESC) AS rn
+      |  FROM events WHERE event_type <> 'error' AND value IS NOT NULL),
+      |rd AS (SELECT user_id, r_ts, sensor_id, v_micro FROM rd0 WHERE rn = 1),
+      |err AS (
+      |  SELECT event_id AS error_id, user_id, CAST(ts AS TIMESTAMP) AS error_ts
+      |  FROM events WHERE event_type = 'error'),
+      |b AS (
+      |  SELECT e.error_id, r.sensor_id AS b_sensor, r.r_ts AS b_ts,
+      |         r.v_micro AS b_v,
+      |         epoch_us(e.error_ts) - epoch_us(r.r_ts) AS gap_b
+      |  FROM err e
+      |  ASOF LEFT JOIN rd r ON e.user_id = r.user_id AND e.error_ts >= r.r_ts),
+      |f AS (
+      |  SELECT e.error_id, r.sensor_id AS f_sensor, r.r_ts AS f_ts,
+      |         r.v_micro AS f_v,
+      |         epoch_us(r.r_ts) - epoch_us(e.error_ts) AS gap_f
+      |  FROM err e
+      |  ASOF LEFT JOIN rd r ON e.user_id = r.user_id AND e.error_ts <= r.r_ts)
+      |SELECT e.error_id, e.user_id, e.error_ts,
+      |       CASE WHEN b.b_ts IS NULL AND f.f_ts IS NULL THEN 'none'
+      |            WHEN f.f_ts IS NULL THEN 'prev'
+      |            WHEN b.b_ts IS NULL THEN 'next'
+      |            WHEN b.gap_b <= f.gap_f THEN 'prev' ELSE 'next' END AS direction,
+      |       CASE WHEN f.f_ts IS NULL OR (b.b_ts IS NOT NULL AND b.gap_b <= f.gap_f)
+      |            THEN b.b_sensor ELSE f.f_sensor END AS sensor_id,
+      |       CASE WHEN f.f_ts IS NULL OR (b.b_ts IS NOT NULL AND b.gap_b <= f.gap_f)
+      |            THEN b.b_ts ELSE f.f_ts END AS r_ts,
+      |       CASE WHEN f.f_ts IS NULL OR (b.b_ts IS NOT NULL AND b.gap_b <= f.gap_f)
+      |            THEN b.b_v ELSE f.f_v END AS v_micro,
+      |       CASE WHEN f.f_ts IS NULL OR (b.b_ts IS NOT NULL AND b.gap_b <= f.gap_f)
+      |            THEN b.gap_b ELSE f.gap_f END AS gap_us
+      |FROM err e
+      |LEFT JOIN b ON b.error_id = e.error_id
+      |LEFT JOIN f ON f.error_id = e.error_id
+      |ORDER BY e.error_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "error_asof_reading"      -> (errorAsofReading _),
+    "error_nearest_reading"   -> (errorNearestReading _),
     "error_context_join"      -> (errorContextJoin _),
     "sensor_burstiness"       -> (sensorBurstiness _),
     "event_lateness_profile"  -> (eventLatenessProfile _),
@@ -1038,6 +1153,7 @@ object TimeSeriesQueries {
 
   val oracle: Map[String, String] = Map(
     "error_asof_reading"      -> errorAsofReadingSql,
+    "error_nearest_reading"   -> errorNearestReadingSql,
     "error_context_join"      -> errorContextJoinSql,
     "sensor_burstiness"       -> sensorBurstinessSql,
     "event_lateness_profile"  -> eventLatenessProfileSql,

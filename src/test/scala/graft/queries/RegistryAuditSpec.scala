@@ -179,6 +179,8 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "attribution_markov_removal", // one-row base-reach frame × the 4-channel rows
     "cem_att_estimate",      // one-row pruned-counts frame × the one-row matched frame
     "orders_did_estimate",   // four one-row cell frames of the 4-cell pivot
+    "docs_hll_cardinality",  // one-row register-sum frame × one-row exact-count frame
+    "lang_temperature_mix",  // one-row corpus-total frame × the language dim
     "ab_sprt_daily",         // one-row first-crossing frame × the day walk
     "source_js_divergence",  // same 20-row source dim × token-vocab grid (the JS pair matrix)
     "embedding_pca_power",   // one-row n and trace frames × the 4096-row moment matrix / 64-row component
