@@ -202,6 +202,41 @@ object ScaleSmoke {
         .count()
     }
 
+    // deterministic-sketch tier: both are one-scan aggregates whose
+    // shuffle is BOUNDED regardless of corpus size (256 HLL registers /
+    // the 4×1024 CMS grid off a vocab-sized count frame) — wall must
+    // track K ~linearly with a flat merge tail
+    time("hll_registers")(
+      graft.queries.DedupQueries.docsHllCardinalityFrom(spark, scaled).count())
+    time("cms_sketch")(
+      graft.queries.TextQueries.tokenCmsFreqEstFrom(spark, scaled).count())
+
+    // as-of tier: replicate events K× WITHIN each user (event_id offsets,
+    // ts jittered +i seconds, users kept) — the deliberately hard case:
+    // per-user partitions deepen K×, so the union-tag operator's one
+    // chronological sort per user is the only data-sized stage and must
+    // stay parallel across users rather than degrade superlinearly
+    val evA = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val evAOff = Option(evA.agg(max(col("event_id"))).head().get(0))
+      .fold(sys.error(s"empty events table in $sfDir"))(_.asInstanceOf[Number].longValue) + 1
+    val evScaled = (0 until k).map { i =>
+      evA.select((col("event_id") + lit(i.toLong * evAOff)).as("event_id"),
+        (col("ts") + expr(s"INTERVAL $i SECOND")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    }.reduce(_ unionAll _).repartition(32).cache()
+    println(s"[scale] events ${evA.count()} -> ${evScaled.count()} (${k}x per user)")
+    // count() alone would let Catalyst prune the window project — filter
+    // on the carried column so the carry actually executes
+    time("asof_carry")(
+      graft.queries.TimeSeriesQueries.errorAsofReadingFrom(spark, evScaled)
+        .filter(col("gap_us").isNotNull).count())
+    time("nearest_bidir")(
+      graft.queries.TimeSeriesQueries.errorNearestReadingFrom(spark, evScaled)
+        .filter(col("gap_us").isNotNull).count())
+    evScaled.unpersist()
+
     // relational tier: K× the order baskets through the co-purchase pair
     // generation (the dominant stage of part_pair_lift/part_triangles).
     // Replicated orders multiply each pair's support by K (so the

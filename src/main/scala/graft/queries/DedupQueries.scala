@@ -1967,9 +1967,11 @@ object DedupQueries {
     * integral `div` (HUGEINT `//` in DuckDB), so both engines floor the
     * same quotient. No DOUBLE and no DecimalType reaches the output
     * (RegistryAuditSpec's type ban). */
-  def docsHllCardinality(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(h60(col("text")).as("h"), col("text"))
+  def docsHllCardinality(spark: SparkSession, dir: String): DataFrame =
+    docsHllCardinalityFrom(spark, Tables.documents(spark, dir))
+
+  def docsHllCardinalityFrom(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val docs = documents.select(h60(col("text")).as("h"), col("text"))
     val regs = docs
       .withColumn("idx", pmod(col("h"), lit(256L)))
       .withColumn("rest", expr("h div 256"))

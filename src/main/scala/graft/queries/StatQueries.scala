@@ -771,15 +771,22 @@ object StatQueries {
   def sensorInterpolate(spark: SparkSession, dir: String): DataFrame = {
     val back = Window.partitionBy(col("station_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = Window.partitionBy(col("station_id")).orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // forward fold as a backward `last` over the REVERSED ordering —
+    // Spark rescans an unbounded-FOLLOWING frame from every row to the
+    // partition end (quadratic in partition depth; caught by the
+    // nearest_bidir ScaleSmoke probe), while this growing frame is
+    // incremental; current row included in both forms, so a non-null
+    // current value still picks itself
+    val fwd = Window.partitionBy(col("station_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val v = col("value_numeric")
     graft.queries.ParityQueries.sensorShaped(spark, dir)
       .withColumn("value_numeric", expr("try_cast(value_str AS double)"))
       .withColumn("lv", last(v, ignoreNulls = true).over(back))
       .withColumn("lt", last(when(v.isNotNull, unix_micros(col("ts"))), ignoreNulls = true).over(back))
-      .withColumn("nv", first(v, ignoreNulls = true).over(fwd))
-      .withColumn("nt", first(when(v.isNotNull, unix_micros(col("ts"))), ignoreNulls = true).over(fwd))
+      .withColumn("nv", last(v, ignoreNulls = true).over(fwd))
+      .withColumn("nt", last(when(v.isNotNull, unix_micros(col("ts"))), ignoreNulls = true).over(fwd))
       .select(
         col("event_id"), col("station_id"), v,
         when(v.isNotNull, v)

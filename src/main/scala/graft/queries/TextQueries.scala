@@ -1273,10 +1273,13 @@ object TextQueries {
     * (count-desc, token-asc tiebreak), exact count, CMS estimate
     * (min over the 4 rows), and the overestimate, which CMS guarantees
     * is >= 0 — all BIGINT integer arithmetic. */
-  def tokenCmsFreqEst(spark: SparkSession, dir: String): DataFrame = {
+  def tokenCmsFreqEst(spark: SparkSession, dir: String): DataFrame =
+    tokenCmsFreqEstFrom(spark, Tables.documents(spark, dir))
+
+  def tokenCmsFreqEstFrom(spark: SparkSession, documents: DataFrame): DataFrame = {
     val d = 4
     val w = 1024L
-    val cnt = Tables.documents(spark, dir)
+    val cnt = documents
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
       .materializeOnce // feeds the sketch build AND the top-20 ranking

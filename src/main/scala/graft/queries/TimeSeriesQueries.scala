@@ -973,8 +973,10 @@ object TimeSeriesQueries {
     *
     * Errors with no prior reading emit NULL reading columns (ASOF LEFT).
     * gap_us is exact integer microseconds. */
-  def errorAsofReading(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def errorAsofReading(spark: SparkSession, dir: String): DataFrame =
+    errorAsofReadingFrom(spark, Tables.events(spark, dir))
+
+  def errorAsofReadingFrom(spark: SparkSession, ev: DataFrame): DataFrame = {
     val rd = ev.filter(col("event_type") =!= "error" && col("value").isNotNull)
       .select(col("user_id"), col("ts"), lit(0).as("tag"), col("event_id"),
         lit(null).cast("long").as("error_id"),
@@ -1044,8 +1046,10 @@ object TimeSeriesQueries {
     * NULLs. gap_us is the exact |microsecond| distance to the picked
     * reading. Oracle: DuckDB native backward + forward ASOF LEFT JOINs
     * combined by the same nearest/tie CASE. */
-  def errorNearestReading(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def errorNearestReading(spark: SparkSession, dir: String): DataFrame =
+    errorNearestReadingFrom(spark, Tables.events(spark, dir))
+
+  def errorNearestReadingFrom(spark: SparkSession, ev: DataFrame): DataFrame = {
     val rd = ev.filter(col("event_type") =!= "error" && col("value").isNotNull)
       .select(col("user_id"), col("ts"), lit(0).as("tag"), col("event_id"),
         lit(null).cast("long").as("error_id"),
@@ -1060,19 +1064,28 @@ object TimeSeriesQueries {
     val back = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("tag"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // The forward carry is a backward `last` over the REVERSED ordering,
+    // NOT a `first` over (currentRow, unboundedFollowing): Spark evaluates
+    // an unbounded-FOLLOWING frame by rescanning from each row to the
+    // partition end — O(depth²) per user, measured 6× superlinear at the
+    // 50× ScaleSmoke point — while a growing unbounded-PRECEDING frame is
+    // incremental. Reversing (ts, tag, event_id DESC) → (ts DESC, tag
+    // DESC, event_id) preserves the exact row choice: same-ts readings
+    // still land on the error's excluded side (tag), and within the
+    // nearest future ts the max event_id row is still the one carried.
     val fwd = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("tag"), col("event_id").desc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("ts").desc, col("tag").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tsMicro = unix_micros(col("ts"))
     val picked = tagged
       .withColumn("b_sensor", last(col("sensor_id"), ignoreNulls = true).over(back))
       .withColumn("b_v", last(col("v_micro"), ignoreNulls = true).over(back))
       .withColumn("b_ts",
         last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(back))
-      .withColumn("f_sensor", first(col("sensor_id"), ignoreNulls = true).over(fwd))
-      .withColumn("f_v", first(col("v_micro"), ignoreNulls = true).over(fwd))
+      .withColumn("f_sensor", last(col("sensor_id"), ignoreNulls = true).over(fwd))
+      .withColumn("f_v", last(col("v_micro"), ignoreNulls = true).over(fwd))
       .withColumn("f_ts",
-        first(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(fwd))
+        last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(fwd))
       .filter(col("tag") === 1)
       .withColumn("gap_b", tsMicro - unix_micros(col("b_ts")))
       .withColumn("gap_f", unix_micros(col("f_ts")) - tsMicro)
