@@ -1148,7 +1148,238 @@ object TimeSeriesQueries {
       |LEFT JOIN f ON f.error_id = e.error_id
       |ORDER BY e.error_id""".stripMargin
 
+  /** Mann–Kendall trend test per sensor — the NONPARAMETRIC significance
+    * companion to [[sensorTheilSenTrend]] (which estimates the slope,
+    * while this decides whether a monotone trend exists at all):
+    * S = Σ_{i<j} sign(x_j − x_i) over the hourly-mean series, the
+    * tie-corrected variance Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)
+    * (2t_g+5)]/18, and the continuity-corrected z = (S ∓ 1)/√Var(S).
+    * The standard pre-check before trusting a Theil–Sen slope (Mann 1945,
+    * Kendall 1975 — the hydrology-standard pairing).
+    *
+    * Scale shape: identical to Theil–Sen — the raw feed collapses to the
+    * CALENDAR-bounded hours frame first (the only data-sized stage), and
+    * the pair join is |hours|²/2 per sensor at ANY data scale; the tie
+    * census is a second vocab-sized aggregate off the same frame. S and
+    * the ×18-scaled variance are exact BIGINTs (n ≤ ~10⁵ hours keeps
+    * n·(n−1)·(2n+5) < 2·10¹⁶); z is ONE fixed double expression over
+    * exact integers — integer→double conversion and each IEEE op are
+    * correctly rounded, so the floor-fixed value is engine-exact. */
+  def sensorMannKendall(spark: SparkSession, dir: String): DataFrame = {
+    import QueryConventions.MaterializeSyntax
+    val seq = Window.partitionBy(col("sensor_id")).orderBy(col("h"))
+    val pos = hourlyMeans(spark, dir)
+      .withColumn("p", row_number().over(seq))
+      .select(col("sensor_id"), col("p"), col("x_micro"))
+      .materializeOnce // pair join (twice) + tie census off one build
+    val a = pos.select(col("sensor_id"), col("p").as("pa"), col("x_micro").as("xa"))
+    val b = pos.select(col("sensor_id"), col("p").as("pb"), col("x_micro").as("xb"))
+    val s = a.join(b, Seq("sensor_id")).filter(col("pb") > col("pa"))
+      .groupBy(col("sensor_id"))
+      .agg(sum(signum(col("xb") - col("xa")).cast("long")).as("s_stat"))
+    val ties = pos.groupBy(col("sensor_id"), col("x_micro"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("sensor_id"))
+      .agg(count(lit(1)).cast("long").as("n_groups"),
+        sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tie_term"),
+        sum(col("t")).as("n_hours"))
+    val zNum = col("s_stat") - signum(col("s_stat")).cast("long")
+    val v18 = (col("n_hours") * (col("n_hours") - 1)
+      * (lit(2) * col("n_hours") + 5) - col("tie_term")).as("var_s_x18")
+    val z = when(col("var_s_x18") <= 0, lit(0.0))
+      .otherwise(floor(zNum.cast("double")
+        / sqrt(col("var_s_x18").cast("double") / 18.0) * 1e6) / 1e6)
+    s.join(ties, Seq("sensor_id"))
+      .select(col("sensor_id"), col("n_hours"), col("n_groups"),
+        col("s_stat"), v18)
+      .withColumn("z_stat", z)
+      .withColumn("trend",
+        when(col("z_stat") > 1.96, lit("increasing"))
+          .when(col("z_stat") < -1.96, lit("decreasing"))
+          .otherwise(lit("none")))
+      .orderBy("sensor_id")
+  }
+
+  private val sensorMannKendallSql: String =
+    s"""WITH byhour AS (
+       |  $hourlyMeansSql),
+       |pos AS (
+       |  SELECT sensor_id, x_micro,
+       |         row_number() OVER (PARTITION BY sensor_id ORDER BY h) AS p
+       |  FROM byhour),
+       |s AS (
+       |  SELECT a.sensor_id,
+       |         CAST(sum(sign(b.x_micro - a.x_micro)) AS BIGINT) AS s_stat
+       |  FROM pos a JOIN pos b ON b.sensor_id = a.sensor_id AND b.p > a.p
+       |  GROUP BY a.sensor_id),
+       |tg AS (
+       |  SELECT sensor_id, x_micro, count(*) AS t
+       |  FROM pos GROUP BY sensor_id, x_micro),
+       |ties AS (
+       |  SELECT sensor_id, CAST(count(*) AS BIGINT) AS n_groups,
+       |         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+       |         CAST(sum(t) AS BIGINT) AS n_hours
+       |  FROM tg GROUP BY sensor_id),
+       |m AS (
+       |  SELECT s.sensor_id, ties.n_hours, ties.n_groups, s.s_stat,
+       |         n_hours * (n_hours - 1) * (2 * n_hours + 5) - tie_term
+       |           AS var_s_x18
+       |  FROM s JOIN ties ON ties.sensor_id = s.sensor_id),
+       |z AS (
+       |  SELECT *,
+       |         CASE WHEN var_s_x18 <= 0 THEN 0.0
+       |              ELSE floor(CAST(s_stat - sign(s_stat) AS DOUBLE)
+       |                   / sqrt(CAST(var_s_x18 AS DOUBLE) / 18.0) * 1e6) / 1e6
+       |         END AS z_stat
+       |  FROM m)
+       |SELECT sensor_id, n_hours, n_groups, s_stat, var_s_x18, z_stat,
+       |       CASE WHEN z_stat > 1.96 THEN 'increasing'
+       |            WHEN z_stat < -1.96 THEN 'decreasing'
+       |            ELSE 'none' END AS trend
+       |FROM z ORDER BY sensor_id""".stripMargin
+
+  private val HampelHalf = 3 // ±3 hours → 7-point neighborhood
+
+  /** Hampel filter over the hourly-mean series — the robust repair pass a
+    * telemetry pipeline runs BEFORE trend/seasonality models: each hour is
+    * compared to the median of its ±[[HampelHalf]]-hour neighborhood, and
+    * flagged (and repaired to that median) when its deviation exceeds
+    * 3 × 1.4826 × MAD — the estimator a rolling z-score can't match
+    * because one spike inflates a rolling σ but leaves the median/MAD
+    * untouched (Pearson/Tukey; the standard despiker in process
+    * telemetry).
+    *
+    * Scale shape: the raw feed collapses to the calendar-bounded hours
+    * frame first; the neighborhood is materialized by an OFFSET EXPLODE
+    * (7 rows per hour) into a pure equi-join shuffle on (sensor, hour) —
+    * no range join, no nested loop — so cost is 7×|calendar frame|
+    * regardless of data volume. Both medians are LOWER medians selected
+    * by rank (never the average of two middles), so every emitted value
+    * is an exact micro-unit BIGINT, and the outlier test is the integer
+    * comparison |x−med|·10⁴ > 44478·MAD (3·1.4826 = 4.4478 exact) — no
+    * float reaches the decision or the output. Edge hours use their
+    * truncated (4–6 point) neighborhoods rather than going NULL. */
+  def sensorHampel(spark: SparkSession, dir: String): DataFrame = {
+    import QueryConventions.MaterializeSyntax
+    val seq = Window.partitionBy(col("sensor_id")).orderBy(col("h"))
+    val pos = hourlyMeans(spark, dir)
+      .withColumn("p", row_number().over(seq))
+      .materializeOnce // neighbor explode + center join off one build
+    val nb = pos
+      .withColumn("o", explode(expr(s"sequence(-$HampelHalf, $HampelHalf)")))
+      .select(col("sensor_id"), (col("p") + col("o")).as("c"),
+        col("p").as("np"), col("x_micro").as("xn"))
+    def lowerMedian(df: DataFrame, value: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("sensor_id"), col("c"))
+      df.withColumn("rn", row_number().over(w.orderBy(col(value), col("np"))))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("sensor_id"), col("c"), col(value).as(out),
+          col("cnt").as("w_size"))
+    }
+    val med = lowerMedian(nb, "xn", "med_micro")
+    val mad = lowerMedian(
+      nb.join(med.drop("w_size"), Seq("sensor_id", "c"))
+        .withColumn("d", abs(col("xn") - col("med_micro"))),
+      "d", "mad_micro").drop("w_size")
+    val isOut = abs(col("x_micro") - col("med_micro")) * 10000 >
+      col("mad_micro") * 44478
+    pos.select(col("sensor_id"), col("h"), col("p"), col("x_micro"))
+      .join(med.withColumnRenamed("c", "p"), Seq("sensor_id", "p"))
+      .join(mad.withColumnRenamed("c", "p"), Seq("sensor_id", "p"))
+      .select(col("sensor_id"), col("h"), col("x_micro"),
+        col("med_micro"), col("mad_micro"), col("w_size"),
+        isOut.as("is_outlier"),
+        when(isOut, col("med_micro")).otherwise(col("x_micro"))
+          .as("repaired_micro"))
+      .orderBy("sensor_id", "h")
+  }
+
+  private val sensorHampelSql: String =
+    s"""WITH byhour AS (
+       |  $hourlyMeansSql),
+       |pos AS (
+       |  SELECT sensor_id, h, x_micro,
+       |         row_number() OVER (PARTITION BY sensor_id ORDER BY h) AS p
+       |  FROM byhour),
+       |nb AS (
+       |  SELECT sensor_id, p + o AS c, p AS np, x_micro AS xn
+       |  FROM pos, (SELECT unnest(generate_series(-$HampelHalf, $HampelHalf)) AS o)),
+       |med AS (
+       |  SELECT sensor_id, c, xn AS med_micro, cnt AS w_size FROM (
+       |    SELECT sensor_id, c, xn, np,
+       |           row_number() OVER (PARTITION BY sensor_id, c ORDER BY xn, np) AS rn,
+       |           count(*) OVER (PARTITION BY sensor_id, c) AS cnt
+       |    FROM nb) WHERE rn = (cnt + 1) // 2),
+       |dev AS (
+       |  SELECT n.sensor_id, n.c, abs(n.xn - m.med_micro) AS d, n.np
+       |  FROM nb n JOIN med m ON m.sensor_id = n.sensor_id AND m.c = n.c),
+       |mad AS (
+       |  SELECT sensor_id, c, d AS mad_micro FROM (
+       |    SELECT sensor_id, c, d, np,
+       |           row_number() OVER (PARTITION BY sensor_id, c ORDER BY d, np) AS rn,
+       |           count(*) OVER (PARTITION BY sensor_id, c) AS cnt
+       |    FROM dev) WHERE rn = (cnt + 1) // 2)
+       |SELECT p.sensor_id, p.h, p.x_micro, m.med_micro, d.mad_micro,
+       |       CAST(m.w_size AS BIGINT) AS w_size,
+       |       abs(p.x_micro - m.med_micro) * 10000 > d.mad_micro * 44478
+       |         AS is_outlier,
+       |       CASE WHEN abs(p.x_micro - m.med_micro) * 10000 > d.mad_micro * 44478
+       |            THEN m.med_micro ELSE p.x_micro END AS repaired_micro
+       |FROM pos p
+       |JOIN med m ON m.sensor_id = p.sensor_id AND m.c = p.p
+       |JOIN mad d ON d.sensor_id = p.sensor_id AND d.c = p.p
+       |ORDER BY p.sensor_id, p.h""".stripMargin
+
+  /** Local-maximum (peak) detection on the hourly-mean series: an hour is
+    * a peak when it strictly exceeds its two neighbors on each side, and
+    * its reported prominence is the margin over the highest of those four
+    * — the alarm-shaping primitive (only fire on the crest, not on every
+    * sample of a rising flank) that pairs with [[sensorCusum]]'s
+    * level-shift detection. Interior hours only: the four lag/lead values
+    * must all exist.
+    *
+    * Scale shape: one window pass of four lag/lead reads over the
+    * calendar-bounded hours frame — no join at all; exact integer
+    * comparisons and an exact BIGINT margin (no float anywhere). */
+  def sensorPeaks(spark: SparkSession, dir: String): DataFrame = {
+    val seq = Window.partitionBy(col("sensor_id")).orderBy(col("h"))
+    hourlyMeans(spark, dir)
+      .withColumn("l1", lag(col("x_micro"), 1).over(seq))
+      .withColumn("l2", lag(col("x_micro"), 2).over(seq))
+      .withColumn("r1", lead(col("x_micro"), 1).over(seq))
+      .withColumn("r2", lead(col("x_micro"), 2).over(seq))
+      .filter(col("l1").isNotNull && col("l2").isNotNull
+        && col("r1").isNotNull && col("r2").isNotNull)
+      .filter(col("x_micro") > col("l1") && col("x_micro") > col("l2")
+        && col("x_micro") > col("r1") && col("x_micro") > col("r2"))
+      .select(col("sensor_id"), col("h"), col("x_micro"),
+        (col("x_micro") - greatest(col("l1"), col("l2"), col("r1"), col("r2")))
+          .as("prominence_micro"))
+      .orderBy("sensor_id", "h")
+  }
+
+  private val sensorPeaksSql: String =
+    s"""WITH byhour AS (
+       |  $hourlyMeansSql),
+       |lagged AS (
+       |  SELECT sensor_id, h, x_micro,
+       |         lag(x_micro, 1) OVER w AS l1, lag(x_micro, 2) OVER w AS l2,
+       |         lead(x_micro, 1) OVER w AS r1, lead(x_micro, 2) OVER w AS r2
+       |  FROM byhour
+       |  WINDOW w AS (PARTITION BY sensor_id ORDER BY h))
+       |SELECT sensor_id, h, x_micro,
+       |       x_micro - greatest(l1, l2, r1, r2) AS prominence_micro
+       |FROM lagged
+       |WHERE l1 IS NOT NULL AND l2 IS NOT NULL
+       |  AND r1 IS NOT NULL AND r2 IS NOT NULL
+       |  AND x_micro > l1 AND x_micro > l2 AND x_micro > r1 AND x_micro > r2
+       |ORDER BY sensor_id, h""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sensor_mann_kendall"     -> (sensorMannKendall _),
+    "sensor_hampel"           -> (sensorHampel _),
+    "sensor_peaks"            -> (sensorPeaks _),
     "error_asof_reading"      -> (errorAsofReading _),
     "error_nearest_reading"   -> (errorNearestReading _),
     "error_context_join"      -> (errorContextJoin _),
@@ -1165,6 +1396,9 @@ object TimeSeriesQueries {
     "sensor_cusum"            -> (sensorCusum _))
 
   val oracle: Map[String, String] = Map(
+    "sensor_mann_kendall"     -> sensorMannKendallSql,
+    "sensor_hampel"           -> sensorHampelSql,
+    "sensor_peaks"            -> sensorPeaksSql,
     "error_asof_reading"      -> errorAsofReadingSql,
     "error_nearest_reading"   -> errorNearestReadingSql,
     "error_context_join"      -> errorContextJoinSql,
