@@ -2620,7 +2620,186 @@ object PipelineQueries {
       |       CAST(w.n_docs * 1000000 // t.tot_docs AS BIGINT) AS share_ppm_t1
       |FROM w, t ORDER BY lang""".stripMargin
 
+  /** One-way ANOVA F over per-source token counts — the k-group member of
+    * the drift-testing family (KS/MWU/EMD are two-sample; this asks the
+    * omnibus question "do the sources differ in length AT ALL" in one
+    * test instead of k²/2 pairwise ones, which is exactly how a mixture
+    * monitor should gate before drilling into pairs). Emits the between/
+    * within decomposition, F, and η² (the effect size — F without it is
+    * uninterpretable at corpus n).
+    *
+    * Scale shape: one corpus scan into a per-source moment aggregate
+    * (k rows), then a k-row fold — no second data pass. Exactness: token
+    * counts are integers, so every moment sum is exact; the per-source
+    * s_i²/n_i terms are truncated micro-unit integral divisions (DECIMAL
+    * internal, BIGINT out — both engines floor the same quotient), making
+    * SSB/SSW deterministic integers; F and η² are single fixed
+    * double expressions over those integers, floor-fixed to 6 dp. */
+  def sourceAnovaF(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .select(col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_i"), sum(col("w")).as("s_i"),
+        sum((col("w") * col("w")).cast("decimal(38,0)")).as("q_i"))
+      .withColumn("s2n_micro",
+        expr("CAST(s_i AS DECIMAL(38,0)) * s_i * 1000000 div n_i"))
+    val m = per.agg(
+      count(lit(1)).as("k"), sum(col("n_i")).as("n_docs"),
+      sum(col("s_i")).as("s"), sum(col("q_i")).as("q"),
+      sum(col("s2n_micro")).as("b"))
+      .withColumn("ssb_micro",
+        col("b") - expr("CAST(s AS DECIMAL(38,0)) * s * 1000000 div n_docs"))
+      .withColumn("ssw_micro",
+        expr("CAST(q * 1000000 AS DECIMAL(38,0)) div 1") - col("b"))
+    m.select(
+      col("k"), col("n_docs"), col("ssb_micro"), col("ssw_micro"),
+      (floor((col("ssb_micro").cast("double") / (col("k") - 1))
+        / (col("ssw_micro").cast("double") / (col("n_docs") - col("k")))
+        * 1e6) / 1e6).as("f_stat"),
+      expr("ssb_micro * 1000000 div (ssb_micro + ssw_micro)").as("eta_sq_ppm"))
+  }
+
+  private val sourceAnovaFSql: String = {
+    val ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    s"""WITH base AS (
+       |  SELECT source,
+       |         CASE WHEN length(trim(text, $ws)) = 0 THEN 0
+       |              ELSE len(string_split_regex(trim(text, $ws), '\\s+')) END AS w
+       |  FROM documents),
+       |per AS (
+       |  SELECT source, count(*) AS n_i, sum(w) AS s_i,
+       |         sum(CAST(w AS HUGEINT) * w) AS q_i
+       |  FROM base GROUP BY source),
+       |per2 AS (
+       |  SELECT *, CAST(s_i AS HUGEINT) * s_i * 1000000 // n_i AS s2n_micro
+       |  FROM per),
+       |m AS (
+       |  SELECT count(*) AS k, sum(n_i) AS n_docs, sum(s_i) AS s,
+       |         sum(q_i) AS q, sum(s2n_micro) AS b
+       |  FROM per2),
+       |d AS (
+       |  SELECT k, n_docs,
+       |         CAST(b - CAST(s AS HUGEINT) * s * 1000000 // n_docs AS BIGINT)
+       |           AS ssb_micro,
+       |         CAST(q * 1000000 - b AS BIGINT) AS ssw_micro
+       |  FROM m)
+       |SELECT CAST(k AS BIGINT) AS k, CAST(n_docs AS BIGINT) AS n_docs,
+       |       ssb_micro, ssw_micro,
+       |       floor((CAST(ssb_micro AS DOUBLE) / (k - 1))
+       |             / (CAST(ssw_micro AS DOUBLE) / (n_docs - k)) * 1e6) / 1e6
+       |         AS f_stat,
+       |       CAST(ssb_micro * 1000000 // (ssb_micro + ssw_micro) AS BIGINT)
+       |         AS eta_sq_ppm
+       |FROM d""".stripMargin
+  }
+
+  private val PermSeeds = 200
+
+  /** Randomization (permutation) test on the mean token-count difference
+    * between sources src0 and src1 — the assumption-free member of the
+    * two-sample family: where MWU asks about stochastic ordering and the
+    * t-test assumes normality, this asks directly "how often would a
+    * random relabeling produce a gap this large?". [[PermSeeds]]
+    * deterministic hash relabelings (seeded md5 over (seed, doc_id) — the
+    * corpus-wide hash family, so the test is reproducible and
+    * cluster-size-independent, unlike any RNG shuffle), two-sided, with
+    * the add-one estimator p = (1+#extreme)/(1+#valid).
+    *
+    * Scale shape: the seed explode is MAP-SIDE (each doc row emits its
+    * [[PermSeeds]] relabelings with partial aggregation before the
+    * shuffle), so the shuffle carries seed×2 partial sums, not
+    * seed×docs rows; everything downstream is a [[PermSeeds]]-row frame.
+    * On a 100 TB corpus this runs on a documented hash-sample of the two
+    * sources, like every resampling tool in the registry. Exactness:
+    * counts and sums are integers, per-side means are truncated
+    * micro-unit divisions, and the extremeness test is pure integer
+    * comparison — no float anywhere. */
+  def sourcePermutationTest(spark: SparkSession, dir: String): DataFrame = {
+    import QueryConventions.MaterializeSyntax
+    val base = Tables.documents(spark, dir)
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("doc_id"),
+        (col("source") === "src0").cast("long").as("grp"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("w"))
+      .materializeOnce // observed stat + the seed explode
+    val obs = base.agg(
+      sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("grp") === 1, col("w")).otherwise(0L)).as("s0"),
+      sum(when(col("grp") === 0, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("grp") === 0, col("w")).otherwise(0L)).as("s1"))
+      .withColumn("delta_obs_micro",
+        expr("s0 * 1000000 div n0 - s1 * 1000000 div n1"))
+    val perms = base
+      .withColumn("seed", explode(expr(s"sequence(0, ${PermSeeds - 1})")))
+      .withColumn("g", pmod(DedupOps.h60(
+        concat(col("seed").cast("string"), lit(":"),
+          col("doc_id").cast("string"))), lit(2L)))
+      .groupBy(col("seed"))
+      .agg(
+        sum(when(col("g") === 0, 1L).otherwise(0L)).as("pn0"),
+        sum(when(col("g") === 0, col("w")).otherwise(0L)).as("ps0"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("pn1"),
+        sum(when(col("g") === 1, col("w")).otherwise(0L)).as("ps1"))
+      .filter(col("pn0") > 0 && col("pn1") > 0)
+      .withColumn("delta_micro",
+        expr("ps0 * 1000000 div pn0 - ps1 * 1000000 div pn1"))
+    perms.crossJoin(broadcast(obs))
+      .agg(
+        first(col("n0")).as("n_src0"), first(col("n1")).as("n_src1"),
+        first(col("delta_obs_micro")).as("delta_obs_micro"),
+        count(lit(1)).as("n_valid_perms"),
+        sum((abs(col("delta_micro")) >= abs(col("delta_obs_micro")))
+          .cast("long")).as("n_extreme"))
+      .withColumn("p_ppm",
+        expr("(n_extreme + 1) * 1000000 div (n_valid_perms + 1)"))
+  }
+
+  private val sourcePermutationTestSql: String = {
+    val ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    val h = hexpr.format("CAST(u.seed AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |         CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS grp,
+       |         CASE WHEN length(trim(text, $ws)) = 0 THEN 0
+       |              ELSE len(string_split_regex(trim(text, $ws), '\\s+')) END AS w
+       |  FROM documents WHERE source IN ('src0', 'src1')),
+       |obs AS (
+       |  SELECT sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n0,
+       |         sum(CASE WHEN grp = 1 THEN w ELSE 0 END) AS s0,
+       |         sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n1,
+       |         sum(CASE WHEN grp = 0 THEN w ELSE 0 END) AS s1
+       |  FROM base),
+       |obs2 AS (
+       |  SELECT n0, n1, s0 * 1000000 // n0 - s1 * 1000000 // n1
+       |           AS delta_obs_micro
+       |  FROM obs),
+       |perms AS (
+       |  SELECT u.seed,
+       |         sum(CASE WHEN $h % 2 = 0 THEN 1 ELSE 0 END) AS pn0,
+       |         sum(CASE WHEN $h % 2 = 0 THEN w ELSE 0 END) AS ps0,
+       |         sum(CASE WHEN $h % 2 = 1 THEN 1 ELSE 0 END) AS pn1,
+       |         sum(CASE WHEN $h % 2 = 1 THEN w ELSE 0 END) AS ps1
+       |  FROM base, (SELECT unnest(generate_series(0, ${PermSeeds - 1})) AS seed) u
+       |  GROUP BY u.seed),
+       |valid AS (
+       |  SELECT seed, ps0 * 1000000 // pn0 - ps1 * 1000000 // pn1 AS delta_micro
+       |  FROM perms WHERE pn0 > 0 AND pn1 > 0)
+       |SELECT CAST(o.n0 AS BIGINT) AS n_src0, CAST(o.n1 AS BIGINT) AS n_src1,
+       |       CAST(o.delta_obs_micro AS BIGINT) AS delta_obs_micro,
+       |       CAST(count(*) AS BIGINT) AS n_valid_perms,
+       |       CAST(sum(CASE WHEN abs(v.delta_micro) >= abs(o.delta_obs_micro)
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+       |       CAST((sum(CASE WHEN abs(v.delta_micro) >= abs(o.delta_obs_micro)
+       |                      THEN 1 ELSE 0 END) + 1) * 1000000
+       |            // (count(*) + 1) AS BIGINT) AS p_ppm
+       |FROM valid v CROSS JOIN obs2 o
+       |GROUP BY o.n0, o.n1, o.delta_obs_micro""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "source_anova_f"          -> (sourceAnovaF _),
+    "source_permutation_test" -> (sourcePermutationTest _),
     "lang_temperature_mix" -> (langTemperatureMix _),
     "shuffle_runs_test" -> (shuffleRunsTest _),
     "referential_integrity_audit" -> (referentialIntegrityAudit _),
@@ -2667,6 +2846,8 @@ object PipelineQueries {
     "embedding_stats"  -> (embeddingStats _))
 
   val oracle: Map[String, String] = Map(
+    "source_anova_f"          -> sourceAnovaFSql,
+    "source_permutation_test" -> sourcePermutationTestSql,
     "lang_temperature_mix" -> langTemperatureMixSql,
     "doc_dsir_weights"   -> docDsirWeightsSql,
     "corpus_shuffle"     -> corpusShuffleSql,

@@ -178,6 +178,8 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "unigram_em_counts",     // same one-row piece-total frame (shared builder)
     "attribution_markov_removal", // one-row base-reach frame × the 4-channel rows
     "cem_att_estimate",      // one-row pruned-counts frame × the one-row matched frame
+    "cuped_adjusted_lift",   // one-row global-moment frame × two one-row arm frames
+    "source_permutation_test", // one-row observed-stat frame × the 200-row seed frame
     "orders_did_estimate",   // four one-row cell frames of the 4-cell pivot
     "docs_hll_cardinality",  // one-row register-sum frame × one-row exact-count frame
     "lang_temperature_mix",  // one-row corpus-total frame × the language dim
