@@ -386,6 +386,39 @@ object ScaleSmoke {
     println(s"[scale] events ${ev0.count()} -> ${evK.count()} rows (${k}x, distinct users)")
     time("cem_att")(
       graft.queries.ExperimentQueries.cemAttEstimateFrom(spark, evK).count())
+
+    // KMV sketch: same evK feed (distinct users × K) — the distinct
+    // collapse is the only data-sized stage; the per-type rank runs on
+    // the collapsed frame, and the sketch state is k=128 hashes/group
+    time("kmv_distinct")(
+      graft.queries.AnalyticsQueries.userKmvDistinctFrom(spark, evK).count())
+
+    // robust-series tier: the evScaled-style WITHIN-user replication is
+    // the interesting case for the hourly collapse (per-hour counts
+    // deepen K×, the CALENDAR does not), so the Mann–Kendall pair join
+    // runs on an UNCHANGED hours frame — wall must stay ~flat past the
+    // linear first-scan cost however large K grows
+    val evMk = (0 until k).map { i =>
+      ev0.filter(col("event_type") =!= "error" && col("value").isNotNull)
+        .select((col("ts") + expr(s"INTERVAL ${i % 60} SECOND")).as("ts"),
+          col("event_type").as("sensor_id"),
+          col("value").as("value_numeric"))
+    }.reduce(_ unionAll _).repartition(32)
+    time("mann_kendall")(
+      graft.queries.TimeSeriesQueries.sensorMannKendallFromHours(
+        graft.queries.TimeSeriesQueries.hourlyMeansFrom(evMk)).count())
+
+    // permutation test: the 200-seed explode partial-aggregates MAP-SIDE
+    // (shuffle carries 200 seed rows of partial sums, not 200×docs), so
+    // wall must track the corpus ~linearly — the probe replays the
+    // registered shape on the K×-replicated two-source corpus
+    val permDocs = scaled.select(col("doc_id"),
+      concat(lit("src"), pmod(col("doc_id"), lit(2)).cast("string"))
+        .as("source"),
+      col("text"))
+    time("permutation_test")(
+      graft.queries.PipelineQueries.sourcePermutationTestFrom(
+        spark, permDocs).count())
     spark.stop()
   }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.queries.QueryConventions.MaterializeSyntax
 
+import graft.operators.DedupOps
 import graft.sources.Tables
 
 /** Analytic extensions rounding out the relational surface: set
@@ -1835,7 +1836,128 @@ object AnalyticsQueries {
       |       CAST(lat_s AS BIGINT) AS latency_s
       |FROM x ORDER BY q_pct""".stripMargin
 
+  private val KmvK = 128
+
+  /** KMV (k-minimum-values / bottom-k) distinct-user sketch per event
+    * type — the third member of the value-oracled sketch tier
+    * (`docs_hll_cardinality` trades all precision knobs for 256 bytes;
+    * CMS answers frequencies; KMV is the one whose sketches also support
+    * set INTERSECTION estimates, which HLL cannot). Estimate =
+    * (k−1)·U/h_k off the k-th smallest distinct hash (Bar-Yossef et al.
+    * 2002), U = 2⁶⁰ for the corpus-wide md5-derived [[DedupOps.h60]]
+    * family — engine-neutral, so every register AND the estimate are
+    * value-oracled, like the HLL twin and unlike native approx sketches.
+    *
+    * Scale shape: one (type, hash)-keyed distinct collapse (shuffle ∝
+    * distinct users, with map-side partial dedup), then a per-type rank
+    * that only has to FIND the k-th smallest — the sketch state is k
+    * hashes per group at any scale. Exactness: the estimate numerator
+    * (k−1)·2⁶⁰ exceeds BIGINT, so the division runs in DECIMAL/HUGEINT
+    * and floors identically; groups with < k distinct users report the
+    * exact count (the KMV small-set convention). */
+  def userKmvDistinct(spark: SparkSession, dir: String): DataFrame =
+    userKmvDistinctFrom(spark, Tables.events(spark, dir))
+
+  /** [[userKmvDistinct]] over an arbitrary events frame — the ScaleSmoke
+    * entry point: the distinct collapse is the only data-sized stage
+    * (map-side partial dedup), so wall must track the feed ~linearly
+    * with a flat per-group sketch tail. */
+  private[graft] def userKmvDistinctFrom(
+      spark: SparkSession, events: DataFrame): DataFrame = {
+    val hashes = events
+      .select(col("event_type"),
+        DedupOps.h60(col("user_id").cast("string")).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val cnt = Window.partitionBy(col("event_type"))
+    val num = (BigInt(KmvK - 1) * BigInt(2).pow(60)).toString
+    hashes
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_distinct", count(lit(1)).over(cnt))
+      .filter(col("rk") === least(lit(KmvK), col("n_distinct")))
+      .select(col("event_type"), lit(KmvK).cast("long").as("k"),
+        col("n_distinct").as("exact_distinct"),
+        when(col("n_distinct") < KmvK, col("n_distinct"))
+          .otherwise(expr(s"CAST('$num' AS DECIMAL(38,0)) div h"))
+          .as("kmv_est"))
+      .withColumn("abs_err_ppm",
+        expr("abs(kmv_est - exact_distinct) * 1000000 div exact_distinct"))
+      .orderBy("event_type")
+  }
+
+  private val userKmvDistinctSql: String = {
+    val num = (BigInt(KmvK - 1) * BigInt(2).pow(60)).toString
+    s"""WITH h AS (
+       |  SELECT DISTINCT event_type,
+       |         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |  FROM events),
+       |r AS (
+       |  SELECT event_type, h,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk,
+       |         count(*) OVER (PARTITION BY event_type) AS n_distinct
+       |  FROM h),
+       |s AS (
+       |  SELECT event_type, n_distinct,
+       |         CASE WHEN n_distinct < $KmvK THEN n_distinct
+       |              ELSE CAST(CAST('$num' AS HUGEINT) // h AS BIGINT) END AS kmv_est
+       |  FROM r WHERE rk = least($KmvK, n_distinct))
+       |SELECT event_type, CAST($KmvK AS BIGINT) AS k,
+       |       CAST(n_distinct AS BIGINT) AS exact_distinct,
+       |       CAST(kmv_est AS BIGINT) AS kmv_est,
+       |       CAST(abs(kmv_est - n_distinct) * 1000000 // n_distinct AS BIGINT)
+       |         AS abs_err_ppm
+       |FROM s ORDER BY event_type""".stripMargin
+  }
+
+  private val RangeBuckets = 32
+
+  /** Range-partition plan for the orders fact keyed on total price — the
+    * boundary table a `repartitionByRange`/write-side layout job needs:
+    * [[RangeBuckets]] equi-depth buckets (the SQL-standard ntile rule)
+    * with each bucket's key bounds, row count, and key-space width. The
+    * width column is the point: equi-DEPTH bounds on a skewed key give
+    * wildly unequal widths, which is exactly why range layout beats
+    * fixed-width bucketing for min/max file skipping.
+    *
+    * Scale shape: the ntile runs through [[GlobalWindow]]'s two-phase
+    * range-partitioned numbering (no single-task global sort — the same
+    * machinery `orders_zorder_keys`' layout sibling relies on), then one
+    * [[RangeBuckets]]-row aggregate. Price is exact integer cents;
+    * every output is BIGINT. */
+  def ordersRangePartitionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,6)") * 100)
+          .cast("long").as("cents"))
+    GlobalWindow.ntile(keyed, RangeBuckets, "bucket")(
+      col("cents"), col("o_orderkey"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))
+      .withColumn("width_cents", col("hi_cents") - col("lo_cents"))
+      .select(col("bucket").cast("long").as("bucket"), col("n_rows"),
+        col("lo_cents"), col("hi_cents"), col("width_cents"))
+      .orderBy("bucket")
+  }
+
+  private val ordersRangePartitionPlanSql: String =
+    s"""WITH k AS (
+       |  SELECT o_orderkey,
+       |         CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents
+       |  FROM orders),
+       |t AS (
+       |  SELECT cents,
+       |         ntile($RangeBuckets) OVER (ORDER BY cents, o_orderkey) AS bucket
+       |  FROM k)
+       |SELECT CAST(bucket AS BIGINT) AS bucket,
+       |       count(*) AS n_rows,
+       |       min(cents) AS lo_cents, max(cents) AS hi_cents,
+       |       max(cents) - min(cents) AS width_cents
+       |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "user_kmv_distinct"          -> (userKmvDistinct _),
+    "orders_range_partition_plan" -> (ordersRangePartitionPlan _),
     "funnel_latency_quantiles" -> (funnelLatencyQuantiles _),
     "part_triangles"     -> (partTriangles _),
     "part_local_clustering" -> (partLocalClustering _),
@@ -1878,6 +2000,8 @@ object AnalyticsQueries {
     "distinct_users_approx"    -> (distinctUsersApprox _))
 
   val oracle: Map[String, String] = Map(
+    "user_kmv_distinct"          -> userKmvDistinctSql,
+    "orders_range_partition_plan" -> ordersRangePartitionPlanSql,
     "part_triangles"     -> partTrianglesSql,
     "part_local_clustering" -> partLocalClusteringSql,
     "user_survival_curve" -> userSurvivalCurveSql,

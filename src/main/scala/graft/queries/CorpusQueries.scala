@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -836,7 +836,116 @@ object CorpusQueries {
        |GROUP BY u.piece
        |ORDER BY u.piece""".stripMargin
 
+  /** Heaps'-law fit V(n) ≈ K·n^β of vocabulary growth along the corpus
+    * ingestion order — the companion diagnostic to the Zipf fit (Zipf
+    * reads the frequency DISTRIIBUTION, Heaps reads vocabulary GROWTH):
+    * natural text sits at β ≈ 0.4–0.6, and a β drifting toward 1 means
+    * near-unbounded novel tokens (OCR noise, serial numbers, markup
+    * churn) while β → 0 means the crawl is re-reading itself. The fit is
+    * an OLS of ln V against ln n over the 10 decile checkpoints of the
+    * doc_id order.
+    *
+    * Scale shape: ONE token explode feeds both sides — cumulative token
+    * counts come from a per-decile aggregate (each doc maps to its
+    * decile by pure arithmetic on doc_id), and cumulative vocabulary
+    * from the per-type FIRST-decile aggregate (min doc_id per token,
+    * vocab-sized) — then everything downstream lives on the 10-row
+    * checkpoint frame (the bounded cumulative windows and the
+    * regression fold). No corpus-sized window anywhere. Log terms follow
+    * the Zipf convention: each ln rounded to 6 (ulp-divergent otherwise),
+    * products rounded to 9, DECIMAL sums, floor fixed-point outputs. */
+  def heapsLawFit(spark: SparkSession, dir: String): DataFrame = {
+    import QueryConventions.MaterializeSyntax
+    val docs = Tables.documents(spark, dir)
+    val maxId = docs.agg(max(col("doc_id")).as("max_id"))
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .materializeOnce // token totals + first-occurrence both read it
+    def decile(idCol: String): Column =
+      least(lit(9L), expr(s"$idCol * 10 div (max_id + 1)"))
+    val tokTotals = toks.crossJoin(broadcast(maxId))
+      .groupBy(decile("doc_id").as("decile"))
+      .agg(count(lit(1)).as("toks_in_decile"))
+    val vocabFirsts = toks.groupBy(col("token"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .crossJoin(broadcast(maxId))
+      .groupBy(decile("first_doc").as("decile"))
+      .agg(count(lit(1)).as("new_types_in_decile"))
+    val cum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = tokTotals.join(vocabFirsts, Seq("decile"), "full_outer")
+      .na.fill(0L, Seq("toks_in_decile", "new_types_in_decile"))
+      .withColumn("n_cum", sum(col("toks_in_decile")).over(cum))
+      .withColumn("v_cum", sum(col("new_types_in_decile")).over(cum))
+      .withColumn("x", round(log(col("n_cum").cast("double")), 6))
+      .withColumn("y", round(log(col("v_cum").cast("double")), 6))
+      .withColumn("xy", round(col("x") * col("y"), 9))
+      .withColumn("xx", round(col("x") * col("x"), 9))
+    def dsum(c: Column): Column = sum(c.cast("decimal(28,12)")).cast("double")
+    pts.agg(
+      count(lit(1)).as("n_checkpoints"),
+      max(col("n_cum")).as("total_tokens"),
+      max(col("v_cum")).as("total_vocab"),
+      dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+      dsum(col("xy")).as("sxy"), dsum(col("xx")).as("sxx"))
+      .select(
+        col("n_checkpoints"), col("total_tokens"), col("total_vocab"),
+        (floor((col("n_checkpoints") * col("sxy") - col("sx") * col("sy")) * 1e6
+          / (col("n_checkpoints") * col("sxx") - col("sx") * col("sx"))) / lit(1e6))
+          .as("beta"),
+        (floor((col("sy") - (col("n_checkpoints") * col("sxy") - col("sx") * col("sy"))
+          / (col("n_checkpoints") * col("sxx") - col("sx") * col("sx")) * col("sx")) * 1e6
+          / col("n_checkpoints")) / lit(1e6)).as("intercept"))
+  }
+
+  private val heapsLawFitSql: String =
+    s"""WITH $toksCte,
+       |mx AS (SELECT max(doc_id) AS max_id FROM documents),
+       |tok AS (
+       |  SELECT doc_id, u.token
+       |  FROM t, LATERAL (SELECT unnest(toks) AS token) u),
+       |tt AS (
+       |  SELECT least(9, doc_id * 10 // (mx.max_id + 1)) AS decile,
+       |         count(*) AS toks_in_decile
+       |  FROM tok, mx GROUP BY 1),
+       |vf AS (
+       |  SELECT least(9, first_doc * 10 // (mx.max_id + 1)) AS decile,
+       |         count(*) AS new_types_in_decile
+       |  FROM (SELECT token, min(doc_id) AS first_doc FROM tok GROUP BY token), mx
+       |  GROUP BY 1),
+       |pts AS (
+       |  SELECT coalesce(tt.decile, vf.decile) AS decile,
+       |         sum(coalesce(tt.toks_in_decile, 0))
+       |           OVER (ORDER BY coalesce(tt.decile, vf.decile)) AS n_cum,
+       |         sum(coalesce(vf.new_types_in_decile, 0))
+       |           OVER (ORDER BY coalesce(tt.decile, vf.decile)) AS v_cum
+       |  FROM tt FULL OUTER JOIN vf ON vf.decile = tt.decile),
+       |p2 AS (
+       |  SELECT n_cum, v_cum,
+       |         round(ln(CAST(n_cum AS DOUBLE)), 6) AS x,
+       |         round(ln(CAST(v_cum AS DOUBLE)), 6) AS y
+       |  FROM pts),
+       |p3 AS (
+       |  SELECT n_cum, v_cum, x, y,
+       |         round(x * y, 9) AS xy, round(x * x, 9) AS xx FROM p2),
+       |m AS (
+       |  SELECT count(*) AS n,
+       |         max(n_cum) AS total_tokens, max(v_cum) AS total_vocab,
+       |         CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+       |         CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+       |         CAST(sum(CAST(xy AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+       |         CAST(sum(CAST(xx AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+       |  FROM p3)
+       |SELECT CAST(n AS BIGINT) AS n_checkpoints,
+       |       CAST(total_tokens AS BIGINT) AS total_tokens,
+       |       CAST(total_vocab AS BIGINT) AS total_vocab,
+       |       floor((n * sxy - sx * sy) * 1e6 / (n * sxx - sx * sx)) / 1e6 AS beta,
+       |       floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) * 1e6 / n) / 1e6
+       |         AS intercept
+       |FROM m""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "heaps_law_fit"        -> (heapsLawFit _),
     "unigram_lm_segment"   -> (unigramLmSegment _),
     "unigram_em_counts"    -> (unigramEmCounts _),
     "token_textrank"       -> (tokenTextrank _),
@@ -850,6 +959,7 @@ object CorpusQueries {
     "doc_pack_bins"        -> (docPackBins _))
 
   val oracle: Map[String, String] = Map(
+    "heaps_law_fit"        -> heapsLawFitSql,
     "unigram_lm_segment"   -> unigramLmSegmentSql,
     "unigram_em_counts"    -> unigramEmCountsSql,
     "token_textrank"       -> tokenTextrankSql,

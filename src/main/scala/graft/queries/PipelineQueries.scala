@@ -2715,9 +2715,17 @@ object PipelineQueries {
     * counts and sums are integers, per-side means are truncated
     * micro-unit divisions, and the extremeness test is pure integer
     * comparison — no float anywhere. */
-  def sourcePermutationTest(spark: SparkSession, dir: String): DataFrame = {
+  def sourcePermutationTest(spark: SparkSession, dir: String): DataFrame =
+    sourcePermutationTestFrom(spark, Tables.documents(spark, dir))
+
+  /** [[sourcePermutationTest]] over an arbitrary documents frame (doc_id,
+    * source, text) — the ScaleSmoke entry point: wall must track the
+    * corpus ~linearly because the seed explode partial-aggregates
+    * map-side (the shuffle carries seed-level sums, not seed×docs). */
+  private[graft] def sourcePermutationTestFrom(
+      spark: SparkSession, documents: DataFrame): DataFrame = {
     import QueryConventions.MaterializeSyntax
-    val base = Tables.documents(spark, dir)
+    val base = documents
       .filter(col("source").isin("src0", "src1"))
       .select(col("doc_id"),
         (col("source") === "src0").cast("long").as("grp"),

@@ -1337,7 +1337,245 @@ object TextQueries {
        |FROM est ORDER BY exact_cnt DESC, tok""".stripMargin
   }
 
+  /** Interpolated Kneser–Ney smoothed bigram probabilities for the top
+    * frequent bigrams — the n-gram smoothing that actually ships in LM
+    * toolkits (where [[bigramLmTop]]'s raw MLE assigns zero to every
+    * unseen pair): P_KN(w₂|w₁) = (c(w₁w₂) − D)/c(w₁·) + D·N₁₊(w₁·)/c(w₁·)
+    * · N₁₊(·w₂)/N₁₊(··), with the textbook discount D = 0.75 (exact in
+    * binary, so no constant drift). The continuation count N₁₊(·w₂) —
+    * "how many contexts has w₂ followed" — is the whole point: it ranks
+    * 'francisco' (frequent but one-context) below a promiscuous token of
+    * the same frequency.
+    *
+    * Scale shape: ONE bigram explode → one partial-agg shuffle; head
+    * counts and both continuation counts are windows/aggregates over the
+    * already-collapsed bigram-TYPE frame (vocab², saturating — never
+    * corpus-sized); the single global type-total broadcasts back. The
+    * probability is one fixed double expression over exact integer
+    * counts, floor-fixed to 6 dp. */
+  def bigramKneserNey(spark: SparkSession, dir: String): DataFrame = {
+    import QueryConventions.MaterializeSyntax
+    val toks = col("toks")
+    val b = Tables.documents(spark, dir)
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, bb) => struct(a.as("w1"), bb.as("w2")))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .materializeOnce // head window + tail window + the type total
+    val byHead = Window.partitionBy(col("w1"))
+    val byTail = Window.partitionBy(col("w2"))
+    val totalTypes = b.agg(count(lit(1)).as("n_bigram_types"))
+    val scored = b
+      .withColumn("c1", sum(col("c12")).over(byHead))
+      .withColumn("n1f", count(lit(1)).over(byHead))
+      .withColumn("n1r", count(lit(1)).over(byTail))
+      .crossJoin(broadcast(totalTypes))
+      .withColumn("p_kn",
+        floor(((col("c12") - lit(0.75)) / col("c1")
+          + lit(0.75) * col("n1f") / col("c1")
+            * (col("n1r") / col("n_bigram_types"))) * 1e6) / 1e6)
+    scored.filter(col("c12") >= 5)
+      .select("w1", "w2", "c12", "c1", "n1f", "n1r", "p_kn")
+      .orderBy(col("p_kn").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  private val bigramKneserNeySql: String =
+    """WITH t AS (
+      |  SELECT CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+      |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+') END AS toks
+      |  FROM documents),
+      |e AS (
+      |  SELECT toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+      |  FROM t, LATERAL (SELECT unnest(range(1, CAST(len(toks) AS BIGINT))) AS i) u),
+      |b AS (SELECT w1, w2, count(*) AS c12 FROM e GROUP BY w1, w2),
+      |tot AS (SELECT count(*) AS n_bigram_types FROM b),
+      |s AS (
+      |  SELECT w1, w2, c12,
+      |         sum(c12) OVER (PARTITION BY w1) AS c1,
+      |         count(*) OVER (PARTITION BY w1) AS n1f,
+      |         count(*) OVER (PARTITION BY w2) AS n1r
+      |  FROM b)
+      |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, CAST(c1 AS BIGINT) AS c1,
+      |       CAST(n1f AS BIGINT) AS n1f, CAST(n1r AS BIGINT) AS n1r,
+      |       floor(((c12 - 0.75) / c1
+      |              + 0.75 * n1f / c1 * (n1r / CAST(tot.n_bigram_types AS DOUBLE)))
+      |             * 1e6) / 1e6 AS p_kn
+      |FROM s, tot
+      |WHERE c12 >= 5
+      |ORDER BY p_kn DESC, w1, w2
+      |LIMIT 20""".stripMargin
+
+  /** Church–Gale burstiness of the most frequent tokens: collection
+    * frequency vs document frequency. A token whose cf/df ratio is high
+    * CLUMPS (a few documents use it heavily — topical/markup tokens);
+    * cf ≈ df means it sprinkles uniformly (function words). The classic
+    * screen for "is this token content-bearing or glue" and a boilerplate
+    * tell when a high-burst token is also high-df.
+    *
+    * Scale shape: the (token, doc) collapse is the df-standard two-level
+    * aggregate (first shuffle keyed (token, doc) with map-side combine,
+    * second vocab-sized); the doc total broadcasts. Ratios are truncated
+    * ppm integers. */
+  def tokenBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val nDocs = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n_docs"))
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    perDoc.groupBy(col("token"))
+      .agg(sum(col("c")).as("cf"), count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("token"), col("cf"), col("df"), col("n_docs"),
+        expr("cf * 1000000 div df").as("burst_ppm"),
+        expr("df * 1000000 div n_docs").as("doc_rate_ppm"))
+      .orderBy(col("cf").desc, col("token"))
+      .limit(20)
+  }
+
+  private val tokenBurstinessSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+      |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+') END AS toks
+      |  FROM documents),
+      |nd AS (SELECT count(*) AS n_docs FROM documents),
+      |pd AS (
+      |  SELECT u.token, doc_id, count(*) AS c
+      |  FROM t, LATERAL (SELECT unnest(toks) AS token) u
+      |  GROUP BY u.token, doc_id),
+      |f AS (SELECT token, sum(c) AS cf, count(*) AS df FROM pd GROUP BY token)
+      |SELECT token, CAST(cf AS BIGINT) AS cf, CAST(df AS BIGINT) AS df,
+      |       CAST(nd.n_docs AS BIGINT) AS n_docs,
+      |       CAST(cf * 1000000 // df AS BIGINT) AS burst_ppm,
+      |       CAST(df * 1000000 // nd.n_docs AS BIGINT) AS doc_rate_ppm
+      |FROM f, nd
+      |ORDER BY cf DESC, token
+      |LIMIT 20""".stripMargin
+
+  /** Flesch reading-ease per document, with the standard grade buckets —
+    * the readability member of the quality family ([[quality]] reads
+    * surface composition; this reads SENTENCE/WORD structure, which is
+    * what separates listy SEO sludge from prose at equal alphabetic
+    * purity). Syllables are approximated by vowel-group runs (the
+    * dictionary-free estimator every streaming readability scorer uses);
+    * sentence boundaries by terminal-punctuation runs, floored at 1 so
+    * unpunctuated fragments score as one sentence instead of dividing by
+    * zero.
+    *
+    * Pure per-row map over the scan — embarrassingly parallel, no
+    * shuffle at any scale. The score is one fixed double expression over
+    * three exact integers, floor-fixed to 6 dp. */
+  def docReadability(spark: SparkSession, dir: String): DataFrame = {
+    val words = tokenCount(col("text")).cast("long")
+    val sents = greatest(lit(1L),
+      regexp_count(col("text"), lit("[.!?]+")).cast("long"))
+    val sylls = regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+    val flesch = floor((lit(206.835)
+      - lit(1.015) * (col("n_words").cast("double") / col("n_sents"))
+      - lit(84.6) * (col("n_sylls").cast("double") / col("n_words"))) * 1e6) / 1e6
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), words.as("n_words"), sents.as("n_sents"),
+        sylls.as("n_sylls"))
+      .filter(col("n_words") > 0)
+      .withColumn("flesch", flesch)
+      .withColumn("grade",
+        when(col("flesch") >= 90, lit("easy"))
+          .when(col("flesch") >= 60, lit("plain"))
+          .when(col("flesch") >= 30, lit("difficult"))
+          .otherwise(lit("very_difficult")))
+      .orderBy("doc_id")
+  }
+
+  private val docReadabilitySql: String = {
+    val ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |         CASE WHEN length(trim(text, $ws)) = 0 THEN 0
+       |              ELSE len(string_split_regex(trim(text, $ws), '\\s+')) END AS n_words,
+       |         greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sents,
+       |         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_sylls
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |         CAST(n_sents AS BIGINT) AS n_sents,
+       |         CAST(n_sylls AS BIGINT) AS n_sylls,
+       |         floor((206.835
+       |                - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+       |                - 84.6 * (CAST(n_sylls AS DOUBLE) / n_words)) * 1e6) / 1e6
+       |           AS flesch
+       |  FROM base WHERE n_words > 0)
+       |SELECT doc_id, n_words, n_sents, n_sylls, flesch,
+       |       CASE WHEN flesch >= 90 THEN 'easy'
+       |            WHEN flesch >= 60 THEN 'plain'
+       |            WHEN flesch >= 30 THEN 'difficult'
+       |            ELSE 'very_difficult' END AS grade
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** Lexical-diversity profile per document: type/token ratio, hapax
+    * share, and Herdan's C (log-log TTR, the length-robust variant a
+    * corpus curator actually thresholds on, since raw TTR collapses as
+    * documents grow) — the vocabulary-side quality signal that catches
+    * keyword-stuffed or template text whose [[repetition]] line-level
+    * check looks clean.
+    *
+    * Scale shape: one explode into a (doc, token)-keyed partial-agg
+    * shuffle, then a per-doc fold — output is one row per document, all
+    * ratios truncated ppm integers; Herdan follows the log convention
+    * (6-dp rounded lns, floor-fixed ratio). */
+  def docLexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum((col("c") === 1).cast("long")).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("n_types * 1000000 div n_tokens").as("ttr_ppm"),
+        expr("n_hapax * 1000000 div n_types").as("hapax_ppm"),
+        when(col("n_tokens") > 1,
+          floor(round(log(col("n_types").cast("double")), 6)
+            / round(log(col("n_tokens").cast("double")), 6) * 1e6) / 1e6)
+          .as("herdan_c"))
+      .orderBy("doc_id")
+
+  private val docLexicalDiversitySql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+      |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+') END AS toks
+      |  FROM documents),
+      |pd AS (
+      |  SELECT doc_id, u.token, count(*) AS c
+      |  FROM t, LATERAL (SELECT unnest(toks) AS token) u
+      |  GROUP BY doc_id, u.token),
+      |d AS (
+      |  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_types,
+      |         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax
+      |  FROM pd GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |       CAST(n_types AS BIGINT) AS n_types,
+      |       CAST(n_hapax AS BIGINT) AS n_hapax,
+      |       CAST(n_types * 1000000 // n_tokens AS BIGINT) AS ttr_ppm,
+      |       CAST(n_hapax * 1000000 // n_types AS BIGINT) AS hapax_ppm,
+      |       CASE WHEN n_tokens > 1
+      |            THEN floor(round(ln(CAST(n_types AS DOUBLE)), 6)
+      |                       / round(ln(CAST(n_tokens AS DOUBLE)), 6) * 1e6) / 1e6
+      |       END AS herdan_c
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "bigram_kneser_ney"     -> (bigramKneserNey _),
+    "token_burstiness"      -> (tokenBurstiness _),
+    "doc_readability"       -> (docReadability _),
+    "doc_lexical_diversity" -> (docLexicalDiversity _),
     "token_cms_freq_est" -> (tokenCmsFreqEst _),
     "doc_lm_score"    -> (docLmScore _),
     "doc_classifier_score" -> (docClassifierScore _),
@@ -1362,6 +1600,10 @@ object TextQueries {
     "dedup_exact"     -> (dedupExact _))
 
   val oracle: Map[String, String] = Map(
+    "bigram_kneser_ney"     -> bigramKneserNeySql,
+    "token_burstiness"      -> tokenBurstinessSql,
+    "doc_readability"       -> docReadabilitySql,
+    "doc_lexical_diversity" -> docLexicalDiversitySql,
     "token_cms_freq_est" -> tokenCmsFreqEstSql,
     "doc_lm_score"    -> docLmScoreSql,
     "doc_classifier_score" -> docClassifierScoreSql,

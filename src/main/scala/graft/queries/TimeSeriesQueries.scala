@@ -468,7 +468,12 @@ object TimeSeriesQueries {
     * Downstream detectors consume x_micro directly, so their
     * "integer-exact" claims are true by construction. */
   private[graft] def hourlyMeans(spark: SparkSession, dir: String): DataFrame =
-    validReadings(spark, dir)
+    hourlyMeansFrom(validReadings(spark, dir))
+
+  /** [[hourlyMeans]] over an arbitrary pre-shaped readings frame
+    * (ts, sensor_id, value_numeric) — the ScaleSmoke entry point. */
+  private[graft] def hourlyMeansFrom(valid: DataFrame): DataFrame =
+    valid
       .groupBy(col("sensor_id"), date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("n"),
         (sum(col("value_numeric").cast("decimal(18,6)")) * 1000000)
@@ -1165,10 +1170,16 @@ object TimeSeriesQueries {
     * n·(n−1)·(2n+5) < 2·10¹⁶); z is ONE fixed double expression over
     * exact integers — integer→double conversion and each IEEE op are
     * correctly rounded, so the floor-fixed value is engine-exact. */
-  def sensorMannKendall(spark: SparkSession, dir: String): DataFrame = {
+  def sensorMannKendall(spark: SparkSession, dir: String): DataFrame =
+    sensorMannKendallFromHours(hourlyMeans(spark, dir))
+
+  /** [[sensorMannKendall]] over an arbitrary hours frame (sensor_id, h,
+    * x_micro) — the ScaleSmoke entry point: the pair join must stay
+    * CALENDAR²-bounded however much raw data fed the hourly collapse. */
+  private[graft] def sensorMannKendallFromHours(hours: DataFrame): DataFrame = {
     import QueryConventions.MaterializeSyntax
     val seq = Window.partitionBy(col("sensor_id")).orderBy(col("h"))
-    val pos = hourlyMeans(spark, dir)
+    val pos = hours
       .withColumn("p", row_number().over(seq))
       .select(col("sensor_id"), col("p"), col("x_micro"))
       .materializeOnce // pair join (twice) + tie census off one build

@@ -123,7 +123,8 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "orders_hill_tail"     -> "rank over the top-101 frame (post-TakeOrdered)",
     "unigram_lm_segment"   -> "piece-vocab rank over the ~300-row substring-candidate frame",
     "unigram_em_counts"    -> "same piece-vocab rank (shared unigram builder)",
-    "ab_sprt_daily"        -> "cumulative LLR walk over the calendar-bounded day frame")
+    "ab_sprt_daily"        -> "cumulative LLR walk over the calendar-bounded day frame",
+    "heaps_law_fit"        -> "cumulative sums over the 10-row decile checkpoint frame")
 
   test("no unpartitioned window sort outside the bounded-frame allowlist") {
     withFullPlans {
@@ -206,6 +207,9 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "bpe_merges_k", // one-row merge-rule frame × the vocabulary state, once per round
     "bpe_apply",    // same one-row merge-rule frame per round, then a broadcast vocab-sized segmentation map
     "token_pmi_top", // one-row token-total and pair-total frames × scored pairs
+    "bigram_kneser_ney",  // one-row bigram-type-total frame × the scored bigram frame
+    "token_burstiness",   // one-row doc-total frame × the vocab frame
+    "heaps_law_fit",      // one-row max-doc-id frame × the token stream (decile arithmetic)
     "orders_benford",        // one-row total frame × the 9-digit histogram
     "sensor_dft_power",      // 4-row harmonic dim × the hours-sized series
     "calibration_isotonic",  // PAV minimax joins over the 10-row bin frame
