@@ -1955,7 +1955,83 @@ object AnalyticsQueries {
        |       max(cents) - min(cents) AS width_cents
        |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  private val LpaRounds = 4
+
+  /** Label-propagation communities over the co-purchase graph — the
+    * community-DETECTION member of the graph family ([[partKcore]] finds
+    * the dense core, `dedup_components` finds connectivity; LPA finds
+    * assortment clusters — "parts bought together" merchandising
+    * groups): [[LpaRounds]] semi-synchronous rounds where every node
+    * adopts the most frequent label among its neighbors, ties broken by
+    * SMALLEST label (Raghavan et al. 2007; the deterministic tie-break
+    * replaces the paper's random one so both engines — and any two
+    * cluster runs — agree bit-for-bit). The fixed round count is the
+    * scale contract: near-convergence in O(5) rounds is LPA's known
+    * behavior, and a data-dependent stopping rule would make cost
+    * unpredictable at 100 TB.
+    *
+    * Scale shape: per round ONE node-sized equi-join (neighbor labels)
+    * + one grouped count + a per-node argmax window — all shuffles keyed
+    * by node, nothing ever pairs-sized; rounds localCheckpoint (the
+    * k-core lineage-truncation rationale). Labels are node ids, counts
+    * integers — no float anywhere. */
+  def partLabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, dir)
+    val und = edges.select(col("src").as("v"), col("dst").as("u"))
+      .unionAll(edges.select(col("dst").as("v"), col("src").as("u")))
+      .localCheckpoint(false)
+    var labels = und.select(col("v")).distinct().withColumn("lbl", col("v"))
+    for (_ <- 1 to LpaRounds) {
+      val w = Window.partitionBy(col("v")).orderBy(col("c").desc, col("nl"))
+      labels = und
+        .join(labels.select(col("v").as("u"), col("lbl").as("nl")), Seq("u"))
+        .groupBy(col("v"), col("nl")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("v"), col("nl").as("lbl"))
+        // unconditional truncation: each round references the previous
+        // once but the chain still compounds 4 window+join layers — the
+        // k-core plan-growth rationale at smaller exponent
+        .localCheckpoint(false)
+    }
+    val sizes = labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("v").as("part_id"), col("lbl").as("community"),
+        col("community_size"))
+      .orderBy("part_id")
+  }
+
+  private val partLabelPropagationSql: String = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT v, nl AS lbl FROM (
+         |    SELECT v, nl, row_number() OVER (PARTITION BY v
+         |                    ORDER BY c DESC, nl) AS rn
+         |    FROM (SELECT und.v, l${i - 1}.lbl AS nl, count(*) AS c
+         |          FROM und JOIN l${i - 1} ON l${i - 1}.v = und.u
+         |          GROUP BY 1, 2))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT a.pk AS src, b.pk AS dst
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |und AS MATERIALIZED (
+       |  SELECT src AS v, dst AS u FROM e0
+       |  UNION ALL SELECT dst AS v, src AS u FROM e0),
+       |l0 AS MATERIALIZED (SELECT DISTINCT v, v AS lbl FROM und),
+       |$rounds,
+       |s AS (SELECT lbl, count(*) AS community_size FROM l$LpaRounds GROUP BY lbl)
+       |SELECT l.v AS part_id, l.lbl AS community,
+       |       CAST(s.community_size AS BIGINT) AS community_size
+       |FROM l$LpaRounds l JOIN s USING (lbl)
+       |ORDER BY part_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "part_label_propagation"     -> (partLabelPropagation _),
     "user_kmv_distinct"          -> (userKmvDistinct _),
     "orders_range_partition_plan" -> (ordersRangePartitionPlan _),
     "funnel_latency_quantiles" -> (funnelLatencyQuantiles _),
@@ -2000,6 +2076,7 @@ object AnalyticsQueries {
     "distinct_users_approx"    -> (distinctUsersApprox _))
 
   val oracle: Map[String, String] = Map(
+    "part_label_propagation"     -> partLabelPropagationSql,
     "user_kmv_distinct"          -> userKmvDistinctSql,
     "orders_range_partition_plan" -> ordersRangePartitionPlanSql,
     "part_triangles"     -> partTrianglesSql,

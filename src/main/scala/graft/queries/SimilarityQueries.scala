@@ -2077,7 +2077,131 @@ object SimilarityQueries {
       |            / sqrt(CAST(naa AS DOUBLE) * CAST(nbb AS DOUBLE)) * 1e6) AS BIGINT) AS cos_micro
       |FROM g ORDER BY label""".stripMargin
 
+  private val KmppRounds = 3
+  private val KmppOversample = 8L // l: expected samples per round
+  private val KmppM = 1048576L    // 2^20 hash-fraction denominator
+  private val KmppK = 10          // final center count
+
+  /** k-means‖ (k-means parallel) initialization — the scalable seeding
+    * that replaced sequential k-means++ for cluster-scale data (Bahmani
+    * et al., VLDB 2012): k-means++ needs k strictly sequential passes
+    * (each draw depends on the last), while k-means‖ OVERSAMPLES —
+    * [[KmppRounds]] rounds each drawing ~[[KmppOversample]] points with
+    * probability ∝ their squared distance to the current candidate set —
+    * then keeps the [[KmppK]] heaviest candidates by attraction weight
+    * (the top-weight reduction standing in for the final weighted local
+    * k-means, deterministically). The output is the seed set a Lloyd
+    * refinement ([[ivfKmeansRefine]]) would start from — this entry is
+    * the missing INIT half of that pipeline.
+    *
+    * Scale shape: every round is one broadcast-candidates map pass over
+    * the corpus (candidate set ≤ 1 + rounds·O(l) rows) + a one-row φ
+    * aggregate; no shuffle ever carries more than the corpus scan.
+    * Exactness: components quantize to micro-unit BIGINTs, so every
+    * squared distance is an exact integer (d² = |a|²+|b|²−2a·b, all
+    * ≤ ~2.6e14 at 64 dims); the d²-proportional draw is the integer
+    * inequality hash_frac·φ < l·M·d² in DECIMAL(38,0) (the probability-
+    * integral-transform trick — reproducible and cluster-size-
+    * independent, no RNG); weights are exact counts. No float anywhere. */
+  def kmeansParallelInit(spark: SparkSession, dir: String): DataFrame = {
+    val ldot = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    val mv = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x * 1e6).cast("long")).as("mv"))
+      .withColumn("nrm", ldot(col("mv"), col("mv")))
+      .materializeOnce // one scan feeds every round + the weight pass
+    val seed = mv.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("cand_id"), col("mv").as("cmv"),
+        col("nrm").as("cnrm"), lit(0).as("round_added"))
+    def minD2(cands: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2"), col("cand_id"))
+      mv.crossJoin(broadcast(cands))
+        .withColumn("d2",
+          col("nrm") + col("cnrm") - lit(2L) * ldot(col("mv"), col("cmv")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cand_id").as("nearest"), col("d2"))
+    }
+    val cands = (1 to KmppRounds).foldLeft(seed) { (cs, r) =>
+      val d = minD2(cs)
+      val phi = d.agg(sum(col("d2")).as("phi"))
+      val hfrac = pmod(graft.operators.DedupOps.h60(
+        concat(lit(s"kmpp$r:"), col("vec_id").cast("string"))), lit(KmppM))
+      val picked = d.crossJoin(broadcast(phi))
+        .filter(hfrac.cast("decimal(38,0)") * col("phi")
+          < lit(KmppOversample * KmppM).cast("decimal(38,0)") * col("d2"))
+        .join(mv, Seq("vec_id"))
+        .select(col("vec_id").as("cand_id"), col("mv").as("cmv"),
+          col("nrm").as("cnrm"), lit(r).as("round_added"))
+      cs.unionByName(picked).materializeOnce
+    }
+    val weights = minD2(cands)
+      .groupBy(col("nearest").as("cand_id"))
+      .agg(count(lit(1)).as("weight"))
+    cands.select(col("cand_id"), col("round_added"))
+      .join(weights, Seq("cand_id"))
+      .orderBy(col("weight").desc, col("cand_id"))
+      .limit(KmppK)
+      .select(col("cand_id"), col("round_added").cast("long").as("round_added"),
+        col("weight"))
+      .orderBy(col("weight").desc, col("cand_id"))
+  }
+
+  private val kmeansParallelInitSql: String = {
+    def h(r: Int) =
+      s"CAST('0x' || substring(md5('kmpp$r:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    def round(r: Int): String =
+      s"""d$r AS (
+         |  SELECT n.vec_id, min(n.nrm + c.cnrm
+         |           - 2 * CAST(list_dot_product(n.mv, c.cmv) AS BIGINT)) AS d2
+         |  FROM n, c${r - 1} c GROUP BY n.vec_id),
+         |phi$r AS (SELECT sum(d2) AS phi FROM d$r),
+         |s$r AS (
+         |  SELECT d.vec_id FROM d$r d, phi$r
+         |  WHERE CAST(${h(r)} % $KmppM AS HUGEINT) * phi
+         |        < ${KmppOversample * KmppM}::HUGEINT * d.d2),
+         |c$r AS (
+         |  SELECT * FROM c${r - 1}
+         |  UNION ALL
+         |  SELECT n.vec_id AS cand_id, n.mv AS cmv, n.nrm AS cnrm,
+         |         $r AS round_added
+         |  FROM n JOIN s$r USING (vec_id))""".stripMargin
+    s"""WITH m AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS mv
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, mv,
+       |         CAST(list_dot_product(mv, mv) AS BIGINT) AS nrm
+       |  FROM m),
+       |c0 AS (
+       |  SELECT vec_id AS cand_id, mv AS cmv, nrm AS cnrm, 0 AS round_added
+       |  FROM n WHERE vec_id = (SELECT min(vec_id) FROM n)),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |assign AS (
+       |  SELECT vec_id, cand_id FROM (
+       |    SELECT n.vec_id, c.cand_id,
+       |           row_number() OVER (
+       |             PARTITION BY n.vec_id
+       |             ORDER BY n.nrm + c.cnrm
+       |               - 2 * CAST(list_dot_product(n.mv, c.cmv) AS BIGINT),
+       |               c.cand_id) AS rn
+       |    FROM n, c$KmppRounds c) WHERE rn = 1),
+       |w AS (SELECT cand_id, count(*) AS weight FROM assign GROUP BY cand_id)
+       |SELECT c.cand_id, CAST(c.round_added AS BIGINT) AS round_added,
+       |       CAST(w.weight AS BIGINT) AS weight
+       |FROM c$KmppRounds c JOIN w USING (cand_id)
+       |ORDER BY w.weight DESC, c.cand_id
+       |LIMIT $KmppK""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "kmeans_parallel_init" -> (kmeansParallelInit _),
     "embedding_centroid_drift" -> (embeddingCentroidDrift _),
     "coreset_kcenter" -> (coresetKcenter _),
     "knn_mmr_rerank"  -> (knnMmrRerank _),
@@ -2107,6 +2231,7 @@ object SimilarityQueries {
     "label_centroids" -> (labelCentroids _))
 
   val oracle: Map[String, String] = Map(
+    "kmeans_parallel_init" -> kmeansParallelInitSql,
     "coreset_kcenter" -> coresetKcenterSql,
     "knn_mmr_rerank"  -> knnMmrRerankSql,
     "embedding_centroid_drift" -> embeddingCentroidDriftSql,
