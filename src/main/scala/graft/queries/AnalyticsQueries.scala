@@ -1853,8 +1853,14 @@ object AnalyticsQueries {
     * that only has to FIND the k-th smallest — the sketch state is k
     * hashes per group at any scale. Exactness: the estimate numerator
     * (k−1)·2⁶⁰ exceeds BIGINT, so the division runs in DECIMAL/HUGEINT
-    * and floors identically; groups with < k distinct users report the
-    * exact count (the KMV small-set convention). */
+    * and floors identically; groups with < k distinct hashes report the
+    * exact count (the KMV small-set convention). The truth column is
+    * named `distinct_hashes`, not "exact users", deliberately: it counts
+    * distinct 60-bit [[DedupOps.h60]] values, which is the quantity the
+    * sketch actually estimates — a (vanishingly unlikely) md5-prefix
+    * collision between two user_ids would deflate users but not this
+    * baseline, so the error column stays an honest sketch-vs-its-own-
+    * hash-space comparison. */
   def userKmvDistinct(spark: SparkSession, dir: String): DataFrame =
     userKmvDistinctFrom(spark, Tables.events(spark, dir))
 
@@ -1876,12 +1882,12 @@ object AnalyticsQueries {
       .withColumn("n_distinct", count(lit(1)).over(cnt))
       .filter(col("rk") === least(lit(KmvK), col("n_distinct")))
       .select(col("event_type"), lit(KmvK).cast("long").as("k"),
-        col("n_distinct").as("exact_distinct"),
+        col("n_distinct").as("distinct_hashes"),
         when(col("n_distinct") < KmvK, col("n_distinct"))
           .otherwise(expr(s"CAST('$num' AS DECIMAL(38,0)) div h"))
           .as("kmv_est"))
       .withColumn("abs_err_ppm",
-        expr("abs(kmv_est - exact_distinct) * 1000000 div exact_distinct"))
+        expr("abs(kmv_est - distinct_hashes) * 1000000 div distinct_hashes"))
       .orderBy("event_type")
   }
 
@@ -1902,7 +1908,7 @@ object AnalyticsQueries {
        |              ELSE CAST(CAST('$num' AS HUGEINT) // h AS BIGINT) END AS kmv_est
        |  FROM r WHERE rk = least($KmvK, n_distinct))
        |SELECT event_type, CAST($KmvK AS BIGINT) AS k,
-       |       CAST(n_distinct AS BIGINT) AS exact_distinct,
+       |       CAST(n_distinct AS BIGINT) AS distinct_hashes,
        |       CAST(kmv_est AS BIGINT) AS kmv_est,
        |       CAST(abs(kmv_est - n_distinct) * 1000000 // n_distinct AS BIGINT)
        |         AS abs_err_ppm

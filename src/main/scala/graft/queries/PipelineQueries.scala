@@ -2736,8 +2736,14 @@ object PipelineQueries {
       sum(when(col("grp") === 1, col("w")).otherwise(0L)).as("s0"),
       sum(when(col("grp") === 0, 1L).otherwise(0L)).as("n1"),
       sum(when(col("grp") === 0, col("w")).otherwise(0L)).as("s1"))
+      // degenerate-corpus guard: with either source absent the observed
+      // stat is undefined — emit zero rows (matching the oracle's empty
+      // valid×obs join) instead of one NULL-field row, and keep the
+      // division out of the taken branch so ANSI never sees div-by-zero
       .withColumn("delta_obs_micro",
-        expr("s0 * 1000000 div n0 - s1 * 1000000 div n1"))
+        when(col("n0") > 0 && col("n1") > 0,
+          expr("s0 * 1000000 div n0 - s1 * 1000000 div n1")))
+      .filter(col("delta_obs_micro").isNotNull)
     val perms = base
       .withColumn("seed", explode(expr(s"sequence(0, ${PermSeeds - 1})")))
       .withColumn("g", pmod(DedupOps.h60(
@@ -2761,6 +2767,10 @@ object PipelineQueries {
           .cast("long")).as("n_extreme"))
       .withColumn("p_ppm",
         expr("(n_extreme + 1) * 1000000 div (n_valid_perms + 1)"))
+      // second half of the degenerate-corpus guard: the global agg above
+      // emits one NULL-field row over empty input where the oracle's
+      // GROUP BY emits none
+      .filter(col("delta_obs_micro").isNotNull)
   }
 
   private val sourcePermutationTestSql: String = {
@@ -2781,7 +2791,7 @@ object PipelineQueries {
        |obs2 AS (
        |  SELECT n0, n1, s0 * 1000000 // n0 - s1 * 1000000 // n1
        |           AS delta_obs_micro
-       |  FROM obs),
+       |  FROM obs WHERE n0 > 0 AND n1 > 0),
        |perms AS (
        |  SELECT u.seed,
        |         sum(CASE WHEN $h % 2 = 0 THEN 1 ELSE 0 END) AS pn0,

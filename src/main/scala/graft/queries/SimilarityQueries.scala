@@ -2141,7 +2141,7 @@ object SimilarityQueries {
       .groupBy(col("nearest").as("cand_id"))
       .agg(count(lit(1)).as("weight"))
     cands.select(col("cand_id"), col("round_added"))
-      .join(weights, Seq("cand_id"))
+      .join(broadcast(weights), Seq("cand_id"))
       .orderBy(col("weight").desc, col("cand_id"))
       .limit(KmppK)
       .select(col("cand_id"), col("round_added").cast("long").as("round_added"),

@@ -29,7 +29,7 @@ class LayoutSketchSpec extends AnyFunSuite with SparkSpec {
     rows.foreach { r =>
       val t = r.getAs[String]("event_type")
       val hs = byType(t)
-      assert(r.getAs[Long]("exact_distinct") === hs.size.toLong)
+      assert(r.getAs[Long]("distinct_hashes") === hs.size.toLong)
       val est =
         if (hs.size < 128) hs.size.toLong
         else (BigInt(127) * BigInt(2).pow(60) / hs(127)).toLong

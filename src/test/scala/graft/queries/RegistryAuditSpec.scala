@@ -216,7 +216,12 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     // generated hourly spine × small station dim
     "sensor_hourly_spine",
     // bounded pair stage (Σ basket², measured linear to 50× in ScaleSmoke)
-    "part_pair_lift", "part_triangles")
+    "part_pair_lift", "part_triangles",
+    // broadcast candidate/φ frames: the build side starts as a limit(1)
+    // seed and grows only by the hash-threshold draws (expected ≤
+    // oversample·rounds rows, ≤ 1+3·8 here); the per-round φ frame is
+    // one row. Bound-in-plan verified by the dedicated test below.
+    "kmeans_parallel_init")
 
   test("no all-pairs product outside the labeled bounded baselines") {
     withFullPlans {
@@ -267,6 +272,28 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
         assert(plan.contains(bound),
           s"$name: expected id bound $bound in the physical plan")
       }
+      spark.catalog.clearCache()
+    }
+  }
+
+  // kmeans_parallel_init's BNLJ license: the broadcast build side must be
+  // the candidate frame, whose size is bounded by construction — a
+  // limit(1) seed plus hash-threshold draws (the l·M threshold constant
+  // in the filter is what caps the expected draws per round). Verify both
+  // bounds are actually in the physical plan so a rewrite that widens the
+  // broadcast side to a corpus-sized frame, or drops the draw threshold,
+  // fails here rather than silently keeping the allowlist entry above.
+  test("kmeans_parallel_init BNLJ build side carries the seed and draw bounds") {
+    withFullPlans {
+      val dir = "/root/testdata/sf0.001"
+      val plan = Registry.queries("kmeans_parallel_init")(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin"),
+        "expected the broadcast-candidates map pass in the plan")
+      // l·M = 8·2^20: the hash-fraction draw threshold bounding expected
+      // candidates per round
+      assert(plan.contains("8388608"),
+        "expected the l*M draw-threshold literal in the physical plan")
       spark.catalog.clearCache()
     }
   }
