@@ -393,6 +393,20 @@ object ScaleSmoke {
     time("kmv_distinct")(
       graft.queries.AnalyticsQueries.userKmvDistinctFrom(spark, evK).count())
 
+    // KMV pair overlap: same evK feed — adds the h-keyed exact-anchor
+    // self-join (output ∝ users, never users²) on top of the distinct
+    // collapse; the sketch-combine stages stay |types|²·128-sized, so
+    // wall must track the anchor join ~linearly in K
+    time("kmv_overlap")(
+      graft.queries.AnalyticsQueries.userKmvOverlapFrom(spark, evK).count())
+
+    // histogram quantile sketch: two map-side-partial scans + bin-frame
+    // arithmetic; the exact-anchor GlobalWindow numbering is the only
+    // sorted stage — wall must track the feed ~linearly in K with the
+    // 256-bin tail flat
+    time("hist_quantiles")(
+      graft.queries.AnalyticsQueries.valueHistQuantilesFrom(spark, evK).count())
+
     // robust-series tier: the evScaled-style WITHIN-user replication is
     // the interesting case for the hourly collapse (per-hour counts
     // deepen K×, the CALENDAR does not), so the Mann–Kendall pair join

@@ -1915,6 +1915,270 @@ object AnalyticsQueries {
        |FROM s ORDER BY event_type""".stripMargin
   }
 
+  /** KMV sketch set-overlap between event-type audiences — the payoff
+    * [[userKmvDistinct]]'s scaladoc promises: bottom-k sketches support
+    * set INTERSECTION estimates (Beyer et al., SIGMOD 2007, "On synopses
+    * for distinct-value estimation under multiset operations"), which
+    * HLL can only reach indirectly through union inclusion-exclusion
+    * (`distinct_users_hll_union`). For each unordered type pair the two
+    * k=[[KmvK]] sketches combine into the union's bottom-k': est_union =
+    * (k−1)·2⁶⁰/h_k' (exact when the combined sketch holds fewer than k
+    * hashes), the match fraction m/k' estimates Jaccard, and est_inter =
+    * m·est_union/k'. The exact hash-intersection rides along as the
+    * verification anchor (the `distinct_hashes` convention: both legs
+    * count 60-bit [[DedupOps.h60]] values, so the error column is a pure
+    * sketch-vs-truth comparison in one hash space).
+    *
+    * Scale shape: the sketch path is the same ONE distinct collapse as
+    * [[userKmvDistinct]] plus a per-type bottom-k (k hashes/group state
+    * at any scale) followed by arithmetic on |types|²·k-row frames; the
+    * exact anchor is the only data-sized leg (h-keyed self equi-join,
+    * output ∝ users like `user_overlap_matrix`, never users²) and is
+    * precisely what a 100 TB run drops, keeping sketches only. Pairs
+    * with an empty hash intersection are absent by construction in both
+    * dialects (the `user_overlap_matrix` convention). Exactness: pure
+    * integer arithmetic; the estimate divisions run in DECIMAL/HUGEINT
+    * and floor identically. */
+  def userKmvOverlap(spark: SparkSession, dir: String): DataFrame =
+    userKmvOverlapFrom(spark, Tables.events(spark, dir))
+
+  /** [[userKmvOverlap]] over an arbitrary events frame — the ScaleSmoke
+    * entry point: the distinct collapse and the h-keyed exact anchor are
+    * the only data-sized stages, so wall must track the feed ~linearly
+    * while the sketch-combine stages stay |types|²·k-sized. */
+  private[graft] def userKmvOverlapFrom(
+      spark: SparkSession, events: DataFrame): DataFrame = {
+    val hashes = events
+      .select(col("event_type"),
+        DedupOps.h60(col("user_id").cast("string")).as("h"))
+      .distinct()
+      .materializeOnce // sketches + the exact anchor share one collapse
+    val sk = hashes
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("h"))))
+      .filter(col("rk") <= KmvK)
+      .select(col("event_type"), col("h"))
+    val exact = hashes.select(col("event_type").as("type_a"), col("h"))
+      .join(hashes.select(col("event_type").as("type_b"), col("h")), "h")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("exact_inter_hashes"))
+      .materializeOnce // pair dim for the sketch path + the final anchor
+    val pairDim = exact.select(col("type_a"), col("type_b"))
+    val tagged = sk
+      .select(col("event_type").as("type_a"), col("h"),
+        lit(1L).as("in_a"), lit(0L).as("in_b"))
+      .join(broadcast(pairDim), "type_a")
+      .unionByName(sk
+        .select(col("event_type").as("type_b"), col("h"),
+          lit(0L).as("in_a"), lit(1L).as("in_b"))
+        .join(broadcast(pairDim), "type_b"))
+    val pw = Window.partitionBy(col("type_a"), col("type_b")).orderBy(col("h"))
+    val pc = Window.partitionBy(col("type_a"), col("type_b"))
+    val num = (BigInt(KmvK - 1) * BigInt(2).pow(60)).toString
+    val scored = tagged
+      .groupBy(col("type_a"), col("type_b"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+      .withColumn("rk", row_number().over(pw))
+      .withColumn("n_union_sk", count(lit(1)).over(pc))
+      .withColumn("kk", least(lit(KmvK.toLong), col("n_union_sk")))
+      .filter(col("rk") <= col("kk"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(
+        max(col("kk")).as("kk"),
+        max(col("n_union_sk")).as("n_union_sk"),
+        max(when(col("rk") === col("kk"), col("h"))).as("hk"),
+        sum(col("in_a") * col("in_b")).as("matches"))
+      .withColumn("est_union",
+        when(col("n_union_sk") < KmvK, col("n_union_sk"))
+          .otherwise(expr(s"CAST('$num' AS DECIMAL(38,0)) div hk")))
+      .withColumn("est_inter",
+        expr("CAST(matches AS DECIMAL(38,0)) * est_union div kk"))
+    scored.join(broadcast(exact), Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), lit(KmvK).cast("long").as("k"),
+        col("n_union_sk"), col("matches"), col("est_union"), col("est_inter"),
+        expr("matches * 1000000 div kk").as("jaccard_est_ppm"),
+        col("exact_inter_hashes"),
+        expr("abs(est_inter - exact_inter_hashes) * 1000000 div exact_inter_hashes")
+          .as("err_ppm"))
+      .orderBy("type_a", "type_b")
+  }
+
+  private val userKmvOverlapSql: String = {
+    val num = (BigInt(KmvK - 1) * BigInt(2).pow(60)).toString
+    s"""WITH h AS (
+       |  SELECT DISTINCT event_type,
+       |         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |  FROM events),
+       |sk AS (
+       |  SELECT event_type, h FROM (
+       |    SELECT event_type, h,
+       |           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+       |    FROM h) WHERE rk <= $KmvK),
+       |x AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |         count(*) AS exact_inter_hashes
+       |  FROM h a JOIN h b ON a.h = b.h AND a.event_type < b.event_type
+       |  GROUP BY 1, 2),
+       |tagged AS (
+       |  SELECT e.type_a, e.type_b, s.h, 1 AS in_a, 0 AS in_b
+       |  FROM sk s JOIN x e ON s.event_type = e.type_a
+       |  UNION ALL
+       |  SELECT e.type_a, e.type_b, s.h, 0 AS in_a, 1 AS in_b
+       |  FROM sk s JOIN x e ON s.event_type = e.type_b),
+       |u AS (
+       |  SELECT type_a, type_b, h, max(in_a) AS in_a, max(in_b) AS in_b
+       |  FROM tagged GROUP BY 1, 2, 3),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rk,
+       |         count(*) OVER (PARTITION BY type_a, type_b) AS n_union_sk
+       |  FROM u),
+       |s AS (
+       |  SELECT type_a, type_b,
+       |         max(least($KmvK, n_union_sk)) AS kk,
+       |         max(n_union_sk) AS n_union_sk,
+       |         max(CASE WHEN rk = least($KmvK, n_union_sk) THEN h END) AS hk,
+       |         sum(in_a * in_b) AS matches
+       |  FROM r WHERE rk <= least($KmvK, n_union_sk)
+       |  GROUP BY 1, 2),
+       |est AS (
+       |  SELECT type_a, type_b, kk, n_union_sk, matches,
+       |         CASE WHEN n_union_sk < $KmvK THEN n_union_sk
+       |              ELSE CAST(CAST('$num' AS HUGEINT) // hk AS BIGINT) END AS est_union
+       |  FROM s),
+       |e2 AS (
+       |  SELECT *, CAST(CAST(matches AS HUGEINT) * est_union // kk AS BIGINT)
+       |           AS est_inter
+       |  FROM est)
+       |SELECT e2.type_a, e2.type_b, CAST($KmvK AS BIGINT) AS k,
+       |       CAST(e2.n_union_sk AS BIGINT) AS n_union_sk,
+       |       CAST(e2.matches AS BIGINT) AS matches,
+       |       CAST(e2.est_union AS BIGINT) AS est_union,
+       |       e2.est_inter,
+       |       CAST(e2.matches * 1000000 // e2.kk AS BIGINT) AS jaccard_est_ppm,
+       |       CAST(x.exact_inter_hashes AS BIGINT) AS exact_inter_hashes,
+       |       CAST(abs(e2.est_inter - x.exact_inter_hashes) * 1000000
+       |            // x.exact_inter_hashes AS BIGINT) AS err_ppm
+       |FROM e2 JOIN x ON x.type_a = e2.type_a AND x.type_b = e2.type_b
+       |ORDER BY e2.type_a, e2.type_b""".stripMargin
+  }
+
+  private val HistBins = 256
+
+  /** Histogram quantile sketch over the event value stream — the
+    * QUANTILE member of the sketch tier (HLL answers cardinality, CMS
+    * frequency, KMV distinct-with-intersection; none answers "what is
+    * p99?"). [[HistBins]] equi-width bins over the observed [min,max]
+    * give a fixed-size mergeable summary; each requested centile is
+    * answered by locating its rank's bin and interpolating linearly
+    * inside it. The exact k-th order statistic (same ⌈q·n/100⌉ rank rule
+    * as `funnel_latency_quantiles`) rides along as the verification
+    * anchor, with the histogram guarantee made checkable: the estimate
+    * and the true order statistic share a bin, so `within_bin` (|err| ≤
+    * that bin's width) must be TRUE on every row.
+    *
+    * Scale shape: the sketch path is two scans (min/max/count, then the
+    * bin histogram — both map-side partial) and arithmetic on a
+    * [[HistBins]]-row frame; the cumsum runs on that bounded frame. The
+    * exact anchor is the only sorted data-sized leg (GlobalWindow
+    * two-phase numbering) and is what a 100 TB run drops — production
+    * keeps the histogram, which merges across partitions/days for free.
+    * Exactness: values quantize to micro-unit BIGINTs via floor (no
+    * half-case round), every boundary and interpolation is integer
+    * division — no float anywhere. */
+  def valueHistQuantiles(spark: SparkSession, dir: String): DataFrame =
+    valueHistQuantilesFrom(spark, Tables.events(spark, dir))
+
+  /** [[valueHistQuantiles]] over an arbitrary events frame — the
+    * ScaleSmoke entry point: two map-side-partial scans plus bin-frame
+    * arithmetic on the sketch path; only the exact-anchor leg sorts. */
+  private[graft] def valueHistQuantilesFrom(
+      spark: SparkSession, events: DataFrame): DataFrame = {
+    val qPcts = Seq(25L, 50L, 75L, 90L, 99L)
+    val v = events
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), floor(col("value") * 1e6).cast("long").as("v"))
+      .materializeOnce // stats scan + histogram + the exact anchor
+    val mm = v.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"),
+      count(lit(1)).as("n"))
+    val hist = v.crossJoin(broadcast(mm))
+      .withColumn("bin", expr(s"(v - vmin) * $HistBins div (vmax - vmin + 1)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_before", col("cum") - col("c"))
+    val est = cum.crossJoin(broadcast(mm))
+      .withColumn("w", col("vmax") - col("vmin") + 1)
+      .withColumn("q", explode(array(qPcts.map(lit): _*)))
+      .withColumn("r", expr("(n * q + 99) div 100"))
+      .filter(col("cum_before") < col("r") && col("r") <= col("cum"))
+      .withColumn("lo", col("vmin") + expr(s"bin * w div $HistBins"))
+      .withColumn("width",
+        expr(s"(bin + 1) * w div $HistBins") - expr(s"bin * w div $HistBins"))
+      .withColumn("est", col("lo") + expr("(r - cum_before - 1) * width div c"))
+    val exact = GlobalWindow
+      .rowNumberWithCount(v, "rnk", "nn")(col("v"), col("event_id"))
+      .withColumn("q", explode(array(qPcts.map(lit): _*)))
+      .filter(col("rnk") === expr("(nn * q + 99) div 100"))
+      .select(col("q"), col("v").as("exact_v"))
+    est.join(exact, Seq("q"))
+      .select(col("q").as("q_pct"), col("n"), col("bin"),
+        col("c").as("bin_count"), col("width").as("bin_width"),
+        col("est").as("est_micro"), col("exact_v").as("exact_micro"),
+        abs(col("est") - col("exact_v")).as("abs_err"),
+        (abs(col("est") - col("exact_v")) <= col("width")).as("within_bin"))
+      .orderBy("q_pct")
+  }
+
+  private val valueHistQuantilesSql: String =
+    s"""WITH v AS (
+       |  SELECT event_id, CAST(floor(value * 1e6) AS BIGINT) AS v
+       |  FROM events WHERE value IS NOT NULL),
+       |mm AS (SELECT min(v) AS vmin, max(v) AS vmax, count(*) AS n FROM v),
+       |b AS (
+       |  SELECT (v.v - mm.vmin) * $HistBins // (mm.vmax - mm.vmin + 1) AS bin
+       |  FROM v, mm),
+       |hist AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
+       |cum AS (
+       |  SELECT bin, c,
+       |         sum(c) OVER (ORDER BY bin
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM hist),
+       |qs AS (
+       |  SELECT qq.q, mm.n, cum.bin, cum.c, cum.cum - cum.c AS cum_before,
+       |         mm.vmin, mm.vmax - mm.vmin + 1 AS w,
+       |         (mm.n * qq.q + 99) // 100 AS r
+       |  FROM cum, mm, (SELECT unnest([25, 50, 75, 90, 99]) AS q) qq
+       |  WHERE cum.cum - cum.c < (mm.n * qq.q + 99) // 100
+       |    AND (mm.n * qq.q + 99) // 100 <= cum.cum),
+       |e2 AS (
+       |  SELECT q, n, bin, c, cum_before,
+       |         (bin + 1) * w // $HistBins - bin * w // $HistBins AS width,
+       |         vmin + bin * w // $HistBins
+       |           + (r - cum_before - 1)
+       |             * ((bin + 1) * w // $HistBins - bin * w // $HistBins) // c
+       |           AS est
+       |  FROM qs),
+       |ex AS (
+       |  SELECT qq.q AS q, r2.v AS exact_v
+       |  FROM (SELECT v, event_id,
+       |               row_number() OVER (ORDER BY v, event_id) AS rnk,
+       |               count(*) OVER () AS nn
+       |        FROM v) r2,
+       |       (SELECT unnest([25, 50, 75, 90, 99]) AS q) qq
+       |  WHERE r2.rnk = (r2.nn * qq.q + 99) // 100)
+       |SELECT CAST(e2.q AS BIGINT) AS q_pct, CAST(e2.n AS BIGINT) AS n,
+       |       CAST(e2.bin AS BIGINT) AS bin, CAST(e2.c AS BIGINT) AS bin_count,
+       |       CAST(e2.width AS BIGINT) AS bin_width,
+       |       CAST(e2.est AS BIGINT) AS est_micro,
+       |       CAST(ex.exact_v AS BIGINT) AS exact_micro,
+       |       CAST(abs(e2.est - ex.exact_v) AS BIGINT) AS abs_err,
+       |       abs(e2.est - ex.exact_v) <= e2.width AS within_bin
+       |FROM e2 JOIN ex ON ex.q = e2.q
+       |ORDER BY q_pct""".stripMargin
+
   private val RangeBuckets = 32
 
   /** Range-partition plan for the orders fact keyed on total price — the
@@ -1982,6 +2246,20 @@ object AnalyticsQueries {
     * k-core lineage-truncation rationale). Labels are node ids, counts
     * integers — no float anywhere. */
   def partLabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val (_, _, labels) = lpaState(spark, dir)
+    val sizes = labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("v").as("part_id"), col("lbl").as("community"),
+        col("community_size"))
+      .orderBy("part_id")
+  }
+
+  /** The (edges, undirected-adjacency, final-labels) triple behind the
+    * LPA family ([[partLabelPropagation]], [[partCommunityModularity]]).
+    * Labels come out checkpoint-truncated, safe to reference many times. */
+  private def lpaState(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val edges = coPurchaseEdges(spark, dir)
     val und = edges.select(col("src").as("v"), col("dst").as("u"))
       .unionAll(edges.select(col("dst").as("v"), col("src").as("u")))
@@ -2000,12 +2278,113 @@ object AnalyticsQueries {
         // k-core plan-growth rationale at smaller exponent
         .localCheckpoint(false)
     }
-    val sizes = labels.groupBy(col("lbl"))
-      .agg(count(lit(1)).as("community_size"))
-    labels.join(sizes, Seq("lbl"))
-      .select(col("v").as("part_id"), col("lbl").as("community"),
-        col("community_size"))
-      .orderBy("part_id")
+    (edges, und, labels)
+  }
+
+  /** Newman modularity of [[partLabelPropagation]]'s communities — the
+    * quality score that makes the LPA output actionable: Q = Σ_c [L_c/m −
+    * (d_c/2m)²] (Newman & Girvan 2004), per-community contributions
+    * emitted as exact-integer ppm terms (4m·L_c − d_c²)·10⁶/(4m²) plus
+    * the global Q from the untruncated numerator sum. A near-zero or
+    * negative contribution flags a community the fixed-round LPA failed
+    * to separate — the convergence check the fixed round-count contract
+    * otherwise lacks.
+    *
+    * Scale shape: on top of the LPA rounds this adds only node-keyed
+    * joins (labels onto edges/degrees) and community-sized aggregates;
+    * the one-row m/global-sum frames broadcast onto the community frame.
+    * Exactness: pure integer counts; both ppm divisions run in
+    * DECIMAL/HUGEINT and truncate toward zero identically. */
+  def partCommunityModularity(spark: SparkSession, dir: String): DataFrame = {
+    val (edges, und, labels) = lpaState(spark, dir)
+    val mF = edges.agg(count(lit(1)).as("m"))
+    val deg = und.groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val dSum = labels.join(deg, Seq("v"))
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("community_size"), sum(col("d")).as("degree_sum"))
+    val internal = edges
+      .join(labels.select(col("v").as("src"), col("lbl").as("ls")), Seq("src"))
+      .join(labels.select(col("v").as("dst"), col("lbl").as("ld")), Seq("dst"))
+      .filter(col("ls") === col("ld"))
+      .groupBy(col("ls"))
+      .agg(count(lit(1)).as("internal_edges"))
+      .select(col("ls").as("lbl"), col("internal_edges"))
+    val per = dSum.join(internal, Seq("lbl"), "left")
+      .withColumn("internal_edges", coalesce(col("internal_edges"), lit(0L)))
+      .crossJoin(broadcast(mF))
+      .withColumn("num",
+        expr("4 * m * internal_edges - degree_sum * degree_sum"))
+      .withColumn("contribution_ppm",
+        expr("CAST(num AS DECIMAL(38,0)) * 1000000" +
+          " div (4 * CAST(m AS DECIMAL(38,0)) * m)"))
+    val tot = per
+      .agg(sum(col("num")).as("tnum"), max(col("m")).as("mm"))
+      .select(expr("CAST(tnum AS DECIMAL(38,0)) * 1000000" +
+        " div (4 * CAST(mm AS DECIMAL(38,0)) * mm)").as("q_total_ppm"))
+    per.crossJoin(broadcast(tot))
+      .select(col("lbl").as("community"), col("community_size"),
+        col("degree_sum"), col("internal_edges"), col("m").as("n_edges"),
+        col("contribution_ppm"), col("q_total_ppm"))
+      .orderBy("community")
+  }
+
+  private val partCommunityModularitySql: String = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT v, nl AS lbl FROM (
+         |    SELECT v, nl, row_number() OVER (PARTITION BY v
+         |                    ORDER BY c DESC, nl) AS rn
+         |    FROM (SELECT und.v, l${i - 1}.lbl AS nl, count(*) AS c
+         |          FROM und JOIN l${i - 1} ON l${i - 1}.v = und.u
+         |          GROUP BY 1, 2))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT a.pk AS src, b.pk AS dst
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |und AS MATERIALIZED (
+       |  SELECT src AS v, dst AS u FROM e0
+       |  UNION ALL SELECT dst AS v, src AS u FROM e0),
+       |l0 AS MATERIALIZED (SELECT DISTINCT v, v AS lbl FROM und),
+       |$rounds,
+       |mf AS (SELECT count(*) AS m FROM e0),
+       |deg AS (SELECT v, count(*) AS d FROM und GROUP BY v),
+       |ds AS (
+       |  SELECT l.lbl, count(*) AS community_size, sum(deg.d) AS degree_sum
+       |  FROM l$LpaRounds l JOIN deg ON deg.v = l.v
+       |  GROUP BY l.lbl),
+       |inte AS (
+       |  SELECT ls.lbl AS lbl, count(*) AS internal_edges
+       |  FROM e0
+       |  JOIN l$LpaRounds ls ON ls.v = e0.src
+       |  JOIN l$LpaRounds ld ON ld.v = e0.dst
+       |  WHERE ls.lbl = ld.lbl
+       |  GROUP BY 1),
+       |per AS (
+       |  SELECT ds.lbl, ds.community_size, ds.degree_sum,
+       |         coalesce(inte.internal_edges, 0) AS internal_edges,
+       |         mf.m,
+       |         4 * mf.m * coalesce(inte.internal_edges, 0)
+       |           - ds.degree_sum * ds.degree_sum AS num
+       |  FROM ds LEFT JOIN inte ON inte.lbl = ds.lbl CROSS JOIN mf),
+       |tot AS (
+       |  SELECT CAST(CAST(sum(num) AS HUGEINT) * 1000000
+       |              // (4 * CAST(max(m) AS HUGEINT) * max(m)) AS BIGINT)
+       |           AS q_total_ppm
+       |  FROM per)
+       |SELECT per.lbl AS community,
+       |       CAST(per.community_size AS BIGINT) AS community_size,
+       |       CAST(per.degree_sum AS BIGINT) AS degree_sum,
+       |       CAST(per.internal_edges AS BIGINT) AS internal_edges,
+       |       CAST(per.m AS BIGINT) AS n_edges,
+       |       CAST(CAST(per.num AS HUGEINT) * 1000000
+       |            // (4 * CAST(per.m AS HUGEINT) * per.m) AS BIGINT)
+       |         AS contribution_ppm,
+       |       tot.q_total_ppm
+       |FROM per CROSS JOIN tot
+       |ORDER BY community""".stripMargin
   }
 
   private val partLabelPropagationSql: String = {
@@ -2038,7 +2417,10 @@ object AnalyticsQueries {
 
   val queries: Map[String, Q] = Map(
     "part_label_propagation"     -> (partLabelPropagation _),
+    "part_community_modularity"  -> (partCommunityModularity _),
     "user_kmv_distinct"          -> (userKmvDistinct _),
+    "user_kmv_overlap"           -> (userKmvOverlap _),
+    "value_hist_quantiles"       -> (valueHistQuantiles _),
     "orders_range_partition_plan" -> (ordersRangePartitionPlan _),
     "funnel_latency_quantiles" -> (funnelLatencyQuantiles _),
     "part_triangles"     -> (partTriangles _),
@@ -2083,7 +2465,10 @@ object AnalyticsQueries {
 
   val oracle: Map[String, String] = Map(
     "part_label_propagation"     -> partLabelPropagationSql,
+    "part_community_modularity"  -> partCommunityModularitySql,
     "user_kmv_distinct"          -> userKmvDistinctSql,
+    "user_kmv_overlap"           -> userKmvOverlapSql,
+    "value_hist_quantiles"       -> valueHistQuantilesSql,
     "orders_range_partition_plan" -> ordersRangePartitionPlanSql,
     "part_triangles"     -> partTrianglesSql,
     "part_local_clustering" -> partLocalClusteringSql,

@@ -1546,6 +1546,64 @@ object TextQueries {
           .as("herdan_c"))
       .orderBy("doc_id")
 
+  /** Character-level Shannon entropy per document over the alphanumeric
+    * stream — the quality signal that catches what token-level rules
+    * miss: keyboard mash, repeated-character padding, and base64-ish
+    * blobs all have character distributions far from natural text
+    * (English letters sit near 2.9 nats; a one-character doc scores 0).
+    * Emits H in nats (H = ln n − Σc·ln c / n, the [[eventMarkovEntropy]]
+    * decimal discipline), the dominant-character share as a second
+    * degenerate-text signal, and a `low_entropy` flag at H < 2.0 nats.
+    * Documents with no [a-z0-9] characters have no distribution to score
+    * and are absent, identically in both dialects.
+    *
+    * Scale shape: explode → two grouped aggregates, all keyed by doc —
+    * the same one-pass map/aggregate shape as every per-doc quality
+    * scorer; per-doc state is the ≤36-symbol histogram. */
+  def docCharEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]', 0)")).as("ch"))
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum((col("c") * round(log(col("c").cast("double")), 6))
+          .cast("decimal(28,10)")).as("sum_clc"),
+        max(col("c")).as("maxc"))
+      .withColumn("h_nats",
+        round(round(log(col("n_chars").cast("double")), 6)
+          - col("sum_clc").cast("double") / col("n_chars"), 6))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+        col("h_nats"),
+        expr("maxc * 1000000 div n_chars").as("max_char_share_ppm"),
+        (col("h_nats") < 2.0).as("low_entropy"))
+      .orderBy("doc_id")
+
+  private val docCharEntropySql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, u.ch, count(*) AS c
+      |  FROM documents,
+      |       LATERAL (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]')) AS ch) u
+      |  GROUP BY doc_id, u.ch),
+      |d AS (
+      |  SELECT doc_id, sum(c) AS n_chars, count(*) AS n_distinct_chars,
+      |         CAST(sum(CAST(c * round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(28,10))) AS DOUBLE) AS sum_clc,
+      |         max(c) AS maxc
+      |  FROM ch GROUP BY doc_id),
+      |f AS (
+      |  SELECT doc_id, n_chars, n_distinct_chars,
+      |         round(round(ln(CAST(n_chars AS DOUBLE)), 6) - sum_clc / n_chars, 6) AS h_nats,
+      |         maxc * 1000000 // n_chars AS share
+      |  FROM d)
+      |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+      |       CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars,
+      |       h_nats,
+      |       CAST(share AS BIGINT) AS max_char_share_ppm,
+      |       h_nats < 2.0 AS low_entropy
+      |FROM f ORDER BY doc_id""".stripMargin
+
   private val docLexicalDiversitySql: String =
     """WITH t AS (
       |  SELECT doc_id,
@@ -1576,6 +1634,7 @@ object TextQueries {
     "token_burstiness"      -> (tokenBurstiness _),
     "doc_readability"       -> (docReadability _),
     "doc_lexical_diversity" -> (docLexicalDiversity _),
+    "doc_char_entropy"      -> (docCharEntropy _),
     "token_cms_freq_est" -> (tokenCmsFreqEst _),
     "doc_lm_score"    -> (docLmScore _),
     "doc_classifier_score" -> (docClassifierScore _),
@@ -1604,6 +1663,7 @@ object TextQueries {
     "token_burstiness"      -> tokenBurstinessSql,
     "doc_readability"       -> docReadabilitySql,
     "doc_lexical_diversity" -> docLexicalDiversitySql,
+    "doc_char_entropy"      -> docCharEntropySql,
     "token_cms_freq_est" -> tokenCmsFreqEstSql,
     "doc_lm_score"    -> docLmScoreSql,
     "doc_classifier_score" -> docClassifierScoreSql,

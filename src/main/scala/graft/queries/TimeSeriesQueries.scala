@@ -88,6 +88,25 @@ object TimeSeriesQueries {
     * exact-decimal-summed; the shared denominator is computed once per
     * sensor and broadcast back. */
   def sensorAcf(spark: SparkSession, dir: String): DataFrame = {
+    val (centered, den) = hourlyCentered(spark, dir)
+    lagProducts(spark, centered)
+      .groupBy(col("sensor_id"), col("lag"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum((col("cx") * col("cx_b")).cast("decimal(28,10)"))
+          .cast("double").as("num"))
+      .join(broadcast(den), Seq("sensor_id"))
+      .select(col("sensor_id"), col("lag"), col("n_terms"),
+        when(col("den") > 0, round(col("num") / col("den"), 6)).as("acf"))
+      .orderBy("sensor_id", "lag")
+  }
+
+  /** Shared centering stage for the autocorrelation family ([[sensorAcf]],
+    * [[sensorLjungBox]]): per sensor the 6-dp hourly-mean series as
+    * (position, x − x̄), materialized once, plus its squared-deviation
+    * denominator Σ(x−x̄)². */
+  private def hourlyCentered(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import QueryConventions.MaterializeSyntax
     val byHour = validReadings(spark, dir)
       .groupBy(col("sensor_id"), date_trunc("hour", col("ts")).as("h"))
@@ -108,6 +127,12 @@ object TimeSeriesQueries {
     val den = centered.groupBy(col("sensor_id"))
       .agg(sum((col("cx") * col("cx")).cast("decimal(28,10)"))
         .cast("double").as("den"))
+    (centered, den)
+  }
+
+  /** The 6-lag (t, t−k) pairing of a centered series — the hours-sized
+    * self-join both autocorrelation entries aggregate over. */
+  private def lagProducts(spark: SparkSession, centered: DataFrame): DataFrame = {
     val lags = spark.range(1, 7).select(col("id").cast("int").as("lag"))
     val a = centered.select(col("sensor_id"), col("p"), col("cx"))
     val b = centered.select(
@@ -115,15 +140,6 @@ object TimeSeriesQueries {
     a.crossJoin(broadcast(lags))
       .join(b,
         col("sensor_id") === col("sensor_id_b") && col("p_b") === col("p") - col("lag"))
-      .groupBy(col("sensor_id"), col("lag"))
-      .agg(
-        count(lit(1)).as("n_terms"),
-        sum((col("cx") * col("cx_b")).cast("decimal(28,10)"))
-          .cast("double").as("num"))
-      .join(broadcast(den), Seq("sensor_id"))
-      .select(col("sensor_id"), col("lag"), col("n_terms"),
-        when(col("den") > 0, round(col("num") / col("den"), 6)).as("acf"))
-      .orderBy("sensor_id", "lag")
   }
 
   private val sensorAcfSql: String =
@@ -157,6 +173,90 @@ object TimeSeriesQueries {
       |       CASE WHEN den.den > 0 THEN round(num.num / den.den, 6) END AS acf
       |FROM num JOIN den ON den.sensor_id = num.sensor_id
       |ORDER BY num.sensor_id, lag""".stripMargin
+
+  /** Ljung–Box portmanteau test over [[sensorAcf]]'s first 6 lags: Q =
+    * n(n+2)·Σ_k r_k²/(n−k), the one-number answer to "is this sensor's
+    * hourly series white noise, or does it carry structure?" — the
+    * standard residual diagnostic to run AFTER detrending/deseasonalizing
+    * (`sensor_seasonal_residuals`): a Q above the χ²₆ 95% critical value
+    * (12.591587) rejects independence. Expressed off the same centered
+    * frame as the ACF, with r_k kept in its exact c_k/c₀ form so the
+    * statistic never passes through the rounded per-lag output.
+    *
+    * Shape: identical to [[sensorAcf]] — one data-sized collapse to the
+    * hourly frame, then the 6-lag self-join and per-sensor 6-term
+    * reduction, all hours-sized. Exactness: lag products and the
+    * c_k²/(n−k) terms are decimal-summed (order-independent); the single
+    * n(n+2)·Σ/c₀² division happens once in double and rounds to 6 dp. */
+  def sensorLjungBox(spark: SparkSession, dir: String): DataFrame = {
+    val (centered, den) = hourlyCentered(spark, dir)
+    val nObs = centered.groupBy(col("sensor_id"))
+      .agg(count(lit(1)).as("n_obs"))
+    val ck = lagProducts(spark, centered)
+      .groupBy(col("sensor_id"), col("lag"))
+      .agg(sum((col("cx") * col("cx_b")).cast("decimal(28,10)"))
+        .cast("double").as("ck"))
+    ck.join(broadcast(nObs), Seq("sensor_id"))
+      .withColumn("term",
+        (col("ck") * col("ck") / (col("n_obs") - col("lag")))
+          .cast("decimal(28,10)"))
+      .groupBy(col("sensor_id"), col("n_obs"))
+      .agg(count(lit(1)).as("lags"), sum(col("term")).as("sterm"))
+      .join(broadcast(den), Seq("sensor_id"))
+      .withColumn("q_stat",
+        when(col("den") > 0,
+          round(col("n_obs") * (col("n_obs") + 2) * col("sterm").cast("double")
+            / (col("den") * col("den")), 6)))
+      .select(col("sensor_id"), col("n_obs"), col("lags"), col("q_stat"),
+        lit(12.591587).as("chi2_crit_950"),
+        (col("q_stat") > 12.591587).as("white_noise_rejected"))
+      .orderBy("sensor_id")
+  }
+
+  private val sensorLjungBoxSql: String =
+    """WITH byhour AS (
+      |  SELECT event_type AS sensor_id,
+      |         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+      |         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS x
+      |  FROM events
+      |  WHERE event_type <> 'error' AND value IS NOT NULL
+      |  GROUP BY 1, 2),
+      |centered AS (
+      |  SELECT sensor_id,
+      |         row_number() OVER (PARTITION BY sensor_id ORDER BY h) AS p,
+      |         x - round(CAST(sum(CAST(x AS DECIMAL(18,6))) OVER (PARTITION BY sensor_id) AS DOUBLE)
+      |                   / count(*) OVER (PARTITION BY sensor_id), 6) AS cx
+      |  FROM byhour),
+      |den AS (
+      |  SELECT sensor_id,
+      |         CAST(sum(CAST(cx * cx AS DECIMAL(28,10))) AS DOUBLE) AS den
+      |  FROM centered GROUP BY 1),
+      |nobs AS (SELECT sensor_id, count(*) AS n_obs FROM centered GROUP BY 1),
+      |ck AS (
+      |  SELECT a.sensor_id, k.lag,
+      |         CAST(sum(CAST(a.cx * b.cx AS DECIMAL(28,10))) AS DOUBLE) AS ck
+      |  FROM centered a
+      |  CROSS JOIN (SELECT unnest(range(1, 7)) AS lag) k
+      |  JOIN centered b
+      |    ON b.sensor_id = a.sensor_id AND b.p = a.p - k.lag
+      |  GROUP BY 1, 2),
+      |t AS (
+      |  SELECT ck.sensor_id, n.n_obs,
+      |         count(*) AS lags,
+      |         sum(CAST(ck.ck * ck.ck / (n.n_obs - ck.lag) AS DECIMAL(28,10))) AS sterm
+      |  FROM ck JOIN nobs n ON n.sensor_id = ck.sensor_id
+      |  GROUP BY 1, 2),
+      |q AS (
+      |  SELECT t.sensor_id, t.n_obs, t.lags,
+      |         CASE WHEN d.den > 0 THEN
+      |           round(t.n_obs * (t.n_obs + 2) * CAST(t.sterm AS DOUBLE)
+      |                 / (d.den * d.den), 6) END AS q_stat
+      |  FROM t JOIN den d ON d.sensor_id = t.sensor_id)
+      |SELECT sensor_id, CAST(n_obs AS BIGINT) AS n_obs,
+      |       CAST(lags AS BIGINT) AS lags, q_stat,
+      |       CAST(12.591587 AS DOUBLE) AS chi2_crit_950,
+      |       q_stat > 12.591587 AS white_noise_rejected
+      |FROM q ORDER BY sensor_id""".stripMargin
 
   private val TrendWindow = 6
 
@@ -1401,6 +1501,7 @@ object TimeSeriesQueries {
     "sensor_seasonal_residuals" -> (sensorSeasonalResiduals _),
     "sensor_downtime_report"  -> (sensorDowntimeReport _),
     "sensor_acf"              -> (sensorAcf _),
+    "sensor_ljung_box"        -> (sensorLjungBox _),
     "sensor_rolling_trend"    -> (sensorRollingTrend _),
     "sensor_theilsen_trend"   -> (sensorTheilSenTrend _),
     "sensor_dft_power"        -> (sensorDftPower _),
@@ -1420,6 +1521,7 @@ object TimeSeriesQueries {
     "sensor_seasonal_residuals" -> sensorSeasonalResidualsSql,
     "sensor_downtime_report"  -> sensorDowntimeReportSql,
     "sensor_acf"              -> sensorAcfSql,
+    "sensor_ljung_box"        -> sensorLjungBoxSql,
     "sensor_rolling_trend"    -> sensorRollingTrendSql,
     "sensor_theilsen_trend"   -> sensorTheilSenTrendSql,
     "sensor_dft_power"        -> sensorDftPowerSql,

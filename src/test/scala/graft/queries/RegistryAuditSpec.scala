@@ -124,7 +124,8 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "unigram_lm_segment"   -> "piece-vocab rank over the ~300-row substring-candidate frame",
     "unigram_em_counts"    -> "same piece-vocab rank (shared unigram builder)",
     "ab_sprt_daily"        -> "cumulative LLR walk over the calendar-bounded day frame",
-    "heaps_law_fit"        -> "cumulative sums over the 10-row decile checkpoint frame")
+    "heaps_law_fit"        -> "cumulative sums over the 10-row decile checkpoint frame",
+    "value_hist_quantiles" -> "cumsum over the ≤256-row histogram-bin frame")
 
   test("no unpartitioned window sort outside the bounded-frame allowlist") {
     withFullPlans {
@@ -190,7 +191,10 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "embedding_pca_two",     // same one-row n/trace frames, plus one-row den/dot deflation scalars × the 64-row iterate
     "doc_dsir_weights",      // one-row bigram-total frame × the 512-bucket histogram
     "sensor_acf",            // 6-row broadcast lag frame × hours-sized series
+    "sensor_ljung_box",      // same 6-row lag frame (shared lagProducts builder)
     "layout_skipping_gain",  // one-row max-key frame; 32-file stats × 10 probes
+    "value_hist_quantiles",  // one-row min/max/count frame × the scan and × the bin frame
+    "part_community_modularity", // one-row m and global-sum frames × the community frame
     // fixed query-vector / anchor set (|Q| constant, corpus streamed once)
     "knn_brute", "knn_filtered", "hard_negatives", "event_type_distances",
     "media_clip_retrieval",
