@@ -2416,6 +2416,87 @@ object PipelineQueries {
       |FROM cls GROUP BY 1
       |ORDER BY diversity""".stripMargin
 
+  /** t-closeness audit — the skewness-attack check that completes the
+    * privacy triad (Li, Li & Venkatasubramanian, ICDE 2007):
+    * [[customerKanonymity]] bounds class SIZE, [[customerLdiversity]]
+    * bounds sensitive-value VARIETY, but a class can pass both while its
+    * sensitive distribution differs wildly from the table's (an attacker
+    * learns "this class is mostly BUILDING customers" — a probabilistic
+    * disclosure). Over the same (nation, balance-bucket) classes with
+    * market segment sensitive, t is the total-variation distance
+    * ½·Σ_s \|p_class(s) − p_global(s)\| — the categorical EMD under unit
+    * ground distance — reported per class in exact ppm with a breach
+    * flag at the paper's working threshold t = 0.2. Absent-segment terms
+    * fold in CLOSED FORM ((N − Σ_present C_s)·g), so no seg×class fill
+    * join ever materializes.
+    *
+    * Scale shape: one (class, seg) aggregate is the only data-sized
+    * shuffle; the per-class fold reuses its partitioning (one window +
+    * one groupBy on the same key), the global segment frame broadcasts
+    * at enum size. Exactness: every term is the cross-multiplied integer
+    * \|c_s·N − C_s·g\|; the single ppm division runs in DECIMAL/HUGEINT
+    * and truncates identically. */
+  def customerTcloseness(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_nationkey").as("nat"),
+        floor(col("c_acctbal").cast("double") / 1000).cast("long").as("bal_bucket"),
+        col("c_mktsegment").as("seg"))
+    val sc = base.groupBy(col("nat"), col("bal_bucket"), col("seg"))
+      .agg(count(lit(1)).as("c"))
+    val glob = base.groupBy(col("seg")).agg(count(lit(1)).as("cs"))
+    val tot = base.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("nat"), col("bal_bucket"))
+    sc.join(broadcast(glob), Seq("seg"))
+      .withColumn("g", sum(col("c")).over(w))
+      .withColumn("cov", sum(col("cs")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("term", abs(col("c") * col("n") - col("cs") * col("g")))
+      .groupBy(col("nat"), col("bal_bucket"), col("g"), col("cov"), col("n"))
+      .agg(sum(col("term")).as("sum_abs"),
+        count(lit(1)).as("n_seg_present"))
+      .withColumn("t_num", col("sum_abs") + (col("n") - col("cov")) * col("g"))
+      .select(col("nat"), col("bal_bucket"), col("g").as("class_size"),
+        col("n_seg_present"),
+        expr("CAST(t_num AS DECIMAL(38,0)) * 1000000" +
+          " div (2 * CAST(g AS DECIMAL(38,0)) * n)").as("t_ppm"))
+      .withColumn("breach", col("t_ppm") > 200000L)
+      .orderBy("nat", "bal_bucket")
+  }
+
+  private val customerTclosenessSql: String =
+    """WITH base AS (
+      |  SELECT c_nationkey AS nat,
+      |         CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT) AS bal_bucket,
+      |         c_mktsegment AS seg
+      |  FROM customer),
+      |sc AS (
+      |  SELECT nat, bal_bucket, seg, count(*) AS c
+      |  FROM base GROUP BY 1, 2, 3),
+      |gseg AS (SELECT seg, count(*) AS cs FROM base GROUP BY seg),
+      |tot AS (SELECT count(*) AS n FROM base),
+      |wcls AS (
+      |  SELECT sc.nat, sc.bal_bucket, sc.c, gseg.cs,
+      |         sum(sc.c) OVER (PARTITION BY sc.nat, sc.bal_bucket) AS g,
+      |         sum(gseg.cs) OVER (PARTITION BY sc.nat, sc.bal_bucket) AS cov
+      |  FROM sc JOIN gseg USING (seg)),
+      |per AS (
+      |  SELECT w.nat, w.bal_bucket, w.g, w.cov, tot.n,
+      |         sum(abs(w.c * tot.n - w.cs * w.g)) AS sum_abs,
+      |         count(*) AS n_seg_present
+      |  FROM wcls w CROSS JOIN tot
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |f AS (
+      |  SELECT nat, bal_bucket, g, n_seg_present,
+      |         sum_abs + (n - cov) * g AS t_num, n
+      |  FROM per)
+      |SELECT nat, bal_bucket, CAST(g AS BIGINT) AS class_size,
+      |       CAST(n_seg_present AS BIGINT) AS n_seg_present,
+      |       CAST(CAST(t_num AS HUGEINT) * 1000000
+      |            // (2 * CAST(g AS HUGEINT) * n) AS BIGINT) AS t_ppm,
+      |       CAST(t_num AS HUGEINT) * 1000000
+      |         // (2 * CAST(g AS HUGEINT) * n) > 200000 AS breach
+      |FROM f ORDER BY nat, bal_bucket""".stripMargin
+
   /** Referential-integrity audit over every foreign-key edge of the star
     * schema — the structural health check that runs BEFORE any semantic
     * query is trusted: per edge, child rows, null keys (allowed but
@@ -2822,6 +2903,7 @@ object PipelineQueries {
     "shuffle_runs_test" -> (shuffleRunsTest _),
     "referential_integrity_audit" -> (referentialIntegrityAudit _),
     "customer_ldiversity" -> (customerLdiversity _),
+    "customer_tcloseness" -> (customerTcloseness _),
     "source_length_emd"   -> (sourceLengthEmd _),
     "customer_kanonymity" -> (customerKanonymity _),
     "deletion_propagation" -> (deletionPropagation _),
@@ -2899,6 +2981,7 @@ object PipelineQueries {
     "shuffle_runs_test" -> shuffleRunsTestSql,
     "referential_integrity_audit" -> referentialIntegrityAuditSql,
     "customer_ldiversity" -> customerLdiversitySql,
+    "customer_tcloseness" -> customerTclosenessSql,
     "source_length_emd"   -> sourceLengthEmdSql,
     "customer_kanonymity" -> customerKanonymitySql,
     "stratified_sample_counts" -> stratifiedSampleCountsSql,

@@ -779,6 +779,104 @@ object SimilarityQueries {
        |ORDER BY probes""".stripMargin
   }
 
+  /** Per-position inverse log₂ discount for NDCG@5 (micro units, rank
+    * r → round(10⁶/log₂(r+1))) — computed once here and shared as
+    * literals by both dialects (the DFT trig-table precedent), so no
+    * float log is ever evaluated inside either engine. */
+  private val NdcgInvDiscMicro: Seq[Long] =
+    (1 to 5).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** Ideal DCG@5 in micro units under the graded gain (6 − true_rank). */
+  private val NdcgIdcgMicro: Long =
+    (1 to 5).map(r => (6L - r) * NdcgInvDiscMicro(r - 1)).sum
+
+  private val ndcgDiscCaseSql: String =
+    NdcgInvDiscMicro.zipWithIndex
+      .map { case (d, i) => s"WHEN ${i + 1} THEN $d" }
+      .mkString("CASE r.rank ", " ", " END")
+
+  /** NDCG@5 of the IVF-probed search against the brute-force ranking —
+    * the ORDER-sensitive retrieval metric beside [[knnRecallCurve]]'s
+    * set-based recall: recall cannot see that the true #1 neighbor came
+    * back fifth, NDCG discounts exactly that. Ground-truth gain is
+    * graded by brute rank (6 − rank, so the top neighbor is worth 5),
+    * returned positions discount by 1/log₂(pos+1); both the discounts
+    * and the ideal DCG are micro-integer Scala literals shared by the
+    * two dialects, making every per-query NDCG an exact integer ppm.
+    * Same one-index-build three-budget sweep as the recall curve
+    * (candidates scored once at the max budget).
+    *
+    * Scale shape: identical to [[knnRecallCurve]] — index build ∝
+    * corpus, the metric arithmetic on \|probes\|·\|Q\|·5-row frames. */
+  def knnNdcg(spark: SparkSession, dir: String): DataFrame = {
+    val brute = knnBrute(spark, dir)
+      .select(col("q_id"), col("vec_id"), col("rank").as("true_rank"))
+    val ret = refinedTopPerProbe(spark, dir, Seq(1, 2, 4), iters = 3)
+      .select(col("probes"), col("q_id"), col("vec_id"), col("rank"))
+    val discCase = NdcgInvDiscMicro.zipWithIndex
+      .map { case (d, i) => s"WHEN ${i + 1} THEN ${d}" }
+      .mkString("CASE rank ", " ", " END")
+    val perQ = ret
+      .join(brute, Seq("q_id", "vec_id"), "left")
+      .withColumn("rel", coalesce(lit(6L) - col("true_rank"), lit(0L)))
+      .withColumn("gain_micro", col("rel") * expr(discCase))
+      .groupBy(col("probes"), col("q_id"))
+      .agg(sum(col("gain_micro")).as("dcg_micro"))
+      .withColumn("ndcg_ppm",
+        expr(s"dcg_micro * 1000000 div $NdcgIdcgMicro"))
+    perQ.groupBy(col("probes"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("ndcg_ppm")).as("sum_ndcg_ppm"),
+        min(col("ndcg_ppm")).as("min_ndcg_ppm"))
+      .select(col("probes"), col("n_queries"),
+        lit(NdcgIdcgMicro).as("idcg_micro"),
+        expr("sum_ndcg_ppm div n_queries").as("mean_ndcg_ppm"),
+        col("min_ndcg_ppm"))
+      .orderBy("probes")
+  }
+
+  private val knnNdcgSql: String = {
+    val iters = 3
+    s"""WITH ${refinedIdxCtes(iters)},
+       |${refinedSearchCtes(1, iters)},
+       |${refinedSearchCtes(2, iters)},
+       |${refinedSearchCtes(4, iters)},
+       |bp AS (
+       |  SELECT b.vec_id AS q_id, a.vec_id AS vec_id, round($cosSql, 6) AS cos_sim
+       |  FROM embeddings a
+       |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) b
+       |  WHERE a.vec_id <> b.vec_id),
+       |bt AS (
+       |  SELECT q_id, vec_id, rank FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |                              ORDER BY cos_sim DESC, vec_id) AS rank
+       |    FROM bp)
+       |  WHERE rank <= 5),
+       |r AS (
+       |  SELECT 1 AS probes, q_id, vec_id, rank FROM top1 WHERE rank <= 5
+       |  UNION ALL
+       |  SELECT 2 AS probes, q_id, vec_id, rank FROM top2 WHERE rank <= 5
+       |  UNION ALL
+       |  SELECT 4 AS probes, q_id, vec_id, rank FROM top4 WHERE rank <= 5),
+       |g AS (
+       |  SELECT r.probes, r.q_id,
+       |         (CASE WHEN b.rank IS NULL THEN 0 ELSE 6 - b.rank END)
+       |           * ($ndcgDiscCaseSql) AS gain_micro
+       |  FROM r LEFT JOIN bt b ON b.q_id = r.q_id AND b.vec_id = r.vec_id),
+       |d AS (
+       |  SELECT probes, q_id,
+       |         sum(gain_micro) * 1000000 // $NdcgIdcgMicro AS ndcg_ppm
+       |  FROM g GROUP BY 1, 2)
+       |SELECT CAST(probes AS INT) AS probes,
+       |       count(*) AS n_queries,
+       |       CAST($NdcgIdcgMicro AS BIGINT) AS idcg_micro,
+       |       CAST(sum(ndcg_ppm) // count(*) AS BIGINT) AS mean_ndcg_ppm,
+       |       CAST(min(ndcg_ppm) AS BIGINT) AS min_ndcg_ppm
+       |FROM d GROUP BY probes
+       |ORDER BY probes""".stripMargin
+  }
+
   /** One Lloyd (k-means) refinement of the IVF index: assign every vector
     * to its nearest current centroid (cosine, broadcast centroids —
     * map-side assignment, no shuffle of the corpus), then recompute
@@ -2219,6 +2317,7 @@ object SimilarityQueries {
     "knn_ivf_refined" -> ((s: SparkSession, d: String) => knnIvfRefined(s, d, probes = 2)),
     "knn_ivf_incremental" -> (knnIvfIncremental _),
     "knn_recall_curve" -> (knnRecallCurve _),
+    "knn_ndcg" -> (knnNdcg _),
     "knn_brute"       -> (knnBrute _),
     "knn_filtered"    -> (knnFiltered _),
     "knn_ivf_filtered" -> (knnIvfFiltered _),
@@ -2249,6 +2348,7 @@ object SimilarityQueries {
     "knn_ivf_refined" -> knnIvfRefinedSql(2),
     "knn_ivf_incremental" -> knnIvfIncrementalSql,
     "knn_recall_curve" -> knnRecallCurveSql,
+    "knn_ndcg" -> knnNdcgSql,
     "knn_brute"       -> knnBruteSql,
     "knn_filtered"    -> knnFilteredSql,
     "knn_ivf_filtered" -> knnIvfSqlProbes(2,

@@ -195,6 +195,7 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "layout_skipping_gain",  // one-row max-key frame; 32-file stats × 10 probes
     "value_hist_quantiles",  // one-row min/max/count frame × the scan and × the bin frame
     "part_community_modularity", // one-row m and global-sum frames × the community frame
+    "customer_tcloseness",   // one-row table-total frame × the (class, seg) frame
     // fixed query-vector / anchor set (|Q| constant, corpus streamed once)
     "knn_brute", "knn_filtered", "hard_negatives", "event_type_distances",
     "media_clip_retrieval",
@@ -204,6 +205,7 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     // broadcast centroid / codebook frames (K constant)
     "ivf_kmeans_refine", "knn_ivf", "knn_ivf_filtered", "knn_ivf_probe2",
     "knn_ivf_refined", "knn_ivf_incremental", "knn_recall_curve",
+    "knn_ndcg", // same fixed-|Q| brute anchor + broadcast-centroid sweep as the recall curve
     "knn_ivfpq", "semantic_dedup", "embedding_outliers",
     "knn_ivfpq_rerank", // same bounded centroid-probe frame as knn_ivfpq (shared ADC pipeline)
     // BM25 corpus-stats / RRF fusion constants

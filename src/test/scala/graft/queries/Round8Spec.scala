@@ -150,6 +150,54 @@ class Round8Spec extends AnyFunSuite with SparkSpec {
     assert(expectedQ <= 1000000L)
   }
 
+  test("customer_tcloseness: total-variation distance recomputed per class") {
+    val rows = Tables.customer(spark, dir)
+      .select("c_nationkey", "c_acctbal", "c_mktsegment").collect()
+      .map(r => ((r.getAs[Int]("c_nationkey").toLong,
+        math.floor(r.getAs[Double]("c_acctbal") / 1000).toLong),
+        r.getAs[String]("c_mktsegment")))
+    val n = rows.length.toLong
+    val glob = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val got = PipelineQueries.customerTcloseness(spark, dir).collect()
+    val byClass = rows.groupBy(_._1)
+    assert(got.length === byClass.size)
+    got.foreach { r =>
+      val key = (r.getAs[Int]("nat").toLong, r.getAs[Long]("bal_bucket"))
+      val members = byClass(key).map(_._2)
+      val g = members.length.toLong
+      val cc = members.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      // ½·Σ over ALL segments of |c_s·N − C_s·g| (absent segments
+      // contribute C_s·g), in truncating ppm
+      val tNum = glob.map { case (s, cs) =>
+        (BigInt(cc.getOrElse(s, 0L)) * n - BigInt(cs) * g).abs
+      }.sum
+      val tPpm = (tNum * 1000000 / (BigInt(2) * g * n)).toLong
+      assert(r.getAs[Long]("class_size") === g, s"class $key")
+      assert(r.getAs[Long]("t_ppm") === tPpm, s"class $key")
+      assert(r.getAs[Boolean]("breach") === (tPpm > 200000L), s"class $key")
+    }
+  }
+
+  test("knn_ndcg: ideal DCG pinned; quality non-decreasing in probe budget") {
+    val rows = SimilarityQueries.knnNdcg(spark, dir).collect()
+      .map(r => r.getAs[Int]("probes") ->
+        (r.getAs[Long]("mean_ndcg_ppm"), r.getAs[Long]("min_ndcg_ppm"),
+          r.getAs[Long]("idcg_micro"))).toMap
+    assert(rows.keySet === Set(1, 2, 4))
+    // idcg = Σ (6−r)·round(1e6/log2(r+1)) — recomputed independently
+    val idcg = (1 to 5).map(r =>
+      (6L - r) * math.round(1e6 / (math.log(r + 1.0) / math.log(2.0)))).sum
+    rows.values.foreach { case (mean, mn, id) =>
+      assert(id === idcg)
+      assert(mn >= 0L && mn <= mean && mean <= 1000000L)
+    }
+    // a larger probe budget searches a SUPERSET of candidates under the
+    // same similarity order, so each query's top-5 dominates position-
+    // wise and NDCG cannot drop
+    assert(rows(2)._1 >= rows(1)._1)
+    assert(rows(4)._1 >= rows(2)._1)
+  }
+
   test("doc_char_entropy: per-doc entropy replayed from raw text") {
     val docs = Tables.documents(spark, dir)
       .select("doc_id", "text").collect()
