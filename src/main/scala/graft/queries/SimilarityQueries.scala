@@ -817,7 +817,7 @@ object SimilarityQueries {
       .map { case (d, i) => s"WHEN ${i + 1} THEN ${d}" }
       .mkString("CASE rank ", " ", " END")
     val perQ = ret
-      .join(brute, Seq("q_id", "vec_id"), "left")
+      .join(broadcast(brute), Seq("q_id", "vec_id"), "left")
       .withColumn("rel", coalesce(lit(6L) - col("true_rank"), lit(0L)))
       .withColumn("gain_micro", col("rel") * expr(discCase))
       .groupBy(col("probes"), col("q_id"))
