@@ -259,6 +259,19 @@ object ScaleSmoke {
         .filter(col("n") >= 2).count()
     }
 
+    // graph tier end-to-end (mirrors part_community_modularity): K×
+    // replicated baskets on the FIXED 200-part catalog densify the
+    // co-purchase graph toward its 19.9k-edge complete-graph cap, so the
+    // probe stresses the per-round node-keyed LPA joins and the label
+    // joins under growing edge multiplicity while nodes stay fixed —
+    // wall must track the edge-build scan, with the fixed round count
+    // keeping the iterative part flat
+    time("lpa_modularity") {
+      graft.queries.AnalyticsQueries.partCommunityModularityFrom(
+        graft.queries.AnalyticsQueries.coPurchaseEdgesFrom(spark, liScaled))
+        .count()
+    }
+
     // exact weighted median (mirrors returnflag_weighted_median): the
     // fact collapses to (group, price) DECIMAL weight sums FIRST — one
     // shuffle, the only data-sized stage; prices are perturbed per

@@ -1222,10 +1222,15 @@ object AnalyticsQueries {
   /** The oriented ≥2-joint-orders co-purchase edge frame shared by the
     * graph-census family ([[partTriangles]], [[partLocalClustering]],
     * [[partKcore]]). */
-  private def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+  private def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    coPurchaseEdgesFrom(spark, Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+
+  /** [[coPurchaseEdges]] over an arbitrary (ok, pk) basket frame — the
+    * ScaleSmoke entry point for the graph tier. */
+  private[graft] def coPurchaseEdgesFrom(
+      spark: SparkSession, baskets: DataFrame): DataFrame = {
+    val li = baskets.select(col("ok"), col("pk")).distinct()
     li.select(col("ok"), col("pk").as("src"))
       .join(li.select(col("ok"), col("pk").as("dst")), "ok")
       .filter(col("src") < col("dst"))
@@ -2259,8 +2264,12 @@ object AnalyticsQueries {
     * LPA family ([[partLabelPropagation]], [[partCommunityModularity]]).
     * Labels come out checkpoint-truncated, safe to reference many times. */
   private def lpaState(
-      spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
-    val edges = coPurchaseEdges(spark, dir)
+      spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+    lpaStateFrom(coPurchaseEdges(spark, dir))
+
+  private def lpaStateFrom(
+      edges0: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val edges = edges0
     val und = edges.select(col("src").as("v"), col("dst").as("u"))
       .unionAll(edges.select(col("dst").as("v"), col("src").as("u")))
       .localCheckpoint(false)
@@ -2295,8 +2304,15 @@ object AnalyticsQueries {
     * the one-row m/global-sum frames broadcast onto the community frame.
     * Exactness: pure integer counts; both ppm divisions run in
     * DECIMAL/HUGEINT and truncate toward zero identically. */
-  def partCommunityModularity(spark: SparkSession, dir: String): DataFrame = {
-    val (edges, und, labels) = lpaState(spark, dir)
+  def partCommunityModularity(spark: SparkSession, dir: String): DataFrame =
+    partCommunityModularityFrom(coPurchaseEdges(spark, dir))
+
+  /** [[partCommunityModularity]] over an arbitrary co-purchase edge
+    * frame — the ScaleSmoke entry point: the LPA rounds plus the
+    * node-keyed label joins are the data-sized stages, the community
+    * fold and ppm arithmetic run on the community frame. */
+  private[graft] def partCommunityModularityFrom(edges0: DataFrame): DataFrame = {
+    val (edges, und, labels) = lpaStateFrom(edges0)
     val mF = edges.agg(count(lit(1)).as("m"))
     val deg = und.groupBy(col("v")).agg(count(lit(1)).as("d"))
     val dSum = labels.join(deg, Seq("v"))
