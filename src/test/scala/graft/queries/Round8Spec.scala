@@ -150,6 +150,34 @@ class Round8Spec extends AnyFunSuite with SparkSpec {
     assert(expectedQ <= 1000000L)
   }
 
+  test("modularity on a planted partition: exact Q, and a bridge lowers it") {
+    import spark.implicits._
+    // two disjoint K4 cliques: LPA's smallest-label tie-break converges
+    // each clique to its min id in 2 rounds; m = 12, each community has
+    // L_c = 6, d_c = 12 → contribution (4·12·6 − 144)/(4·144) = 1/4
+    // exactly, Q = 1/2 — the textbook planted-partition value
+    val cliques = (for {
+      base <- Seq(1L, 11L)
+      i <- 0 until 4; j <- (i + 1) until 4
+    } yield (base + i, base + j)).toDF("src", "dst")
+    val rows = AnalyticsQueries.partCommunityModularityFrom(cliques).collect()
+    assert(rows.map(r => (r.getAs[Long]("community"),
+      r.getAs[Long]("community_size"), r.getAs[Long]("internal_edges"),
+      r.getAs[Long]("degree_sum"), r.getAs[Long]("contribution_ppm"))).toSet ===
+      Set((1L, 4L, 6L, 12L, 250000L), (11L, 4L, 6L, 12L, 250000L)))
+    assert(rows.forall(_.getAs[Long]("q_total_ppm") == 500000L))
+
+    // one bridge edge between the cliques: communities survive (the
+    // bridge is a 1-vote minority at both endpoints) but Q must drop —
+    // m = 13, L_c = 6, d_c = 13 → Q = 2·(4·13·6 − 169)/(4·169)
+    val bridged = cliques.unionAll(Seq((4L, 11L)).toDF("src", "dst"))
+    val b = AnalyticsQueries.partCommunityModularityFrom(bridged).collect()
+    assert(b.length === 2)
+    assert(b.forall(_.getAs[Long]("q_total_ppm") < 500000L))
+    assert(b.map(_.getAs[Long]("contribution_ppm")).sum ===
+      2 * ((BigInt(4 * 13 * 6 - 169) * 1000000) / (BigInt(4) * 169)).toLong)
+  }
+
   test("customer_tcloseness: total-variation distance recomputed per class") {
     val rows = Tables.customer(spark, dir)
       .select("c_nationkey", "c_acctbal", "c_mktsegment").collect()
