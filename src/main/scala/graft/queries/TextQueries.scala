@@ -793,6 +793,101 @@ object TextQueries {
        |                - n_pos * 1000000 // n_docs) AS BIGINT) AS gap_micro
        |FROM g ORDER BY bin""".stripMargin
 
+  /** Dyadic temperature grid — every value exactly representable in
+    * binary, so the DECIMAL→DOUBLE literal cast is identical in both
+    * engines and T never contributes a ulp of divergence. */
+  private val TempGrid = Seq(0.25, 0.5, 0.75, 1.0, 1.25, 1.5, 2.0, 3.0, 4.0)
+
+  /** Temperature scaling for [[docClassifierScore]] — the OTHER standard
+    * recalibration beside [[calibrationIsotonic]]'s monotone fit (Guo et
+    * al., ICML 2017): a single scalar T divides the logit, preserving
+    * ranking (so PR/AUC are untouched) while fixing systematic over- or
+    * under-confidence. Fit by grid search over the dyadic [[TempGrid]]
+    * minimizing NLL against the `n_chars >= 300` label; per-T NLL, the
+    * per-doc average, and the argmin flag come back as the report a
+    * deployment reads its T from. T < 1 sharpening winning means the
+    * classifier is UNDER-confident; T > 1 means overconfident.
+    *
+    * Exactness: per-doc terms are 6-dp-rounded before a DECIMAL sum (the
+    * markov-entropy ln discipline), probabilities clamp to
+    * [10⁻⁶, 1−10⁻⁶] so ln never sees a rounded 0 or 1, and the argmin
+    * is an integer comparison against a broadcast one-row min frame.
+    * Scale shape: the token explode is the classifier's one map-side
+    * pass; the 9× grid explode happens AFTER per-doc aggregation
+    * (9·docs narrow rows), the final aggregate has nine keys. */
+  def scoreTemperatureFit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(graft.operators.DedupOps.h60(col("token")), lit(HashDim.toLong))
+    val weight = (bucket * lit(2654435761L)) % 1001 - 500
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), explode(tokens(col("text"))).as("token"))
+      .withColumn("w", weight)
+      .groupBy(col("doc_id"))
+      .agg(max((col("n_chars") >= 300).cast("long")).as("y"),
+        (floor(sum(col("w")).cast("double") * 1000.0 / count(lit(1)))
+          / lit(1e6)).as("score"))
+    val perT = scored
+      .withColumn("t", explode(array(TempGrid.map(lit): _*)))
+      .withColumn("p",
+        round(lit(1.0) / (lit(1.0) + exp(col("score") * lit(-4.0) / col("t"))), 6))
+      .withColumn("pc",
+        least(greatest(col("p"), lit(0.000001)), lit(0.999999)))
+      .withColumn("term",
+        round(when(col("y") === 1, -log(col("pc")))
+          .otherwise(-log(lit(1.0) - col("pc"))), 6))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("term").cast("decimal(18,6)")).as("nll"))
+      .withColumn("nll_micro", expr("CAST(nll * 1000000 AS BIGINT)"))
+    val m = perT.agg(min(col("nll_micro")).as("min_nll"))
+    perT.crossJoin(broadcast(m))
+      .select(col("t").as("temperature"), col("n_docs"), col("nll_micro"),
+        expr("nll_micro div n_docs").as("avg_nll_micro"),
+        (col("nll_micro") === col("min_nll")).as("is_best"))
+      .orderBy("temperature")
+  }
+
+  private val scoreTemperatureFitSql: String = {
+    val grid = TempGrid.mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, n_chars,
+       |         CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') END AS toks
+       |  FROM documents),
+       |e AS (SELECT doc_id, n_chars, unnest(toks) AS token FROM t),
+       |f AS (
+       |  SELECT doc_id, n_chars,
+       |         (CAST('0x' || substring(md5(token), 1, 15) AS BIGINT) % $HashDim)
+       |           * 2654435761 % 1001 - 500 AS w
+       |  FROM e),
+       |s AS (
+       |  SELECT doc_id,
+       |         max(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS y,
+       |         floor(CAST(sum(w) AS DOUBLE) * 1000.0 / count(*)) / 1e6 AS score
+       |  FROM f GROUP BY doc_id),
+       |g AS (SELECT unnest($grid::DOUBLE[]) AS t),
+       |x AS (
+       |  SELECT g.t, s.y,
+       |         round(1.0 / (1.0 + exp(s.score * CAST(-4.0 AS DOUBLE) / g.t)), 6) AS p
+       |  FROM s CROSS JOIN g),
+       |c AS (
+       |  SELECT t, y,
+       |         least(greatest(p, CAST(0.000001 AS DOUBLE)),
+       |               CAST(0.999999 AS DOUBLE)) AS pc
+       |  FROM x),
+       |n AS (
+       |  SELECT t, count(*) AS n_docs,
+       |         sum(CAST(round(CASE WHEN y = 1 THEN -ln(pc)
+       |                             ELSE -ln(1 - pc) END, 6) AS DECIMAL(18,6))) AS nll
+       |  FROM c GROUP BY t),
+       |n2 AS (SELECT t, n_docs, CAST(nll * 1000000 AS BIGINT) AS nll_micro FROM n),
+       |m AS (SELECT min(nll_micro) AS min_nll FROM n2)
+       |SELECT n2.t AS temperature, CAST(n2.n_docs AS BIGINT) AS n_docs,
+       |       n2.nll_micro,
+       |       CAST(n2.nll_micro // n2.n_docs AS BIGINT) AS avg_nll_micro,
+       |       n2.nll_micro = m.min_nll AS is_best
+       |FROM n2 CROSS JOIN m ORDER BY temperature""".stripMargin
+  }
+
   /** Threshold sweep for [[docClassifierScore]] — the precision/recall/F1
     * curve that picks the operating point a corpus gate will run at
     * (calibration says whether probabilities are honest; this says where
@@ -1640,6 +1735,7 @@ object TextQueries {
     "doc_classifier_score" -> (docClassifierScore _),
     "classifier_calibration" -> (classifierCalibration _),
     "calibration_isotonic" -> (calibrationIsotonic _),
+    "score_temperature_fit" -> (scoreTemperatureFit _),
     "score_conformal_threshold" -> (scoreConformalThreshold _),
     "brier_decomposition" -> (brierDecomposition _),
     "ngram_count_of_counts" -> (ngramCountOfCounts _),
@@ -1669,6 +1765,7 @@ object TextQueries {
     "doc_classifier_score" -> docClassifierScoreSql,
     "classifier_calibration" -> classifierCalibrationSql,
     "calibration_isotonic" -> calibrationIsotonicSql,
+    "score_temperature_fit" -> scoreTemperatureFitSql,
     "score_conformal_threshold" -> scoreConformalThresholdSql,
     "brier_decomposition" -> brierDecompositionSql,
     "ngram_count_of_counts" -> ngramCountOfCountsSql,

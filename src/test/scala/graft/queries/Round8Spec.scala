@@ -226,6 +226,22 @@ class Round8Spec extends AnyFunSuite with SparkSpec {
     assert(rows(4)._1 >= rows(2)._1)
   }
 
+  test("score_temperature_fit: grid bookkeeping and argmin are consistent") {
+    val rows = TextQueries.scoreTemperatureFit(spark, dir).collect()
+    assert(rows.length === 9)
+    assert(rows.map(_.getAs[Double]("temperature")).toSeq ===
+      Seq(0.25, 0.5, 0.75, 1.0, 1.25, 1.5, 2.0, 3.0, 4.0))
+    assert(rows.map(_.getAs[Long]("n_docs")).distinct.length === 1)
+    val minNll = rows.map(_.getAs[Long]("nll_micro")).min
+    rows.foreach { r =>
+      assert(r.getAs[Long]("avg_nll_micro") ===
+        r.getAs[Long]("nll_micro") / r.getAs[Long]("n_docs"))
+      assert(r.getAs[Boolean]("is_best") ===
+        (r.getAs[Long]("nll_micro") == minNll))
+    }
+    assert(rows.count(_.getAs[Boolean]("is_best")) >= 1)
+  }
+
   test("doc_char_entropy: per-doc entropy replayed from raw text") {
     val docs = Tables.documents(spark, dir)
       .select("doc_id", "text").collect()
