@@ -974,6 +974,96 @@ object TextQueries {
        |       CAST(CASE WHEN n_pred_pos + n_pos > 0 THEN 2 * tp * 1000000 // (n_pred_pos + n_pos) ELSE 0 END AS BIGINT) AS f1_micro
        |FROM g ORDER BY thr_micro""".stripMargin
 
+  /** Exact ROC-AUC of [[docClassifierScore]] via the rank-sum identity —
+    * the threshold-free ranking metric completing the eval family
+    * ([[classifierPrCurve]] sweeps fixed cuts, [[classifierCalibration]]
+    * asks if probabilities are honest; AUC asks whether positives
+    * OUTRANK negatives at all, invariant to any monotone recalibration
+    * — including [[scoreTemperatureFit]]'s, which is the point of
+    * quoting them together). AUC = (2R₁ − n₁(n₁+1)) / (2n₁n₀) with R₁
+    * the midrank sum of positives; everything runs ×2-scaled on the
+    * DISTINCT-score group frame, so midrank halves never materialize
+    * and ties are handled exactly — no float compare anywhere. Gini
+    * (2·AUC − 1) rides along.
+    *
+    * Scale shape: one doc-keyed scoring aggregate, a distinct-score
+    * collapse, then GlobalWindow's two-phase running sum over the score
+    * groups (no single-task sort) and a one-row reduction. */
+  def classifierAuc(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(graft.operators.DedupOps.h60(col("token")), lit(HashDim.toLong))
+    val weight = (bucket * lit(2654435761L)) % 1001 - 500
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), explode(tokens(col("text"))).as("token"))
+      .withColumn("w", weight)
+      .groupBy(col("doc_id"))
+      .agg(
+        max((col("n_chars") >= 300).cast("long")).as("y"),
+        (floor(sum(col("w")).cast("double") * 1000.0 / count(lit(1)))
+          / lit(1e6)).as("score"))
+      .withColumn("prob", round(lit(1.0) / (lit(1.0) + exp(col("score") * -4)), 6))
+      .withColumn("pm", (col("prob").cast("decimal(18,6)") * 1000000).cast("long"))
+    val grp = scored.groupBy(col("pm"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    GlobalWindow.runningSum(grp, col("cnt"), "cum")(col("pm"))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+      .agg(
+        sum(col("pos")).as("n_pos"),
+        sum(col("cnt")).as("n_total"),
+        sum(col("pos") * (lit(2L) * col("cum_before") + col("cnt") + 1))
+          .as("r1x2"))
+      .withColumn("n_neg", col("n_total") - col("n_pos"))
+      .withColumn("u1x2", col("r1x2") - col("n_pos") * (col("n_pos") + 1))
+      .withColumn("auc_ppm",
+        expr("CAST(u1x2 AS DECIMAL(38,0)) * 1000000" +
+          " div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)"))
+      .select(col("n_pos"), col("n_neg"), col("auc_ppm"),
+        (col("auc_ppm") * 2 - 1000000L).as("gini_ppm"))
+  }
+
+  private val classifierAucSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, n_chars,
+       |         CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') END AS toks
+       |  FROM documents),
+       |e AS (SELECT doc_id, n_chars, unnest(toks) AS token FROM t),
+       |f AS (
+       |  SELECT doc_id, n_chars,
+       |         (CAST('0x' || substring(md5(token), 1, 15) AS BIGINT) % $HashDim)
+       |           * 2654435761 % 1001 - 500 AS w
+       |  FROM e),
+       |s AS (
+       |  SELECT doc_id,
+       |         max(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS y,
+       |         floor(CAST(sum(w) AS DOUBLE) * 1000.0 / count(*)) / 1e6 AS score
+       |  FROM f GROUP BY doc_id),
+       |p AS (
+       |  SELECT y,
+       |         CAST(CAST(round(1.0 / (1.0 + exp(score * -4)), 6) AS DECIMAL(18,6))
+       |              * 1000000 AS BIGINT) AS pm
+       |  FROM s),
+       |g AS (SELECT pm, count(*) AS cnt, sum(y) AS pos FROM p GROUP BY pm),
+       |c AS (
+       |  SELECT pos, cnt,
+       |         sum(cnt) OVER (ORDER BY pm
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM g),
+       |a AS (
+       |  SELECT sum(pos) AS n_pos, sum(cnt) AS n_total,
+       |         sum(pos * (2 * (cum - cnt) + cnt + 1)) AS r1x2
+       |  FROM c),
+       |b AS (
+       |  SELECT n_pos, n_total - n_pos AS n_neg,
+       |         r1x2 - n_pos * (n_pos + 1) AS u1x2
+       |  FROM a)
+       |SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       |       CAST(CAST(u1x2 AS HUGEINT) * 1000000
+       |            // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) AS auc_ppm,
+       |       CAST(CAST(u1x2 AS HUGEINT) * 1000000
+       |            // (2 * CAST(n_pos AS HUGEINT) * n_neg) * 2 - 1000000 AS BIGINT)
+       |         AS gini_ppm
+       |FROM b""".stripMargin
+
   /** Isotonic (PAV) recalibration of [[classifierCalibration]]'s
     * reliability bins — the step a miscalibrated-but-monotone classifier
     * gets before its probabilities are trusted: the weighted isotonic
@@ -1736,6 +1826,7 @@ object TextQueries {
     "classifier_calibration" -> (classifierCalibration _),
     "calibration_isotonic" -> (calibrationIsotonic _),
     "score_temperature_fit" -> (scoreTemperatureFit _),
+    "classifier_auc" -> (classifierAuc _),
     "score_conformal_threshold" -> (scoreConformalThreshold _),
     "brier_decomposition" -> (brierDecomposition _),
     "ngram_count_of_counts" -> (ngramCountOfCounts _),
@@ -1766,6 +1857,7 @@ object TextQueries {
     "classifier_calibration" -> classifierCalibrationSql,
     "calibration_isotonic" -> calibrationIsotonicSql,
     "score_temperature_fit" -> scoreTemperatureFitSql,
+    "classifier_auc" -> classifierAucSql,
     "score_conformal_threshold" -> scoreConformalThresholdSql,
     "brier_decomposition" -> brierDecompositionSql,
     "ngram_count_of_counts" -> ngramCountOfCountsSql,

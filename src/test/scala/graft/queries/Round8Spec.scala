@@ -242,6 +242,42 @@ class Round8Spec extends AnyFunSuite with SparkSpec {
     assert(rows.count(_.getAs[Boolean]("is_best")) >= 1)
   }
 
+  test("classifier_auc: rank-sum AUC equals brute pair counting") {
+    // replicate the deterministic classifier head (tokens → hashed
+    // weights → score → 6-dp sigmoid micro) in plain Scala, then count
+    // positive-over-negative pairs directly — the O(n²) definition the
+    // rank-sum identity must reproduce exactly, ties at half weight
+    val ws = " \t\n\u000B\f\r"
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text", "n_chars").collect()
+      .map { r =>
+        val text = r.getAs[String]("text")
+        val trimmed = text.dropWhile(ws.contains(_)).reverse
+          .dropWhile(ws.contains(_)).reverse
+        val toks =
+          if (trimmed.isEmpty) Array.empty[String]
+          else trimmed.split("\\s+")
+        val y = if (r.getAs[Long]("n_chars") >= 300) 1L else 0L
+        val sw = toks.map(t => (md5h60(t) % 256L) * 2654435761L % 1001L - 500L).sum
+        val score = math.floor(sw.toDouble * 1000.0 / toks.length) / 1e6
+        val prob = BigDecimal.valueOf(1.0 / (1.0 + math.exp(score * -4)))
+          .setScale(6, RoundingMode.HALF_UP)
+        ((prob * 1000000).toLong, y)
+      }
+    val pos = docs.filter(_._2 == 1L).map(_._1)
+    val neg = docs.filter(_._2 == 0L).map(_._1)
+    var u1x2 = BigInt(0)
+    for (p <- pos; n <- neg)
+      u1x2 += (if (p > n) 2 else if (p == n) 1 else 0)
+    val expected =
+      (u1x2 * 1000000 / (BigInt(2) * pos.length * neg.length)).toLong
+    val row = TextQueries.classifierAuc(spark, dir).collect()(0)
+    assert(row.getAs[Long]("n_pos") === pos.length.toLong)
+    assert(row.getAs[Long]("n_neg") === neg.length.toLong)
+    assert(row.getAs[Long]("auc_ppm") === expected)
+    assert(row.getAs[Long]("gini_ppm") === expected * 2 - 1000000L)
+  }
+
   test("doc_char_entropy: per-doc entropy replayed from raw text") {
     val docs = Tables.documents(spark, dir)
       .select("doc_id", "text").collect()
