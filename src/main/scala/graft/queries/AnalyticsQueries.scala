@@ -740,6 +740,96 @@ object AnalyticsQueries {
       |ORDER BY n_joint DESC, a_pk, b_pk
       |LIMIT 20""".stripMargin
 
+  /** Directed association RULES from the [[partPairLift]] pair counts —
+    * the step from itemset counting to actionable rules: each qualifying
+    * pair is emitted in BOTH directions (a⇒b and b⇒a have different
+    * confidences), with the four standard rule metrics in exact
+    * fixed-point — confidence = P(cons|ante), lift = conf/P(cons),
+    * leverage = P(a,b) − P(a)P(b), and conviction =
+    * (1 − P(cons))/(1 − conf) (NULL on conf = 1, the infinite-conviction
+    * case, rather than a sentinel). All four are integer-count ratios
+    * floored at ppm scale through DECIMAL(38,0) intermediates, so the
+    * n_orders² leverage denominator cannot overflow at any SF.
+    *
+    * Scale shape: identical to the pair pass (Σ basket² equi-join on the
+    * order key, supports broadcast back); the direction union doubles a
+    * pair-aggregate frame, not the data. Top-20 by confidence. */
+  def partAssocRules(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .materializeOnce
+    val nOrders = Tables.orders(spark, dir).agg(count(lit(1)).as("n_orders"))
+    val supp = li.groupBy(col("pk")).agg(count(lit(1)).as("n_part"))
+    val pairs = li.select(col("ok"), col("pk").as("a_pk"))
+      .join(li.select(col("ok"), col("pk").as("b_pk")), "ok")
+      .filter(col("a_pk") < col("b_pk"))
+      .groupBy(col("a_pk"), col("b_pk"))
+      .agg(count(lit(1)).as("n_joint"))
+      .filter(col("n_joint") >= 2) // min-support gate: singleton co-occurrences are noise
+      .join(supp.select(col("pk").as("a_pk"), col("n_part").as("n_a")), "a_pk")
+      .join(supp.select(col("pk").as("b_pk"), col("n_part").as("n_b")), "b_pk")
+    val rules = pairs.select(col("a_pk").as("ante"), col("b_pk").as("cons"),
+        col("n_joint"), col("n_a").as("n_ante"), col("n_b").as("n_cons"))
+      .unionAll(pairs.select(col("b_pk").as("ante"), col("a_pk").as("cons"),
+        col("n_joint"), col("n_b").as("n_ante"), col("n_a").as("n_cons")))
+    rules
+      .crossJoin(broadcast(nOrders))
+      .withColumn("conf_ppm",
+        expr("CAST(n_joint AS DECIMAL(38,0)) * 1000000 div n_ante"))
+      .withColumn("lift_ppm",
+        expr("CAST(n_joint AS DECIMAL(38,0)) * n_orders * 1000000" +
+          " div (CAST(n_ante AS DECIMAL(38,0)) * n_cons)"))
+      .withColumn("leverage_ppm",
+        expr("(CAST(n_joint AS DECIMAL(38,0)) * n_orders" +
+          " - CAST(n_ante AS DECIMAL(38,0)) * n_cons) * 1000000" +
+          " div (CAST(n_orders AS DECIMAL(38,0)) * n_orders)"))
+      .withColumn("conviction_ppm",
+        when(col("n_ante") === col("n_joint"), lit(null).cast("long"))
+          .otherwise(expr("CAST(n_ante AS DECIMAL(38,0)) * (n_orders - n_cons)" +
+            " * 1000000 div (CAST(n_orders AS DECIMAL(38,0)) * (n_ante - n_joint))")))
+      .select(col("ante"), col("cons"), col("n_joint"), col("n_ante"),
+        col("n_cons"), col("conf_ppm"), col("lift_ppm"),
+        col("leverage_ppm"), col("conviction_ppm"))
+      .orderBy(col("conf_ppm").desc, col("ante"), col("cons"))
+      .limit(20)
+  }
+
+  private val partAssocRulesSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |n AS (SELECT count(*) AS n_orders FROM orders),
+      |supp AS (SELECT pk, count(*) AS n_part FROM li GROUP BY pk),
+      |pairs AS (
+      |  SELECT a.pk AS a_pk, b.pk AS b_pk, count(*) AS n_joint
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+      |sp AS (
+      |  SELECT p.a_pk, p.b_pk, p.n_joint, sa.n_part AS n_a, sb.n_part AS n_b
+      |  FROM pairs p
+      |  JOIN supp sa ON sa.pk = p.a_pk
+      |  JOIN supp sb ON sb.pk = p.b_pk),
+      |rules AS (
+      |  SELECT a_pk AS ante, b_pk AS cons, n_joint, n_a AS n_ante, n_b AS n_cons FROM sp
+      |  UNION ALL
+      |  SELECT b_pk AS ante, a_pk AS cons, n_joint, n_b AS n_ante, n_a AS n_cons FROM sp)
+      |SELECT ante, cons,
+      |       CAST(n_joint AS BIGINT) AS n_joint,
+      |       CAST(n_ante AS BIGINT) AS n_ante,
+      |       CAST(n_cons AS BIGINT) AS n_cons,
+      |       CAST(CAST(n_joint AS HUGEINT) * 1000000 // n_ante AS BIGINT) AS conf_ppm,
+      |       CAST(CAST(n_joint AS HUGEINT) * n.n_orders * 1000000
+      |            // (CAST(n_ante AS HUGEINT) * n_cons) AS BIGINT) AS lift_ppm,
+      |       CAST((CAST(n_joint AS HUGEINT) * n.n_orders
+      |             - CAST(n_ante AS HUGEINT) * n_cons) * 1000000
+      |            // (CAST(n.n_orders AS HUGEINT) * n.n_orders) AS BIGINT) AS leverage_ppm,
+      |       CAST(CASE WHEN n_ante = n_joint THEN NULL
+      |            ELSE CAST(n_ante AS HUGEINT) * (n.n_orders - n_cons) * 1000000
+      |                 // (CAST(n.n_orders AS HUGEINT) * (n_ante - n_joint)) END AS BIGINT)
+      |         AS conviction_ppm
+      |FROM rules CROSS JOIN n
+      |ORDER BY conf_ppm DESC, ante, cons
+      |LIMIT 20""".stripMargin
+
   private val PrIters = 3
   private val Damping = 0.85
 
@@ -2458,6 +2548,7 @@ object AnalyticsQueries {
     "event_markov_entropy" -> (eventMarkovEntropy _),
     "orders_skyline"      -> (ordersSkyline _),
     "part_pair_lift"      -> (partPairLift _),
+    "part_assoc_rules"    -> (partAssocRules _),
     "event_type_distances"     -> (eventTypeDistances _),
     "orders_by_dow"            -> (ordersByDow _),
     "orders_cube"              -> (ordersCube _),
@@ -2506,6 +2597,7 @@ object AnalyticsQueries {
     "funnel_latency_quantiles" -> funnelLatencyQuantilesSql,
     "orders_skyline"      -> ordersSkylineSql,
     "part_pair_lift"      -> partPairLiftSql,
+    "part_assoc_rules"    -> partAssocRulesSql,
     "event_type_distances"     -> eventTypeDistancesSql,
     "orders_by_dow"            -> ordersByDowSql,
     "orders_cube"              -> ordersCubeSql,

@@ -2896,7 +2896,69 @@ object PipelineQueries {
        |GROUP BY o.n0, o.n1, o.delta_obs_micro""".stripMargin
   }
 
+  /** Leave-one-source-out influence — first-order data valuation by
+    * ablation: for each source, what the corpus mean document length
+    * becomes if that source is REMOVED, and how far it moves
+    * (`delta_micro`). The influence of a component on an average is a
+    * closed form over its aggregate and the corpus totals — no 20-way
+    * recompute, no per-ablation scan; the same identity is how
+    * source-ablation sweeps are costed at 100 TB (one scan, arithmetic
+    * per candidate). A source whose removal moves the mean most is the
+    * one whose length profile is most atypical — the triage signal for
+    * mixture rebalancing (compare [[sourceMixtureProfile]], which
+    * reports shares without the counterfactual).
+    *
+    * Exact arithmetic: totals through DECIMAL(38,0), truncating ppm/micro
+    * divisions; the all-docs-in-one-source degenerate corpus yields NULL
+    * (not a division error) in both engines.
+    *
+    * Scale shape: ONE aggregate to the ~20-row source frame, then
+    * sort-free windows over that frame (empty partition, no order —
+    * no global sort). */
+  def looSourceInfluence(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy()
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      .withColumn("n_tot", sum(col("n_docs")).over(w))
+      .withColumn("c_tot", sum(col("chars")).over(w))
+      .withColumn("share_ppm",
+        expr("CAST(chars AS DECIMAL(38,0)) * 1000000 div c_tot"))
+      .withColumn("mean_micro",
+        expr("CAST(c_tot AS DECIMAL(38,0)) * 1000000 div n_tot"))
+      .withColumn("loo_mean_micro",
+        when(col("n_tot") === col("n_docs"), lit(null).cast("long"))
+          .otherwise(expr("CAST(c_tot - chars AS DECIMAL(38,0)) * 1000000" +
+            " div (n_tot - n_docs)")))
+      .withColumn("delta_micro", col("loo_mean_micro") - col("mean_micro"))
+      .select(col("source"), col("n_docs"), col("chars"), col("share_ppm"),
+        col("mean_micro"), col("loo_mean_micro"), col("delta_micro"))
+      .orderBy("source")
+  }
+
+  private val looSourceInfluenceSql: String =
+    """WITH p AS (
+      |  SELECT source, count(*) AS n_docs, sum(n_chars) AS chars
+      |  FROM documents GROUP BY source),
+      |t AS (
+      |  SELECT *, sum(n_docs) OVER () AS n_tot, sum(chars) OVER () AS c_tot
+      |  FROM p)
+      |SELECT source,
+      |       CAST(n_docs AS BIGINT) AS n_docs,
+      |       CAST(chars AS BIGINT) AS chars,
+      |       CAST(CAST(chars AS HUGEINT) * 1000000 // c_tot AS BIGINT) AS share_ppm,
+      |       CAST(CAST(c_tot AS HUGEINT) * 1000000 // n_tot AS BIGINT) AS mean_micro,
+      |       CAST(CASE WHEN n_tot = n_docs THEN NULL
+      |            ELSE CAST(c_tot - chars AS HUGEINT) * 1000000 // (n_tot - n_docs)
+      |            END AS BIGINT) AS loo_mean_micro,
+      |       CAST(CASE WHEN n_tot = n_docs THEN NULL
+      |            ELSE CAST(c_tot - chars AS HUGEINT) * 1000000 // (n_tot - n_docs)
+      |                 - CAST(c_tot AS HUGEINT) * 1000000 // n_tot
+      |            END AS BIGINT) AS delta_micro
+      |FROM t ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "loo_source_influence"    -> (looSourceInfluence _),
     "source_anova_f"          -> (sourceAnovaF _),
     "source_permutation_test" -> (sourcePermutationTest _),
     "lang_temperature_mix" -> (langTemperatureMix _),
@@ -2946,6 +3008,7 @@ object PipelineQueries {
     "embedding_stats"  -> (embeddingStats _))
 
   val oracle: Map[String, String] = Map(
+    "loo_source_influence"    -> looSourceInfluenceSql,
     "source_anova_f"          -> sourceAnovaFSql,
     "source_permutation_test" -> sourcePermutationTestSql,
     "lang_temperature_mix" -> langTemperatureMixSql,

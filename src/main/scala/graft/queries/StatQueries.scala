@@ -26,6 +26,10 @@ object StatQueries {
 
   import QueryConventions.decSum
 
+  /** Bucket count for [[ordersMedianOfMeans]] — fixed by construction,
+    * independent of data size (the frame the single-partition rank sees). */
+  private val MomBuckets = 32L
+
   /** lag(): per-customer gaps between consecutive orders. Shuffle on
     * o_custkey, sort within partition — the analytic-window shape that
     * scales linearly (no self-join). */
@@ -1349,7 +1353,72 @@ object StatQueries {
       |       END AS alpha_micro
       |FROM s""".stripMargin
 
+  /** Median-of-means — the robust mean estimator that survives
+    * heavy-tailed contamination with sub-Gaussian deviation (Nemirovsky–
+    * Yudin): orders are dealt into [[MomBuckets]] fixed key-hash buckets,
+    * each bucket's mean is taken exactly in micro fixed-point, and the
+    * estimate is the MEDIAN of the bucket means — a single wild bucket
+    * moves the estimate by one order statistic, where it would drag the
+    * plain mean arbitrarily. Emitted beside the plain mean so the gap
+    * (`mom_minus_mean_micro`) IS the tail-contamination signal (compare
+    * [[ordersWinsorized]], which clips; MoM never touches the data).
+    *
+    * All arithmetic is exact: price → DECIMAL(18,6) micro longs, bucket
+    * sums through DECIMAL(38,0) (no overflow at any SF), truncating
+    * `div` for every mean, and the even-count median is the truncated
+    * midpoint of the two central order statistics.
+    *
+    * Scale shape: one hash aggregate to [[MomBuckets]] rows, then a
+    * single-partition rank over that fixed-size frame (reviewed in the
+    * bounded-frame allowlist) — the data is never sorted. */
+  def ordersMedianOfMeans(spark: SparkSession, dir: String): DataFrame = {
+    val micro = (col("o_totalprice").cast("decimal(18,6)") * 1000000).cast("long")
+    val buckets = Tables.orders(spark, dir)
+      .select(pmod(col("o_orderkey"), lit(MomBuckets)).as("bucket"), micro.as("pm"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("pm").cast("decimal(38,0)")).as("s"))
+      .withColumn("mean_micro", expr("s div n"))
+    val w = Window.partitionBy()
+    GlobalWindow.boundedRowNumber(buckets, "rk")(col("mean_micro"), col("bucket"))
+      .withColumn("nb", count(lit(1)).over(w))
+      .withColumn("n_orders", sum(col("n")).over(w))
+      .withColumn("tot", sum(col("s")).over(w))
+      .filter(col("rk") === expr("(nb + 1) div 2") ||
+        col("rk") === expr("(nb + 2) div 2"))
+      .groupBy(col("nb"), col("n_orders"), col("tot"))
+      .agg(expr("sum(mean_micro) div count(1)").as("mom_micro"))
+      .select(
+        col("nb").as("n_buckets"), col("n_orders"),
+        expr("tot div n_orders").as("mean_micro"),
+        col("mom_micro"),
+        (col("mom_micro") - expr("tot div n_orders")).as("mom_minus_mean_micro"))
+  }
+
+  private val ordersMedianOfMeansSql: String =
+    s"""WITH b AS (
+       |  SELECT o_orderkey % $MomBuckets AS bucket, count(*) AS n,
+       |         sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+       |                  AS HUGEINT)) AS s
+       |  FROM orders GROUP BY 1),
+       |m AS (SELECT bucket, n, s, s // n AS mean_micro FROM b),
+       |r AS (
+       |  SELECT *, row_number() OVER (ORDER BY mean_micro, bucket) AS rk,
+       |         count(*) OVER () AS nb,
+       |         sum(n) OVER () AS n_orders,
+       |         sum(s) OVER () AS tot
+       |  FROM m)
+       |SELECT CAST(nb AS BIGINT) AS n_buckets,
+       |       CAST(n_orders AS BIGINT) AS n_orders,
+       |       CAST(tot // n_orders AS BIGINT) AS mean_micro,
+       |       CAST(sum(mean_micro) // count(*) AS BIGINT) AS mom_micro,
+       |       CAST(sum(mean_micro) // count(*) - tot // n_orders AS BIGINT)
+       |         AS mom_minus_mean_micro
+       |FROM r
+       |WHERE rk = (nb + 1) // 2 OR rk = (nb + 2) // 2
+       |GROUP BY nb, n_orders, tot""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "orders_median_of_means" -> (ordersMedianOfMeans _),
     "orders_hill_tail"    -> (ordersHillTail _),
     "orders_bootstrap_ci" -> (ordersBootstrapCi _),
     "orders_benford" -> (ordersBenford _),
@@ -1386,6 +1455,7 @@ object StatQueries {
     "embedding_normalize"          -> (embeddingNormalize _))
 
   val oracle: Map[String, String] = Map(
+    "orders_median_of_means" -> ordersMedianOfMeansSql,
     "orders_hill_tail"    -> ordersHillTailSql,
     "orders_bootstrap_ci" -> ordersBootstrapCiSql,
     "orders_benford" -> ordersBenfordSql,

@@ -125,7 +125,8 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "unigram_em_counts"    -> "same piece-vocab rank (shared unigram builder)",
     "ab_sprt_daily"        -> "cumulative LLR walk over the calendar-bounded day frame",
     "heaps_law_fit"        -> "cumulative sums over the 10-row decile checkpoint frame",
-    "value_hist_quantiles" -> "cumsum over the ≤256-row histogram-bin frame")
+    "value_hist_quantiles" -> "cumsum over the ≤256-row histogram-bin frame",
+    "orders_median_of_means" -> "rank over the 32-row fixed-bucket mean frame")
 
   test("no unpartitioned window sort outside the bounded-frame allowlist") {
     withFullPlans {
@@ -224,6 +225,9 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "sensor_hourly_spine",
     // bounded pair stage (Σ basket², measured linear to 50× in ScaleSmoke)
     "part_pair_lift", "part_triangles",
+    // same pair stage as part_pair_lift; the broadcast side is the
+    // one-row n_orders frame crossed onto the rule aggregate
+    "part_assoc_rules",
     // broadcast candidate/φ frames: the build side starts as a limit(1)
     // seed and grows only by the hash-threshold draws (expected ≤
     // oversample·rounds rows, ≤ 1+3·8 here); the per-round φ frame is

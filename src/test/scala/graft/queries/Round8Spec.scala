@@ -306,4 +306,87 @@ class Round8Spec extends AnyFunSuite with SparkSpec {
     }
     assert(checked > 0, "fixture yielded no scorable documents")
   }
+
+  test("orders_median_of_means: estimate replayed from raw orders") {
+    val prices = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getAs[Long]("o_orderkey"),
+        (BigDecimal.valueOf(r.getAs[Double]("o_totalprice"))
+          .setScale(6, RoundingMode.HALF_UP) * 1000000).toLong))
+    val means = prices.groupBy(p => p._1 % 32).map { case (_, xs) =>
+      val s = xs.map(x => BigInt(x._2)).sum
+      (s / xs.length).toLong
+    }.toSeq.sorted
+    val nb = means.length
+    val mom = (BigInt(means((nb - 1) / 2)) + BigInt(means(nb / 2))) / 2
+    val tot = prices.map(p => BigInt(p._2)).sum
+    val mean = tot / prices.length
+    val r = StatQueries.ordersMedianOfMeans(spark, dir).collect().head
+    assert(r.getAs[Long]("n_buckets") === nb.toLong)
+    assert(r.getAs[Long]("n_orders") === prices.length.toLong)
+    assert(r.getAs[Long]("mean_micro") === mean.toLong)
+    assert(r.getAs[Long]("mom_micro") === mom.toLong)
+    assert(r.getAs[Long]("mom_minus_mean_micro") === (mom - mean).toLong)
+  }
+
+  test("part_assoc_rules: metrics replayed from raw baskets") {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_partkey")))
+      .distinct
+    val nOrders = Tables.orders(spark, dir).count()
+    val supp = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val joint = li.groupBy(_._1).values.flatMap { basket =>
+      val pks = basket.map(_._2).sorted
+      for (i <- pks.indices; j <- (i + 1) until pks.length)
+        yield (pks(i), pks(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).filter(_._2 >= 2).toMap
+    val rules = joint.toSeq.flatMap { case ((a, b), nj) =>
+      Seq((a, b, nj, supp(a), supp(b)), (b, a, nj, supp(b), supp(a)))
+    }
+    def confPpm(r: (Long, Long, Long, Long, Long)) = r._3 * 1000000L / r._4
+    val expected = rules.sortBy(r => (-confPpm(r), r._1, r._2)).take(20)
+    val got = AnalyticsQueries.partAssocRules(spark, dir).collect()
+    assert(got.length === expected.length)
+    got.zip(expected).foreach { case (row, (a, c, nj, na, nc)) =>
+      assert(row.getAs[Long]("ante") === a)
+      assert(row.getAs[Long]("cons") === c)
+      assert(row.getAs[Long]("n_joint") === nj)
+      assert(row.getAs[Long]("conf_ppm") === nj * 1000000L / na)
+      assert(row.getAs[Long]("lift_ppm") ===
+        (BigInt(nj) * nOrders * 1000000 / (BigInt(na) * nc)).toLong)
+      assert(row.getAs[Long]("leverage_ppm") ===
+        ((BigInt(nj) * nOrders - BigInt(na) * nc) * 1000000 /
+          (BigInt(nOrders) * nOrders)).toLong)
+      if (na == nj) assert(row.isNullAt(row.fieldIndex("conviction_ppm")))
+      else assert(row.getAs[Long]("conviction_ppm") ===
+        (BigInt(na) * (nOrders - nc) * 1000000 /
+          (BigInt(nOrders) * (na - nj))).toLong)
+    }
+  }
+
+  test("loo_source_influence: ablation identity from raw totals") {
+    val docs = Tables.documents(spark, dir)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_chars")))
+    val nTot = docs.length.toLong
+    val cTot = docs.map(d => BigInt(d._2)).sum
+    val rows = PipelineQueries.looSourceInfluence(spark, dir).collect()
+    assert(rows.map(_.getAs[String]("source")).toSeq ===
+      docs.map(_._1).distinct.sorted.toSeq)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val mine = docs.filter(_._1 == src)
+      val nS = mine.length.toLong
+      val cS = mine.map(d => BigInt(d._2)).sum
+      assert(r.getAs[Long]("n_docs") === nS)
+      assert(r.getAs[Long]("chars") === cS.toLong)
+      assert(r.getAs[Long]("share_ppm") === (cS * 1000000 / cTot).toLong)
+      val mean = cTot * 1000000 / nTot
+      val loo = (cTot - cS) * 1000000 / (nTot - nS)
+      assert(r.getAs[Long]("mean_micro") === mean.toLong)
+      assert(r.getAs[Long]("loo_mean_micro") === loo.toLong)
+      assert(r.getAs[Long]("delta_micro") === (loo - mean).toLong)
+    }
+  }
 }
