@@ -463,6 +463,143 @@ object DedupQueries {
        |  AND round($jaccardExpr, 6) >= 0.2
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Fellegi–Sunter parameter estimation — the probabilistic record-
+    * linkage layer over the SNM blocking: for each comparison field
+    * (language, source, 10%-length band), the m-probability
+    * P(agree | match) and u-probability P(agree | non-match) counted over
+    * the bounded SNM candidate pairs, with the resulting log-likelihood
+    * agreement/disagreement weights (nats; a pair's linkage score is the
+    * sum of its per-field weights). Truth for the estimation pass is
+    * exact shingle Jaccard ≥ 1/2, evaluated as the INTEGER predicate
+    * 3·|∩| ≥ |A|+|B| — no float compare. This is the classical
+    * supervised-by-rule FS fit (count agreements inside/outside the
+    * verified-match set) rather than the EM variant — deterministic and
+    * one-pass, which is what a production linkage run calibrates from a
+    * labeled block anyway.
+    *
+    * Degenerate guards: an all-match or no-match candidate set yields
+    * NULL probabilities (not division errors); weights are NULL whenever
+    * a log argument would be 0 or the ratio undefined, in both engines.
+    *
+    * Scale shape: candidates are exactly N·(w−1) by SNM construction
+    * (skew-immune); shingles re-derived for candidate docs only
+    * (semi-join); the field unpivot triples a pair-aggregate frame, not
+    * the corpus; final frame = 3 rows. */
+  def erFellegiSunter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cand = snmCandidates(docs, snmKey(0))
+      .materializeOnce // feeds the id semi-join and the verify join
+    val candIds = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    val shCand = DedupOps.docShingles(docs.join(candIds, Seq("doc_id"), "left_semi"))
+    val meta = docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val pairs = cand
+      .join(shCand.select(col("doc_id").as("a_id"), col("shingles").as("sa")), Seq("a_id"))
+      .join(shCand.select(col("doc_id").as("b_id"), col("shingles").as("sb")), Seq("b_id"))
+      .filter(size(col("sa")) > 0 && size(col("sb")) > 0)
+      .withColumn("is_match",
+        size(array_intersect(col("sa"), col("sb"))) * 3 >=
+          size(col("sa")) + size(col("sb")))
+      .join(meta.select(col("doc_id").as("a_id"), col("lang").as("la"),
+        col("source").as("pa"), col("n_chars").as("na")), Seq("a_id"))
+      .join(meta.select(col("doc_id").as("b_id"), col("lang").as("lb"),
+        col("source").as("pb"), col("n_chars").as("nb")), Seq("b_id"))
+    pairs
+      .select(col("is_match"), explode(array(
+        struct(lit("lang").as("field"), (col("la") === col("lb")).as("agree")),
+        struct(lit("source").as("field"), (col("pa") === col("pb")).as("agree")),
+        struct(lit("len10").as("field"),
+          (abs(col("na") - col("nb")) * 10 <= greatest(col("na"), col("nb")))
+            .as("agree")))).as("f"))
+      .select(col("is_match"), col("f.field"), col("f.agree"))
+      .groupBy(col("field"))
+      .agg(
+        sum(when(col("is_match"), 1L).otherwise(0L)).as("n_match"),
+        sum(when(!col("is_match"), 1L).otherwise(0L)).as("n_unmatch"),
+        sum(when(col("is_match") && col("agree"), 1L).otherwise(0L)).as("agree_match"),
+        sum(when(!col("is_match") && col("agree"), 1L).otherwise(0L)).as("agree_unmatch"))
+      .withColumn("m_ppm",
+        when(col("n_match") === 0, lit(null).cast("long"))
+          .otherwise(expr("agree_match * 1000000 div n_match")))
+      .withColumn("u_ppm",
+        when(col("n_unmatch") === 0, lit(null).cast("long"))
+          .otherwise(expr("agree_unmatch * 1000000 div n_unmatch")))
+      .withColumn("w_agree_nats",
+        when(col("m_ppm") > 0 && col("u_ppm") > 0,
+          round(log(col("m_ppm").cast("double") / col("u_ppm")), 6)))
+      .withColumn("w_disagree_nats",
+        when(col("m_ppm") < 1000000L && col("u_ppm").isNotNull &&
+          col("u_ppm") < 1000000L,
+          round(log((lit(1000000L) - col("m_ppm")).cast("double") /
+            (lit(1000000L) - col("u_ppm"))), 6)))
+      .select(col("field"), col("n_match"), col("n_unmatch"),
+        col("agree_match"), col("agree_unmatch"), col("m_ppm"), col("u_ppm"),
+        col("w_agree_nats"), col("w_disagree_nats"))
+      .orderBy("field")
+  }
+
+  private val erFellegiSunterSql: String =
+    s"""WITH $toksCte,
+       |$shinglesCte,
+       |keyed AS (
+       |  SELECT doc_id,
+       |         substring(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), 1, $SnmKeyLen) AS snm_key
+       |  FROM documents),
+       |rn AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY snm_key, doc_id) AS rn
+       |  FROM keyed),
+       |cand AS (
+       |  SELECT least(a.doc_id, b.doc_id) AS a_id,
+       |         greatest(a.doc_id, b.doc_id) AS b_id
+       |  FROM rn a JOIN rn b ON b.rn BETWEEN a.rn + 1 AND a.rn + ${SnmWindow - 1}),
+       |p AS (
+       |  SELECT c.a_id, c.b_id,
+       |         len(list_intersect(sa.shingles, sb.shingles)) * 3
+       |           >= len(sa.shingles) + len(sb.shingles) AS is_match,
+       |         da.lang = db.lang AS f_lang,
+       |         da.source = db.source AS f_source,
+       |         abs(da.n_chars - db.n_chars) * 10
+       |           <= greatest(da.n_chars, db.n_chars) AS f_len10
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.a_id
+       |  JOIN sh sb ON sb.doc_id = c.b_id
+       |  JOIN documents da ON da.doc_id = c.a_id
+       |  JOIN documents db ON db.doc_id = c.b_id
+       |  WHERE len(sa.shingles) > 0 AND len(sb.shingles) > 0),
+       |u AS (
+       |  SELECT is_match, 'lang' AS field, f_lang AS agree FROM p
+       |  UNION ALL
+       |  SELECT is_match, 'source', f_source FROM p
+       |  UNION ALL
+       |  SELECT is_match, 'len10', f_len10 FROM p),
+       |g AS (
+       |  SELECT field,
+       |         sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS n_match,
+       |         sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS n_unmatch,
+       |         sum(CASE WHEN is_match AND agree THEN 1 ELSE 0 END) AS agree_match,
+       |         sum(CASE WHEN NOT is_match AND agree THEN 1 ELSE 0 END) AS agree_unmatch
+       |  FROM u GROUP BY field),
+       |q AS (
+       |  SELECT field, n_match, n_unmatch, agree_match, agree_unmatch,
+       |         CASE WHEN n_match = 0 THEN NULL
+       |              ELSE agree_match * 1000000 // n_match END AS m_ppm,
+       |         CASE WHEN n_unmatch = 0 THEN NULL
+       |              ELSE agree_unmatch * 1000000 // n_unmatch END AS u_ppm
+       |  FROM g)
+       |SELECT field,
+       |       CAST(n_match AS BIGINT) AS n_match,
+       |       CAST(n_unmatch AS BIGINT) AS n_unmatch,
+       |       CAST(agree_match AS BIGINT) AS agree_match,
+       |       CAST(agree_unmatch AS BIGINT) AS agree_unmatch,
+       |       CAST(m_ppm AS BIGINT) AS m_ppm,
+       |       CAST(u_ppm AS BIGINT) AS u_ppm,
+       |       CASE WHEN m_ppm > 0 AND u_ppm > 0
+       |            THEN round(ln(CAST(m_ppm AS DOUBLE) / u_ppm), 6) END AS w_agree_nats,
+       |       CASE WHEN m_ppm < 1000000 AND u_ppm IS NOT NULL AND u_ppm < 1000000
+       |            THEN round(ln(CAST(1000000 - m_ppm AS DOUBLE) / (1000000 - u_ppm)), 6)
+       |            END AS w_disagree_nats
+       |FROM q ORDER BY field""".stripMargin
+
   /** Exact all-pairs n-gram Jaccard baseline on a bounded id range —
     * the recall reference for the LSH path (O(N²); test-scale only). */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
@@ -2047,6 +2184,7 @@ object DedupQueries {
     "doc_boilerplate_share" -> (docBoilerplateShare _),
     "dedup_canonical_keep" -> (dedupCanonicalKeep _),
     "sorted_neighbor_dups" -> (sortedNeighborDups _),
+    "er_fellegi_sunter"   -> (erFellegiSunter _),
     "snm_multipass_dups"  -> (snmMultipassDups _),
     "contamination_containment" -> (contaminationContainment _),
     "benchmark_contamination" -> (benchmarkContamination _),
@@ -2080,6 +2218,7 @@ object DedupQueries {
     "doc_boilerplate_share" -> docBoilerplateShareSql,
     "dedup_canonical_keep" -> dedupCanonicalKeepSql,
     "sorted_neighbor_dups" -> sortedNeighborDupsSql,
+    "er_fellegi_sunter"   -> erFellegiSunterSql,
     "snm_multipass_dups"  -> snmMultipassDupsSql,
     "contamination_containment" -> contaminationContainmentSql,
     "benchmark_contamination" -> benchmarkContaminationSql,

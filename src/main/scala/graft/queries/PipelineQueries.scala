@@ -20,6 +20,10 @@ object PipelineQueries {
 
   private val hexpr = "CAST('0x' || substring(md5(%s), 1, 15) AS BIGINT)"
 
+  /** Max epochs a source may be repeated in [[sourceUnimaxAlloc]]'s
+    * waterfill — the UniMax over-repetition guard. */
+  private val UnimaxEpochCap = 4L
+
   /** Deterministic 10% document sample: hash(text) mod 100 < 10. */
   def docSample(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -652,6 +656,98 @@ object PipelineQueries {
       |       CAST(CAST(src_tokens AS BIGINT) * least(CAST(floor(target_tokens * 1000.0 / src_tokens) AS BIGINT), 4000) // 1000 AS BIGINT) AS planned_tokens
       |FROM q
       |ORDER BY source""".stripMargin
+
+  /** UniMax-style token-budget allocation — the waterfilling answer to
+    * "how many epochs of each source for a fixed training budget":
+    * spread the budget (2× the corpus) as UNIFORMLY as possible across
+    * sources, capping every source at [[UnimaxEpochCap]] epochs of its
+    * own tokens so small sources cannot be over-repeated into
+    * memorization. Contrast [[sourceEpochSchedule]]'s temperature
+    * weighting, which allocates proportionally to size^α — UniMax
+    * instead equalizes absolute token draws until a source's repeat cap
+    * binds (the allocation MuNet/UniMax uses for multilingual mixes).
+    *
+    * The waterfill is closed-form and integer-exact: rank sources by
+    * cap; a source saturates iff granting ITS cap to itself and every
+    * larger source still fits the budget net of smaller caps
+    * (cap·(n−rk+1) + prefix_before ≤ B); the rest share the remainder
+    * level = (B − Σsat caps) div (n − S). No iteration, no floats.
+    *
+    * Scale shape: one token-count scan to the ~20-row source frame;
+    * rank + prefix sums run single-partition over that fixed frame
+    * (bounded-frame allowlist) — the corpus is never sorted. */
+  def sourceUnimaxAlloc(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy()
+    val ord = Window.orderBy(col("rk"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"), size(TextFunctions.tokens(col("text"))).as("n_toks"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_toks")).cast("long").as("src_tokens"))
+      .withColumn("cap_tokens", col("src_tokens") * UnimaxEpochCap)
+    GlobalWindow.boundedRowNumber(perSource, "rk")(col("cap_tokens"), col("source"))
+      .withColumn("n_src", count(lit(1)).over(w))
+      .withColumn("budget_tokens", sum(col("src_tokens")).over(w) * 2)
+      .withColumn("prefix_before",
+        sum(col("cap_tokens")).over(ord) - col("cap_tokens"))
+      .withColumn("saturated",
+        expr("CAST(cap_tokens AS DECIMAL(38,0)) * (n_src - rk + 1) + prefix_before") <=
+          col("budget_tokens"))
+      .withColumn("n_sat", sum(col("saturated").cast("long")).over(w))
+      .withColumn("sat_tokens",
+        sum(when(col("saturated"), col("cap_tokens")).otherwise(lit(0L))).over(w))
+      .withColumn("level",
+        when(col("n_sat") === col("n_src"), lit(null).cast("long"))
+          .otherwise(expr("(budget_tokens - sat_tokens) div (n_src - n_sat)")))
+      .withColumn("alloc_tokens",
+        when(col("saturated"), col("cap_tokens")).otherwise(col("level")))
+      .withColumn("epochs_ppm",
+        when(col("src_tokens") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST(alloc_tokens AS DECIMAL(38,0)) * 1000000 div src_tokens")))
+      .select(col("source"), col("src_tokens"), col("cap_tokens"),
+        col("budget_tokens"), col("saturated"), col("alloc_tokens"),
+        col("epochs_ppm"))
+      .orderBy("source")
+  }
+
+  private val sourceUnimaxAllocSql: String =
+    s"""WITH c AS (
+       |  SELECT source,
+       |         sum(CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN 0
+       |                  ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) END) AS src_tokens
+       |  FROM documents GROUP BY source),
+       |k AS (SELECT source, CAST(src_tokens AS BIGINT) AS src_tokens,
+       |             CAST(src_tokens * $UnimaxEpochCap AS BIGINT) AS cap_tokens FROM c),
+       |r AS (
+       |  SELECT *, row_number() OVER (ORDER BY cap_tokens, source) AS rk,
+       |         count(*) OVER () AS n_src,
+       |         sum(src_tokens) OVER () * 2 AS budget_tokens
+       |  FROM k),
+       |p AS (
+       |  SELECT *, sum(cap_tokens) OVER (ORDER BY rk
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cap_tokens
+       |           AS prefix_before
+       |  FROM r),
+       |f AS (
+       |  SELECT *, CAST(cap_tokens AS HUGEINT) * (n_src - rk + 1) + prefix_before
+       |              <= budget_tokens AS saturated
+       |  FROM p),
+       |g AS (
+       |  SELECT *, sum(CASE WHEN saturated THEN 1 ELSE 0 END) OVER () AS n_sat,
+       |         sum(CASE WHEN saturated THEN cap_tokens ELSE 0 END) OVER () AS sat_tokens
+       |  FROM f),
+       |h AS (
+       |  SELECT *, CASE WHEN n_sat = n_src THEN NULL
+       |            ELSE (budget_tokens - sat_tokens) // (n_src - n_sat) END AS lvl
+       |  FROM g)
+       |SELECT source, src_tokens, cap_tokens,
+       |       CAST(budget_tokens AS BIGINT) AS budget_tokens, saturated,
+       |       CAST(CASE WHEN saturated THEN cap_tokens ELSE lvl END AS BIGINT)
+       |         AS alloc_tokens,
+       |       CAST(CASE WHEN src_tokens = 0 THEN NULL
+       |            ELSE CAST(CASE WHEN saturated THEN cap_tokens ELSE lvl END AS HUGEINT)
+       |                 * 1000000 // src_tokens END AS BIGINT) AS epochs_ppm
+       |FROM h ORDER BY source""".stripMargin
 
   /** Cross-source quantile normalization of the quality score — the
     * batch-effect correction a mixed-source curation run needs before any
@@ -2959,6 +3055,7 @@ object PipelineQueries {
 
   val queries: Map[String, Q] = Map(
     "loo_source_influence"    -> (looSourceInfluence _),
+    "source_unimax_alloc"     -> (sourceUnimaxAlloc _),
     "source_anova_f"          -> (sourceAnovaF _),
     "source_permutation_test" -> (sourcePermutationTest _),
     "lang_temperature_mix" -> (langTemperatureMix _),
@@ -3009,6 +3106,7 @@ object PipelineQueries {
 
   val oracle: Map[String, String] = Map(
     "loo_source_influence"    -> looSourceInfluenceSql,
+    "source_unimax_alloc"     -> sourceUnimaxAllocSql,
     "source_anova_f"          -> sourceAnovaFSql,
     "source_permutation_test" -> sourcePermutationTestSql,
     "lang_temperature_mix" -> langTemperatureMixSql,

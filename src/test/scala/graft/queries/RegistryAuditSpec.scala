@@ -126,7 +126,8 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "ab_sprt_daily"        -> "cumulative LLR walk over the calendar-bounded day frame",
     "heaps_law_fit"        -> "cumulative sums over the 10-row decile checkpoint frame",
     "value_hist_quantiles" -> "cumsum over the ≤256-row histogram-bin frame",
-    "orders_median_of_means" -> "rank over the 32-row fixed-bucket mean frame")
+    "orders_median_of_means" -> "rank over the 32-row fixed-bucket mean frame",
+    "source_unimax_alloc" -> "rank + prefix sums over the ~20-row source frame")
 
   test("no unpartitioned window sort outside the bounded-frame allowlist") {
     withFullPlans {

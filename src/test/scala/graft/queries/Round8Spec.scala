@@ -389,4 +389,102 @@ class Round8Spec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Long]("delta_micro") === (loo - mean).toLong)
     }
   }
+
+  test("source_unimax_alloc: waterfill replayed from raw token counts") {
+    val toks = Tables.documents(spark, dir)
+      .select("source", "text").collect()
+      .map { r =>
+        val t = r.getAs[String]("text").replaceAll("^\\s+|\\s+$", "")
+        (r.getAs[String]("source"),
+          if (t.isEmpty) 0L else t.split("\\s+").length.toLong)
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val budget = toks.values.sum * 2
+    val byCap = toks.toSeq.map { case (s, t) => (s, t, t * 4) }
+      .sortBy(r => (r._3, r._1))
+    val n = byCap.length
+    var prefix = 0L
+    val sat = byCap.zipWithIndex.map { case ((_, _, cap), i) =>
+      val f = cap * (n - i).toLong + prefix <= budget
+      prefix += cap
+      f
+    }
+    assert(sat.zip(sat.tail).forall { case (a, b) => a || !b },
+      "saturation must be monotone down the cap order")
+    val nSat = sat.count(identity)
+    val satTok = byCap.zip(sat).collect { case ((_, _, cap), true) => cap }.sum
+    val level =
+      if (nSat == n) None else Some((budget - satTok) / (n - nSat))
+    val expected = byCap.zip(sat).map { case ((s, t, cap), f) =>
+      (s, t, cap, f, if (f) cap else level.get)
+    }.sortBy(_._1)
+    val rows = PipelineQueries.sourceUnimaxAlloc(spark, dir).collect()
+    assert(rows.length === n)
+    rows.zip(expected).foreach { case (row, (s, t, cap, f, alloc)) =>
+      assert(row.getAs[String]("source") === s)
+      assert(row.getAs[Long]("src_tokens") === t)
+      assert(row.getAs[Long]("cap_tokens") === cap)
+      assert(row.getAs[Long]("budget_tokens") === budget)
+      assert(row.getAs[Boolean]("saturated") === f)
+      assert(row.getAs[Long]("alloc_tokens") === alloc)
+      assert(row.getAs[Long]("alloc_tokens") <= cap,
+        s"$s allocated beyond its repeat cap")
+      assert(row.getAs[Long]("epochs_ppm") === alloc * 1000000L / t)
+    }
+    val total = expected.map(_._5).sum
+    assert(total <= budget && budget - total < n.toLong * 2,
+      "waterfill must spend the budget up to integer-division remainder")
+  }
+
+  test("er_fellegi_sunter: m/u estimation replayed over the SNM candidates") {
+    val docs = Tables.documents(spark, dir)
+    val cand = DedupQueries.snmCandidates(docs, DedupQueries.snmKey(0))
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    val sh = graft.operators.DedupOps.docShingles(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[String]]("shingles").toSet).toMap
+    val meta = docs.select("doc_id", "lang", "source", "n_chars").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("lang"), r.getAs[String]("source"),
+          r.getAs[Long]("n_chars"))).toMap
+    case class P(m: Boolean, lang: Boolean, source: Boolean, len: Boolean)
+    val pairs = cand.flatMap { case (a, b) =>
+      val (sa, sb) = (sh(a), sh(b))
+      if (sa.isEmpty || sb.isEmpty) None
+      else {
+        val (ma, mb) = (meta(a), meta(b))
+        Some(P(sa.intersect(sb).size * 3 >= sa.size + sb.size,
+          ma._1 == mb._1, ma._2 == mb._2,
+          math.abs(ma._3 - mb._3) * 10 <= math.max(ma._3, mb._3)))
+      }
+    }
+    val nM = pairs.count(_.m).toLong
+    val nU = pairs.count(!_.m).toLong
+    val rows = DedupQueries.erFellegiSunter(spark, dir).collect()
+      .map(r => r.getAs[String]("field") -> r).toMap
+    assert(rows.keySet === Set("lang", "source", "len10"))
+    assert(nM > 0 && nU > 0, "fixture must yield both matches and non-matches")
+    Seq(("lang", (p: P) => p.lang), ("source", (p: P) => p.source),
+      ("len10", (p: P) => p.len)).foreach { case (name, agree) =>
+      val r = rows(name)
+      val aM = pairs.count(p => p.m && agree(p)).toLong
+      val aU = pairs.count(p => !p.m && agree(p)).toLong
+      assert(r.getAs[Long]("n_match") === nM, name)
+      assert(r.getAs[Long]("n_unmatch") === nU, name)
+      assert(r.getAs[Long]("agree_match") === aM, name)
+      assert(r.getAs[Long]("agree_unmatch") === aU, name)
+      val mPpm = aM * 1000000L / nM
+      val uPpm = aU * 1000000L / nU
+      assert(r.getAs[Long]("m_ppm") === mPpm, name)
+      assert(r.getAs[Long]("u_ppm") === uPpm, name)
+      if (mPpm > 0 && uPpm > 0)
+        assert(r.getAs[Double]("w_agree_nats") ===
+          round6(math.log(mPpm.toDouble / uPpm)), name)
+      else assert(r.isNullAt(r.fieldIndex("w_agree_nats")), name)
+      if (mPpm < 1000000L && uPpm < 1000000L)
+        assert(r.getAs[Double]("w_disagree_nats") ===
+          round6(math.log((1000000L - mPpm).toDouble / (1000000L - uPpm))), name)
+      else assert(r.isNullAt(r.fieldIndex("w_disagree_nats")), name)
+    }
+  }
 }
