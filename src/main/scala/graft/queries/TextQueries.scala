@@ -1594,6 +1594,127 @@ object TextQueries {
       |ORDER BY p_kn DESC, w1, w2
       |LIMIT 20""".stripMargin
 
+  /** Held-out perplexity under the Kneser–Ney bigram LM — the metric the
+    * [[bigramKneserNey]] table exists to serve: the LM is fit on the EVEN
+    * doc_ids and every ODD doc is scored against it, so the number is a
+    * genuine out-of-sample fit (the quality signal perplexity-filtering
+    * pipelines threshold on; [[docLmScore]] scores with a self-fit
+    * unigram model — this is the bigram, train/test-split upgrade).
+    *
+    * Probability for a held-out bigram (w₁,w₂), D = 0.75:
+    * pair seen     → (c₁₂−D)/c₁ + D·N₁₊(w₁·)/c₁ · pc(w₂)
+    * head-only     → D·N₁₊(w₁·)/c₁ · pc(w₂)           (the λ backoff)
+    * head unseen   → pc(w₂)
+    * with the add-one continuation pc(w₂) = (N₁₊(·w₂)+1)/(N₁₊(··)+V₂+1),
+    * which keeps every branch strictly positive (an unseen-everything
+    * bigram costs ln(N+V₂+1) nats) — the deterministic OOV floor this
+    * engine uses in place of a tuned backoff vocabulary. Per-token costs
+    * are rounded to integer MICRO-NATS and summed as longs — exact and
+    * partition-order-independent; only the final exp is floating.
+    *
+    * Scale shape: the LM frames are bigram-TYPE sized (vocab²-saturating,
+    * never corpus-sized); scoring is three hash equi-joins from the
+    * held-out bigram stream onto those frames plus one broadcast
+    * one-row total, then a doc-keyed aggregate. */
+  def docKnPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    import QueryConventions.MaterializeSyntax
+    val toks = col("toks")
+    def bigrams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, bb) => struct(a.as("w1"), bb.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val docs = Tables.documents(spark, dir)
+    val b = bigrams(docs.filter(col("doc_id") % 2 === 0))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .materializeOnce // pair join + head agg + tail agg + totals
+    val h = b.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+    val t = b.groupBy(col("w2")).agg(count(lit(1)).as("n1r"))
+    val totals = b.agg(count(lit(1)).as("n_types"),
+      countDistinct(col("w2")).as("v2"))
+    val pc = (coalesce(col("n1r"), lit(0L)) + lit(1L)).cast("double") /
+      (col("n_types") + col("v2") + lit(1L)).cast("double")
+    val lambda = lit(0.75) * col("n1f").cast("double") /
+      col("c1").cast("double") * col("p_cont")
+    val scored = bigrams(docs.filter(col("doc_id") % 2 === 1))
+      .join(b, Seq("w1", "w2"), "left")
+      .join(h, Seq("w1"), "left")
+      .join(t, Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("p_cont", pc)
+      .withColumn("p",
+        when(col("c12").isNotNull,
+          (col("c12").cast("double") - 0.75) / col("c1").cast("double") + lambda)
+          .when(col("c1").isNotNull, lambda)
+          .otherwise(col("p_cont")))
+      .withColumn("nats_micro", round(-log(col("p")) * 1e6, 0).cast("long"))
+    scored.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bg"),
+        sum(when(col("c12").isNull, 1L).otherwise(0L)).as("n_unseen_pair"),
+        sum(when(col("c1").isNull, 1L).otherwise(0L)).as("n_unseen_head"),
+        sum(col("nats_micro")).as("nll_micro"))
+      .withColumn("avg_nll_micro", expr("nll_micro div n_bg"))
+      .withColumn("ppl",
+        round(exp(col("avg_nll_micro").cast("double") / 1e6), 6))
+      .select("doc_id", "n_bg", "n_unseen_pair", "n_unseen_head",
+        "nll_micro", "avg_nll_micro", "ppl")
+      .orderBy("doc_id")
+  }
+
+  private val docKnPerplexitySql: String =
+    """WITH tr AS (
+      |  SELECT doc_id,
+      |         CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
+      |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+') END AS toks
+      |  FROM documents),
+      |etr AS (
+      |  SELECT toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+      |  FROM tr, LATERAL (SELECT unnest(range(1, CAST(len(toks) AS BIGINT))) AS i) u
+      |  WHERE doc_id % 2 = 0),
+      |b AS (SELECT w1, w2, count(*) AS c12 FROM etr GROUP BY w1, w2),
+      |h AS (SELECT w1, sum(c12) AS c1, count(*) AS n1f FROM b GROUP BY w1),
+      |t2 AS (SELECT w2, count(*) AS n1r FROM b GROUP BY w2),
+      |tot AS (SELECT count(*) AS n_types, count(DISTINCT w2) AS v2 FROM b),
+      |ho AS (
+      |  SELECT doc_id, toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+      |  FROM tr, LATERAL (SELECT unnest(range(1, CAST(len(toks) AS BIGINT))) AS i) u
+      |  WHERE doc_id % 2 = 1),
+      |s AS (
+      |  SELECT ho.doc_id, b.c12, h.c1, h.n1f,
+      |         CAST(COALESCE(t2.n1r, 0) + 1 AS DOUBLE)
+      |           / CAST(tot.n_types + tot.v2 + 1 AS DOUBLE) AS p_cont
+      |  FROM ho
+      |  LEFT JOIN b  ON b.w1 = ho.w1 AND b.w2 = ho.w2
+      |  LEFT JOIN h  ON h.w1 = ho.w1
+      |  LEFT JOIN t2 ON t2.w2 = ho.w2
+      |  CROSS JOIN tot),
+      |p AS (
+      |  SELECT doc_id, c12, c1,
+      |         CASE WHEN c12 IS NOT NULL
+      |              THEN (CAST(c12 AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE)
+      |                   + 0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE) * p_cont
+      |              WHEN c1 IS NOT NULL
+      |              THEN 0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE) * p_cont
+      |              ELSE p_cont END AS p
+      |  FROM s),
+      |g AS (
+      |  SELECT doc_id, count(*) AS n_bg,
+      |         sum(CASE WHEN c12 IS NULL THEN 1 ELSE 0 END) AS n_unseen_pair,
+      |         sum(CASE WHEN c1 IS NULL THEN 1 ELSE 0 END) AS n_unseen_head,
+      |         sum(CAST(round(-ln(p) * 1e6, 0) AS BIGINT)) AS nll_micro
+      |  FROM p GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_bg AS BIGINT) AS n_bg,
+      |       CAST(n_unseen_pair AS BIGINT) AS n_unseen_pair,
+      |       CAST(n_unseen_head AS BIGINT) AS n_unseen_head,
+      |       CAST(nll_micro AS BIGINT) AS nll_micro,
+      |       CAST(nll_micro // n_bg AS BIGINT) AS avg_nll_micro,
+      |       round(exp(CAST(nll_micro // n_bg AS DOUBLE) / 1e6), 6) AS ppl
+      |FROM g ORDER BY doc_id""".stripMargin
+
   /** Church–Gale burstiness of the most frequent tokens: collection
     * frequency vs document frequency. A token whose cf/df ratio is high
     * CLUMPS (a few documents use it heavily — topical/markup tokens);
@@ -1816,6 +1937,7 @@ object TextQueries {
 
   val queries: Map[String, Q] = Map(
     "bigram_kneser_ney"     -> (bigramKneserNey _),
+    "doc_kn_perplexity"     -> (docKnPerplexity _),
     "token_burstiness"      -> (tokenBurstiness _),
     "doc_readability"       -> (docReadability _),
     "doc_lexical_diversity" -> (docLexicalDiversity _),
@@ -1847,6 +1969,7 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "bigram_kneser_ney"     -> bigramKneserNeySql,
+    "doc_kn_perplexity"     -> docKnPerplexitySql,
     "token_burstiness"      -> tokenBurstinessSql,
     "doc_readability"       -> docReadabilitySql,
     "doc_lexical_diversity" -> docLexicalDiversitySql,

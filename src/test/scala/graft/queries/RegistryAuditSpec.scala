@@ -229,6 +229,9 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     // same pair stage as part_pair_lift; the broadcast side is the
     // one-row n_orders frame crossed onto the rule aggregate
     "part_assoc_rules",
+    // one-row (n_types, v2) LM-total frame crossed onto the held-out
+    // bigram stream
+    "doc_kn_perplexity",
     // broadcast candidate/φ frames: the build side starts as a limit(1)
     // seed and grows only by the hash-threshold draws (expected ≤
     // oversample·rounds rows, ≤ 1+3·8 here); the per-round φ frame is

@@ -487,4 +487,58 @@ class Round8Spec extends AnyFunSuite with SparkSpec {
       else assert(r.isNullAt(r.fieldIndex("w_disagree_nats")), name)
     }
   }
+
+  test("doc_kn_perplexity: held-out scoring replayed from raw text") {
+    def toks(s: String): Array[String] = {
+      val t = s.replaceAll("^\\s+|\\s+$", "")
+      if (t.isEmpty) Array.empty else t.split("\\s+")
+    }
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), toks(r.getAs[String]("text"))))
+    def bigrams(ts: Array[String]) = ts.iterator.sliding(2).withPartial(false)
+      .map(p => (p.head, p(1))).toSeq
+    val train = docs.filter(_._1 % 2 == 0).flatMap(d => bigrams(d._2))
+    val b = train.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val h = train.groupBy(_._1).view
+      .mapValues(g => (g.size.toLong, g.distinct.size.toLong)).toMap // (c1, n1f)
+    val t2 = b.keySet.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nTypes = b.size.toLong
+    val v2 = t2.size.toLong
+    val rows = TextQueries.docKnPerplexity(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    var checked = 0
+    docs.filter(_._1 % 2 == 1).foreach { case (id, ts) =>
+      val bgs = bigrams(ts)
+      if (bgs.isEmpty) assert(!rows.contains(id), s"doc $id should be absent")
+      else {
+        val costs = bgs.map { case (w1, w2) =>
+          val pc = (t2.getOrElse(w2, 0L) + 1).toDouble / (nTypes + v2 + 1)
+          val p = b.get((w1, w2)) match {
+            case Some(c12) =>
+              val (c1, n1f) = h(w1)
+              (c12.toDouble - 0.75) / c1 + 0.75 * n1f.toDouble / c1 * pc
+            case None => h.get(w1) match {
+              case Some((c1, n1f)) => 0.75 * n1f.toDouble / c1 * pc
+              case None => pc
+            }
+          }
+          BigDecimal.valueOf(-math.log(p) * 1e6)
+            .setScale(0, RoundingMode.HALF_UP).toLong
+        }
+        val r = rows(id)
+        assert(r.getAs[Long]("n_bg") === bgs.length.toLong, s"doc $id")
+        assert(r.getAs[Long]("n_unseen_pair") ===
+          bgs.count(bg => !b.contains(bg)).toLong, s"doc $id")
+        assert(r.getAs[Long]("n_unseen_head") ===
+          bgs.count(bg => !h.contains(bg._1)).toLong, s"doc $id")
+        assert(r.getAs[Long]("nll_micro") === costs.sum, s"doc $id")
+        assert(r.getAs[Long]("avg_nll_micro") === costs.sum / bgs.length, s"doc $id")
+        assert(r.getAs[Double]("ppl") ===
+          round6(math.exp((costs.sum / bgs.length).toDouble / 1e6)), s"doc $id")
+        checked += 1
+      }
+    }
+    assert(checked > 0, "fixture yielded no held-out documents")
+  }
 }
