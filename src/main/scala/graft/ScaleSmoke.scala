@@ -314,6 +314,14 @@ object ScaleSmoke {
     println(s"[scale] embeddings ${emb.count()} -> ${scaledEmb.count()} (${k}x)")
     time("ivf_kmeans_refine")(
       graft.queries.SimilarityQueries.ivfKmeansRefineFrom(spark, scaledEmb).count())
+    // k-means‖ seeding on the K×-scaled corpus: each round is one
+    // broadcast-candidates map pass (∝ corpus) + a one-row φ aggregate,
+    // and the d²-proportional draw self-normalizes by φ (which grows
+    // with N) — so wall must track K ~linearly while the candidate
+    // count stays ~1 + l·rounds, NOT ∝ corpus. The emitted row count is
+    // the fixed top-K seed set; the probe's claim is in the wall curve.
+    time("kmeans_init")(
+      graft.queries.SimilarityQueries.kmeansParallelInitFrom(spark, scaledEmb).count())
     // semantic dedup: pair volume must track Σ cluster², not corpus² —
     // replicas are exact dups, so drops should scale ~linearly with K
     time("semantic_dedup")(

@@ -2201,10 +2201,13 @@ object SimilarityQueries {
     * inequality hash_frac·φ < l·M·d² in DECIMAL(38,0) (the probability-
     * integral-transform trick — reproducible and cluster-size-
     * independent, no RNG); weights are exact counts. No float anywhere. */
-  def kmeansParallelInit(spark: SparkSession, dir: String): DataFrame = {
+  def kmeansParallelInit(spark: SparkSession, dir: String): DataFrame =
+    kmeansParallelInitFrom(spark, Tables.embeddings(spark, dir))
+
+  def kmeansParallelInitFrom(spark: SparkSession, emb: DataFrame): DataFrame = {
     val ldot = (a: Column, b: Column) =>
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
-    val mv = Tables.embeddings(spark, dir)
+    val mv = emb
       .select(col("vec_id"),
         transform(col("embedding"), x => round(x * 1e6).cast("long")).as("mv"))
       .withColumn("nrm", ldot(col("mv"), col("mv")))
