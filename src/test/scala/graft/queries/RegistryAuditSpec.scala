@@ -21,6 +21,40 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     try body finally sys.props.remove("graft.materialize")
   }
 
+  /** Everything the plan audits below need, gathered in ONE walk per
+    * query (analysis + physical planning, never execution): the audit
+    * suite used to re-plan all ~300 registry entries once per test —
+    * five walks — and dominated the suite wall; the assertions are
+    * unchanged, they just read from this shared pass. */
+  private case class PlanFacts(
+      scalaUdfs: Boolean,
+      decimalCols: Seq[String],
+      globalWindowSort: Boolean,
+      execPlan: String)
+
+  private lazy val planFacts: Map[String, PlanFacts] = withFullPlans {
+    val dir = "/root/testdata/sf0.001"
+    val facts = Registry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val df = fn(spark, dir)
+      val qe = df.queryExecution
+      val udfs = qe.optimizedPlan.flatMap(_.expressions).flatMap(_.collect {
+        case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+      })
+      val sorts = qe.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty => w
+      }
+      val decimals = df.schema.fields.collect {
+        case f if f.dataType
+          .isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
+      }.toSeq
+      name -> PlanFacts(udfs.nonEmpty, decimals, sorts.nonEmpty,
+        qe.executedPlan.toString)
+    }.toMap
+    spark.catalog.clearCache() // several queries cache build frames
+    facts
+  }
+
   test("every oracle entry has a registered query") {
     val orphans = Registry.oracle.keySet -- Registry.queries.keySet
     assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
@@ -52,20 +86,14 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
   // sketch itself is built by the codegen'd count_min_sketch aggregate).
   private val scalaUdfAllowed = Set("token_heavy_hitters_cms")
 
-  test("no UDF expressions in any registered query plan") { withFullPlans {
-    val dir = "/root/testdata/sf0.001"
-    val offenders = Registry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val qe = fn(spark, dir).queryExecution
-      val scalaUdfs = qe.optimizedPlan.flatMap(_.expressions).flatMap(_.collect {
-        case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
-      })
-      val python = qe.executedPlan.toString.contains("BatchEvalPython")
-      if ((scalaUdfs.nonEmpty && !scalaUdfAllowed(name)) || python) Some(name)
-      else None
+  test("no UDF expressions in any registered query plan") {
+    val offenders = planFacts.toSeq.sortBy(_._1).collect {
+      case (name, f)
+          if (f.scalaUdfs && !scalaUdfAllowed(name)) ||
+            f.execPlan.contains("BatchEvalPython") => name
     }
-    spark.catalog.clearCache() // several queries cache build frames
     assert(offenders.isEmpty, s"UDF nodes in: $offenders")
-  }}
+  }
 
   // The r4–r6 recurring disease, banned structurally: a DECIMAL output
   // column is value-correct but HASH-RED — the driver's canonicalizer
@@ -76,20 +104,12 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
   // them as BIGINT (loud ANSI-cast range assert) or as an exact hi/lo
   // BIGINT split when the value genuinely exceeds 2⁶³ (dft power).
   test("no DecimalType column in any registered query's output schema") {
-    withFullPlans {
-      val dir = "/root/testdata/sf0.001"
-      val offenders = Registry.queries.toSeq.sortBy(_._1).flatMap {
-        case (name, fn) =>
-          val bad = fn(spark, dir).schema.fields.collect {
-            case f if f.dataType
-              .isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
-          }
-          if (bad.nonEmpty) Some(s"$name(${bad.mkString(",")})") else None
-      }
-      spark.catalog.clearCache()
-      assert(offenders.isEmpty,
-        s"DECIMAL output columns (re-emit as BIGINT or hi/lo split): $offenders")
+    val offenders = planFacts.toSeq.sortBy(_._1).collect {
+      case (name, f) if f.decimalCols.nonEmpty =>
+        s"$name(${f.decimalCols.mkString(",")})"
     }
+    assert(offenders.isEmpty,
+      s"DECIMAL output columns (re-emit as BIGINT or hi/lo split): $offenders")
   }
 
   test("the UDF walk actually sees ScalaUDF expressions") {
@@ -130,21 +150,12 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "source_unimax_alloc" -> "rank + prefix sums over the ~20-row source frame")
 
   test("no unpartitioned window sort outside the bounded-frame allowlist") {
-    withFullPlans {
-      val dir = "/root/testdata/sf0.001"
-      val offenders = Registry.queries.toSeq.sortBy(_._1).flatMap {
-        case (name, fn) =>
-          val globalSorts = fn(spark, dir).queryExecution.optimizedPlan.collect {
-            case w: org.apache.spark.sql.catalyst.plans.logical.Window
-                if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty => w
-          }
-          if (globalSorts.nonEmpty && !globalWindowSortAllowed.contains(name))
-            Some(name)
-          else None
-      }
-      spark.catalog.clearCache()
-      assert(offenders.isEmpty, s"unpartitioned window sorts in: $offenders")
+    val offenders = planFacts.toSeq.sortBy(_._1).collect {
+      case (name, f)
+          if f.globalWindowSort && !globalWindowSortAllowed.contains(name) =>
+        name
     }
+    assert(offenders.isEmpty, s"unpartitioned window sorts in: $offenders")
   }
 
   // the labeled O(const²) recall baselines are the ONLY queries allowed
@@ -239,20 +250,15 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "kmeans_parallel_init")
 
   test("no all-pairs product outside the labeled bounded baselines") {
-    withFullPlans {
-      val dir = "/root/testdata/sf0.001"
-      val offenders = Registry.queries.toSeq.sortBy(_._1)
-        .flatMap { case (name, fn) =>
-          val plan = fn(spark, dir).queryExecution.executedPlan.toString
-          val cartesian = plan.contains("CartesianProduct") &&
-            !allPairsBaselines(name)
-          val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
-            !broadcastCrossAllowed(name) && !allPairsBaselines(name)
-          if (cartesian || bnlj) Some(name) else None
-        }
-      spark.catalog.clearCache()
-      assert(offenders.isEmpty, s"unbroadcast all-pairs plans in: $offenders")
+    val offenders = planFacts.toSeq.sortBy(_._1).collect {
+      case (name, f)
+          if (f.execPlan.contains("CartesianProduct") &&
+            !allPairsBaselines(name)) ||
+            (f.execPlan.contains("BroadcastNestedLoopJoin") &&
+              !broadcastCrossAllowed(name) && !allPairsBaselines(name)) =>
+        name
     }
+    assert(offenders.isEmpty, s"unbroadcast all-pairs plans in: $offenders")
   }
 
   // registered queries materialize self-join build frames via
@@ -275,19 +281,13 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
   // the bound is actually in the plan, so nobody can quietly widen a
   // baseline back to corpus²
   test("every all-pairs baseline scans behind a pushed id bound") {
-    withFullPlans {
-      val dir = "/root/testdata/sf0.001"
-      val bounds = Map(
-        "near_dup_pairs"      -> "1200",
-        "ngram_jaccard_pairs" -> "150",
-        "simhash_near_dup"    -> "1500")
-      bounds.foreach { case (name, bound) =>
-        val plan = Registry.queries(name)(spark, dir)
-          .queryExecution.executedPlan.toString
-        assert(plan.contains(bound),
-          s"$name: expected id bound $bound in the physical plan")
-      }
-      spark.catalog.clearCache()
+    val bounds = Map(
+      "near_dup_pairs"      -> "1200",
+      "ngram_jaccard_pairs" -> "150",
+      "simhash_near_dup"    -> "1500")
+    bounds.foreach { case (name, bound) =>
+      assert(planFacts(name).execPlan.contains(bound),
+        s"$name: expected id bound $bound in the physical plan")
     }
   }
 
@@ -299,17 +299,12 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
   // broadcast side to a corpus-sized frame, or drops the draw threshold,
   // fails here rather than silently keeping the allowlist entry above.
   test("kmeans_parallel_init BNLJ build side carries the seed and draw bounds") {
-    withFullPlans {
-      val dir = "/root/testdata/sf0.001"
-      val plan = Registry.queries("kmeans_parallel_init")(spark, dir)
-        .queryExecution.executedPlan.toString
-      assert(plan.contains("BroadcastNestedLoopJoin"),
-        "expected the broadcast-candidates map pass in the plan")
-      // l·M = 8·2^20: the hash-fraction draw threshold bounding expected
-      // candidates per round
-      assert(plan.contains("8388608"),
-        "expected the l*M draw-threshold literal in the physical plan")
-      spark.catalog.clearCache()
-    }
+    val plan = planFacts("kmeans_parallel_init").execPlan
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "expected the broadcast-candidates map pass in the plan")
+    // l·M = 8·2^20: the hash-fraction draw threshold bounding expected
+    // candidates per round
+    assert(plan.contains("8388608"),
+      "expected the l*M draw-threshold literal in the physical plan")
   }
 }
