@@ -2593,6 +2593,82 @@ object PipelineQueries {
       |         // (2 * CAST(g AS HUGEINT) * n) > 200000 AS breach
       |FROM f ORDER BY nat, bal_bucket""".stripMargin
 
+  /** Local differential privacy via randomized response (Warner 1965 —
+    * the mechanism RAPPOR built on): each customer reports their market
+    * segment TRUTHFULLY with probability p = 1/2, otherwise reports a
+    * segment drawn uniformly from the K = 5 known values — so any
+    * individual report is plausibly deniable (ε = ln(1 + K·p/(1−p)) =
+    * ln 6 here) — and the aggregator DEBIASES the observed histogram in
+    * closed form: E[obs_s] = p·n_s + (1−p)·n/K, so n̂_s =
+    * (obs_s − (1−p)·n/K)/p = 2·obs_s − n/5. This completes the privacy
+    * tier: k-anonymity / l-diversity / t-closeness audit what a
+    * RELEASED table leaks; randomized response is the COLLECTION-side
+    * mechanism that never stores the true value at all — the estimator
+    * emitted beside the true counts shows exactly what utility the
+    * noise costs.
+    *
+    * Determinism: the coin and the uniform draw are hash
+    * probability-integral transforms over the customer key (the same
+    * no-RNG discipline as the k-means‖ draws and the permutation
+    * test's relabelings), so both engines replay identical noise.
+    * Exactness: the debias is pure integer arithmetic in micro-units
+    * (n is a multiple of 5 or not — no matter: 200000·n is exact).
+    * Scale shape: the union-tag form makes the histogram ONE
+    * segment-keyed aggregate over 2N tagged rows with map-side
+    * partials; the one-row total broadcasts. */
+  def customerRrHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val coin = pmod(DedupOps.h60(
+      concat(lit("rrcoin:"), col("c_custkey").cast("string"))), lit(10L))
+    val pick = pmod(DedupOps.h60(
+      concat(lit("rrpick:"), col("c_custkey").cast("string"))), lit(5L))
+    val r = Tables.customer(spark, dir)
+      .select(col("c_mktsegment").as("true_seg"),
+        when(coin < 5, col("c_mktsegment"))
+          .otherwise(element_at(array(segs.map(lit): _*),
+            (pick + 1).cast("int"))).as("reported"))
+      .materializeOnce // one scan feeds both tag legs
+    val tagged = r.select(col("true_seg").as("segment"),
+        lit(1L).as("is_true"), lit(0L).as("is_rep"))
+      .unionByName(r.select(col("reported").as("segment"),
+        lit(0L).as("is_true"), lit(1L).as("is_rep")))
+    val tot = r.agg(count(lit(1)).as("n"))
+    tagged.groupBy(col("segment"))
+      .agg(sum(col("is_true")).as("true_count"),
+        sum(col("is_rep")).as("reported_count"))
+      .crossJoin(broadcast(tot))
+      .select(col("segment"), col("true_count"), col("reported_count"),
+        (lit(2000000L) * col("reported_count") - lit(200000L) * col("n"))
+          .as("est_micro"),
+        (lit(2000000L) * col("reported_count") - lit(200000L) * col("n")
+          - lit(1000000L) * col("true_count")).as("err_micro"))
+      .orderBy("segment")
+  }
+
+  private val customerRrHistogramSql: String =
+    """WITH r AS (
+      |  SELECT c_mktsegment AS true_seg,
+      |         CASE WHEN CAST('0x' || substring(md5('rrcoin:' || CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 10 < 5
+      |              THEN c_mktsegment
+      |              ELSE ['AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY']
+      |                   [CAST(CAST('0x' || substring(md5('rrpick:' || CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 5 AS INT) + 1]
+      |              END AS reported
+      |  FROM customer),
+      |tot AS (SELECT count(*) AS n FROM r),
+      |u AS (
+      |  SELECT true_seg AS segment, 1 AS is_true, 0 AS is_rep FROM r
+      |  UNION ALL
+      |  SELECT reported, 0, 1 FROM r),
+      |g AS (
+      |  SELECT segment, sum(is_true) AS true_count, sum(is_rep) AS reported_count
+      |  FROM u GROUP BY segment)
+      |SELECT segment, CAST(true_count AS BIGINT) AS true_count,
+      |       CAST(reported_count AS BIGINT) AS reported_count,
+      |       CAST(2000000 * reported_count - 200000 * n AS BIGINT) AS est_micro,
+      |       CAST(2000000 * reported_count - 200000 * n
+      |            - 1000000 * true_count AS BIGINT) AS err_micro
+      |FROM g CROSS JOIN tot ORDER BY segment""".stripMargin
+
   /** Referential-integrity audit over every foreign-key edge of the star
     * schema — the structural health check that runs BEFORE any semantic
     * query is trusted: per edge, child rows, null keys (allowed but
@@ -3063,6 +3139,7 @@ object PipelineQueries {
     "referential_integrity_audit" -> (referentialIntegrityAudit _),
     "customer_ldiversity" -> (customerLdiversity _),
     "customer_tcloseness" -> (customerTcloseness _),
+    "customer_rr_histogram" -> (customerRrHistogram _),
     "source_length_emd"   -> (sourceLengthEmd _),
     "customer_kanonymity" -> (customerKanonymity _),
     "deletion_propagation" -> (deletionPropagation _),
@@ -3143,6 +3220,7 @@ object PipelineQueries {
     "referential_integrity_audit" -> referentialIntegrityAuditSql,
     "customer_ldiversity" -> customerLdiversitySql,
     "customer_tcloseness" -> customerTclosenessSql,
+    "customer_rr_histogram" -> customerRrHistogramSql,
     "source_length_emd"   -> sourceLengthEmdSql,
     "customer_kanonymity" -> customerKanonymitySql,
     "stratified_sample_counts" -> stratifiedSampleCountsSql,

@@ -826,7 +826,97 @@ object RelationalQueries {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  /** Incremental view maintenance — the partial-aggregate MERGE that
+    * keeps a 100 TB rollup fresh without rescanning history: the
+    * monthly revenue "materialized view" is built from the frozen
+    * history partition (o_orderdate < cutoff) as mergeable partials
+    * (COUNT + un-rounded DECIMAL SUM — the two classic self-merging
+    * aggregates), the delta partition (>= cutoff) produces the same
+    * partials from a pushed-filter scan that reads ONLY the new data,
+    * and the view refresh is a re-aggregation of (at most) 2 rows per
+    * month — never a history rescan. At scale the snapshot leg is a
+    * stored table and only the delta leg runs per refresh; here both
+    * legs run so the oracle (a direct full GROUP BY) can certify the
+    * merge is EXACT — associativity is why the partials must stay
+    * DECIMAL until the final presentation round. AVG is deliberately
+    * derived from the merged (sum, count), the standard IVM treatment
+    * of non-self-merging aggregates. */
+  def ordersIncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = "2001-06-01"
+    def partials(o: DataFrame): DataFrame = o
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_part"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).as("rev_part"))
+    val orders = Tables.orders(spark, dir)
+    val snapshot = partials(orders.filter(col("o_orderdate") < lit(cutoff)))
+      .materializeOnce // the stored MV: built once, reused every refresh
+    val delta = partials(orders.filter(col("o_orderdate") >= lit(cutoff)))
+    snapshot.unionByName(delta)
+      .groupBy(col("month"))
+      .agg(sum(col("n_part")).as("n_orders"),
+        sum(col("rev_part")).as("rev"))
+      .select(col("month"), col("n_orders"),
+        round(col("rev").cast("double"), 2).as("revenue"),
+        round((col("rev") / col("n_orders")).cast("double"), 6).as("avg_price"))
+      .orderBy("month")
+  }
+
+  private val ordersIncrementalAggSql: String =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+      |       count(*) AS n_orders,
+      |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+      |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+      |             / count(*) AS DOUBLE), 6) AS avg_price
+      |FROM orders
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Product-line profit by supplier nation and order year (the TPC-H
+    * Q9 shape adapted to this catalog — no partsupp table, so unit cost
+    * is proxied by the part's retail price): lineitem ⋈ part(filtered)
+    * ⋈ supplier ⋈ nation ⋈ orders, aggregated to (nation, year). The
+    * plan a 100 TB run wants, and this builds: the `p_name` filter
+    * cuts part BEFORE its join (pushed to the part scan), and every
+    * dimension side — filtered part, supplier, nation — broadcasts, so
+    * the fact table is never shuffled for them; the only exchange is
+    * the lineitem⋈orders fact join and the final (nation, year)
+    * aggregate with map-side partials. Profit per item is
+    * revenue − cost, kept DECIMAL-exact until the presentation round. */
+  def q9ProfitByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir).filter(col("p_name").contains("widget"))
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val o = Tables.orders(spark, dir)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).as("n_items"),
+        round((sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)"))
+          - sum((col("p_retailprice") * col("l_quantity"))
+            .cast("decimal(18,6)"))).cast("double"), 2).as("profit"))
+      .orderBy(col("nation"), col("o_year"))
+  }
+
+  private val q9ProfitByNationSql: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+      |       count(*) AS n_items,
+      |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+      |             - sum(CAST(p_retailprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS profit
+      |FROM lineitem
+      |JOIN part     ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |WHERE p_name LIKE '%widget%'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "orders_incremental_agg" -> (ordersIncrementalAgg _),
+    "q9_profit_by_nation"    -> (q9ProfitByNation _),
     "orders_above_customer_avg"    -> (ordersAboveCustomerAvg _),
     "customers_above_all_suppliers" -> (customersAboveAllSuppliers _),
     "customers_all_priorities" -> (customersAllPriorities _),
@@ -851,6 +941,8 @@ object RelationalQueries {
     "asof_last_click"      -> (asOfLastClick _))
 
   val oracle: Map[String, String] = Map(
+    "orders_incremental_agg" -> ordersIncrementalAggSql,
+    "q9_profit_by_nation"    -> q9ProfitByNationSql,
     "orders_above_customer_avg"    -> ordersAboveCustomerAvgSql,
     "customers_above_all_suppliers" -> customersAboveAllSuppliersSql,
     "customers_all_priorities" -> customersAllPrioritiesSql,

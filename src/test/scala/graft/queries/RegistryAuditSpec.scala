@@ -209,6 +209,7 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "value_hist_quantiles",  // one-row min/max/count frame × the scan and × the bin frame
     "part_community_modularity", // one-row m and global-sum frames × the community frame
     "customer_tcloseness",   // one-row table-total frame × the (class, seg) frame
+    "customer_rr_histogram", // one-row table-total frame × the 5-segment histogram
     "score_temperature_fit", // one-row NLL-min frame × the 9-row temperature grid
     // fixed query-vector / anchor set (|Q| constant, corpus streamed once)
     "knn_brute", "knn_filtered", "hard_negatives", "event_type_distances",
