@@ -2521,7 +2521,72 @@ object AnalyticsQueries {
        |ORDER BY part_id""".stripMargin
   }
 
+  /** Exact Gini coefficient of per-customer revenue + top-decile share —
+    * the inequality summary behind "what fraction of revenue rides on
+    * how few customers" (and, in a training-data pipeline, the same
+    * statistic over per-source token counts is the mixture-concentration
+    * gauge). Uses the rank-sum identity
+    * G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over the ASCENDING revenue
+    * order — the O(n log n) closed form of the O(n²) mean-absolute-
+    * difference definition, the same rank-sum trick [[classifier_auc]]
+    * uses for AUC.
+    *
+    * Scale shape: the fact collapses to one row per customer first
+    * (the only data-sized shuffle); the global ascending rank is
+    * [[GlobalWindow.rowNumberWithCount]]'s two-phase range numbering —
+    * never a single-task sort — and the finale is a one-row aggregate.
+    * Exactness: revenues are exact micro-unit BIGINTs, the rank-weighted
+    * sum accumulates in DECIMAL(38,0), and both reported ratios are
+    * cross-multiplied truncating integer divisions. Tiebreak (x, custkey)
+    * makes the numbering unique, and the rank-sum identity is
+    * tie-invariant anyway (any order within a tie group yields the same
+    * Σ i·x when the x are equal). */
+  def customerGini(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,6)")) * 1000000)
+        .cast("decimal(38,0)").cast("long").as("x_micro"))
+    val ranked = GlobalWindow.rowNumberWithCount(rev, "rn", "n")(
+      col("x_micro"), col("o_custkey"))
+    ranked.agg(
+        max(col("n")).as("n_customers"),
+        sum(col("x_micro")).as("sx"),
+        sum(col("rn").cast("decimal(38,0)") * col("x_micro")).as("six"),
+        sum(when(col("rn") > col("n") - floor(col("n") / 10),
+          col("x_micro")).otherwise(lit(0L))).as("top_decile"))
+      .select(col("n_customers"), col("sx").as("rev_sum_micro"),
+        expr("CAST((2 * six - (n_customers + 1) * CAST(sx AS DECIMAL(38,0)))" +
+          " * 1000000 div (CAST(n_customers AS DECIMAL(38,0)) * sx) AS LONG)")
+          .as("gini_ppm"),
+        expr("CAST(CAST(top_decile AS DECIMAL(38,0)) * 1000000" +
+          " div CAST(sx AS DECIMAL(38,0)) AS LONG)").as("top_decile_ppm"))
+  }
+
+  private val customerGiniSql: String =
+    """WITH rev AS (
+      |  SELECT o_custkey,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS x_micro
+      |  FROM orders GROUP BY o_custkey),
+      |ranked AS (
+      |  SELECT x_micro,
+      |         row_number() OVER (ORDER BY x_micro, o_custkey) AS rn,
+      |         count(*) OVER () AS n
+      |  FROM rev),
+      |agg AS (
+      |  SELECT max(n) AS n_customers, sum(x_micro) AS sx,
+      |         sum(CAST(rn AS HUGEINT) * x_micro) AS six,
+      |         sum(CASE WHEN rn > n - (n // 10) THEN x_micro ELSE 0 END) AS top_decile
+      |  FROM ranked)
+      |SELECT CAST(n_customers AS BIGINT) AS n_customers,
+      |       CAST(sx AS BIGINT) AS rev_sum_micro,
+      |       CAST((2 * six - (n_customers + 1) * CAST(sx AS HUGEINT)) * 1000000
+      |            // (CAST(n_customers AS HUGEINT) * sx) AS BIGINT) AS gini_ppm,
+      |       CAST(CAST(top_decile AS HUGEINT) * 1000000
+      |            // CAST(sx AS HUGEINT) AS BIGINT) AS top_decile_ppm
+      |FROM agg""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "customer_gini"              -> (customerGini _),
     "part_label_propagation"     -> (partLabelPropagation _),
     "part_community_modularity"  -> (partCommunityModularity _),
     "user_kmv_distinct"          -> (userKmvDistinct _),
@@ -2571,6 +2636,7 @@ object AnalyticsQueries {
     "distinct_users_approx"    -> (distinctUsersApprox _))
 
   val oracle: Map[String, String] = Map(
+    "customer_gini"              -> customerGiniSql,
     "part_label_propagation"     -> partLabelPropagationSql,
     "part_community_modularity"  -> partCommunityModularitySql,
     "user_kmv_distinct"          -> userKmvDistinctSql,

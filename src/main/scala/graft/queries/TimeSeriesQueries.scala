@@ -1487,7 +1487,71 @@ object TimeSeriesQueries {
        |  AND x_micro > l1 AND x_micro > l2 AND x_micro > r1 AND x_micro > r2
        |ORDER BY sensor_id, h""".stripMargin
 
+  /** Forecast-evaluation tier: MASE (mean absolute scaled error —
+    * Hyndman & Koehler 2006, the scale-free accuracy measure that
+    * replaced MAPE for intermittent/heterogeneous series) of the
+    * seasonal-naive forecaster x̂_t = x_{t−24} over each sensor's hourly
+    * series, scaled by the in-sample one-step naive MAE (|x_t − x_{t−1}|).
+    * MASE < 1 means the daily-seasonal forecast beats the random-walk
+    * baseline — per sensor, the one number that says whether its series
+    * HAS exploitable daily structure (the decision gate before spending
+    * a real forecaster on it). Lags are ROW-lags over the observed-hour
+    * sequence (both engines agree on gaps by construction).
+    *
+    * Scale shape: the raw feed collapses to the hours frame first (the
+    * only data-sized shuffle, shared [[hourlyMeans]] build); both error
+    * streams come out of ONE sensor-keyed window pass, and the per-sensor
+    * aggregate is calendar-bounded. Exactness: errors are exact micro-unit
+    * integers; the single ratio is one DECIMAL(38,0) cross-multiplied
+    * truncating division (sum24·n1·10⁶ div sum1·n24), so no float
+    * division ever happens. Sensors with a constant series (sum1 = 0) or
+    * fewer than 25 hours have no defined MASE and are excluded — same
+    * HAVING in the oracle. */
+  def sensorNaiveMase(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("sensor_id")).orderBy(col("h"))
+    val lagged = hourlyMeans(spark, dir)
+      .withColumn("e1", abs(col("x_micro") - lag(col("x_micro"), 1).over(w)))
+      .withColumn("e24", abs(col("x_micro") - lag(col("x_micro"), 24).over(w)))
+    lagged.groupBy(col("sensor_id"))
+      .agg(count(lit(1)).as("n_hours"),
+        count(col("e1")).as("n1"), count(col("e24")).as("n24"),
+        sum(col("e1")).as("sum_e1"), sum(col("e24")).as("sum_e24"))
+      .filter(col("n24") > 0 && col("sum_e1") > 0)
+      .select(col("sensor_id"), col("n_hours"),
+        col("sum_e1"), col("sum_e24"),
+        expr("CAST(sum_e24 AS DECIMAL(38,0)) * n1 * 1000000" +
+          " div (CAST(sum_e1 AS DECIMAL(38,0)) * n24)").cast("long")
+          .as("mase_ppm"))
+      .withColumn("seasonal_wins", col("mase_ppm") < 1000000L)
+      .orderBy("sensor_id")
+  }
+
+  private val sensorNaiveMaseSql: String =
+    s"""WITH byhour AS (
+       |  $hourlyMeansSql),
+       |lagged AS (
+       |  SELECT sensor_id,
+       |         abs(x_micro - lag(x_micro, 1) OVER w) AS e1,
+       |         abs(x_micro - lag(x_micro, 24) OVER w) AS e24
+       |  FROM byhour
+       |  WINDOW w AS (PARTITION BY sensor_id ORDER BY h)),
+       |agg AS (
+       |  SELECT sensor_id, count(*) AS n_hours,
+       |         count(e1) AS n1, count(e24) AS n24,
+       |         sum(e1) AS sum_e1, sum(e24) AS sum_e24
+       |  FROM lagged GROUP BY sensor_id
+       |  HAVING count(e24) > 0 AND sum(e1) > 0)
+       |SELECT sensor_id, CAST(n_hours AS BIGINT) AS n_hours,
+       |       CAST(sum_e1 AS BIGINT) AS sum_e1,
+       |       CAST(sum_e24 AS BIGINT) AS sum_e24,
+       |       CAST(CAST(sum_e24 AS HUGEINT) * n1 * 1000000
+       |            // (CAST(sum_e1 AS HUGEINT) * n24) AS BIGINT) AS mase_ppm,
+       |       CAST(sum_e24 AS HUGEINT) * n1 * 1000000
+       |         // (CAST(sum_e1 AS HUGEINT) * n24) < 1000000 AS seasonal_wins
+       |FROM agg ORDER BY sensor_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sensor_naive_mase"       -> (sensorNaiveMase _),
     "sensor_mann_kendall"     -> (sensorMannKendall _),
     "sensor_hampel"           -> (sensorHampel _),
     "sensor_peaks"            -> (sensorPeaks _),
@@ -1508,6 +1572,7 @@ object TimeSeriesQueries {
     "sensor_cusum"            -> (sensorCusum _))
 
   val oracle: Map[String, String] = Map(
+    "sensor_naive_mase"       -> sensorNaiveMaseSql,
     "sensor_mann_kendall"     -> sensorMannKendallSql,
     "sensor_hampel"           -> sensorHampelSql,
     "sensor_peaks"            -> sensorPeaksSql,
