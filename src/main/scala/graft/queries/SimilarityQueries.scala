@@ -779,6 +779,88 @@ object SimilarityQueries {
        |ORDER BY probes""".stripMargin
   }
 
+  /** Matryoshka truncation-recall curve — the evaluation behind
+    * MRL-style embeddings (Kusupati et al., NeurIPS 2022): score the
+    * SAME fixed query set with only the first d components
+    * (d ∈ 8/16/32/64) and report recall@5 of each truncation against
+    * the full-dimension exact top-5. This is the storage/latency
+    * tradeoff table a retrieval deployment reads before shipping
+    * truncated vectors — prefix dims cost d/64 of the scan bytes; the
+    * d = 64 row is the built-in self-check (recall exactly 1).
+    *
+    * Scale shape: ONE corpus scan — per-prefix norms are computed per
+    * vector before the pair join, all four truncated cosines come out
+    * of the same broadcast-query map pass, and the stack() unpivot
+    * feeds a single (dims, q_id)-partitioned top-5 window; nothing
+    * ever re-scans per d. Determinism: cosines round to 6 dp with
+    * vec_id tiebreak (the [[knnBrute]] discipline). */
+  def embeddingMrlRecall(spark: SparkSession, dir: String): DataFrame = {
+    val dotF = dotFast(spark) _
+    val dims = Seq(8, 16, 32, 64)
+    val withN = Tables.embeddings(spark, dir)
+      .select(col("vec_id") +: col("embedding") +: dims.map(d =>
+        sqrt(dotF(slice(col("embedding"), 1, d), slice(col("embedding"), 1, d)))
+          .as(s"n$d")): _*)
+    val q = withN.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id") +: col("embedding").as("q_emb") +:
+        dims.map(d => col(s"n$d").as(s"qn$d")): _*)
+    val scored = withN.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id") +: col("vec_id") +: dims.map(d =>
+        round(dotF(slice(col("q_emb"), 1, d), slice(col("embedding"), 1, d))
+          / (col(s"qn$d") * col(s"n$d")), 6).as(s"cos$d")): _*)
+      .selectExpr("q_id", "vec_id",
+        s"stack(${dims.size}, ${dims.map(d => s"$d, cos$d").mkString(", ")})" +
+          " AS (dims, cos_sim)")
+    val w = Window.partitionBy(col("dims"), col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val top = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("dims"), col("q_id"), col("vec_id"))
+      .materializeOnce // truth leg (dims = 64) and all returned legs share it
+    val truth = top.filter(col("dims") === 64)
+      .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+    top.join(truth, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("dims"))
+      .agg(count(lit(1)).as("n_returned"),
+        sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"))
+      .withColumn("recall_at_5",
+        floor(col("n_hits") * 1e4 / col("n_returned")) / lit(1e4))
+      .orderBy("dims")
+  }
+
+  private val embeddingMrlRecallSql: String = {
+    def cosD(d: Int) =
+      s"""round(list_dot_product(a.embedding[1:$d]::DOUBLE[], b.embedding[1:$d]::DOUBLE[]) /
+         |  (sqrt(list_dot_product(a.embedding[1:$d]::DOUBLE[], a.embedding[1:$d]::DOUBLE[])) *
+         |   sqrt(list_dot_product(b.embedding[1:$d]::DOUBLE[], b.embedding[1:$d]::DOUBLE[]))), 6)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT b.vec_id AS q_id, a.vec_id AS vec_id,
+       |         ${Seq(8, 16, 32, 64).map(d => s"${cosD(d)} AS cos$d").mkString(",\n         ")}
+       |  FROM embeddings a
+       |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) b
+       |  WHERE a.vec_id <> b.vec_id),
+       |u AS (
+       |  ${Seq(8, 16, 32, 64).map(d =>
+            s"SELECT $d AS dims, q_id, vec_id, cos$d AS cos_sim FROM pairs")
+            .mkString("\n  UNION ALL\n  ")}),
+       |top AS (
+       |  SELECT dims, q_id, vec_id FROM (
+       |    SELECT dims, q_id, vec_id,
+       |           row_number() OVER (PARTITION BY dims, q_id
+       |                              ORDER BY cos_sim DESC, vec_id) AS rank
+       |    FROM u)
+       |  WHERE rank <= 5),
+       |truth AS (SELECT q_id, vec_id FROM top WHERE dims = 64)
+       |SELECT t.dims,
+       |       count(*) AS n_returned,
+       |       CAST(count(b.q_id) AS BIGINT) AS n_hits,
+       |       floor(count(b.q_id) * 1e4 / count(*)) / 1e4 AS recall_at_5
+       |FROM top t LEFT JOIN truth b ON b.q_id = t.q_id AND b.vec_id = t.vec_id
+       |GROUP BY t.dims
+       |ORDER BY t.dims""".stripMargin
+  }
+
   /** Per-position inverse log₂ discount for NDCG@5 (micro units, rank
     * r → round(10⁶/log₂(r+1))) — computed once here and shared as
     * literals by both dialects (the DFT trig-table precedent), so no
@@ -2303,6 +2385,7 @@ object SimilarityQueries {
 
   val queries: Map[String, Q] = Map(
     "kmeans_parallel_init" -> (kmeansParallelInit _),
+    "embedding_mrl_recall" -> (embeddingMrlRecall _),
     "embedding_centroid_drift" -> (embeddingCentroidDrift _),
     "coreset_kcenter" -> (coresetKcenter _),
     "knn_mmr_rerank"  -> (knnMmrRerank _),
@@ -2334,6 +2417,7 @@ object SimilarityQueries {
 
   val oracle: Map[String, String] = Map(
     "kmeans_parallel_init" -> kmeansParallelInitSql,
+    "embedding_mrl_recall" -> embeddingMrlRecallSql,
     "coreset_kcenter" -> coresetKcenterSql,
     "knn_mmr_rerank"  -> knnMmrRerankSql,
     "embedding_centroid_drift" -> embeddingCentroidDriftSql,

@@ -989,10 +989,13 @@ object TextQueries {
     * Scale shape: one doc-keyed scoring aggregate, a distinct-score
     * collapse, then GlobalWindow's two-phase running sum over the score
     * groups (no single-task sort) and a one-row reduction. */
-  def classifierAuc(spark: SparkSession, dir: String): DataFrame = {
+  /** The (doc_id, y, pm) frame shared by the ranking metrics: the
+    * deterministic hashed-linear-model probability in exact micro-units
+    * plus the n_chars ≥ 300 label — one doc-keyed scoring aggregate. */
+  private def classifierScoredPm(spark: SparkSession, dir: String): DataFrame = {
     val bucket = pmod(graft.operators.DedupOps.h60(col("token")), lit(HashDim.toLong))
     val weight = (bucket * lit(2654435761L)) % 1001 - 500
-    val scored = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars"), explode(tokens(col("text"))).as("token"))
       .withColumn("w", weight)
       .groupBy(col("doc_id"))
@@ -1002,6 +1005,10 @@ object TextQueries {
           / lit(1e6)).as("score"))
       .withColumn("prob", round(lit(1.0) / (lit(1.0) + exp(col("score") * -4)), 6))
       .withColumn("pm", (col("prob").cast("decimal(18,6)") * 1000000).cast("long"))
+  }
+
+  def classifierAuc(spark: SparkSession, dir: String): DataFrame = {
+    val scored = classifierScoredPm(spark, dir)
     val grp = scored.groupBy(col("pm"))
       .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
     GlobalWindow.runningSum(grp, col("cnt"), "cum")(col("pm"))
@@ -1020,8 +1027,10 @@ object TextQueries {
         (col("auc_ppm") * 2 - 1000000L).as("gini_ppm"))
   }
 
-  private val classifierAucSql: String =
-    s"""WITH t AS (
+  /** The (doc_id, y, pm) CTE chain shared by the ranking-metric oracles
+    * — mirrors [[classifierScoredPm]]. Splice as `WITH $..., <more>`. */
+  private val classifierScoredPmCtes: String =
+    s"""t AS (
        |  SELECT doc_id, n_chars,
        |         CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) = 0 THEN []::VARCHAR[]
        |              ELSE string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') END AS toks
@@ -1038,10 +1047,13 @@ object TextQueries {
        |         floor(CAST(sum(w) AS DOUBLE) * 1000.0 / count(*)) / 1e6 AS score
        |  FROM f GROUP BY doc_id),
        |p AS (
-       |  SELECT y,
+       |  SELECT doc_id, y,
        |         CAST(CAST(round(1.0 / (1.0 + exp(score * -4)), 6) AS DECIMAL(18,6))
        |              * 1000000 AS BIGINT) AS pm
-       |  FROM s),
+       |  FROM s)""".stripMargin
+
+  private val classifierAucSql: String =
+    s"""WITH $classifierScoredPmCtes,
        |g AS (SELECT pm, count(*) AS cnt, sum(y) AS pos FROM p GROUP BY pm),
        |c AS (
        |  SELECT pos, cnt,
@@ -1063,6 +1075,66 @@ object TextQueries {
        |            // (2 * CAST(n_pos AS HUGEINT) * n_neg) * 2 - 1000000 AS BIGINT)
        |         AS gini_ppm
        |FROM b""".stripMargin
+
+  /** Decile gains/lift table of [[classifierScoredPm]] — the campaign-
+    * targeting view of ranking quality that completes the eval family:
+    * AUC summarizes the whole ranking in one number, the PR curve sweeps
+    * score thresholds, but the operational question is "if I can only
+    * act on the top 10/20/30% of docs, what fraction of positives do I
+    * capture and at what concentration vs. random" — per score-descending
+    * decile: size, positives, decile lift, cumulative gain and
+    * cumulative lift (lift₁ > 1 and a concave gain curve = the ranking
+    * works; decile 10's lift < 1 is the rejection region).
+    *
+    * Scale shape: one doc-keyed scoring aggregate, then the global
+    * decile assignment through [[GlobalWindow.ntile]]'s two-phase range
+    * numbering (never a single-task sort of the corpus); everything
+    * after is a 10-row frame. Exactness: lifts and gains are
+    * cross-multiplied truncating integer divisions over exact counts —
+    * no rate is ever a float. Tiebreak (pm desc, doc_id) pins identical
+    * decile boundaries on both engines. */
+  def classifierLiftTable(spark: SparkSession, dir: String): DataFrame = {
+    val dec = GlobalWindow.ntile(classifierScoredPm(spark, dir), 10, "decile")(
+        col("pm").desc, col("doc_id"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    dec
+      .withColumn("cum_n", sum(col("n")).over(wCum))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .withColumn("n_total", sum(col("n")).over(wAll))
+      .withColumn("pos_total", sum(col("n_pos")).over(wAll))
+      .select(col("decile"), col("n"), col("n_pos"),
+        expr("CAST(n_pos AS DECIMAL(38,0)) * n_total * 1000000" +
+          " div (CAST(n AS DECIMAL(38,0)) * pos_total)").as("lift_ppm"),
+        expr("CAST(cum_pos AS DECIMAL(38,0)) * 1000000" +
+          " div CAST(pos_total AS DECIMAL(38,0))").as("cum_gain_ppm"),
+        expr("CAST(cum_pos AS DECIMAL(38,0)) * n_total * 1000000" +
+          " div (CAST(cum_n AS DECIMAL(38,0)) * pos_total)").as("cum_lift_ppm"))
+      .orderBy("decile")
+  }
+
+  private val classifierLiftTableSql: String =
+    s"""WITH $classifierScoredPmCtes,
+       |d AS (SELECT y, ntile(10) OVER (ORDER BY pm DESC, doc_id) AS decile FROM p),
+       |g AS (SELECT decile, count(*) AS n, sum(y) AS n_pos FROM d GROUP BY decile),
+       |c AS (
+       |  SELECT decile, n, n_pos,
+       |         sum(n) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cum_n,
+       |         sum(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cum_pos,
+       |         sum(n) OVER () AS n_total,
+       |         sum(n_pos) OVER () AS pos_total
+       |  FROM g)
+       |SELECT CAST(decile AS INT) AS decile,
+       |       CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+       |       CAST(CAST(n_pos AS HUGEINT) * n_total * 1000000
+       |            // (CAST(n AS HUGEINT) * pos_total) AS BIGINT) AS lift_ppm,
+       |       CAST(CAST(cum_pos AS HUGEINT) * 1000000 // pos_total AS BIGINT) AS cum_gain_ppm,
+       |       CAST(CAST(cum_pos AS HUGEINT) * n_total * 1000000
+       |            // (CAST(cum_n AS HUGEINT) * pos_total) AS BIGINT) AS cum_lift_ppm
+       |FROM c ORDER BY decile""".stripMargin
 
   /** Isotonic (PAV) recalibration of [[classifierCalibration]]'s
     * reliability bins — the step a miscalibrated-but-monotone classifier
@@ -1949,6 +2021,7 @@ object TextQueries {
     "calibration_isotonic" -> (calibrationIsotonic _),
     "score_temperature_fit" -> (scoreTemperatureFit _),
     "classifier_auc" -> (classifierAuc _),
+    "classifier_lift_table" -> (classifierLiftTable _),
     "score_conformal_threshold" -> (scoreConformalThreshold _),
     "brier_decomposition" -> (brierDecomposition _),
     "ngram_count_of_counts" -> (ngramCountOfCounts _),
@@ -1981,6 +2054,7 @@ object TextQueries {
     "calibration_isotonic" -> calibrationIsotonicSql,
     "score_temperature_fit" -> scoreTemperatureFitSql,
     "classifier_auc" -> classifierAucSql,
+    "classifier_lift_table" -> classifierLiftTableSql,
     "score_conformal_threshold" -> scoreConformalThresholdSql,
     "brier_decomposition" -> brierDecompositionSql,
     "ngram_count_of_counts" -> ngramCountOfCountsSql,

@@ -147,6 +147,7 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "heaps_law_fit"        -> "cumulative sums over the 10-row decile checkpoint frame",
     "value_hist_quantiles" -> "cumsum over the ≤256-row histogram-bin frame",
     "orders_median_of_means" -> "rank over the 32-row fixed-bucket mean frame",
+    "classifier_lift_table" -> "cumsum over the 10-row decile frame",
     "source_unimax_alloc" -> "rank + prefix sums over the ~20-row source frame")
 
   test("no unpartitioned window sort outside the bounded-frame allowlist") {
@@ -213,6 +214,7 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "score_temperature_fit", // one-row NLL-min frame × the 9-row temperature grid
     // fixed query-vector / anchor set (|Q| constant, corpus streamed once)
     "knn_brute", "knn_filtered", "hard_negatives", "event_type_distances",
+    "embedding_mrl_recall", // same fixed 10-query anchor set as knn_brute, 4 truncations in one pass
     "media_clip_retrieval",
     "knn_mmr_rerank", // knn_brute candidate scan; greedy rounds on |Q|·k² frames
     "coreset_kcenter", // one-row pick frame × corpus per Gonzalez round
