@@ -98,6 +98,36 @@ object StreamBench {
       val stateRows = spark.table("streambench").count()
       println(f"[streambench] streaming_microbatch n=$nStream batches=${batches.length} state_rows=$stateRows t=$tStream%.2f s rate=${nStream / tStream}%.0f events/s")
     } finally q.stop()
+
+    // ---- streaming leg C: as-of enrichment tracker ----------------------
+    // per-key ValueState carry on RocksDB (the AsofTracker operating
+    // point): 5000 live users, 10% errors — each error row is enriched
+    // with its user's carried last reading. Input synthesized off the
+    // clock; the measured rate is the transformWithState path end to end.
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val asofRows = spark.range(nStream).select(
+        concat(lit("u"), pmod(col("id"), lit(5000L))).as("userId"),
+        (lit(1700000000000000L) + col("id") * 1000L).as("tsUs"),
+        when(pmod(col("id"), lit(10L)) === 0, 1).otherwise(0).as("tag"),
+        col("id").as("eventId"),
+        concat(lit("s"), pmod(col("id"), lit(33L))).as("sensorId"),
+        (col("id") * 37L).as("vMicro"))
+      .as[graft.streaming.AsofIn].collect()
+    val asofIn = MemoryStream[graft.streaming.AsofIn]
+    val enriched = asofIn.toDS().groupByKey(_.userId)
+      .transformWithState(new graft.streaming.AsofTracker,
+        TimeMode.None(), OutputMode.Append())
+    val qa = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("asofbench").start()
+    try {
+      val batches = asofRows.grouped(math.max(1, asofRows.length / 5)).toSeq
+      val t3 = System.nanoTime()
+      batches.foreach { b => asofIn.addData(b.toSeq); qa.processAllAvailable() }
+      val tA = (System.nanoTime() - t3) / 1e9
+      println(f"[streambench] streaming_asof n=$nStream out_rows=${spark.table("asofbench").count()} t=$tA%.2f s rate=${nStream / tA}%.0f events/s")
+    } finally qa.stop()
     spark.stop()
   }
 }
