@@ -541,4 +541,154 @@ class Round8Spec extends AnyFunSuite with SparkSpec {
     }
     assert(checked > 0, "fixture yielded no held-out documents")
   }
+
+  test("classifier_lift_table: deciles and lifts replayed from the scored frame") {
+    // replay the deterministic classifier head (same plain-Scala replica
+    // the AUC test uses), assign SQL-standard ntile(10) buckets under
+    // (pm desc, doc_id), and recompute every lift/gain with BigInt
+    // truncating division
+    val ws = " \t\n\u000B\f\r"
+    val scored = Tables.documents(spark, dir)
+      .select("doc_id", "text", "n_chars").collect()
+      .map { r =>
+        val text = r.getAs[String]("text")
+        val trimmed = text.dropWhile(ws.contains(_)).reverse
+          .dropWhile(ws.contains(_)).reverse
+        val toks =
+          if (trimmed.isEmpty) Array.empty[String]
+          else trimmed.split("\\s+")
+        val y = if (r.getAs[Long]("n_chars") >= 300) 1L else 0L
+        val sw = toks.map(t => (md5h60(t) % 256L) * 2654435761L % 1001L - 500L).sum
+        val score = math.floor(sw.toDouble * 1000.0 / toks.length) / 1e6
+        val prob = BigDecimal.valueOf(1.0 / (1.0 + math.exp(score * -4)))
+          .setScale(6, RoundingMode.HALF_UP)
+        (r.getAs[Long]("doc_id"), (prob * 1000000).toLong, y)
+      }
+      .sortBy { case (id, pm, _) => (-pm, id) }
+    val n = scored.length
+    val big = n % 10
+    val szSmall = n / 10
+    val bucketOf = (rn: Int) => { // 1-based rank → 1-based ntile bucket
+      val cutoff = big * (szSmall + 1)
+      if (rn <= cutoff) (rn - 1) / (szSmall + 1) + 1
+      else big + (rn - cutoff - 1) / szSmall + 1
+    }
+    val byDec = scored.zipWithIndex
+      .groupBy { case (_, i) => bucketOf(i + 1) }
+      .map { case (d, rs) => d -> (rs.length.toLong, rs.map(_._1._3).sum) }
+    val nTotal = n.toLong
+    val posTotal = scored.map(_._3).sum
+    val rows = TextQueries.classifierLiftTable(spark, dir).collect()
+      .map(r => r.getAs[Int]("decile") -> r).toMap
+    assert(rows.size === 10)
+    var cumN = 0L; var cumPos = 0L
+    (1 to 10).foreach { d =>
+      val (nd, posd) = byDec(d)
+      cumN += nd; cumPos += posd
+      val r = rows(d)
+      assert(r.getAs[Long]("n") === nd, s"decile $d n")
+      assert(r.getAs[Long]("n_pos") === posd, s"decile $d n_pos")
+      assert(r.getAs[Long]("lift_ppm") ===
+        (BigInt(posd) * nTotal * 1000000 / (BigInt(nd) * posTotal)).toLong,
+        s"decile $d lift")
+      assert(r.getAs[Long]("cum_gain_ppm") ===
+        (BigInt(cumPos) * 1000000 / posTotal).toLong, s"decile $d gain")
+      assert(r.getAs[Long]("cum_lift_ppm") ===
+        (BigInt(cumPos) * nTotal * 1000000 / (BigInt(cumN) * posTotal)).toLong,
+        s"decile $d cum lift")
+    }
+    // the curve's boundary facts: all docs accounted for, gain ends at 1
+    assert(cumN === nTotal)
+    assert(rows(10).getAs[Long]("cum_gain_ppm") === 1000000L)
+  }
+
+  test("embedding_mrl_recall: full-dim self-check and truncation monotonicity") {
+    val rows = SimilarityQueries.queries("embedding_mrl_recall")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Int]("dims"), r.getAs[Long]("n_returned"),
+        r.getAs[Long]("n_hits"), r.getAs[Double]("recall_at_5")))
+    assert(rows.map(_._1).toSeq === Seq(8, 16, 32, 64))
+    rows.foreach { case (d, ret, hits, rec) =>
+      assert(ret === 50L, s"dims $d should return 10 queries x 5")
+      assert(hits >= 0L && hits <= 50L)
+      assert(rec === math.floor(hits * 1e4 / ret) / 1e4, s"dims $d ratio")
+    }
+    // d = 64 IS the truth — recall exactly 1 by construction
+    assert(rows.last._3 === 50L)
+    assert(rows.last._4 === 1.0)
+    // on this corpus more prefix dims never hurt (not guaranteed in
+    // general; pins the fixture so a scoring regression shows up)
+    assert(rows.map(_._3).sliding(2).forall(p => p(0) <= p(1)),
+      "recall should be non-decreasing in prefix dims on this corpus")
+  }
+
+  test("sensor_naive_mase: per-sensor ratio replayed from the hourly series") {
+    val hours = TimeSeriesQueries.hourlyMeans(spark, dir)
+      .selectExpr("sensor_id", "unix_micros(h) AS h_us", "x_micro")
+      .collect()
+      .map(r => (r.getAs[String]("sensor_id"), r.getAs[Long]("h_us"),
+        r.getAs[Long]("x_micro")))
+      .groupBy(_._1)
+    val rows = TimeSeriesQueries.queries("sensor_naive_mase")(spark, dir)
+      .collect().map(r => r.getAs[String]("sensor_id") -> r).toMap
+    var checked = 0
+    hours.foreach { case (sid, rs) =>
+      val xs = rs.sortBy(_._2).map(_._3)
+      val e1 = xs.sliding(2).map(p => math.abs(p(1) - p(0))).toSeq
+      val e24 = xs.indices.drop(24).map(i => math.abs(xs(i) - xs(i - 24)))
+      if (e24.nonEmpty && e1.sum > 0) {
+        val r = rows(sid)
+        assert(r.getAs[Long]("n_hours") === xs.length.toLong, s"$sid n_hours")
+        assert(r.getAs[Long]("sum_e1") === e1.sum, s"$sid sum_e1")
+        assert(r.getAs[Long]("sum_e24") === e24.sum, s"$sid sum_e24")
+        assert(r.getAs[Long]("mase_ppm") ===
+          (BigInt(e24.sum) * e1.length * 1000000 /
+            (BigInt(e1.sum) * e24.length)).toLong, s"$sid mase")
+        checked += 1
+      } else assert(!rows.contains(sid), s"$sid should be excluded")
+    }
+    assert(checked > 0, "no sensor had a defined MASE")
+  }
+
+  test("customer_gini: rank-sum identity equals the mean-absolute-difference form") {
+    val xs = Tables.orders(spark, dir).collect()
+      .groupBy(_.getAs[Long]("o_custkey"))
+      .map { case (_, rs) =>
+        rs.map(r => BigDecimal(r.getAs[Double]("o_totalprice"))
+          .setScale(6, RoundingMode.HALF_UP)).sum
+          .*(BigDecimal(1000000)).toBigInt.toLong
+      }.toSeq.sorted
+    val n = xs.length
+    val sx = xs.map(BigInt(_)).sum
+    // O(n²) definition: G = Σ_i Σ_j |x_i − x_j| / (2 n² x̄) = Σ|..| / (2 n sx)
+    var sad = BigInt(0)
+    for (i <- xs.indices; j <- xs.indices) sad += (BigInt(xs(i)) - BigInt(xs(j))).abs
+    val giniDef = sad * 1000000 / (BigInt(2) * n * sx)
+    val row = AnalyticsQueries.queries("customer_gini")(spark, dir).collect()(0)
+    assert(row.getAs[Long]("n_customers") === n.toLong)
+    assert(row.getAs[Long]("rev_sum_micro") === sx.toLong)
+    // rank-sum identity and the pairwise definition agree except for the
+    // truncation of the final division — recompute the identity exactly
+    val six = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val giniRank = (BigInt(2) * six - BigInt(n + 1) * sx) * 1000000 / (BigInt(n) * sx)
+    assert(giniRank === giniDef, "identity vs definition (exact pre-truncation)")
+    assert(row.getAs[Long]("gini_ppm") === giniRank.toLong)
+    val topDecile = xs.drop(n - n / 10).map(BigInt(_)).sum
+    assert(row.getAs[Long]("top_decile_ppm") === (topDecile * 1000000 / sx).toLong)
+  }
+
+  test("customer_rr_histogram: debias is unbiased-by-identity and exact") {
+    val rows = PipelineQueries.queries("customer_rr_histogram")(spark, dir).collect()
+    val nTotal = Tables.customer(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("true_count")).sum === nTotal)
+    assert(rows.map(_.getAs[Long]("reported_count")).sum === nTotal)
+    // Σ est = 2e6·Σobs − 5·2e5·n = 1e6·n — the estimator's mass identity
+    assert(rows.map(_.getAs[Long]("est_micro")).sum === 1000000L * nTotal)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est_micro") ===
+        2000000L * r.getAs[Long]("reported_count") - 200000L * nTotal)
+      assert(r.getAs[Long]("err_micro") ===
+        r.getAs[Long]("est_micro") - 1000000L * r.getAs[Long]("true_count"))
+    }
+  }
 }
