@@ -350,13 +350,58 @@ object ExperimentQueries {
       |         AS rho_sq
       |FROM c""".stripMargin
 
+  /** Sample-ratio mismatch (SRM) check — the trust gate that runs
+    * BEFORE any A/B readout (Fabijan et al., KDD 2019: a failed SRM
+    * invalidates the experiment regardless of what the metric says,
+    * because the randomizer itself is broken). Users hash into two arms
+    * by the same deterministic md5 discipline the other experiment
+    * entries use; observed DISTINCT-user counts per arm are tested
+    * against the designed 50/50 split with the two-cell χ² closed form
+    * (o_a − o_b)²/n, flagged at the χ²₁ 5% critical value 3.841459
+    * (compared in exact micro-units — no p-value float anywhere).
+    *
+    * Scale shape: one distinct-user collapse (map-side partial dedup)
+    * is the only data-sized stage; everything after is a one-row
+    * reduction. Exactness: the statistic is one cross-multiplied
+    * truncating integer division. */
+  def abSrmCheck(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id")).distinct()
+      .select(pmod(graft.operators.DedupOps.h60(
+        concat(lit("srm:"), col("user_id").cast("string"))), lit(2L)).as("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_users"), col("n_a"), col("n_b"),
+        expr("(n_a - n_b) * (n_a - n_b) * 1000000 div n_users")
+          .as("chi2_micro"))
+      .withColumn("srm_flag", col("chi2_micro") > 3841459L)
+
+  private val abSrmCheckSql: String =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |a AS (
+      |  SELECT CAST('0x' || substring(md5('srm:' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 AS arm
+      |  FROM u),
+      |c AS (
+      |  SELECT count(*) AS n_users,
+      |         sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+      |         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b
+      |  FROM a)
+      |SELECT CAST(n_users AS BIGINT) AS n_users,
+      |       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |       CAST((n_a - n_b) * (n_a - n_b) * 1000000 // n_users AS BIGINT) AS chi2_micro,
+      |       (n_a - n_b) * (n_a - n_b) * 1000000 // n_users > 3841459 AS srm_flag
+      |FROM c""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ab_srm_check"        -> (abSrmCheck _),
     "cem_att_estimate"    -> (cemAttEstimate _),
     "orders_did_estimate" -> (ordersDidEstimate _),
     "ab_sprt_daily"       -> (abSprtDaily _),
     "cuped_adjusted_lift" -> (cupedAdjustedLift _))
 
   val oracle: Map[String, String] = Map(
+    "ab_srm_check"        -> abSrmCheckSql,
     "cem_att_estimate"    -> cemAttEstimateSql,
     "orders_did_estimate" -> ordersDidEstimateSql,
     "ab_sprt_daily"       -> abSprtDailySql,

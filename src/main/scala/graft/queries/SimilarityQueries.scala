@@ -861,6 +861,71 @@ object SimilarityQueries {
        |ORDER BY t.dims""".stripMargin
   }
 
+  /** Cluster-quality report over the Lloyd-refined IVF cells — the
+    * acceptance gate for the index build that [[kmeansParallelInit]]
+    * seeds and [[ivfKmeansRefine]] iterates: per cell, member count,
+    * total cohesion (Σ cos to own centroid) and the silhouette-style
+    * separation margin (cos to own centroid − cos to the nearest OTHER
+    * centroid, mean and worst member). A cell whose min margin ≈ 0 has
+    * members sitting on a Voronoi boundary — the vectors multi-probe
+    * search exists for; a cell with low cohesion is too diffuse to
+    * prune by. This is the per-structure view the corpus-level
+    * [[embeddingOutliers]] p95 filter cannot give.
+    *
+    * Scale shape: one broadcast-centroid map pass over the corpus (the
+    * [[rankedAssign]] convention, kept to rn ≤ 2) and one K-row
+    * aggregate. Exactness: similarities go micro through DECIMAL — the
+    * margin means are truncating divisions of non-negative integers
+    * (s1 ≥ s2 by the ranking), and cohesion is emitted as the exact SUM
+    * so no negative-dividend dialect gap can arise. */
+  def embeddingClusterQuality(spark: SparkSession, dir: String): DataFrame = {
+    val dotF = dotFast(spark) _
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("norm", sqrt(dotF(col("embedding"), col("embedding"))))
+    val cent = refinedCentroidsFrom(spark, Tables.embeddings(spark, dir))
+      .materializeOnce
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("c_label"))
+    val micro = (c: Column) => (c.cast("decimal(18,6)") * 1000000).cast("long")
+    emb.crossJoin(broadcast(cent))
+      .withColumn("c_sim",
+        round(dotF(col("embedding"), col("centroid")) / (col("norm") * col("c_norm")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("rn") === 1, col("c_label"))).as("cluster"),
+        max(when(col("rn") === 1, micro(col("c_sim")))).as("s1"),
+        max(when(col("rn") === 2, micro(col("c_sim")))).as("s2"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("s1")).as("cohesion_sum_micro"),
+        expr("sum(s1 - s2) div count(1)").as("margin_micro"),
+        min(col("s1") - col("s2")).as("min_margin_micro"))
+      .orderBy("cluster")
+  }
+
+  private val embeddingClusterQualitySql: String =
+    s"""WITH ${refinedIdxCtes(3)},
+       |r AS (
+       |  SELECT vec_id, cl, c_sim,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY c_sim DESC, cl) AS rn
+       |  FROM (
+       |    SELECT e.vec_id, c.cl,
+       |           round(list_dot_product(e.emb, c.centroid) / (e.norm * c.c_norm), 6) AS c_sim
+       |    FROM e CROSS JOIN c3n c)),
+       |per AS (
+       |  SELECT vec_id,
+       |         max(CASE WHEN rn = 1 THEN cl END) AS cluster,
+       |         max(CASE WHEN rn = 1 THEN CAST(CAST(c_sim AS DECIMAL(18,6)) * 1000000 AS BIGINT) END) AS s1,
+       |         max(CASE WHEN rn = 2 THEN CAST(CAST(c_sim AS DECIMAL(18,6)) * 1000000 AS BIGINT) END) AS s2
+       |  FROM r WHERE rn <= 2 GROUP BY vec_id)
+       |SELECT cluster, count(*) AS n_members,
+       |       CAST(sum(s1) AS BIGINT) AS cohesion_sum_micro,
+       |       CAST(sum(s1 - s2) // count(*) AS BIGINT) AS margin_micro,
+       |       CAST(min(s1 - s2) AS BIGINT) AS min_margin_micro
+       |FROM per GROUP BY cluster ORDER BY cluster""".stripMargin
+
   /** Per-position inverse log₂ discount for NDCG@5 (micro units, rank
     * r → round(10⁶/log₂(r+1))) — computed once here and shared as
     * literals by both dialects (the DFT trig-table precedent), so no
@@ -2386,6 +2451,7 @@ object SimilarityQueries {
   val queries: Map[String, Q] = Map(
     "kmeans_parallel_init" -> (kmeansParallelInit _),
     "embedding_mrl_recall" -> (embeddingMrlRecall _),
+    "embedding_cluster_quality" -> (embeddingClusterQuality _),
     "embedding_centroid_drift" -> (embeddingCentroidDrift _),
     "coreset_kcenter" -> (coresetKcenter _),
     "knn_mmr_rerank"  -> (knnMmrRerank _),
@@ -2418,6 +2484,7 @@ object SimilarityQueries {
   val oracle: Map[String, String] = Map(
     "kmeans_parallel_init" -> kmeansParallelInitSql,
     "embedding_mrl_recall" -> embeddingMrlRecallSql,
+    "embedding_cluster_quality" -> embeddingClusterQualitySql,
     "coreset_kcenter" -> coresetKcenterSql,
     "knn_mmr_rerank"  -> knnMmrRerankSql,
     "embedding_centroid_drift" -> embeddingCentroidDriftSql,

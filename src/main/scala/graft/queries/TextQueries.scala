@@ -2007,7 +2007,103 @@ object TextQueries {
       |       END AS herdan_c
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** RAKE keyphrase extraction (Rose et al. 2010) — the PHRASE-level
+    * keyword extractor beside the token-level TextRank/TF-IDF entries:
+    * candidate phrases are the maximal stopword-free token runs (length
+    * ≤ 4) of the normalized text, each word scores deg/freq over the
+    * whole corpus (deg = Σ length of every phrase occurrence containing
+    * the word — co-occurrence degree including self; freq = its phrase
+    * occurrences), and a phrase scores the sum of its words' scores —
+    * rewarding words that keep longer company. Top 20 phrases
+    * corpus-wide.
+    *
+    * Scale shape: one posexplode scan; the phrase-id assignment is a
+    * per-DOC running sum (doc-partitioned window, never global); word
+    * stats are one vocab-keyed aggregate; the scoring join explodes ≤ 4
+    * rows per distinct phrase against the vocab frame; top-20 is
+    * TakeOrdered. Exactness: word scores are deg·10⁶ div freq
+    * truncating integer divisions, phrase scores exact sums of those —
+    * ties broken by phrase text, and phrases are distinct, so the cut
+    * is deterministic. */
+  def docKeyphraseRake(spark: SparkSession, dir: String): DataFrame = {
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val phrases = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(tokens(normText(col("text")))).as(Seq("pos", "tok")))
+      .withColumn("brk", col("tok").isInCollection(enStopwords).cast("int"))
+      .withColumn("pid", sum(col("brk")).over(wDoc))
+      .filter(col("brk") === 0)
+      .groupBy(col("doc_id"), col("pid"))
+      .agg(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok"))).as("phrase"),
+        count(lit(1)).as("n_words"))
+      .filter(col("n_words") <= 4)
+      .materializeOnce // feeds the word stats AND the phrase scoring
+    val wordScores = phrases
+      .select(col("n_words"), explode(split(col("phrase"), " ")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("n_words")).as("deg"))
+      .select(col("w"), expr("deg * 1000000 div freq").as("wscore"))
+    phrases.groupBy(col("phrase"), col("n_words"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(wordScores, Seq("w"))
+      .groupBy(col("phrase"), col("n_words"), col("n_occurrences"))
+      .agg(sum(col("wscore")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase"))
+      .limit(20)
+      .orderBy(col("score_micro").desc, col("phrase"))
+  }
+
+  private val docKeyphraseRakeSql: String =
+    s"""WITH n AS (
+       |  SELECT doc_id,
+       |         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t
+       |  FROM documents),
+       |tk AS (
+       |  SELECT doc_id, u.pos, u.tok
+       |  FROM n, LATERAL (SELECT unnest(string_split(t, ' ')) AS tok,
+       |                          generate_subscripts(string_split(t, ' '), 1) AS pos) u
+       |  WHERE length(t) > 0),
+       |p AS (
+       |  SELECT doc_id, pos, tok,
+       |         CASE WHEN list_contains(${sqlList(enStopwords)}, tok) THEN 1 ELSE 0 END AS brk
+       |  FROM tk),
+       |r AS (
+       |  SELECT doc_id, pos, tok, brk,
+       |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |                        ROWS UNBOUNDED PRECEDING) AS pid
+       |  FROM p),
+       |ph AS (
+       |  SELECT doc_id, pid,
+       |         string_agg(tok, ' ' ORDER BY pos) AS phrase,
+       |         count(*) AS n_words
+       |  FROM r WHERE brk = 0 GROUP BY doc_id, pid
+       |  HAVING count(*) <= 4),
+       |pw AS (SELECT n_words, unnest(string_split(phrase, ' ')) AS w FROM ph),
+       |ws AS (
+       |  SELECT w, sum(n_words) * 1000000 // count(*) AS wscore
+       |  FROM pw GROUP BY w),
+       |dp AS (SELECT phrase, n_words, count(*) AS n_occurrences
+       |       FROM ph GROUP BY 1, 2),
+       |dw AS (SELECT phrase, n_words, n_occurrences,
+       |              unnest(string_split(phrase, ' ')) AS w
+       |       FROM dp),
+       |sc AS (
+       |  SELECT dw.phrase, dw.n_words, dw.n_occurrences,
+       |         sum(ws.wscore) AS score_micro
+       |  FROM dw JOIN ws USING (w)
+       |  GROUP BY 1, 2, 3)
+       |SELECT phrase, CAST(n_words AS BIGINT) AS n_words,
+       |       CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       |       CAST(score_micro AS BIGINT) AS score_micro
+       |FROM sc ORDER BY score_micro DESC, phrase LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "doc_keyphrase_rake"    -> (docKeyphraseRake _),
     "bigram_kneser_ney"     -> (bigramKneserNey _),
     "doc_kn_perplexity"     -> (docKnPerplexity _),
     "token_burstiness"      -> (tokenBurstiness _),
@@ -2041,6 +2137,7 @@ object TextQueries {
     "dedup_exact"     -> (dedupExact _))
 
   val oracle: Map[String, String] = Map(
+    "doc_keyphrase_rake"    -> docKeyphraseRakeSql,
     "bigram_kneser_ney"     -> bigramKneserNeySql,
     "doc_kn_perplexity"     -> docKnPerplexitySql,
     "token_burstiness"      -> tokenBurstinessSql,

@@ -224,6 +224,8 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "knn_ivf_refined", "knn_ivf_incremental", "knn_recall_curve",
     "knn_ndcg", // same fixed-|Q| brute anchor + broadcast-centroid sweep as the recall curve
     "knn_ivfpq", "semantic_dedup", "embedding_outliers",
+    "embedding_cluster_quality", // same broadcast refined-centroid frame, rn <= 2
+
     "knn_ivfpq_rerank", // same bounded centroid-probe frame as knn_ivfpq (shared ADC pipeline)
     // BM25 corpus-stats / RRF fusion constants
     "doc_bm25_top", "hybrid_rrf",
