@@ -157,8 +157,13 @@ object Bench {
         .mkString("{", ",", "}")
       println(s"""{"metric":"queries_part","part":${i + 1},"of":${chunks.size},"queries":$body}""")
     }
-    val csv = results.map { case (_, v) => f"$v%.3f" }.mkString(",")
-    println(s"""{"metric":"queries_csv","order":"sorted query names - zip with CORRECTNESS keys","n":${results.size},"values":[$csv]}""")
+    // CENTISECOND ints, not 3-decimal seconds: at 300+ queries the
+    // decimal csv (~2.4 KB with the summary) no longer fits the driver's
+    // 2000-char tail and loses its head — ints keep every value + the
+    // summary inside the window. Full-precision NAMED timings are in the
+    // committed BENCH.out.json (the cross-round comparison artifact).
+    val csv = results.map { case (_, v) => math.round(v * 100) }.mkString(",")
+    println(s"""{"metric":"queries_csv","order":"sorted query names - zip with CORRECTNESS keys","unit":"centisec","n":${results.size},"values":[$csv]}""")
     println(summary)
     spark.stop()
   }
