@@ -67,6 +67,13 @@ object ScaleSmoke {
       graft.queries.DedupQueries.simhashBandedCandidates(spark, scaled,
         maxBucket = Some(4 * k)).count())
     time("winnow_fps")(DedupOps.winnowFingerprints(scaled).count())
+    // RAKE keyphrases: the posexplode scan and the per-DOC phrase-id
+    // window are the only data-sized stages; replicas multiply each
+    // phrase's occurrences, not the distinct-phrase set (the replica
+    // suffix only perturbs each doc's last phrase), so the vocab frame
+    // and the scoring join stay ~flat — wall must track K ~linearly
+    time("rake_phrases")(
+      graft.queries.TextQueries.docKeyphraseRakeFrom(spark, scaled).count())
     // duplicated-span profiling (mirrors doc_dup_spans): the gram pass is
     // ∝ tokens and the count shuffle ∝ DISTINCT grams — replicas multiply
     // each gram's count, not the distinct-gram set (the replica suffix

@@ -2025,10 +2025,13 @@ object TextQueries {
     * truncating integer divisions, phrase scores exact sums of those —
     * ties broken by phrase text, and phrases are distinct, so the cut
     * is deterministic. */
-  def docKeyphraseRake(spark: SparkSession, dir: String): DataFrame = {
+  def docKeyphraseRake(spark: SparkSession, dir: String): DataFrame =
+    docKeyphraseRakeFrom(spark, Tables.documents(spark, dir))
+
+  private[graft] def docKeyphraseRakeFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val phrases = Tables.documents(spark, dir)
+    val phrases = docs
       .select(col("doc_id"),
         posexplode(tokens(normText(col("text")))).as(Seq("pos", "tok")))
       .withColumn("brk", col("tok").isInCollection(enStopwords).cast("int"))
