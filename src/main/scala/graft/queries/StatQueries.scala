@@ -1417,7 +1417,74 @@ object StatQueries {
        |WHERE rk = (nb + 1) // 2 OR rk = (nb + 2) // 2
        |GROUP BY nb, n_orders, tot""".stripMargin
 
+  /** Grouped OLS — the per-segment regression coefficient beside the
+    * per-segment correlation ([[lineitemCorrStats]] answers "do discount
+    * and volume move together per returnflag"; this answers "by HOW MUCH
+    * per unit of discount, per brand", the demand-elasticity readout a
+    * pricing team consumes). Per brand: the closed-form slope
+    * (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) of quantity on discount, plus the
+    * elasticity at the means slope·x̄/ȳ. Brands with no discount
+    * variance have no defined slope and are excluded (same HAVING in
+    * the oracle).
+    *
+    * Scale shape: broadcast part dim onto the fact scan, ONE
+    * brand-keyed moment aggregate (map-side partials) — the moments are
+    * the whole shuffle; no row ever leaves with more than 5 numbers.
+    * Exactness: x and y are exact micro/unit integers, all five moments
+    * accumulate in DECIMAL(38,0), and the two reported ratios use the
+    * shared floor(exact-int-to-double division · 10⁶) convention (both
+    * engines convert the same exact integers to the same doubles). */
+  def brandDiscountElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        (col("l_discount").cast("decimal(18,6)") * 1000000).cast("long").as("x"),
+        col("l_quantity").cast("long").as("y"))
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .filter(col("den") > 0)
+      .select(col("p_brand"), col("n"),
+        floor(col("num").cast("double") / col("den").cast("double") * 1e6)
+          .cast("long").as("slope_ppm"),
+        floor(col("num").cast("double") / col("den").cast("double")
+          * (col("sx").cast("double") / col("sy").cast("double")) * 1e6)
+          .cast("long").as("elasticity_ppm"))
+      .orderBy("p_brand")
+  }
+
+  private val brandDiscountElasticitySql: String =
+    """WITH j AS (
+      |  SELECT p_brand,
+      |         CAST(CAST(l_discount AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x,
+      |         CAST(l_quantity AS BIGINT) AS y
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |m AS (
+      |  SELECT p_brand, count(*) AS n,
+      |         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |         sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |         sum(CAST(x AS HUGEINT) * x) AS sxx
+      |  FROM j GROUP BY p_brand),
+      |f AS (
+      |  SELECT p_brand, n,
+      |         n * sxy - sx * sy AS num,
+      |         n * sxx - sx * sx AS den, sx, sy
+      |  FROM m)
+      |SELECT p_brand, CAST(n AS BIGINT) AS n,
+      |       CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6) AS BIGINT) AS slope_ppm,
+      |       CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+      |            * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) * 1e6) AS BIGINT) AS elasticity_ppm
+      |FROM f WHERE den > 0
+      |ORDER BY p_brand""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "brand_discount_elasticity" -> (brandDiscountElasticity _),
     "orders_median_of_means" -> (ordersMedianOfMeans _),
     "orders_hill_tail"    -> (ordersHillTail _),
     "orders_bootstrap_ci" -> (ordersBootstrapCi _),
@@ -1455,6 +1522,7 @@ object StatQueries {
     "embedding_normalize"          -> (embeddingNormalize _))
 
   val oracle: Map[String, String] = Map(
+    "brand_discount_elasticity" -> brandDiscountElasticitySql,
     "orders_median_of_means" -> ordersMedianOfMeansSql,
     "orders_hill_tail"    -> ordersHillTailSql,
     "orders_bootstrap_ci" -> ordersBootstrapCiSql,

@@ -1550,7 +1550,84 @@ object TimeSeriesQueries {
        |         // (CAST(sum_e1 AS HUGEINT) * n24) < 1000000 AS seasonal_wins
        |FROM agg ORDER BY sensor_id""".stripMargin
 
+  /** Lagged CROSS-correlation between sensor pairs — the lead/lag
+    * diagnostic beside [[sensorAcf]]'s within-series autocorrelation:
+    * for every unordered sensor pair and lag ∈ −3..+3 hours, the
+    * Pearson r between a's hour-h value and b's hour-(h+lag) value over
+    * the matched hours. An off-center |r| peak says one sensor LEADS
+    * the other — the causal-ordering hint a root-cause analysis starts
+    * from; r(−lag) across the (a,b) ordering is the same curve read
+    * backwards, so only a < b pairs are emitted.
+    *
+    * Scale shape: the feed collapses to the hourly frame first (the
+    * only data-sized shuffle, shared [[hourlyMeans]] build); the 7-row
+    * lag dim broadcasts onto it (the [[sensorAcf]] license) and the
+    * shifted equi-join runs on the computed hour key — calendar-bounded
+    * frames throughout. Exactness: all five moments accumulate in
+    * DECIMAL(38,0) over exact micro integers; the single r is the
+    * shared floor(exact-to-double ratio · 10⁶) convention. */
+  def sensorCrossCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    import QueryConventions.MaterializeSyntax
+    val hm = hourlyMeans(spark, dir).materializeOnce
+    val lags = spark.range(-3, 4).select(col("id").cast("int").as("lag"))
+    val a = hm.select(col("sensor_id").as("sa"), col("h").as("ha"),
+        col("x_micro").as("xa"))
+      .crossJoin(broadcast(lags))
+      .withColumn("hb", expr("ha + make_interval(0, 0, 0, 0, lag, 0, 0)"))
+    val b = hm.select(col("sensor_id").as("sb"), col("h").as("hb"),
+      col("x_micro").as("xb"))
+    a.join(b, Seq("hb"))
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"), col("lag"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("xa").cast("decimal(38,0)")).as("sx"),
+        sum(col("xb").cast("decimal(38,0)")).as("sy"),
+        sum((col("xa") * col("xb")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("xa") * col("xa")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("xb") * col("xb")).cast("decimal(38,0)")).as("syy"))
+      .withColumn("cov_num", col("n_hours") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("varx_num", col("n_hours") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vary_num", col("n_hours") * col("syy") - col("sy") * col("sy"))
+      .filter(col("varx_num") > 0 && col("vary_num") > 0)
+      .select(col("sa"), col("sb"), col("lag"), col("n_hours"),
+        floor(col("cov_num").cast("double")
+          / sqrt(col("varx_num").cast("double") * col("vary_num").cast("double"))
+          * 1e6).cast("long").as("r_ppm"))
+      .orderBy("sa", "sb", "lag")
+  }
+
+  private val sensorCrossCorrelationSql: String =
+    s"""WITH byhour AS (
+       |  $hourlyMeansSql),
+       |a AS (
+       |  SELECT h.sensor_id AS sa, h.h AS ha, h.x_micro AS xa, l.lag,
+       |         h.h + l.lag * INTERVAL 1 HOUR AS hb
+       |  FROM byhour h, (SELECT unnest(range(-3, 4)) AS lag) l),
+       |m AS (
+       |  SELECT a.sa, b.sensor_id AS sb, a.lag,
+       |         count(*) AS n_hours,
+       |         sum(CAST(a.xa AS HUGEINT)) AS sx,
+       |         sum(CAST(b.x_micro AS HUGEINT)) AS sy,
+       |         sum(CAST(a.xa AS HUGEINT) * b.x_micro) AS sxy,
+       |         sum(CAST(a.xa AS HUGEINT) * a.xa) AS sxx,
+       |         sum(CAST(b.x_micro AS HUGEINT) * b.x_micro) AS syy
+       |  FROM a JOIN byhour b ON b.h = a.hb AND a.sa < b.sensor_id
+       |  GROUP BY 1, 2, 3),
+       |f AS (
+       |  SELECT sa, sb, lag, n_hours,
+       |         n_hours * sxy - sx * sy AS cov_num,
+       |         n_hours * sxx - sx * sx AS varx_num,
+       |         n_hours * syy - sy * sy AS vary_num
+       |  FROM m)
+       |SELECT sa, sb, CAST(lag AS INT) AS lag, CAST(n_hours AS BIGINT) AS n_hours,
+       |       CAST(floor(CAST(cov_num AS DOUBLE)
+       |            / sqrt(CAST(varx_num AS DOUBLE) * CAST(vary_num AS DOUBLE))
+       |            * 1e6) AS BIGINT) AS r_ppm
+       |FROM f WHERE varx_num > 0 AND vary_num > 0
+       |ORDER BY sa, sb, lag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sensor_cross_correlation" -> (sensorCrossCorrelation _),
     "sensor_naive_mase"       -> (sensorNaiveMase _),
     "sensor_mann_kendall"     -> (sensorMannKendall _),
     "sensor_hampel"           -> (sensorHampel _),
@@ -1572,6 +1649,7 @@ object TimeSeriesQueries {
     "sensor_cusum"            -> (sensorCusum _))
 
   val oracle: Map[String, String] = Map(
+    "sensor_cross_correlation" -> sensorCrossCorrelationSql,
     "sensor_naive_mase"       -> sensorNaiveMaseSql,
     "sensor_mann_kendall"     -> sensorMannKendallSql,
     "sensor_hampel"           -> sensorHampelSql,

@@ -205,6 +205,7 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "embedding_pca_two",     // same one-row n/trace frames, plus one-row den/dot deflation scalars × the 64-row iterate
     "doc_dsir_weights",      // one-row bigram-total frame × the 512-bucket histogram
     "sensor_acf",            // 6-row broadcast lag frame × hours-sized series
+    "sensor_cross_correlation", // 7-row broadcast lag frame × the hourly frame
     "sensor_ljung_box",      // same 6-row lag frame (shared lagProducts builder)
     "layout_skipping_gain",  // one-row max-key frame; 32-file stats × 10 probes
     "value_hist_quantiles",  // one-row min/max/count frame × the scan and × the bin frame
