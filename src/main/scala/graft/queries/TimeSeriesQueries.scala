@@ -1626,7 +1626,92 @@ object TimeSeriesQueries {
        |FROM f WHERE varx_num > 0 AND vary_num > 0
        |ORDER BY sa, sb, lag""".stripMargin
 
+  /** Western Electric run rules on the Shewhart control chart — the
+    * pattern tests that complete the SPC family (CUSUM accumulates
+    * small persistent shifts, EWMA smooths them; the WE rules catch the
+    * PATTERNS a single-point 3σ limit misses): over each sensor's
+    * hourly series against its own Phase-I baseline,
+    * rule 1 = a point beyond 3σ, rule 2 = ≥2 of the last 3 beyond 2σ on
+    * the SAME side, rule 4 = 8 consecutive on one side of the mean.
+    * Only firing hours are emitted.
+    *
+    * Exactness — the whole chart is INTEGER arithmetic, no σ is ever a
+    * float: with D = n·x − Σx (the mean-deviation cross-multiplied by
+    * n, exact) and var_num = n·Σx² − (Σx)², the test |D| > k·σ_D is
+    * D² > k²·var_num because σ_D² = n²σ² = var_num. Both dialects
+    * compare the same DECIMAL/HUGEINT integers, so a point exactly ON a
+    * control limit cannot flip between engines. Partial leading windows
+    * (fewer than 3/8 points) cannot fire their rule.
+    *
+    * Scale shape: the feed collapses to the hourly frame (the shared
+    * [[hourlyMeans]] build, the only data-sized shuffle); baselines are
+    * one sensor-keyed aggregate joined back; the rules are ONE
+    * sensor-partitioned window pass with ROWS frames. */
+  def sensorSpcRules(spark: SparkSession, dir: String): DataFrame = {
+    import QueryConventions.MaterializeSyntax
+    val hm = hourlyMeans(spark, dir).materializeOnce
+    val base = hm.groupBy(col("sensor_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x_micro").cast("decimal(38,0)")).as("sx"),
+        sum((col("x_micro") * col("x_micro")).cast("decimal(38,0)")).as("sxx"))
+      .withColumn("var_num", col("n") * col("sxx") - col("sx") * col("sx"))
+    val w = Window.partitionBy(col("sensor_id")).orderBy(col("h"))
+    val w3 = w.rowsBetween(-2, 0)
+    val w8 = w.rowsBetween(-7, 0)
+    hm.join(base, Seq("sensor_id"))
+      .withColumn("d", col("n").cast("decimal(38,0)") * col("x_micro") - col("sx"))
+      .withColumn("hi2", (col("d") > 0 && col("d") * col("d") > lit(4) * col("var_num")).cast("int"))
+      .withColumn("lo2", (col("d") < 0 && col("d") * col("d") > lit(4) * col("var_num")).cast("int"))
+      .withColumn("pos", (col("d") > 0).cast("int"))
+      .withColumn("neg", (col("d") < 0).cast("int"))
+      .withColumn("i", row_number().over(w))
+      .withColumn("rule1", col("d") * col("d") > lit(9) * col("var_num"))
+      .withColumn("rule2", col("i") >= 3 &&
+        (sum(col("hi2")).over(w3) >= 2 || sum(col("lo2")).over(w3) >= 2))
+      .withColumn("rule4", col("i") >= 8 &&
+        (sum(col("pos")).over(w8) === 8 || sum(col("neg")).over(w8) === 8))
+      .filter(col("rule1") || col("rule2") || col("rule4"))
+      .select(col("sensor_id"), col("h"), col("x_micro"),
+        col("rule1"), col("rule2"), col("rule4"))
+      .orderBy("sensor_id", "h")
+  }
+
+  private val sensorSpcRulesSql: String =
+    s"""WITH byhour AS (
+       |  $hourlyMeansSql),
+       |base AS (
+       |  SELECT sensor_id, count(*) AS n,
+       |         sum(CAST(x_micro AS HUGEINT)) AS sx,
+       |         sum(CAST(x_micro AS HUGEINT) * x_micro) AS sxx
+       |  FROM byhour GROUP BY sensor_id),
+       |d AS (
+       |  SELECT h.sensor_id, h.h, h.x_micro,
+       |         b.n * CAST(h.x_micro AS HUGEINT) - b.sx AS d,
+       |         b.n * b.sxx - b.sx * b.sx AS var_num
+       |  FROM byhour h JOIN base b USING (sensor_id)),
+       |f AS (
+       |  SELECT sensor_id, h, x_micro, d, var_num,
+       |         CASE WHEN d > 0 AND d * d > 4 * var_num THEN 1 ELSE 0 END AS hi2,
+       |         CASE WHEN d < 0 AND d * d > 4 * var_num THEN 1 ELSE 0 END AS lo2,
+       |         CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos,
+       |         CASE WHEN d < 0 THEN 1 ELSE 0 END AS neg,
+       |         row_number() OVER w AS i
+       |  FROM d
+       |  WINDOW w AS (PARTITION BY sensor_id ORDER BY h)),
+       |r AS (
+       |  SELECT sensor_id, h, x_micro,
+       |         d * d > 9 * var_num AS rule1,
+       |         i >= 3 AND (sum(hi2) OVER w3 >= 2 OR sum(lo2) OVER w3 >= 2) AS rule2,
+       |         i >= 8 AND (sum(pos) OVER w8 = 8 OR sum(neg) OVER w8 = 8) AS rule4
+       |  FROM f
+       |  WINDOW w3 AS (PARTITION BY sensor_id ORDER BY h ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+       |         w8 AS (PARTITION BY sensor_id ORDER BY h ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+       |SELECT sensor_id, h, x_micro, rule1, rule2, rule4
+       |FROM r WHERE rule1 OR rule2 OR rule4
+       |ORDER BY sensor_id, h""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sensor_spc_rules"        -> (sensorSpcRules _),
     "sensor_cross_correlation" -> (sensorCrossCorrelation _),
     "sensor_naive_mase"       -> (sensorNaiveMase _),
     "sensor_mann_kendall"     -> (sensorMannKendall _),
@@ -1649,6 +1734,7 @@ object TimeSeriesQueries {
     "sensor_cusum"            -> (sensorCusum _))
 
   val oracle: Map[String, String] = Map(
+    "sensor_spc_rules"        -> sensorSpcRulesSql,
     "sensor_cross_correlation" -> sensorCrossCorrelationSql,
     "sensor_naive_mase"       -> sensorNaiveMaseSql,
     "sensor_mann_kendall"     -> sensorMannKendallSql,
