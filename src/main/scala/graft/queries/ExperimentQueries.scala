@@ -393,7 +393,93 @@ object ExperimentQueries {
       |       (n_a - n_b) * (n_a - n_b) * 1000000 // n_users > 3841459 AS srm_flag
       |FROM c""".stripMargin
 
+  /** Sharp regression discontinuity — the third quasi-experimental
+    * design beside matching ([[cemAttEstimate]]) and
+    * difference-in-differences ([[ordersDidEstimate]]): when treatment
+    * switches deterministically at a cutoff of a running variable,
+    * the effect is the JUMP between the two local regression lines at
+    * the cutoff (Imbens & Lemieux 2008). Running variable: customer
+    * account balance; outcome: the customer's order count; cutoff 5000
+    * with a ±2500 bandwidth — local linear on each side (the design's
+    * standard estimator; a plain mean difference would conflate the
+    * jump with the slope), effect = right intercept − left intercept.
+    *
+    * Scale shape: one pushed-bandwidth-filter scan of the dimension, a
+    * LEFT join to per-customer order counts (zero-order customers are
+    * real observations), and ONE side-keyed moment aggregate — the
+    * shuffle carries ten numbers. Exactness: the running variable is
+    * exact micro-units, all moments accumulate in DECIMAL(38,0), and
+    * the two intercepts use the shared floor(exact-to-double · 10⁶)
+    * convention; the jump is the difference of the floored micro
+    * values (defined, engine-identical). */
+  def customerRddEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = 5000000000L // $5000 in micro
+    val band = 2500000000L
+    val oc = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("y"))
+    val u = Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        ((col("c_acctbal").cast("decimal(18,6)") * 1000000).cast("long")
+          - cutoff).as("u"))
+      .filter(abs(col("u")) <= band)
+      .join(oc, col("c_custkey") === col("o_custkey"), "left")
+      .withColumn("y", coalesce(col("y"), lit(0L)))
+      .withColumn("side", (col("u") >= 0).cast("int"))
+    u.groupBy(col("side"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("u").cast("decimal(38,0)")).as("su"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("u").cast("decimal(38,0)") * col("y"))).as("suy"),
+        sum((col("u").cast("decimal(38,0)") * col("u"))).as("suu"))
+      .withColumn("a_micro",
+        floor((col("sy") * col("suu") - col("su") * col("suy")).cast("double")
+          / (col("n") * col("suu") - col("su") * col("su")).cast("double") * 1e6)
+          .cast("long"))
+      .groupBy()
+      .agg(sum(when(col("side") === 0, col("n"))).as("n_left"),
+        sum(when(col("side") === 1, col("n"))).as("n_right"),
+        sum(when(col("side") === 0, col("a_micro"))).as("a_left_micro"),
+        sum(when(col("side") === 1, col("a_micro"))).as("a_right_micro"))
+      .select(col("n_left"), col("n_right"),
+        col("a_left_micro"), col("a_right_micro"),
+        (col("a_right_micro") - col("a_left_micro")).as("effect_micro"))
+  }
+
+  private val customerRddEstimateSql: String =
+    """WITH oc AS (SELECT o_custkey, count(*) AS y FROM orders GROUP BY o_custkey),
+      |u AS (
+      |  SELECT CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+      |           - 5000000000 AS u,
+      |         coalesce(oc.y, 0) AS y
+      |  FROM customer c LEFT JOIN oc ON c.c_custkey = oc.o_custkey
+      |  WHERE abs(CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+      |            - 5000000000) <= 2500000000),
+      |m AS (
+      |  SELECT CASE WHEN u >= 0 THEN 1 ELSE 0 END AS side,
+      |         count(*) AS n,
+      |         sum(CAST(u AS HUGEINT)) AS su, sum(CAST(y AS HUGEINT)) AS sy,
+      |         sum(CAST(u AS HUGEINT) * y) AS suy,
+      |         sum(CAST(u AS HUGEINT) * u) AS suu
+      |  FROM u GROUP BY 1),
+      |a AS (
+      |  SELECT side, n,
+      |         CAST(floor(CAST(sy * suu - su * suy AS DOUBLE)
+      |              / CAST(n * suu - su * su AS DOUBLE) * 1e6) AS BIGINT) AS a_micro
+      |  FROM m),
+      |f AS (
+      |  SELECT sum(CASE WHEN side = 0 THEN n END) AS n_left,
+      |         sum(CASE WHEN side = 1 THEN n END) AS n_right,
+      |         sum(CASE WHEN side = 0 THEN a_micro END) AS a_left_micro,
+      |         sum(CASE WHEN side = 1 THEN a_micro END) AS a_right_micro
+      |  FROM a)
+      |SELECT CAST(n_left AS BIGINT) AS n_left, CAST(n_right AS BIGINT) AS n_right,
+      |       CAST(a_left_micro AS BIGINT) AS a_left_micro,
+      |       CAST(a_right_micro AS BIGINT) AS a_right_micro,
+      |       CAST(a_right_micro - a_left_micro AS BIGINT) AS effect_micro
+      |FROM f""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "customer_rdd_estimate" -> (customerRddEstimate _),
     "ab_srm_check"        -> (abSrmCheck _),
     "cem_att_estimate"    -> (cemAttEstimate _),
     "orders_did_estimate" -> (ordersDidEstimate _),
@@ -401,6 +487,7 @@ object ExperimentQueries {
     "cuped_adjusted_lift" -> (cupedAdjustedLift _))
 
   val oracle: Map[String, String] = Map(
+    "customer_rdd_estimate" -> customerRddEstimateSql,
     "ab_srm_check"        -> abSrmCheckSql,
     "cem_att_estimate"    -> cemAttEstimateSql,
     "orders_did_estimate" -> ordersDidEstimateSql,

@@ -30,6 +30,58 @@ object MultimodalQueries {
        |       CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / ${Multimodal.FrameBytes}) AS INT) AS n_frames
        |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Audio chunking manifest — the metadata half of a distributed audio
+    * featurization front-end (the overlapped-window plan an STFT /
+    * speech-encoder ingestion runs before any codec touches bytes):
+    * treat each media payload as 16-bit mono PCM at a deterministic
+    * per-media sample rate (16/24/32 kHz keyed by media_id — the codec
+    * itself is the explicitly-stubbed step, exactly like the resize
+    * plan's pixel work), window it into 1024-sample chunks with
+    * 128-sample overlap (stride 896), and emit per media the chunk
+    * count, the final-chunk padding, and the total post-fanout sample
+    * cost the decode stage would pay. Pure projection arithmetic
+    * (codegen, no shuffle at all before the presentation sort);
+    * ceil divisions are the exact (a + b − 1) div b integer form in
+    * both dialects. */
+  def mediaAudioChunkPlan(spark: SparkSession, dir: String): DataFrame = {
+    val win = 1024L
+    val stride = 896L
+    Multimodal.fromDocuments(Tables.documents(spark, dir))
+      .select(col("media_id"),
+        (lit(16000L) + pmod(col("media_id"), lit(3)) * 8000L).as("sample_rate"),
+        expr("octet_length(content) div 2").cast("long").as("n_samples"))
+      .filter(col("n_samples") > 0)
+      .withColumn("n_chunks",
+        when(col("n_samples") <= win, lit(1L))
+          .otherwise(lit(1L) +
+            expr(s"(n_samples - $win + $stride - 1) div $stride")))
+      .select(col("media_id"), col("sample_rate"), col("n_samples"),
+        col("n_chunks"),
+        (lit(win) + (col("n_chunks") - 1) * stride - col("n_samples"))
+          .as("pad_samples"),
+        (col("n_chunks") * win).as("fanout_samples"))
+      .orderBy("media_id")
+  }
+
+  private val mediaAudioChunkPlanSql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS media_id,
+      |         16000 + (doc_id % 3) * 8000 AS sample_rate,
+      |         octet_length(encode(text)) // 2 AS n_samples
+      |  FROM documents
+      |  WHERE octet_length(encode(text)) // 2 > 0),
+      |c AS (
+      |  SELECT media_id, sample_rate, n_samples,
+      |         CASE WHEN n_samples <= 1024 THEN 1
+      |              ELSE 1 + (n_samples - 1024 + 896 - 1) // 896 END AS n_chunks
+      |  FROM a)
+      |SELECT media_id, CAST(sample_rate AS BIGINT) AS sample_rate,
+      |       CAST(n_samples AS BIGINT) AS n_samples,
+      |       CAST(n_chunks AS BIGINT) AS n_chunks,
+      |       CAST(1024 + (n_chunks - 1) * 896 - n_samples AS BIGINT) AS pad_samples,
+      |       CAST(n_chunks * 1024 AS BIGINT) AS fanout_samples
+      |FROM c ORDER BY media_id""".stripMargin
+
   /** Frame-sampling accounting: frames per media after keeping every 4th —
     * the distributed row-fanout logic of the decode path, without bytes. */
   def frameSampleCounts(spark: SparkSession, dir: String): DataFrame = {
@@ -364,6 +416,7 @@ object MultimodalQueries {
     "media_dedup"        -> (mediaDedup _),
     "media_features"      -> (mediaFeatures _),
     "media_resize_plan"   -> (mediaResizePlan _),
+    "media_audio_chunk_plan" -> (mediaAudioChunkPlan _),
     "frame_sample_counts" -> (frameSampleCounts _),
     "media_caption_pairs" -> (mediaCaptionPairs _),
     "media_pairing_coverage" -> (mediaPairingCoverage _),
@@ -376,6 +429,7 @@ object MultimodalQueries {
     "media_dedup"        -> mediaDedupSql,
     "media_features"      -> mediaFeaturesSql,
     "media_resize_plan"   -> mediaResizePlanSql,
+    "media_audio_chunk_plan" -> mediaAudioChunkPlanSql,
     "frame_sample_counts" -> frameSampleCountsSql,
     "media_caption_pairs" -> mediaCaptionPairsSql,
     "media_pairing_coverage" -> mediaPairingCoverageSql,
