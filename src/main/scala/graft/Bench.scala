@@ -18,7 +18,7 @@ import graft.plans.GraftExtensions
   *     samples, never all three — unlike back-to-back repeats, which both
   *     land inside the burst.
   *   - storage hygiene: registered queries materialize build frames via
-  *     localCheckpoint(eager = false), whose blocks are reclaimed by the
+  *     localCheckpoint (eager, see QueryConventions), whose blocks are reclaimed by the
   *     ContextCleaner only after the frames are garbage-collected — so a
   *     System.gc() after every sweep bounds block accumulation across the
   *     registry×4 run instead of waiting for the 30-min periodic GC.

@@ -156,7 +156,7 @@ object DedupOps {
         // aggregate, the anti-join probe, AND both pair-join sides —
         // un-materialized, the shingle-explode + 128-min pipeline would
         // run four times (the guard's whole point is saving wall time)
-        val b0 = bandsFromShingles(spark, sh).localCheckpoint(false)
+        val b0 = bandsFromShingles(spark, sh).localCheckpoint(true)
         val hot = b0.groupBy(col("band"), col("band_key"))
           .agg(count(lit(1)).as("n")).filter(col("n") > cap)
           .select(col("band"), col("band_key"))

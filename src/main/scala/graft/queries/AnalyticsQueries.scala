@@ -1208,7 +1208,7 @@ object AnalyticsQueries {
         // The audit sees the final round's plan; every round is
         // shape-identical, and the base edge build is fully audited via
         // part_triangles / part_local_clustering (shared builder).
-        .localCheckpoint(false)
+        .localCheckpoint(true)
     }
     val finalDeg = edges.select(col("src").as("v"))
       .unionAll(edges.select(col("dst").as("v")))
@@ -2362,7 +2362,7 @@ object AnalyticsQueries {
     val edges = edges0
     val und = edges.select(col("src").as("v"), col("dst").as("u"))
       .unionAll(edges.select(col("dst").as("v"), col("src").as("u")))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     var labels = und.select(col("v")).distinct().withColumn("lbl", col("v"))
     for (_ <- 1 to LpaRounds) {
       val w = Window.partitionBy(col("v")).orderBy(col("c").desc, col("nl"))
@@ -2375,7 +2375,7 @@ object AnalyticsQueries {
         // unconditional truncation: each round references the previous
         // once but the chain still compounds 4 window+join layers — the
         // k-core plan-growth rationale at smaller exponent
-        .localCheckpoint(false)
+        .localCheckpoint(true)
     }
     (edges, und, labels)
   }
@@ -2585,7 +2585,74 @@ object AnalyticsQueries {
       |            // CAST(sx AS HUGEINT) AS BIGINT) AS top_decile_ppm
       |FROM agg""".stripMargin
 
+  /** Laspeyres / Paasche / Fisher price indices by order year — the
+    * index-number family (the CPI construction): how much the SAME
+    * basket costs each year. Per (year, part) the unit price is the
+    * exact micro ratio Σprice div Σqty; Laspeyres weights every year's
+    * prices by the BASE year's (1995) quantities, Paasche by the
+    * current year's, Fisher is their geometric mean — the three answers
+    * to "whose basket", quoted together because their spread measures
+    * substitution bias. Only parts traded in both years enter a year's
+    * index (the matched-basket rule).
+    *
+    * Scale shape: one (year, part) aggregate over the fact join is the
+    * only data-sized shuffle; the base-year frame is part-dimension-
+    * sized and joins by partkey; per-year output. Exactness: unit
+    * prices and both index ratios are truncating integer divisions of
+    * DECIMAL(38,0) sums; Fisher is floor(sqrt) of the exact ppm product
+    * (identical IEEE sqrt both engines). */
+  def partPriceIndex(spark: SparkSession, dir: String): DataFrame = {
+    val py = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).as("yr"), col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("decimal(38,0)")).as("q"),
+        (sum(col("l_extendedprice").cast("decimal(18,6)")) * 1000000)
+          .cast("decimal(38,0)").as("sp"))
+      .withColumn("p", expr("sp div q")) // exact micro unit price
+      .materializeOnce // base frame and every year's frame read it
+    val base = py.filter(col("yr") === 1995)
+      .select(col("l_partkey"), col("p").as("p0"), col("q").as("q0"))
+    py.join(base, Seq("l_partkey"))
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("p") * col("q0")).as("ptq0"),
+        sum(col("p0") * col("q0")).as("p0q0"),
+        sum(col("p") * col("q")).as("ptqt"),
+        sum(col("p0") * col("q")).as("p0qt"))
+      .select(col("yr"), col("n_parts"),
+        expr("ptq0 * 1000000 div p0q0").as("laspeyres_ppm"),
+        expr("ptqt * 1000000 div p0qt").as("paasche_ppm"))
+      .withColumn("fisher_ppm",
+        floor(sqrt((col("laspeyres_ppm") * col("paasche_ppm")).cast("double")))
+          .cast("long"))
+      .orderBy("yr")
+  }
+
+  private val partPriceIndexSql: String =
+    """WITH py AS (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS yr, l_partkey,
+      |         CAST(sum(CAST(l_quantity AS HUGEINT)) AS HUGEINT) AS q,
+      |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000 AS HUGEINT) AS sp
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |p AS (SELECT yr, l_partkey, q, sp // q AS p FROM py),
+      |base AS (SELECT l_partkey, p AS p0, q AS q0 FROM p WHERE yr = 1995),
+      |j AS (
+      |  SELECT p.yr, count(*) AS n_parts,
+      |         sum(p.p * b.q0) AS ptq0, sum(b.p0 * b.q0) AS p0q0,
+      |         sum(p.p * p.q) AS ptqt, sum(b.p0 * p.q) AS p0qt
+      |  FROM p JOIN base b USING (l_partkey)
+      |  GROUP BY p.yr)
+      |SELECT yr, CAST(n_parts AS BIGINT) AS n_parts,
+      |       CAST(ptq0 * 1000000 // p0q0 AS BIGINT) AS laspeyres_ppm,
+      |       CAST(ptqt * 1000000 // p0qt AS BIGINT) AS paasche_ppm,
+      |       CAST(floor(sqrt(CAST((ptq0 * 1000000 // p0q0)
+      |            * (ptqt * 1000000 // p0qt) AS DOUBLE))) AS BIGINT) AS fisher_ppm
+      |FROM j ORDER BY yr""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "part_price_index"           -> (partPriceIndex _),
     "customer_gini"              -> (customerGini _),
     "part_label_propagation"     -> (partLabelPropagation _),
     "part_community_modularity"  -> (partCommunityModularity _),
@@ -2636,6 +2703,7 @@ object AnalyticsQueries {
     "distinct_users_approx"    -> (distinctUsersApprox _))
 
   val oracle: Map[String, String] = Map(
+    "part_price_index"           -> partPriceIndexSql,
     "customer_gini"              -> customerGiniSql,
     "part_label_propagation"     -> partLabelPropagationSql,
     "part_community_modularity"  -> partCommunityModularitySql,

@@ -737,7 +737,7 @@ object CorpusQueries {
           (expr("CAST(substring(key, 1, 9) AS BIGINT)") - UniKeyOffset).as("best"),
           (lit(99) - expr("CAST(substring(key, 10, 2) AS INT)")).as("np"),
           expr("substring(key, 12)").as("seg"))
-        .localCheckpoint(false) // read by up to UniMaxPiece later steps
+        .localCheckpoint(true) // read by up to UniMaxPiece later steps
       bs += bj
     }
     (1 to UniMaxLen).map(j => bs(j).filter(col("len") === j)).reduce(_ unionAll _)

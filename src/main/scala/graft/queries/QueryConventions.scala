@@ -17,11 +17,23 @@ private[queries] object QueryConventions {
     round(sum(c.cast("decimal(18,6)")).cast("double"), 2)
 
   /** Registry-wide materialization point for build frames consumed more
-    * than once (self-joins, multi-aggregate fan-outs): localCheckpoint
-    * (eager = false), NOT cache() — computed once on first use, blocks
-    * reclaimed by the ContextCleaner when the result frame is
-    * garbage-collected, no catalog pinning (the RegistryAuditSpec
-    * hygiene test).
+    * than once (self-joins, multi-aggregate fan-outs): localCheckpoint,
+    * NOT cache() — blocks reclaimed by the ContextCleaner when the
+    * result frame is garbage-collected, no catalog pinning (the
+    * RegistryAuditSpec hygiene test).
+    *
+    * EAGER (not lazy) deliberately: a lazy checkpoint materializes
+    * inside whatever job touches the frame FIRST — which can be a
+    * broadcast-exchange thread running concurrently with the main AQE
+    * job — and Spark's checkpoint commit has a lock-order inversion
+    * against the DAG scheduler (markCheckpointed takes
+    * RDDCheckpointData$ → the RDD monitor, while the scheduler's
+    * getCacheLocs/checkpointRDD visit takes the RDD monitor →
+    * RDDCheckpointData$). A full-suite run deadlocked exactly there
+    * (r8: dag-scheduler-event-loop vs broadcast-exchange-176, jstack-
+    * confirmed). Materializing eagerly on the CONSTRUCTION thread means
+    * no other job references the RDD while its checkpoint commits, so
+    * the inversion window never opens.
     *
     * The `graft.materialize=off` system property is the PLAN-AUDIT escape
     * hatch: a checkpoint boundary prints as an opaque `Scan ExistingRDD`,
@@ -33,6 +45,6 @@ private[queries] object QueryConventions {
       private val df: org.apache.spark.sql.DataFrame) {
     def materializeOnce: org.apache.spark.sql.DataFrame =
       if (sys.props.get("graft.materialize").contains("off")) df
-      else df.localCheckpoint(false)
+      else df.localCheckpoint(true)
   }
 }

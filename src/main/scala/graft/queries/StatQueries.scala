@@ -1034,7 +1034,7 @@ object StatQueries {
     // materialized once: referenced three times (bounds, station list,
     // join side) — un-materialized, the events scan + windowed aggregate
     // would run 3×. Registry-wide convention: build frames that feed
-    // self-joins use localCheckpoint(eager = false), NOT cache() — the
+    // self-joins use localCheckpoint (eager, see QueryConventions), NOT cache() — the
     // frame is computed once on first use and its blocks are reclaimed by
     // the ContextCleaner as soon as the result frame is garbage-collected,
     // so registered queries never pin catalog storage and a long-lived
@@ -1483,7 +1483,58 @@ object StatQueries {
       |FROM f WHERE den > 0
       |ORDER BY p_brand""".stripMargin
 
+  /** Return-rate ranking under uncertainty — the Wilson score lower
+    * bound (the "how not to sort by average rating" classic): a brand's
+    * raw return share can't be compared across brands with different
+    * volumes, so each brand gets the 95% Wilson lower bound of its
+    * return proportion — small-n brands are pulled toward 0 exactly as
+    * much as their evidence is thin, and sorting by the bound is the
+    * defensible ranking. z = 1.96 enters only as the exact decimal
+    * 3.8416 = z², shared by both dialects.
+    *
+    * Scale shape: broadcast part dim onto the fact scan, one
+    * brand-keyed (n, returns) aggregate — two numbers per brand.
+    * Exactness: counts exact; the bound is ONE fixed double expression
+    * over (r, n) floored to ppm — identical IEEE arithmetic both
+    * sides. */
+  def brandReturnRateWilson(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), (col("l_returnflag") === "R").cast("long").as("ret"))
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), sum(col("ret")).as("r"))
+      .withColumn("rate_ppm", expr("r * 1000000 div n"))
+      .withColumn("wilson_lo_ppm", floor(
+        (col("r").cast("double") / col("n") + lit(3.8416) / (lit(2.0) * col("n"))
+          - lit(1.96) * sqrt(
+            (col("r").cast("double") / col("n"))
+              * (lit(1.0) - col("r").cast("double") / col("n")) / col("n")
+              + lit(3.8416) / (lit(4.0) * col("n") * col("n"))))
+          / (lit(1.0) + lit(3.8416) / col("n")) * 1e6).cast("long"))
+      .select(col("p_brand"), col("n"), col("r"), col("rate_ppm"),
+        col("wilson_lo_ppm"))
+      .orderBy(col("wilson_lo_ppm").desc, col("p_brand"))
+  }
+
+  private val brandReturnRateWilsonSql: String =
+    """WITH j AS (
+      |  SELECT p_brand,
+      |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |g AS (SELECT p_brand, count(*) AS n, sum(ret) AS r FROM j GROUP BY p_brand)
+      |SELECT p_brand, CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r,
+      |       CAST(r * 1000000 // n AS BIGINT) AS rate_ppm,
+      |       CAST(floor(
+      |         (CAST(r AS DOUBLE) / n + 3.8416 / (2.0 * n)
+      |          - 1.96 * sqrt(
+      |              (CAST(r AS DOUBLE) / n) * (1.0 - CAST(r AS DOUBLE) / n) / n
+      |              + 3.8416 / (4.0 * n * n)))
+      |         / (1.0 + 3.8416 / n) * 1e6) AS BIGINT) AS wilson_lo_ppm
+      |FROM g ORDER BY wilson_lo_ppm DESC, p_brand""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "brand_return_rate_wilson"  -> (brandReturnRateWilson _),
     "brand_discount_elasticity" -> (brandDiscountElasticity _),
     "orders_median_of_means" -> (ordersMedianOfMeans _),
     "orders_hill_tail"    -> (ordersHillTail _),
@@ -1522,6 +1573,7 @@ object StatQueries {
     "embedding_normalize"          -> (embeddingNormalize _))
 
   val oracle: Map[String, String] = Map(
+    "brand_return_rate_wilson"  -> brandReturnRateWilsonSql,
     "brand_discount_elasticity" -> brandDiscountElasticitySql,
     "orders_median_of_means" -> ordersMedianOfMeansSql,
     "orders_hill_tail"    -> ordersHillTailSql,

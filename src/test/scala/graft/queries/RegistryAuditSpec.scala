@@ -268,7 +268,7 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
   }
 
   // registered queries materialize self-join build frames via
-  // localCheckpoint(eager=false), never cache(): checkpoint blocks are
+  // localCheckpoint (eager, see QueryConventions), never cache(): blocks are
   // reclaimed by the ContextCleaner once the result frame is GC'd, while
   // catalog-cached frames stay pinned until someone calls clearCache —
   // a long-lived session must not depend on that
