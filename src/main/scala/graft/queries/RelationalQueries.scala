@@ -914,8 +914,60 @@ object RelationalQueries {
       |WHERE p_name LIKE '%widget%'
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Local supplier volume (the TPC-H Q5 shape): revenue from orders
+    * where the CUSTOMER's nation and the SUPPLIER's nation are the SAME
+    * — two independent FK paths (order→customer→nation,
+    * lineitem→supplier→nation) constrained equal, the join topology
+    * that distinguishes Q5 from every star rollup: the nation key
+    * reaches the fact row twice by different routes and the predicate
+    * joins the routes, not the dims. One order-date year keeps the
+    * pushed-filter discipline.
+    *
+    * Plan shape: both dimension chains broadcast (customer and supplier
+    * carry only their nationkey), the date filter reaches the orders
+    * scan, and the only exchanges are the lineitem⋈orders fact join and
+    * the final per-nation aggregate. The same-nation predicate is a
+    * post-broadcast-join filter — never a shuffle of its own. */
+  def q5LocalSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q5LocalSupplierVolumeSql: String =
+    """SELECT n_name,
+      |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE c_nationkey = s_nationkey
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "orders_incremental_agg" -> (ordersIncrementalAgg _),
+    "q5_local_supplier_volume" -> (q5LocalSupplierVolume _),
     "q9_profit_by_nation"    -> (q9ProfitByNation _),
     "orders_above_customer_avg"    -> (ordersAboveCustomerAvg _),
     "customers_above_all_suppliers" -> (customersAboveAllSuppliers _),
@@ -942,6 +994,7 @@ object RelationalQueries {
 
   val oracle: Map[String, String] = Map(
     "orders_incremental_agg" -> ordersIncrementalAggSql,
+    "q5_local_supplier_volume" -> q5LocalSupplierVolumeSql,
     "q9_profit_by_nation"    -> q9ProfitByNationSql,
     "orders_above_customer_avg"    -> ordersAboveCustomerAvgSql,
     "customers_above_all_suppliers" -> customersAboveAllSuppliersSql,
