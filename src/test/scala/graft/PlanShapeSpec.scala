@@ -144,6 +144,41 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       "media_exif_meta: non-sort shuffle appeared in a projection query")
   }
 
+  test("round-8 relational queries keep their scale-critical shapes") {
+    val dir = "/root/testdata/sf0.001"
+    // q9: the p_name filter must reach the part SCAN (cutting the dim
+    // before its join), and no product may appear anywhere — the plan
+    // only survives 100 TB because the fact table is never shuffled for
+    // a dimension
+    val q9 = graft.queries.Registry.queries("q9_profit_by_nation")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(q9.contains("StringContains(p_name,widget)"),
+      "q9: part name filter not pushed to the part scan")
+    assert(!q9.contains("CartesianProduct") && !q9.contains("BroadcastNestedLoopJoin"),
+      "q9: a join degenerated to a product")
+
+    // q5: both date bounds pushed to the orders scan; the same-nation
+    // predicate joins the two FK routes, never a shuffle of its own
+    val q5 = graft.queries.Registry.queries("q5_local_supplier_volume")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("""o_orderdate#\d+ >= 1997-01-01""".r.findFirstIn(q5).isDefined &&
+      """o_orderdate#\d+ < 1998-01-01""".r.findFirstIn(q5).isDefined,
+      "q5: order-date bounds not pushed to the orders scan")
+    assert(!q5.contains("CartesianProduct") && !q5.contains("BroadcastNestedLoopJoin"),
+      "q5: the same-nation predicate degenerated to a product")
+
+    // incremental view maintenance: the refresh's whole point is that
+    // the delta leg reads BEHIND a pushed cutoff filter — if the bound
+    // leaves the scan, every refresh rescans history
+    sys.props("graft.materialize") = "off" // see through the snapshot boundary
+    try {
+      val ivm = graft.queries.Registry.queries("orders_incremental_agg")(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert("""GreaterThanOrEqual\(o_orderdate,2001-06-01""".r.findFirstIn(ivm).isDefined,
+        "orders_incremental_agg: delta cutoff not pushed to the scan")
+    } finally sys.props.remove("graft.materialize")
+  }
+
   test("nested schema pruning reaches the parquet scan") {
     val dir = Files.createTempDirectory("nested_docs").toString
     graft.queries.ParityQueries.nestedDoc(spark, "/root/testdata/sf0.001")
