@@ -1403,13 +1403,14 @@ object DedupQueries {
     * no shingles) surface with 0 via the left join. */
   def benchmarkContamination(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // cached: both join sides derive from this frame, and Catalyst does
-    // not dedupe common subtrees — uncached, the tokenize+shingle+explode
-    // pipeline would run once per side (same precedent as the cached
-    // frames in simhashNearDup/minhashLshDups)
-    val ex = DedupOps.docShingles(docs)
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .materializeOnce
+    // materialized PRE-explode: both join sides derive from the shingle
+    // computation (tokenize + md5 — the expensive part, and Catalyst does
+    // not dedupe common subtrees), but the explode itself is a cheap
+    // in-memory fanout — checkpointing the compact per-doc array frame
+    // stores ~docs rows instead of ~shingles rows (the r8 eager-
+    // checkpoint store pass made the exploded form a 9× bench outlier)
+    val sh = DedupOps.docShingles(docs).materializeOnce
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
     val b = ex.filter(pmod(col("doc_id"), lit(97)) === 0)
       .select(col("doc_id").as("b_id"), col("s"))
     val c = ex.filter(pmod(col("doc_id"), lit(97)) =!= 0)

@@ -2275,16 +2275,21 @@ object PipelineQueries {
 
   def docDsirWeights(spark: SparkSession, dir: String): DataFrame = {
     val toks = col("toks")
-    val bg = Tables.documents(spark, dir)
+    // materialized PRE-explode (r8): the checkpoint stores the compact
+    // per-doc bucket ARRAY — one row per doc — instead of one row per
+    // bigram; the explode is a cheap in-memory fanout each leg re-runs.
+    // (The r8 eager-checkpoint adjudication: storing the exploded form
+    // made this query a 4× bench outlier.)
+    val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), (col("lang") === "en").as("is_t"),
         TextFunctions.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("is_t"), explode(zip_with(
-        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-        (a, b) => concat_ws(" ", a, b))).as("bg"))
-      .select(col("doc_id"), col("is_t"),
-        pmod(DedupOps.h60(col("bg")), lit(DsirBuckets)).as("b"))
+      .select(col("doc_id"), col("is_t"), transform(zip_with(
+          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          (a, b) => concat_ws(" ", a, b)),
+        g => pmod(DedupOps.h60(g), lit(DsirBuckets))).as("bs"))
       .materializeOnce // feeds the bucket histogram AND the per-doc scoring
+    val bg = tf.select(col("doc_id"), col("is_t"), explode(col("bs")).as("b"))
     val counts = bg.groupBy(col("b")).agg(
       count(lit(1)).as("c_raw"),
       sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
