@@ -2651,7 +2651,110 @@ object AnalyticsQueries {
       |            * (ptqt * 1000000 // p0qt) AS DOUBLE))) AS BIGINT) AS fisher_ppm
       |FROM j ORDER BY yr""".stripMargin
 
+  /** Net revenue retention by acquisition cohort — the REVENUE-weighted
+    * twin of [[cohortRetention]]'s user counts (the SaaS board metric:
+    * a cohort can retain 80% of users yet >100% of revenue if the
+    * stayers expand): cohort = each customer's first-order month;
+    * NRR(cohort, m) = that cohort's month-m revenue as a fraction of
+    * its month-0 revenue, exact ppm. Months index arithmetically
+    * (y·12 + m), immune to month-length quirks.
+    *
+    * Scale shape: one customer-keyed cohort assignment (min aggregate),
+    * one (cohort, month) revenue collapse, then a cohort-keyed join of
+    * that tiny frame to its own month-0 row — never a data-sized
+    * self-join. Exactness: revenues are DECIMAL-summed micro integers;
+    * NRR is one cross-multiplied truncating division. */
+  def customerCohortNrr(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("mi"),
+        col("o_totalprice"))
+      .materializeOnce // cohort assignment and revenue collapse share it
+    val cohort = o.groupBy(col("o_custkey")).agg(min(col("mi")).as("c0"))
+    val rev = o.join(cohort, Seq("o_custkey"))
+      .groupBy(col("c0"), (col("mi") - col("c0")).as("months_since"))
+      .agg(countDistinct(col("o_custkey")).as("n_active"),
+        (sum(col("o_totalprice").cast("decimal(18,6)")) * 1000000)
+          .cast("decimal(38,0)").as("rev"))
+    val base = rev.filter(col("months_since") === 0)
+      .select(col("c0"), col("rev").as("rev0"))
+    rev.join(base, Seq("c0"))
+      .select(col("c0").cast("long").as("cohort_mi"),
+        col("months_since").cast("long").as("months_since"),
+        col("n_active"), col("rev").cast("long").as("rev_micro"),
+        expr("rev * 1000000 div rev0").as("nrr_ppm"))
+      .orderBy("cohort_mi", "months_since")
+  }
+
+  private val customerCohortNrrSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey,
+      |         year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+      |         o_totalprice
+      |  FROM orders),
+      |c AS (SELECT o_custkey, min(mi) AS c0 FROM o GROUP BY o_custkey),
+      |rev AS (
+      |  SELECT c.c0, o.mi - c.c0 AS months_since,
+      |         count(DISTINCT o.o_custkey) AS n_active,
+      |         CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) * 1000000 AS HUGEINT) AS rev
+      |  FROM o JOIN c USING (o_custkey)
+      |  GROUP BY 1, 2),
+      |b AS (SELECT c0, rev AS rev0 FROM rev WHERE months_since = 0)
+      |SELECT CAST(rev.c0 AS BIGINT) AS cohort_mi,
+      |       CAST(rev.months_since AS BIGINT) AS months_since,
+      |       CAST(n_active AS BIGINT) AS n_active,
+      |       CAST(rev AS BIGINT) AS rev_micro,
+      |       CAST(rev * 1000000 // rev0 AS BIGINT) AS nrr_ppm
+      |FROM rev JOIN b USING (c0)
+      |ORDER BY cohort_mi, months_since""".stripMargin
+
+  /** Herfindahl–Hirschman revenue concentration per customer nation —
+    * the antitrust-grade concentration number beside [[customerGini]]'s
+    * inequality and `supplier_pareto`'s cumulative-share table: HHI =
+    * Σ share², emitted in exact ppm via the cross-multiplied form
+    * Σ r_i²·10⁶ div (Σ r_i)², plus the effective competitor count
+    * 1/HHI (in thousandths) — "this nation's revenue behaves as if
+    * split between N.nnn equal customers". One customer collapse, one
+    * nation-keyed moment aggregate; all DECIMAL(38,0) integers. */
+  def nationRevenueHhi(spark: SparkSession, dir: String): DataFrame = {
+    val rc = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,6)")) * 1000000)
+        .cast("decimal(38,0)").as("r"))
+    rc.join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("r")).as("sr"), sum(col("r") * col("r")).as("sr2"))
+      .select(col("n_name"), col("n_customers"),
+        expr("sr2 * 1000000 div (sr * sr)").as("hhi_ppm"))
+      .withColumn("effective_n_milli",
+        expr("CAST(1000000000 div hhi_ppm AS LONG)"))
+      .orderBy("n_name")
+  }
+
+  private val nationRevenueHhiSql: String =
+    """WITH rc AS (
+      |  SELECT c_nationkey, o_custkey,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000 AS HUGEINT) AS r
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |g AS (
+      |  SELECT n_name, count(*) AS n_customers,
+      |         sum(r) AS sr, sum(r * r) AS sr2
+      |  FROM rc JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name)
+      |SELECT n_name, CAST(n_customers AS BIGINT) AS n_customers,
+      |       CAST(sr2 * 1000000 // (sr * sr) AS BIGINT) AS hhi_ppm,
+      |       CAST(1000000000 // (sr2 * 1000000 // (sr * sr)) AS BIGINT) AS effective_n_milli
+      |FROM g ORDER BY n_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "customer_cohort_nrr"        -> (customerCohortNrr _),
+    "nation_revenue_hhi"         -> (nationRevenueHhi _),
     "part_price_index"           -> (partPriceIndex _),
     "customer_gini"              -> (customerGini _),
     "part_label_propagation"     -> (partLabelPropagation _),
@@ -2703,6 +2806,8 @@ object AnalyticsQueries {
     "distinct_users_approx"    -> (distinctUsersApprox _))
 
   val oracle: Map[String, String] = Map(
+    "customer_cohort_nrr"        -> customerCohortNrrSql,
+    "nation_revenue_hhi"         -> nationRevenueHhiSql,
     "part_price_index"           -> partPriceIndexSql,
     "customer_gini"              -> customerGiniSql,
     "part_label_propagation"     -> partLabelPropagationSql,
