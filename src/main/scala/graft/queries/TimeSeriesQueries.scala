@@ -1710,7 +1710,84 @@ object TimeSeriesQueries {
        |FROM r WHERE rule1 OR rule2 OR rule4
        |ORDER BY sensor_id, h""".stripMargin
 
+  /** c-chart — the COUNT-data control chart completing the SPC family
+    * ([[sensorSpcRules]] charts a measured VALUE; the c-chart charts
+    * how many events arrived): per sensor, hourly event counts against
+    * the Poisson limits λ̂ ± 3√λ̂ with λ̂ the sensor's own mean hourly
+    * count. A breach high is a burst (stuck sensor, retry storm), a
+    * breach low is silence — both emitted with the side.
+    *
+    * Exactness — no √λ is ever a float: with T = the sensor's total
+    * events over H observed hours (λ̂ = T/H), count c breaches high iff
+    * c·H − T > 3·√(T·H), i.e. (c·H − T)² > 9·T·H with c·H > T — exact
+    * integer comparisons on both engines (the [[sensorSpcRules]]
+    * cross-multiplication trick applied to Poisson limits). Hours with
+    * zero events are real observations: the hour frame is the sensor's
+    * own observed [min, max] hour span densified by a generated spine,
+    * so silence CAN breach low.
+    *
+    * Scale shape: one (sensor, hour) count collapse, a sensor-keyed
+    * stats join, and a sequence() spine per sensor (calendar-bounded).
+    * The spine explode is ∝ sensors × hours — dimension-sized. */
+  def sensorCountCchart(spark: SparkSession, dir: String): DataFrame = {
+    import QueryConventions.MaterializeSyntax
+    val counts = Tables.events(spark, dir)
+      .filter(col("event_type") =!= "error")
+      .groupBy(col("event_type").as("sensor_id"),
+        date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .materializeOnce // the spine bounds and the join-back both read it
+    val spine = counts.groupBy(col("sensor_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("sensor_id"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+    val dense = spine.join(counts, Seq("sensor_id", "h"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val stats = dense.groupBy(col("sensor_id"))
+      .agg(sum(col("c")).as("t"), count(lit(1)).as("hh"))
+    dense.join(stats, Seq("sensor_id"))
+      .withColumn("d", col("c") * col("hh") - col("t"))
+      .withColumn("breach_high",
+        col("d") > 0 && col("d") * col("d") > lit(9) * col("t") * col("hh"))
+      .withColumn("breach_low",
+        col("d") < 0 && col("d") * col("d") > lit(9) * col("t") * col("hh"))
+      .filter(col("breach_high") || col("breach_low"))
+      .select(col("sensor_id"), col("h"), col("c"),
+        col("breach_high"), col("breach_low"))
+      .orderBy("sensor_id", "h")
+  }
+
+  private val sensorCountCchartSql: String =
+    """WITH counts AS (
+      |  SELECT event_type AS sensor_id,
+      |         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+      |         count(*) AS c
+      |  FROM events WHERE event_type <> 'error'
+      |  GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT sensor_id, unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+      |  FROM counts GROUP BY sensor_id),
+      |dense AS (
+      |  SELECT s.sensor_id, s.h, coalesce(c.c, 0) AS c
+      |  FROM spine s LEFT JOIN counts c USING (sensor_id, h)),
+      |stats AS (
+      |  SELECT sensor_id, sum(c) AS t, count(*) AS hh
+      |  FROM dense GROUP BY sensor_id),
+      |f AS (
+      |  SELECT d.sensor_id, d.h, d.c,
+      |         d.c * st.hh - st.t AS dd, st.t, st.hh
+      |  FROM dense d JOIN stats st USING (sensor_id))
+      |SELECT sensor_id, CAST(h AS TIMESTAMP) AS h, CAST(c AS BIGINT) AS c,
+      |       dd > 0 AND dd * dd > 9 * t * hh AS breach_high,
+      |       dd < 0 AND dd * dd > 9 * t * hh AS breach_low
+      |FROM f
+      |WHERE (dd > 0 AND dd * dd > 9 * t * hh)
+      |   OR (dd < 0 AND dd * dd > 9 * t * hh)
+      |ORDER BY sensor_id, h""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sensor_count_cchart"     -> (sensorCountCchart _),
     "sensor_spc_rules"        -> (sensorSpcRules _),
     "sensor_cross_correlation" -> (sensorCrossCorrelation _),
     "sensor_naive_mase"       -> (sensorNaiveMase _),
@@ -1734,6 +1811,7 @@ object TimeSeriesQueries {
     "sensor_cusum"            -> (sensorCusum _))
 
   val oracle: Map[String, String] = Map(
+    "sensor_count_cchart"     -> sensorCountCchartSql,
     "sensor_spc_rules"        -> sensorSpcRulesSql,
     "sensor_cross_correlation" -> sensorCrossCorrelationSql,
     "sensor_naive_mase"       -> sensorNaiveMaseSql,
