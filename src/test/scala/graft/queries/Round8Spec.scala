@@ -677,6 +677,42 @@ class Round8Spec extends AnyFunSuite with SparkSpec {
     assert(row.getAs[Long]("top_decile_ppm") === (topDecile * 1000000 / sx).toLong)
   }
 
+  test("sensor_spc_rules: every firing replayed from the hourly series, no float σ") {
+    val hours = TimeSeriesQueries.hourlyMeans(spark, dir)
+      .selectExpr("sensor_id", "unix_micros(h) AS h_us", "x_micro")
+      .collect()
+      .map(r => (r.getAs[String]("sensor_id"), r.getAs[Long]("h_us"),
+        r.getAs[Long]("x_micro")))
+      .groupBy(_._1)
+    val got = TimeSeriesQueries.queries("sensor_spc_rules")(spark, dir)
+      .selectExpr("sensor_id", "unix_micros(h) AS h_us", "rule1", "rule2", "rule4")
+      .collect()
+      .map(r => (r.getAs[String]("sensor_id"), r.getAs[Long]("h_us")) ->
+        (r.getAs[Boolean]("rule1"), r.getAs[Boolean]("rule2"),
+          r.getAs[Boolean]("rule4")))
+      .toMap
+    val expected = scala.collection.mutable.Map.empty[(String, Long), (Boolean, Boolean, Boolean)]
+    hours.foreach { case (sid, rs) =>
+      val xs = rs.sortBy(_._2)
+      val n = BigInt(xs.length)
+      val sx = xs.map(r => BigInt(r._3)).sum
+      val varNum = n * xs.map(r => BigInt(r._3) * r._3).sum - sx * sx
+      val ds = xs.map(r => n * r._3 - sx)
+      xs.indices.foreach { i =>
+        val d = ds(i)
+        val r1 = d * d > 9 * varNum
+        val hi2 = (math.max(0, i - 2) to i).count(j => ds(j) > 0 && ds(j) * ds(j) > 4 * varNum)
+        val lo2 = (math.max(0, i - 2) to i).count(j => ds(j) < 0 && ds(j) * ds(j) > 4 * varNum)
+        val r2 = i >= 2 && (hi2 >= 2 || lo2 >= 2)
+        val r4 = i >= 7 &&
+          ((i - 7 to i).forall(ds(_) > 0) || (i - 7 to i).forall(ds(_) < 0))
+        if (r1 || r2 || r4) expected((sid, xs(i)._2)) = (r1, r2, r4)
+      }
+    }
+    assert(got === expected.toMap, "SPC firings differ from the integer replay")
+    assert(got.nonEmpty, "fixture fired no rule — the chart is untested")
+  }
+
   test("customer_rr_histogram: debias is unbiased-by-identity and exact") {
     val rows = PipelineQueries.queries("customer_rr_histogram")(spark, dir).collect()
     val nTotal = Tables.customer(spark, dir).count()
