@@ -677,6 +677,25 @@ class Round8Spec extends AnyFunSuite with SparkSpec {
     assert(row.getAs[Long]("top_decile_ppm") === (topDecile * 1000000 / sx).toLong)
   }
 
+  test("part_price_index: base-year identities and Fisher betweenness") {
+    val rows = AnalyticsQueries.queries("part_price_index")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Int]("yr") ->
+        (r.getAs[Long]("laspeyres_ppm"), r.getAs[Long]("paasche_ppm"),
+          r.getAs[Long]("fisher_ppm"), r.getAs[Long]("n_parts")))
+      .toMap
+    // the base year's index is exactly 1 by construction, all three forms
+    val (l0, p0, f0, _) = rows(1995)
+    assert(l0 === 1000000L && p0 === 1000000L && f0 === 1000000L)
+    rows.foreach { case (yr, (l, p, f, n)) =>
+      assert(n > 0, s"$yr: empty matched basket")
+      // Fisher is the geometric mean: between min and max of L and P,
+      // and exactly floor(sqrt(L·P))
+      assert(f === math.floor(math.sqrt(l.toDouble * p)).toLong, s"$yr fisher")
+      assert(f >= math.min(l, p) - 1 && f <= math.max(l, p), s"$yr betweenness")
+    }
+  }
+
   test("sensor_spc_rules: every firing replayed from the hourly series, no float σ") {
     val hours = TimeSeriesQueries.hourlyMeans(spark, dir)
       .selectExpr("sensor_id", "unix_micros(h) AS h_us", "x_micro")
