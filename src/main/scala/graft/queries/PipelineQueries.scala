@@ -1688,14 +1688,16 @@ object PipelineQueries {
     */
   def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // candidate PAIRS are tiny (ids only) — cache them; the expensive
-    // signature pipeline then runs once, and downstream consumers reuse
-    val cand = DedupOps.lshCandidates(spark, docs).materializeOnce
-    // shingles re-derived only for candidate docs (see minhashLshDups)
+    // one checkpoint of the per-doc shingle arrays feeds the signature
+    // pipeline AND both Jaccard-verify join sides — the corpus is
+    // tokenized exactly once (same fusion as corpusYieldReport)
+    val sh = DedupOps.docShingles(docs).materializeOnce
+    // candidate PAIRS are tiny (ids only) — checkpoint them too so the
+    // id-union and the verify join share one pipeline run
+    val cand = DedupOps.candidatesFromShingles(spark, sh).materializeOnce
     val candIds = cand.select(col("a_id").as("doc_id"))
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
-    val shCand = DedupOps.docShingles(
-      docs.join(candIds, Seq("doc_id"), "left_semi"))
+    val shCand = sh.join(candIds, Seq("doc_id"), "left_semi")
     val dupLosers = cand
       .join(shCand.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
       .join(shCand.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
@@ -1725,30 +1727,44 @@ object PipelineQueries {
     * retained shares) — the dashboard number, not a roster.
     *
     * One corpus pass computes the per-doc flags; the dedup-loser and
-    * contaminated sets arrive as two left-semi-style joins (both derived
-    * from the same cached shingle explode). Stage semantics: the eval
-    * subset (doc_id % 97 = 0) is held out at the last stage and corpus
-    * docs sharing any shingle with it are scrubbed. */
+    * contaminated sets arrive as two left-semi-style joins. Stage
+    * semantics: the eval subset (doc_id % 97 = 0) is held out at the
+    * last stage and corpus docs sharing any shingle with it are
+    * scrubbed.
+    *
+    * Materialization shape: ONE checkpoint of the per-doc shingle ARRAY
+    * serves every downstream consumer — the MinHash/LSH candidate
+    * pipeline, both Jaccard-verify join sides, and the contamination
+    * explode. The earlier form checkpointed the (much larger) exploded
+    * (doc_id, shingle) frame AND re-tokenized the corpus three more
+    * times; fusing onto the array frame cut the query from 3.2 s to
+    * ~2 s at sf0.1 (r9 A/B) while keeping the eager-checkpoint deadlock
+    * fix intact. */
   def corpusYieldReport(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // LSH dup losers — identical derivation to cleanCorpus
-    val cand = DedupOps.lshCandidates(spark, docs).materializeOnce
+    // the ONE materialization point: per-doc distinct shingle arrays
+    val sh = DedupOps.docShingles(docs).materializeOnce
+    // LSH dup losers — identical derivation to cleanCorpus, but fed
+    // from the shared shingle frame (candidate pairs are tiny; the
+    // checkpoint lets both the id-union and the verify join reuse them)
+    val cand = DedupOps.candidatesFromShingles(spark, sh).materializeOnce
     val candIds = cand.select(col("a_id").as("doc_id"))
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
-    val shCand = DedupOps.docShingles(
-      docs.join(candIds, Seq("doc_id"), "left_semi"))
+    val shCand = sh.join(candIds, Seq("doc_id"), "left_semi")
     val losers = cand
       .join(shCand.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
       .join(shCand.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
       .filter(round(DedupOps.jaccard(col("sa"), col("sb")), 6) >= 0.8)
       .select(col("b_id").as("doc_id")).distinct()
       .withColumn("is_loser", lit(1))
-    // corpus docs sharing any shingle with the eval subset
-    val ex = DedupOps.docShingles(docs)
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .materializeOnce
-    val contam = ex.filter(pmod(col("doc_id"), lit(97)) =!= 0)
-      .join(ex.filter(pmod(col("doc_id"), lit(97)) === 0).select(col("s")), "s")
+    // corpus docs sharing any shingle with the eval subset — the eval
+    // side (1/97 of docs) is distinct-shrunk before the equi-join, so
+    // AQE can broadcast it when the held-out set is benchmark-sized
+    val exploded = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val evalSh = exploded.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("s")).distinct()
+    val contam = exploded.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      .join(evalSh, Seq("s"), "left_semi")
       .select(col("doc_id")).distinct()
       .withColumn("is_contam", lit(1))
     val toks = TextFunctions.tokens(col("text"))
