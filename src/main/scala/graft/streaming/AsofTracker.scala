@@ -47,7 +47,19 @@ case class AsofOut(
   * them; an error with no prior reading emits null reading columns
   * rather than waiting (matching ASOF LEFT — streaming cannot know a
   * reading will never arrive, and the batch semantics say "at or
-  * before", so there is nothing to wait for). */
+  * before", so there is nothing to wait for).
+  *
+  * Cross-batch lateness: with `TimeMode.None` there is no lateness
+  * bound, so an ERROR row can arrive in a later micro-batch with tsUs
+  * older than the carried reading. The O(1) state cannot answer that
+  * error exactly (the reading that was current AT its timestamp is
+  * gone), and stamping the newer reading would fabricate a
+  * future-looking enrichment with a negative gap — so the emit guard
+  * requires `carried.rTsUs <= error.tsUs` and degrades to the ASOF-LEFT
+  * null columns otherwise. Bit-for-bit agreement with the batch oracle
+  * therefore holds for cross-batch event-time-ordered error delivery
+  * (readings may still arrive late or replayed in any order); a
+  * genuinely late error is answered conservatively, never wrongly. */
 class AsofTracker extends StatefulProcessor[String, AsofIn, AsofOut] {
 
   // (rTsUs, eventId, sensorId, vMicro) of the user's most recent reading
@@ -76,10 +88,13 @@ class AsofTracker extends StatefulProcessor[String, AsofIn, AsofOut] {
           cur = Some((r.tsUs, r.eventId, r.sensorId, r.vMicro))
       } else {
         out += (cur match {
-          case Some((rTs, _, sid, v)) =>
+          // the carry answers this error only if it is AT OR BEFORE the
+          // error's timestamp — a late cross-batch error older than the
+          // carried reading degrades to the LEFT nulls (see scaladoc)
+          case Some((rTs, _, sid, v)) if rTs <= r.tsUs =>
             AsofOut(r.eventId, key, r.tsUs,
               Some(sid), Some(rTs), Some(v), Some(r.tsUs - rTs))
-          case None =>
+          case _ =>
             AsofOut(r.eventId, key, r.tsUs, None, None, None, None)
         })
       }

@@ -23,6 +23,17 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
 class HistogramTracker(vmin: Long, vmax: Long, bins: Int = 256)
   extends StatefulProcessor[String, (String, Long), (String, Long, Long, Long)] {
 
+  // bin arithmetic is pure Long: (clamped − vmin) · bins and
+  // (b + 1) · w must both fit, so an oversized deployment range fails
+  // fast at construction instead of silently wrapping into wrong bins
+  // (the batch query derives its bounds from data and shares the limit;
+  // the tracker's bounds are free deployment parameters)
+  require(bins > 0, s"bins must be positive, got $bins")
+  require(vmax >= vmin, s"empty value range [$vmin, $vmax]")
+  require((BigInt(vmax) - BigInt(vmin) + 1) * bins <= Long.MaxValue,
+    s"[vmin=$vmin, vmax=$vmax] span overflows Long bin arithmetic for " +
+      s"$bins bins (max span ${Long.MaxValue / bins - 1})")
+
   private val w = vmax - vmin + 1
 
   @transient private var hist: ListState[Long] = _

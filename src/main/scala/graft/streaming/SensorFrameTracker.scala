@@ -27,9 +27,13 @@ case class FrameOut(
   * only advances its sensor's slot forward in (ts, eventId) order
   * (max eventId wins a timestamp tie; a late replay cannot regress),
   * and at an exact error-ts tie the reading applies first (as-of `>=`).
-  * State is O(users × live sensors); `SensorFrameSpec` proves
-  * bit-for-bit agreement with a first-principles batch replay across
-  * scrambled micro-batches. */
+  * As in [[AsofTracker]], a map slot answers an error only if its
+  * carried reading is AT OR BEFORE the error's timestamp — a late
+  * cross-batch error older than a slot's reading omits that sensor's
+  * row (the frame that was current at its instant is gone; omission,
+  * never a negative gap). State is O(users × live sensors);
+  * `SensorFrameSpec` proves bit-for-bit agreement with a
+  * first-principles batch replay across scrambled micro-batches. */
 class SensorFrameTracker extends StatefulProcessor[String, AsofIn, FrameOut] {
 
   // sensorId -> (rTsUs, eventId, vMicro)
@@ -56,9 +60,12 @@ class SensorFrameTracker extends StatefulProcessor[String, AsofIn, FrameOut] {
           .forall(c => r.tsUs > c._1 || (r.tsUs == c._1 && r.eventId > c._2))
         if (advance) frame(r.sensorId) = (r.tsUs, r.eventId, r.vMicro)
       } else {
-        frame.toSeq.sortBy(_._1).foreach { case (sid, (rTs, _, v)) =>
-          out += FrameOut(r.eventId, key, r.tsUs, sid, rTs, v, r.tsUs - rTs)
-        }
+        // only slots whose reading is at or before the error qualify —
+        // a late cross-batch error must not see a future reading
+        frame.toSeq.filter(_._2._1 <= r.tsUs).sortBy(_._1)
+          .foreach { case (sid, (rTs, _, v)) =>
+            out += FrameOut(r.eventId, key, r.tsUs, sid, rTs, v, r.tsUs - rTs)
+          }
       }
     }
     frame.foreach { case (k, v) => st.updateValue(k, v) }

@@ -90,4 +90,43 @@ class AsofTrackerSpec extends AnyFunSuite with SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("a late cross-batch error degrades to LEFT nulls, never a negative gap") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // TimeMode.None has no lateness bound: an error can arrive in a
+    // later micro-batch with tsUs OLDER than the carried reading. The
+    // O(1) state cannot answer it exactly — it must emit the LEFT null
+    // columns, not stamp the future reading with a negative gap.
+    val input = MemoryStream[AsofIn]
+    val enriched = input.toDS()
+      .groupByKey(_.userId)
+      .transformWithState(new AsofTracker, TimeMode.None(), OutputMode.Append())
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("asoflate").start()
+    try {
+      input.addData(
+        AsofIn("u", 100L, 0, 1L, "a", 5L), // reading @100
+        AsofIn("u", 150L, 1, 2L, "", 0L))  // error   @150 → gap 50
+      q.processAllAvailable()
+      input.addData(AsofIn("u", 200L, 0, 3L, "b", 9L)) // carry → @200
+      q.processAllAvailable()
+      input.addData(
+        AsofIn("u", 180L, 1, 4L, "", 0L),  // LATE error: carry @200 > 180
+        AsofIn("u", 250L, 1, 5L, "", 0L))  // on-time error → gap 50
+      q.processAllAvailable()
+      val got = spark.table("asoflate").as[AsofOut].collect()
+        .map(o => o.errorId -> o).toMap
+      assert(got(2L) === AsofOut(2L, "u", 150L, Some("a"), Some(100L), Some(5L), Some(50L)))
+      assert(got(4L) === AsofOut(4L, "u", 180L, None, None, None, None),
+        "late error must see LEFT nulls, not the future reading")
+      assert(got(5L) === AsofOut(5L, "u", 250L, Some("b"), Some(200L), Some(9L), Some(50L)))
+      assert(!got.values.exists(_.gapUs.exists(_ < 0)), "negative gap emitted")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }

@@ -68,4 +68,15 @@ class HistogramEquivalenceSpec extends AnyFunSuite with SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("an oversized [vmin, vmax] deployment range fails fast at construction") {
+    // (clamped − vmin) · bins wraps Long past span ≈ 2^55 — the guard
+    // must reject it instead of silently corrupting bins
+    intercept[IllegalArgumentException](
+      new HistogramTracker(Long.MinValue / 2, Long.MaxValue / 2, 256))
+    intercept[IllegalArgumentException](new HistogramTracker(10L, 5L))
+    intercept[IllegalArgumentException](new HistogramTracker(0L, 100L, 0))
+    // the largest legal span still constructs
+    new HistogramTracker(0L, Long.MaxValue / 256 - 1, 256)
+  }
 }

@@ -83,4 +83,35 @@ class SensorFrameSpec extends AnyFunSuite with SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("a late cross-batch error omits slots carrying future readings") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // per-slot twin of the AsofTracker late-error guard: sensor b's
+    // carried reading (ts 300) is in the late error's future (ts 200),
+    // so the frame row for b is omitted; sensor a (ts 100) qualifies
+    val input = MemoryStream[AsofIn]
+    val frames = input.toDS()
+      .groupByKey(_.userId)
+      .transformWithState(new SensorFrameTracker, TimeMode.None(), OutputMode.Append())
+    val q = frames.writeStream.outputMode("append")
+      .format("memory").queryName("framelate").start()
+    try {
+      input.addData(
+        AsofIn("u", 100L, 0, 1L, "a", 5L),
+        AsofIn("u", 300L, 0, 2L, "b", 9L))
+      q.processAllAvailable()
+      input.addData(AsofIn("u", 200L, 1, 3L, "", 0L)) // LATE error @200
+      q.processAllAvailable()
+      val got = spark.table("framelate").as[FrameOut].collect()
+        .map(o => (o.sensorId, o.rTsUs, o.gapUs)).toSet
+      assert(got === Set(("a", 100L, 100L)),
+        s"late error must see only at-or-before slots, got $got")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }

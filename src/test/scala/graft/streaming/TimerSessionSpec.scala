@@ -80,4 +80,50 @@ class TimerSessionSpec extends AnyFunSuite with SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("a late above-watermark in-gap event MERGES sessions instead of splitting") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the ADVICE scenario: gap 30 min, watermark delay 10 min. Batch 1
+    // delivers t=0 and t=35min (gap-crossing: a naive tracker closes
+    // [0, 30min) inline). Batch 2 delivers t=28min — ABOVE the watermark
+    // (25min after batch 1) yet inside BOTH sessions' gap windows, so
+    // the batch session_window semantics give ONE session covering all
+    // three events. The tracker must buffer, merge, and emit exactly
+    // that — never the premature [0, 30min) split.
+    val min = 60L * 1000
+    val base = 100 * min // off zero: ts=0 is not above the initial watermark
+    val u = 7L
+    def ev(user: Long, tMs: Long) = SessIn(user, new Timestamp(base + tMs))
+
+    val input = MemoryStream[SessIn]
+    val sessions = input.toDS()
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.userId)
+      .transformWithState(new TimerSessionTracker(30 * min),
+        TimeMode.EventTime(), OutputMode.Append())
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("latemerge").start()
+    try {
+      input.addData(ev(u, 0), ev(u, 35 * min))
+      q.processAllAvailable()
+      input.addData(ev(u, 28 * min)) // late (wm = 25min) but mergeable
+      q.processAllAvailable()
+      assert(spark.table("latemerge").where(s"userId = $u").isEmpty,
+        "a session closed before the watermark passed its end")
+      // flush: push the watermark far past every pending end
+      input.addData(ev(Sentinel, 500 * min))
+      q.processAllAvailable()
+      val got = spark.table("latemerge").as[SessOut].collect()
+        .filter(_.userId == u)
+        .map(o => (o.startMs - base, o.endMs - base, o.nEvents)).toSet
+      assert(got === Set((0L, 65 * min, 3L)),
+        s"expected the single merged session [0, 65min) x3, got $got")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
