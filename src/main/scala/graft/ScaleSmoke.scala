@@ -44,10 +44,21 @@ object ScaleSmoke {
     // optional 2nd arg: comma-separated probe-name subset, so a single
     // new probe can be sized at several K without re-running the sweep
     val only: Option[Set[String]] = args.lift(1).map(_.split(",").toSet)
+    // every datapoint also lands as one JSON line in SCALE_r09.json
+    // (probe, k, wall, rows, sf) so the ~linear claims are machine-
+    // checkable the way CORRECTNESS/BENCH are — appended per probe so a
+    // crashed sweep still keeps its finished rows
+    val scaleOut = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r09.json")
     def time(name: String)(f: => Long): Unit = if (only.forall(_.contains(name))) {
       val t0 = System.nanoTime()
       val rows = f
-      println(f"[scale] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows)")
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name%-22s $wall%8.2f s  ($rows rows)")
+      val line = f"""{"probe":"$name","k":$k,"wall_sec":$wall%.3f,"rows":$rows,"sf":"$sfDir"}%n"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(scaleOut),
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     }
     val sh = DedupOps.docShingles(scaled).cache()
     time("shingles")(sh.count())
@@ -99,6 +110,16 @@ object ScaleSmoke {
         .select(col("first_doc").as("doc_id"), col("n_novel"))
       perDoc.join(novel, Seq("doc_id"), "left").count()
     }
+
+    // corpus-curation capstone funnel (mirrors corpus_yield_report): the
+    // r9 fence for the eager-checkpoint adjudication — ONE per-doc
+    // shingle-array checkpoint (corpus-sized bytes, same under lazy or
+    // eager) feeds LSH candidates, both verify joins and the
+    // decontamination explode. The eager flip costs a constant number of
+    // extra JOBS per materialization point; this probe proves the cost
+    // stays additive as data grows (wall ~linear in K, never a factor)
+    time("corpus_yield")(
+      graft.queries.PipelineQueries.corpusYieldReportFrom(spark, scaled).count())
 
     // PMI collocation mining (mirrors token_pmi_top minus the fixed top-20
     // tail): unigram + shifted-slice pair counts are ∝ tokens (map-side

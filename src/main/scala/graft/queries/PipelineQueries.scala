@@ -1740,8 +1740,15 @@ object PipelineQueries {
     * times; fusing onto the array frame cut the query from 3.2 s to
     * ~2 s at sf0.1 (r9 A/B) while keeping the eager-checkpoint deadlock
     * fix intact. */
-  def corpusYieldReport(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def corpusYieldReport(spark: SparkSession, dir: String): DataFrame =
+    corpusYieldReportFrom(spark, Tables.documents(spark, dir))
+
+  /** [[corpusYieldReport]] over an arbitrary (doc_id, text) frame — the
+    * ScaleSmoke entry point that fences the eager-checkpoint cost: the
+    * probe's wall must track the corpus ~linearly (the one checkpoint
+    * is corpus-sized bytes either way; the eager flip costs a constant
+    * number of extra JOBS, not a data-proportional factor). */
+  def corpusYieldReportFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
     // the ONE materialization point: per-doc distinct shingle arrays
     val sh = DedupOps.docShingles(docs).materializeOnce
     // LSH dup losers — identical derivation to cleanCorpus, but fed

@@ -74,4 +74,38 @@ class EndToEndSpec extends AnyFunSuite with SparkSpec {
       .listFiles().filter(_.getName.endsWith(".parquet"))
     assert(perugiaFiles.length === 1, s"expected 1 file, got ${perugiaFiles.length}")
   }
+
+  test("sized fan-out bounds files per station under a skewed distribution") {
+    // the 100 TB operational incident the sized writer exists for: T
+    // upstream tasks × S stations = T·S tiny files from the plain
+    // writer, S files from the sized one — regardless of skew. One hot
+    // station carries 200× the cold ones across 8 upstream partitions.
+    val outSized = Files.createTempDirectory("fanout_sized").toString
+    val outPlain = Files.createTempDirectory("fanout_plain").toString
+    val hot = spark.range(10000)
+      .select(lit("hot").as("station_id"), col("id").as("v"))
+    val cold = spark.range(50)
+      .select(concat(lit("cold"), pmod(col("id"), lit(5))).as("station_id"),
+        col("id").as("v"))
+    val skewed = hot.unionAll(cold).repartition(8) // many upstream tasks
+    FanOut.writePartitioned(skewed, outPlain)
+    FanOut.writePartitionedSized(skewed, outSized)
+
+    def files(dir: String, s: String): Int = {
+      val d = new java.io.File(s"$dir/station_id=$s")
+      if (!d.isDirectory) 0
+      else d.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    val stations = "hot" +: (0 until 5).map(i => s"cold$i")
+    stations.foreach { s =>
+      assert(files(outSized, s) === 1,
+        s"sized writer must emit exactly 1 file for $s, got ${files(outSized, s)}")
+    }
+    // the fixture genuinely exhibits the pathology the sized writer fixes
+    assert(files(outPlain, "hot") > 1,
+      "plain writer produced 1 file for the hot station — skew fixture too weak")
+    // same data lands either way
+    assert(spark.read.parquet(outSized).count() === 10050L)
+    assert(spark.read.parquet(outPlain).count() === 10050L)
+  }
 }
