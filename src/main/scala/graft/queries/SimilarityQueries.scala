@@ -779,6 +779,151 @@ object SimilarityQueries {
        |ORDER BY probes""".stripMargin
   }
 
+  /** Recall@5 under FILTERED search — the missing member of the
+    * retrieval-eval family: `knn_recall_curve`/`knn_ndcg` grade
+    * unfiltered probes, but production vector search is almost always
+    * metadata-filtered, and pre-filtering interacts with IVF probing
+    * (the filter thins every probed cell, so a fixed probe budget
+    * returns fewer-than-k or lower-quality hits as the filter
+    * tightens). For each selectivity level (vec_id % s = 0 for
+    * s ∈ 2/5/20 — a controlled 50%/20%/5% sweep), recall@5 of the
+    * pre-filtered 2-probe IVF search against the exact filtered
+    * brute-force top-5, with the kept-corpus size in the report.
+    *
+    * Cost shape: ONE corpus scan scores all query pairs; the
+    * selectivity sweep is a 3-row broadcast cross on the scored frame,
+    * the IVF side is a probe-assignment semi-join of the SAME frame
+    * (cosines computed once, shared by both sides), and every later
+    * stage is |Q|-sized. Determinism: 6-dp cosines with vec_id
+    * tiebreak, fixed-point recall (the [[knnRecallCurve]] discipline). */
+  def knnFilteredRecall(spark: SparkSession, dir: String): DataFrame = {
+    val dotF = dotFast(spark) _
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("norm", sqrt(dotFast(spark)(col("embedding"), col("embedding"))))
+      .materializeOnce
+    val sel = spark.range(1)
+      .select(explode(array(lit(2), lit(5), lit(20))).as("sel_mod"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    // one scored pass over the corpus, shared by the exact and IVF sides
+    val pairs = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim",
+        round(dotF(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")), 6))
+      .select("q_id", "vec_id", "label", "cos_sim")
+    val swept = pairs.crossJoin(broadcast(sel))
+      .filter(pmod(col("vec_id"), col("sel_mod")) === 0)
+      .materializeOnce // exact ranking AND the probe-side join read it
+    val wRank = Window.partitionBy(col("sel_mod"), col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val exact = swept
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 5)
+      .select("sel_mod", "q_id", "vec_id")
+    // label-centroid IVF, 2-probe pre-filtered search (knn_ivf discipline)
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("centroid"))
+      .withColumn("c_norm", sqrt(dotFast(spark)(col("centroid"), col("centroid"))))
+    val wAssign = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_sim").desc, col("label"))
+    val assign = q.crossJoin(broadcast(cent))
+      .withColumn("c_sim",
+        round(dotF(col("q_emb"), col("centroid")) / (col("q_norm") * col("c_norm")), 6))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= 2)
+      .select(col("q_id"), col("label"))
+    val ivf = swept.join(assign, Seq("q_id", "label"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 5)
+      .select("sel_mod", "q_id", "vec_id")
+    val nKeep = emb.select(col("vec_id")).crossJoin(broadcast(sel))
+      .filter(pmod(col("vec_id"), col("sel_mod")) === 0)
+      .groupBy(col("sel_mod")).agg(count(lit(1)).as("n_keep"))
+    val nExact = exact.groupBy(col("sel_mod")).agg(count(lit(1)).as("n_exact"))
+    ivf
+      .join(exact.withColumn("hit", lit(1)), Seq("sel_mod", "q_id", "vec_id"), "left")
+      .groupBy(col("sel_mod"))
+      .agg(
+        count(lit(1)).as("n_returned"),
+        sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"))
+      .join(nExact, "sel_mod")
+      .join(nKeep, "sel_mod")
+      .withColumn("recall_at_5",
+        floor(col("n_hits") * 1e4 / col("n_exact")) / lit(1e4))
+      .select("sel_mod", "n_keep", "n_returned", "n_hits", "n_exact", "recall_at_5")
+      .orderBy("sel_mod")
+  }
+
+  private val knnFilteredRecallSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb, norm AS q_norm FROM e WHERE vec_id < 10),
+       |sel AS (SELECT unnest([2, 5, 20]) AS sel_mod),
+       |pairs AS (
+       |  SELECT q.q_id, e.vec_id, e.label,
+       |         round(list_dot_product(q.q_emb, e.emb) / (q.q_norm * e.norm), 6) AS cos_sim
+       |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+       |swept AS (
+       |  SELECT s.sel_mod, p.q_id, p.vec_id, p.label, p.cos_sim
+       |  FROM pairs p CROSS JOIN sel s WHERE p.vec_id % s.sel_mod = 0),
+       |exact AS (
+       |  SELECT sel_mod, q_id, vec_id FROM (
+       |    SELECT sel_mod, q_id, vec_id,
+       |           row_number() OVER (PARTITION BY sel_mod, q_id
+       |                              ORDER BY cos_sim DESC, vec_id) AS rank
+       |    FROM swept)
+       |  WHERE rank <= 5),
+       |cpos AS (
+       |  SELECT label, u.pos AS pos, round(avg(u.v), 6) AS cv
+       |  FROM embeddings,
+       |       LATERAL (SELECT unnest(embedding::DOUBLE[]) AS v,
+       |                       generate_subscripts(embedding, 1) AS pos) u
+       |  GROUP BY label, pos),
+       |c AS (SELECT label, list(cv ORDER BY pos) AS centroid FROM cpos GROUP BY label),
+       |cn AS (SELECT label, centroid,
+       |              sqrt(list_dot_product(centroid, centroid)) AS c_norm FROM c),
+       |assign AS (
+       |  SELECT q_id, label FROM (
+       |    SELECT q.q_id, cn.label,
+       |           row_number() OVER (PARTITION BY q.q_id
+       |             ORDER BY round(list_dot_product(q.q_emb, cn.centroid) / (q.q_norm * cn.c_norm), 6) DESC,
+       |                      cn.label) AS rn
+       |    FROM q CROSS JOIN cn)
+       |  WHERE rn <= 2),
+       |ivf AS (
+       |  SELECT sel_mod, q_id, vec_id FROM (
+       |    SELECT s.sel_mod, s.q_id, s.vec_id,
+       |           row_number() OVER (PARTITION BY s.sel_mod, s.q_id
+       |                              ORDER BY s.cos_sim DESC, s.vec_id) AS rank
+       |    FROM swept s JOIN assign a ON a.q_id = s.q_id AND a.label = s.label)
+       |  WHERE rank <= 5),
+       |keepn AS (
+       |  SELECT s.sel_mod, count(*) AS n_keep
+       |  FROM e CROSS JOIN sel s WHERE e.vec_id % s.sel_mod = 0
+       |  GROUP BY s.sel_mod),
+       |exn AS (SELECT sel_mod, count(*) AS n_exact FROM exact GROUP BY sel_mod)
+       |SELECT i.sel_mod, k.n_keep,
+       |       count(*) AS n_returned,
+       |       CAST(count(x.q_id) AS BIGINT) AS n_hits,
+       |       x2.n_exact,
+       |       floor(CAST(count(x.q_id) AS DOUBLE) * 1e4 / x2.n_exact) / 1e4 AS recall_at_5
+       |FROM ivf i
+       |LEFT JOIN exact x
+       |  ON x.sel_mod = i.sel_mod AND x.q_id = i.q_id AND x.vec_id = i.vec_id
+       |JOIN exn x2 ON x2.sel_mod = i.sel_mod
+       |JOIN keepn k ON k.sel_mod = i.sel_mod
+       |GROUP BY i.sel_mod, k.n_keep, x2.n_exact
+       |ORDER BY i.sel_mod""".stripMargin
+
   /** Matryoshka truncation-recall curve — the evaluation behind
     * MRL-style embeddings (Kusupati et al., NeurIPS 2022): score the
     * SAME fixed query set with only the first d components
@@ -2469,6 +2614,7 @@ object SimilarityQueries {
     "knn_ivf_refined" -> ((s: SparkSession, d: String) => knnIvfRefined(s, d, probes = 2)),
     "knn_ivf_incremental" -> (knnIvfIncremental _),
     "knn_recall_curve" -> (knnRecallCurve _),
+    "knn_filtered_recall" -> (knnFilteredRecall _),
     "knn_ndcg" -> (knnNdcg _),
     "knn_brute"       -> (knnBrute _),
     "knn_filtered"    -> (knnFiltered _),
@@ -2502,6 +2648,7 @@ object SimilarityQueries {
     "knn_ivf_refined" -> knnIvfRefinedSql(2),
     "knn_ivf_incremental" -> knnIvfIncrementalSql,
     "knn_recall_curve" -> knnRecallCurveSql,
+    "knn_filtered_recall" -> knnFilteredRecallSql,
     "knn_ndcg" -> knnNdcgSql,
     "knn_brute"       -> knnBruteSql,
     "knn_filtered"    -> knnFilteredSql,
