@@ -128,6 +128,39 @@ object StreamBench {
       val tA = (System.nanoTime() - t3) / 1e9
       println(f"[streambench] streaming_asof n=$nStream out_rows=${spark.table("asofbench").count()} t=$tA%.2f s rate=${nStream / tA}%.0f events/s")
     } finally qa.stop()
+
+    // ---- streaming leg D: windowed top-k tracker -------------------------
+    // MapState (sum, count) partials per 1-min window × 33 stations × 8
+    // sensors, event-time timers closing each window (the TopKWindowTracker
+    // operating point). Rows arrive in event-time order across batches so
+    // every window but the last closes mid-run — the measured rate includes
+    // timer-driven emission, not just state folds.
+    val winMs = 60L * 1000
+    val topkRows = spark.range(nStream).select(
+        (lit(1700000000000L) + col("id") * 10L).as("tsMs"),
+        concat(lit("st"), pmod(col("id"), lit(33L))).as("stationId"),
+        concat(lit("sn"), pmod(col("id"), lit(8L))).as("sensorId"),
+        (pmod(col("id") * 37L, lit(1000000L)).cast("double") / 1000.0).as("v"))
+      .as[(Long, String, String, Double)].collect()
+      .map { case (ts, st, sn, v) =>
+        graft.streaming.TopKIn(ts - java.lang.Math.floorMod(ts, winMs),
+          new java.sql.Timestamp(ts), st, sn, Some(v))
+      }
+    val topkIn = MemoryStream[graft.streaming.TopKIn]
+    val ranked = topkIn.toDS()
+      .withWatermark("ts", "10 seconds")
+      .groupByKey(_.windowStartMs)
+      .transformWithState(new graft.streaming.TopKWindowTracker(3, winMs),
+        TimeMode.EventTime(), OutputMode.Append())
+    val qt = ranked.writeStream.outputMode("append")
+      .format("memory").queryName("topkbench").start()
+    try {
+      val batches = topkRows.grouped(math.max(1, topkRows.length / 5)).toSeq
+      val t4 = System.nanoTime()
+      batches.foreach { b => topkIn.addData(b.toSeq); qt.processAllAvailable() }
+      val tT = (System.nanoTime() - t4) / 1e9
+      println(f"[streambench] streaming_topk n=$nStream out_rows=${spark.table("topkbench").count()} t=$tT%.2f s rate=${nStream / tT}%.0f events/s")
+    } finally qt.stop()
     spark.stop()
   }
 }

@@ -224,6 +224,9 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     "ivf_kmeans_refine", "knn_ivf", "knn_ivf_filtered", "knn_ivf_probe2",
     "knn_ivf_refined", "knn_ivf_incremental", "knn_recall_curve",
     "knn_ndcg", // same fixed-|Q| brute anchor + broadcast-centroid sweep as the recall curve
+    // same fixed-|Q| anchor scan + broadcast centroid frame, plus the
+    // 3-row selectivity dim broadcast onto the scored pairs
+    "knn_filtered_recall",
     "knn_ivfpq", "semantic_dedup", "embedding_outliers",
     "embedding_cluster_quality", // same broadcast refined-centroid frame, rn <= 2
 
