@@ -704,9 +704,17 @@ object DedupQueries {
     *   pairs retaining at least one sub-cap prefix shingle; the oracled
     *   registry entry stays exact (None). */
   def jaccardPrefixJoinFrom(spark: SparkSession, docs: DataFrame,
+      maxBucket: Option[Int] = None): DataFrame =
+    jaccardPrefixJoinFromShingles(spark, DedupOps.docShingles(docs), maxBucket)
+
+  /** [[jaccardPrefixJoinFrom]] over a prebuilt (doc_id, shingles) frame —
+    * lets a caller that already materialized the shingle arrays (the LSH
+    * tuning sweep shares one build between the signature pipeline and
+    * this exact leg) feed them in instead of re-tokenizing the corpus. */
+  def jaccardPrefixJoinFromShingles(spark: SparkSession, sh: DataFrame,
       maxBucket: Option[Int] = None): DataFrame = {
     val tau = PrefixTau
-    val ex = DedupOps.docShingles(docs)
+    val ex = sh
       .select(col("doc_id"), explode(col("shingles")).as("s"))
       .materializeOnce // feeds the frequency aggregate and the ranked join
     val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -757,16 +765,13 @@ object DedupQueries {
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
     val verified =
       if (cand.count() <= WideVerifyMaxPairs) {
-        val shCand = DedupOps.docShingles(
-          docs.join(candIds, Seq("doc_id"), "left_semi"))
+        val shCand = sh.join(candIds, Seq("doc_id"), "left_semi")
         cand
           .join(shCand.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
           .join(shCand.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
           .withColumn("jaccard", round(jaccard(col("sa"), col("sb")), 6))
       } else {
-        val exCand = DedupOps.docShingles(
-            docs.join(candIds, Seq("doc_id"), "left_semi"))
-          .select(col("doc_id"), explode(col("shingles")).as("s"))
+        val exCand = ex.join(candIds, Seq("doc_id"), "left_semi")
           .materializeOnce // feeds the sizes aggregate and both join sides
         val sizes = exCand.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
         cand
@@ -932,9 +937,13 @@ object DedupQueries {
 
   private def lshTuningReportFrom(
       spark: SparkSession, docs: DataFrame): DataFrame = {
-    val wide = DedupOps.minhashWide(spark, DedupOps.docShingles(docs))
+    // ONE shingle build (r9): the signature pipeline AND the exact
+    // ground-truth leg read the same checkpointed arrays — the corpus is
+    // tokenized once instead of twice
+    val sh = DedupOps.docShingles(docs).materializeOnce
+    val wide = DedupOps.minhashWide(spark, sh)
       .materializeOnce // one signature build feeds all five band layouts
-    val exact = jaccardPrefixJoinFrom(spark, docs)
+    val exact = jaccardPrefixJoinFromShingles(spark, sh)
       .select("a_id", "b_id").materializeOnce // shared ground truth
     val legs = Seq(1, 2, 3, 4, 6).map { r =>
       val nB = DedupOps.NumHashes / r
