@@ -323,6 +323,22 @@ object SimilarityQueries {
         .filter(col("lang") === "en" && col("n_chars") >= 200)
         .select(col("doc_id").as("vec_id"))))
 
+  /** Label-mean centroid frame (label, centroid, c_norm): component avgs
+    * rounded to 6 dp (both engines), packed in position order — THE
+    * centroid recipe every IVF-shaped query shares, defined once so the
+    * rounding/tie-break discipline cannot drift between queries and
+    * their DuckDB mirrors. */
+  private def labelCentroids(spark: SparkSession, emb: DataFrame): DataFrame =
+    emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("centroid"))
+      .withColumn("c_norm", sqrt(dotFast(spark)(col("centroid"), col("centroid"))))
+
   private def knnIvfProbesImpl(
       spark: SparkSession, dir: String, probes: Int,
       keep: Option[DataFrame]): DataFrame = {
@@ -332,15 +348,7 @@ object SimilarityQueries {
       .materializeOnce
     // centroid arrays: component avgs rounded to 6 (both engines), packed
     // in position order
-    val cent = emb
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
-      .agg(round(avg(col("v").cast("double")), 6).as("cv"))
-      .groupBy(col("label"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("cv")))),
-        x => x.getField("cv")).as("centroid"))
-      .withColumn("c_norm", sqrt(dotFast(spark)(col("centroid"), col("centroid"))))
+    val cent = labelCentroids(spark, emb)
     val q = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
     val wAssign = Window.partitionBy(col("q_id"))
@@ -822,15 +830,7 @@ object SimilarityQueries {
       .filter(col("rank") <= 5)
       .select("sel_mod", "q_id", "vec_id")
     // label-centroid IVF, 2-probe pre-filtered search (knn_ivf discipline)
-    val cent = emb
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
-      .agg(round(avg(col("v").cast("double")), 6).as("cv"))
-      .groupBy(col("label"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("cv")))),
-        x => x.getField("cv")).as("centroid"))
-      .withColumn("c_norm", sqrt(dotFast(spark)(col("centroid"), col("centroid"))))
+    val cent = labelCentroids(spark, emb)
     val wAssign = Window.partitionBy(col("q_id"))
       .orderBy(col("c_sim").desc, col("label"))
     val assign = q.crossJoin(broadcast(cent))
@@ -1188,15 +1188,7 @@ object SimilarityQueries {
     val dotF = dotFast(spark) _
     val emb = embIn
       .withColumn("norm", sqrt(dotFast(spark)(col("embedding"), col("embedding"))))
-    val cent = emb
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
-      .agg(round(avg(col("v").cast("double")), 6).as("cv"))
-      .groupBy(col("label"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("cv")))),
-        x => x.getField("cv")).as("centroid"))
-      .withColumn("c_norm", sqrt(dotFast(spark)(col("centroid"), col("centroid"))))
+    val cent = labelCentroids(spark, emb)
       .withColumnRenamed("label", "c_label") // emb also carries `label`
     val wA = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_sim").desc, col("c_label"))

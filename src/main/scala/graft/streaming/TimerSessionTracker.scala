@@ -53,6 +53,11 @@ case class SessOut(userId: Long, startMs: Long, endMs: Long, nEvents: Long)
 class TimerSessionTracker(gapMs: Long)
   extends StatefulProcessor[Long, SessIn, SessOut] {
 
+  // a zero/negative gap (e.g. a minutes-vs-ms unit slip) would make the
+  // overlap predicate never merge and arm already-passed timers — fail
+  // fast like the other trackers' constructor guards
+  require(gapMs > 0, s"gapMs must be positive, got $gapMs")
+
   // (startMs, lastMs, nEvents) of every still-mergeable session
   @transient private var st: ListState[(Long, Long, Long)] = _
 

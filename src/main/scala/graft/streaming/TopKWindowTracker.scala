@@ -28,9 +28,16 @@ case class TopKOut(
   * average moves as readings arrive), so state per window is the
   * per-(station, sensor) running (sum, count) of valid readings — the
   * same partial-aggregate algebra the batch hash aggregate carries,
-  * O(#live sensors) per window, never a buffer of the feed. The
-  * bounded-top-k step (`TopKAggregator`'s ordering contract: score
-  * desc, then id asc) runs once, at emission.
+  * O(#live sensors) per window, never a buffer of the feed. The sum is
+  * carried as an EXACT decimal (every double is an exact binary
+  * rational; exact addition is associative), so the tracker's output
+  * is independent of how a window's rows split across micro-batches —
+  * a floating double sum would drift by accumulation order and could
+  * flip a 6-dp rounding boundary between runs. At emission the exact
+  * sum is correctly rounded to double and divided, mirroring the batch
+  * avg's own double pipeline. The bounded-top-k step
+  * (`TopKAggregator`'s ordering contract: score desc, then id asc)
+  * runs once, at emission.
   *
   * Emission is append-mode finalization, via the same event-time-timer
   * discipline as [[TimerSessionTracker]]: one timer per window key at
@@ -56,14 +63,16 @@ class TopKWindowTracker(k: Int, windowMs: Long)
   require(k > 0, s"k must be positive, got $k")
   require(windowMs > 0, s"windowMs must be positive, got $windowMs")
 
-  // (stationId, sensorId) -> (sum of valid values, count of valid values)
-  @transient private var st: MapState[(String, String), (Double, Long)] = _
+  // (stationId, sensorId) -> (EXACT decimal sum of valid values as a
+  // plain string, count of valid values) — see the scaladoc on why the
+  // sum is exact rather than a Double
+  @transient private var st: MapState[(String, String), (String, Long)] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    st = getHandle.getMapState[(String, String), (Double, Long)](
+    st = getHandle.getMapState[(String, String), (String, Long)](
       "sums",
       Encoders.tuple(Encoders.STRING, Encoders.STRING),
-      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong),
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong),
       TTLConfig.NONE)
 
   override def handleInputRows(
@@ -75,8 +84,11 @@ class TopKWindowTracker(k: Int, windowMs: Long)
       r.valueNumeric.foreach { v =>
         val slot = (r.stationId, r.sensorId)
         val (s, n) =
-          if (st.containsKey(slot)) st.getValue(slot) else (0.0, 0L)
-        st.updateValue(slot, (s + v, n + 1))
+          if (st.containsKey(slot)) st.getValue(slot) else ("0", 0L)
+        // new BigDecimal(double) is the EXACT binary value; exact adds
+        // commute, so any micro-batch split folds to the same sum
+        val sum = new java.math.BigDecimal(s).add(new java.math.BigDecimal(v))
+        st.updateValue(slot, (sum.toPlainString, n + 1))
       }
     }
     // arm once, on the empty→non-empty transition; all-malformed
@@ -91,16 +103,18 @@ class TopKWindowTracker(k: Int, windowMs: Long)
       timerValues: TimerValues,
       expiredTimerInfo: ExpiredTimerInfo): Iterator[TopKOut] = {
     val entries = {
-      val b = Vector.newBuilder[((String, String), (Double, Long))]
+      val b = Vector.newBuilder[((String, String), (String, Long))]
       st.iterator().foreach(b += _)
       b.result()
     }
     st.clear()
     entries
       .map { case ((stn, sen), (s, n)) =>
-        // rank by the ROUNDED average — the batch query rounds in the
-        // aggregate and ranks the rounded column
-        val avg = BigDecimal(s / n)
+        // correctly-rounded sum -> double division -> 6-dp HALF_UP:
+        // the batch avg's own double pipeline, minus its accumulation-
+        // order noise; ranked on the ROUNDED average like the batch
+        val sumD = new java.math.BigDecimal(s).doubleValue
+        val avg = BigDecimal(sumD / n)
           .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
         (stn, sen, avg)
       }
