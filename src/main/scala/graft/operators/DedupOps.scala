@@ -192,30 +192,45 @@ object DedupOps {
     * per document. All arithmetic stays in BIGINT and is mirrored
     * literally in the DuckDB oracle. Output: (doc_id, fp) exploded.
     */
-  def winnowFingerprints(docs: DataFrame, w: Int = WinnowW): DataFrame = {
+  def winnowFingerprints(docs: DataFrame, w: Int = WinnowW): DataFrame =
+    winnowFromRolling(winnowRolling(docs), w)
+
+  /** The WINDOW-SIZE-INDEPENDENT rolling-hash frame (doc_id, pos, r) —
+    * tokenize + md5 + the two lead() shifts happen here, once; every
+    * window size w selects from the same frame via [[winnowFromRolling]]
+    * (the winnow tuning sweep materializes this once for all its legs).
+    *
+    * Relational formulation: posexplode + codegen'd hash projection +
+    * lead/min analytic windows. The array-lambda formulation (hashing
+    * every token inside interpreted HOFs) measured ~25× slower at sf0.1
+    * — md5/conv per element in interpreted mode dominates. */
+  def winnowRolling(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Relational formulation: posexplode + codegen'd hash projection +
-    // lead/min analytic windows. The array-lambda formulation (hashing
-    // every token inside interpreted HOFs) measured ~25× slower at sf0.1
-    // — md5/conv per element in interpreted mode dominates.
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val tok = docs.select(col("doc_id"),
-      posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "t")))
-    val rolled = tok
+    docs.select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "t")))
       .withColumn("h", pmod(h60(col("t")), lit(P)))
       .withColumn("h1", lead(col("h"), 1).over(byPos))
       .withColumn("h2", lead(col("h"), 2).over(byPos))
       .filter(col("h2").isNotNull)
       .withColumn("r", pmod(pmod(col("h") * B + col("h1"), lit(P)) * B + col("h2"), lit(P)))
-    val winFrame = byPos.rowsBetween(0, w - 1)
-    val winnowed = rolled
-      .withColumn("w", min(col("r")).over(winFrame))
+      .select(col("doc_id"), col("pos"), col("r"))
+  }
+
+  /** Winnowing selection at window size w over a [[winnowRolling]] frame:
+    * the distinct minima of each w-length window of the rolling
+    * sequence. */
+  def winnowFromRolling(rolled: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    rolled
+      .withColumn("w", min(col("r")).over(byPos.rowsBetween(0, w - 1)))
       .withColumn("rn", row_number().over(byPos))
       .withColumn("m", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      // keep only full windows; docs with < WinnowW rolling hashes keep
+      // keep only full windows; docs with < w rolling hashes keep
       // their single global min (the frame at rn=1 spans the whole doc)
       .filter(col("rn") <= greatest(col("m") - (w - 1), lit(1)))
-    winnowed.select(col("doc_id"), col("w").as("fp")).distinct()
+      .select(col("doc_id"), col("w").as("fp")).distinct()
   }
 
   /** SimHash (48-bit): per-token 60-bit hashes vote ±1 on each of 48 bit

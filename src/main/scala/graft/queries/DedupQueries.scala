@@ -1282,11 +1282,13 @@ object DedupQueries {
     * aggregate per leg, no one-row cross joins. */
   def winnowTuningReport(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val rolling = docs.select(
-      greatest(size(graft.functions.TextFunctions.tokens(col("text"))) - 2, lit(0))
-        .cast("long").as("nr"))
+    // ONE rolling-hash build (r9): the frame is window-size-independent,
+    // so all three sweep legs AND the n_rolling denominator read the
+    // same checkpoint instead of re-tokenizing/re-hashing per leg
+    val rolled = DedupOps.winnowRolling(docs).materializeOnce
+    val rolling = rolled.select(lit(1L).as("nr"))
     val legs = Seq(4, 8, 16).map { w =>
-      val fps = DedupOps.winnowFingerprints(docs, w).materializeOnce
+      val fps = DedupOps.winnowFromRolling(rolled, w).materializeOnce
       fps.select(lit(1L).as("kept"), lit(0L).as("gd"), lit(0L).as("nr"))
         .union(fps.select(col("fp")).distinct()
           .select(lit(0L).as("kept"), lit(1L).as("gd"), lit(0L).as("nr")))
