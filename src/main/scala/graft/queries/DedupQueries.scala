@@ -405,9 +405,18 @@ object DedupQueries {
     * prefix-edited near-dups (`SnmMultipassSpec` plants them). */
   def snmMultipassDups(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // normalize ONCE (r9): both passes sort substrings of the same
+    // normalized text, so the regex pass runs once and the checkpoint
+    // carries only the two 40-char keys per doc, not the corpus text
+    val keyed = docs.select(col("doc_id"),
+        substring(graft.functions.TextFunctions.normText(col("text")),
+          1, SnmKeyLen).as("k0"),
+        substring(graft.functions.TextFunctions.normText(col("text")),
+          SnmKeyLen + 1, SnmKeyLen).as("k1"))
+      .materializeOnce
     snmVerify(docs,
-      snmCandidates(docs, snmKey(0))
-        .union(snmCandidates(docs, snmKey(1)))
+      snmCandidates(keyed, col("k0"))
+        .union(snmCandidates(keyed, col("k1")))
         .distinct())
   }
 
