@@ -774,7 +774,14 @@ object DedupQueries {
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
     val verified =
       if (cand.count() <= WideVerifyMaxPairs) {
-        val shCand = sh.join(candIds, Seq("doc_id"), "left_semi")
+        // rebuild candidate shingle ARRAYS from the checkpointed explode
+        // (order-free: jaccard is array_intersect/size) — a semi-join on
+        // the un-materialized sh would re-shingle the whole corpus, and
+        // re-tokenizing the candidate docs (the pre-r9 form) reads the
+        // source twice; the grouped rebuild touches candidate rows only
+        val shCand = ex.join(candIds, Seq("doc_id"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(collect_list(col("s")).as("shingles"))
         cand
           .join(shCand.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
           .join(shCand.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
