@@ -29,6 +29,14 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * micro-batch fold in event-time order; keys without a configured
   * baseline emit nothing (monitoring an uncalibrated key is undefined).
   *
+  * Ordering contract: CUSUM is a sequence recursion, so the bit-for-bit
+  * batch claim requires CROSS-BATCH event-time order — a row older than
+  * an already-folded one cannot be inserted retroactively with O(1)
+  * state (the same inherent limit as [[AsofTracker]]'s carry). Within a
+  * batch the sort restores any arrival order; across batches, feed the
+  * tracker from a watermarked source so genuinely late rows are dropped
+  * rather than folded out of order.
+  *
   * Input: (key, eventTimeUs, value). Output:
   * (key, eventTimeUs, value, cusumPos, cusumNeg, isShift).
   */

@@ -13,7 +13,11 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * Rows inside a micro-batch are folded in event-time order (the
   * iterator's arrival order is not a contract), so replays produce
   * identical output; emits one row per input event with its smoothed
-  * value — the real-time denoised feed. State is one double per
+  * value — the real-time denoised feed. Ordering contract: the smoother
+  * is a sequence recursion, so cross-batch event-time order is a
+  * precondition (the [[AsofTracker]]-class O(1)-state limit) — feed from
+  * a watermarked source so late rows drop instead of folding out of
+  * order. State is one double per
   * station: bounded by key cardinality, TTL-able for unbounded key
   * spaces.
   */

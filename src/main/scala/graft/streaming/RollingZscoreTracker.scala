@@ -21,7 +21,12 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   *
   * Rows inside a micro-batch are folded in (ts, eventId) order (iterator
   * arrival order is not a contract); state is ≤ `window` doubles per key,
-  * bounded by key cardinality and TTL-able. Emits one row per input
+  * bounded by key cardinality and TTL-able. Ordering contract: the ring
+  * buffer is positional, so the bit-for-bit batch claim requires
+  * CROSS-BATCH (ts, eventId) order — a late row would score against and
+  * enter the buffer at the wrong position (the [[AsofTracker]]-class
+  * O(w)-state limit); feed from a watermarked source so late rows drop
+  * instead of folding out of order. Emits one row per input
   * event: (key, eventId, value, nPrior, zscoreOrNaN — NaN encodes
   * "unscored", Options don't survive the tuple encoder).
   */
