@@ -96,7 +96,8 @@ object DedupQueries {
     val candIds = cand.select(col("a_id").as("doc_id"))
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
     val shCand = DedupOps.docShingles(
-      docs.join(candIds, Seq("doc_id"), "left_semi"))
+        docs.join(candIds, Seq("doc_id"), "left_semi"))
+      .materializeOnce // candidate-sized; both verify join sides read it
     cand
       .join(shCand.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
       .join(shCand.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
@@ -385,7 +386,9 @@ object DedupQueries {
       .materializeOnce // ids only; feeds the semi-join and the verify join
     val candIds = cand.select(col("a_id").as("doc_id"))
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
-    val shCand = DedupOps.docShingles(docs.join(candIds, Seq("doc_id"), "left_semi"))
+    val shCand = DedupOps.docShingles(
+        docs.join(candIds, Seq("doc_id"), "left_semi"))
+      .materializeOnce // candidate-sized; both verify join sides read it
     cand
       .join(shCand.select(col("doc_id").as("a_id"), col("shingles").as("sa")), Seq("a_id"))
       .join(shCand.select(col("doc_id").as("b_id"), col("shingles").as("sb")), Seq("b_id"))
