@@ -44,11 +44,16 @@ object ScaleSmoke {
     // optional 2nd arg: comma-separated probe-name subset, so a single
     // new probe can be sized at several K without re-running the sweep
     val only: Option[Set[String]] = args.lift(1).map(_.split(",").toSet)
-    // every datapoint also lands as one JSON line in SCALE_r09.json
+    // every datapoint also lands as one JSON line in the scale artifact
     // (probe, k, wall, rows, sf) so the ~linear claims are machine-
     // checkable the way CORRECTNESS/BENCH are — appended per probe so a
-    // crashed sweep still keeps its finished rows
-    val scaleOut = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r09.json")
+    // crashed sweep still keeps its finished rows. Repeated or partial
+    // sweeps therefore ACCUMULATE lines: consumers must treat the NEWEST
+    // line per (probe, k, sf) as authoritative (last-write-wins), or set
+    // SPARK_GRAFT_SCALE_TRUNCATE=1 to start a fresh full sweep
+    val scaleOut = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r10.json")
+    if (sys.env.get("SPARK_GRAFT_SCALE_TRUNCATE").contains("1"))
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(scaleOut))
     def time(name: String)(f: => Long): Unit = if (only.forall(_.contains(name))) {
       val t0 = System.nanoTime()
       val rows = f

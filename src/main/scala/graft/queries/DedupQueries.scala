@@ -849,40 +849,85 @@ object DedupQueries {
     * frequency ≤ [[ContainCap]] (a df aggregate + semi-filter before the
     * pair join — the same hot-bucket guard as the banded/prefix
     * families, so candidate volume is Σ df²_subcap, never corpus²);
-    * verification carries the two shingle arrays for candidate docs only
-    * and computes the exact intersection; the containment ratio is an
-    * exact integer micro-division. */
+    * verification runs in NARROW form — constant-width (pair, shingle)
+    * rows through two equi-joins counting the exact intersection, with
+    * per-doc shingle counts joined on afterwards — so no stage ever
+    * carries a shingle array per candidate pair; the containment ratio
+    * is an exact integer micro-division. */
   def docContainmentPairs(spark: SparkSession, dir: String): DataFrame =
     docContainmentPairsFrom(spark, Tables.documents(spark, dir))
 
   /** Frame-based core of [[docContainmentPairs]] (ScaleSmoke probes it at
     * K× corpus size). */
   def docContainmentPairsFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val sh = DedupOps.docShingles(docs).materializeOnce // candidates + both verify sides
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-    val rare = ex.join(
-      ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= ContainCap).select("s"),
-      Seq("s"), "left_semi")
-    val cand = rare.select(col("doc_id").as("a_id"), col("s"))
-      .join(rare.select(col("doc_id").as("b_id"), col("s")), Seq("s"))
+    val ex = DedupOps.docShingles(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .materializeOnce // both rare/non-rare slices + sizes read it
+    val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .materializeOnce // vocab-sized; the rare and non-rare filters share it
+    // one vocab-frame probe on the materialized freq: when no shingle
+    // exceeds the cap (true at sf0.1 — boilerplate saturation is a
+    // replica/large-corpus phenomenon) the rare slice IS the corpus and
+    // the non-rare correction term is identically zero, so both the
+    // semi-join on the candidate sides and the correction join vanish —
+    // the same scalar-probe adaptivity as the prefix join's verify
+    // crossover
+    val hasNonRare = !freq.filter(col("df") > ContainCap).isEmpty
+    val exRare =
+      if (!hasNonRare) ex
+      else ex.join(freq.filter(col("df") <= ContainCap).select("s"),
+        Seq("s"), "left_semi")
+    // NARROW split-intersection verify (the jaccard_prefix_join
+    // discipline, sharpened for this join's own structure): the
+    // containment ratio needs only (|A∩B|, |A|, |B|), and
+    // |A∩B| = |rare(A)∩rare(B)| + |nonrare(A)∩nonrare(B)| since the
+    // df≤cap split partitions each doc's (distinct-by-construction)
+    // shingle set. The FIRST term is exactly what the candidate
+    // self-join already streams — one groupBy(a,b).count() where the
+    // old form ran distinct() over the same shuffle — and the SECOND
+    // term touches only the non-rare (boilerplate) slice, which the
+    // ContainCap makes a small fraction of the corpus by construction
+    // (at sf0.1 it is empty; under replica saturation it stays a
+    // per-doc handful). The previous array-carry form dragged both
+    // full shingle arrays per candidate pair in both ordered
+    // directions (the r9 bench tail at 5.5 s), and the plain narrow
+    // re-expansion streamed Σ_pairs |A| ≈ 72M rows at sf0.1 — this
+    // form never expands a pair beyond its non-rare slice.
+    val cand = exRare.select(col("doc_id").as("a_id"), col("s"))
+      .join(exRare.select(col("doc_id").as("b_id"), col("s")), Seq("s"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    val v = cand
-      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
-        size(col("sa")).cast("long").as("sza"),
-        size(col("sb")).cast("long").as("szb"))
-      .materializeOnce // both ordered directions read it
-    val fwd = v.filter(col("sza") > 0 && expr("inter * 1000000 div sza") >= 800000)
-      .select(col("a_id").as("contained_id"), col("b_id").as("container_id"),
-        col("inter"), col("sza").as("sz_contained"), col("szb").as("sz_container"))
-    val rev = v.filter(col("szb") > 0 && expr("inter * 1000000 div szb") >= 800000)
-      .select(col("b_id").as("contained_id"), col("a_id").as("container_id"),
-        col("inter"), col("szb").as("sz_contained"), col("sza").as("sz_container"))
-    fwd.union(rev)
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("rare_inter"))
+      .materializeOnce // feeds the non-rare term join and the final assembly
+    val withInter = if (!hasNonRare) {
+      cand.withColumn("inter", col("rare_inter"))
+    } else {
+      val exNon = ex.join(freq.filter(col("df") > ContainCap).select("s"),
+        Seq("s"), "left_semi")
+      val nonInter = cand.select(col("a_id"), col("b_id"))
+        .join(exNon.select(col("doc_id").as("a_id"), col("s")), "a_id")
+        .join(exNon.select(col("doc_id").as("b_id"), col("s")), Seq("b_id", "s"))
+        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("non_inter"))
+      cand.join(nonInter, Seq("a_id", "b_id"), "left")
+        .withColumn("inter",
+          col("rare_inter") + coalesce(col("non_inter"), lit(0L)))
+    }
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // both ordered directions in ONE pass: each undirected pair explodes
+    // into its two (contained, container) orientations and the threshold
+    // filter keeps the qualifying ones — no second read of the verify
+    // frame, no union of two branches
+    withInter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("sza")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("szb")), "b_id")
+      .select(col("inter"), explode(array(
+        struct(col("a_id").as("contained_id"), col("b_id").as("container_id"),
+          col("sza").as("sz_contained"), col("szb").as("sz_container")),
+        struct(col("b_id").as("contained_id"), col("a_id").as("container_id"),
+          col("szb").as("sz_contained"), col("sza").as("sz_container")))).as("d"))
+      .select(col("d.contained_id"), col("d.container_id"), col("inter"),
+        col("d.sz_contained"), col("d.sz_container"))
+      .filter(col("sz_contained") > 0 &&
+        expr("inter * 1000000 div sz_contained") >= 800000)
       .withColumn("containment_micro", expr("inter * 1000000 div sz_contained"))
       .orderBy("contained_id", "container_id")
   }

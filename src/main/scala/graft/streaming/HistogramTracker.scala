@@ -32,7 +32,7 @@ class HistogramTracker(vmin: Long, vmax: Long, bins: Int = 256)
   require(vmax >= vmin, s"empty value range [$vmin, $vmax]")
   require((BigInt(vmax) - BigInt(vmin) + 1) * bins <= Long.MaxValue,
     s"[vmin=$vmin, vmax=$vmax] span overflows Long bin arithmetic for " +
-      s"$bins bins (max span ${Long.MaxValue / bins - 1})")
+      s"$bins bins (max span ${Long.MaxValue / bins})")
 
   private val w = vmax - vmin + 1
 

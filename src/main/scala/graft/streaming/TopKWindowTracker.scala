@@ -37,7 +37,13 @@ case class TopKOut(
   * sum is correctly rounded to double and divided, mirroring the batch
   * avg's own double pipeline. The bounded-top-k step
   * (`TopKAggregator`'s ordering contract: score desc, then id asc)
-  * runs once, at emission.
+  * runs once, at emission. One caveat follows from the two pipelines:
+  * the streamed average divides a CORRECTLY-ROUNDED exact sum while the
+  * batch avg accumulates doubles in partition order, so exactly AT a
+  * 6-dp HALF_UP rounding boundary of the batch double sum the two can
+  * legitimately differ by one ulp-at-6dp — equality with the batch
+  * query holds away from such boundaries, and the equivalence specs
+  * compare averages with a 1e-6 tolerance for that reason.
   *
   * Emission is append-mode finalization, via the same event-time-timer
   * discipline as [[TimerSessionTracker]]: one timer per window key at
