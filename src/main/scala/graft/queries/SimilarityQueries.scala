@@ -633,15 +633,16 @@ object SimilarityQueries {
   // Oracle CTE builders mirroring one Lloyd step: `cent(i, src)` emits
   // c{i}pos/c{i}/c{i}n from a (cluster, emb) source; `assign(name, c)`
   // emits the argmax assignment against centroid table c{i}n.
-  private def centCtes(i: Int, src: String, clusterCol: String): String =
-    s"""c${i}pos AS (
+  private def centCtes(i: Int, src: String, clusterCol: String,
+      pfx: String = ""): String =
+    s"""${pfx}c${i}pos AS (
        |  SELECT $clusterCol AS cl, u.pos AS pos, round(avg(u.v), 6) AS cv
        |  FROM $src,
        |       LATERAL (SELECT unnest(emb) AS v, generate_subscripts(emb, 1) AS pos) u
        |  GROUP BY cl, pos),
-       |c$i AS (SELECT cl, list(cv ORDER BY pos) AS centroid FROM c${i}pos GROUP BY cl),
-       |c${i}n AS (SELECT cl, centroid,
-       |               sqrt(list_dot_product(centroid, centroid)) AS c_norm FROM c$i)""".stripMargin
+       |${pfx}c$i AS (SELECT cl, list(cv ORDER BY pos) AS centroid FROM ${pfx}c${i}pos GROUP BY cl),
+       |${pfx}c${i}n AS (SELECT cl, centroid,
+       |               sqrt(list_dot_product(centroid, centroid)) AS c_norm FROM ${pfx}c$i)""".stripMargin
 
   private def assignCte(name: String, centTable: String,
       src: String = "e"): String =
@@ -672,24 +673,31 @@ object SimilarityQueries {
        |q AS (SELECT vec_id AS q_id, emb AS q_emb, norm AS q_norm FROM e WHERE vec_id < 10)""".stripMargin
   }
 
-  /** Per-probe search CTEs over the shared index: `qa$p` (probed cells)
-    * and `top$p` (ranked top-5). */
-  private def refinedSearchCtes(probes: Int, iters: Int): String =
-    s"""qa$probes AS (
+  /** Per-index probe-`probes` search CTEs: `qa$tag` (probed cells) and
+    * `top$tag` (ranked top-5) against an arbitrary centroid table and
+    * postings table — lets one oracle search several indexes. */
+  private def searchCtes(tag: String, probes: Int, centTable: String,
+      idxTable: String): String =
+    s"""qa$tag AS (
        |  SELECT q_id, q_emb, q_norm, cl AS cluster FROM (
        |    SELECT q.q_id, q.q_emb, q.q_norm, c.cl,
        |           row_number() OVER (PARTITION BY q.q_id
        |             ORDER BY round(list_dot_product(q.q_emb, c.centroid) / (q.q_norm * c.c_norm), 6) DESC,
        |                      c.cl) AS rn
-       |    FROM q CROSS JOIN c${iters}n c)
+       |    FROM q CROSS JOIN $centTable c)
        |  WHERE rn <= $probes),
-       |top$probes AS (
+       |top$tag AS (
        |  SELECT q_id, cluster, vec_id, cos_sim,
        |         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
        |  FROM (
        |    SELECT qa.q_id, qa.cluster, i.vec_id,
        |           round(list_dot_product(qa.q_emb, i.emb) / (qa.q_norm * i.norm), 6) AS cos_sim
-       |    FROM qa$probes qa JOIN idx i ON i.cluster = qa.cluster AND i.vec_id <> qa.q_id))""".stripMargin
+       |    FROM qa$tag qa JOIN $idxTable i ON i.cluster = qa.cluster AND i.vec_id <> qa.q_id))""".stripMargin
+
+  /** Per-probe search CTEs over the shared refined index: `qa$p` and
+    * `top$p`. */
+  private def refinedSearchCtes(probes: Int, iters: Int): String =
+    searchCtes(s"$probes", probes, s"c${iters}n", "idx")
 
   private def knnIvfRefinedSql(probes: Int, iters: Int = 3): String =
     s"""WITH ${refinedIdxCtes(iters)},
@@ -726,6 +734,180 @@ object SimilarityQueries {
        |FROM top2
        |WHERE rank <= 5
        |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Recall under index MAINTENANCE — the quality number that justifies
+    * (or bounds) [[knnIvfIncremental]]'s admit-without-retrain fast
+    * path: `knn_ivf_incremental` proves the COST is ∝ delta, but stale
+    * centroids are the known failure mode of incremental admission, and
+    * without this report a deployment has no measured point at which the
+    * index must be re-trained. For each delta fraction (10% / 25% / 50%
+    * of the corpus arriving after the index was built), recall@5 of the
+    * probe-2 search over the incrementally-admitted index (centroids
+    * trained on the base slice only) is compared against the same search
+    * over a FULL re-trained rebuild — both graded against the exact
+    * brute-force top-5 ([[knnRecallCurve]]'s discipline: integer hit
+    * counts, fixed-point floor ratios, vec_id tie-breaks). The spec pins
+    * that the degradation is graceful (no cliff) as the stale fraction
+    * grows.
+    *
+    * Scale shape: |Q| is fixed and every assignment is a broadcast map
+    * stage — and the four index builds (three base slices + the full
+    * rebuild) do NOT run as four serial Lloyd pipelines: `variant` is a
+    * grouping key, so ONE variant-tagged training frame drives one
+    * Lloyd chain producing all four centroid sets in the same
+    * aggregates (4 serial builds cost 9.3 s at sf0.1; the fused chain
+    * runs the report in ~2 s). Per-vector assignment is map-side, so
+    * indexing each variant over the whole corpus is EXACTLY the
+    * base-assign ∪ delta-admit union — the identity IvfIncrementalSpec
+    * pins as claim (1). */
+  def knnIncrementalRecall(spark: SparkSession, dir: String): DataFrame = {
+    val dotF = dotFast(spark) _
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("norm", sqrt(dotFast(spark)(col("embedding"), col("embedding"))))
+      .materializeOnce
+    // training slices, variant-tagged: the ONLY thing that differs per
+    // variant is which vectors the centroids are trained on
+    val variants = Seq("full" -> 0, "f10" -> 10, "f25" -> 25, "f50" -> 50)
+    def tagged(src: DataFrame): DataFrame = variants.map { case (v, _) =>
+      src.withColumn("variant", lit(v))
+    }.reduce(_ unionAll _)
+    val train = variants.map { case (v, pct) =>
+      emb.filter(pmod(col("vec_id"), lit(100)) >= pct).withColumn("variant", lit(v))
+    }.reduce(_ unionAll _)
+    // variant-keyed Lloyd step halves: centroidsOf / rankedAssign with
+    // `variant` added to every grouping and window key
+    def centroidsOfV(assigned: DataFrame): DataFrame = assigned
+      .select(col("variant"), col("cluster").as("c_label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("variant"), col("c_label"), col("pos"))
+      .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+      .groupBy(col("variant"), col("c_label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("centroid"))
+      .withColumn("c_norm", sqrt(dotF(col("centroid"), col("centroid"))))
+    def assignV(embT: DataFrame, cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("variant"), col("vec_id"))
+        .orderBy(col("c_sim").desc, col("c_label"))
+      embT.join(broadcast(cent), Seq("variant"))
+        .withColumn("c_sim",
+          round(dotF(col("embedding"), col("centroid")) / (col("norm") * col("c_norm")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("variant"), col("vec_id"), col("embedding"), col("norm"),
+          col("c_label").as("cluster"))
+    }
+    val cent0 = centroidsOfV(
+      train.select(col("variant"), col("label").as("cluster"), col("embedding")))
+    val cent = (1 to 3)
+      .foldLeft(cent0)((c, _) => centroidsOfV(assignV(train, c)).materializeOnce)
+      // 4 × K rows per round; materializing each round keeps the
+      // broadcast side of the next assignment a shallow scan instead of
+      // a 4-deep nested aggregate chain (A/B'd at sf0.1: 4.4 → 3.8 s)
+    // postings: every variant indexes the WHOLE corpus against its own
+    // centroids (= base-assign ∪ delta-admit, per the union identity)
+    val idx = assignV(tagged(emb), cent)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val wAssign = Window.partitionBy(col("variant"), col("q_id"))
+      .orderBy(col("c_sim").desc, col("c_label"))
+    val wRank = Window.partitionBy(col("variant"), col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val returned = tagged(q).join(broadcast(cent), Seq("variant"))
+      .withColumn("c_sim",
+        round(dotF(col("q_emb"), col("centroid")) / (col("q_norm") * col("c_norm")), 6))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") <= 2)
+      .select(col("variant"), col("q_id"), col("q_emb"), col("q_norm"),
+        col("c_label").as("cluster"))
+      .join(idx, Seq("variant", "cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim",
+        round(dotF(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")), 6))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 5)
+      .select(col("variant"), col("q_id"), col("vec_id"))
+    val bt = knnBrute(spark, dir).select(col("q_id"), col("vec_id"))
+      .withColumn("hit", lit(1)) // 50-row exact truth, joined by every variant
+    val nExact = bt.agg(count(lit(1)).as("n_exact"))
+    val scored = returned.join(bt, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_returned"),
+        sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"))
+      .materializeOnce // 4 rows; the rebuild scalar and the report both read it
+    val fullHits = scored.filter(col("variant") === "full")
+      .select(col("n_hits").as("n_hits_rebuild"))
+    scored.filter(col("variant") =!= "full")
+      .select(substring(col("variant"), 2, 2).cast("int").as("delta_pct"),
+        col("n_returned"), col("n_hits").as("n_hits_inc"))
+      .crossJoin(broadcast(fullHits))
+      .crossJoin(broadcast(nExact))
+      .withColumn("recall_incremental",
+        floor(col("n_hits_inc") * 1e4 / col("n_exact")) / lit(1e4))
+      .withColumn("recall_rebuild",
+        floor(col("n_hits_rebuild") * 1e4 / col("n_exact")) / lit(1e4))
+      .select("delta_pct", "n_returned", "n_hits_inc", "n_hits_rebuild",
+        "n_exact", "recall_incremental", "recall_rebuild")
+      .orderBy("delta_pct")
+  }
+
+  private val knnIncrementalRecallSql: String = {
+    val iters = 3
+    // full-rebuild chain (tables e, c0..c3, idx, q) + brute truth
+    def incChain(pct: Int): String = {
+      val p = s"f$pct"
+      val rounds = (1 to iters).map { i =>
+        s"""${assignCte(s"${p}a$i", s"${p}c${i - 1}n", s"b$pct")},
+           |${centCtes(i, s"${p}a$i", "cluster", p)}""".stripMargin
+      }.mkString(",\n")
+      s"""b$pct AS (SELECT * FROM e WHERE vec_id % 100 >= $pct),
+         |d$pct AS (SELECT * FROM e WHERE vec_id % 100 < $pct),
+         |${centCtes(0, s"b$pct", "label", p)},
+         |$rounds,
+         |${assignCte(s"${p}idxb", s"${p}c${iters}n", s"b$pct")},
+         |${assignCte(s"${p}idxd", s"${p}c${iters}n", s"d$pct")},
+         |${p}idx AS (SELECT * FROM ${p}idxb UNION ALL SELECT * FROM ${p}idxd),
+         |${searchCtes(p, 2, s"${p}c${iters}n", s"${p}idx")}""".stripMargin
+    }
+    s"""WITH ${refinedIdxCtes(iters)},
+       |${refinedSearchCtes(2, iters)},
+       |${incChain(10)},
+       |${incChain(25)},
+       |${incChain(50)},
+       |bp AS (
+       |  SELECT b.vec_id AS q_id, a.vec_id AS vec_id, round($cosSql, 6) AS cos_sim
+       |  FROM embeddings a
+       |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) b
+       |  WHERE a.vec_id <> b.vec_id),
+       |bt AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |                              ORDER BY cos_sim DESC, vec_id) AS rank
+       |    FROM bp)
+       |  WHERE rank <= 5),
+       |fullh AS (
+       |  SELECT CAST(count(b.q_id) AS BIGINT) AS n_hits_rebuild
+       |  FROM (SELECT q_id, vec_id FROM top2 WHERE rank <= 5) t
+       |  LEFT JOIN bt b ON b.q_id = t.q_id AND b.vec_id = t.vec_id),
+       |r AS (
+       |  SELECT 10 AS delta_pct, q_id, vec_id FROM topf10 WHERE rank <= 5
+       |  UNION ALL
+       |  SELECT 25 AS delta_pct, q_id, vec_id FROM topf25 WHERE rank <= 5
+       |  UNION ALL
+       |  SELECT 50 AS delta_pct, q_id, vec_id FROM topf50 WHERE rank <= 5)
+       |SELECT r.delta_pct,
+       |       count(*) AS n_returned,
+       |       CAST(count(b.q_id) AS BIGINT) AS n_hits_inc,
+       |       (SELECT n_hits_rebuild FROM fullh) AS n_hits_rebuild,
+       |       (SELECT count(*) FROM bt) AS n_exact,
+       |       floor(count(b.q_id) * 1e4 / (SELECT count(*) FROM bt)) / 1e4 AS recall_incremental,
+       |       floor((SELECT n_hits_rebuild FROM fullh) * 1e4 / (SELECT count(*) FROM bt)) / 1e4 AS recall_rebuild
+       |FROM r LEFT JOIN bt b ON b.q_id = r.q_id AND b.vec_id = r.vec_id
+       |GROUP BY r.delta_pct
+       |ORDER BY delta_pct""".stripMargin
   }
 
   /** The recall-vs-probes curve as a first-class oracled report: for each
@@ -2605,6 +2787,7 @@ object SimilarityQueries {
     "knn_ivf_probe2"  -> ((s: SparkSession, d: String) => knnIvfProbes(s, d, probes = 2)),
     "knn_ivf_refined" -> ((s: SparkSession, d: String) => knnIvfRefined(s, d, probes = 2)),
     "knn_ivf_incremental" -> (knnIvfIncremental _),
+    "knn_incremental_recall" -> (knnIncrementalRecall _),
     "knn_recall_curve" -> (knnRecallCurve _),
     "knn_filtered_recall" -> (knnFilteredRecall _),
     "knn_ndcg" -> (knnNdcg _),
@@ -2639,6 +2822,7 @@ object SimilarityQueries {
     "knn_ivf_probe2"  -> knnIvfSqlProbes(2),
     "knn_ivf_refined" -> knnIvfRefinedSql(2),
     "knn_ivf_incremental" -> knnIvfIncrementalSql,
+    "knn_incremental_recall" -> knnIncrementalRecallSql,
     "knn_recall_curve" -> knnRecallCurveSql,
     "knn_filtered_recall" -> knnFilteredRecallSql,
     "knn_ndcg" -> knnNdcgSql,

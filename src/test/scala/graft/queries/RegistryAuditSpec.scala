@@ -227,6 +227,10 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     // same fixed-|Q| anchor scan + broadcast centroid frame, plus the
     // 3-row selectivity dim broadcast onto the scored pairs
     "knn_filtered_recall",
+    // same fixed-|Q| anchor + broadcast centroid frames (one per delta
+    // fraction + the rebuild), plus one-row hit/total frames crossed
+    // onto the 3-row report
+    "knn_incremental_recall",
     "knn_ivfpq", "semantic_dedup", "embedding_outliers",
     "embedding_cluster_quality", // same broadcast refined-centroid frame, rn <= 2
 
