@@ -161,6 +161,72 @@ object StreamBench {
       val tT = (System.nanoTime() - t4) / 1e9
       println(f"[streambench] streaming_topk n=$nStream out_rows=${spark.table("topkbench").count()} t=$tT%.2f s rate=${nStream / tT}%.0f events/s")
     } finally qt.stop()
+
+    // ---- streaming leg E: top-k tracker via FILE source, AvailableNow ----
+    // the deployment-shaped twin of leg D: no driver-side feeding — rows
+    // pre-written as parquet off the clock, consumed in file micro-batches
+    // through the same watermark + MapState + event-time-timer pipeline,
+    // so the measured rate bounds the STATE STORE path, not MemoryStream.
+    // Uses the larger batch-leg row count: the driver feed is no longer
+    // the limiting factor.
+    val topkFsRows = spark.range(nBatch).select(
+        (lit(1700000000000L) + col("id") * 10L).as("tsMs"),
+        concat(lit("st"), pmod(col("id"), lit(33L))).as("stationId"),
+        concat(lit("sn"), pmod(col("id"), lit(8L))).as("sensorId"),
+        (pmod(col("id") * 37L, lit(1000000L)).cast("double") / 1000.0).as("v"))
+      .select(
+        (col("tsMs") - pmod(col("tsMs"), lit(winMs))).as("windowStartMs"),
+        timestamp_millis(col("tsMs")).as("ts"),
+        col("stationId"), col("sensorId"), col("v").as("valueNumeric"))
+    val topkDir = java.nio.file.Files.createTempDirectory("topkfsbench").toString
+    topkFsRows.repartition(32).write.mode("overwrite").parquet(topkDir)
+    val tfsIn = spark.readStream
+      .schema(topkFsRows.schema)
+      .option("maxFilesPerTrigger", "8")
+      .parquet(topkDir)
+      .as[graft.streaming.TopKIn]
+    val rankedFs = tfsIn
+      .withWatermark("ts", "10 seconds")
+      .groupByKey(_.windowStartMs)
+      .transformWithState(new graft.streaming.TopKWindowTracker(3, winMs),
+        TimeMode.EventTime(), OutputMode.Append())
+    val t5 = System.nanoTime()
+    val qtf = rankedFs.writeStream.outputMode("append")
+      .format("memory").queryName("topkfsbench")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    qtf.awaitTermination()
+    val tTF = (System.nanoTime() - t5) / 1e9
+    println(f"[streambench] streaming_topk_filesource n=$nBatch out_rows=${spark.table("topkfsbench").count()} t=$tTF%.2f s rate=${nBatch / tTF}%.0f events/s")
+
+    // ---- streaming leg F: exact-dedup fingerprint gate --------------------
+    // FingerprintDedupTracker operating point: ~3 stream rows per
+    // fingerprint (so the dup branches do real work), 100k-fingerprint
+    // base index pre-loaded as initial state, per-key ValueState +
+    // event-time eviction timers on RocksDB. Input synthesized and the
+    // base index built off the clock.
+    val dedupRows = spark.range(nStream).select(
+        col("id").as("docId"),
+        concat(lit("fp"), expr("id div 3")).as("fingerprint"),
+        timestamp_millis(lit(1700000000000L) + col("id") * 10L).as("ts"))
+      .as[graft.streaming.DedupIn].collect()
+    val dedupInit = spark.range(100000)
+      .select(concat(lit("base"), col("id")).as("fp")).as[String]
+      .groupByKey(identity).mapValues(_ => true)
+    val dedupIn = MemoryStream[graft.streaming.DedupIn]
+    val gated = dedupIn.toDS()
+      .withWatermark("ts", "10 seconds")
+      .groupByKey(_.fingerprint)
+      .transformWithState(new graft.streaming.FingerprintDedupTracker(3600000L),
+        TimeMode.EventTime(), OutputMode.Append(), dedupInit)
+    val qd = gated.writeStream.outputMode("append")
+      .format("memory").queryName("dedupbench").start()
+    try {
+      val batches = dedupRows.grouped(math.max(1, dedupRows.length / 5)).toSeq
+      val t6 = System.nanoTime()
+      batches.foreach { b => dedupIn.addData(b.toSeq); qd.processAllAvailable() }
+      val tD = (System.nanoTime() - t6) / 1e9
+      println(f"[streambench] streaming_dedup_gate n=$nStream out_rows=${spark.table("dedupbench").count()} t=$tD%.2f s rate=${nStream / tD}%.0f events/s")
+    } finally qd.stop()
     spark.stop()
   }
 }

@@ -1764,8 +1764,15 @@ object DedupQueries {
     * at 100 TB a bucketed-by-fingerprint table, so this equi-join is
     * co-located and prunes to the delta's buckets); within-delta dedup
     * is one window over the small new batch. */
-  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame =
+    incrementalDedupFrom(spark, Tables.documents(spark, dir))
+
+  /** Frame-based core of [[incrementalDedup]] —
+    * `StreamingExactDedupSpec` drives it over a dup-seeded corpus (the
+    * harness documents carry no exact duplicates, which would leave the
+    * three-way labeling untested). */
+  def incrementalDedupFrom(spark: SparkSession, docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
       .withColumn("fingerprint", graft.functions.TextFunctions.fingerprint(col("text")))
     val baseFps = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
       .select(col("fingerprint")).distinct()

@@ -30,10 +30,15 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
       scalaUdfs: Boolean,
       decimalCols: Seq[String],
       globalWindowSort: Boolean,
-      execPlan: String)
+      execPlan: String,
+      digestLine: String)
 
   private lazy val planFacts: Map[String, PlanFacts] = withFullPlans {
     val dir = "/root/testdata/sf0.001"
+    // the digest compare below must see the same plans PlanShape's fresh
+    // session saw — an InMemoryRelation left cached by an earlier suite
+    // would swap a scan subtree for an InMemoryTableScan
+    spark.catalog.clearCache()
     val facts = Registry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val df = fn(spark, dir)
       val qe = df.queryExecution
@@ -49,10 +54,39 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
           .isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
       }.toSeq
       name -> PlanFacts(udfs.nonEmpty, decimals, sorts.nonEmpty,
-        qe.executedPlan.toString)
+        qe.executedPlan.toString,
+        graft.plans.PlanDigest.toJsonLine(name, graft.plans.PlanDigest.digest(df)))
     }.toMap
     spark.catalog.clearCache() // several queries cache build frames
     facts
+  }
+
+  // Round-over-round plan REGRESSIONS (a broadcast flipping to SMJ, an
+  // exchange creeping in, a pushdown lost) were invisible in the
+  // committed artifacts until r10 — PLANS_r10.json records each query's
+  // physical-plan digest, and this test keeps it CURRENT: any plan
+  // change without a `runMain graft.PlanShape` regeneration in the same
+  // commit fails the build.
+  test("PLANS_r10.json is current with every registered query's plan") {
+    val path = java.nio.file.Paths.get("PLANS_r10.json")
+    assert(java.nio.file.Files.exists(path),
+      "PLANS_r10.json missing — run `sbt \"runMain graft.PlanShape\"`")
+    val committed = scala.jdk.CollectionConverters
+      .ListHasAsScala(java.nio.file.Files.readAllLines(path)).asScala
+      .filter(_.nonEmpty)
+      .map { l =>
+        val name = """"query":"([^"]+)"""".r
+          .findFirstMatchIn(l).map(_.group(1)).getOrElse("?")
+        name -> l
+      }.toMap
+    assert(committed.keySet === Registry.queries.keySet,
+      "artifact query set differs from the registry — regenerate")
+    val stale = planFacts.toSeq.sortBy(_._1).collect {
+      case (name, f) if committed(name) != f.digestLine =>
+        s"$name:\n  committed: ${committed(name)}\n  actual:    ${f.digestLine}"
+    }
+    assert(stale.isEmpty,
+      s"stale plan digests (run `sbt \"runMain graft.PlanShape\"`):\n${stale.mkString("\n")}")
   }
 
   test("every oracle entry has a registered query") {
