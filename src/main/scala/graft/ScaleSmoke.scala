@@ -65,6 +65,12 @@ object ScaleSmoke {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     }
+    // section guard: skip a block's (untimed) scaffolding — corpus
+    // replication, index training, feed synthesis — when none of its
+    // probes are in the subset, so a targeted multi-K sweep doesn't pay
+    // for tiers it never times
+    def needed(names: String*): Boolean =
+      only.forall(ns => names.exists(ns.contains))
     val sh = DedupOps.docShingles(scaled).cache()
     time("shingles")(sh.count())
     time("minhash_wide")(DedupOps.minhashWide(spark, sh).count())
@@ -249,6 +255,7 @@ object ScaleSmoke {
     // per-user partitions deepen K×, so the union-tag operator's one
     // chronological sort per user is the only data-sized stage and must
     // stay parallel across users rather than degrade superlinearly
+    if (needed("asof_carry", "nearest_bidir")) {
     val evA = graft.sources.Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
@@ -269,12 +276,14 @@ object ScaleSmoke {
       graft.queries.TimeSeriesQueries.errorNearestReadingFrom(spark, evScaled)
         .filter(col("gap_us").isNotNull).count())
     evScaled.unpersist()
+    }
 
     // relational tier: K× the order baskets through the co-purchase pair
     // generation (the dominant stage of part_pair_lift/part_triangles).
     // Replicated orders multiply each pair's support by K (so the
     // support>=2 edge SET saturates — the claim under test is the pair
     // JOIN's ~linear time in Σ basket², not the edge count)
+    if (needed("copurchase_pairs", "lpa_modularity")) {
     val li0 = graft.sources.Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val okOff = Option(li0.agg(max(col("l_orderkey"))).head().get(0))
@@ -303,6 +312,8 @@ object ScaleSmoke {
       graft.queries.AnalyticsQueries.partCommunityModularityFrom(
         graft.queries.AnalyticsQueries.coPurchaseEdgesFrom(spark, liScaled))
         .count()
+    }
+
     }
 
     // exact weighted median (mirrors returnflag_weighted_median): the
@@ -336,6 +347,10 @@ object ScaleSmoke {
 
     // vector tier: K× the embeddings corpus through the IVF refine step
     // (broadcast-centroid assignment is map-side — should scale ~linearly)
+    if (needed("ivf_kmeans_refine", "kmeans_init", "semantic_dedup",
+        "ivfpq_codes", "ivf_delta_assign", "pca_moment_build",
+        "pca_moment_op", "media_sha_dedup", "decode_fanout",
+        "caption_pairs")) {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val vecOff = Option(emb.agg(max(col("vec_id"))).head().get(0))
       .fold(sys.error(s"empty embeddings table in $sfDir"))(_.asInstanceOf[Number].longValue) + 1
@@ -418,6 +433,8 @@ object ScaleSmoke {
             "acc + cast(round(cast(x as double) * 1000000) as bigint))"))
         .count())
 
+    }
+
     // causal tier: K× the event feed through the CEM matching shape.
     // event_id/user_id offsets keep replica users DISTINCT (users × K —
     // the worst case for the user-level aggregate, since shared users
@@ -425,6 +442,8 @@ object ScaleSmoke {
     // bin GRID regardless of user count — CEM's "matching join" is a
     // grid-sized aggregate plus a one-row broadcast cross, never users² —
     // so wall must track the single user-level shuffle ~linearly in K
+    if (needed("cem_att", "kmv_distinct", "kmv_overlap",
+        "hist_quantiles", "mann_kendall")) {
     val ev0 = graft.sources.Tables.events(spark, sfDir)
     val uOff = Option(ev0.agg(max(col("user_id"))).head().get(0))
       .fold(sys.error(s"empty events table in $sfDir"))(_.asInstanceOf[Number].longValue) + 1
@@ -475,6 +494,8 @@ object ScaleSmoke {
     time("mann_kendall")(
       graft.queries.TimeSeriesQueries.sensorMannKendallFromHours(
         graft.queries.TimeSeriesQueries.hourlyMeansFrom(evMk)).count())
+
+    }
 
     // permutation test: the 200-seed explode partial-aggregates MAP-SIDE
     // (shuffle carries 200 seed rows of partial sums, not 200×docs), so

@@ -901,15 +901,26 @@ object DedupQueries {
     val withInter = if (!hasNonRare) {
       cand.withColumn("inter", col("rare_inter"))
     } else {
-      val exNon = ex.join(freq.filter(col("df") > ContainCap).select("s"),
-        Seq("s"), "left_semi")
-      val nonInter = cand.select(col("a_id"), col("b_id"))
-        .join(exNon.select(col("doc_id").as("a_id"), col("s")), "a_id")
-        .join(exNon.select(col("doc_id").as("b_id"), col("s")), Seq("b_id", "s"))
-        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("non_inter"))
-      cand.join(nonInter, Seq("a_id", "b_id"), "left")
-        .withColumn("inter",
-          col("rare_inter") + coalesce(col("non_inter"), lit(0L)))
+      // correction term by SMALL-array carry, not re-expansion: each
+      // candidate doc's non-rare shingles collapse to one array (a
+      // strict subset of the full array the r9 wide form carried), so
+      // the join output stays |cand| rows — the exploded alternative
+      // (cand ⋈ exNon on a_id then (b_id, s)) streams
+      // Σ_pairs |nonrare(A)| rows, which the 10× replica probe measured
+      // at 39 s vs ~16 s for this form (boilerplate saturation makes
+      // the non-rare slice corpus-sized exactly when candidates peak)
+      val exNonArr = ex.join(freq.filter(col("df") > ContainCap).select("s"),
+          Seq("s"), "left_semi")
+        .groupBy(col("doc_id")).agg(collect_list(col("s")).as("nsh"))
+      val empty = array().cast("array<string>")
+      cand
+        .join(exNonArr.select(col("doc_id").as("a_id"), col("nsh").as("nsa")),
+          Seq("a_id"), "left")
+        .join(exNonArr.select(col("doc_id").as("b_id"), col("nsh").as("nsb")),
+          Seq("b_id"), "left")
+        .withColumn("inter", col("rare_inter") +
+          size(array_intersect(coalesce(col("nsa"), empty),
+            coalesce(col("nsb"), empty))).cast("long"))
     }
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // both ordered directions in ONE pass: each undirected pair explodes
