@@ -31,10 +31,23 @@ object PlanShape {
     sys.props("graft.materialize") = "off"
     try {
       spark.catalog.clearCache()
-      val lines = graft.queries.Registry.queries.toSeq.sortBy(_._1).map {
-        case (name, fn) =>
-          PlanDigest.toJsonLine(name, PlanDigest.digest(fn(spark, dir)))
-      }
+      // parallel walk, same shape as RegistryAuditSpec.planFacts: plan
+      // builds are driver-side Catalyst work, thread-safe on a shared
+      // session, and no build-time cache can leak across threads (every
+      // cached subtree sits under a build-unique localCheckpoint RDD)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val lines = try {
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            graft.queries.Registry.queries.toSeq.sortBy(_._1).map {
+              case (name, fn) => scala.concurrent.Future {
+                org.apache.spark.sql.SparkSession.setActiveSession(spark)
+                PlanDigest.toJsonLine(name, PlanDigest.digest(fn(spark, dir)))
+              }
+            }),
+          scala.concurrent.duration.Duration(20, "min"))
+      } finally pool.shutdown()
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (lines.mkString("\n") + "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -39,9 +39,33 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     // session saw — an InMemoryRelation left cached by an earlier suite
     // would swap a scan subtree for an InMemoryTableScan
     spark.catalog.clearCache()
-    val facts = Registry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val df = fn(spark, dir)
-      val qe = df.queryExecution
+    // The walk is PARALLEL (r10): ~320 plan builds are driver-side
+    // Catalyst work plus a few queries' build-time probe jobs, and ran
+    // 285 s sequentially — half the suite wall. Catalyst planning is
+    // thread-safe on a shared session, and no cross-thread cache
+    // contamination is possible: the only build-time caches live under
+    // build-unique localCheckpoint RDDs, so no two builds' subtrees
+    // canonicalize equal. Digests stay deterministic (PlanShape
+    // parallelizes identically).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val facts = try {
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(
+          Registry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+            scala.concurrent.Future(computeFacts(name, fn, dir))
+          }),
+        scala.concurrent.duration.Duration(20, "min"))
+    } finally pool.shutdown()
+    spark.catalog.clearCache() // several queries cache build frames
+    facts.toMap
+  }
+
+  private def computeFacts(name: String, fn: Registry.Q,
+      dir: String): (String, PlanFacts) = {
+    org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    val df = fn(spark, dir)
+    val qe = df.queryExecution
       val udfs = qe.optimizedPlan.flatMap(_.expressions).flatMap(_.collect {
         case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
       })
@@ -53,12 +77,9 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
         case f if f.dataType
           .isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
       }.toSeq
-      name -> PlanFacts(udfs.nonEmpty, decimals, sorts.nonEmpty,
-        qe.executedPlan.toString,
-        graft.plans.PlanDigest.toJsonLine(name, graft.plans.PlanDigest.digest(df)))
-    }.toMap
-    spark.catalog.clearCache() // several queries cache build frames
-    facts
+    name -> PlanFacts(udfs.nonEmpty, decimals, sorts.nonEmpty,
+      qe.executedPlan.toString,
+      graft.plans.PlanDigest.toJsonLine(name, graft.plans.PlanDigest.digest(df)))
   }
 
   // Round-over-round plan REGRESSIONS (a broadcast flipping to SMJ, an
