@@ -162,6 +162,19 @@ object StreamBench {
       println(f"[streambench] streaming_topk n=$nStream out_rows=${spark.table("topkbench").count()} t=$tT%.2f s rate=${nStream / tT}%.0f events/s")
     } finally qt.stop()
 
+
+    // FileStreamSource batches files by MODIFICATION time, not path, and
+    // a bulk write stamps every part with the same mtime — so even
+    // range-partitioned files enqueue in scrambled order and the
+    // advancing watermark late-drops rows (measured: half the dedup
+    // feed). Stamp increasing mtimes in path (= range) order so triggers
+    // consume event time monotonically, like a dated-directory ingest.
+    def orderFileMtimes(dir: String): Unit =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified(1700000000000L + i * 60000L) }
+
     // ---- streaming leg E: top-k tracker via FILE source, AvailableNow ----
     // the deployment-shaped twin of leg D: no driver-side feeding — rows
     // pre-written as parquet off the clock, consumed in file micro-batches
@@ -179,7 +192,13 @@ object StreamBench {
         timestamp_millis(col("tsMs")).as("ts"),
         col("stationId"), col("sensorId"), col("v").as("valueNumeric"))
     val topkDir = java.nio.file.Files.createTempDirectory("topkfsbench").toString
-    topkFsRows.repartition(32).write.mode("overwrite").parquet(topkDir)
+    // range-partition by event time so file listing order tracks event
+    // time (a real partitioned source's arrival order): a hash
+    // repartition scrambles times across files and the advancing
+    // watermark late-drops a large share of rows, inflating the rate
+    topkFsRows.repartitionByRange(32, col("ts"))
+      .write.mode("overwrite").parquet(topkDir)
+    orderFileMtimes(topkDir)
     val tfsIn = spark.readStream
       .schema(topkFsRows.schema)
       .option("maxFilesPerTrigger", "8")
@@ -227,6 +246,40 @@ object StreamBench {
       val tD = (System.nanoTime() - t6) / 1e9
       println(f"[streambench] streaming_dedup_gate n=$nStream out_rows=${spark.table("dedupbench").count()} t=$tD%.2f s rate=${nStream / tD}%.0f events/s")
     } finally qd.stop()
+
+    // ---- streaming leg G: dedup gate via FILE source, AvailableNow -------
+    // the deployment-shaped twin of leg F at the batch-leg row count:
+    // rows pre-written as parquet off the clock, so the measured rate
+    // bounds the keyed ValueState + eviction-timer path, not driver
+    // feeding
+    val dedupFsRows = spark.range(nBatch).select(
+        col("id").as("docId"),
+        concat(lit("fp"), expr("id div 3")).as("fingerprint"),
+        timestamp_millis(lit(1700000000000L) + col("id") * 10L).as("ts"))
+    val dedupDir = java.nio.file.Files.createTempDirectory("dedupfsbench").toString
+    // same event-time range partitioning as the top-k file leg (a hash
+    // repartition here measured a stream with ~half its rows
+    // late-dropped: out_rows 1.0M of 2M)
+    dedupFsRows.repartitionByRange(32, col("ts"))
+      .write.mode("overwrite").parquet(dedupDir)
+    orderFileMtimes(dedupDir)
+    val dfsIn = spark.readStream
+      .schema(dedupFsRows.schema)
+      .option("maxFilesPerTrigger", "8")
+      .parquet(dedupDir)
+      .as[graft.streaming.DedupIn]
+    val gatedFs = dfsIn
+      .withWatermark("ts", "10 seconds")
+      .groupByKey(_.fingerprint)
+      .transformWithState(new graft.streaming.FingerprintDedupTracker(3600000L),
+        TimeMode.EventTime(), OutputMode.Append(), dedupInit)
+    val t7 = System.nanoTime()
+    val qdf = gatedFs.writeStream.outputMode("append")
+      .format("memory").queryName("dedupfsbench")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    qdf.awaitTermination()
+    val tDF = (System.nanoTime() - t7) / 1e9
+    println(f"[streambench] streaming_dedup_gate_filesource n=$nBatch out_rows=${spark.table("dedupfsbench").count()} t=$tDF%.2f s rate=${nBatch / tDF}%.0f events/s")
     spark.stop()
   }
 }
