@@ -280,6 +280,44 @@ object StreamBench {
     qdf.awaitTermination()
     val tDF = (System.nanoTime() - t7) / 1e9
     println(f"[streambench] streaming_dedup_gate_filesource n=$nBatch out_rows=${spark.table("dedupfsbench").count()} t=$tDF%.2f s rate=${nBatch / tDF}%.0f events/s")
+
+    // ---- streaming leg H: LSH near-dup discovery at ingest ---------------
+    // LshDedupTracker end to end via FILE source: the map-side banded
+    // MinHash prep (shingle + 12 hash folds per row) runs INSIDE the
+    // stream — the measured rate is honest docs/second for the whole
+    // ingest near-dedup path. Corpus: the sf0.1 documents replicated 8×
+    // with near-dup suffixes (each base doc becomes an 8-clique), rows
+    // event-time-ordered like the other file legs.
+    val lshSfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val docs0 = graft.sources.Tables.documents(spark, lshSfDir)
+      .select(col("doc_id"), col("text"))
+    val nBase = docs0.count()
+    val lshDocs = (0 until 8).map { i =>
+      docs0.select((col("doc_id") * 8 + i).as("doc_id"),
+        concat(col("text"), lit(s" replica$i")).as("text"))
+    }.reduce(_ unionAll _)
+      .withColumn("ts", timestamp_millis(lit(1700000000000L) + col("doc_id") * 10L))
+    val nLshDocs = nBase * 8
+    val lshDir = java.nio.file.Files.createTempDirectory("lshfsbench").toString
+    lshDocs.repartitionByRange(32, col("ts")).write.mode("overwrite").parquet(lshDir)
+    orderFileMtimes(lshDir)
+    val lshIn = spark.readStream
+      .schema(lshDocs.schema)
+      .option("maxFilesPerTrigger", "8")
+      .parquet(lshDir)
+    val lshCands = graft.streaming.LshDedupTracker.streamInput(lshIn)
+      .as[graft.streaming.LshIn]
+      .withWatermark("ts", "10 seconds")
+      .groupByKey(r => s"${r.band}:${r.bandKey}")
+      .transformWithState(new graft.streaming.LshDedupTracker(3600000L),
+        TimeMode.EventTime(), OutputMode.Append())
+    val t8 = System.nanoTime()
+    val ql = lshCands.writeStream.outputMode("append")
+      .format("memory").queryName("lshfsbench")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    ql.awaitTermination()
+    val tL = (System.nanoTime() - t8) / 1e9
+    println(f"[streambench] streaming_lsh_neardup_filesource docs=$nLshDocs cand_rows=${spark.table("lshfsbench").count()} t=$tL%.2f s rate=${nLshDocs / tL}%.0f docs/s")
     spark.stop()
   }
 }

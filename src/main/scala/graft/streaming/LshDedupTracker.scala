@@ -1,0 +1,161 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+
+import graft.operators.DedupOps
+
+/** One banded signature row on the ingest stream: a document appears
+  * once per LSH band, keyed by `bandId:bandKey` before
+  * `transformWithState`. `sig` is the full MinHash signature (all
+  * [[DedupOps.NumHashes]] values, k-order) so a bucket collision can be
+  * scored without any second lookup. */
+case class LshIn(
+    docId: Long, band: Int, bandKey: String,
+    sig: Array[Long], ts: Timestamp)
+
+/** One candidate near-dup pair discovered at ingest: `nMatch` of
+  * [[DedupOps.NumHashes]] signature positions agree (the same
+  * agreement count the batch `minhash_jaccard_est` reports; est-Jaccard
+  * = nMatch/NumHashes). Emitted exactly once per (band, pair) — a pair
+  * colliding in several bands appears once per band; consumers dedup on
+  * (a_id, b_id) exactly as the batch candidate stage's `distinct()`. */
+case class LshCandOut(band: Int, aId: Long, bId: Long, nMatch: Int)
+
+/** Stored bucket member: (docId, signature, lastSeenMs). */
+case class LshEntry(docId: Long, sig: Array[Long], lastMs: Long)
+
+/** Streaming NEAR-dup discovery at ingest — the LSH twin of the batch
+  * `minhash_lsh_dups` candidate stage, completing the stream-dedup
+  * family next to [[BloomGate]] (approximate EXACT-dup gate) and
+  * [[FingerprintDedupTracker]] (exact fingerprint dedup): a production
+  * ingest wants near-dups flagged as documents ARRIVE, not in a nightly
+  * batch pass.
+  *
+  * The expensive half is MAP-SIDE and stateless: each document's
+  * MinHash signature folds per ROW over its own shingle array
+  * ([[LshDedupTracker.streamInput]] — `array_min(transform(...))` per
+  * hash, exactly the values the batch shuffle aggregate produces, since
+  * both minimize the same universal hashes over the same distinct
+  * shingle set), and banding explodes it to one row per band. Only the
+  * bucket join is stateful: state per (band, bandKey) key is the list
+  * of in-horizon member (docId, signature) entries; an arriving doc
+  * emits one [[LshCandOut]] against every stored member (banding makes
+  * bucket size track dup-clique size, never the corpus — the same
+  * pigeonhole argument as the batch join), then joins the bucket.
+  * Within a micro-batch rows fold in docId order, so pair emission is
+  * deterministic under intra-batch scrambling; ids are emitted ordered
+  * (min, max).
+  *
+  * State & eviction: entries older than the retention horizon are
+  * evicted by event-time timers exactly like [[TimerSessionTracker]]
+  * (one live timer per key at the earliest pending expiry), so state is
+  * |in-horizon corpus| × nBands rows — the documented trade being that
+  * a near-dup of a document older than the horizon is not flagged
+  * (`LshDedupStreamSpec` pins both the batch equality and this
+  * forgetting). `maxBucket` is the streaming form of the batch
+  * hot-bucket guard: a bucket at the cap stops ADMITTING new members
+  * (arrivals still emit against the capped membership), bounding the
+  * per-key quadratic emission that exact-dup cliques would otherwise
+  * generate — the batch guard drops the whole over-cap bucket
+  * retroactively, which a stream that already emitted cannot do. */
+class LshDedupTracker(retentionMs: Long, maxBucket: Int = Int.MaxValue)
+  extends StatefulProcessor[String, LshIn, LshCandOut] {
+
+  require(retentionMs > 0, s"retentionMs must be positive, got $retentionMs")
+  require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
+
+  @transient private var st: ListState[LshEntry] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getListState[LshEntry](
+      "bucket", Encoders.product[LshEntry], TTLConfig.NONE)
+
+  private def members(): Vector[LshEntry] = {
+    val b = Vector.newBuilder[LshEntry]
+    st.get().foreach(b += _)
+    b.result()
+  }
+
+  override def handleInputRows(
+      key: String,
+      rows: Iterator[LshIn],
+      timerValues: TimerValues): Iterator[LshCandOut] = {
+    var entries = members()
+    val prevTimer =
+      if (entries.isEmpty) None else Some(entries.map(_.lastMs).min + retentionMs)
+    val out = Vector.newBuilder[LshCandOut]
+    rows.toSeq.sortBy(_.docId).foreach { r =>
+      entries.foreach { e =>
+        if (e.docId != r.docId) {
+          val n = (0 until DedupOps.NumHashes)
+            .count(k => e.sig(k) == r.sig(k))
+          out += LshCandOut(r.band,
+            math.min(e.docId, r.docId), math.max(e.docId, r.docId), n)
+        }
+      }
+      if (entries.length < maxBucket && !entries.exists(_.docId == r.docId))
+        entries = entries :+ LshEntry(r.docId, r.sig, r.ts.getTime)
+    }
+    st.put(entries.toArray)
+    val newTimer =
+      if (entries.isEmpty) None else Some(entries.map(_.lastMs).min + retentionMs)
+    if (newTimer != prevTimer) {
+      prevTimer.foreach(getHandle.deleteTimer)
+      newTimer.foreach(getHandle.registerTimer)
+    }
+    out.result().iterator
+  }
+
+  override def handleExpiredTimer(
+      key: String,
+      timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[LshCandOut] = {
+    val entries = members()
+    val wm = math.max(timerValues.getCurrentWatermarkInMs(),
+      expiredTimerInfo.getExpiryTimeInMs)
+    val keep = entries.filter(_.lastMs + retentionMs > wm)
+    if (keep.isEmpty) st.clear()
+    else {
+      st.put(keep.toArray)
+      getHandle.registerTimer(keep.map(_.lastMs).min + retentionMs)
+    }
+    Iterator.empty
+  }
+}
+
+object LshDedupTracker {
+
+  /** Map-side banded-signature prep for the ingest stream: from
+    * (doc_id, text, ts) rows to one [[LshIn]]-shaped row per (doc,
+    * band) — NO aggregation, so it composes with `transformWithState`
+    * without a chained stateful operator. Signature values equal the
+    * batch [[DedupOps.minhashWide]] aggregate's (both minimize the same
+    * universal hashes over the same distinct shingle set); band keys
+    * equal [[DedupOps.bandsFromShingles]]'s md5 fingerprints. */
+  def streamInput(docs: DataFrame): DataFrame = {
+    val nBands = DedupOps.NumHashes / DedupOps.BandRows
+    val withSig = docs
+      .withColumn("sh", DedupOps.shingles(graft.functions.TextFunctions.tokens(col("text"))))
+      // empty docs have no shingles and hence no signature — the batch
+      // aggregate drops them the same way (no rows after the explode)
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", array(DedupOps.seeds.map { case (_, a, b) =>
+        array_min(transform(col("sh"),
+          s => (lit(a) * DedupOps.h31(s) + lit(b)) % DedupOps.P))
+      }: _*))
+    val bandStructs = (0 until nBands).map { bnd =>
+      val keyCols = (0 until DedupOps.BandRows).map(r =>
+        element_at(col("sig"), bnd * DedupOps.BandRows + r + 1).cast("string"))
+      struct(lit(bnd).as("band"), md5(concat_ws("_", keyCols: _*)).as("bandKey"))
+    }
+    withSig
+      .select(col("doc_id").as("docId"), col("sig"), col("ts"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("docId"), col("bk.band").as("band"),
+        col("bk.bandKey").as("bandKey"), col("sig"), col("ts"))
+  }
+}

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.operators.DedupOps
+
+/** Batch↔stream equivalence for LSH near-dup discovery at ingest: the
+  * documents corpus (near-dup replicas seeded, since the harness corpus
+  * has none) played through [[LshDedupTracker]] across docId-ordered
+  * micro-batches scrambled within — must surface exactly the batch
+  * `candidatesFromShingles` pair set, with each pair's signature
+  * agreement equal to what the batch wide-signature join reports. A
+  * second leg pins the horizon trade: a near-dup arriving after its
+  * partner's retention expired is NOT flagged (state is horizon-bounded,
+  * not corpus-bounded). */
+class LshDedupStreamSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def withRocks[A](body: => A): A = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  /** Corpus with planted near-dups: every doc_id < 40 gets a replica
+    * (text + suffix) at doc_id + 10000 — the ScaleSmoke perturbation,
+    * which keeps Jaccard high enough to collide in at least one band
+    * for most pairs without being exact dups. */
+  private def corpus() = {
+    val d0 = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    d0.unionAll(d0.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" replica0")).as("text")))
+  }
+
+  test("tracker surfaces the batch banded candidate set with equal agreement") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    withRocks {
+      val docs = corpus()
+      val sh = DedupOps.docShingles(docs)
+      // batch truth: banded candidates + per-pair signature agreement
+      val wide = DedupOps.minhashWide(spark, sh)
+      val agree = (0 until DedupOps.NumHashes)
+        .map(k => when(col(s"a.mh$k") === col(s"b.mh$k"), 1).otherwise(0))
+        .reduce(_ + _)
+      val batch = DedupOps.candidatesFromShingles(spark, sh)
+        .join(wide.as("a"), col("a_id") === col("a.doc_id"))
+        .join(wide.as("b"), col("b_id") === col("b.doc_id"))
+        .select(col("a_id"), col("b_id"), agree.as("n_match"))
+        .as[(Long, Long, Int)].collect().toSet
+      assert(batch.nonEmpty, "no planted candidate pairs — spec vacuous")
+
+      val feed = LshDedupTracker.streamInput(
+          docs.withColumn("ts", timestamp_millis(lit(1000000L) + col("doc_id"))))
+        .as[LshIn].collect().sortBy(_.docId)
+      val thirds = feed.grouped((feed.length + 2) / 3).toSeq
+      val rnd = new scala.util.Random(47)
+      val input = MemoryStream[LshIn]
+      val cands = input.toDS()
+        .withWatermark("ts", "10 minutes")
+        .groupByKey(r => s"${r.band}:${r.bandKey}")
+        .transformWithState(new LshDedupTracker(86400000L),
+          TimeMode.EventTime(), OutputMode.Append())
+      val q = cands.writeStream.outputMode("append")
+        .format("memory").queryName("lshstream").start()
+      try {
+        thirds.foreach { b =>
+          input.addData(rnd.shuffle(b.toSeq)); q.processAllAvailable()
+        }
+        val rows = spark.table("lshstream").as[LshCandOut].collect()
+        // per (band, pair) exactly-once
+        assert(rows.map(o => (o.band, o.aId, o.bId)).distinct.length === rows.length,
+          "duplicate (band, pair) emission")
+        val got = rows.map(o => (o.aId, o.bId, o.nMatch)).toSet
+        assert(got === batch, "streamed candidate set != batch banded candidates")
+      } finally q.stop()
+    }
+  }
+
+  test("a near-dup arriving after the retention horizon is not flagged") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    withRocks {
+      // doc 7's text at three ids: 1 and 2 arrive together (flagged), 3
+      // arrives after 1&2 fell off the horizon (not flagged); the
+      // watermark advancers reuse OTHER source docs so they collide
+      // with nothing
+      def at(id: Long, tsMs: Long, srcDoc: Long = 7) = LshDedupTracker.streamInput(
+          graft.sources.Tables.documents(spark, dir)
+            .filter(col("doc_id") === srcDoc)
+            .select(lit(id).as("doc_id"), col("text"),
+              timestamp_millis(lit(tsMs)).as("ts")))
+        .as[LshIn].collect().toSeq
+      val input = MemoryStream[LshIn]
+      val cands = input.toDS()
+        .withWatermark("ts", "1 second")
+        .groupByKey(r => s"${r.band}:${r.bandKey}")
+        .transformWithState(new LshDedupTracker(5000L),
+          TimeMode.EventTime(), OutputMode.Append())
+      val q = cands.writeStream.outputMode("append")
+        .format("memory").queryName("lshevict").start()
+      try {
+        def send(rows: Seq[LshIn]): Unit = { input.addData(rows); q.processAllAvailable() }
+        send(at(1, 10000L) ++ at(2, 11000L))
+        send(at(9990, 100000L, srcDoc = 11)) // watermark far past 1&2's horizon
+        send(at(9991, 101000L, srcDoc = 13)) // timers fire, buckets evict
+        send(at(3, 102000L))    // same text as 1&2 — but its partners are gone
+        val got = spark.table("lshevict").as[LshCandOut].collect()
+          .map(o => (o.aId, o.bId)).distinct.toSet
+        assert(got === Set((1L, 2L)),
+          s"horizon not enforced: $got (expected only the (1,2) flag)")
+      } finally q.stop()
+    }
+  }
+}
