@@ -350,7 +350,7 @@ object ScaleSmoke {
     if (needed("ivf_kmeans_refine", "kmeans_init", "semantic_dedup",
         "ivfpq_codes", "ivf_delta_assign", "pca_moment_build",
         "pca_moment_op", "media_sha_dedup", "decode_fanout",
-        "caption_pairs")) {
+        "caption_pairs", "knn_inc_recall")) {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val vecOff = Option(emb.agg(max(col("vec_id"))).head().get(0))
       .fold(sys.error(s"empty embeddings table in $sfDir"))(_.asInstanceOf[Number].longValue) + 1
@@ -387,6 +387,15 @@ object ScaleSmoke {
     val centInc = graft.queries.SimilarityQueries
       .refinedCentroidsFrom(spark, scaledEmb).cache()
     println(s"[scale] ivf centroids trained on ${k}x base (${centInc.count()} cells, untimed)")
+    // maintenance-recall report end-to-end (mirrors
+    // knn_incremental_recall): all four index variants train in ONE
+    // variant-keyed Lloyd chain over the K×-scaled corpus — every stage
+    // is a broadcast map pass or a (variant × K × dim)-bounded
+    // aggregate, so wall must track K ~linearly; |Q| and the report
+    // stay fixed
+    time("knn_inc_recall")(
+      graft.queries.SimilarityQueries.knnIncrementalRecallFrom(
+        spark, scaledEmb).count())
     time("ivf_delta_assign")(
       graft.queries.SimilarityQueries.assignToCentroids(spark, emb, centInc).count())
     centInc.unpersist()

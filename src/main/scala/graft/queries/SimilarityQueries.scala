@@ -761,9 +761,16 @@ object SimilarityQueries {
     * indexing each variant over the whole corpus is EXACTLY the
     * base-assign ∪ delta-admit union — the identity IvfIncrementalSpec
     * pins as claim (1). */
-  def knnIncrementalRecall(spark: SparkSession, dir: String): DataFrame = {
+  def knnIncrementalRecall(spark: SparkSession, dir: String): DataFrame =
+    knnIncrementalRecallFrom(spark, Tables.embeddings(spark, dir))
+
+  /** Frame-based core of [[knnIncrementalRecall]] (ScaleSmoke probes it
+    * at K× corpus size — every stage is a broadcast map pass or a
+    * dim-bounded aggregate, so wall must track the corpus ~linearly). */
+  private[graft] def knnIncrementalRecallFrom(spark: SparkSession,
+      embRaw: DataFrame): DataFrame = {
     val dotF = dotFast(spark) _
-    val emb = Tables.embeddings(spark, dir)
+    val emb = embRaw
       .withColumn("norm", sqrt(dotFast(spark)(col("embedding"), col("embedding"))))
       .materializeOnce
     // training slices, variant-tagged: the ONLY thing that differs per
@@ -829,7 +836,17 @@ object SimilarityQueries {
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= 5)
       .select(col("variant"), col("q_id"), col("vec_id"))
-    val bt = knnBrute(spark, dir).select(col("q_id"), col("vec_id"))
+    // exact brute truth from the SAME materialized frame (knnBrute's
+    // scan shape, minus a second table read + norm recompute)
+    val wBrute = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val bt = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim",
+        round(dotF(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")), 6))
+      .withColumn("rank", row_number().over(wBrute))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"))
       .withColumn("hit", lit(1)) // 50-row exact truth, joined by every variant
     val nExact = bt.agg(count(lit(1)).as("n_exact"))
     val scored = returned.join(bt, Seq("q_id", "vec_id"), "left")
