@@ -318,6 +318,44 @@ object StreamBench {
     ql.awaitTermination()
     val tL = (System.nanoTime() - t8) / 1e9
     println(f"[streambench] streaming_lsh_neardup_filesource docs=$nLshDocs cand_rows=${spark.table("lshfsbench").count()} t=$tL%.2f s rate=${nLshDocs / tL}%.0f docs/s")
+
+    // ---- streaming leg I: semantic (embedding) near-dup at ingest --------
+    // SemanticDedupTracker via FILE source: map-side hyperplane bucket +
+    // norm per row, then the within-bucket exact-cosine join against
+    // in-horizon state. Corpus: the sf embeddings replicated 8x (exact
+    // duplicates — every replica pair scores cos = 1), so per-bucket
+    // membership grows to ~corpus/64 x 8 and the quadratic-in-bucket
+    // emission is exercised, not dodged.
+    val emb0 = graft.sources.Tables.embeddings(spark, lshSfDir)
+      .select(col("vec_id"), col("embedding"))
+    val nEmbBase = emb0.count()
+    val semDocs = (0 until 8).map { i =>
+      emb0.select((col("vec_id") * 8 + i).as("vec_id"), col("embedding"))
+    }.reduce(_ unionAll _)
+      .withColumn("ts", timestamp_millis(lit(1700000000000L) + col("vec_id") * 10L))
+    val nSem = nEmbBase * 8
+    val semDir = java.nio.file.Files.createTempDirectory("semfsbench").toString
+    graft.streaming.SemanticDedupTracker.streamInput(semDocs)
+      .repartitionByRange(32, col("ts")).write.mode("overwrite").parquet(semDir)
+    orderFileMtimes(semDir)
+    val semSchema = graft.streaming.SemanticDedupTracker.streamInput(semDocs).schema
+    val semIn = spark.readStream
+      .schema(semSchema)
+      .option("maxFilesPerTrigger", "8")
+      .parquet(semDir)
+      .as[graft.streaming.SemIn]
+    val semCands = semIn
+      .withWatermark("ts", "10 seconds")
+      .groupByKey(_.bucket)
+      .transformWithState(new graft.streaming.SemanticDedupTracker(3600000L),
+        TimeMode.EventTime(), OutputMode.Append())
+    val t9 = System.nanoTime()
+    val qs = semCands.writeStream.outputMode("append")
+      .format("memory").queryName("semfsbench")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    qs.awaitTermination()
+    val tS = (System.nanoTime() - t9) / 1e9
+    println(f"[streambench] streaming_semantic_neardup_filesource vecs=$nSem cand_rows=${spark.table("semfsbench").count()} t=$tS%.2f s rate=${nSem / tS}%.0f vecs/s")
     spark.stop()
   }
 }

@@ -1,0 +1,153 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+
+import graft.functions.VectorFunctions
+
+/** One bucketed embedding row on the ingest stream, keyed by its
+  * random-hyperplane LSH bucket before `transformWithState`. `emb` is
+  * the double-cast embedding and `norm` its L2 norm — both computed
+  * map-side by [[SemanticDedupTracker.streamInput]] so a bucket
+  * collision scores without any lookup. */
+case class SemIn(
+    vecId: Long, bucket: Long, emb: Array[Double], norm: Double,
+    ts: Timestamp)
+
+/** One embedding near-dup pair discovered at ingest: exact cosine over
+  * the full vectors (the bucket only shortlists), rounded to 6 dp like
+  * the batch `lsh_near_dup` rows. Emitted once per pair (a bucket is a
+  * vector's single routing key, unlike the multi-band MinHash case). */
+case class SemCandOut(bucket: Long, aId: Long, bId: Long, cosSim: Double)
+
+/** Stored bucket member: (vecId, embedding, norm, lastSeenMs). */
+case class SemEntry(vecId: Long, emb: Array[Double], norm: Double, lastMs: Long)
+
+/** EMBEDDING near-dup discovery at ingest — the SemDeDup-shaped member
+  * completing the stream-dedup family: [[FingerprintDedupTracker]]
+  * catches exact copies, [[LshDedupTracker]] lexical near-dups, and
+  * this tracker semantic ones (same meaning, different words — the
+  * class shingle methods cannot see), as embeddings ARRIVE rather than
+  * in a nightly batch pass.
+  *
+  * Shape mirrors the batch `lsh_near_dup` query exactly: the
+  * random-hyperplane bucket (6 fixed literal planes → 64 buckets, the
+  * same seeded planes as the batch) is computed MAP-SIDE per row along
+  * with the vector's norm; only the within-bucket join is stateful.
+  * State per bucket is the in-horizon member list; an arriving vector
+  * scores exact cosine against every stored member — the same
+  * left-to-right double fold as [[VectorFunctions.dot]], rounded 6 dp
+  * HALF_UP like the batch — and emits pairs at the batch threshold
+  * (cos ≥ 0.3), ids ordered (min, max). Within a micro-batch rows fold
+  * in vecId order, so emission is deterministic under intra-batch
+  * scrambling.
+  *
+  * State & eviction: [[TimerSessionTracker]]-style event-time timers
+  * evict members older than the retention horizon, so state is the
+  * in-horizon corpus, never the stream; `SemanticDedupStreamSpec` pins
+  * set-equality with the batch query (values included) and the
+  * horizon-forgetting trade. `maxBucket` is the hot-bucket admission
+  * cap (random-hyperplane buckets are corpus/64-sized by construction,
+  * so unlike banded MinHash the cap is a skew backstop, not the normal
+  * operating mode). */
+class SemanticDedupTracker(retentionMs: Long, tau: Double = 0.3,
+    maxBucket: Int = Int.MaxValue)
+  extends StatefulProcessor[Long, SemIn, SemCandOut] {
+
+  require(retentionMs > 0, s"retentionMs must be positive, got $retentionMs")
+  require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
+
+  @transient private var st: ListState[SemEntry] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getListState[SemEntry](
+      "bucket", Encoders.product[SemEntry], TTLConfig.NONE)
+
+  private def members(): Vector[SemEntry] = {
+    val b = Vector.newBuilder[SemEntry]
+    st.get().foreach(b += _)
+    b.result()
+  }
+
+  // the batch pipeline's exact arithmetic: left-to-right double fold
+  // (VectorFunctions.dot), then Spark round(x, 6) = HALF_UP
+  private def cos6(a: Array[Double], na: Double,
+      b: Array[Double], nb: Double): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    BigDecimal(acc / (na * nb))
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[SemIn],
+      timerValues: TimerValues): Iterator[SemCandOut] = {
+    var entries = members()
+    val prevTimer =
+      if (entries.isEmpty) None else Some(entries.map(_.lastMs).min + retentionMs)
+    val out = Vector.newBuilder[SemCandOut]
+    rows.toSeq.sortBy(_.vecId).foreach { r =>
+      entries.foreach { e =>
+        if (e.vecId != r.vecId) {
+          val c = cos6(e.emb, e.norm, r.emb, r.norm)
+          if (c >= tau)
+            out += SemCandOut(key,
+              math.min(e.vecId, r.vecId), math.max(e.vecId, r.vecId), c)
+        }
+      }
+      if (entries.length < maxBucket && !entries.exists(_.vecId == r.vecId))
+        entries = entries :+ SemEntry(r.vecId, r.emb, r.norm, r.ts.getTime)
+    }
+    st.put(entries.toArray)
+    val newTimer =
+      if (entries.isEmpty) None else Some(entries.map(_.lastMs).min + retentionMs)
+    if (newTimer != prevTimer) {
+      prevTimer.foreach(getHandle.deleteTimer)
+      newTimer.foreach(getHandle.registerTimer)
+    }
+    out.result().iterator
+  }
+
+  override def handleExpiredTimer(
+      key: Long,
+      timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[SemCandOut] = {
+    val entries = members()
+    val wm = math.max(timerValues.getCurrentWatermarkInMs(),
+      expiredTimerInfo.getExpiryTimeInMs)
+    val keep = entries.filter(_.lastMs + retentionMs > wm)
+    if (keep.isEmpty) st.clear()
+    else {
+      st.put(keep.toArray)
+      getHandle.registerTimer(keep.map(_.lastMs).min + retentionMs)
+    }
+    Iterator.empty
+  }
+}
+
+object SemanticDedupTracker {
+
+  /** The batch `lsh_buckets` hyperplanes (6 seeded planes over dim 64 —
+    * fixed literals, identical values in the batch plan and the DuckDB
+    * oracle). */
+  val Planes: Seq[Seq[Double]] = VectorFunctions.hyperplanes(nPlanes = 6, dim = 64)
+
+  /** Map-side prep for the ingest stream: from (vec_id, embedding, ts)
+    * rows to [[SemIn]]-shaped rows — bucket and norm per row, NO
+    * aggregation, so it composes with `transformWithState` without a
+    * chained stateful operator. Bucket values equal the batch
+    * `lsh_buckets` query's; the norm is the batch join's
+    * sqrt(dot(e, e)). */
+  def streamInput(emb: DataFrame): DataFrame =
+    emb.select(
+      col("vec_id").as("vecId"),
+      VectorFunctions.lshBucket(col("embedding"), Planes).as("bucket"),
+      transform(col("embedding"), _.cast("double")).as("emb"),
+      sqrt(VectorFunctions.dot(col("embedding"), col("embedding"))).as("norm"),
+      col("ts"))
+}
