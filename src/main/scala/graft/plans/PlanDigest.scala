@@ -30,6 +30,7 @@ object PlanDigest {
       broadcastExchanges: Int,
       joins: Seq[(String, Int)], // nodeName -> count, name-sorted
       sorts: Int,
+      windows: Int, // Window/WindowGroupLimit passes — each is a buffer+walk over every partition
       scans: Seq[ScanInfo]) // table-sorted
 
   def digest(df: DataFrame): Digest = {
@@ -69,6 +70,8 @@ object PlanDigest {
       broadcastExchanges = nodes.count(_.isInstanceOf[BroadcastExchangeExec]),
       joins = joins,
       sorts = nodes.count(_.isInstanceOf[SortExec]),
+      windows = nodes.count(n =>
+        n.nodeName == "Window" || n.nodeName == "WindowGroupLimit"),
       scans = scans)
   }
 
@@ -80,6 +83,7 @@ object PlanDigest {
     }.mkString(",")
     s"""{"query":"$name","shuffle_exchanges":${d.shuffleExchanges},""" +
       s""""broadcast_exchanges":${d.broadcastExchanges},""" +
-      s""""joins":{$joins},"sorts":${d.sorts},"scans":[$scans]}"""
+      s""""joins":{$joins},"sorts":${d.sorts},"windows":${d.windows},""" +
+      s""""scans":[$scans]}"""
   }
 }
