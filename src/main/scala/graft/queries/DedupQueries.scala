@@ -780,6 +780,17 @@ object DedupQueries {
     //    constant-width rows. The array-carry form (2 × ~40-string
     //    arrays per pair row) OOM'd the 25× replica probe; narrow form
     //    completes it.
+    // An r10 unification attempt (narrow ALWAYS) re-measured both forms
+    // and CONFIRMED the crossover, with sharper regime detail: on the
+    // organic sf0.1 corpus the narrow verify wins the isolated stage
+    // (2.6 s vs 5.7 s at 125k pairs — per-pair array_intersect over two
+    // ~50-string arrays is the cost) but is end-to-end NEUTRAL under
+    // AQE exchange reuse, while on dup-saturated replica corpora —
+    // where |A∩B| ≈ |A| per pair, so the narrow expansion carries ~50×
+    // the pair count through TWO joins — narrow ran the capped 10×/50×
+    // probes 2× SLOWER (14.9/36.5 s vs 6.1/19.3 s). Wide stays the
+    // moderate-pair-count fast path; narrow remains the memory-safe
+    // huge-candidate path.
     val candIds = cand.select(col("a_id").as("doc_id"))
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
     val verified =
