@@ -51,18 +51,8 @@ object PlanDigest {
         // pushedDownFilters is protected; the scan's public metadata
         // renders it as "[f1, f2, …]" — count depth-0 commas (nested
         // commas inside In(…)/StringContains(…) stay inside brackets)
-        val pushed = s.metadata.get("PushedFilters").fold(0) { pf =>
-          val inner = pf.stripPrefix("[").stripSuffix("]").trim
-          if (inner.isEmpty) 0
-          else {
-            var depth = 0
-            1 + inner.count { c =>
-              if (c == '(' || c == '[') depth += 1
-              else if (c == ')' || c == ']') depth -= 1
-              c == ',' && depth == 0
-            }
-          }
-        }
+        val pushed = s.metadata.get("PushedFilters")
+          .fold(0)(countTopLevelFilters)
         ScanInfo(table, pushed, s.requiredSchema.size)
     }.sortBy(si => (si.table, si.pushedFilters, si.readCols))
     Digest(
@@ -73,6 +63,23 @@ object PlanDigest {
       windows = nodes.count(n =>
         n.nodeName == "Window" || n.nodeName == "WindowGroupLimit"),
       scans = scans)
+  }
+
+  /** Number of top-level filters in a rendered "[f1, f2, …]" list:
+    * depth-0 commas + 1 (nested commas inside In(…)/ranges stay behind
+    * parens/brackets). Property-tested in `PlanDigestSpec` against a
+    * generated filter grammar. */
+  private[plans] def countTopLevelFilters(pf: String): Int = {
+    val inner = pf.stripPrefix("[").stripSuffix("]").trim
+    if (inner.isEmpty) 0
+    else {
+      var depth = 0
+      1 + inner.count { c =>
+        if (c == '(' || c == '[') depth += 1
+        else if (c == ')' || c == ']') depth -= 1
+        c == ',' && depth == 0
+      }
+    }
   }
 
   /** One deterministic JSON line for the artifact. */

@@ -53,4 +53,27 @@ class PlanDigestSpec extends AnyFunSuite with SparkSpec {
       .filter(col("doc_id").isin(1L, 2L, 3L)).select("doc_id"))
     assert(in.scans.map(_.pushedFilters) === Seq(1), in.scans.toString)
   }
+
+  // property law for the depth-0 comma counter, over a generated filter
+  // grammar (nested calls, In-lists, comma-free atoms) — seeded
+  // generators in the TopKAggregatorPropSpec style, deterministic
+  test("top-level filter counting law over 300 generated filter lists") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val atom = Gen.oneOf("IsNotNull(a)", "EqualTo(b,7)", "GreaterThan(c_x,1)",
+      "In(d, [1,2,3,4])", "StringContains(t, \"x, y\")".replace("\"", ""))
+    def filt(depth: Int): Gen[String] =
+      if (depth <= 0) atom
+      else Gen.frequency(
+        3 -> atom,
+        1 -> Gen.zip(filt(depth - 1), filt(depth - 1))
+          .map { case (a, b) => s"Or(And($a, $b), $a)" })
+    val listGen = Gen.chooseNum(0, 6).flatMap(n => Gen.listOfN(n, filt(2)))
+    (1 to 300).foreach { i =>
+      val fs = listGen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val rendered = fs.mkString("[", ", ", "]")
+      assert(PlanDigest.countTopLevelFilters(rendered) === fs.length,
+        s"seed $i: $rendered")
+    }
+  }
 }

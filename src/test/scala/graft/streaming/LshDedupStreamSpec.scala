@@ -42,6 +42,29 @@ class LshDedupStreamSpec extends AnyFunSuite with SparkSpec {
         concat(col("text"), lit(" replica0")).as("text")))
   }
 
+  // the map-side prep's load-bearing claim, tested DIRECTLY (the
+  // candidate-set equality below covers it only through band-key md5s):
+  // the per-ROW signature fold equals the batch SHUFFLE AGGREGATE's
+  // signature for every document — both minimize the same universal
+  // hashes over the same distinct shingle set
+  test("per-row signatures equal the batch minhashWide aggregate, every doc") {
+    import spark.implicits._
+    val docs = corpus()
+    val streamed = LshDedupTracker.streamInput(
+        docs.withColumn("ts", timestamp_millis(lit(1000000L) + col("doc_id"))))
+      .filter(col("band") === 0) // one row per doc carries the full sig
+      .select(col("docId"), col("sig"))
+      .as[(Long, Array[Long])].collect().toMap
+    val batch = DedupOps.minhashWide(spark, DedupOps.docShingles(docs))
+      .collect()
+    assert(batch.nonEmpty && batch.length === streamed.size)
+    batch.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val want = (0 until DedupOps.NumHashes).map(k => r.getAs[Long](s"mh$k"))
+      assert(streamed(id).toSeq === want, s"signature mismatch for doc $id")
+    }
+  }
+
   test("tracker surfaces the batch banded candidate set with equal agreement") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
