@@ -72,7 +72,8 @@ class FingerprintDedupTracker(retentionMs: Long)
       key: String,
       rows: Iterator[DedupIn],
       timerValues: TimerValues): Iterator[DedupOut] = {
-    var (origin, last) = if (st.exists()) st.get() else (0, Long.MinValue)
+    val (origin0, last0) = if (st.exists()) st.get() else (0, Long.MinValue)
+    var (origin, last) = (origin0, last0)
     val prevTimer = if (origin == OriginDelta) Some(last + retentionMs) else None
     // within-batch fold in docId order — the batch window's tie-break
     val out = rows.toSeq.sortBy(_.docId).map { r =>
@@ -84,7 +85,9 @@ class FingerprintDedupTracker(retentionMs: Long)
       if (origin == OriginDelta) last = math.max(last, r.ts.getTime)
       DedupOut(r.docId, key, status)
     }
-    st.update((origin, last))
+    // base keys see only dup_of_base traffic and never change state —
+    // skip the per-batch RocksDB write for them
+    if (origin != origin0 || last != last0) st.update((origin, last))
     // one live timer per delta key, at lastSeen + retention; base keys
     // are the durable index and never arm
     if (origin == OriginDelta) {

@@ -84,7 +84,8 @@ class LshDedupTracker(retentionMs: Long, maxBucket: Int = Int.MaxValue)
       key: String,
       rows: Iterator[LshIn],
       timerValues: TimerValues): Iterator[LshCandOut] = {
-    var entries = members()
+    val entries0 = members()
+    var entries = entries0
     val prevTimer =
       if (entries.isEmpty) None else Some(entries.map(_.lastMs).min + retentionMs)
     val out = Vector.newBuilder[LshCandOut]
@@ -100,7 +101,9 @@ class LshDedupTracker(retentionMs: Long, maxBucket: Int = Int.MaxValue)
       if (entries.length < maxBucket && !entries.exists(_.docId == r.docId))
         entries = entries :+ LshEntry(r.docId, r.sig, r.ts.getTime)
     }
-    st.put(entries.toArray)
+    // only an ADMISSION changes the bucket — skip the RocksDB write
+    // otherwise (capped or all-duplicate batches leave state untouched)
+    if (entries.length != entries0.length) st.put(entries.toArray)
     val newTimer =
       if (entries.isEmpty) None else Some(entries.map(_.lastMs).min + retentionMs)
     if (newTimer != prevTimer) {

@@ -87,7 +87,8 @@ class SemanticDedupTracker(retentionMs: Long, tau: Double = 0.3,
       key: Long,
       rows: Iterator[SemIn],
       timerValues: TimerValues): Iterator[SemCandOut] = {
-    var entries = members()
+    val entries0 = members()
+    var entries = entries0
     val prevTimer =
       if (entries.isEmpty) None else Some(entries.map(_.lastMs).min + retentionMs)
     val out = Vector.newBuilder[SemCandOut]
@@ -103,7 +104,9 @@ class SemanticDedupTracker(retentionMs: Long, tau: Double = 0.3,
       if (entries.length < maxBucket && !entries.exists(_.vecId == r.vecId))
         entries = entries :+ SemEntry(r.vecId, r.emb, r.norm, r.ts.getTime)
     }
-    st.put(entries.toArray)
+    // only an ADMISSION changes the bucket — skip the RocksDB write
+    // otherwise (capped or all-duplicate batches leave state untouched)
+    if (entries.length != entries0.length) st.put(entries.toArray)
     val newTimer =
       if (entries.isEmpty) None else Some(entries.map(_.lastMs).min + retentionMs)
     if (newTimer != prevTimer) {
