@@ -1546,9 +1546,9 @@ object TextQueries {
     def cells(df: DataFrame): DataFrame = df
       .withColumn("h31", pmod(DedupOps.h60(col("tok")), lit(DedupOps.P)))
       .withColumn("s", explode(seedRows))
-      .select(df.columns.map(col) :+ col("s.k").as("k") :+
+      .select((df.columns.map(col) :+ col("s.k").as("k") :+
         pmod(pmod(col("s.a") * col("h31") + col("s.b"), lit(DedupOps.P)),
-          lit(w)).as("cell"): _*)
+          lit(w)).as("cell")).toIndexedSeq: _*)
     val sketch = cells(cnt).groupBy("k", "cell")
       .agg(sum("exact_cnt").as("cnt"))
     val top = cnt.orderBy(col("exact_cnt").desc, col("tok")).limit(20)

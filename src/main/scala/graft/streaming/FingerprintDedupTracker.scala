@@ -107,7 +107,7 @@ class FingerprintDedupTracker(retentionMs: Long)
     if (st.exists()) {
       val (origin, last) = st.get()
       val wm = math.max(timerValues.getCurrentWatermarkInMs(),
-        expiredTimerInfo.getExpiryTimeInMs)
+        expiredTimerInfo.getExpiryTimeInMs())
       if (origin == OriginDelta) {
         if (last + retentionMs <= wm) st.clear()
         // a row moved lastSeen after this timer was armed and the

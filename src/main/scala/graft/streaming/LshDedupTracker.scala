@@ -119,7 +119,7 @@ class LshDedupTracker(retentionMs: Long, maxBucket: Int = Int.MaxValue)
       expiredTimerInfo: ExpiredTimerInfo): Iterator[LshCandOut] = {
     val entries = members()
     val wm = math.max(timerValues.getCurrentWatermarkInMs(),
-      expiredTimerInfo.getExpiryTimeInMs)
+      expiredTimerInfo.getExpiryTimeInMs())
     val keep = entries.filter(_.lastMs + retentionMs > wm)
     if (keep.isEmpty) st.clear()
     else {

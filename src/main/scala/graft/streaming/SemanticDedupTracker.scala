@@ -122,7 +122,7 @@ class SemanticDedupTracker(retentionMs: Long, tau: Double = 0.3,
       expiredTimerInfo: ExpiredTimerInfo): Iterator[SemCandOut] = {
     val entries = members()
     val wm = math.max(timerValues.getCurrentWatermarkInMs(),
-      expiredTimerInfo.getExpiryTimeInMs)
+      expiredTimerInfo.getExpiryTimeInMs())
     val keep = entries.filter(_.lastMs + retentionMs > wm)
     if (keep.isEmpty) st.clear()
     else {

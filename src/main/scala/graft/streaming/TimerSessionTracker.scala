@@ -111,7 +111,7 @@ class TimerSessionTracker(gapMs: Long)
     // the watermark has passed the fired expiry; close everything it
     // has passed — no event above the watermark can merge those now
     val wm = math.max(timerValues.getCurrentWatermarkInMs(),
-      expiredTimerInfo.getExpiryTimeInMs)
+      expiredTimerInfo.getExpiryTimeInMs())
     val (closed, open) = sessions.partition { case (_, l, _) => l + gapMs <= wm }
     if (open.isEmpty) st.clear()
     else {
