@@ -40,6 +40,16 @@ object Bench {
     * read ~0.04 s high on a cold session even idle). */
   val ProbeIdleRef = 0.11
 
+  /** Start-probe gate: above this × [[ProbeIdleRef]] the box is treated
+    * as contended and the recording waits (r10's polluted start read
+    * 1.75×; a quiet box reads ≤ ~1.2× even cold). */
+  val ContendedFactor = 1.3
+
+  /** Bounded wait: 8 × 30 s of sleeping (+ re-probes) before recording
+    * anyway with `contended: true` — a permanently busy box must still
+    * produce an artifact, just a self-identifying one. */
+  val MaxContentionWaits = 8
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -78,7 +88,24 @@ object Bench {
       once(); once() // codegen + JIT warm (one pass leaves ~60% overhead)
       math.round(Seq(once(), once(), once()).min * 1000) / 1000.0
     }
-    val probeStart = calibrationProbe()
+
+    // REFUSE to record a contended start (the r2/r5/r10 contamination:
+    // three rounds' recordings began under co-located load and their
+    // absolute numbers needed probe-normalization archaeology). If the
+    // start probe reads above ContendedFactor × idle ref, sleep and
+    // re-probe — bounded, so a permanently busy box still produces a
+    // recording, just one STAMPED contended=true instead of silently
+    // polluted.
+    var probeStart = calibrationProbe()
+    var contentionWaits = 0
+    while (probeStart > ContendedFactor * ProbeIdleRef
+        && contentionWaits < MaxContentionWaits) {
+      contentionWaits += 1
+      println(f"""{"metric":"contention_wait","attempt":$contentionWaits,"probe_sec":$probeStart}""")
+      Thread.sleep(30000L)
+      probeStart = calibrationProbe()
+    }
+    val contended = probeStart > ContendedFactor * ProbeIdleRef
 
     // sorted order: per-query timings comparable across rounds regardless
     // of Map iteration order. SPARK_GRAFT_BENCH_ONLY (comma-separated
@@ -131,7 +158,9 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val loadEnd = loadAvg()
     val probes =
-      s""""probe_sec_start":$probeStart,"probe_sec_end":$probeEnd,"probe_idle_ref":${Bench.ProbeIdleRef}"""
+      s""""probe_sec_start":$probeStart,"probe_sec_end":$probeEnd,""" +
+        s""""probe_idle_ref":${Bench.ProbeIdleRef},"contended":$contended,""" +
+        s""""contention_waits":$contentionWaits"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,$probes,"sf":"$sfDir"}"""
     // The driver archives only the LAST 2000 chars of stdout (measured on

@@ -173,7 +173,11 @@ object StreamBench {
       new java.io.File(dir).listFiles()
         .filter(_.getName.startsWith("part-")).sortBy(_.getName)
         .zipWithIndex.foreach { case (f, i) =>
-          f.setLastModified(1700000000000L + i * 60000L) }
+          // a silent setLastModified failure re-creates the scrambled
+          // enqueue this helper exists to prevent (half the feed
+          // late-dropped, rate inflated) — refuse to measure instead
+          require(f.setLastModified(1700000000000L + i * 60000L),
+            s"setLastModified failed for $f — mtime ordering not applied") }
 
     // ---- streaming leg E: top-k tracker via FILE source, AvailableNow ----
     // the deployment-shaped twin of leg D: no driver-side feeding — rows

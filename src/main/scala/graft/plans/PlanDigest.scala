@@ -67,18 +67,26 @@ object PlanDigest {
 
   /** Number of top-level filters in a rendered "[f1, f2, …]" list:
     * depth-0 commas + 1 (nested commas inside In(…)/ranges stay behind
-    * parens/brackets). Property-tested in `PlanDigestSpec` against a
-    * generated filter grammar. */
+    * parens/brackets). A double-quoted literal is opaque: commas and
+    * brackets inside it neither split nor move the depth counter, so a
+    * pushed value like StringContains(c, "a, [b") cannot miscount.
+    * Property-tested in `PlanDigestSpec` against a generated filter
+    * grammar that includes quoted-literal atoms. */
   private[plans] def countTopLevelFilters(pf: String): Int = {
     val inner = pf.stripPrefix("[").stripSuffix("]").trim
     if (inner.isEmpty) 0
     else {
       var depth = 0
-      1 + inner.count { c =>
-        if (c == '(' || c == '[') depth += 1
+      var inQuote = false
+      var n = 1
+      inner.foreach { c =>
+        if (inQuote) { if (c == '"') inQuote = false }
+        else if (c == '"') inQuote = true
+        else if (c == '(' || c == '[') depth += 1
         else if (c == ')' || c == ']') depth -= 1
-        c == ',' && depth == 0
+        else if (c == ',' && depth == 0) n += 1
       }
+      n
     }
   }
 

@@ -56,7 +56,13 @@ case class LshEntry(docId: Long, sig: Array[Long], lastMs: Long)
   * |in-horizon corpus| × nBands rows — the documented trade being that
   * a near-dup of a document older than the horizon is not flagged
   * (`LshDedupStreamSpec` pins both the batch equality and this
-  * forgetting). `maxBucket` is the streaming form of the batch
+  * forgetting). An at-least-once REDELIVERY of an already-admitted
+  * docId refreshes the stored member's lastSeen (max, like
+  * [[FingerprintDedupTracker]]) and re-emits nothing, so the
+  * per-(band, pair) exactly-once contract survives upstream replay
+  * for admitted members; only a doc the cap refused to admit can
+  * re-emit on redelivery, since nothing remembers it.
+  * `maxBucket` is the streaming form of the batch
   * hot-bucket guard: a bucket at the cap stops ADMITTING new members
   * (arrivals still emit against the capped membership), bounding the
   * per-key quadratic emission that exact-dup cliques would otherwise
@@ -90,20 +96,29 @@ class LshDedupTracker(retentionMs: Long, maxBucket: Int = Int.MaxValue)
       if (entries.isEmpty) None else Some(entries.map(_.lastMs).min + retentionMs)
     val out = Vector.newBuilder[LshCandOut]
     rows.toSeq.sortBy(_.docId).foreach { r =>
-      entries.foreach { e =>
-        if (e.docId != r.docId) {
+      val member = entries.indexWhere(_.docId == r.docId)
+      if (member >= 0) {
+        // at-least-once redelivery of an admitted member: refresh its
+        // horizon clock (max, like FingerprintDedupTracker) and emit
+        // nothing — its pairs already went out once
+        if (r.ts.getTime > entries(member).lastMs)
+          entries = entries.updated(member,
+            entries(member).copy(lastMs = r.ts.getTime))
+      } else {
+        entries.foreach { e =>
           val n = (0 until DedupOps.NumHashes)
             .count(k => e.sig(k) == r.sig(k))
           out += LshCandOut(r.band,
             math.min(e.docId, r.docId), math.max(e.docId, r.docId), n)
         }
+        if (entries.length < maxBucket)
+          entries = entries :+ LshEntry(r.docId, r.sig, r.ts.getTime)
       }
-      if (entries.length < maxBucket && !entries.exists(_.docId == r.docId))
-        entries = entries :+ LshEntry(r.docId, r.sig, r.ts.getTime)
     }
-    // only an ADMISSION changes the bucket — skip the RocksDB write
-    // otherwise (capped or all-duplicate batches leave state untouched)
-    if (entries.length != entries0.length) st.put(entries.toArray)
+    // an admission or a redelivery refresh reassigns `entries` — skip
+    // the RocksDB write otherwise (capped or all-duplicate batches
+    // leave state untouched)
+    if (entries ne entries0) st.put(entries.toArray)
     val newTimer =
       if (entries.isEmpty) None else Some(entries.map(_.lastMs).min + retentionMs)
     if (newTimer != prevTimer) {

@@ -49,7 +49,15 @@ case class SemEntry(vecId: Long, emb: Array[Double], norm: Double, lastMs: Long)
   * evict members older than the retention horizon, so state is the
   * in-horizon corpus, never the stream; `SemanticDedupStreamSpec` pins
   * set-equality with the batch query (values included) and the
-  * horizon-forgetting trade. `maxBucket` is the hot-bucket admission
+  * horizon-forgetting trade. An at-least-once REDELIVERY of an
+  * already-admitted vecId refreshes the stored member's lastSeen (max,
+  * like [[FingerprintDedupTracker]]) and re-emits nothing, so pair
+  * emission survives upstream replay for admitted members. A row whose
+  * embedding DIMENSION differs from a stored member's (dim drift in
+  * the feed) scores no pair against that member instead of crashing
+  * the query — cosine between different spaces is undefined, and a
+  * malformed row must not take the stream down.
+  * `maxBucket` is the hot-bucket admission
   * cap (random-hyperplane buckets are corpus/64-sized by construction,
   * so unlike banded MinHash the cap is a skew backstop, not the normal
   * operating mode). */
@@ -93,20 +101,33 @@ class SemanticDedupTracker(retentionMs: Long, tau: Double = 0.3,
       if (entries.isEmpty) None else Some(entries.map(_.lastMs).min + retentionMs)
     val out = Vector.newBuilder[SemCandOut]
     rows.toSeq.sortBy(_.vecId).foreach { r =>
-      entries.foreach { e =>
-        if (e.vecId != r.vecId) {
-          val c = cos6(e.emb, e.norm, r.emb, r.norm)
-          if (c >= tau)
-            out += SemCandOut(key,
-              math.min(e.vecId, r.vecId), math.max(e.vecId, r.vecId), c)
+      val member = entries.indexWhere(_.vecId == r.vecId)
+      if (member >= 0) {
+        // at-least-once redelivery of an admitted member: refresh its
+        // horizon clock (max, like FingerprintDedupTracker) and emit
+        // nothing — its pairs already went out once
+        if (r.ts.getTime > entries(member).lastMs)
+          entries = entries.updated(member,
+            entries(member).copy(lastMs = r.ts.getTime))
+      } else {
+        entries.foreach { e =>
+          // dim drift in the feed: a vector from a different space has
+          // no cosine against this member — skip the pair, never throw
+          if (e.emb.length == r.emb.length) {
+            val c = cos6(e.emb, e.norm, r.emb, r.norm)
+            if (c >= tau)
+              out += SemCandOut(key,
+                math.min(e.vecId, r.vecId), math.max(e.vecId, r.vecId), c)
+          }
         }
+        if (entries.length < maxBucket)
+          entries = entries :+ SemEntry(r.vecId, r.emb, r.norm, r.ts.getTime)
       }
-      if (entries.length < maxBucket && !entries.exists(_.vecId == r.vecId))
-        entries = entries :+ SemEntry(r.vecId, r.emb, r.norm, r.ts.getTime)
     }
-    // only an ADMISSION changes the bucket — skip the RocksDB write
-    // otherwise (capped or all-duplicate batches leave state untouched)
-    if (entries.length != entries0.length) st.put(entries.toArray)
+    // an admission or a redelivery refresh reassigns `entries` — skip
+    // the RocksDB write otherwise (capped or all-duplicate batches
+    // leave state untouched)
+    if (entries ne entries0) st.put(entries.toArray)
     val newTimer =
       if (entries.isEmpty) None else Some(entries.map(_.lastMs).min + retentionMs)
     if (newTimer != prevTimer) {

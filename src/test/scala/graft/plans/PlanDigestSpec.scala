@@ -55,13 +55,15 @@ class PlanDigestSpec extends AnyFunSuite with SparkSpec {
   }
 
   // property law for the depth-0 comma counter, over a generated filter
-  // grammar (nested calls, In-lists, comma-free atoms) — seeded
+  // grammar (nested calls, In-lists, comma-free atoms, and QUOTED
+  // literal atoms whose commas/brackets must stay opaque) — seeded
   // generators in the TopKAggregatorPropSpec style, deterministic
   test("top-level filter counting law over 300 generated filter lists") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
     val atom = Gen.oneOf("IsNotNull(a)", "EqualTo(b,7)", "GreaterThan(c_x,1)",
-      "In(d, [1,2,3,4])", "StringContains(t, \"x, y\")".replace("\"", ""))
+      "In(d, [1,2,3,4])", "StringContains(t, \"x, y\")",
+      "EqualTo(s, \"a, [b) ]\")", "StringStartsWith(u, \"[[,\")")
     def filt(depth: Int): Gen[String] =
       if (depth <= 0) atom
       else Gen.frequency(

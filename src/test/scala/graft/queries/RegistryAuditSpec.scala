@@ -49,6 +49,16 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     // parallelizes identically).
     val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
     implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+    // the determinism argument above is an invariant on the BUILDERS (no
+    // session-conf mutation, no cache left pinned at build time) — snap
+    // the confs the digests depend on so a violating builder fails HERE,
+    // named, instead of surfacing as a flaky digest-currency diff
+    val watchedConfs = Seq(
+      "spark.sql.shuffle.partitions",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.session.timeZone")
+    val confsBefore = watchedConfs.map(k => k -> spark.conf.getOption(k))
     val facts = try {
       scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(
@@ -57,7 +67,16 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
           }),
         scala.concurrent.duration.Duration(20, "min"))
     } finally pool.shutdown()
-    spark.catalog.clearCache() // several queries cache build frames
+    val confsAfter = watchedConfs.map(k => k -> spark.conf.getOption(k))
+    assert(confsAfter === confsBefore,
+      "a query builder mutated session conf during the plan walk — " +
+        "digests are nondeterministic until it stops")
+    // build-time caches must be transient (connectedComponents unpersists
+    // its edge frame before returning); one left pinned would let the
+    // cache manager swap InMemoryTableScans into OTHER threads' digests
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "a query builder left a frame cached at build time — " +
+        "clear it in the builder, or digests go nondeterministic")
     facts.toMap
   }
 

@@ -145,4 +145,47 @@ class LshDedupStreamSpec extends AnyFunSuite with SparkSpec {
       } finally q.stop()
     }
   }
+
+  // an at-least-once source redelivering an admitted doc must neither
+  // re-emit its pairs nor leave its horizon clock stale — the ADVICE r10
+  // gap: pre-fix the redelivery re-emitted every pair and kept the
+  // ORIGINAL lastMs, so a refreshed member could still evict on the old
+  // schedule
+  test("redelivery of an admitted doc re-emits nothing and refreshes its horizon") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    withRocks {
+      def at(id: Long, tsMs: Long, srcDoc: Long = 7) = LshDedupTracker.streamInput(
+          graft.sources.Tables.documents(spark, dir)
+            .filter(col("doc_id") === srcDoc)
+            .select(lit(id).as("doc_id"), col("text"),
+              timestamp_millis(lit(tsMs)).as("ts")))
+        .as[LshIn].collect().toSeq
+      val input = MemoryStream[LshIn]
+      val cands = input.toDS()
+        .withWatermark("ts", "1 second")
+        .groupByKey(r => s"${r.band}:${r.bandKey}")
+        .transformWithState(new LshDedupTracker(5000L),
+          TimeMode.EventTime(), OutputMode.Append())
+      val q = cands.writeStream.outputMode("append")
+        .format("memory").queryName("lshredeliver").start()
+      try {
+        def send(rows: Seq[LshIn]): Unit = { input.addData(rows); q.processAllAvailable() }
+        send(at(1, 10000L) ++ at(2, 11000L)) // pair (1,2) emitted once
+        send(at(1, 13000L))                  // redelivery of admitted doc 1
+        val afterRedeliver = spark.table("lshredeliver").as[LshCandOut].collect()
+        assert(afterRedeliver.map(o => (o.band, o.aId, o.bId)).distinct.length
+          === afterRedeliver.length, "redelivery re-emitted a (band, pair)")
+        // the refresh must move doc 1's horizon: watermark 14s evicts
+        // nothing under lastMs=13s + 5s retention (old clock 10s would
+        // have), so doc 3 arriving at 15s still pairs with 1 AND 2
+        send(at(9990, 16000L, srcDoc = 11)) // watermark -> 15s
+        send(at(3, 15500L))
+        val got = spark.table("lshredeliver").as[LshCandOut].collect()
+          .map(o => (o.aId, o.bId)).distinct.toSet
+        assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L)),
+          s"horizon refresh not applied: $got")
+      } finally q.stop()
+    }
+  }
 }

@@ -96,4 +96,43 @@ class SemanticDedupStreamSpec extends AnyFunSuite with SparkSpec {
       } finally q.stop()
     }
   }
+
+  // two ADVICE r10 robustness gaps in one feed: (a) a row whose
+  // embedding DIMENSION differs from a stored member's must score no
+  // pair instead of throwing AIOOBE and killing the query; (b) an
+  // at-least-once redelivery of an admitted vecId must re-emit nothing
+  test("dim-drifted rows score no pair and redelivery re-emits nothing") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    withRocks {
+      def vec(id: Long, emb: Array[Double], tsMs: Long) =
+        SemIn(id, bucket = 5L, emb,
+          norm = math.sqrt(emb.map(x => x * x).sum),
+          ts = new java.sql.Timestamp(tsMs))
+      val e64 = Array.tabulate(64)(i => if (i == 0) 1.0 else 0.0)
+      val input = MemoryStream[SemIn]
+      val cands = input.toDS()
+        .withWatermark("ts", "1 second")
+        .groupByKey(_.bucket)
+        .transformWithState(new SemanticDedupTracker(3600000L),
+          TimeMode.EventTime(), OutputMode.Append())
+      val q = cands.writeStream.outputMode("append")
+        .format("memory").queryName("semdrift").start()
+      try {
+        def send(rows: SemIn*): Unit = { input.addData(rows); q.processAllAvailable() }
+        send(vec(1, e64, 10000L))
+        // dim drift: a 3-dim row in the same bucket — pre-fix this threw
+        // ArrayIndexOutOfBounds inside cos6 and failed the whole query
+        send(vec(99, Array(1.0, 0.0, 0.0), 11000L))
+        // redelivery of admitted vec 1: nothing may re-emit
+        send(vec(1, e64, 12000L))
+        // a matching-dim duplicate still pairs with the stored member
+        send(vec(2, e64, 13000L))
+        val got = spark.table("semdrift").as[SemCandOut].collect()
+        assert(got.map(o => (o.aId, o.bId)).toSeq === Seq((1L, 2L)),
+          s"expected exactly the (1,2) pair once: ${got.toSeq}")
+        assert(got.head.cosSim === 1.0)
+      } finally q.stop()
+    }
+  }
 }
