@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 import graft.plans.PlanDigest
 
-/** Emits the plan-shape artifact (`PLANS_r10.json` by default): one
+/** Emits the plan-shape artifact (`PlanDiff.CurrentArtifact` by default): one
   * JSON line per registry query with its physical-plan digest — see
   * [[graft.plans.PlanDigest]] for what is recorded and why. Session
   * config mirrors the test harness (`SparkSpec`: local[4], 4 shuffle
@@ -15,7 +15,8 @@ import graft.plans.PlanDigest
   * build-time probes a few adaptive queries run. */
 object PlanShape {
   def main(args: Array[String]): Unit = {
-    val out = sys.env.getOrElse("SPARK_GRAFT_PLANS_OUT", "PLANS_r10.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_PLANS_OUT",
+      graft.plans.PlanDiff.CurrentArtifact)
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -43,7 +44,7 @@ object PlanShape {
             graft.queries.Registry.queries.toSeq.sortBy(_._1).map {
               case (name, fn) => scala.concurrent.Future {
                 org.apache.spark.sql.SparkSession.setActiveSession(spark)
-                PlanDigest.toJsonLine(name, PlanDigest.digest(fn(spark, dir)))
+                PlanDigest.toJsonLine(name, PlanDigest.digestBuilt(fn(spark, dir)))
               }
             }),
           scala.concurrent.duration.Duration(20, "min"))

@@ -27,6 +27,13 @@ object Profile {
       println(f"[profile] $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows)")
     }
     val docs = Tables.documents(spark, sfDir)
+
+    if (args.headOption.contains("prefix-stages")) {
+      prefixStages(spark, docs)
+      spark.stop()
+      return
+    }
+
     val sh = DedupOps.docShingles(docs).cache()
     time("shingles")(sh.selectExpr("sum(size(shingles))").count())
     time("shingle_explode")(sh.select(explode(col("shingles"))).count())
@@ -36,5 +43,79 @@ object Profile {
     time("simhash")(DedupOps.simhash48(spark, docs).count())
     time("winnow_fps")(DedupOps.winnowFingerprints(docs).count())
     spark.stop()
+  }
+
+  /** Per-stage wall breakdown of `jaccard_prefix_join` — the r11 bench
+    * tail adjudication (the prefix pair tops BENCH_r10 at ~4.5 s each).
+    * Mirrors `DedupQueries.jaccardPrefixJoinFromShingles` stage for stage
+    * (keep in sync with it): shingle build → rarest-first prefix ranking
+    * → PPJoin candidate join → exact-Jaccard verify. Stages checkpoint
+    * their output like the production form, so each timing is that
+    * stage's own work, and an untimed warm pass precedes the measured one
+    * (JIT + parquet footers off the clock, the Bench convention). */
+  private def prefixStages(spark: SparkSession,
+      docs: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[profile] $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows)")
+    }
+    val tau = graft.queries.DedupQueries.PrefixTau
+    // warm pass: the full production query, untimed
+    graft.queries.DedupQueries.jaccardPrefixJoinFrom(spark, docs).count()
+    var ex: org.apache.spark.sql.DataFrame = null
+    time("stage1_shingle_explode") {
+      ex = DedupOps.docShingles(docs)
+        .select(col("doc_id"), explode(col("shingles")).as("s"))
+        .localCheckpoint(true)
+      ex.count()
+    }
+    var prefix: org.apache.spark.sql.DataFrame = null
+    time("stage2_rarest_ranking") {
+      val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      val ord = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+      prefix = ex.join(freq, "s")
+        .withColumn("pos", row_number().over(ord))
+        .withColumn("sz", count(lit(1)).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .filter(col("pos") <= col("sz") - ceil(col("sz") * lit(tau)) + lit(1))
+        .select(col("doc_id"), col("s"), col("pos"), col("sz"))
+        .localCheckpoint(true)
+      prefix.count()
+    }
+    var cand: org.apache.spark.sql.DataFrame = null
+    time("stage3_candidate_join") {
+      val tFrac = tau / (1.0 + tau)
+      cand = prefix.select(
+          col("doc_id").as("a_id"), col("s"),
+          col("pos").as("a_pos"), col("sz").as("a_sz"))
+        .join(prefix.select(
+          col("doc_id").as("b_id"), col("s"),
+          col("pos").as("b_pos"), col("sz").as("b_sz")), "s")
+        .filter(col("a_id") < col("b_id"))
+        .filter(lit(1) + least(col("a_sz") - col("a_pos"), col("b_sz") - col("b_pos"))
+          >= ceil(lit(tFrac) * (col("a_sz") + col("b_sz"))))
+        .select("a_id", "b_id").distinct()
+        .localCheckpoint(true)
+      cand.count()
+    }
+    time("stage4_verify_wide") {
+      val candIds = cand.select(col("a_id").as("doc_id"))
+        .union(cand.select(col("b_id").as("doc_id"))).distinct()
+      val shCand = ex.join(candIds, Seq("doc_id"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(collect_list(col("s")).as("shingles"))
+      cand
+        .join(shCand.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
+        .join(shCand.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
+        .withColumn("jaccard", round(DedupOps.jaccard(col("sa"), col("sb")), 6))
+        .filter(col("jaccard") >= tau)
+        .orderBy("a_id", "b_id")
+        .count()
+    }
+    // the production end-to-end, timed for the same-session reference point
+    time("full_query")(
+      graft.queries.DedupQueries.jaccardPrefixJoinFrom(spark, docs).count())
   }
 }

@@ -51,15 +51,19 @@ object ScaleSmoke {
     // sweeps therefore ACCUMULATE lines: consumers must treat the NEWEST
     // line per (probe, k, sf) as authoritative (last-write-wins), or set
     // SPARK_GRAFT_SCALE_TRUNCATE=1 to start a fresh full sweep
-    val scaleOut = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r10.json")
+    val scaleOut = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r11.json")
     if (sys.env.get("SPARK_GRAFT_SCALE_TRUNCATE").contains("1"))
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(scaleOut))
-    def time(name: String)(f: => Long): Unit = if (only.forall(_.contains(name))) {
+    // extra: additional JSON fields (e.g. `"rounds":3`), evaluated AFTER
+    // the probe body so the body can surface run observables through a var
+    def time(name: String, extra: => String = "")(f: => Long): Unit =
+      if (only.forall(_.contains(name))) {
       val t0 = System.nanoTime()
       val rows = f
       val wall = (System.nanoTime() - t0) / 1e9
+      val ex = { val e = extra; if (e.isEmpty) "" else "," + e }
       println(f"[scale] $name%-22s $wall%8.2f s  ($rows rows)")
-      val line = f"""{"probe":"$name","k":$k,"wall_sec":$wall%.3f,"rows":$rows,"sf":"$sfDir"}%n"""
+      val line = f"""{"probe":"$name","k":$k,"wall_sec":$wall%.3f,"rows":$rows$ex,"sf":"$sfDir"}%n"""
       java.nio.file.Files.write(java.nio.file.Paths.get(scaleOut),
         line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,
@@ -193,19 +197,40 @@ object ScaleSmoke {
     time("boilerplate_share")(
       graft.queries.DedupQueries.docBoilerplateShareFrom(spark, scaled).count())
 
-    // duplicate-cluster extraction over the verified LSH pairs: rounds ∝
-    // component diameter (replica cliques are near-cliques → 2-3), wall ∝
-    // the DUP subset, never the corpus. If rounds ever grow with K here,
-    // the min-label loop should switch to alternating large-star/small-star
-    // (halves convergence rounds on chain-shaped components).
-    time("dedup_components") {
+    // duplicate-cluster extraction over the verified LSH pairs, END TO
+    // END (pair generation + clustering — comparable round-over-round):
+    // the r11 pointer-doubling contraction touches the clique-quadratic
+    // edge set once per level instead of once per propagation round, so
+    // wall tracks the pair VOLUME once, not volume × diameter. `rounds`
+    // (distributed passes to converge) is emitted in the probe row.
+    var ccRounds = -1
+    time("dedup_components", s""""rounds":$ccRounds""") {
       val pairs = graft.queries.DedupQueries.minhashLshDupsFrom(spark, scaled)
         .select(col("a_id"), col("b_id"))
       val (comp, rounds) =
         DedupOps.connectedComponentsWithRounds(spark, pairs)
       val n = comp.count()
-      println(s"[scale] dedup_components converged in $rounds rounds")
+      ccRounds = rounds
+      println(s"[scale] dedup_components converged in $rounds passes")
       n
+    }
+
+    // clustering step ISOLATED (pairs pre-materialized off the clock):
+    // attributes the end-to-end curve — the pair pipeline's candidate
+    // volume grows as cliques × K², so this row is the one that must
+    // stay ∝ edges (one edge-sized pass + shrinking remainders)
+    if (needed("dedup_cc_only")) {
+      val pairsMat = graft.queries.DedupQueries.minhashLshDupsFrom(spark, scaled)
+        .select(col("a_id"), col("b_id")).localCheckpoint(true)
+      val nPairs = pairsMat.count()
+      var ccOnlyRounds = -1
+      time("dedup_cc_only", s""""rounds":$ccOnlyRounds,"edges":$nPairs""") {
+        val (comp, rounds) =
+          DedupOps.connectedComponentsWithRounds(spark, pairsMat)
+        val n = comp.count()
+        ccOnlyRounds = rounds
+        n
+      }
     }
 
     // canonical-keeper selection END-TO-END (pairs → components → keeper

@@ -27,7 +27,8 @@ import graft.streaming.SensorPipeline
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
-    val nBatch = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val nBatch = args.headOption.filterNot(_ == "state-curves")
+      .map(_.toLong).getOrElse(2000000L)
     val nStream = args.drop(1).headOption.map(_.toLong).getOrElse(500000L)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -36,9 +37,17 @@ object StreamBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // state-size curves sample per-trigger progress; keep enough of them
+      .config("spark.sql.streaming.numRecentProgressUpdates", "256")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+
+    if (args.headOption.contains("state-curves")) {
+      stateCurves(spark)
+      spark.stop()
+      return
+    }
 
     val stations = Map("alpha" -> 15, "beta" -> 10, "gamma" -> 8)
 
@@ -162,22 +171,6 @@ object StreamBench {
       println(f"[streambench] streaming_topk n=$nStream out_rows=${spark.table("topkbench").count()} t=$tT%.2f s rate=${nStream / tT}%.0f events/s")
     } finally qt.stop()
 
-
-    // FileStreamSource batches files by MODIFICATION time, not path, and
-    // a bulk write stamps every part with the same mtime — so even
-    // range-partitioned files enqueue in scrambled order and the
-    // advancing watermark late-drops rows (measured: half the dedup
-    // feed). Stamp increasing mtimes in path (= range) order so triggers
-    // consume event time monotonically, like a dated-directory ingest.
-    def orderFileMtimes(dir: String): Unit =
-      new java.io.File(dir).listFiles()
-        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-        .zipWithIndex.foreach { case (f, i) =>
-          // a silent setLastModified failure re-creates the scrambled
-          // enqueue this helper exists to prevent (half the feed
-          // late-dropped, rate inflated) — refuse to measure instead
-          require(f.setLastModified(1700000000000L + i * 60000L),
-            s"setLastModified failed for $f — mtime ordering not applied") }
 
     // ---- streaming leg E: top-k tracker via FILE source, AvailableNow ----
     // the deployment-shaped twin of leg D: no driver-side feeding — rows
@@ -361,5 +354,156 @@ object StreamBench {
     val tS = (System.nanoTime() - t9) / 1e9
     println(f"[streambench] streaming_semantic_neardup_filesource vecs=$nSem cand_rows=${spark.table("semfsbench").count()} t=$tS%.2f s rate=${nSem / tS}%.0f vecs/s")
     spark.stop()
+  }
+
+  // FileStreamSource batches files by MODIFICATION time, not path, and
+  // a bulk write stamps every part with the same mtime — so even
+  // range-partitioned files enqueue in scrambled order and the
+  // advancing watermark late-drops rows (measured: half the dedup
+  // feed). Stamp increasing mtimes in path (= range) order so triggers
+  // consume event time monotonically, like a dated-directory ingest.
+  private def orderFileMtimes(dir: String): Unit =
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        // a silent setLastModified failure re-creates the scrambled
+        // enqueue this helper exists to prevent (half the feed
+        // late-dropped, rate inflated) — refuse to measure instead
+        require(f.setLastModified(1700000000000L + i * 60000L),
+          s"setLastModified failed for $f — mtime ordering not applied") }
+
+  /** STATE-SIZE curves for the stream-dedup tracker family (r11): the
+    * trackers claim horizon-bounded state — "index + in-horizon corpus,
+    * never feed-sized" — and until now no artifact measured it. This mode
+    * (`runMain graft.StreamBench state-curves`) replays each tracker's
+    * file-source leg at three retention horizons over an event-time span
+    * MUCH longer than the largest horizon, samples `stateOperators`
+    * (numRowsTotal / memoryUsedBytes) from every trigger's progress, and
+    * appends one JSON line per (tracker, horizon) to the SCALE artifact.
+    * The claim holds iff state_rows_max tracks horizon × key-rate (plus
+    * the fixed base index for the fingerprint gate), not feed size.
+    *
+    * Trigger granularity matters: state peaks between watermark-driven
+    * evictions, so each micro-batch must cover event time ≪ horizon —
+    * 128 single-file triggers over the span keep the trigger quantum at
+    * ~2-4% of the smallest horizon. */
+  private def stateCurves(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val scaleOut = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r11.json")
+    def emit(line: String): Unit = {
+      println(s"[scale] $line")
+      java.nio.file.Files.write(java.nio.file.Paths.get(scaleOut),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+    /** Runs `build(queryName)` to completion and returns
+      * (wall_s, out_rows, max state rows, max state bytes). */
+    def run(queryName: String,
+        build: String => org.apache.spark.sql.streaming.DataStreamWriter[_])
+        : (Double, Long, Long, Long) = {
+      val t0 = System.nanoTime()
+      val q = build(queryName).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val prog = q.recentProgress
+      val stateRows = prog.map(_.stateOperators.map(_.numRowsTotal).sum).max
+      val stateBytes = prog.map(_.stateOperators.map(_.memoryUsedBytes).sum).max
+      val outRows = spark.table(queryName).count()
+      // free the memory sink's driver-side rows before the next horizon
+      spark.catalog.dropTempView(queryName)
+      (wall, outRows, stateRows, stateBytes)
+    }
+
+    // ---- fingerprint gate: ValueState + base index -----------------------
+    // feed: 2M rows, 10 ms event-time spacing (span 20,000 s), a new
+    // fingerprint every 3 rows (~33 fp/s) + a 100k-fp durable base index.
+    // Expected state: ~100k + horizon_s × 33 — the slope is the claim.
+    val nFeed = 2000000L
+    val dedupRows = spark.range(nFeed).select(
+        col("id").as("docId"),
+        concat(lit("fp"), expr("id div 3")).as("fingerprint"),
+        timestamp_millis(lit(1700000000000L) + col("id") * 10L).as("ts"))
+    val dedupDir = java.nio.file.Files.createTempDirectory("statecurve_fp").toString
+    dedupRows.repartitionByRange(128, col("ts"))
+      .write.mode("overwrite").parquet(dedupDir)
+    orderFileMtimes(dedupDir)
+    val dedupInit = spark.range(100000)
+      .select(concat(lit("base"), col("id")).as("fp")).as[String]
+      .groupByKey(identity).mapValues(_ => true)
+    Seq(900000L, 1800000L, 3600000L).foreach { horizonMs =>
+      val in = spark.readStream.schema(dedupRows.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dedupDir)
+        .as[graft.streaming.DedupIn]
+      val name = s"fpcurve_$horizonMs"
+      val (wall, outRows, stRows, stBytes) = run(name, n =>
+        in.withWatermark("ts", "10 seconds")
+          .groupByKey(_.fingerprint)
+          .transformWithState(new graft.streaming.FingerprintDedupTracker(horizonMs),
+            TimeMode.EventTime(), OutputMode.Append(), dedupInit)
+          .writeStream.outputMode("append").format("memory").queryName(n))
+      emit(f"""{"probe":"state_dedup_gate","horizon_ms":$horizonMs,"wall_sec":$wall%.3f,"rows":$outRows,"feed_rows":$nFeed,"base_index":100000,"state_rows_max":$stRows,"state_mem_bytes_max":$stBytes,"sf":"synthetic"}""")
+    }
+
+    // ---- LSH near-dup tracker: per-(band,bucket) ListState ---------------
+    // feed: sf0.1 documents ×8 near-dup replicas, 100 ms spacing (span
+    // 4,000 s at 10 docs/s). State rows ≈ in-horizon docs × 4 bands.
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val docs0 = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val lshDocs = (0 until 8).map { i =>
+      docs0.select((col("doc_id") * 8 + i).as("doc_id"),
+        concat(col("text"), lit(s" replica$i")).as("text"))
+    }.reduce(_ unionAll _)
+      .withColumn("ts", timestamp_millis(lit(1700000000000L) + col("doc_id") * 100L))
+    val nLsh = docs0.count() * 8
+    val lshDir = java.nio.file.Files.createTempDirectory("statecurve_lsh").toString
+    lshDocs.repartitionByRange(128, col("ts")).write.mode("overwrite").parquet(lshDir)
+    orderFileMtimes(lshDir)
+    Seq(600000L, 1200000L, 2400000L).foreach { horizonMs =>
+      val in = spark.readStream.schema(lshDocs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(lshDir)
+      val name = s"lshcurve_$horizonMs"
+      val (wall, outRows, stRows, stBytes) = run(name, n =>
+        graft.streaming.LshDedupTracker.streamInput(in)
+          .as[graft.streaming.LshIn]
+          .withWatermark("ts", "10 seconds")
+          .groupByKey(r => s"${r.band}:${r.bandKey}")
+          .transformWithState(new graft.streaming.LshDedupTracker(horizonMs),
+            TimeMode.EventTime(), OutputMode.Append())
+          .writeStream.outputMode("append").format("memory").queryName(n))
+      emit(f"""{"probe":"state_lsh_neardup","horizon_ms":$horizonMs,"wall_sec":$wall%.3f,"rows":$outRows,"feed_rows":$nLsh,"state_rows_max":$stRows,"state_mem_bytes_max":$stBytes,"sf":"$sfDir"}""")
+    }
+
+    // ---- semantic near-dup tracker: per-bucket ListState -----------------
+    // feed: sf0.1 embeddings ×8 exact-dup replicas, 100 ms spacing.
+    val emb0 = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val semDocs = (0 until 8).map { i =>
+      emb0.select((col("vec_id") * 8 + i).as("vec_id"), col("embedding"))
+    }.reduce(_ unionAll _)
+      .withColumn("ts", timestamp_millis(lit(1700000000000L) + col("vec_id") * 100L))
+    val nSem = emb0.count() * 8
+    val semDir = java.nio.file.Files.createTempDirectory("statecurve_sem").toString
+    graft.streaming.SemanticDedupTracker.streamInput(semDocs)
+      .repartitionByRange(128, col("ts")).write.mode("overwrite").parquet(semDir)
+    orderFileMtimes(semDir)
+    val semSchema = graft.streaming.SemanticDedupTracker.streamInput(semDocs).schema
+    Seq(600000L, 1200000L, 2400000L).foreach { horizonMs =>
+      val in = spark.readStream.schema(semSchema)
+        .option("maxFilesPerTrigger", "1").parquet(semDir)
+        .as[graft.streaming.SemIn]
+      val name = s"semcurve_$horizonMs"
+      val (wall, outRows, stRows, stBytes) = run(name, n =>
+        in.withWatermark("ts", "10 seconds")
+          .groupByKey(_.bucket)
+          .transformWithState(new graft.streaming.SemanticDedupTracker(horizonMs),
+            TimeMode.EventTime(), OutputMode.Append())
+          .writeStream.outputMode("append").format("memory").queryName(n))
+      emit(f"""{"probe":"state_semantic_neardup","horizon_ms":$horizonMs,"wall_sec":$wall%.3f,"rows":$outRows,"feed_rows":$nSem,"state_rows_max":$stRows,"state_mem_bytes_max":$stBytes,"sf":"$sfDir"}""")
+    }
   }
 }

@@ -264,64 +264,138 @@ object DedupOps {
     * cluster, and the component id (the cluster's minimum doc id) picks
     * the canonical representative deterministically.
     *
-    * Min-label propagation: every node starts labeled with its own id;
-    * each round replaces a node's label with the min over itself and its
-    * neighbors; converged when a round changes nothing. Rounds needed =
-    * graph diameter (dup cliques are near-cliques, so 2–3 in practice);
-    * each round is one equi-join + one groupBy — all-shuffle-parallel,
-    * no driver-side graph. `localCheckpoint` truncates the iterative
-    * lineage so the plan does not grow with rounds (the classic
-    * iterative-DataFrame trap). This is the same hash-to-min scheme
-    * GraphX/GraphFrames connected components builds on.
+    * Pointer-doubling CONTRACTION (the r11 rework; min-label propagation
+    * before): each level builds the min-neighbor parent forest
+    * P(u) = min(Γ(u) ∪ {u}) with ONE edge-sized aggregate, compresses it
+    * to its roots by pointer halving (P ← P∘P — NODE-sized self-joins,
+    * O(log depth) of them), then CONTRACTS the edge set onto the roots
+    * and recurses on the (much smaller) remainder graph. Why this shape:
+    * min-label propagation rescans the FULL edge set every round for
+    * diameter rounds — and a near-dup edge set is quadratic in clique
+    * size (K replicas of one doc contribute K²/2 verified pairs), so at
+    * 50× replication the old loop paid the K²-sized join 4-5 times over
+    * (the steepest curve in SCALE_r10.json, 4.25× wall over 5× data).
+    * Contraction touches the edge set ONCE per level, cliques collapse
+    * to their minimum in level one, and every later pass runs on frames
+    * that shrink geometrically (each non-root merges, so levels halve
+    * the node count; halving doubles pointer depth per step) — O(log n)
+    * distributed passes in the worst case instead of O(diameter)
+    * edge-sized ones. Same fixed point as min-label propagation: the
+    * component min m has P(m) = m at every level, every label is a node
+    * of the same component, so the composed mapping sends each node to
+    * its component minimum. `localCheckpoint` after every pass truncates
+    * the iterative lineage (the classic iterative-DataFrame trap).
     *
     * @param edges (a_id, b_id) pairs, undirected
+    * @param maxIters cap on DISTRIBUTED PASSES (level aggregates +
+    *   halving joins + contractions summed) — a loud-failure backstop,
+    *   not a tuning knob; real dup graphs finish in ≤ ~8
     * @return (doc_id, component_id) for every node in the edge list
     */
-  def connectedComponents(spark: SparkSession, edges: DataFrame, maxIters: Int = 15): DataFrame =
+  def connectedComponents(spark: SparkSession, edges: DataFrame, maxIters: Int = 40): DataFrame =
     connectedComponentsWithRounds(spark, edges, maxIters)._1
 
-  /** [[connectedComponents]] plus the number of propagation rounds it
-    * took to converge — the scale-behavior observable (rounds ∝ graph
-    * diameter) that ScaleSmoke records. */
+  /** [[connectedComponents]] plus the number of distributed passes it
+    * took to converge — the scale-behavior observable (passes grow
+    * log-, not linearly, in component diameter) that ScaleSmoke records
+    * in the `dedup_components` probe row. */
   def connectedComponentsWithRounds(
-      spark: SparkSession, edges: DataFrame, maxIters: Int = 15): (DataFrame, Int) = {
-    val sym = edges
-      .select(col("a_id").as("node"), col("b_id").as("nbr"))
-      .unionAll(edges.select(col("b_id").as("node"), col("a_id").as("nbr")))
-      .cache()
-    var labels = sym.select(col("node")).distinct()
-      .withColumn("comp", col("node"))
-      .localCheckpoint(true)
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIters) {
-      // Convergence detection is FUSED into the update aggregate: the
-      // current-label rows carry their label a second time as `prev`
-      // (exactly one such row per node; neighbor rows carry null), so
-      // min(comp) vs max(prev) on the SAME aggregate says whether the
-      // node changed — no separate updated⋈labels join (which costs two
-      // node-sized shuffles per round, since localCheckpoint hides the
-      // hash partitioning from Catalyst).
-      val nbrLabels = sym
-        .join(labels.select(col("node").as("nbr"), col("comp")), "nbr")
-        .select(col("node"), col("comp"), lit(null).cast("long").as("prev"))
-      val updated = labels.select(col("node"), col("comp"), col("comp").as("prev"))
-        .unionAll(nbrLabels)
-        .groupBy(col("node"))
-        .agg(min(col("comp")).as("comp"), max(col("prev")).as("prev"))
-        .localCheckpoint(true)
-      // min(comp) includes prev, so comp <= prev with equality iff unchanged
-      converged = updated.filter(col("comp") =!= col("prev")).isEmpty
-      labels = updated.select(col("node"), col("comp"))
-      i += 1
+      spark: SparkSession, edges: DataFrame, maxIters: Int = 40): (DataFrame, Int) = {
+    // materialize the caller's edge frame ONCE: it is typically the tail
+    // of an expensive pair pipeline (LSH verify joins), and the scans
+    // below would otherwise re-evaluate it (the old min-label loop's
+    // sym.cache() served the same purpose)
+    val edgesMat = edges.select(col("a_id"), col("b_id")).localCheckpoint(true)
+    // level-0 edge view: canonicalized, self-loops dropped, NOT deduped
+    // and NOT materialized — the parent-forest min aggregate is
+    // duplicate-insensitive and the view is map-side over the checkpoint,
+    // so a distinct here would be a pure extra edge-sized shuffle
+    // (contracted levels DO dedupe: contraction multiplies edges)
+    var e = edgesMat
+      .select(least(col("a_id"), col("b_id")).as("u"),
+        greatest(col("a_id"), col("b_id")).as("v"))
+      .filter(col("u") =!= col("v"))
+    var rounds = 0
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    var tLast = System.nanoTime()
+    def mark(what: String): Unit = if (dbg) {
+      val now = System.nanoTime()
+      println(f"[cc] $what%-18s ${(now - tLast) / 1e9}%7.2f s")
+      tLast = now
     }
-    sym.unpersist()
-    // exiting via the iteration cap would silently emit non-minimal labels
-    // (one real cluster split into several, each with its own is_kept pick)
-    // — fail loudly instead; real dup graphs converge in O(diameter) ≪ cap
-    if (!converged)
-      sys.error(s"connectedComponents did not converge in $maxIters rounds " +
-        "(graph diameter exceeds the cap) — raise maxIters")
-    (labels.select(col("node").as("doc_id"), col("comp").as("component_id")), i)
+    def spend(): Unit = {
+      rounds += 1
+      // exiting via the cap would silently emit non-minimal labels (one
+      // real cluster split into several, each with its own is_kept pick)
+      // — fail loudly instead
+      if (rounds > maxIters)
+        sys.error(s"connectedComponents did not converge in $maxIters passes " +
+          "(pathological graph shape) — raise maxIters")
+    }
+    var mappings = List.empty[DataFrame] // level mappings, latest first
+    while (!e.isEmpty) {
+      // parent forest: P(u) = min(Γ(u) ∪ {u}) — the one edge-sized pass
+      spend()
+      val sym = e.select(col("u").as("node"), col("v").as("nbr"))
+        .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
+      var p = sym.groupBy(col("node")).agg(min(col("nbr")).as("mn"))
+        .select(col("node"), least(col("mn"), col("node")).as("root"))
+        .localCheckpoint(true)
+      mark("parent_forest")
+      // pointer halving to forest roots: root ← root(root) until stable
+      // (node-sized self-joins; tree depth halves per step). Total join:
+      // every root value is itself a node of this level's node set.
+      var halved = false
+      while (!halved) {
+        spend()
+        val step = p
+          .join(p.select(col("node").as("root"), col("root").as("root2")),
+            Seq("root"))
+          .localCheckpoint(true)
+        halved = step.filter(col("root") =!= col("root2")).isEmpty
+        mark("halving")
+        p = step.select(col("node"), col("root2").as("root"))
+      }
+      mappings = p :: mappings
+      // contract edges onto the roots; the remainder graph shrinks
+      // geometrically (every non-root node merged into its root)
+      spend()
+      e = e
+        .join(p.select(col("node").as("u"), col("root").as("ru")), "u")
+        .join(p.select(col("node").as("v"), col("root").as("rv")), "v")
+        .select(least(col("ru"), col("rv")).as("u"),
+          greatest(col("ru"), col("rv")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct().localCheckpoint(true)
+      mark("contract")
+    }
+    // compose the level mappings bottom-up. The level-1 forest's domain
+    // IS the node set of every non-self-loop edge (so no separate
+    // node-set distinct is ever shuffled); a node isolated at some later
+    // level (no row in the next mapping) is already its component's
+    // root. Nodes appearing ONLY in self-loops never enter level 1 and
+    // are their own components — appended from a (typically empty)
+    // anti-joined scan.
+    var labels = mappings.reverse match {
+      case Nil =>
+        // no non-self-loop edge at all: every endpoint is its own root
+        edgesMat.select(col("a_id").as("node"))
+          .unionAll(edgesMat.select(col("b_id").as("node")))
+          .distinct().select(col("node"), col("node").as("comp"))
+      case l1 :: rest =>
+        var lab = l1.select(col("node"), col("root").as("comp"))
+        rest.foreach { m =>
+          lab = lab
+            .join(m.select(col("node").as("comp"), col("root")), Seq("comp"), "left")
+            .select(col("node"), coalesce(col("root"), col("comp")).as("comp"))
+        }
+        val selfOnly = edgesMat.filter(col("a_id") === col("b_id"))
+          .select(col("a_id").as("node")).distinct()
+          .join(l1.select(col("node")), Seq("node"), "left_anti")
+        lab.unionAll(selfOnly.select(col("node"), col("node").as("comp")))
+    }
+    labels = labels.localCheckpoint(true)
+    mark("compose")
+    (labels.select(col("node").as("doc_id"), col("comp").as("component_id")), rounds)
   }
 }

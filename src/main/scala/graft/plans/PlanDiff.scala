@@ -1,0 +1,191 @@
+package graft.plans
+
+/** Cross-round PHYSICAL-PLAN drift gate (r11): `PLANS_r{N}.json` made
+  * plan shape diffable, but nothing diffed it — a broadcast silently
+  * flipping to a sort-merge join in round N+1 would still wait for a
+  * judge to notice. This object diffs the current round's digest
+  * artifact against the committed PREVIOUS round's, classifies changes
+  * (exchange-count increases, join-strategy flips, lost pushdowns =
+  * REGRESSIONS; everything else = informational), and emits
+  * `PLANS_DIFF_r{N}.json`. Intentional plan changes are whitelisted in
+  * [[PlanDiff.whitelist]] with a reason that is recorded in the diff
+  * artifact; `RegistryAuditSpec` fails the build on any unexplained
+  * regression and on a stale diff artifact.
+  *
+  * The current artifact's currency against live plans is enforced
+  * separately (the digest-currency test), so diffing the two COMMITTED
+  * files is equivalent to diffing live digests against the previous
+  * round — without paying a second 320-query plan walk.
+  */
+object PlanDiff {
+
+  /** Per-round artifact names — bump together once per round. */
+  val CurrentArtifact = "PLANS_r11.json"
+  val PreviousArtifact = "PLANS_r10.json"
+  val DiffArtifact = "PLANS_DIFF_r11.json"
+
+  /** Intentional plan changes this round, query → reason. A whitelist
+    * entry licenses ONE round's diff; next round the changed plan is the
+    * new baseline and the entry should be dropped. */
+  val whitelist: Map[String, String] = Map.empty
+
+  /** The digest fields of one artifact line (parsed from our own fixed
+    * writer format — see [[PlanDigest.toJsonLine]]). `materializePoints`
+    * is None on pre-r11 artifacts, which did not record it. */
+  case class Line(
+      query: String,
+      shuffle: Int,
+      broadcast: Int,
+      joins: Map[String, Int],
+      sorts: Int,
+      windows: Int,
+      materializePoints: Option[Int],
+      scansRaw: String,
+      pushedTotal: Int)
+
+  private val QueryRe = """"query":"([^"]+)"""".r
+  private val IntRe = Map(
+    "shuffle_exchanges" -> """"shuffle_exchanges":(\d+)""".r,
+    "broadcast_exchanges" -> """"broadcast_exchanges":(\d+)""".r,
+    "sorts" -> """"sorts":(\d+)""".r,
+    "windows" -> """"windows":(\d+)""".r)
+  private val MatRe = """"materialize_points":(\d+)""".r
+  private val JoinsRe = """"joins":\{([^}]*)\}""".r
+  private val JoinPairRe = """"([A-Za-z]+)":(\d+)""".r
+  private val ScansRe = """"scans":\[(.*)\]""".r
+  private val PushedRe = """"pushed":(\d+)""".r
+
+  def parseLine(l: String): Line = {
+    def int(f: String): Int = IntRe(f).findFirstMatchIn(l)
+      .fold(sys.error(s"artifact line missing $f: $l"))(_.group(1).toInt)
+    val joins = JoinsRe.findFirstMatchIn(l)
+      .fold(sys.error(s"artifact line missing joins: $l")) { m =>
+        JoinPairRe.findAllMatchIn(m.group(1))
+          .map(p => p.group(1) -> p.group(2).toInt).toMap
+      }
+    val scans = ScansRe.findFirstMatchIn(l)
+      .fold(sys.error(s"artifact line missing scans: $l"))(_.group(1))
+    Line(
+      query = QueryRe.findFirstMatchIn(l)
+        .fold(sys.error(s"artifact line missing query: $l"))(_.group(1)),
+      shuffle = int("shuffle_exchanges"),
+      broadcast = int("broadcast_exchanges"),
+      joins = joins,
+      sorts = int("sorts"),
+      windows = int("windows"),
+      materializePoints = MatRe.findFirstMatchIn(l).map(_.group(1).toInt),
+      scansRaw = scans,
+      pushedTotal = PushedRe.findAllMatchIn(scans).map(_.group(1).toInt).sum)
+  }
+
+  def parseArtifact(path: java.nio.file.Path): Map[String, Line] = {
+    val lines = scala.jdk.CollectionConverters
+      .ListHasAsScala(java.nio.file.Files.readAllLines(path)).asScala
+    lines.filter(_.nonEmpty).map(parseLine).map(l => l.query -> l).toMap
+  }
+
+  case class Change(field: String, old: String, now: String, regression: Boolean)
+
+  case class QueryDiff(query: String, changes: Seq[Change],
+      whitelisted: Option[String]) {
+    def regression: Boolean = changes.exists(_.regression)
+    def unexplained: Boolean = regression && whitelisted.isEmpty
+  }
+
+  /** Field-level diff of one query's digests. Regressions: a shuffle
+    * exchange creeping in, any join-strategy change (a flip needs review
+    * even when it looks like an upgrade — the whitelist records the
+    * review), an extra sort or window pass, a lost pushed filter. Scan
+    * layout and broadcast-exchange count changes are informational —
+    * they matter only through those, and the digest-currency test
+    * already pins their exact values. */
+  def diffQuery(prev: Line, cur: Line): Seq[Change] = {
+    def joinStr(m: Map[String, Int]) =
+      m.toSeq.sorted.map { case (k, v) => s"$k:$v" }.mkString("{", ",", "}")
+    val b = Seq.newBuilder[Change]
+    if (cur.shuffle != prev.shuffle)
+      b += Change("shuffle_exchanges", prev.shuffle.toString,
+        cur.shuffle.toString, regression = cur.shuffle > prev.shuffle)
+    if (cur.broadcast != prev.broadcast)
+      b += Change("broadcast_exchanges", prev.broadcast.toString,
+        cur.broadcast.toString, regression = false)
+    if (cur.joins != prev.joins)
+      b += Change("joins", joinStr(prev.joins), joinStr(cur.joins),
+        regression = true)
+    if (cur.sorts != prev.sorts)
+      b += Change("sorts", prev.sorts.toString, cur.sorts.toString,
+        regression = cur.sorts > prev.sorts)
+    if (cur.windows != prev.windows)
+      b += Change("windows", prev.windows.toString, cur.windows.toString,
+        regression = cur.windows > prev.windows)
+    if (cur.pushedTotal != prev.pushedTotal)
+      b += Change("pushed_filters_total", prev.pushedTotal.toString,
+        cur.pushedTotal.toString,
+        regression = cur.pushedTotal < prev.pushedTotal)
+    else if (cur.scansRaw != prev.scansRaw)
+      b += Change("scans", prev.scansRaw, cur.scansRaw, regression = false)
+    (prev.materializePoints, cur.materializePoints) match {
+      case (Some(p), Some(c)) if p != c =>
+        b += Change("materialize_points", p.toString, c.toString,
+          regression = false)
+      case _ => () // field absent on pre-r11 artifacts — not comparable
+    }
+    b.result()
+  }
+
+  case class Report(added: Seq[String], removed: Seq[String],
+      changed: Seq[QueryDiff]) {
+    def unexplained: Seq[QueryDiff] = changed.filter(_.unexplained)
+  }
+
+  def diff(prev: Map[String, Line], cur: Map[String, Line]): Report = {
+    val changed = (prev.keySet & cur.keySet).toSeq.sorted.flatMap { q =>
+      val cs = diffQuery(prev(q), cur(q))
+      if (cs.isEmpty) None
+      else Some(QueryDiff(q, cs, whitelist.get(q)))
+    }
+    Report(
+      added = (cur.keySet -- prev.keySet).toSeq.sorted,
+      removed = (prev.keySet -- cur.keySet).toSeq.sorted,
+      changed = changed)
+  }
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  /** Deterministic JSON rendering of the report — the committed
+    * `PLANS_DIFF_r{N}.json` artifact. */
+  def toJson(r: Report): String = {
+    def strArr(xs: Seq[String]) = xs.map("\"" + esc(_) + "\"").mkString("[", ",", "]")
+    val changed = r.changed.map { qd =>
+      val cs = qd.changes.map { c =>
+        s"""{"field":"${c.field}","old":"${esc(c.old)}","new":"${esc(c.now)}","regression":${c.regression}}"""
+      }.mkString("[", ",", "]")
+      val wl = qd.whitelisted.fold("null")("\"" + esc(_) + "\"")
+      s"""{"query":"${qd.query}","changes":$cs,"regression":${qd.regression},"whitelisted":$wl}"""
+    }.mkString("[", ",", "]")
+    s"""{"previous":"$PreviousArtifact","current":"$CurrentArtifact",""" +
+      s""""added":${strArr(r.added)},"removed":${strArr(r.removed)},""" +
+      s""""changed":$changed,""" +
+      s""""unexplained_regressions":${strArr(r.unexplained.map(_.query))}}"""
+  }
+
+  def computeReport(): Report = {
+    val prev = parseArtifact(java.nio.file.Paths.get(PreviousArtifact))
+    val cur = parseArtifact(java.nio.file.Paths.get(CurrentArtifact))
+    diff(prev, cur)
+  }
+
+  /** Emits [[DiffArtifact]]. Run after `runMain graft.PlanShape` whenever
+    * plans (or the registry) change; the spec gate fails the build if the
+    * committed diff is stale or an unexplained regression slipped in. */
+  def main(args: Array[String]): Unit = {
+    val report = computeReport()
+    java.nio.file.Files.write(java.nio.file.Paths.get(DiffArtifact),
+      (toJson(report) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[plandiff] $PreviousArtifact -> $CurrentArtifact: " +
+      s"${report.added.size} added, ${report.removed.size} removed, " +
+      s"${report.changed.size} changed " +
+      s"(${report.unexplained.size} unexplained regressions) -> $DiffArtifact")
+  }
+}

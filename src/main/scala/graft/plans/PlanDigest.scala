@@ -31,7 +31,24 @@ object PlanDigest {
       joins: Seq[(String, Int)], // nodeName -> count, name-sorted
       sorts: Int,
       windows: Int, // Window/WindowGroupLimit passes — each is a buffer+walk over every partition
-      scans: Seq[ScanInfo]) // table-sorted
+      scans: Seq[ScanInfo], // table-sorted
+      // checkpoint boundaries the EXECUTED form inserts (materializeOnce
+      // calls counted during the audit-mode build): digests are computed
+      // with graft.materialize=off so scan counts show full LINEAGE, and
+      // this field is how a consumer tells lineage-view scans from
+      // runtime reads (r11; see graft.queries.MaterializeCounter)
+      materializePoints: Int = 0)
+
+  /** [[digest]] of a query built by `fn` with the per-thread materialize
+    * counter wrapped around the build, so the digest carries the executed
+    * form's checkpoint-boundary count. The caller must already be in
+    * audit mode (`graft.materialize=off`) — otherwise the counter stays 0
+    * and the plan is the truncated executed form. */
+  def digestBuilt(fn: => DataFrame): Digest = {
+    graft.queries.MaterializeCounter.reset()
+    val df = fn
+    digest(df).copy(materializePoints = graft.queries.MaterializeCounter.value)
+  }
 
   def digest(df: DataFrame): Digest = {
     val root = df.queryExecution.executedPlan
@@ -99,6 +116,6 @@ object PlanDigest {
     s"""{"query":"$name","shuffle_exchanges":${d.shuffleExchanges},""" +
       s""""broadcast_exchanges":${d.broadcastExchanges},""" +
       s""""joins":{$joins},"sorts":${d.sorts},"windows":${d.windows},""" +
-      s""""scans":[$scans]}"""
+      s""""materialize_points":${d.materializePoints},"scans":[$scans]}"""
   }
 }

@@ -44,7 +44,30 @@ private[queries] object QueryConventions {
   private[queries] implicit class MaterializeSyntax(
       private val df: org.apache.spark.sql.DataFrame) {
     def materializeOnce: org.apache.spark.sql.DataFrame =
-      if (sys.props.get("graft.materialize").contains("off")) df
-      else df.localCheckpoint(true)
+      if (sys.props.get("graft.materialize").contains("off")) {
+        MaterializeCounter.bump()
+        df
+      } else df.localCheckpoint(true)
   }
+}
+
+/** Per-thread count of `materializeOnce` calls made while plans are built
+  * in audit mode (`graft.materialize=off`) — the `materialize_points`
+  * field of the PLANS artifact. The audit-form digest shows the FULL
+  * un-truncated lineage (a checkpoint boundary would blind the
+  * no-UDF/no-cartesian walks), so its scan counts are lineage-view, not
+  * runtime I/O: `snm_multipass_dups` digests 42 documents.parquet scan
+  * nodes the executed (checkpointed) form never performs. This counter
+  * tells an artifact consumer how many checkpoint boundaries the EXECUTED
+  * form inserts, so audit lineage and runtime reads are distinguishable
+  * without a second (execution-priced) digest pass. Thread-local because
+  * the plan walks build queries on a pool — each build runs wholly on one
+  * thread; reset before, read after. */
+object MaterializeCounter {
+  private val n = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = Array(0)
+  }
+  private[queries] def bump(): Unit = n.get()(0) += 1
+  def reset(): Unit = n.get()(0) = 0
+  def value: Int = n.get()(0)
 }

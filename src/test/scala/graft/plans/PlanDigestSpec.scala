@@ -54,6 +54,30 @@ class PlanDigestSpec extends AnyFunSuite with SparkSpec {
     assert(in.scans.map(_.pushedFilters) === Seq(1), in.scans.toString)
   }
 
+  test("digestBuilt counts materialize points in audit mode, per thread") {
+    sys.props("graft.materialize") = "off"
+    try {
+      // minhashLshDupsFrom places exactly two materialize points (the
+      // candidate-pair frame and the candidate shingle frame)
+      val docs = graft.sources.Tables.documents(spark, dir)
+      val d = PlanDigest.digestBuilt(
+        graft.queries.DedupQueries.minhashLshDupsFrom(spark, docs))
+      assert(d.materializePoints === 2, d.toString)
+      // the json line carries the field
+      assert(PlanDigest.toJsonLine("q", d).contains("\"materialize_points\":2"))
+      // a second build resets — no leakage across builds on the thread
+      assert(PlanDigest.digestBuilt(docs.select(col("doc_id")))
+        .materializePoints === 0)
+    } finally sys.props.remove("graft.materialize")
+  }
+
+  test("digestBuilt reads 0 outside audit mode (checkpoints are real)") {
+    val d = PlanDigest.digestBuilt(
+      graft.queries.DedupQueries.minhashLshDupsFrom(
+        spark, graft.sources.Tables.documents(spark, dir)))
+    assert(d.materializePoints === 0, d.toString)
+  }
+
   // property law for the depth-0 comma counter, over a generated filter
   // grammar (nested calls, In-lists, comma-free atoms, and QUOTED
   // literal atoms whose commas/brackets must stay opaque) — seeded

@@ -52,7 +52,7 @@ class GlobalWindowSpec extends AnyFunSuite with SparkSpec {
     val got = GlobalWindow.rowNumberWithCount(df, "rn", "cnt", 8)(
       col("k"), col("id"))
     assert(got.filter(col("cnt") =!= 1000L).count() === 0)
-    assert(got.agg(max(col("rn"))).head.getLong(0) === 1000L)
+    assert(got.agg(max(col("rn"))).head().getLong(0) === 1000L)
   }
 
   test("ntile matches windowed ntile including non-dividing bucket counts") {

@@ -83,7 +83,9 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
   private def computeFacts(name: String, fn: Registry.Q,
       dir: String): (String, PlanFacts) = {
     org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    MaterializeCounter.reset()
     val df = fn(spark, dir)
+    val matPoints = MaterializeCounter.value
     val qe = df.queryExecution
       val udfs = qe.optimizedPlan.flatMap(_.expressions).flatMap(_.collect {
         case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
@@ -98,19 +100,22 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
       }.toSeq
     name -> PlanFacts(udfs.nonEmpty, decimals, sorts.nonEmpty,
       qe.executedPlan.toString,
-      graft.plans.PlanDigest.toJsonLine(name, graft.plans.PlanDigest.digest(df)))
+      graft.plans.PlanDigest.toJsonLine(name,
+        graft.plans.PlanDigest.digest(df).copy(materializePoints = matPoints)))
   }
+
+  private val plansArtifact = graft.plans.PlanDiff.CurrentArtifact
 
   // Round-over-round plan REGRESSIONS (a broadcast flipping to SMJ, an
   // exchange creeping in, a pushdown lost) were invisible in the
-  // committed artifacts until r10 — PLANS_r10.json records each query's
+  // committed artifacts until r10 — PLANS_r{N}.json records each query's
   // physical-plan digest, and this test keeps it CURRENT: any plan
   // change without a `runMain graft.PlanShape` regeneration in the same
   // commit fails the build.
-  test("PLANS_r10.json is current with every registered query's plan") {
-    val path = java.nio.file.Paths.get("PLANS_r10.json")
+  test(s"$plansArtifact is current with every registered query's plan") {
+    val path = java.nio.file.Paths.get(plansArtifact)
     assert(java.nio.file.Files.exists(path),
-      "PLANS_r10.json missing — run `sbt \"runMain graft.PlanShape\"`")
+      s"$plansArtifact missing — run `sbt \"runMain graft.PlanShape\"`")
     val committed = scala.jdk.CollectionConverters
       .ListHasAsScala(java.nio.file.Files.readAllLines(path)).asScala
       .filter(_.nonEmpty)
@@ -127,6 +132,39 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     }
     assert(stale.isEmpty,
       s"stale plan digests (run `sbt \"runMain graft.PlanShape\"`):\n${stale.mkString("\n")}")
+  }
+
+  // The cross-round plan-diff GATE (r11): the currency test above pins
+  // the current artifact to live plans; these two pin the round-over-
+  // round DIFF — a plan regression vs the previous round (exchange creep,
+  // join-strategy flip, lost pushdown) fails the build unless it is
+  // whitelisted in PlanDiff.whitelist with a written reason, and the
+  // committed PLANS_DIFF artifact must match the two committed digest
+  // files (run `runMain graft.PlanDiff` after PlanShape).
+  test("no unexplained plan regressions vs the previous round's artifact") {
+    import graft.plans.PlanDiff
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(PlanDiff.PreviousArtifact)),
+      s"${PlanDiff.PreviousArtifact} missing — the previous round's digests are the baseline")
+    val report = PlanDiff.computeReport()
+    val bad = report.unexplained.map { qd =>
+      val cs = qd.changes.filter(_.regression)
+        .map(c => s"${c.field}: ${c.old} -> ${c.now}").mkString("; ")
+      s"${qd.query} ($cs)"
+    }
+    assert(bad.isEmpty,
+      "plan regressions vs the previous round without a whitelist reason:\n" +
+        bad.mkString("\n"))
+  }
+
+  test(s"${graft.plans.PlanDiff.DiffArtifact} is current with the committed digests") {
+    import graft.plans.PlanDiff
+    val path = java.nio.file.Paths.get(PlanDiff.DiffArtifact)
+    assert(java.nio.file.Files.exists(path),
+      s"${PlanDiff.DiffArtifact} missing — run `sbt \"runMain graft.PlanDiff\"`")
+    val committed = new String(java.nio.file.Files.readAllBytes(path),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    assert(committed === PlanDiff.toJson(PlanDiff.computeReport()),
+      s"stale ${PlanDiff.DiffArtifact} — run `sbt \"runMain graft.PlanDiff\"`")
   }
 
   test("every oracle entry has a registered query") {
