@@ -4,9 +4,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSpec
 
-/** Dedup clustering semantics: min-label propagation must converge to the
-  * transitive closure's component minima — including on a path graph whose
-  * diameter exceeds one propagation round. */
+/** Dedup clustering semantics: the pointer-doubling contraction must
+  * converge to the transitive closure's component minima — including on
+  * path graphs whose diameter exceeds one level's min-neighbor reach —
+  * within a pass budget that grows logarithmically, not with diameter. */
 class ConnectedComponentsSpec extends AnyFunSuite with SparkSpec {
 
   test("components of a chain, a clique and a pair; canonical = min id") {

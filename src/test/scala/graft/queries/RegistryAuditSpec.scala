@@ -156,6 +156,17 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
         bad.mkString("\n"))
   }
 
+  // a whitelist entry licenses ONE round's intentional change; one left
+  // behind after the plan stabilizes would silently license a FUTURE
+  // regression of that query — fail loudly instead
+  test("every plan-diff whitelist entry names a query that changed this round") {
+    import graft.plans.PlanDiff
+    val changed = PlanDiff.computeReport().changed.map(_.query).toSet
+    val stale = PlanDiff.whitelist.keySet.filterNot(changed)
+    assert(stale.isEmpty,
+      s"stale PlanDiff.whitelist entries (plans no longer differ): $stale")
+  }
+
   test(s"${graft.plans.PlanDiff.DiffArtifact} is current with the committed digests") {
     import graft.plans.PlanDiff
     val path = java.nio.file.Paths.get(PlanDiff.DiffArtifact)
