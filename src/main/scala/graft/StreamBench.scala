@@ -401,10 +401,10 @@ object StreamBench {
         java.nio.file.StandardOpenOption.APPEND)
     }
     /** Runs `build(queryName)` to completion and returns
-      * (wall_s, out_rows, max state rows, max state bytes). */
+      * (wall_s, out_rows, max state rows, max state bytes, last batch). */
     def run(queryName: String,
         build: String => org.apache.spark.sql.streaming.DataStreamWriter[_])
-        : (Double, Long, Long, Long) = {
+        : (Double, Long, Long, Long, Long) = {
       val t0 = System.nanoTime()
       val q = build(queryName).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -415,7 +415,28 @@ object StreamBench {
       val outRows = spark.table(queryName).count()
       // free the memory sink's driver-side rows before the next horizon
       spark.catalog.dropTempView(queryName)
-      (wall, outRows, stateRows, stateBytes)
+      (wall, outRows, stateRows, stateBytes, prog.map(_.batchId).max)
+    }
+
+    /** Max ListState MEMBER count across sampled batch snapshots, via the
+      * state data source reader. `numRowsTotal` counts grouping KEYS for
+      * transformWithState, so a tracker with a FIXED key space (the
+      * semantic dedup tracker's 64 hyperplane buckets) is horizon-blind
+      * in that metric — this reads the actual list elements per retained
+      * batch snapshot instead (one row per element in the reader's
+      * flattened view). Early batches may be purged past the retention
+      * window; those reads are skipped. */
+    def maxListMembers(ckpt: String, stateVar: String, lastBatch: Long): Long = {
+      val step = math.max(1L, lastBatch / 12)
+      val ids = (0L to lastBatch by step) :+ lastBatch
+      ids.distinct.flatMap { b =>
+        scala.util.Try(
+          spark.read.format("statestore")
+            .option("path", ckpt)
+            .option("stateVarName", stateVar)
+            .option("batchId", b)
+            .load().count()).toOption
+      }.max
     }
 
     // ---- fingerprint gate: ValueState + base index -----------------------
@@ -439,7 +460,7 @@ object StreamBench {
         .option("maxFilesPerTrigger", "1").parquet(dedupDir)
         .as[graft.streaming.DedupIn]
       val name = s"fpcurve_$horizonMs"
-      val (wall, outRows, stRows, stBytes) = run(name, n =>
+      val (wall, outRows, stRows, stBytes, _) = run(name, n =>
         in.withWatermark("ts", "10 seconds")
           .groupByKey(_.fingerprint)
           .transformWithState(new graft.streaming.FingerprintDedupTracker(horizonMs),
@@ -467,15 +488,18 @@ object StreamBench {
       val in = spark.readStream.schema(lshDocs.schema)
         .option("maxFilesPerTrigger", "1").parquet(lshDir)
       val name = s"lshcurve_$horizonMs"
-      val (wall, outRows, stRows, stBytes) = run(name, n =>
+      val ckpt = java.nio.file.Files.createTempDirectory(s"ckpt_$name").toString
+      val (wall, outRows, stRows, stBytes, lastBatch) = run(name, n =>
         graft.streaming.LshDedupTracker.streamInput(in)
           .as[graft.streaming.LshIn]
           .withWatermark("ts", "10 seconds")
           .groupByKey(r => s"${r.band}:${r.bandKey}")
           .transformWithState(new graft.streaming.LshDedupTracker(horizonMs),
             TimeMode.EventTime(), OutputMode.Append())
-          .writeStream.outputMode("append").format("memory").queryName(n))
-      emit(f"""{"probe":"state_lsh_neardup","horizon_ms":$horizonMs,"wall_sec":$wall%.3f,"rows":$outRows,"feed_rows":$nLsh,"state_rows_max":$stRows,"state_mem_bytes_max":$stBytes,"sf":"$sfDir"}""")
+          .writeStream.outputMode("append").format("memory")
+          .option("checkpointLocation", ckpt).queryName(n))
+      val members = maxListMembers(ckpt, "bucket", lastBatch)
+      emit(f"""{"probe":"state_lsh_neardup","horizon_ms":$horizonMs,"wall_sec":$wall%.3f,"rows":$outRows,"feed_rows":$nLsh,"state_rows_max":$stRows,"state_members_max":$members,"state_mem_bytes_max":$stBytes,"sf":"$sfDir"}""")
     }
 
     // ---- semantic near-dup tracker: per-bucket ListState -----------------
@@ -497,13 +521,16 @@ object StreamBench {
         .option("maxFilesPerTrigger", "1").parquet(semDir)
         .as[graft.streaming.SemIn]
       val name = s"semcurve_$horizonMs"
-      val (wall, outRows, stRows, stBytes) = run(name, n =>
+      val ckpt = java.nio.file.Files.createTempDirectory(s"ckpt_$name").toString
+      val (wall, outRows, stRows, stBytes, lastBatch) = run(name, n =>
         in.withWatermark("ts", "10 seconds")
           .groupByKey(_.bucket)
           .transformWithState(new graft.streaming.SemanticDedupTracker(horizonMs),
             TimeMode.EventTime(), OutputMode.Append())
-          .writeStream.outputMode("append").format("memory").queryName(n))
-      emit(f"""{"probe":"state_semantic_neardup","horizon_ms":$horizonMs,"wall_sec":$wall%.3f,"rows":$outRows,"feed_rows":$nSem,"state_rows_max":$stRows,"state_mem_bytes_max":$stBytes,"sf":"$sfDir"}""")
+          .writeStream.outputMode("append").format("memory")
+          .option("checkpointLocation", ckpt).queryName(n))
+      val members = maxListMembers(ckpt, "bucket", lastBatch)
+      emit(f"""{"probe":"state_semantic_neardup","horizon_ms":$horizonMs,"wall_sec":$wall%.3f,"rows":$outRows,"feed_rows":$nSem,"state_rows_max":$stRows,"state_members_max":$members,"state_mem_bytes_max":$stBytes,"sf":"$sfDir"}""")
     }
   }
 }
