@@ -401,16 +401,38 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
   // localCheckpoint (eager, see QueryConventions), never cache(): blocks are
   // reclaimed by the ContextCleaner once the result frame is GC'd, while
   // catalog-cached frames stay pinned until someone calls clearCache —
-  // a long-lived session must not depend on that
+  // a long-lived session must not depend on that.
+  // The 320 executions run PARALLEL (r11, same 16-thread shape as the
+  // plan walk — this test was ~half the suite's largest wall as a
+  // sequential loop); per-query attribution needs sequential checks, so
+  // the green path asserts the cache is empty once at the END and the
+  // slow sequential walk runs only to NAME offenders after a failure.
   test("no registered query pins catalog storage after materialization") {
     val dir = "/root/testdata/sf0.001"
-    val offenders = Registry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        fn(spark, dir).count()
-        if (spark.sharedState.cacheManager.isEmpty) None
-        else { spark.catalog.clearCache(); Some(name) }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(
+          Registry.queries.toSeq.sortBy(_._1).map { case (_, fn) =>
+            scala.concurrent.Future {
+              org.apache.spark.sql.SparkSession.setActiveSession(spark)
+              fn(spark, dir).count()
+              ()
+            }
+          }),
+        scala.concurrent.duration.Duration(20, "min"))
+    } finally pool.shutdown()
+    if (!spark.sharedState.cacheManager.isEmpty) {
+      spark.catalog.clearCache()
+      val offenders = Registry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          fn(spark, dir).count()
+          if (spark.sharedState.cacheManager.isEmpty) None
+          else { spark.catalog.clearCache(); Some(name) }
+      }
+      fail(s"queries leaving pinned storage: $offenders")
     }
-    assert(offenders.isEmpty, s"queries leaving pinned storage: $offenders")
   }
 
   // the allowlist above is only a license for a bounded product — verify
