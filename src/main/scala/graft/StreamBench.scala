@@ -429,14 +429,17 @@ object StreamBench {
     def maxListMembers(ckpt: String, stateVar: String, lastBatch: Long): Long = {
       val step = math.max(1L, lastBatch / 12)
       val ids = (0L to lastBatch by step) :+ lastBatch
-      ids.distinct.flatMap { b =>
+      val counts = ids.distinct.flatMap { b =>
         scala.util.Try(
           spark.read.format("statestore")
             .option("path", ckpt)
             .option("stateVarName", stateVar)
             .option("batchId", b)
             .load().count()).toOption
-      }.max
+      }
+      // every snapshot unreadable (reader/provider drift) → -1 sentinel,
+      // so the curve row records the failure instead of crashing the run
+      if (counts.isEmpty) -1L else counts.max
     }
 
     // ---- fingerprint gate: ValueState + base index -----------------------
