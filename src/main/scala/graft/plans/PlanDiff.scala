@@ -20,9 +20,9 @@ package graft.plans
 object PlanDiff {
 
   /** Per-round artifact names — bump together once per round. */
-  val CurrentArtifact = "PLANS_r11.json"
-  val PreviousArtifact = "PLANS_r10.json"
-  val DiffArtifact = "PLANS_DIFF_r11.json"
+  val CurrentArtifact = "PLANS_r12.json"
+  val PreviousArtifact = "PLANS_r11.json"
+  val DiffArtifact = "PLANS_DIFF_r12.json"
 
   /** Intentional plan changes this round, query → reason. A whitelist
     * entry licenses ONE round's diff; next round the changed plan is the
@@ -122,7 +122,10 @@ object PlanDiff {
       b += Change("pushed_filters_total", prev.pushedTotal.toString,
         cur.pushedTotal.toString,
         regression = cur.pushedTotal < prev.pushedTotal)
-    else if (cur.scansRaw != prev.scansRaw)
+    // independent of the pushed-filter compare (r12, ADVICE fix): a round
+    // that both loses a pushed filter AND reshapes scans must report
+    // both changes, not drop the scans diff in the else-branch
+    if (cur.scansRaw != prev.scansRaw)
       b += Change("scans", prev.scansRaw, cur.scansRaw, regression = false)
     (prev.materializePoints, cur.materializePoints) match {
       case (Some(p), Some(c)) if p != c =>
