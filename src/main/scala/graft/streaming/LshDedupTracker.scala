@@ -67,8 +67,16 @@ case class LshEntry(docId: Long, sig: Array[Long], lastMs: Long)
   * (arrivals still emit against the capped membership), bounding the
   * per-key quadratic emission that exact-dup cliques would otherwise
   * generate — the batch guard drops the whole over-cap bucket
-  * retroactively, which a stream that already emitted cannot do. */
-class LshDedupTracker(retentionMs: Long, maxBucket: Int = Int.MaxValue)
+  * retroactively, which a stream that already emitted cannot do. The
+  * DEFAULT is [[LshDedupTracker.DefaultMaxBucket]] (r12): the batch
+  * twins treat their df≤64 hot-bucket caps as load-bearing scale
+  * guards, and an unbounded streaming default let one boilerplate
+  * shingle band grow its ListState and per-arrival scan without bound
+  * at ingest; pass `Int.MaxValue` explicitly for the uncapped
+  * batch-equality form. Every refused admission bumps
+  * [[LshDedupTracker.admissionDrops]]. */
+class LshDedupTracker(retentionMs: Long,
+    maxBucket: Int = LshDedupTracker.DefaultMaxBucket)
   extends StatefulProcessor[String, LshIn, LshCandOut] {
 
   require(retentionMs > 0, s"retentionMs must be positive, got $retentionMs")
@@ -113,6 +121,7 @@ class LshDedupTracker(retentionMs: Long, maxBucket: Int = Int.MaxValue)
         }
         if (entries.length < maxBucket)
           entries = entries :+ LshEntry(r.docId, r.sig, r.ts.getTime)
+        else LshDedupTracker.admissionDrops.increment()
       }
     }
     // an admission or a redelivery refresh reassigns `entries` — skip
@@ -146,6 +155,23 @@ class LshDedupTracker(retentionMs: Long, maxBucket: Int = Int.MaxValue)
 }
 
 object LshDedupTracker {
+
+  /** Production default for the hot-bucket admission cap, consistent
+    * with the batch guards (`PrefixCap`/`ContainCap` = df ≤ 64): a
+    * banded-LSH bucket tracks dup-CLIQUE size by the pigeonhole
+    * argument, so 64 admits any genuine near-dup clique the batch
+    * pipeline would keep, while bounding per-arrival emission scans and
+    * the per-key ListState at 64 entries regardless of how boilerplate-
+    * heavy the feed is. */
+  val DefaultMaxBucket = 64
+
+  /** Process-wide count of admissions refused by the bucket cap — the
+    * drop-rate observable the StreamBench rows record. A LongAdder, not
+    * a Spark metric: accurate in local (single-JVM) mode, per-executor
+    * on a real cluster (where the per-executor log line is still the
+    * right granularity). Dev/bench observability only — correctness
+    * never reads it. */
+  val admissionDrops = new java.util.concurrent.atomic.LongAdder
 
   /** Map-side banded-signature prep for the ingest stream: from
     * (doc_id, text, ts) rows to one [[LshIn]]-shaped row per (doc,

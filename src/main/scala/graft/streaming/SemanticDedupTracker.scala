@@ -60,9 +60,15 @@ case class SemEntry(vecId: Long, emb: Array[Double], norm: Double, lastMs: Long)
   * `maxBucket` is the hot-bucket admission
   * cap (random-hyperplane buckets are corpus/64-sized by construction,
   * so unlike banded MinHash the cap is a skew backstop, not the normal
-  * operating mode). */
+  * operating mode). The DEFAULT is
+  * [[SemanticDedupTracker.DefaultMaxBucket]] (r12) — bounded, because
+  * an unbounded default let one skewed bucket grow its ListState and
+  * per-arrival cosine scan without limit at ingest; pass
+  * `Int.MaxValue` explicitly for the uncapped batch-equality form.
+  * Every refused admission bumps
+  * [[SemanticDedupTracker.admissionDrops]]. */
 class SemanticDedupTracker(retentionMs: Long, tau: Double = 0.3,
-    maxBucket: Int = Int.MaxValue)
+    maxBucket: Int = SemanticDedupTracker.DefaultMaxBucket)
   extends StatefulProcessor[Long, SemIn, SemCandOut] {
 
   require(retentionMs > 0, s"retentionMs must be positive, got $retentionMs")
@@ -122,6 +128,7 @@ class SemanticDedupTracker(retentionMs: Long, tau: Double = 0.3,
         }
         if (entries.length < maxBucket)
           entries = entries :+ SemEntry(r.vecId, r.emb, r.norm, r.ts.getTime)
+        else SemanticDedupTracker.admissionDrops.increment()
       }
     }
     // an admission or a redelivery refresh reassigns `entries` — skip
@@ -155,6 +162,20 @@ class SemanticDedupTracker(retentionMs: Long, tau: Double = 0.3,
 }
 
 object SemanticDedupTracker {
+
+  /** Production default for the bucket admission cap. Hyperplane
+    * buckets are corpus/64-sized by CONSTRUCTION (not clique-sized like
+    * banded MinHash), so a clique-scale cap would bind in normal
+    * operation; 4096 instead bounds the per-arrival work at 4096
+    * dim-64 cosine folds (~0.3 ms) and the per-bucket ListState at
+    * ~2 MB (4096 × 64 doubles), i.e. ~128 MB across the fixed 64-bucket
+    * space — a skew backstop that the in-horizon corpus of a healthy
+    * feed never reaches. */
+  val DefaultMaxBucket = 4096
+
+  /** Process-wide count of admissions refused by the bucket cap — see
+    * [[LshDedupTracker.admissionDrops]] for the accuracy contract. */
+  val admissionDrops = new java.util.concurrent.atomic.LongAdder
 
   /** The batch `lsh_buckets` hyperplanes (6 seeded planes over dim 64 —
     * fixed literals, identical values in the batch plan and the DuckDB

@@ -188,4 +188,52 @@ class LshDedupStreamSpec extends AnyFunSuite with SparkSpec {
       } finally q.stop()
     }
   }
+
+  // the production-shaped maxBucket default (r12): a hot bucket — here 20
+  // EXACT dups of one text, which share every band key — must stop
+  // ADMITTING at the cap while arrivals keep emitting against the capped
+  // membership, so per-arrival work and ListState are bounded however
+  // long the boilerplate run continues; every refusal is counted
+  test("the bucket cap bounds admission, emission and state under a hot bucket") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    withRocks {
+      val cap = 5
+      val nBands = DedupOps.NumHashes / DedupOps.BandRows
+      val feed = LshDedupTracker.streamInput(
+          graft.sources.Tables.documents(spark, dir)
+            .filter(col("doc_id") === 7).select(col("text"))
+            .crossJoin(spark.range(20).select(col("id").as("doc_id")))
+            .select(col("doc_id"), col("text"),
+              timestamp_millis(lit(1000000L) + col("doc_id")).as("ts")))
+        .as[LshIn].collect().sortBy(_.docId)
+      assert(feed.length === 20 * nBands, "exact dups must share every band")
+      LshDedupTracker.admissionDrops.reset()
+      val input = MemoryStream[LshIn]
+      val cands = input.toDS()
+        .withWatermark("ts", "10 minutes")
+        .groupByKey(r => s"${r.band}:${r.bandKey}")
+        .transformWithState(new LshDedupTracker(86400000L, maxBucket = cap),
+          TimeMode.EventTime(), OutputMode.Append())
+      val q = cands.writeStream.outputMode("append")
+        .format("memory").queryName("lshcapped").start()
+      try {
+        // two batches so the cap binds across, not just within, a batch
+        feed.grouped(feed.length / 2).foreach { b =>
+          input.addData(b.toSeq); q.processAllAvailable()
+        }
+        val rows = spark.table("lshcapped").as[LshCandOut].collect()
+        // admitted members are exactly docs 0..cap-1 (docId-ordered fold),
+        // so every pair's min side is an admitted id
+        assert(rows.forall(_.aId < cap),
+          "a refused doc was paired as a stored member")
+        // per band: C(cap,2) among admitted + cap pairs per refused arrival
+        val expected = nBands * (cap * (cap - 1) / 2 + (20 - cap) * cap)
+        assert(rows.length === expected,
+          s"emission not cap-bounded: ${rows.length} != $expected")
+        assert(LshDedupTracker.admissionDrops.sum() === ((20 - cap) * nBands).toLong,
+          "every refused admission must be counted")
+      } finally q.stop()
+    }
+  }
 }

@@ -135,4 +135,45 @@ class SemanticDedupStreamSpec extends AnyFunSuite with SparkSpec {
       } finally q.stop()
     }
   }
+
+  // the production-shaped maxBucket default (r12): a skewed bucket — 20
+  // identical embeddings, all routed to one hyperplane bucket — must stop
+  // ADMITTING at the cap while arrivals keep emitting against the capped
+  // membership; every refusal counted
+  test("the bucket cap bounds admission and emission under a skewed bucket") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    withRocks {
+      val cap = 5
+      def vec(id: Long, tsMs: Long) = {
+        val e = Array.tabulate(64)(i => if (i == 0) 1.0 else 0.0)
+        SemIn(id, bucket = 9L, e, norm = 1.0, ts = new java.sql.Timestamp(tsMs))
+      }
+      SemanticDedupTracker.admissionDrops.reset()
+      val input = MemoryStream[SemIn]
+      val cands = input.toDS()
+        .withWatermark("ts", "10 minutes")
+        .groupByKey(_.bucket)
+        .transformWithState(
+          new SemanticDedupTracker(86400000L, maxBucket = cap),
+          TimeMode.EventTime(), OutputMode.Append())
+      val q = cands.writeStream.outputMode("append")
+        .format("memory").queryName("semcapped").start()
+      try {
+        val feed = (0L until 20L).map(i => vec(i, 1000000L + i))
+        // two batches so the cap binds across, not just within, a batch
+        feed.grouped(10).foreach { b =>
+          input.addData(b); q.processAllAvailable()
+        }
+        val rows = spark.table("semcapped").as[SemCandOut].collect()
+        assert(rows.forall(_.aId < cap),
+          "a refused vector was paired as a stored member")
+        val expected = cap * (cap - 1) / 2 + (20 - cap) * cap
+        assert(rows.length === expected,
+          s"emission not cap-bounded: ${rows.length} != $expected")
+        assert(SemanticDedupTracker.admissionDrops.sum() === (20 - cap).toLong,
+          "every refused admission must be counted")
+      } finally q.stop()
+    }
+  }
 }
