@@ -32,23 +32,14 @@ import graft.plans.GraftExtensions
 object Bench {
   private val Sweeps = 3
 
-  /** Idle-box reference for the calibration probe (min-of-3 of the
-    * twice-warmed 400M-row range sum at 32 threads, measured on the
-    * harness machine near-idle; re-measure if the hardware changes). A
-    * run's contention factor is probe_sec / ProbeIdleRef; probe_sec_end
-    * is the cleaner sample (fully JIT-warm JVM — the start probe can
-    * read ~0.04 s high on a cold session even idle). */
-  val ProbeIdleRef = 0.11
-
-  /** Start-probe gate: above this × [[ProbeIdleRef]] the box is treated
-    * as contended and the recording waits (r10's polluted start read
-    * 1.75×; a quiet box reads ≤ ~1.2× even cold). */
-  val ContendedFactor = 1.3
-
-  /** Bounded wait: 8 × 30 s of sleeping (+ re-probes) before recording
-    * anyway with `contended: true` — a permanently busy box must still
-    * produce an artifact, just a self-identifying one. */
-  val MaxContentionWaits = 8
+  /** Gate constants live in [[ContentionGate]] since r12 (the gate now
+    * also fronts `ScaleSmoke` and `StreamBench` rows); these aliases
+    * keep the recorded-artifact field semantics documented here.
+    * probe_sec_end is the cleaner sample (fully JIT-warm JVM — the
+    * start probe can read ~0.04 s high on a cold session even idle). */
+  val ProbeIdleRef = ContentionGate.ProbeIdleRef
+  val ContendedFactor = ContentionGate.ContendedFactor
+  val MaxContentionWaits = ContentionGate.MaxWaits
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -70,42 +61,17 @@ object Bench {
     }
     val loadStart = loadAvg()
 
-    // Contention calibration: a fixed CPU-bound reference job (a codegen'd
-    // 400M-row range sum — no I/O, no shuffle, no data dependence) timed
-    // before the warm pass and after the last sweep. On this box idle it
-    // reads ~ProbeIdleRef s; under co-located load it stretches by the
-    // same contention factor the query timings do, so a reader normalizes
-    // as query_sec × (ProbeIdleRef / probe_sec) WITHOUT consulting the
-    // baseline archive (the r6 lesson: load_avg_start 8.74 made an 8%
-    // idle improvement read as a 5% regression until manual archaeology).
-    def calibrationProbe(): Double = {
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        spark.range(0, 400000000L, 1, cpus.toInt)
-          .selectExpr("sum(id * 3 + 1)").head()
-        (System.nanoTime() - t0) / 1e9
-      }
-      once(); once() // codegen + JIT warm (one pass leaves ~60% overhead)
-      math.round(Seq(once(), once(), once()).min * 1000) / 1000.0
-    }
-
     // REFUSE to record a contended start (the r2/r5/r10 contamination:
     // three rounds' recordings began under co-located load and their
-    // absolute numbers needed probe-normalization archaeology). If the
-    // start probe reads above ContendedFactor × idle ref, sleep and
-    // re-probe — bounded, so a permanently busy box still produces a
-    // recording, just one STAMPED contended=true instead of silently
-    // polluted.
-    var probeStart = calibrationProbe()
-    var contentionWaits = 0
-    while (probeStart > ContendedFactor * ProbeIdleRef
-        && contentionWaits < MaxContentionWaits) {
-      contentionWaits += 1
-      println(f"""{"metric":"contention_wait","attempt":$contentionWaits,"probe_sec":$probeStart}""")
-      Thread.sleep(30000L)
-      probeStart = calibrationProbe()
-    }
-    val contended = probeStart > ContendedFactor * ProbeIdleRef
+    // absolute numbers needed probe-normalization archaeology). The
+    // probe + bounded-wait logic is the shared ContentionGate (see its
+    // scaladoc for the normalization convention); the r6 lesson stands:
+    // load_avg alone made an 8% idle improvement read as a 5% regression
+    // until manual archaeology.
+    val gate = ContentionGate.awaitCalm(spark, cpus.toInt, label = "bench_start")
+    val probeStart = gate.probeSec
+    val contentionWaits = gate.waits
+    val contended = gate.contended
 
     // sorted order: per-query timings comparable across rounds regardless
     // of Map iteration order. SPARK_GRAFT_BENCH_ONLY (comma-separated
@@ -149,7 +115,7 @@ object Bench {
       name -> (if (samples.exists(_ < 0)) -1.0 else samples.min)
     }
 
-    val probeEnd = calibrationProbe()
+    val probeEnd = ContentionGate.probe(spark, cpus.toInt)
 
     val failed = results.collect { case (k, v) if v < 0 => k }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

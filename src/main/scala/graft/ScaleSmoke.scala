@@ -51,19 +51,25 @@ object ScaleSmoke {
     // sweeps therefore ACCUMULATE lines: consumers must treat the NEWEST
     // line per (probe, k, sf) as authoritative (last-write-wins), or set
     // SPARK_GRAFT_SCALE_TRUNCATE=1 to start a fresh full sweep
-    val scaleOut = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r11.json")
+    val scaleOut = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r12.json")
     if (sys.env.get("SPARK_GRAFT_SCALE_TRUNCATE").contains("1"))
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(scaleOut))
-    // extra: additional JSON fields (e.g. `"rounds":3`), evaluated AFTER
-    // the probe body so the body can surface run observables through a var
+    // extra: additional JSON fields (e.g. `"passes":3`), evaluated AFTER
+    // the probe body so the body can surface run observables through a var.
+    // Every row is CONTENTION-GATED (r12, extending the r11 Bench gate):
+    // the probe waits out co-located steal waves before the timed body
+    // and its reading is stamped into the row, so a contaminated
+    // datapoint (the r11 knn_inc_recall drift) is self-identifying and
+    // normalizable as wall × (idle_ref / probe_sec).
     def time(name: String, extra: => String = "")(f: => Long): Unit =
       if (only.forall(_.contains(name))) {
+      val gate = graft.ContentionGate.awaitCalm(spark, 32, label = name)
       val t0 = System.nanoTime()
       val rows = f
       val wall = (System.nanoTime() - t0) / 1e9
       val ex = { val e = extra; if (e.isEmpty) "" else "," + e }
       println(f"[scale] $name%-22s $wall%8.2f s  ($rows rows)")
-      val line = f"""{"probe":"$name","k":$k,"wall_sec":$wall%.3f,"rows":$rows$ex,"sf":"$sfDir"}%n"""
+      val line = f"""{"probe":"$name","k":$k,"wall_sec":$wall%.3f,"rows":$rows$ex,${gate.jsonFields},"sf":"$sfDir"}%n"""
       java.nio.file.Files.write(java.nio.file.Paths.get(scaleOut),
         line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,
@@ -201,10 +207,14 @@ object ScaleSmoke {
     // END (pair generation + clustering — comparable round-over-round):
     // the r11 pointer-doubling contraction touches the clique-quadratic
     // edge set once per level instead of once per propagation round, so
-    // wall tracks the pair VOLUME once, not volume × diameter. `rounds`
-    // (distributed passes to converge) is emitted in the probe row.
+    // wall tracks the pair VOLUME once, not volume × diameter. `passes`
+    // (distributed contraction passes to converge) is emitted in the
+    // probe row — renamed from r10/r11's `rounds` because the METRIC'S
+    // UNIT changed with the r11 contraction rework (propagation rounds
+    // ∝ diameter before; log-flat total passes now) and a cross-round
+    // consumer must not compare the two series under one key.
     var ccRounds = -1
-    time("dedup_components", s""""rounds":$ccRounds""") {
+    time("dedup_components", s""""passes":$ccRounds""") {
       val pairs = graft.queries.DedupQueries.minhashLshDupsFrom(spark, scaled)
         .select(col("a_id"), col("b_id"))
       val (comp, rounds) =
@@ -224,7 +234,7 @@ object ScaleSmoke {
         .select(col("a_id"), col("b_id")).localCheckpoint(true)
       val nPairs = pairsMat.count()
       var ccOnlyRounds = -1
-      time("dedup_cc_only", s""""rounds":$ccOnlyRounds,"edges":$nPairs""") {
+      time("dedup_cc_only", s""""passes":$ccOnlyRounds,"edges":$nPairs""") {
         val (comp, rounds) =
           DedupOps.connectedComponentsWithRounds(spark, pairsMat)
         val n = comp.count()

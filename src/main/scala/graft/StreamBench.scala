@@ -62,9 +62,19 @@ object StreamBench {
           col("timestamp"), col("value"))).as("value"))
     }
 
+    // every leg's timed section is contention-gated (r12, extending the
+    // r11 Bench gate): the probe waits out steal waves and its reading
+    // is appended to the leg's printed line, so a contaminated rate is
+    // self-identifying
+    def gateStamp(label: String): String = {
+      val g = graft.ContentionGate.awaitCalm(spark, 32, label = label)
+      f" probe=${g.probeSec}%.3f contended=${g.contended}"
+    }
+
     // ---- batch leg: full plan over cached wire payloads -----------------
     val batchIn = wire(nBatch).cache()
     batchIn.count() // materialize input off the clock
+    val gate0 = gateStamp("batch_pipeline")
     val t0 = System.nanoTime()
     val outRows = SensorOps.windowedMetrics(
       SensorPipeline.fromRawJson(batchIn),
@@ -72,7 +82,7 @@ object StreamBench {
       Seq(col("station_id"), col("station_name"), col("sensor_id")),
       "1 minute").count()
     val tBatch = (System.nanoTime() - t0) / 1e9
-    println(f"[streambench] batch_pipeline n=$nBatch out_rows=$outRows t=$tBatch%.2f s rate=${nBatch / tBatch}%.0f events/s")
+    println(f"[streambench] batch_pipeline n=$nBatch out_rows=$outRows t=$tBatch%.2f s rate=${nBatch / tBatch}%.0f events/s$gate0")
     batchIn.unpersist()
 
     // ---- streaming leg A: file source, Trigger.AvailableNow -------------
@@ -83,13 +93,14 @@ object StreamBench {
     val fsIn = spark.readStream.option("maxFilesPerTrigger", "8").text(fsDir)
     val fsMetrics = SensorPipeline.windowedMetrics(
       SensorPipeline.fromRawJson(fsIn), "5 seconds", "1 minute")
+    val gateFs = gateStamp("streaming_filesource")
     val t2 = System.nanoTime()
     val qf = fsMetrics.writeStream.outputMode("update")
       .format("memory").queryName("fsbench")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     qf.awaitTermination()
     val tFs = (System.nanoTime() - t2) / 1e9
-    println(f"[streambench] streaming_filesource n=$nBatch state_rows=${spark.table("fsbench").count()} t=$tFs%.2f s rate=${nBatch / tFs}%.0f events/s")
+    println(f"[streambench] streaming_filesource n=$nBatch state_rows=${spark.table("fsbench").count()} t=$tFs%.2f s rate=${nBatch / tFs}%.0f events/s$gateFs")
 
     // ---- streaming leg B: MemoryStream micro-batches --------------------
     implicit val ctx = spark.sqlContext
@@ -101,11 +112,12 @@ object StreamBench {
       .format("memory").queryName("streambench").start()
     try {
       val batches = payloads.grouped(math.max(1, payloads.length / 5)).toSeq
+      val gateMb = gateStamp("streaming_microbatch")
       val t1 = System.nanoTime()
       batches.foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
       val tStream = (System.nanoTime() - t1) / 1e9
       val stateRows = spark.table("streambench").count()
-      println(f"[streambench] streaming_microbatch n=$nStream batches=${batches.length} state_rows=$stateRows t=$tStream%.2f s rate=${nStream / tStream}%.0f events/s")
+      println(f"[streambench] streaming_microbatch n=$nStream batches=${batches.length} state_rows=$stateRows t=$tStream%.2f s rate=${nStream / tStream}%.0f events/s$gateMb")
     } finally q.stop()
 
     // ---- streaming leg C: as-of enrichment tracker ----------------------
@@ -132,10 +144,11 @@ object StreamBench {
       .format("memory").queryName("asofbench").start()
     try {
       val batches = asofRows.grouped(math.max(1, asofRows.length / 5)).toSeq
+      val gateAsof = gateStamp("streaming_asof")
       val t3 = System.nanoTime()
       batches.foreach { b => asofIn.addData(b.toSeq); qa.processAllAvailable() }
       val tA = (System.nanoTime() - t3) / 1e9
-      println(f"[streambench] streaming_asof n=$nStream out_rows=${spark.table("asofbench").count()} t=$tA%.2f s rate=${nStream / tA}%.0f events/s")
+      println(f"[streambench] streaming_asof n=$nStream out_rows=${spark.table("asofbench").count()} t=$tA%.2f s rate=${nStream / tA}%.0f events/s$gateAsof")
     } finally qa.stop()
 
     // ---- streaming leg D: windowed top-k tracker -------------------------
@@ -165,10 +178,11 @@ object StreamBench {
       .format("memory").queryName("topkbench").start()
     try {
       val batches = topkRows.grouped(math.max(1, topkRows.length / 5)).toSeq
+      val gateTopk = gateStamp("streaming_topk")
       val t4 = System.nanoTime()
       batches.foreach { b => topkIn.addData(b.toSeq); qt.processAllAvailable() }
       val tT = (System.nanoTime() - t4) / 1e9
-      println(f"[streambench] streaming_topk n=$nStream out_rows=${spark.table("topkbench").count()} t=$tT%.2f s rate=${nStream / tT}%.0f events/s")
+      println(f"[streambench] streaming_topk n=$nStream out_rows=${spark.table("topkbench").count()} t=$tT%.2f s rate=${nStream / tT}%.0f events/s$gateTopk")
     } finally qt.stop()
 
 
@@ -206,13 +220,14 @@ object StreamBench {
       .groupByKey(_.windowStartMs)
       .transformWithState(new graft.streaming.TopKWindowTracker(3, winMs),
         TimeMode.EventTime(), OutputMode.Append())
+    val gateTopkFs = gateStamp("streaming_topk_filesource")
     val t5 = System.nanoTime()
     val qtf = rankedFs.writeStream.outputMode("append")
       .format("memory").queryName("topkfsbench")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     qtf.awaitTermination()
     val tTF = (System.nanoTime() - t5) / 1e9
-    println(f"[streambench] streaming_topk_filesource n=$nBatch out_rows=${spark.table("topkfsbench").count()} t=$tTF%.2f s rate=${nBatch / tTF}%.0f events/s")
+    println(f"[streambench] streaming_topk_filesource n=$nBatch out_rows=${spark.table("topkfsbench").count()} t=$tTF%.2f s rate=${nBatch / tTF}%.0f events/s$gateTopkFs")
 
     // ---- streaming leg F: exact-dedup fingerprint gate --------------------
     // FingerprintDedupTracker operating point: ~3 stream rows per
@@ -238,10 +253,11 @@ object StreamBench {
       .format("memory").queryName("dedupbench").start()
     try {
       val batches = dedupRows.grouped(math.max(1, dedupRows.length / 5)).toSeq
+      val gateDedup = gateStamp("streaming_dedup_gate")
       val t6 = System.nanoTime()
       batches.foreach { b => dedupIn.addData(b.toSeq); qd.processAllAvailable() }
       val tD = (System.nanoTime() - t6) / 1e9
-      println(f"[streambench] streaming_dedup_gate n=$nStream out_rows=${spark.table("dedupbench").count()} t=$tD%.2f s rate=${nStream / tD}%.0f events/s")
+      println(f"[streambench] streaming_dedup_gate n=$nStream out_rows=${spark.table("dedupbench").count()} t=$tD%.2f s rate=${nStream / tD}%.0f events/s$gateDedup")
     } finally qd.stop()
 
     // ---- streaming leg G: dedup gate via FILE source, AvailableNow -------
@@ -270,13 +286,14 @@ object StreamBench {
       .groupByKey(_.fingerprint)
       .transformWithState(new graft.streaming.FingerprintDedupTracker(3600000L),
         TimeMode.EventTime(), OutputMode.Append(), dedupInit)
+    val gateDedupFs = gateStamp("streaming_dedup_gate_filesource")
     val t7 = System.nanoTime()
     val qdf = gatedFs.writeStream.outputMode("append")
       .format("memory").queryName("dedupfsbench")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     qdf.awaitTermination()
     val tDF = (System.nanoTime() - t7) / 1e9
-    println(f"[streambench] streaming_dedup_gate_filesource n=$nBatch out_rows=${spark.table("dedupfsbench").count()} t=$tDF%.2f s rate=${nBatch / tDF}%.0f events/s")
+    println(f"[streambench] streaming_dedup_gate_filesource n=$nBatch out_rows=${spark.table("dedupfsbench").count()} t=$tDF%.2f s rate=${nBatch / tDF}%.0f events/s$gateDedupFs")
 
     // ---- streaming leg H: LSH near-dup discovery at ingest ---------------
     // LshDedupTracker end to end via FILE source: the map-side banded
@@ -308,13 +325,15 @@ object StreamBench {
       .groupByKey(r => s"${r.band}:${r.bandKey}")
       .transformWithState(new graft.streaming.LshDedupTracker(3600000L),
         TimeMode.EventTime(), OutputMode.Append())
+    val gateLsh = gateStamp("streaming_lsh_neardup_filesource")
+    graft.streaming.LshDedupTracker.admissionDrops.reset()
     val t8 = System.nanoTime()
     val ql = lshCands.writeStream.outputMode("append")
       .format("memory").queryName("lshfsbench")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     ql.awaitTermination()
     val tL = (System.nanoTime() - t8) / 1e9
-    println(f"[streambench] streaming_lsh_neardup_filesource docs=$nLshDocs cand_rows=${spark.table("lshfsbench").count()} t=$tL%.2f s rate=${nLshDocs / tL}%.0f docs/s")
+    println(f"[streambench] streaming_lsh_neardup_filesource docs=$nLshDocs cand_rows=${spark.table("lshfsbench").count()} t=$tL%.2f s rate=${nLshDocs / tL}%.0f docs/s max_bucket=${graft.streaming.LshDedupTracker.DefaultMaxBucket} admission_drops=${graft.streaming.LshDedupTracker.admissionDrops.sum()}$gateLsh")
 
     // ---- streaming leg I: semantic (embedding) near-dup at ingest --------
     // SemanticDedupTracker via FILE source: map-side hyperplane bucket +
@@ -346,13 +365,15 @@ object StreamBench {
       .groupByKey(_.bucket)
       .transformWithState(new graft.streaming.SemanticDedupTracker(3600000L),
         TimeMode.EventTime(), OutputMode.Append())
+    val gateSem = gateStamp("streaming_semantic_neardup_filesource")
+    graft.streaming.SemanticDedupTracker.admissionDrops.reset()
     val t9 = System.nanoTime()
     val qs = semCands.writeStream.outputMode("append")
       .format("memory").queryName("semfsbench")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     qs.awaitTermination()
     val tS = (System.nanoTime() - t9) / 1e9
-    println(f"[streambench] streaming_semantic_neardup_filesource vecs=$nSem cand_rows=${spark.table("semfsbench").count()} t=$tS%.2f s rate=${nSem / tS}%.0f vecs/s")
+    println(f"[streambench] streaming_semantic_neardup_filesource vecs=$nSem cand_rows=${spark.table("semfsbench").count()} t=$tS%.2f s rate=${nSem / tS}%.0f vecs/s max_bucket=${graft.streaming.SemanticDedupTracker.DefaultMaxBucket} admission_drops=${graft.streaming.SemanticDedupTracker.admissionDrops.sum()}$gateSem")
     spark.stop()
   }
 
@@ -372,16 +393,61 @@ object StreamBench {
         require(f.setLastModified(1700000000000L + i * 60000L),
           s"setLastModified failed for $f — mtime ordering not applied") }
 
+  /** Per-query running max of the state observables, fed by the
+    * listener bus instead of `q.recentProgress` (r12, ADVICE fix): the
+    * progress buffer truncates at `numRecentProgressUpdates` entries and
+    * `.max` over an empty array throws — a feed with more triggers than
+    * the buffer silently under-reported the peak. The listener sees
+    * EVERY progress event; `recentProgress` is still merged in after
+    * termination as a floor against late listener delivery (the bus is
+    * async), and a leg that produced no progress at all fails loudly in
+    * [[stateCurves]] rather than recording a fabricated zero row. */
+  private class StateMaxListener(queryName: String)
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val maxRows = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val maxSst = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val nProgress = new java.util.concurrent.atomic.AtomicLong(0L)
+    def observe(p: org.apache.spark.sql.streaming.StreamingQueryProgress): Unit = {
+      nProgress.incrementAndGet()
+      maxRows.accumulateAndGet(p.stateOperators.map(_.numRowsTotal).sum, math.max(_, _))
+      maxSst.accumulateAndGet(StreamBench.sstBytes(p), math.max(_, _))
+      lastBatch.accumulateAndGet(p.batchId, math.max(_, _))
+    }
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit =
+      if (e.progress.name == queryName) observe(e.progress)
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+  }
+
+  /** The RocksDB live-data size observable (r12, replacing
+    * `memoryUsedBytes` in the curve rows): `memoryUsedBytes` is
+    * block-cache/memtable-dominated and ANTI-correlated with state rows
+    * in the r11 artifact (209→185 MB while rows grew 136k→226k) — a
+    * consumer could read "memory shrinks as state grows". The provider's
+    * `rocksdbSstFileSize` custom metric is the on-disk SST total, i.e.
+    * live data plus bounded compaction debt, the number that actually
+    * tracks members. Rows/members stay the authoritative curve. */
+  private def sstBytes(
+      p: org.apache.spark.sql.streaming.StreamingQueryProgress): Long =
+    p.stateOperators.map { op =>
+      Option(op.customMetrics.get("rocksdbSstFileSize")).fold(0L)(_.longValue)
+    }.sum
+
   /** STATE-SIZE curves for the stream-dedup tracker family (r11): the
     * trackers claim horizon-bounded state — "index + in-horizon corpus,
     * never feed-sized" — and until now no artifact measured it. This mode
     * (`runMain graft.StreamBench state-curves`) replays each tracker's
     * file-source leg at three retention horizons over an event-time span
-    * MUCH longer than the largest horizon, samples `stateOperators`
-    * (numRowsTotal / memoryUsedBytes) from every trigger's progress, and
-    * appends one JSON line per (tracker, horizon) to the SCALE artifact.
-    * The claim holds iff state_rows_max tracks horizon × key-rate (plus
-    * the fixed base index for the fingerprint gate), not feed size.
+    * MUCH longer than the largest horizon, tracks the per-trigger state
+    * observables (numRowsTotal keys; rocksdbSstFileSize live-data bytes)
+    * through a listener, and appends one JSON line per (tracker, horizon)
+    * to the SCALE artifact. The claim holds iff state_rows_max tracks
+    * horizon × key-rate (plus the fixed base index for the fingerprint
+    * gate), not feed size. Every leg is contention-gated and stamped
+    * (r12 — the r11 `state_lsh_neardup` 2400 s-horizon wall was recorded
+    * inside a steal wave with no gate).
     *
     * Trigger granularity matters: state peaks between watermark-driven
     * evictions, so each micro-batch must cover event time ≪ horizon —
@@ -392,7 +458,7 @@ object StreamBench {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val scaleOut = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r11.json")
+    val scaleOut = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r12.json")
     def emit(line: String): Unit = {
       println(s"[scale] $line")
       java.nio.file.Files.write(java.nio.file.Paths.get(scaleOut),
@@ -401,45 +467,60 @@ object StreamBench {
         java.nio.file.StandardOpenOption.APPEND)
     }
     /** Runs `build(queryName)` to completion and returns
-      * (wall_s, out_rows, max state rows, max state bytes, last batch). */
+      * (wall_s, out_rows, max state rows, max SST bytes, last batch). */
     def run(queryName: String,
         build: String => org.apache.spark.sql.streaming.DataStreamWriter[_])
         : (Double, Long, Long, Long, Long) = {
-      val t0 = System.nanoTime()
-      val q = build(queryName).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      val wall = (System.nanoTime() - t0) / 1e9
-      val prog = q.recentProgress
-      val stateRows = prog.map(_.stateOperators.map(_.numRowsTotal).sum).max
-      val stateBytes = prog.map(_.stateOperators.map(_.memoryUsedBytes).sum).max
-      val outRows = spark.table(queryName).count()
-      // free the memory sink's driver-side rows before the next horizon
-      spark.catalog.dropTempView(queryName)
-      (wall, outRows, stateRows, stateBytes, prog.map(_.batchId).max)
+      val listener = new StateMaxListener(queryName)
+      spark.streams.addListener(listener)
+      try {
+        val t0 = System.nanoTime()
+        val q = build(queryName).trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val wall = (System.nanoTime() - t0) / 1e9
+        // merge the synchronous buffer: complete for ≤256-trigger legs,
+        // and a floor against listener events still in flight at stop
+        q.recentProgress.foreach(listener.observe)
+        assert(listener.nProgress.get() > 0,
+          s"$queryName produced no progress events — state maxima would be fabricated")
+        val outRows = spark.table(queryName).count()
+        // free the memory sink's driver-side rows before the next horizon
+        spark.catalog.dropTempView(queryName)
+        (wall, outRows, listener.maxRows.get(), listener.maxSst.get(),
+          listener.lastBatch.get())
+      } finally spark.streams.removeListener(listener)
     }
 
-    /** Max ListState MEMBER count across sampled batch snapshots, via the
+    /** Max ListState MEMBER count across SAMPLED batch snapshots, via the
       * state data source reader. `numRowsTotal` counts grouping KEYS for
       * transformWithState, so a tracker with a FIXED key space (the
       * semantic dedup tracker's 64 hyperplane buckets) is horizon-blind
       * in that metric — this reads the actual list elements per retained
       * batch snapshot instead (one row per element in the reader's
       * flattened view). Early batches may be purged past the retention
-      * window; those reads are skipped. */
-    def maxListMembers(ckpt: String, stateVar: String, lastBatch: Long): Long = {
+      * window; those reads are skipped. Returns (max over readable
+      * snapshots, the batch ids actually read) — the row records the ids
+      * so a consumer knows the peak is sampled, not exact; an
+      * all-unreadable result is emitted as a distinct error field, never
+      * a numeric sentinel in the members series (r12, ADVICE fix). */
+    def maxListMembers(ckpt: String, stateVar: String, lastBatch: Long)
+        : (Option[Long], Seq[Long]) = {
       val step = math.max(1L, lastBatch / 12)
-      val ids = (0L to lastBatch by step) :+ lastBatch
-      val counts = ids.distinct.flatMap { b =>
+      val ids = ((0L to lastBatch by step) :+ lastBatch).distinct
+      val readable = ids.flatMap { b =>
         scala.util.Try(
           spark.read.format("statestore")
             .option("path", ckpt)
             .option("stateVarName", stateVar)
             .option("batchId", b)
-            .load().count()).toOption
+            .load().count()).toOption.map(b -> _)
       }
-      // every snapshot unreadable (reader/provider drift) → -1 sentinel,
-      // so the curve row records the failure instead of crashing the run
-      if (counts.isEmpty) -1L else counts.max
+      (readable.map(_._2).maxOption, readable.map(_._1))
+    }
+    def membersFields(m: (Option[Long], Seq[Long])): String = m._1 match {
+      case Some(peak) =>
+        s""""state_members_max_sampled":$peak,"members_sampled_batches":${m._2.mkString("[", ",", "]")}"""
+      case None => s""""state_members_error":"no_readable_snapshot""""
     }
 
     // ---- fingerprint gate: ValueState + base index -----------------------
@@ -463,13 +544,14 @@ object StreamBench {
         .option("maxFilesPerTrigger", "1").parquet(dedupDir)
         .as[graft.streaming.DedupIn]
       val name = s"fpcurve_$horizonMs"
-      val (wall, outRows, stRows, stBytes, _) = run(name, n =>
+      val gate = graft.ContentionGate.awaitCalm(spark, 32, label = name)
+      val (wall, outRows, stRows, stSst, _) = run(name, n =>
         in.withWatermark("ts", "10 seconds")
           .groupByKey(_.fingerprint)
           .transformWithState(new graft.streaming.FingerprintDedupTracker(horizonMs),
             TimeMode.EventTime(), OutputMode.Append(), dedupInit)
           .writeStream.outputMode("append").format("memory").queryName(n))
-      emit(f"""{"probe":"state_dedup_gate","horizon_ms":$horizonMs,"wall_sec":$wall%.3f,"rows":$outRows,"feed_rows":$nFeed,"base_index":100000,"state_rows_max":$stRows,"state_mem_bytes_max":$stBytes,"sf":"synthetic"}""")
+      emit(f"""{"probe":"state_dedup_gate","horizon_ms":$horizonMs,"wall_sec":$wall%.3f,"rows":$outRows,"feed_rows":$nFeed,"base_index":100000,"state_rows_max":$stRows,"state_sst_bytes_max":$stSst,${gate.jsonFields},"sf":"synthetic"}""")
     }
 
     // ---- LSH near-dup tracker: per-(band,bucket) ListState ---------------
@@ -492,7 +574,9 @@ object StreamBench {
         .option("maxFilesPerTrigger", "1").parquet(lshDir)
       val name = s"lshcurve_$horizonMs"
       val ckpt = java.nio.file.Files.createTempDirectory(s"ckpt_$name").toString
-      val (wall, outRows, stRows, stBytes, lastBatch) = run(name, n =>
+      val gate = graft.ContentionGate.awaitCalm(spark, 32, label = name)
+      graft.streaming.LshDedupTracker.admissionDrops.reset()
+      val (wall, outRows, stRows, stSst, lastBatch) = run(name, n =>
         graft.streaming.LshDedupTracker.streamInput(in)
           .as[graft.streaming.LshIn]
           .withWatermark("ts", "10 seconds")
@@ -501,8 +585,9 @@ object StreamBench {
             TimeMode.EventTime(), OutputMode.Append())
           .writeStream.outputMode("append").format("memory")
           .option("checkpointLocation", ckpt).queryName(n))
+      val drops = graft.streaming.LshDedupTracker.admissionDrops.sum()
       val members = maxListMembers(ckpt, "bucket", lastBatch)
-      emit(f"""{"probe":"state_lsh_neardup","horizon_ms":$horizonMs,"wall_sec":$wall%.3f,"rows":$outRows,"feed_rows":$nLsh,"state_rows_max":$stRows,"state_members_max":$members,"state_mem_bytes_max":$stBytes,"sf":"$sfDir"}""")
+      emit(f"""{"probe":"state_lsh_neardup","horizon_ms":$horizonMs,"wall_sec":$wall%.3f,"rows":$outRows,"feed_rows":$nLsh,"state_rows_max":$stRows,${membersFields(members)},"state_sst_bytes_max":$stSst,"max_bucket":${graft.streaming.LshDedupTracker.DefaultMaxBucket},"admission_drops":$drops,${gate.jsonFields},"sf":"$sfDir"}""")
     }
 
     // ---- semantic near-dup tracker: per-bucket ListState -----------------
@@ -525,15 +610,57 @@ object StreamBench {
         .as[graft.streaming.SemIn]
       val name = s"semcurve_$horizonMs"
       val ckpt = java.nio.file.Files.createTempDirectory(s"ckpt_$name").toString
-      val (wall, outRows, stRows, stBytes, lastBatch) = run(name, n =>
+      val gate = graft.ContentionGate.awaitCalm(spark, 32, label = name)
+      graft.streaming.SemanticDedupTracker.admissionDrops.reset()
+      val (wall, outRows, stRows, stSst, lastBatch) = run(name, n =>
         in.withWatermark("ts", "10 seconds")
           .groupByKey(_.bucket)
           .transformWithState(new graft.streaming.SemanticDedupTracker(horizonMs),
             TimeMode.EventTime(), OutputMode.Append())
           .writeStream.outputMode("append").format("memory")
           .option("checkpointLocation", ckpt).queryName(n))
+      val drops = graft.streaming.SemanticDedupTracker.admissionDrops.sum()
       val members = maxListMembers(ckpt, "bucket", lastBatch)
-      emit(f"""{"probe":"state_semantic_neardup","horizon_ms":$horizonMs,"wall_sec":$wall%.3f,"rows":$outRows,"feed_rows":$nSem,"state_rows_max":$stRows,"state_members_max":$members,"state_mem_bytes_max":$stBytes,"sf":"$sfDir"}""")
+      emit(f"""{"probe":"state_semantic_neardup","horizon_ms":$horizonMs,"wall_sec":$wall%.3f,"rows":$outRows,"feed_rows":$nSem,"state_rows_max":$stRows,${membersFields(members)},"state_sst_bytes_max":$stSst,"max_bucket":${graft.streaming.SemanticDedupTracker.DefaultMaxBucket},"admission_drops":$drops,${gate.jsonFields},"sf":"$sfDir"}""")
+    }
+
+    // ---- capped-bucket skew leg: the admission cap BINDING ----------------
+    // The production default's claim under test (r12): one pathological
+    // bucket — 2,000 EXACT-dup docs (same text → same signature → the
+    // same key in all 4 bands) — must leave ListState bounded at
+    // maxBucket members per band bucket and per-arrival emission bounded
+    // at maxBucket pairs, with every refused admission counted. Uncapped,
+    // arrival i emits i−1 pairs (Σ ≈ 2M pairs per bucket, state ∝ feed);
+    // capped, out_rows ≈ 4 bands × (C(64,2) + 1936 × 64) and
+    // state_members_max_sampled ≤ 4 × 64 however long the feed runs.
+    val hotN = 2000L
+    val hotDocs = spark.range(hotN).select(
+        col("id").as("doc_id"),
+        lit("the quick brown fox jumps over the lazy dog again and again in the same boilerplate block").as("text"))
+      .withColumn("ts", timestamp_millis(lit(1700000000000L) + col("id") * 100L))
+    val hotDir = java.nio.file.Files.createTempDirectory("statecurve_hot").toString
+    hotDocs.repartitionByRange(16, col("ts")).write.mode("overwrite").parquet(hotDir)
+    orderFileMtimes(hotDir)
+    locally {
+      val in = spark.readStream.schema(hotDocs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(hotDir)
+      val name = "lshhotbucket"
+      val ckpt = java.nio.file.Files.createTempDirectory(s"ckpt_$name").toString
+      val gate = graft.ContentionGate.awaitCalm(spark, 32, label = name)
+      graft.streaming.LshDedupTracker.admissionDrops.reset()
+      val cap = graft.streaming.LshDedupTracker.DefaultMaxBucket
+      val (wall, outRows, stRows, stSst, lastBatch) = run(name, n =>
+        graft.streaming.LshDedupTracker.streamInput(in)
+          .as[graft.streaming.LshIn]
+          .withWatermark("ts", "10 seconds")
+          .groupByKey(r => s"${r.band}:${r.bandKey}")
+          .transformWithState(new graft.streaming.LshDedupTracker(3600000L),
+            TimeMode.EventTime(), OutputMode.Append())
+          .writeStream.outputMode("append").format("memory")
+          .option("checkpointLocation", ckpt).queryName(n))
+      val drops = graft.streaming.LshDedupTracker.admissionDrops.sum()
+      val members = maxListMembers(ckpt, "bucket", lastBatch)
+      emit(f"""{"probe":"state_lsh_capped_bucket","horizon_ms":3600000,"wall_sec":$wall%.3f,"rows":$outRows,"feed_rows":$hotN,"state_rows_max":$stRows,${membersFields(members)},"state_sst_bytes_max":$stSst,"max_bucket":$cap,"admission_drops":$drops,${gate.jsonFields},"sf":"synthetic"}""")
     }
   }
 }
