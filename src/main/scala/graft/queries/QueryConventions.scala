@@ -44,10 +44,33 @@ private[queries] object QueryConventions {
   private[queries] implicit class MaterializeSyntax(
       private val df: org.apache.spark.sql.DataFrame) {
     def materializeOnce: org.apache.spark.sql.DataFrame =
-      if (sys.props.get("graft.materialize").contains("off")) {
+      if (MaterializeMode.isOff) {
         MaterializeCounter.bump()
         df
       } else df.localCheckpoint(true)
+  }
+}
+
+/** Thread-local override of the `graft.materialize` audit switch (r12):
+  * the merged registry audit walk builds DIGESTS under the global
+  * audit-off property but runs its pin/execution leg in the REAL
+  * materializing form — executing the audit form re-evaluates every
+  * `materializeOnce` build frame per consumer and measured minutes, not
+  * seconds, over the registry. The override is per-thread so one pool
+  * task can flip forms without touching the property every other task
+  * is reading. None = follow the system property. */
+object MaterializeMode {
+  private val tl = new ThreadLocal[Option[Boolean]] {
+    override def initialValue(): Option[Boolean] = None
+  }
+  private[queries] def isOff: Boolean =
+    tl.get().getOrElse(sys.props.get("graft.materialize").contains("off"))
+  /** Runs `body` with materialization FORCED ON for this thread,
+    * regardless of the global audit property. */
+  def withReal[A](body: => A): A = {
+    val prev = tl.get()
+    tl.set(Some(false))
+    try body finally tl.set(prev)
   }
 }
 

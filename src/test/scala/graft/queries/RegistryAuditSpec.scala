@@ -22,10 +22,10 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
   }
 
   /** Everything the plan audits below need, gathered in ONE walk per
-    * query (analysis + physical planning, never execution): the audit
-    * suite used to re-plan all ~300 registry entries once per test —
-    * five walks — and dominated the suite wall; the assertions are
-    * unchanged, they just read from this shared pass. */
+    * query (analysis + physical planning, PLUS one execution — see
+    * below): the audit suite used to re-plan all ~300 registry entries
+    * once per test — five walks — and dominated the suite wall; the
+    * assertions are unchanged, they just read from this shared pass. */
   private case class PlanFacts(
       scalaUdfs: Boolean,
       decimalCols: Seq[String],
@@ -47,6 +47,17 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     // build-unique localCheckpoint RDDs, so no two builds' subtrees
     // canonicalize equal. Digests stay deterministic (PlanShape
     // parallelizes identically).
+    //
+    // Since r12 this is also the suite's EXECUTION + storage-hygiene
+    // walk: each task builds + digests the audit form, then rebuilds and
+    // count()s the REAL materializing form (MaterializeMode.withReal —
+    // a thread-local flip, so concurrent tasks' digests stay in audit
+    // form) — the exact builds and executions the two separate ≥40 s
+    // walks used to do, in ONE pool pass whose planning-heavy and
+    // execution-heavy halves overlap across threads. Executing the
+    // audit form instead was tried and measured MINUTES over the
+    // registry: every materializeOnce build frame re-evaluates per
+    // consumer without its checkpoint.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
     implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
     // the determinism argument above is an invariant on the BUILDERS (no
@@ -71,12 +82,14 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     assert(confsAfter === confsBefore,
       "a query builder mutated session conf during the plan walk — " +
         "digests are nondeterministic until it stops")
-    // build-time caches must be transient (connectedComponents unpersists
-    // its edge frame before returning); one left pinned would let the
-    // cache manager swap InMemoryTableScans into OTHER threads' digests
+    // build-time AND execution-time caches must be transient
+    // (connectedComponents unpersists its edge frame before returning);
+    // one left pinned would let the cache manager swap
+    // InMemoryTableScans into OTHER threads' digests. On failure the
+    // pinning test below re-runs sequentially to NAME the offender.
     assert(spark.sharedState.cacheManager.isEmpty,
-      "a query builder left a frame cached at build time — " +
-        "clear it in the builder, or digests go nondeterministic")
+      "a query left a frame cached (build or execution) — the " +
+        "'no registered query pins catalog storage' test names it")
     facts.toMap
   }
 
@@ -98,10 +111,15 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
         case f if f.dataType
           .isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
       }.toSeq
-    name -> PlanFacts(udfs.nonEmpty, decimals, sorts.nonEmpty,
+    val facts = PlanFacts(udfs.nonEmpty, decimals, sorts.nonEmpty,
       qe.executedPlan.toString,
       graft.plans.PlanDigest.toJsonLine(name,
         graft.plans.PlanDigest.digest(df).copy(materializePoints = matPoints)))
+    // the merged pin + execution-smoke leg (r12): rebuild and run the
+    // REAL materializing form on this thread — identical builds and
+    // executions to the former standalone pinning walk
+    MaterializeMode.withReal { fn(spark, dir).count() }
+    name -> facts
   }
 
   private val plansArtifact = graft.plans.PlanDiff.CurrentArtifact
@@ -402,27 +420,15 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
   // reclaimed by the ContextCleaner once the result frame is GC'd, while
   // catalog-cached frames stay pinned until someone calls clearCache —
   // a long-lived session must not depend on that.
-  // The 320 executions run PARALLEL (r11, same 16-thread shape as the
-  // plan walk — this test was ~half the suite's largest wall as a
-  // sequential loop); per-query attribution needs sequential checks, so
-  // the green path asserts the cache is empty once at the END and the
-  // slow sequential walk runs only to NAME offenders after a failure.
+  // Since r12 the 320 executions ride the SHARED planFacts walk (each
+  // task count()s the df it digested — one walk instead of two ≥40 s
+  // passes over the same plans; form-equivalence argued at the walk).
+  // The green path is the walk's end-of-pass empty-cache assertion; this
+  // test re-checks it and, on a leak, runs the slow sequential walk to
+  // NAME the offender.
   test("no registered query pins catalog storage after materialization") {
     val dir = "/root/testdata/sf0.001"
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
-    implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
-    try {
-      scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(
-          Registry.queries.toSeq.sortBy(_._1).map { case (_, fn) =>
-            scala.concurrent.Future {
-              org.apache.spark.sql.SparkSession.setActiveSession(spark)
-              fn(spark, dir).count()
-              ()
-            }
-          }),
-        scala.concurrent.duration.Duration(20, "min"))
-    } finally pool.shutdown()
+    planFacts // the shared walk executed every query on this session
     if (!spark.sharedState.cacheManager.isEmpty) {
       spark.catalog.clearCache()
       val offenders = Registry.queries.toSeq.sortBy(_._1).flatMap {
