@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** The idle-partition watermark trap, pinned on the closest deployable
+  * proxy this sandbox allows (r12, VERDICT #5): the reference's Kafka
+  * topic has multiple partitions, and in production one partition going
+  * quiet (a dead producer, a drained key range) freezes event-time
+  * progress for the WHOLE query — Spark computes the watermark per
+  * source/watermark node and combines them with
+  * `spark.sql.streaming.multipleWatermarkPolicy` = `min` (the default,
+  * and the only correctness-safe choice), so the global watermark holds
+  * at the stalled source's last event and append-mode windows stop
+  * closing everywhere, even while the live sources race ahead.
+  *
+  * The proxy: two file-source directories (one per "partition"), each
+  * with its OWN `withWatermark` applied before the union — exactly the
+  * multi-source shape whose combined watermark is the per-source min.
+  * Three phases:
+  *   1. both directories produce → windows close normally;
+  *   2. one directory stalls while the other advances 5 minutes → the
+  *      global watermark pins to the stalled source's last event and NO
+  *      further window closes (the trap: the pipeline looks healthy —
+  *      batches run, rows are read — but emission is frozen);
+  *   3. a single synthetic HEARTBEAT row written to the stalled
+  *      directory advances its watermark → every pent-up window closes
+  *      at once.
+  *
+  * Phase 3 is the documented recovery convention: Spark has no built-in
+  * idle-source timeout that excludes a quiet source from the min (the
+  * Kafka `minPartitions`/idleness knobs do not move watermarks), so a
+  * production ingest keeps per-partition liveness by emitting periodic
+  * heartbeat rows (filtered out downstream) — the same convention the
+  * reference's consumer would need on an idle topic partition. The
+  * alternative — `multipleWatermarkPolicy=max` — trades the stall for
+  * silent late-drop of the idle source's backlog and is NOT safe.
+  * BASELINE.md records the operational note.
+  */
+class StalledPartitionWatermarkSpec extends AnyFunSuite with SparkSpec {
+
+  test("a stalled source pins the global watermark; a heartbeat releases it") {
+    import spark.implicits._
+    val dirA = java.nio.file.Files.createTempDirectory("wm_part_a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("wm_part_b").toString
+
+    // minute-aligned base so window starts are exact
+    val w0 = 1700000040000L
+    def rows(dir: String, tsMs: Long*): Unit =
+      tsMs.toSeq.toDF("ms")
+        .select(timestamp_millis(col("ms")).as("ts"), lit(dir).as("src"))
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    // schema must exist before the stream starts
+    rows(dirA, w0 + 5000L, w0 + 10000L)
+    rows(dirB, w0 + 7000L)
+
+    val schema = spark.read.parquet(dirA).schema
+    def src(dir: String) = spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", "1 second") // per-source watermark, BEFORE union
+    val counts = src(dirA).unionAll(src(dirB))
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w"), col("n"))
+    val q = counts.writeStream.outputMode("append")
+      .format("memory").queryName("wmstall").start()
+    try {
+      def closed(): Map[Long, Long] = spark.table("wmstall")
+        .select(col("w").cast("long") * 1000, col("n"))
+        .as[(Long, Long)].collect().toMap
+
+      // phase 1: both sources advance past w0's window end → it closes
+      q.processAllAvailable()
+      rows(dirA, w0 + 70000L)
+      rows(dirB, w0 + 70000L)
+      q.processAllAvailable()
+      assert(closed() === Map(w0 -> 3L),
+        s"window w0 should close once both sources pass it: ${closed()}")
+
+      // phase 2: B stalls; A advances 5 minutes. The global watermark is
+      // min(A, B) = B's last event − delay, so the [w0+60s, w0+120s)
+      // window — fully covered by ARRIVED data — must NOT close: the
+      // batches run, the rows are read, emission is frozen. This is the
+      // trap a per-source max policy would instead turn into late-drops.
+      rows(dirA, w0 + 300000L, w0 + 301000L)
+      q.processAllAvailable()
+      assert(closed() === Map(w0 -> 3L),
+        s"stalled source must pin the global watermark: ${closed()}")
+
+      // phase 3: one heartbeat row to the stalled directory releases
+      // every pent-up window at once
+      rows(dirB, w0 + 300000L)
+      q.processAllAvailable()
+      assert(closed() === Map(w0 -> 3L, (w0 + 60000L) -> 2L),
+        s"heartbeat must release the pent-up window: ${closed()}")
+    } finally q.stop()
+  }
+}
