@@ -522,11 +522,22 @@ object StreamBench {
         s""""state_members_max_sampled":$peak,"members_sampled_batches":${m._2.mkString("[", ",", "]")}"""
       case None => s""""state_members_error":"no_readable_snapshot""""
     }
+    // SPARK_GRAFT_STATE_ONLY (comma-separated probe names): re-record a
+    // single contaminated leg in a calm window without paying the full
+    // multi-tracker sweep — the state-curve analog of
+    // SPARK_GRAFT_BENCH_ONLY. Feeds are only synthesized for probes
+    // actually selected.
+    val onlyProbe: String => Boolean =
+      sys.env.get("SPARK_GRAFT_STATE_ONLY") match {
+        case Some(v) if v.nonEmpty => v.split(",").toSet
+        case _                     => _ => true
+      }
 
     // ---- fingerprint gate: ValueState + base index -----------------------
     // feed: 2M rows, 10 ms event-time spacing (span 20,000 s), a new
     // fingerprint every 3 rows (~33 fp/s) + a 100k-fp durable base index.
     // Expected state: ~100k + horizon_s × 33 — the slope is the claim.
+    if (onlyProbe("state_dedup_gate")) {
     val nFeed = 2000000L
     val dedupRows = spark.range(nFeed).select(
         col("id").as("docId"),
@@ -553,11 +564,13 @@ object StreamBench {
           .writeStream.outputMode("append").format("memory").queryName(n))
       emit(f"""{"probe":"state_dedup_gate","horizon_ms":$horizonMs,"wall_sec":$wall%.3f,"rows":$outRows,"feed_rows":$nFeed,"base_index":100000,"state_rows_max":$stRows,"state_sst_bytes_max":$stSst,${gate.jsonFields},"sf":"synthetic"}""")
     }
+    }
 
     // ---- LSH near-dup tracker: per-(band,bucket) ListState ---------------
     // feed: sf0.1 documents ×8 near-dup replicas, 100 ms spacing (span
     // 4,000 s at 10 docs/s). State rows ≈ in-horizon docs × 4 bands.
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (onlyProbe("state_lsh_neardup")) {
     val docs0 = graft.sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
     val lshDocs = (0 until 8).map { i =>
@@ -589,9 +602,11 @@ object StreamBench {
       val members = maxListMembers(ckpt, "bucket", lastBatch)
       emit(f"""{"probe":"state_lsh_neardup","horizon_ms":$horizonMs,"wall_sec":$wall%.3f,"rows":$outRows,"feed_rows":$nLsh,"state_rows_max":$stRows,${membersFields(members)},"state_sst_bytes_max":$stSst,"max_bucket":${graft.streaming.LshDedupTracker.DefaultMaxBucket},"admission_drops":$drops,${gate.jsonFields},"sf":"$sfDir"}""")
     }
+    }
 
     // ---- semantic near-dup tracker: per-bucket ListState -----------------
     // feed: sf0.1 embeddings ×8 exact-dup replicas, 100 ms spacing.
+    if (onlyProbe("state_semantic_neardup")) {
     val emb0 = graft.sources.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
     val semDocs = (0 until 8).map { i =>
@@ -623,6 +638,7 @@ object StreamBench {
       val members = maxListMembers(ckpt, "bucket", lastBatch)
       emit(f"""{"probe":"state_semantic_neardup","horizon_ms":$horizonMs,"wall_sec":$wall%.3f,"rows":$outRows,"feed_rows":$nSem,"state_rows_max":$stRows,${membersFields(members)},"state_sst_bytes_max":$stSst,"max_bucket":${graft.streaming.SemanticDedupTracker.DefaultMaxBucket},"admission_drops":$drops,${gate.jsonFields},"sf":"$sfDir"}""")
     }
+    }
 
     // ---- capped-bucket skew leg: the admission cap BINDING ----------------
     // The production default's claim under test (r12): one pathological
@@ -633,11 +649,12 @@ object StreamBench {
     // arrival i emits i−1 pairs (Σ ≈ 2M pairs per bucket, state ∝ feed);
     // capped, out_rows ≈ 4 bands × (C(64,2) + 1936 × 64) and
     // state_members_max_sampled ≤ 4 × 64 however long the feed runs.
+    if (onlyProbe("state_lsh_capped_bucket")) {
     val hotN = 2000L
     val hotDocs = spark.range(hotN).select(
         col("id").as("doc_id"),
         lit("the quick brown fox jumps over the lazy dog again and again in the same boilerplate block").as("text"))
-      .withColumn("ts", timestamp_millis(lit(1700000000000L) + col("id") * 100L))
+      .withColumn("ts", timestamp_millis(lit(1700000000000L) + col("doc_id") * 100L))
     val hotDir = java.nio.file.Files.createTempDirectory("statecurve_hot").toString
     hotDocs.repartitionByRange(16, col("ts")).write.mode("overwrite").parquet(hotDir)
     orderFileMtimes(hotDir)
@@ -661,6 +678,7 @@ object StreamBench {
       val drops = graft.streaming.LshDedupTracker.admissionDrops.sum()
       val members = maxListMembers(ckpt, "bucket", lastBatch)
       emit(f"""{"probe":"state_lsh_capped_bucket","horizon_ms":3600000,"wall_sec":$wall%.3f,"rows":$outRows,"feed_rows":$hotN,"state_rows_max":$stRows,${membersFields(members)},"state_sst_bytes_max":$stSst,"max_bucket":$cap,"admission_drops":$drops,${gate.jsonFields},"sf":"synthetic"}""")
+    }
     }
   }
 }
