@@ -458,8 +458,23 @@ object StreamBench {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // SPARK_GRAFT_ROCKSDB_CHANGELOG (1/0): force per-commit CHANGELOG
+    // uploads on or off — full RocksDB snapshot zips per commit (the
+    // provider default on this build is false = snapshot mode,
+    // bytecode-verified) carry a maintenance cost ∝ retained keys,
+    // which changelog mode removes (A/B on the 2400 s-horizon LSH leg:
+    // 217.6 s snapshot vs 135.1 s changelog, wall flat across horizons).
+    // UNSET leaves the provider default; the row stamps the EFFECTIVE
+    // value as "changelog" so A/B lines are distinguishable.
+    val changelogConf =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    sys.env.get("SPARK_GRAFT_ROCKSDB_CHANGELOG")
+      .foreach(v => spark.conf.set(changelogConf, (v == "1").toString))
+    val changelog = spark.conf.get(changelogConf, "false")
     val scaleOut = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r12.json")
-    def emit(line: String): Unit = {
+    def emit(line0: String): Unit = {
+      // splice the changelog stamp in before the closing brace
+      val line = line0.stripSuffix("}") + s""","changelog":$changelog}"""
       println(s"[scale] $line")
       java.nio.file.Files.write(java.nio.file.Paths.get(scaleOut),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
