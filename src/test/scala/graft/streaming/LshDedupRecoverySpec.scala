@@ -13,13 +13,19 @@ import graft.operators.DedupOps
   * eviction timer armed; run 2 from the same checkpoint must (a) pair a
   * new arrival against the RESTORED membership without re-emitting
   * run 1's pair, (b) fire the RESTORED timer once the watermark passes
-  * the horizon, and (c) stay silent for a post-eviction arrival. */
+  * the horizon, and (c) stay silent for a post-eviction arrival.
+  *
+  * The scenario runs under BOTH checkpoint modes (r12): the provider's
+  * snapshot-per-commit default AND changelog checkpointing — the
+  * deployment setting [[StateStoreDefaults]] recommends — whose restore
+  * path differs (last snapshot + changelog tail replay instead of a
+  * whole-store snapshot load), so the recommendation is proven against
+  * kill/resume, not assumed from the throughput A/B alone. */
 class LshDedupRecoverySpec extends AnyFunSuite with SparkSpec {
 
-  test("ListState and eviction timers survive checkpoint restart") {
+  private def recoveryScenario(changelog: Boolean): Unit = {
     import spark.implicits._
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    StateStoreDefaults.rocksDb(spark, changelog = changelog)
     val srcDir = Files.createTempDirectory("lshrec_src")
     val cpDir = Files.createTempDirectory("lshrec_cp").toString
     val outDir = Files.createTempDirectory("lshrec_out").toString
@@ -69,24 +75,36 @@ class LshDedupRecoverySpec extends AnyFunSuite with SparkSpec {
       rows.map(o => (o.aId, o.bId)).toSet
     }
 
-    // run 1: docs 1,2 collide — pair emitted, timer armed at 15s
-    addFile(Seq(row(1, 10000L), row(2, 11000L)))
-    run()
-    assert(pairs() === Set((1L, 2L)))
+    try {
+      // run 1: docs 1,2 collide — pair emitted, timer armed at 15s
+      addFile(Seq(row(1, 10000L), row(2, 11000L)))
+      run()
+      assert(pairs() === Set((1L, 2L)))
 
-    // run 2, three micro-batches from the same checkpoint:
-    //   f2 — doc 3 joins the RESTORED bucket (pairs with 1 AND 2; the
-    //        re-armed horizon stays min-member 10s + 5s = 15s) and an
-    //        advancer in another bucket pushes the watermark to 29s
-    //   f3 — a second advancer batch lets the restored 15s timer fire:
-    //        every k0 member is past horizon, the bucket clears
-    //   f4 — doc 4 arrives in the emptied bucket: silence
-    addFile(Seq(row(3, 12000L), row(9990, 30000L, bucket = "adv")))
-    addFile(Seq(row(9991, 31000L, bucket = "adv2")))
-    addFile(Seq(row(4, 32000L)))
-    run()
-    assert(pairs() === Set((1L, 2L), (1L, 3L), (2L, 3L)),
-      "restored membership must pair doc 3; evicted bucket must not pair doc 4")
-    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      // run 2, three micro-batches from the same checkpoint:
+      //   f2 — doc 3 joins the RESTORED bucket (pairs with 1 AND 2; the
+      //        re-armed horizon stays min-member 10s + 5s = 15s) and an
+      //        advancer in another bucket pushes the watermark to 29s
+      //   f3 — a second advancer batch lets the restored 15s timer fire:
+      //        every k0 member is past horizon, the bucket clears
+      //   f4 — doc 4 arrives in the emptied bucket: silence
+      addFile(Seq(row(3, 12000L), row(9990, 30000L, bucket = "adv")))
+      addFile(Seq(row(9991, 31000L, bucket = "adv2")))
+      addFile(Seq(row(4, 32000L)))
+      run()
+      assert(pairs() === Set((1L, 2L), (1L, 3L), (2L, 3L)),
+        "restored membership must pair doc 3; evicted bucket must not pair doc 4")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.unset(StateStoreDefaults.ChangelogConf)
+    }
+  }
+
+  test("ListState and eviction timers survive checkpoint restart") {
+    recoveryScenario(changelog = false)
+  }
+
+  test("the same restart semantics hold under changelog checkpointing") {
+    recoveryScenario(changelog = true)
   }
 }
