@@ -51,7 +51,7 @@ object ScaleSmoke {
     // sweeps therefore ACCUMULATE lines: consumers must treat the NEWEST
     // line per (probe, k, sf) as authoritative (last-write-wins), or set
     // SPARK_GRAFT_SCALE_TRUNCATE=1 to start a fresh full sweep
-    val scaleOut = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r12.json")
+    val scaleOut = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r13.json")
     if (sys.env.get("SPARK_GRAFT_SCALE_TRUNCATE").contains("1"))
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(scaleOut))
     // extra: additional JSON fields (e.g. `"passes":3`), evaluated AFTER
@@ -60,16 +60,23 @@ object ScaleSmoke {
     // the probe waits out co-located steal waves before the timed body
     // and its reading is stamped into the row, so a contaminated
     // datapoint (the r11 knn_inc_recall drift) is self-identifying and
-    // normalizable as wall × (idle_ref / probe_sec).
+    // normalizable as wall × (idle_ref / probe_sec). Since r13 the row
+    // ALSO carries an END-of-body probe (`probe_sec_end`, mirroring
+    // Bench): the start gate cannot see a steal wave that begins
+    // mid-body, and the one unexplained r12 drift (dedup_components
+    // K=50, 55.3 s vs 47.6 with identical code, plans and passes) sat
+    // exactly in that blind spot — a row whose end probe is hot is
+    // contaminated even when it started calm.
     def time(name: String, extra: => String = "")(f: => Long): Unit =
       if (only.forall(_.contains(name))) {
       val gate = graft.ContentionGate.awaitCalm(spark, 32, label = name)
       val t0 = System.nanoTime()
       val rows = f
       val wall = (System.nanoTime() - t0) / 1e9
+      val probeEnd = graft.ContentionGate.probe(spark, 32)
       val ex = { val e = extra; if (e.isEmpty) "" else "," + e }
       println(f"[scale] $name%-22s $wall%8.2f s  ($rows rows)")
-      val line = f"""{"probe":"$name","k":$k,"wall_sec":$wall%.3f,"rows":$rows$ex,${gate.jsonFields},"sf":"$sfDir"}%n"""
+      val line = f"""{"probe":"$name","k":$k,"wall_sec":$wall%.3f,"rows":$rows$ex,${gate.jsonFields},"probe_sec_end":$probeEnd,"sf":"$sfDir"}%n"""
       java.nio.file.Files.write(java.nio.file.Paths.get(scaleOut),
         line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,

@@ -65,11 +65,16 @@ object StreamBench {
     // every leg's timed section is contention-gated (r12, extending the
     // r11 Bench gate): the probe waits out steal waves and its reading
     // is appended to the leg's printed line, so a contaminated rate is
-    // self-identifying
+    // self-identifying. r13 adds an END-of-body probe to every leg
+    // (mirroring Bench's probe_sec_end): the start gate cannot see a
+    // steal wave that begins mid-leg, and the long file-source legs are
+    // exactly the rows that can straddle one.
     def gateStamp(label: String): String = {
       val g = graft.ContentionGate.awaitCalm(spark, 32, label = label)
       f" probe=${g.probeSec}%.3f contended=${g.contended}"
     }
+    def endStamp(): String =
+      f" probe_end=${graft.ContentionGate.probe(spark, 32)}%.3f"
 
     // ---- batch leg: full plan over cached wire payloads -----------------
     val batchIn = wire(nBatch).cache()
@@ -82,7 +87,7 @@ object StreamBench {
       Seq(col("station_id"), col("station_name"), col("sensor_id")),
       "1 minute").count()
     val tBatch = (System.nanoTime() - t0) / 1e9
-    println(f"[streambench] batch_pipeline n=$nBatch out_rows=$outRows t=$tBatch%.2f s rate=${nBatch / tBatch}%.0f events/s$gate0")
+    println(f"[streambench] batch_pipeline n=$nBatch out_rows=$outRows t=$tBatch%.2f s rate=${nBatch / tBatch}%.0f events/s$gate0${endStamp()}")
     batchIn.unpersist()
 
     // ---- streaming leg A: file source, Trigger.AvailableNow -------------
@@ -100,7 +105,7 @@ object StreamBench {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     qf.awaitTermination()
     val tFs = (System.nanoTime() - t2) / 1e9
-    println(f"[streambench] streaming_filesource n=$nBatch state_rows=${spark.table("fsbench").count()} t=$tFs%.2f s rate=${nBatch / tFs}%.0f events/s$gateFs")
+    println(f"[streambench] streaming_filesource n=$nBatch state_rows=${spark.table("fsbench").count()} t=$tFs%.2f s rate=${nBatch / tFs}%.0f events/s$gateFs${endStamp()}")
 
     // ---- streaming leg B: MemoryStream micro-batches --------------------
     implicit val ctx = spark.sqlContext
@@ -117,7 +122,7 @@ object StreamBench {
       batches.foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
       val tStream = (System.nanoTime() - t1) / 1e9
       val stateRows = spark.table("streambench").count()
-      println(f"[streambench] streaming_microbatch n=$nStream batches=${batches.length} state_rows=$stateRows t=$tStream%.2f s rate=${nStream / tStream}%.0f events/s$gateMb")
+      println(f"[streambench] streaming_microbatch n=$nStream batches=${batches.length} state_rows=$stateRows t=$tStream%.2f s rate=${nStream / tStream}%.0f events/s$gateMb${endStamp()}")
     } finally q.stop()
 
     // ---- streaming leg C: as-of enrichment tracker ----------------------
@@ -148,7 +153,7 @@ object StreamBench {
       val t3 = System.nanoTime()
       batches.foreach { b => asofIn.addData(b.toSeq); qa.processAllAvailable() }
       val tA = (System.nanoTime() - t3) / 1e9
-      println(f"[streambench] streaming_asof n=$nStream out_rows=${spark.table("asofbench").count()} t=$tA%.2f s rate=${nStream / tA}%.0f events/s$gateAsof")
+      println(f"[streambench] streaming_asof n=$nStream out_rows=${spark.table("asofbench").count()} t=$tA%.2f s rate=${nStream / tA}%.0f events/s$gateAsof${endStamp()}")
     } finally qa.stop()
 
     // ---- streaming leg D: windowed top-k tracker -------------------------
@@ -182,7 +187,7 @@ object StreamBench {
       val t4 = System.nanoTime()
       batches.foreach { b => topkIn.addData(b.toSeq); qt.processAllAvailable() }
       val tT = (System.nanoTime() - t4) / 1e9
-      println(f"[streambench] streaming_topk n=$nStream out_rows=${spark.table("topkbench").count()} t=$tT%.2f s rate=${nStream / tT}%.0f events/s$gateTopk")
+      println(f"[streambench] streaming_topk n=$nStream out_rows=${spark.table("topkbench").count()} t=$tT%.2f s rate=${nStream / tT}%.0f events/s$gateTopk${endStamp()}")
     } finally qt.stop()
 
 
@@ -227,7 +232,7 @@ object StreamBench {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     qtf.awaitTermination()
     val tTF = (System.nanoTime() - t5) / 1e9
-    println(f"[streambench] streaming_topk_filesource n=$nBatch out_rows=${spark.table("topkfsbench").count()} t=$tTF%.2f s rate=${nBatch / tTF}%.0f events/s$gateTopkFs")
+    println(f"[streambench] streaming_topk_filesource n=$nBatch out_rows=${spark.table("topkfsbench").count()} t=$tTF%.2f s rate=${nBatch / tTF}%.0f events/s$gateTopkFs${endStamp()}")
 
     // ---- streaming leg F: exact-dedup fingerprint gate --------------------
     // FingerprintDedupTracker operating point: ~3 stream rows per
@@ -257,7 +262,7 @@ object StreamBench {
       val t6 = System.nanoTime()
       batches.foreach { b => dedupIn.addData(b.toSeq); qd.processAllAvailable() }
       val tD = (System.nanoTime() - t6) / 1e9
-      println(f"[streambench] streaming_dedup_gate n=$nStream out_rows=${spark.table("dedupbench").count()} t=$tD%.2f s rate=${nStream / tD}%.0f events/s$gateDedup")
+      println(f"[streambench] streaming_dedup_gate n=$nStream out_rows=${spark.table("dedupbench").count()} t=$tD%.2f s rate=${nStream / tD}%.0f events/s$gateDedup${endStamp()}")
     } finally qd.stop()
 
     // ---- streaming leg G: dedup gate via FILE source, AvailableNow -------
@@ -293,7 +298,7 @@ object StreamBench {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     qdf.awaitTermination()
     val tDF = (System.nanoTime() - t7) / 1e9
-    println(f"[streambench] streaming_dedup_gate_filesource n=$nBatch out_rows=${spark.table("dedupfsbench").count()} t=$tDF%.2f s rate=${nBatch / tDF}%.0f events/s$gateDedupFs")
+    println(f"[streambench] streaming_dedup_gate_filesource n=$nBatch out_rows=${spark.table("dedupfsbench").count()} t=$tDF%.2f s rate=${nBatch / tDF}%.0f events/s$gateDedupFs${endStamp()}")
 
     // ---- streaming leg H: LSH near-dup discovery at ingest ---------------
     // LshDedupTracker end to end via FILE source: the map-side banded
@@ -326,14 +331,13 @@ object StreamBench {
       .transformWithState(new graft.streaming.LshDedupTracker(3600000L),
         TimeMode.EventTime(), OutputMode.Append())
     val gateLsh = gateStamp("streaming_lsh_neardup_filesource")
-    graft.streaming.LshDedupTracker.admissionDrops.reset()
     val t8 = System.nanoTime()
     val ql = lshCands.writeStream.outputMode("append")
       .format("memory").queryName("lshfsbench")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     ql.awaitTermination()
     val tL = (System.nanoTime() - t8) / 1e9
-    println(f"[streambench] streaming_lsh_neardup_filesource docs=$nLshDocs cand_rows=${spark.table("lshfsbench").count()} t=$tL%.2f s rate=${nLshDocs / tL}%.0f docs/s max_bucket=${graft.streaming.LshDedupTracker.DefaultMaxBucket} admission_drops=${graft.streaming.LshDedupTracker.admissionDrops.sum()}$gateLsh")
+    println(f"[streambench] streaming_lsh_neardup_filesource docs=$nLshDocs cand_rows=${spark.table("lshfsbench").count()} t=$tL%.2f s rate=${nLshDocs / tL}%.0f docs/s max_bucket=${graft.streaming.LshDedupTracker.DefaultMaxBucket} admission_drops=${graft.streaming.AdmissionDrops.forRun(graft.streaming.LshDedupTracker.DropsTag, ql.runId)}$gateLsh${endStamp()}")
 
     // ---- streaming leg I: semantic (embedding) near-dup at ingest --------
     // SemanticDedupTracker via FILE source: map-side hyperplane bucket +
@@ -366,14 +370,13 @@ object StreamBench {
       .transformWithState(new graft.streaming.SemanticDedupTracker(3600000L),
         TimeMode.EventTime(), OutputMode.Append())
     val gateSem = gateStamp("streaming_semantic_neardup_filesource")
-    graft.streaming.SemanticDedupTracker.admissionDrops.reset()
     val t9 = System.nanoTime()
     val qs = semCands.writeStream.outputMode("append")
       .format("memory").queryName("semfsbench")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     qs.awaitTermination()
     val tS = (System.nanoTime() - t9) / 1e9
-    println(f"[streambench] streaming_semantic_neardup_filesource vecs=$nSem cand_rows=${spark.table("semfsbench").count()} t=$tS%.2f s rate=${nSem / tS}%.0f vecs/s max_bucket=${graft.streaming.SemanticDedupTracker.DefaultMaxBucket} admission_drops=${graft.streaming.SemanticDedupTracker.admissionDrops.sum()}$gateSem")
+    println(f"[streambench] streaming_semantic_neardup_filesource vecs=$nSem cand_rows=${spark.table("semfsbench").count()} t=$tS%.2f s rate=${nSem / tS}%.0f vecs/s max_bucket=${graft.streaming.SemanticDedupTracker.DefaultMaxBucket} admission_drops=${graft.streaming.AdmissionDrops.forRun(graft.streaming.SemanticDedupTracker.DropsTag, qs.runId)}$gateSem${endStamp()}")
     spark.stop()
   }
 
@@ -471,7 +474,7 @@ object StreamBench {
     sys.env.get("SPARK_GRAFT_ROCKSDB_CHANGELOG")
       .foreach(v => spark.conf.set(changelogConf, (v == "1").toString))
     val changelog = spark.conf.get(changelogConf, "false")
-    val scaleOut = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r12.json")
+    val scaleOut = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r13.json")
     def emit(line0: String): Unit = {
       // splice the changelog stamp in before the closing brace
       val line = line0.stripSuffix("}") + s""","changelog":$changelog}"""
@@ -481,11 +484,18 @@ object StreamBench {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     }
-    /** Runs `build(queryName)` to completion and returns
-      * (wall_s, out_rows, max state rows, max SST bytes, last batch). */
+    /** One completed state-curve leg. `probeEnd` is the END-of-body
+      * contention probe (r13, mirroring Bench's probe_sec_end — the
+      * start gate cannot see a steal wave that begins mid-leg, and
+      * these are the repo's longest single recordings); `runId` keys
+      * this run's [[graft.streaming.AdmissionDrops]] counters. */
+    case class LegResult(wall: Double, outRows: Long, stateRowsMax: Long,
+        sstMax: Long, lastBatch: Long, probeEnd: Double,
+        runId: java.util.UUID)
+    /** Runs `build(queryName)` to completion. */
     def run(queryName: String,
         build: String => org.apache.spark.sql.streaming.DataStreamWriter[_])
-        : (Double, Long, Long, Long, Long) = {
+        : LegResult = {
       val listener = new StateMaxListener(queryName)
       spark.streams.addListener(listener)
       try {
@@ -493,6 +503,7 @@ object StreamBench {
         val q = build(queryName).trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         val wall = (System.nanoTime() - t0) / 1e9
+        val probeEnd = graft.ContentionGate.probe(spark, 32)
         // merge the synchronous buffer: complete for ≤256-trigger legs,
         // and a floor against listener events still in flight at stop
         q.recentProgress.foreach(listener.observe)
@@ -501,8 +512,8 @@ object StreamBench {
         val outRows = spark.table(queryName).count()
         // free the memory sink's driver-side rows before the next horizon
         spark.catalog.dropTempView(queryName)
-        (wall, outRows, listener.maxRows.get(), listener.maxSst.get(),
-          listener.lastBatch.get())
+        LegResult(wall, outRows, listener.maxRows.get(), listener.maxSst.get(),
+          listener.lastBatch.get(), probeEnd, q.runId)
       } finally spark.streams.removeListener(listener)
     }
 
@@ -571,13 +582,13 @@ object StreamBench {
         .as[graft.streaming.DedupIn]
       val name = s"fpcurve_$horizonMs"
       val gate = graft.ContentionGate.awaitCalm(spark, 32, label = name)
-      val (wall, outRows, stRows, stSst, _) = run(name, n =>
+      val r = run(name, n =>
         in.withWatermark("ts", "10 seconds")
           .groupByKey(_.fingerprint)
           .transformWithState(new graft.streaming.FingerprintDedupTracker(horizonMs),
             TimeMode.EventTime(), OutputMode.Append(), dedupInit)
           .writeStream.outputMode("append").format("memory").queryName(n))
-      emit(f"""{"probe":"state_dedup_gate","horizon_ms":$horizonMs,"wall_sec":$wall%.3f,"rows":$outRows,"feed_rows":$nFeed,"base_index":100000,"state_rows_max":$stRows,"state_sst_bytes_max":$stSst,${gate.jsonFields},"sf":"synthetic"}""")
+      emit(f"""{"probe":"state_dedup_gate","horizon_ms":$horizonMs,"wall_sec":${r.wall}%.3f,"rows":${r.outRows},"feed_rows":$nFeed,"base_index":100000,"state_rows_max":${r.stateRowsMax},"state_sst_bytes_max":${r.sstMax},${gate.jsonFields},"probe_sec_end":${r.probeEnd},"sf":"synthetic"}""")
     }
     }
 
@@ -603,8 +614,7 @@ object StreamBench {
       val name = s"lshcurve_$horizonMs"
       val ckpt = java.nio.file.Files.createTempDirectory(s"ckpt_$name").toString
       val gate = graft.ContentionGate.awaitCalm(spark, 32, label = name)
-      graft.streaming.LshDedupTracker.admissionDrops.reset()
-      val (wall, outRows, stRows, stSst, lastBatch) = run(name, n =>
+      val r = run(name, n =>
         graft.streaming.LshDedupTracker.streamInput(in)
           .as[graft.streaming.LshIn]
           .withWatermark("ts", "10 seconds")
@@ -613,9 +623,10 @@ object StreamBench {
             TimeMode.EventTime(), OutputMode.Append())
           .writeStream.outputMode("append").format("memory")
           .option("checkpointLocation", ckpt).queryName(n))
-      val drops = graft.streaming.LshDedupTracker.admissionDrops.sum()
-      val members = maxListMembers(ckpt, "bucket", lastBatch)
-      emit(f"""{"probe":"state_lsh_neardup","horizon_ms":$horizonMs,"wall_sec":$wall%.3f,"rows":$outRows,"feed_rows":$nLsh,"state_rows_max":$stRows,${membersFields(members)},"state_sst_bytes_max":$stSst,"max_bucket":${graft.streaming.LshDedupTracker.DefaultMaxBucket},"admission_drops":$drops,${gate.jsonFields},"sf":"$sfDir"}""")
+      val drops = graft.streaming.AdmissionDrops.forRun(
+        graft.streaming.LshDedupTracker.DropsTag, r.runId)
+      val members = maxListMembers(ckpt, "bucket", r.lastBatch)
+      emit(f"""{"probe":"state_lsh_neardup","horizon_ms":$horizonMs,"wall_sec":${r.wall}%.3f,"rows":${r.outRows},"feed_rows":$nLsh,"state_rows_max":${r.stateRowsMax},${membersFields(members)},"state_sst_bytes_max":${r.sstMax},"max_bucket":${graft.streaming.LshDedupTracker.DefaultMaxBucket},"admission_drops":$drops,${gate.jsonFields},"probe_sec_end":${r.probeEnd},"sf":"$sfDir"}""")
     }
     }
 
@@ -641,17 +652,17 @@ object StreamBench {
       val name = s"semcurve_$horizonMs"
       val ckpt = java.nio.file.Files.createTempDirectory(s"ckpt_$name").toString
       val gate = graft.ContentionGate.awaitCalm(spark, 32, label = name)
-      graft.streaming.SemanticDedupTracker.admissionDrops.reset()
-      val (wall, outRows, stRows, stSst, lastBatch) = run(name, n =>
+      val r = run(name, n =>
         in.withWatermark("ts", "10 seconds")
           .groupByKey(_.bucket)
           .transformWithState(new graft.streaming.SemanticDedupTracker(horizonMs),
             TimeMode.EventTime(), OutputMode.Append())
           .writeStream.outputMode("append").format("memory")
           .option("checkpointLocation", ckpt).queryName(n))
-      val drops = graft.streaming.SemanticDedupTracker.admissionDrops.sum()
-      val members = maxListMembers(ckpt, "bucket", lastBatch)
-      emit(f"""{"probe":"state_semantic_neardup","horizon_ms":$horizonMs,"wall_sec":$wall%.3f,"rows":$outRows,"feed_rows":$nSem,"state_rows_max":$stRows,${membersFields(members)},"state_sst_bytes_max":$stSst,"max_bucket":${graft.streaming.SemanticDedupTracker.DefaultMaxBucket},"admission_drops":$drops,${gate.jsonFields},"sf":"$sfDir"}""")
+      val drops = graft.streaming.AdmissionDrops.forRun(
+        graft.streaming.SemanticDedupTracker.DropsTag, r.runId)
+      val members = maxListMembers(ckpt, "bucket", r.lastBatch)
+      emit(f"""{"probe":"state_semantic_neardup","horizon_ms":$horizonMs,"wall_sec":${r.wall}%.3f,"rows":${r.outRows},"feed_rows":$nSem,"state_rows_max":${r.stateRowsMax},${membersFields(members)},"state_sst_bytes_max":${r.sstMax},"max_bucket":${graft.streaming.SemanticDedupTracker.DefaultMaxBucket},"admission_drops":$drops,${gate.jsonFields},"probe_sec_end":${r.probeEnd},"sf":"$sfDir"}""")
     }
     }
 
@@ -679,9 +690,8 @@ object StreamBench {
       val name = "lshhotbucket"
       val ckpt = java.nio.file.Files.createTempDirectory(s"ckpt_$name").toString
       val gate = graft.ContentionGate.awaitCalm(spark, 32, label = name)
-      graft.streaming.LshDedupTracker.admissionDrops.reset()
       val cap = graft.streaming.LshDedupTracker.DefaultMaxBucket
-      val (wall, outRows, stRows, stSst, lastBatch) = run(name, n =>
+      val r = run(name, n =>
         graft.streaming.LshDedupTracker.streamInput(in)
           .as[graft.streaming.LshIn]
           .withWatermark("ts", "10 seconds")
@@ -690,9 +700,60 @@ object StreamBench {
             TimeMode.EventTime(), OutputMode.Append())
           .writeStream.outputMode("append").format("memory")
           .option("checkpointLocation", ckpt).queryName(n))
-      val drops = graft.streaming.LshDedupTracker.admissionDrops.sum()
-      val members = maxListMembers(ckpt, "bucket", lastBatch)
-      emit(f"""{"probe":"state_lsh_capped_bucket","horizon_ms":3600000,"wall_sec":$wall%.3f,"rows":$outRows,"feed_rows":$hotN,"state_rows_max":$stRows,${membersFields(members)},"state_sst_bytes_max":$stSst,"max_bucket":$cap,"admission_drops":$drops,${gate.jsonFields},"sf":"synthetic"}""")
+      val drops = graft.streaming.AdmissionDrops.forRun(
+        graft.streaming.LshDedupTracker.DropsTag, r.runId)
+      val members = maxListMembers(ckpt, "bucket", r.lastBatch)
+      emit(f"""{"probe":"state_lsh_capped_bucket","horizon_ms":3600000,"wall_sec":${r.wall}%.3f,"rows":${r.outRows},"feed_rows":$hotN,"state_rows_max":${r.stateRowsMax},${membersFields(members)},"state_sst_bytes_max":${r.sstMax},"max_bucket":$cap,"admission_drops":$drops,${gate.jsonFields},"probe_sec_end":${r.probeEnd},"sf":"synthetic"}""")
+    }
+    }
+
+    // ---- semantic capped-bucket skew leg: the 4096 cap BINDING ------------
+    // The semantic tracker's DEFAULT cap had no binding recording (r13,
+    // VERDICT #5): on every real corpus drops read 0 — a pure backstop —
+    // so nothing showed the backstop actually bounds state and admission
+    // when a bucket saturates. Feed: hash-seeded pseudorandom dim-64
+    // vectors (deterministic across runs), FILTERED to the single most
+    // populated hyperplane bucket, 4096 + 904 = 5000 arrivals. Members
+    // must pin at the 4096 cap with exactly 904 counted refusals; the
+    // accuracy contract holds because refused arrivals still score
+    // against the capped membership — random-vector pairs at cos ≥ 0.3
+    // (~2.4σ of the N(0, 1/64) cosine distribution) keep out_rows > 0.
+    if (onlyProbe("state_semantic_capped_bucket")) {
+    val semCap = graft.streaming.SemanticDedupTracker.DefaultMaxBucket
+    val nHotVecs = semCap + 904L // 5000 arrivals, 904 past the cap
+    val rawVecs = spark.range(400000).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), j =>
+          (pmod(hash(col("id") * 64 + j), lit(2001)) - 1000).cast("double")
+            / 1000.0).as("embedding"))
+      .withColumn("ts", timestamp_millis(lit(1700000000000L) + col("vec_id")))
+    val prepped = graft.streaming.SemanticDedupTracker.streamInput(rawVecs)
+    val hotBucket = prepped.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bucket")).head().getLong(0)
+    val hotVecs = prepped.filter(col("bucket") === hotBucket)
+      .orderBy(col("vecId")).limit(nHotVecs.toInt)
+    val semHotDir = java.nio.file.Files.createTempDirectory("statecurve_semhot").toString
+    hotVecs.repartitionByRange(16, col("ts")).write.mode("overwrite").parquet(semHotDir)
+    orderFileMtimes(semHotDir)
+    locally {
+      val in = spark.readStream.schema(prepped.schema)
+        .option("maxFilesPerTrigger", "1").parquet(semHotDir)
+        .as[graft.streaming.SemIn]
+      val name = "semhotbucket"
+      val ckpt = java.nio.file.Files.createTempDirectory(s"ckpt_$name").toString
+      val gate = graft.ContentionGate.awaitCalm(spark, 32, label = name)
+      val r = run(name, n =>
+        in.withWatermark("ts", "10 seconds")
+          .groupByKey(_.bucket)
+          .transformWithState(new graft.streaming.SemanticDedupTracker(3600000L),
+            TimeMode.EventTime(), OutputMode.Append())
+          .writeStream.outputMode("append").format("memory")
+          .option("checkpointLocation", ckpt).queryName(n))
+      val drops = graft.streaming.AdmissionDrops.forRun(
+        graft.streaming.SemanticDedupTracker.DropsTag, r.runId)
+      val members = maxListMembers(ckpt, "bucket", r.lastBatch)
+      emit(f"""{"probe":"state_semantic_capped_bucket","horizon_ms":3600000,"wall_sec":${r.wall}%.3f,"rows":${r.outRows},"feed_rows":$nHotVecs,"state_rows_max":${r.stateRowsMax},${membersFields(members)},"state_sst_bytes_max":${r.sstMax},"max_bucket":$semCap,"admission_drops":$drops,${gate.jsonFields},"probe_sec_end":${r.probeEnd},"sf":"synthetic"}""")
     }
     }
   }

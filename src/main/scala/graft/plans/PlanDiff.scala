@@ -20,9 +20,9 @@ package graft.plans
 object PlanDiff {
 
   /** Per-round artifact names — bump together once per round. */
-  val CurrentArtifact = "PLANS_r12.json"
-  val PreviousArtifact = "PLANS_r11.json"
-  val DiffArtifact = "PLANS_DIFF_r12.json"
+  val CurrentArtifact = "PLANS_r13.json"
+  val PreviousArtifact = "PLANS_r12.json"
+  val DiffArtifact = "PLANS_DIFF_r13.json"
 
   /** Intentional plan changes this round, query → reason. A whitelist
     * entry licenses ONE round's diff; next round the changed plan is the
@@ -31,7 +31,10 @@ object PlanDiff {
 
   /** The digest fields of one artifact line (parsed from our own fixed
     * writer format — see [[PlanDigest.toJsonLine]]). `materializePoints`
-    * is None on pre-r11 artifacts, which did not record it. */
+    * is None on pre-r11 artifacts, which did not record it; `pushedBase`
+    * is None on pre-r13 artifacts, which carried no scan-kind tags —
+    * `scansRaw` is normalized (kind stripped) so a digest and its
+    * pre-r13 rendering compare equal when the scans themselves match. */
   case class Line(
       query: String,
       shuffle: Int,
@@ -41,7 +44,8 @@ object PlanDiff {
       windows: Int,
       materializePoints: Option[Int],
       scansRaw: String,
-      pushedTotal: Int)
+      pushedTotal: Int,
+      pushedBase: Option[Int])
 
   private val QueryRe = """"query":"([^"]+)"""".r
   private val IntRe = Map(
@@ -54,6 +58,10 @@ object PlanDiff {
   private val JoinPairRe = """"([A-Za-z]+)":(\d+)""".r
   private val ScansRe = """"scans":\[(.*)\]""".r
   private val PushedRe = """"pushed":(\d+)""".r
+  // one scan object, kind optional (absent on pre-r13 artifacts)
+  private val ScanObjRe =
+    """\{"table":"[^"]*","pushed":(\d+),"cols":\d+(?:,"kind":"(\w+)")?\}""".r
+  private val KindFieldRe = ""","kind":"\w+"""".r
 
   def parseLine(l: String): Line = {
     def int(f: String): Int = IntRe(f).findFirstMatchIn(l)
@@ -65,6 +73,16 @@ object PlanDiff {
       }
     val scans = ScansRe.findFirstMatchIn(l)
       .fold(sys.error(s"artifact line missing scans: $l"))(_.group(1))
+    val scanObjs = ScanObjRe.findAllMatchIn(scans)
+      .map(m => (m.group(1).toInt, Option(m.group(2)))).toSeq
+    // kind-tagged artifact (r13+): the pushdown gate applies to BASE
+    // scans only — a "materialized" scan's repetitions are audit-mode
+    // lineage of a checkpointed subtree, not runtime reads (the subtree's
+    // own signature is in the list once and counts as checked there)
+    val pushedBase =
+      if (scanObjs.exists(_._2.isDefined))
+        Some(scanObjs.collect { case (p, k) if !k.contains("materialized") => p }.sum)
+      else None
     Line(
       query = QueryRe.findFirstMatchIn(l)
         .fold(sys.error(s"artifact line missing query: $l"))(_.group(1)),
@@ -74,8 +92,9 @@ object PlanDiff {
       sorts = int("sorts"),
       windows = int("windows"),
       materializePoints = MatRe.findFirstMatchIn(l).map(_.group(1).toInt),
-      scansRaw = scans,
-      pushedTotal = PushedRe.findAllMatchIn(scans).map(_.group(1).toInt).sum)
+      scansRaw = KindFieldRe.replaceAllIn(scans, ""),
+      pushedTotal = PushedRe.findAllMatchIn(scans).map(_.group(1).toInt).sum,
+      pushedBase = pushedBase)
   }
 
   def parseArtifact(path: java.nio.file.Path): Map[String, Line] = {
@@ -118,10 +137,24 @@ object PlanDiff {
     if (cur.windows != prev.windows)
       b += Change("windows", prev.windows.toString, cur.windows.toString,
         regression = cur.windows > prev.windows)
-    if (cur.pushedTotal != prev.pushedTotal)
-      b += Change("pushed_filters_total", prev.pushedTotal.toString,
-        cur.pushedTotal.toString,
-        regression = cur.pushedTotal < prev.pushedTotal)
+    // the pushdown GATE (r13): when both rounds carry scan-kind tags,
+    // compare BASE-scan pushed totals — a change confined to
+    // materialized-subtree lineage repetitions is visible in the scans
+    // diff but is not a pushdown regression (those scans run once,
+    // inside the checkpoint build, where their own pushed count is
+    // already in the list). Across the format boundary (prev pre-r13)
+    // the all-scans total is the only comparable figure.
+    (prev.pushedBase, cur.pushedBase) match {
+      case (Some(p), Some(c)) =>
+        if (c != p)
+          b += Change("pushed_filters_base", p.toString, c.toString,
+            regression = c < p)
+      case _ =>
+        if (cur.pushedTotal != prev.pushedTotal)
+          b += Change("pushed_filters_total", prev.pushedTotal.toString,
+            cur.pushedTotal.toString,
+            regression = cur.pushedTotal < prev.pushedTotal)
+    }
     // independent of the pushed-filter compare (r12, ADVICE fix): a round
     // that both loses a pushed filter AND reshapes scans must report
     // both changes, not drop the scans diff in the else-branch

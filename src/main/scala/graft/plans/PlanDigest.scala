@@ -23,7 +23,27 @@ import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleEx
   * depends on runtime statistics. */
 object PlanDigest {
 
-  case class ScanInfo(table: String, pushedFilters: Int, readCols: Int)
+  /** One parquet scan in the digested plan. `kind` (r13) separates the
+    * scans the executed form actually performs from lineage-view
+    * repetitions, so a pushdown audit stops re-adjudicating checkpoint
+    * re-reads by hand (`snm_multipass_dups` digests 42 scans, 40 of
+    * them unpushed re-reads of its checkpointed shingle frame):
+    *  - `base` — a scan the executed plan runs directly; the pushdown
+    *    gate applies (PlanDiff compares base pushed totals);
+    *  - `materialized` — this (table, pushed, cols) signature appears
+    *    in the STANDALONE plan of a frame the executed form
+    *    checkpoints (`materializeOnce`): at runtime the subtree's
+    *    scans run once, inside the checkpoint build, and downstream
+    *    consumers read the checkpoint — the digest's repetitions of
+    *    this signature are audit-mode lineage, not runtime I/O.
+    * Tagging is by signature match, which is sound for the audit in
+    * both directions: every distinct materialized signature IS executed
+    * once and carries its pushed count here (so it is still checked,
+    * once), and a lineage copy that Catalyst enriched with a
+    * cross-boundary pushdown the checkpointed form cannot do keeps
+    * kind=base — over-strict, never under-. */
+  case class ScanInfo(table: String, pushedFilters: Int, readCols: Int,
+      kind: String = "base")
 
   case class Digest(
       shuffleExchanges: Int,
@@ -41,27 +61,31 @@ object PlanDigest {
 
   /** [[digest]] of a query built by `fn` with the per-thread materialize
     * counter wrapped around the build, so the digest carries the executed
-    * form's checkpoint-boundary count. The caller must already be in
-    * audit mode (`graft.materialize=off`) — otherwise the counter stays 0
-    * and the plan is the truncated executed form. */
+    * form's checkpoint-boundary count AND its scan-kind tags (the
+    * counter collects each materialized subtree's standalone scan
+    * signatures as the build walks through `materializeOnce`). The
+    * caller must already be in audit mode (`graft.materialize=off`) —
+    * otherwise the counter stays 0 and the plan is the truncated
+    * executed form. */
   def digestBuilt(fn: => DataFrame): Digest = {
     graft.queries.MaterializeCounter.reset()
     val df = fn
-    digest(df).copy(materializePoints = graft.queries.MaterializeCounter.value)
+    digest(df, graft.queries.MaterializeCounter.scanSignatures)
+      .copy(materializePoints = graft.queries.MaterializeCounter.value)
   }
 
-  def digest(df: DataFrame): Digest = {
-    val root = df.queryExecution.executedPlan
-    val plan: SparkPlan = root match {
+  /** The stage-prepared physical plan the digest reads (AQE initial
+    * plan — exchanges inserted, runtime stats not yet applied). */
+  private def preparedPlan(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
       // initialPlan (not inputPlan): exchanges are inserted by the
       // stage-preparation rules, and the digest exists to count them
       case a: AdaptiveSparkPlanExec => a.initialPlan
       case p => p
     }
-    val nodes = plan.collect { case n => n }
-    val joins = nodes.map(_.nodeName).filter(_.endsWith("Join"))
-      .groupBy(identity).view.mapValues(_.size).toSeq.sortBy(_._1)
-    val scans = nodes.collect {
+
+  private def collectScans(plan: SparkPlan): Seq[(String, Int, Int)] =
+    plan.collect {
       case s: FileSourceScanExec =>
         val table = s.relation.location.rootPaths.headOption
           .map(_.getName).getOrElse("?")
@@ -70,7 +94,24 @@ object PlanDigest {
         // commas inside In(…)/StringContains(…) stay inside brackets)
         val pushed = s.metadata.get("PushedFilters")
           .fold(0)(countTopLevelFilters)
-        ScanInfo(table, pushed, s.requiredSchema.size)
+        (table, pushed, s.requiredSchema.size)
+    }
+
+  /** The (table, pushed, cols) signatures of `df`'s own physical scans —
+    * what `materializeOnce` records for a subtree it would checkpoint,
+    * and exactly the scans the checkpoint build performs at runtime. */
+  def scanSignatures(df: DataFrame): Set[(String, Int, Int)] =
+    collectScans(preparedPlan(df)).toSet
+
+  def digest(df: DataFrame,
+      materializedSigs: Set[(String, Int, Int)] = Set.empty): Digest = {
+    val plan = preparedPlan(df)
+    val nodes = plan.collect { case n => n }
+    val joins = nodes.map(_.nodeName).filter(_.endsWith("Join"))
+      .groupBy(identity).view.mapValues(_.size).toSeq.sortBy(_._1)
+    val scans = collectScans(plan).map { case sig @ (table, pushed, cols) =>
+      ScanInfo(table, pushed, cols,
+        kind = if (materializedSigs(sig)) "materialized" else "base")
     }.sortBy(si => (si.table, si.pushedFilters, si.readCols))
     Digest(
       shuffleExchanges = nodes.count(_.isInstanceOf[ShuffleExchangeExec]),
@@ -111,7 +152,7 @@ object PlanDigest {
   def toJsonLine(name: String, d: Digest): String = {
     val joins = d.joins.map { case (j, n) => s""""$j":$n""" }.mkString(",")
     val scans = d.scans.map { si =>
-      s"""{"table":"${si.table}","pushed":${si.pushedFilters},"cols":${si.readCols}}"""
+      s"""{"table":"${si.table}","pushed":${si.pushedFilters},"cols":${si.readCols},"kind":"${si.kind}"}"""
     }.mkString(",")
     s"""{"query":"$name","shuffle_exchanges":${d.shuffleExchanges},""" +
       s""""broadcast_exchanges":${d.broadcastExchanges},""" +

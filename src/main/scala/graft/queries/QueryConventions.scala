@@ -46,6 +46,15 @@ private[queries] object QueryConventions {
     def materializeOnce: org.apache.spark.sql.DataFrame =
       if (MaterializeMode.isOff) {
         MaterializeCounter.bump()
+        // record the subtree's OWN physical scan signatures (r13): the
+        // executed form performs exactly these scans once — when the
+        // checkpoint materializes — while the audit-form full plan
+        // repeats them per downstream consumer. The digest uses the
+        // recorded set to tag lineage-view repetitions as
+        // kind=materialized, so a pushdown audit stops re-adjudicating
+        // checkpoint re-reads by hand (the PLANS artifact's scans field).
+        MaterializeCounter.recordScans(
+          graft.plans.PlanDigest.scanSignatures(df))
         df
       } else df.localCheckpoint(true)
   }
@@ -60,6 +69,20 @@ private[queries] object QueryConventions {
   * task can flip forms without touching the property every other task
   * is reading. None = follow the system property. */
 object MaterializeMode {
+
+  /** SINGLE-THREAD-BUILD INVARIANT (r13, ADVICE): both this override
+    * and [[MaterializeCounter]] are per-thread, so a query builder must
+    * construct ALL its frames on the calling thread. A builder that
+    * moved frame construction onto a helper thread inside a
+    * `withReal` walk would silently build the audit (non-checkpointed)
+    * form there — the helper thread reads the global
+    * `graft.materialize=off` property, not this thread's override — and
+    * its materialize points would vanish from the digest. Every
+    * registered builder today is straight-line driver code on one
+    * thread; a future builder that spawns threads must thread the mode
+    * through explicitly or it fails the digest-currency and
+    * materialize-point checks in `RegistryAuditSpec` (the counter reads
+    * zero on the walk thread). */
   private val tl = new ThreadLocal[Option[Boolean]] {
     override def initialValue(): Option[Boolean] = None
   }
@@ -90,7 +113,16 @@ object MaterializeCounter {
   private val n = new ThreadLocal[Array[Int]] {
     override def initialValue(): Array[Int] = Array(0)
   }
+  // the scan signatures ((table, pushed, cols)) of every materialized
+  // subtree's standalone physical plan, accumulated per thread alongside
+  // the count — the PLANS artifact's base|materialized scan tags (r13)
+  private val sigs = new ThreadLocal[scala.collection.mutable.Set[(String, Int, Int)]] {
+    override def initialValue() = scala.collection.mutable.Set.empty
+  }
   private[queries] def bump(): Unit = n.get()(0) += 1
-  def reset(): Unit = n.get()(0) = 0
+  private[queries] def recordScans(s: Iterable[(String, Int, Int)]): Unit =
+    sigs.get() ++= s
+  def reset(): Unit = { n.get()(0) = 0; sigs.get().clear() }
   def value: Int = n.get()(0)
+  def scanSignatures: Set[(String, Int, Int)] = sigs.get().toSet
 }

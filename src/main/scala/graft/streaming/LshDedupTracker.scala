@@ -72,9 +72,11 @@ case class LshEntry(docId: Long, sig: Array[Long], lastMs: Long)
   * twins treat their df≤64 hot-bucket caps as load-bearing scale
   * guards, and an unbounded streaming default let one boilerplate
   * shingle band grow its ListState and per-arrival scan without bound
-  * at ingest; pass `Int.MaxValue` explicitly for the uncapped
-  * batch-equality form. Every refused admission bumps
-  * [[LshDedupTracker.admissionDrops]]. */
+  * at ingest; pass [[LshDedupTracker.Uncapped]] explicitly for the
+  * uncapped batch-equality form (capped recall differs: a refused doc
+  * is never stored, and its at-least-once redelivery re-emits pairs —
+  * nothing remembers it). Every refused admission bumps this query
+  * run's [[AdmissionDrops]] counter. */
 class LshDedupTracker(retentionMs: Long,
     maxBucket: Int = LshDedupTracker.DefaultMaxBucket)
   extends StatefulProcessor[String, LshIn, LshCandOut] {
@@ -83,10 +85,14 @@ class LshDedupTracker(retentionMs: Long,
   require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
 
   @transient private var st: ListState[LshEntry] = _
+  @transient private var drops: java.util.concurrent.atomic.LongAdder = _
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     st = getHandle.getListState[LshEntry](
       "bucket", Encoders.product[LshEntry], TTLConfig.NONE)
+    drops = AdmissionDrops.counter(
+      LshDedupTracker.DropsTag, getHandle.getQueryInfo.getRunId)
+  }
 
   private def members(): Vector[LshEntry] = {
     val b = Vector.newBuilder[LshEntry]
@@ -121,7 +127,7 @@ class LshDedupTracker(retentionMs: Long,
         }
         if (entries.length < maxBucket)
           entries = entries :+ LshEntry(r.docId, r.sig, r.ts.getTime)
-        else LshDedupTracker.admissionDrops.increment()
+        else drops.increment()
       }
     }
     // an admission or a redelivery refresh reassigns `entries` — skip
@@ -165,13 +171,15 @@ object LshDedupTracker {
     * heavy the feed is. */
   val DefaultMaxBucket = 64
 
-  /** Process-wide count of admissions refused by the bucket cap — the
-    * drop-rate observable the StreamBench rows record. A LongAdder, not
-    * a Spark metric: accurate in local (single-JVM) mode, per-executor
-    * on a real cluster (where the per-executor log line is still the
-    * right granularity). Dev/bench observability only — correctness
-    * never reads it. */
-  val admissionDrops = new java.util.concurrent.atomic.LongAdder
+  /** The explicit no-cap setting for batch-equality callers (r13,
+    * ADVICE: a named constant instead of a bare `Int.MaxValue`, so the
+    * call site SAYS it opted out of the production default — and the
+    * opt-outs are greppable). */
+  val Uncapped = Int.MaxValue
+
+  /** [[AdmissionDrops]] tracker tag: read this run's refusal count as
+    * `AdmissionDrops.forRun(LshDedupTracker.DropsTag, query.runId)`. */
+  val DropsTag = "lsh"
 
   /** Map-side banded-signature prep for the ingest stream: from
     * (doc_id, text, ts) rows to one [[LshIn]]-shaped row per (doc,

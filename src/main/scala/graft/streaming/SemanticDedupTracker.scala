@@ -64,9 +64,9 @@ case class SemEntry(vecId: Long, emb: Array[Double], norm: Double, lastMs: Long)
   * [[SemanticDedupTracker.DefaultMaxBucket]] (r12) — bounded, because
   * an unbounded default let one skewed bucket grow its ListState and
   * per-arrival cosine scan without limit at ingest; pass
-  * `Int.MaxValue` explicitly for the uncapped batch-equality form.
-  * Every refused admission bumps
-  * [[SemanticDedupTracker.admissionDrops]]. */
+  * [[SemanticDedupTracker.Uncapped]] explicitly for the uncapped
+  * batch-equality form. Every refused admission bumps this query
+  * run's [[AdmissionDrops]] counter. */
 class SemanticDedupTracker(retentionMs: Long, tau: Double = 0.3,
     maxBucket: Int = SemanticDedupTracker.DefaultMaxBucket)
   extends StatefulProcessor[Long, SemIn, SemCandOut] {
@@ -75,10 +75,14 @@ class SemanticDedupTracker(retentionMs: Long, tau: Double = 0.3,
   require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
 
   @transient private var st: ListState[SemEntry] = _
+  @transient private var drops: java.util.concurrent.atomic.LongAdder = _
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     st = getHandle.getListState[SemEntry](
       "bucket", Encoders.product[SemEntry], TTLConfig.NONE)
+    drops = AdmissionDrops.counter(
+      SemanticDedupTracker.DropsTag, getHandle.getQueryInfo.getRunId)
+  }
 
   private def members(): Vector[SemEntry] = {
     val b = Vector.newBuilder[SemEntry]
@@ -128,7 +132,7 @@ class SemanticDedupTracker(retentionMs: Long, tau: Double = 0.3,
         }
         if (entries.length < maxBucket)
           entries = entries :+ SemEntry(r.vecId, r.emb, r.norm, r.ts.getTime)
-        else SemanticDedupTracker.admissionDrops.increment()
+        else drops.increment()
       }
     }
     // an admission or a redelivery refresh reassigns `entries` — skip
@@ -173,9 +177,13 @@ object SemanticDedupTracker {
     * feed never reaches. */
   val DefaultMaxBucket = 4096
 
-  /** Process-wide count of admissions refused by the bucket cap — see
-    * [[LshDedupTracker.admissionDrops]] for the accuracy contract. */
-  val admissionDrops = new java.util.concurrent.atomic.LongAdder
+  /** The explicit no-cap setting for batch-equality callers — see
+    * [[LshDedupTracker.Uncapped]]. */
+  val Uncapped = Int.MaxValue
+
+  /** [[AdmissionDrops]] tracker tag: read this run's refusal count as
+    * `AdmissionDrops.forRun(SemanticDedupTracker.DropsTag, query.runId)`. */
+  val DropsTag = "semantic"
 
   /** The batch `lsh_buckets` hyperplanes (6 seeded planes over dim 64 —
     * fixed literals, identical values in the batch plan and the DuckDB

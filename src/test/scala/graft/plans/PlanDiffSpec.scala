@@ -31,6 +31,7 @@ class PlanDiffSpec extends AnyFunSuite {
     assert(l.sorts === 1 && l.windows === 0)
     assert(l.materializePoints === Some(1))
     assert(l.pushedTotal === 2)
+    assert(l.pushedBase === None, "pre-r13 lines carry no scan kinds")
     val pre = PlanDiff.parseLine(line(mat = None))
     assert(pre.materializePoints === None)
   }
@@ -38,13 +39,42 @@ class PlanDiffSpec extends AnyFunSuite {
   test("round-trips a real digest through toJsonLine") {
     val d = PlanDigest.Digest(3, 2, Seq("SortMergeJoin" -> 2), 4, 1,
       Seq(PlanDigest.ScanInfo("orders.parquet", 2, 5),
-        PlanDigest.ScanInfo("lineitem.parquet", 1, 3)), 2)
+        PlanDigest.ScanInfo("lineitem.parquet", 1, 3, kind = "materialized")), 2)
     val l = PlanDiff.parseLine(PlanDigest.toJsonLine("rt", d))
     assert(l.shuffle === 3 && l.broadcast === 2 && l.sorts === 4
       && l.windows === 1)
     assert(l.joins === Map("SortMergeJoin" -> 2))
     assert(l.materializePoints === Some(2))
     assert(l.pushedTotal === 3)
+    assert(l.pushedBase === Some(2),
+      "base pushed total must exclude the materialized scan")
+  }
+
+  test("scan-kind tags: base-only gate, format-boundary tolerance") {
+    def tagged(basePushed: Int, matPushed: Int) = PlanDiff.parseLine(line(
+      scans = s"""{"table":"orders.parquet","pushed":$basePushed,"cols":5,"kind":"base"},""" +
+        s"""{"table":"documents.parquet","pushed":$matPushed,"cols":3,"kind":"materialized"}"""))
+    // a pushed count lost on a MATERIALIZED scan is lineage-view noise,
+    // not a pushdown regression — the scans diff still reports it
+    val matLoss = PlanDiff.diffQuery(tagged(2, 3), tagged(2, 0))
+    assert(!matLoss.exists(_.regression),
+      s"materialized-scan pushed change must not gate: $matLoss")
+    assert(matLoss.exists(_.field == "scans"), "scans diff must still report it")
+    // the same loss on a BASE scan is the regression the gate exists for
+    val baseLoss = PlanDiff.diffQuery(tagged(2, 3), tagged(1, 3))
+    assert(baseLoss.exists(c => c.field == "pushed_filters_base" && c.regression))
+    // format boundary: an untagged (pre-r13) line vs its tagged rendering
+    // with identical scans diffs to NOTHING — kind is normalized out of
+    // scansRaw and the total-pushed fallback compares equal
+    val untagged = PlanDiff.parseLine(line(
+      scans = """{"table":"documents.parquet","pushed":2,"cols":3}"""))
+    val nowTagged = PlanDiff.parseLine(line(
+      scans = """{"table":"documents.parquet","pushed":2,"cols":3,"kind":"base"}"""))
+    assert(PlanDiff.diffQuery(untagged, nowTagged).isEmpty)
+    // ...and a genuine pushed loss across the boundary still gates
+    val crossLoss = PlanDiff.diffQuery(untagged, PlanDiff.parseLine(line(
+      scans = """{"table":"documents.parquet","pushed":1,"cols":3,"kind":"base"}""")))
+    assert(crossLoss.exists(c => c.field == "pushed_filters_total" && c.regression))
   }
 
   test("classifies regressions: exchange creep, join flip, lost pushdown") {

@@ -71,6 +71,36 @@ class PlanDigestSpec extends AnyFunSuite with SparkSpec {
     } finally sys.props.remove("graft.materialize")
   }
 
+  test("digestBuilt tags materialized-subtree scan signatures (r13)") {
+    sys.props("graft.materialize") = "off"
+    try {
+      // minhashLshDupsFrom checkpoints its candidate frames; the full
+      // lineage repeats their documents scans per consumer — every
+      // repetition of a recorded subtree signature must carry
+      // kind=materialized, and the query must still have base scans
+      // (the verify stage's own reads)
+      val docs = graft.sources.Tables.documents(spark, dir)
+      val d = PlanDigest.digestBuilt(
+        graft.queries.DedupQueries.minhashLshDupsFrom(spark, docs))
+      val kinds = d.scans.groupBy(_.kind).view.mapValues(_.size).toMap
+      // every scan here is materialized-subtree lineage: the FIRST
+      // checkpoint's subtree covers the table read, and the whole
+      // downstream pipeline consumes checkpoints — the executed form
+      // performs no direct parquet scan at all
+      assert(kinds.getOrElse("materialized", 0) > 0 &&
+        kinds.getOrElse("base", 0) === 0,
+        s"expected all-materialized lineage on the checkpointed query: ${d.scans}")
+      // the json line renders the tag
+      assert(PlanDigest.toJsonLine("q", d).contains("\"kind\":\"materialized\""))
+      // manual tagging: a signature in the set tags every matching scan
+      val plain = docs.filter(col("doc_id") < 10).select("doc_id")
+      val sig = PlanDigest.scanSignatures(plain)
+      assert(sig.size === 1)
+      assert(PlanDigest.digest(plain, sig).scans.map(_.kind) === Seq("materialized"))
+      assert(PlanDigest.digest(plain).scans.map(_.kind) === Seq("base"))
+    } finally sys.props.remove("graft.materialize")
+  }
+
   test("digestBuilt reads 0 outside audit mode (checkpoints are real)") {
     val d = PlanDigest.digestBuilt(
       graft.queries.DedupQueries.minhashLshDupsFrom(

@@ -99,6 +99,7 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     MaterializeCounter.reset()
     val df = fn(spark, dir)
     val matPoints = MaterializeCounter.value
+    val matSigs = MaterializeCounter.scanSignatures
     val qe = df.queryExecution
       val udfs = qe.optimizedPlan.flatMap(_.expressions).flatMap(_.collect {
         case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
@@ -114,7 +115,8 @@ class RegistryAuditSpec extends AnyFunSuite with SparkSpec {
     val facts = PlanFacts(udfs.nonEmpty, decimals, sorts.nonEmpty,
       qe.executedPlan.toString,
       graft.plans.PlanDigest.toJsonLine(name,
-        graft.plans.PlanDigest.digest(df).copy(materializePoints = matPoints)))
+        graft.plans.PlanDigest.digest(df, matSigs)
+          .copy(materializePoints = matPoints)))
     // the merged pin + execution-smoke leg (r12): rebuild and run the
     // REAL materializing form on this thread — identical builds and
     // executions to the former standalone pinning walk

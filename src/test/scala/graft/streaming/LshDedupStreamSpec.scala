@@ -208,7 +208,6 @@ class LshDedupStreamSpec extends AnyFunSuite with SparkSpec {
               timestamp_millis(lit(1000000L) + col("doc_id")).as("ts")))
         .as[LshIn].collect().sortBy(_.docId)
       assert(feed.length === 20 * nBands, "exact dups must share every band")
-      LshDedupTracker.admissionDrops.reset()
       val input = MemoryStream[LshIn]
       val cands = input.toDS()
         .withWatermark("ts", "10 minutes")
@@ -231,8 +230,9 @@ class LshDedupStreamSpec extends AnyFunSuite with SparkSpec {
         val expected = nBands * (cap * (cap - 1) / 2 + (20 - cap) * cap)
         assert(rows.length === expected,
           s"emission not cap-bounded: ${rows.length} != $expected")
-        assert(LshDedupTracker.admissionDrops.sum() === ((20 - cap) * nBands).toLong,
-          "every refused admission must be counted")
+        assert(AdmissionDrops.forRun(LshDedupTracker.DropsTag, q.runId)
+          === ((20 - cap) * nBands).toLong,
+          "every refused admission must be counted against THIS run")
       } finally q.stop()
     }
   }

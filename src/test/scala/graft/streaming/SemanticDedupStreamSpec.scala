@@ -149,7 +149,6 @@ class SemanticDedupStreamSpec extends AnyFunSuite with SparkSpec {
         val e = Array.tabulate(64)(i => if (i == 0) 1.0 else 0.0)
         SemIn(id, bucket = 9L, e, norm = 1.0, ts = new java.sql.Timestamp(tsMs))
       }
-      SemanticDedupTracker.admissionDrops.reset()
       val input = MemoryStream[SemIn]
       val cands = input.toDS()
         .withWatermark("ts", "10 minutes")
@@ -171,9 +170,54 @@ class SemanticDedupStreamSpec extends AnyFunSuite with SparkSpec {
         val expected = cap * (cap - 1) / 2 + (20 - cap) * cap
         assert(rows.length === expected,
           s"emission not cap-bounded: ${rows.length} != $expected")
-        assert(SemanticDedupTracker.admissionDrops.sum() === (20 - cap).toLong,
-          "every refused admission must be counted")
+        assert(AdmissionDrops.forRun(SemanticDedupTracker.DropsTag, q.runId)
+          === (20 - cap).toLong,
+          "every refused admission must be counted against THIS run")
       } finally q.stop()
+    }
+  }
+
+  // the r12 counter was a process-global LongAdder: two concurrent
+  // queries in one JVM CONFLATED their refusal counts (both would read
+  // 7 + 15 = 22 here), so a production monitor could not alarm per
+  // pipeline. AdmissionDrops keys by the query's runId — each run must
+  // read exactly its own refusals while both run interleaved.
+  test("concurrent queries keep separate admission-drop counts") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    withRocks {
+      def vec(id: Long, tsMs: Long) = {
+        val e = Array.tabulate(64)(i => if (i == 0) 1.0 else 0.0)
+        SemIn(id, bucket = 9L, e, norm = 1.0, ts = new java.sql.Timestamp(tsMs))
+      }
+      def start(capped: Int, name: String) = {
+        val input = MemoryStream[SemIn]
+        val q = input.toDS()
+          .withWatermark("ts", "10 minutes")
+          .groupByKey(_.bucket)
+          .transformWithState(
+            new SemanticDedupTracker(86400000L, maxBucket = capped),
+            TimeMode.EventTime(), OutputMode.Append())
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        (input, q)
+      }
+      val (inA, qA) = start(capped = 3, "semdropsa") // 10 vecs -> 7 refusals
+      val (inB, qB) = start(capped = 5, "semdropsb") // 20 vecs -> 15 refusals
+      try {
+        // interleaved batches: both queries are mid-flight while each
+        // other's tracker refuses admissions
+        (0 until 2).foreach { half =>
+          inA.addData((0L until 5L).map(i => vec(half * 5 + i, 1000000L + half * 5 + i)))
+          inB.addData((0L until 10L).map(i => vec(half * 10 + i, 1000000L + half * 10 + i)))
+          qA.processAllAvailable(); qB.processAllAvailable()
+        }
+        val tag = SemanticDedupTracker.DropsTag
+        assert(AdmissionDrops.forRun(tag, qA.runId) === 7L,
+          "query A must read exactly its own refusals")
+        assert(AdmissionDrops.forRun(tag, qB.runId) === 15L,
+          "query B must read exactly its own refusals")
+      } finally { qA.stop(); qB.stop() }
     }
   }
 }

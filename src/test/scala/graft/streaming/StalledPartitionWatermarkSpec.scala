@@ -97,4 +97,90 @@ class StalledPartitionWatermarkSpec extends AnyFunSuite with SparkSpec {
         s"heartbeat must release the pent-up window: ${closed()}")
     } finally q.stop()
   }
+
+  // the recovery convention as a TESTED utility (r13, VERDICT #4): the
+  // phase-3 heartbeat above is a hand-built data row, which leaks into
+  // the window counts — deployable heartbeats must advance the quiet
+  // source's watermark while NEVER appearing in an aggregate. This leg
+  // runs the same two-source stall with Heartbeats.emitToDir as the
+  // liveness producer and Heartbeats.strip ahead of the aggregate, and
+  // asserts the released windows carry data-only counts.
+  test("Heartbeats.emit releases a stalled source; strip keeps it out of aggregates") {
+    import spark.implicits._
+    val dirA = java.nio.file.Files.createTempDirectory("hb_part_a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("hb_part_b").toString
+
+    val w0 = 1700000040000L
+    def rows(dir: String, src: String, tsMs: Long*): Unit =
+      tsMs.toSeq.toDF("ms")
+        .select(timestamp_millis(col("ms")).as("ts"), lit(src).as("src"))
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    rows(dirA, "a", w0 + 5000L, w0 + 10000L)
+    rows(dirB, "b", w0 + 7000L)
+
+    val schema = spark.read.parquet(dirA).schema
+    def src(dir: String) = spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", "1 second")
+    val counts = Heartbeats.strip(src(dirA).unionAll(src(dirB)), "src", "ts")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n"), count(col("src")).as("n_src"))
+      .select(col("window.start").as("w"), col("n"), col("n_src"))
+    val q = counts.writeStream.outputMode("append")
+      .format("memory").queryName("hbstall").start()
+    try {
+      def closed(): Map[Long, (Long, Long)] = spark.table("hbstall")
+        .select(col("w").cast("long") * 1000, col("n"), col("n_src"))
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+      // both sources advance past w0's end -> w0 closes with its 3 rows
+      q.processAllAvailable()
+      rows(dirA, "a", w0 + 70000L)
+      rows(dirB, "b", w0 + 70000L)
+      q.processAllAvailable()
+      assert(closed() === Map(w0 -> ((3L, 3L))), s"phase 1: ${closed()}")
+
+      // B stalls, A runs 5 minutes ahead -> emission frozen at min(A, B)
+      rows(dirA, "a", w0 + 300000L, w0 + 301000L)
+      q.processAllAvailable()
+      assert(closed() === Map(w0 -> ((3L, 3L))),
+        s"stalled source must pin the watermark: ${closed()}")
+
+      // liveness cron fires on the quiet source: watermark advances and
+      // the pent-up window closes, but its counts are DATA-ONLY — count(*)
+      // equals count(src), so no null-columned heartbeat row slipped in,
+      // and no extra row landed in any window
+      Heartbeats.emitToDir(spark, dirB, schema, "ts", "src", w0 + 300000L)
+      q.processAllAvailable()
+      assert(closed() === Map(w0 -> ((3L, 3L)), (w0 + 60000L) -> ((2L, 2L))),
+        s"heartbeat must release the window without entering it: ${closed()}")
+    } finally q.stop()
+  }
+
+  // the strip contract on its own: null-safe — a genuine row whose
+  // marker column is NULL (malformed data) is KEPT; only the marker
+  // value itself is dropped. emit refuses schemas it cannot heartbeat.
+  test("strip drops exactly the marker rows; emit validates the schema") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("stationA")), (2L, None: Option[String]),
+      (3L, Some(Heartbeats.Marker))).toDF("id", "src")
+      .withColumn("ts", timestamp_millis(col("id")))
+    val kept = Heartbeats.strip(df, "src", "ts")
+      .select(col("id")).as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 2L), "strip must keep NULL-marker data rows")
+
+    val schema = spark.range(1)
+      .select(timestamp_millis(col("id")).as("ts"), lit("x").as("src")).schema
+    val hb = Heartbeats.emit(spark, schema, "ts", "src", 1700000000000L)
+      .collect().head
+    assert(hb.getAs[java.sql.Timestamp]("ts").getTime === 1700000000000L)
+    assert(hb.getAs[String]("src") === Heartbeats.Marker)
+    intercept[IllegalArgumentException] {
+      Heartbeats.emit(spark, schema, "src", "src", 0L) // tsCol not a timestamp
+    }
+    intercept[IllegalArgumentException] {
+      Heartbeats.emit(spark, schema, "ts", "ts", 0L) // markerCol not a string
+    }
+  }
 }
