@@ -33,6 +33,11 @@ object Profile {
       spark.stop()
       return
     }
+    if (args.headOption.contains("containment-stages")) {
+      containmentStages(spark, docs, args.lift(1).map(_.toInt).getOrElse(10))
+      spark.stop()
+      return
+    }
 
     val sh = DedupOps.docShingles(docs).cache()
     time("shingles")(sh.selectExpr("sum(size(shingles))").count())
@@ -117,5 +122,109 @@ object Profile {
     // the production end-to-end, timed for the same-session reference point
     time("full_query")(
       graft.queries.DedupQueries.jaccardPrefixJoinFrom(spark, docs).count())
+  }
+
+  /** Per-stage wall AND row-count breakdown of `containment_pairs` on the
+    * ScaleSmoke K×-replica corpus — the r14 adjudication of the K=10
+    * cell's reproducible 14.1 → 22-25 s move (r13, VERDICT #2: calm
+    * probes both ends, identical 464,930 output rows, zero plan change —
+    * so the mechanism must live in a STAGE's work volume or runtime
+    * behavior, and only a stage table can name it). Mirrors
+    * `DedupQueries.docContainmentPairsFrom` stage for stage (keep in
+    * sync): shingle explode → df aggregate (plus the Σ df²_subcap
+    * candidate bound and the non-rare vocab share, the volumes the
+    * df-cap adaptivity pivots on) → rare semi-filter → candidate
+    * pair join → non-rare correction carry → size joins + orientation
+    * assembly. Stages checkpoint like the production form
+    * (materializeOnce is eager localCheckpoint), so each timing is that
+    * stage's own work; an untimed warm pass precedes the measured ones. */
+  private def containmentStages(spark: SparkSession,
+      docs: org.apache.spark.sql.DataFrame, k: Int): Unit = {
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[profile] $name%-26s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows)")
+    }
+    val cap = graft.queries.DedupQueries.ContainCap
+    // the ScaleSmoke replica corpus, byte for byte (doc_id offsets from
+    // the real max id, near-dup " replicaN" suffixes)
+    val docOff = Option(docs.agg(max(col("doc_id"))).head().get(0))
+      .fold(sys.error("empty documents table"))(_.asInstanceOf[Number].longValue) + 1
+    val scaled = (0 until k).map { i =>
+      docs.select((col("doc_id") + lit(i.toLong * docOff)).as("doc_id"),
+        concat(col("text"), lit(s" replica$i")).as("text"))
+    }.reduce(_ unionAll _).repartition(32).cache()
+    println(s"[profile] corpus ${scaled.count()} docs (${k}x)")
+    // warm pass: the full production query, untimed
+    graft.queries.DedupQueries.docContainmentPairsFrom(spark, scaled).count()
+
+    var ex: org.apache.spark.sql.DataFrame = null
+    time("stage1_shingle_explode") {
+      ex = DedupOps.docShingles(scaled)
+        .select(col("doc_id"), explode(col("shingles")).as("s"))
+        .localCheckpoint(true)
+      ex.count()
+    }
+    var freq: org.apache.spark.sql.DataFrame = null
+    time("stage2_df_aggregate") {
+      freq = ex.groupBy(col("s")).agg(count(lit(1)).as("df")).localCheckpoint(true)
+      freq.count()
+    }
+    // the volumes the adaptivity pivots on — row counts, not walls
+    val nNonRareVocab = freq.filter(col("df") > cap).count()
+    val candBound = freq.filter(col("df") <= cap)
+      .agg(sum(col("df") * (col("df") - 1) / 2)).head().getAs[Any](0)
+    println(s"[profile] nonrare_vocab=$nNonRareVocab cand_bound_sum_df2=$candBound")
+    var exRare: org.apache.spark.sql.DataFrame = null
+    time("stage3_rare_semi") {
+      exRare = ex.join(freq.filter(col("df") <= cap).select("s"),
+        Seq("s"), "left_semi").localCheckpoint(true)
+      exRare.count()
+    }
+    var cand: org.apache.spark.sql.DataFrame = null
+    time("stage4_candidate_join") {
+      cand = exRare.select(col("doc_id").as("a_id"), col("s"))
+        .join(exRare.select(col("doc_id").as("b_id"), col("s")), Seq("s"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("rare_inter"))
+        .localCheckpoint(true)
+      cand.count()
+    }
+    var withInter: org.apache.spark.sql.DataFrame = null
+    time("stage5_nonrare_carry") {
+      val exNonArr = ex.join(freq.filter(col("df") > cap).select("s"),
+          Seq("s"), "left_semi")
+        .groupBy(col("doc_id")).agg(collect_list(col("s")).as("nsh"))
+      val empty = array().cast("array<string>")
+      withInter = cand
+        .join(exNonArr.select(col("doc_id").as("a_id"), col("nsh").as("nsa")),
+          Seq("a_id"), "left")
+        .join(exNonArr.select(col("doc_id").as("b_id"), col("nsh").as("nsb")),
+          Seq("b_id"), "left")
+        .withColumn("inter", col("rare_inter") +
+          size(array_intersect(coalesce(col("nsa"), empty),
+            coalesce(col("nsb"), empty))).cast("long"))
+        .localCheckpoint(true)
+      withInter.count()
+    }
+    time("stage6_sizes_assembly") {
+      val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      withInter
+        .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("sza")), "a_id")
+        .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("szb")), "b_id")
+        .select(col("inter"), explode(array(
+          struct(col("a_id").as("contained_id"), col("b_id").as("container_id"),
+            col("sza").as("sz_contained"), col("szb").as("sz_container")),
+          struct(col("b_id").as("contained_id"), col("a_id").as("container_id"),
+            col("szb").as("sz_contained"), col("sza").as("sz_container")))).as("d"))
+        .select(col("d.contained_id"), col("d.container_id"), col("inter"),
+          col("d.sz_contained"), col("d.sz_container"))
+        .filter(col("sz_contained") > 0 &&
+          expr("inter * 1000000 div sz_contained") >= 800000)
+        .count()
+    }
+    // the production end-to-end, timed for the same-session reference point
+    time("full_query")(
+      graft.queries.DedupQueries.docContainmentPairsFrom(spark, scaled).count())
   }
 }

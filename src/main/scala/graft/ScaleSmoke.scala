@@ -51,7 +51,7 @@ object ScaleSmoke {
     // sweeps therefore ACCUMULATE lines: consumers must treat the NEWEST
     // line per (probe, k, sf) as authoritative (last-write-wins), or set
     // SPARK_GRAFT_SCALE_TRUNCATE=1 to start a fresh full sweep
-    val scaleOut = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r13.json")
+    val scaleOut = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r14.json")
     if (sys.env.get("SPARK_GRAFT_SCALE_TRUNCATE").contains("1"))
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(scaleOut))
     // extra: additional JSON fields (e.g. `"passes":3`), evaluated AFTER
@@ -66,17 +66,25 @@ object ScaleSmoke {
     // mid-body, and the one unexplained r12 drift (dedup_components
     // K=50, 55.3 s vs 47.6 with identical code, plans and passes) sat
     // exactly in that blind spot — a row whose end probe is hot is
-    // contaminated even when it started calm.
+    // contaminated even when it started calm. Since r14 every row ALSO
+    // carries the body-wide StealMonitor integral (VERDICT #3): the
+    // endpoint probes are instants, and the multi-minute cells straddle
+    // steal waves neither endpoint sees — `steal_integral`/`steal_peak`
+    // make mid-body contention a stamped number, so a cross-round drift
+    // adjudication reads one field instead of re-running the cell in a
+    // hunted-for calm window.
     def time(name: String, extra: => String = "")(f: => Long): Unit =
       if (only.forall(_.contains(name))) {
       val gate = graft.ContentionGate.awaitCalm(spark, 32, label = name)
+      val sm = StealMonitor.start()
       val t0 = System.nanoTime()
       val rows = f
       val wall = (System.nanoTime() - t0) / 1e9
+      val smr = sm.stop()
       val probeEnd = graft.ContentionGate.probe(spark, 32)
       val ex = { val e = extra; if (e.isEmpty) "" else "," + e }
       println(f"[scale] $name%-22s $wall%8.2f s  ($rows rows)")
-      val line = f"""{"probe":"$name","k":$k,"wall_sec":$wall%.3f,"rows":$rows$ex,${gate.jsonFields},"probe_sec_end":$probeEnd,"sf":"$sfDir"}%n"""
+      val line = f"""{"probe":"$name","k":$k,"wall_sec":$wall%.3f,"rows":$rows$ex,${gate.jsonFields},"probe_sec_end":$probeEnd,${smr.jsonFields},"sf":"$sfDir"}%n"""
       java.nio.file.Files.write(java.nio.file.Paths.get(scaleOut),
         line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,

@@ -49,6 +49,17 @@ object StreamBench {
       return
     }
 
+    // SPARK_GRAFT_ROCKSDB_CHANGELOG (1/0) now applies to the MAIN legs
+    // too (r14, VERDICT #1's A/B ask): unset leaves the provider's
+    // snapshot default — which is what every prior round's main legs
+    // ran — and the stateful-leg lines stamp the effective value so a
+    // cross-round reader never guesses the mode.
+    val changelogConfMain =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    sys.env.get("SPARK_GRAFT_ROCKSDB_CHANGELOG")
+      .foreach(v => spark.conf.set(changelogConfMain, (v == "1").toString))
+    val changelogMain = spark.conf.get(changelogConfMain, "false")
+
     val stations = Map("alpha" -> 15, "beta" -> 10, "gamma" -> 8)
 
     def wire(n: Long) = {
@@ -65,65 +76,117 @@ object StreamBench {
     // every leg's timed section is contention-gated (r12, extending the
     // r11 Bench gate): the probe waits out steal waves and its reading
     // is appended to the leg's printed line, so a contaminated rate is
-    // self-identifying. r13 adds an END-of-body probe to every leg
-    // (mirroring Bench's probe_sec_end): the start gate cannot see a
-    // steal wave that begins mid-leg, and the long file-source legs are
-    // exactly the rows that can straddle one.
-    def gateStamp(label: String): String = {
-      val g = graft.ContentionGate.awaitCalm(spark, 32, label = label)
-      f" probe=${g.probeSec}%.3f contended=${g.contended}"
+    // self-identifying. r13 added an END-of-body probe; r14 adds the
+    // min-of-N protocol Bench's per-query timings always had (VERDICT
+    // #1: the dedup-gate file leg slid 279k -> 247k -> 157k ev/s across
+    // rounds in SINGLE-shot recordings — the same integral-vs-instant
+    // gap the LSH state-curve walls carry at ±35% between gated
+    // samples; a trend in a single-shot metric is unfalsifiable either
+    // way) plus a body-wide [[StealMonitor]] integral, so a mid-leg
+    // steal wave is a stamped number instead of a blind spot. Every
+    // sample prints its own fully-stamped line (all samples are kept);
+    // the MIN line is the figure of record under additive noise.
+    val nSamples = sys.env.get("SPARK_GRAFT_STREAM_SAMPLES")
+      .map(_.toInt).getOrElse(3)
+    // SPARK_GRAFT_STREAM_ONLY (comma-separated leg labels): re-record a
+    // subset of legs without paying the full pass — the main-leg analog
+    // of SPARK_GRAFT_STATE_ONLY; feeds are synthesized only for legs
+    // actually selected
+    val legOnly: String => Boolean =
+      sys.env.get("SPARK_GRAFT_STREAM_ONLY") match {
+        case Some(v) if v.nonEmpty => v.split(",").toSet
+        case _                     => _ => true
+      }
+    /** Runs `body` [[nSamples]] times, each sample gated, end-probed and
+      * steal-integrated. `body` times its OWN measured section (so query
+      * startup/teardown stays off the clock exactly as in prior rounds'
+      * single-shot lines) and returns (units processed, measured wall,
+      * detail tail); the summary MIN line re-derives the rate from the
+      * fastest sample. The steal integral wraps the whole body — a
+      * fraction, so the slightly wider window only makes it more
+      * conservative. */
+    def sampled(label: String, unit: String)
+        (body: () => (Long, Double, String)): Unit =
+      if (legOnly(label)) {
+        val runs = (1 to nSamples).map { i =>
+          val gate = graft.ContentionGate.awaitCalm(spark, 32, label = label)
+          val sm = StealMonitor.start()
+          val (n, wall, detail) = body()
+          val smr = sm.stop()
+          val probeEnd = graft.ContentionGate.probe(spark, 32)
+          println(f"[streambench] $label sample=$i/$nSamples n=$n t=$wall%.2f s " +
+            f"rate=${n / wall}%.0f $unit$detail" +
+            f" probe=${gate.probeSec}%.3f contended=${gate.contended} probe_end=$probeEnd%.3f" +
+            f" steal_integral=${smr.stealIntegral}%.4f steal_peak=${smr.stealPeak}%.4f steal_samples=${smr.samples}")
+          (wall, n)
+        }
+        val (minW, minN) = runs.minBy(_._1)
+        println(f"[streambench] $label MIN t=$minW%.2f s rate=${minN / minW}%.0f $unit samples=$nSamples")
+      }
+    /** Times f, returning (its result, wall seconds). */
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
     }
-    def endStamp(): String =
-      f" probe_end=${graft.ContentionGate.probe(spark, 32)}%.3f"
 
     // ---- batch leg: full plan over cached wire payloads -----------------
-    val batchIn = wire(nBatch).cache()
-    batchIn.count() // materialize input off the clock
-    val gate0 = gateStamp("batch_pipeline")
-    val t0 = System.nanoTime()
-    val outRows = SensorOps.windowedMetrics(
-      SensorPipeline.fromRawJson(batchIn),
-      col("event_time"),
-      Seq(col("station_id"), col("station_name"), col("sensor_id")),
-      "1 minute").count()
-    val tBatch = (System.nanoTime() - t0) / 1e9
-    println(f"[streambench] batch_pipeline n=$nBatch out_rows=$outRows t=$tBatch%.2f s rate=${nBatch / tBatch}%.0f events/s$gate0${endStamp()}")
-    batchIn.unpersist()
+    if (legOnly("batch_pipeline")) {
+      val batchIn = wire(nBatch).cache()
+      batchIn.count() // materialize input off the clock
+      sampled("batch_pipeline", "events/s") { () =>
+        val (outRows, wall) = timed(SensorOps.windowedMetrics(
+          SensorPipeline.fromRawJson(batchIn),
+          col("event_time"),
+          Seq(col("station_id"), col("station_name"), col("sensor_id")),
+          "1 minute").count())
+        (nBatch, wall, s" out_rows=$outRows")
+      }
+      batchIn.unpersist()
+    }
 
     // ---- streaming leg A: file source, Trigger.AvailableNow -------------
     // distributed source (no driver-side feeding): payloads pre-written as
-    // text files off the clock, processed to completion in micro-batches
-    val fsDir = java.nio.file.Files.createTempDirectory("streambench").toString
-    wire(nBatch).repartition(32).write.mode("overwrite").text(fsDir)
-    val fsIn = spark.readStream.option("maxFilesPerTrigger", "8").text(fsDir)
-    val fsMetrics = SensorPipeline.windowedMetrics(
-      SensorPipeline.fromRawJson(fsIn), "5 seconds", "1 minute")
-    val gateFs = gateStamp("streaming_filesource")
-    val t2 = System.nanoTime()
-    val qf = fsMetrics.writeStream.outputMode("update")
-      .format("memory").queryName("fsbench")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    qf.awaitTermination()
-    val tFs = (System.nanoTime() - t2) / 1e9
-    println(f"[streambench] streaming_filesource n=$nBatch state_rows=${spark.table("fsbench").count()} t=$tFs%.2f s rate=${nBatch / tFs}%.0f events/s$gateFs${endStamp()}")
+    // text files off the clock (once — samples share the input dir),
+    // processed to completion in micro-batches
+    if (legOnly("streaming_filesource")) {
+      val fsDir = java.nio.file.Files.createTempDirectory("streambench").toString
+      wire(nBatch).repartition(32).write.mode("overwrite").text(fsDir)
+      sampled("streaming_filesource", "events/s") { () =>
+        val fsIn = spark.readStream.option("maxFilesPerTrigger", "8").text(fsDir)
+        val fsMetrics = SensorPipeline.windowedMetrics(
+          SensorPipeline.fromRawJson(fsIn), "5 seconds", "1 minute")
+        val (_, wall) = timed {
+          val qf = fsMetrics.writeStream.outputMode("update")
+            .format("memory").queryName("fsbench")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          qf.awaitTermination()
+        }
+        val stateRows = spark.table("fsbench").count()
+        spark.catalog.dropTempView("fsbench")
+        (nBatch, wall, s" state_rows=$stateRows")
+      }
+    }
 
     // ---- streaming leg B: MemoryStream micro-batches --------------------
     implicit val ctx = spark.sqlContext
-    val payloads = wire(nStream).as[String].collect()
-    val input = MemoryStream[String]
-    val metrics = SensorPipeline.windowedMetrics(
-      SensorPipeline.fromRawJson(input.toDF()), "5 seconds", "1 minute")
-    val q = metrics.writeStream.outputMode("update")
-      .format("memory").queryName("streambench").start()
-    try {
-      val batches = payloads.grouped(math.max(1, payloads.length / 5)).toSeq
-      val gateMb = gateStamp("streaming_microbatch")
-      val t1 = System.nanoTime()
-      batches.foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
-      val tStream = (System.nanoTime() - t1) / 1e9
-      val stateRows = spark.table("streambench").count()
-      println(f"[streambench] streaming_microbatch n=$nStream batches=${batches.length} state_rows=$stateRows t=$tStream%.2f s rate=${nStream / tStream}%.0f events/s$gateMb${endStamp()}")
-    } finally q.stop()
+    if (legOnly("streaming_microbatch")) {
+      val payloads = wire(nStream).as[String].collect()
+      sampled("streaming_microbatch", "events/s") { () =>
+        val input = MemoryStream[String]
+        val metrics = SensorPipeline.windowedMetrics(
+          SensorPipeline.fromRawJson(input.toDF()), "5 seconds", "1 minute")
+        val q = metrics.writeStream.outputMode("update")
+          .format("memory").queryName("streambench").start()
+        try {
+          val batches = payloads.grouped(math.max(1, payloads.length / 5)).toSeq
+          val (_, wall) = timed(
+            batches.foreach { b => input.addData(b.toSeq); q.processAllAvailable() })
+          val stateRows = spark.table("streambench").count()
+          (nStream, wall, s" batches=${batches.length} state_rows=$stateRows")
+        } finally { q.stop(); spark.catalog.dropTempView("streambench") }
+      }
+    }
 
     // ---- streaming leg C: as-of enrichment tracker ----------------------
     // per-key ValueState carry on RocksDB (the AsofTracker operating
@@ -133,28 +196,33 @@ object StreamBench {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val asofRows = spark.range(nStream).select(
-        concat(lit("u"), pmod(col("id"), lit(5000L))).as("userId"),
-        (lit(1700000000000000L) + col("id") * 1000L).as("tsUs"),
-        when(pmod(col("id"), lit(10L)) === 0, 1).otherwise(0).as("tag"),
-        col("id").as("eventId"),
-        concat(lit("s"), pmod(col("id"), lit(33L))).as("sensorId"),
-        (col("id") * 37L).as("vMicro"))
-      .as[graft.streaming.AsofIn].collect()
-    val asofIn = MemoryStream[graft.streaming.AsofIn]
-    val enriched = asofIn.toDS().groupByKey(_.userId)
-      .transformWithState(new graft.streaming.AsofTracker,
-        TimeMode.None(), OutputMode.Append())
-    val qa = enriched.writeStream.outputMode("append")
-      .format("memory").queryName("asofbench").start()
-    try {
-      val batches = asofRows.grouped(math.max(1, asofRows.length / 5)).toSeq
-      val gateAsof = gateStamp("streaming_asof")
-      val t3 = System.nanoTime()
-      batches.foreach { b => asofIn.addData(b.toSeq); qa.processAllAvailable() }
-      val tA = (System.nanoTime() - t3) / 1e9
-      println(f"[streambench] streaming_asof n=$nStream out_rows=${spark.table("asofbench").count()} t=$tA%.2f s rate=${nStream / tA}%.0f events/s$gateAsof${endStamp()}")
-    } finally qa.stop()
+    // every leg from here runs on RocksDB state — stamp the effective
+    // checkpoint-maintenance mode into each line
+    val clogStamp = s" changelog=$changelogMain"
+    if (legOnly("streaming_asof")) {
+      val asofRows = spark.range(nStream).select(
+          concat(lit("u"), pmod(col("id"), lit(5000L))).as("userId"),
+          (lit(1700000000000000L) + col("id") * 1000L).as("tsUs"),
+          when(pmod(col("id"), lit(10L)) === 0, 1).otherwise(0).as("tag"),
+          col("id").as("eventId"),
+          concat(lit("s"), pmod(col("id"), lit(33L))).as("sensorId"),
+          (col("id") * 37L).as("vMicro"))
+        .as[graft.streaming.AsofIn].collect()
+      sampled("streaming_asof", "events/s") { () =>
+        val asofIn = MemoryStream[graft.streaming.AsofIn]
+        val enriched = asofIn.toDS().groupByKey(_.userId)
+          .transformWithState(new graft.streaming.AsofTracker,
+            TimeMode.None(), OutputMode.Append())
+        val qa = enriched.writeStream.outputMode("append")
+          .format("memory").queryName("asofbench").start()
+        try {
+          val batches = asofRows.grouped(math.max(1, asofRows.length / 5)).toSeq
+          val (_, wall) = timed(
+            batches.foreach { b => asofIn.addData(b.toSeq); qa.processAllAvailable() })
+          (nStream, wall, s" out_rows=${spark.table("asofbench").count()}$clogStamp")
+        } finally { qa.stop(); spark.catalog.dropTempView("asofbench") }
+      }
+    }
 
     // ---- streaming leg D: windowed top-k tracker -------------------------
     // MapState (sum, count) partials per 1-min window × 33 stations × 8
@@ -163,32 +231,34 @@ object StreamBench {
     // every window but the last closes mid-run — the measured rate includes
     // timer-driven emission, not just state folds.
     val winMs = 60L * 1000
-    val topkRows = spark.range(nStream).select(
-        (lit(1700000000000L) + col("id") * 10L).as("tsMs"),
-        concat(lit("st"), pmod(col("id"), lit(33L))).as("stationId"),
-        concat(lit("sn"), pmod(col("id"), lit(8L))).as("sensorId"),
-        (pmod(col("id") * 37L, lit(1000000L)).cast("double") / 1000.0).as("v"))
-      .as[(Long, String, String, Double)].collect()
-      .map { case (ts, st, sn, v) =>
-        graft.streaming.TopKIn(ts - java.lang.Math.floorMod(ts, winMs),
-          new java.sql.Timestamp(ts), st, sn, Some(v))
+    if (legOnly("streaming_topk")) {
+      val topkRows = spark.range(nStream).select(
+          (lit(1700000000000L) + col("id") * 10L).as("tsMs"),
+          concat(lit("st"), pmod(col("id"), lit(33L))).as("stationId"),
+          concat(lit("sn"), pmod(col("id"), lit(8L))).as("sensorId"),
+          (pmod(col("id") * 37L, lit(1000000L)).cast("double") / 1000.0).as("v"))
+        .as[(Long, String, String, Double)].collect()
+        .map { case (ts, st, sn, v) =>
+          graft.streaming.TopKIn(ts - java.lang.Math.floorMod(ts, winMs),
+            new java.sql.Timestamp(ts), st, sn, Some(v))
+        }
+      sampled("streaming_topk", "events/s") { () =>
+        val topkIn = MemoryStream[graft.streaming.TopKIn]
+        val ranked = topkIn.toDS()
+          .withWatermark("ts", "10 seconds")
+          .groupByKey(_.windowStartMs)
+          .transformWithState(new graft.streaming.TopKWindowTracker(3, winMs),
+            TimeMode.EventTime(), OutputMode.Append())
+        val qt = ranked.writeStream.outputMode("append")
+          .format("memory").queryName("topkbench").start()
+        try {
+          val batches = topkRows.grouped(math.max(1, topkRows.length / 5)).toSeq
+          val (_, wall) = timed(
+            batches.foreach { b => topkIn.addData(b.toSeq); qt.processAllAvailable() })
+          (nStream, wall, s" out_rows=${spark.table("topkbench").count()}$clogStamp")
+        } finally { qt.stop(); spark.catalog.dropTempView("topkbench") }
       }
-    val topkIn = MemoryStream[graft.streaming.TopKIn]
-    val ranked = topkIn.toDS()
-      .withWatermark("ts", "10 seconds")
-      .groupByKey(_.windowStartMs)
-      .transformWithState(new graft.streaming.TopKWindowTracker(3, winMs),
-        TimeMode.EventTime(), OutputMode.Append())
-    val qt = ranked.writeStream.outputMode("append")
-      .format("memory").queryName("topkbench").start()
-    try {
-      val batches = topkRows.grouped(math.max(1, topkRows.length / 5)).toSeq
-      val gateTopk = gateStamp("streaming_topk")
-      val t4 = System.nanoTime()
-      batches.foreach { b => topkIn.addData(b.toSeq); qt.processAllAvailable() }
-      val tT = (System.nanoTime() - t4) / 1e9
-      println(f"[streambench] streaming_topk n=$nStream out_rows=${spark.table("topkbench").count()} t=$tT%.2f s rate=${nStream / tT}%.0f events/s$gateTopk${endStamp()}")
-    } finally qt.stop()
+    }
 
 
     // ---- streaming leg E: top-k tracker via FILE source, AvailableNow ----
@@ -198,41 +268,46 @@ object StreamBench {
     // so the measured rate bounds the STATE STORE path, not MemoryStream.
     // Uses the larger batch-leg row count: the driver feed is no longer
     // the limiting factor.
-    val topkFsRows = spark.range(nBatch).select(
-        (lit(1700000000000L) + col("id") * 10L).as("tsMs"),
-        concat(lit("st"), pmod(col("id"), lit(33L))).as("stationId"),
-        concat(lit("sn"), pmod(col("id"), lit(8L))).as("sensorId"),
-        (pmod(col("id") * 37L, lit(1000000L)).cast("double") / 1000.0).as("v"))
-      .select(
-        (col("tsMs") - pmod(col("tsMs"), lit(winMs))).as("windowStartMs"),
-        timestamp_millis(col("tsMs")).as("ts"),
-        col("stationId"), col("sensorId"), col("v").as("valueNumeric"))
-    val topkDir = java.nio.file.Files.createTempDirectory("topkfsbench").toString
-    // range-partition by event time so file listing order tracks event
-    // time (a real partitioned source's arrival order): a hash
-    // repartition scrambles times across files and the advancing
-    // watermark late-drops a large share of rows, inflating the rate
-    topkFsRows.repartitionByRange(32, col("ts"))
-      .write.mode("overwrite").parquet(topkDir)
-    orderFileMtimes(topkDir)
-    val tfsIn = spark.readStream
-      .schema(topkFsRows.schema)
-      .option("maxFilesPerTrigger", "8")
-      .parquet(topkDir)
-      .as[graft.streaming.TopKIn]
-    val rankedFs = tfsIn
-      .withWatermark("ts", "10 seconds")
-      .groupByKey(_.windowStartMs)
-      .transformWithState(new graft.streaming.TopKWindowTracker(3, winMs),
-        TimeMode.EventTime(), OutputMode.Append())
-    val gateTopkFs = gateStamp("streaming_topk_filesource")
-    val t5 = System.nanoTime()
-    val qtf = rankedFs.writeStream.outputMode("append")
-      .format("memory").queryName("topkfsbench")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    qtf.awaitTermination()
-    val tTF = (System.nanoTime() - t5) / 1e9
-    println(f"[streambench] streaming_topk_filesource n=$nBatch out_rows=${spark.table("topkfsbench").count()} t=$tTF%.2f s rate=${nBatch / tTF}%.0f events/s$gateTopkFs${endStamp()}")
+    if (legOnly("streaming_topk_filesource")) {
+      val topkFsRows = spark.range(nBatch).select(
+          (lit(1700000000000L) + col("id") * 10L).as("tsMs"),
+          concat(lit("st"), pmod(col("id"), lit(33L))).as("stationId"),
+          concat(lit("sn"), pmod(col("id"), lit(8L))).as("sensorId"),
+          (pmod(col("id") * 37L, lit(1000000L)).cast("double") / 1000.0).as("v"))
+        .select(
+          (col("tsMs") - pmod(col("tsMs"), lit(winMs))).as("windowStartMs"),
+          timestamp_millis(col("tsMs")).as("ts"),
+          col("stationId"), col("sensorId"), col("v").as("valueNumeric"))
+      val topkDir = java.nio.file.Files.createTempDirectory("topkfsbench").toString
+      // range-partition by event time so file listing order tracks event
+      // time (a real partitioned source's arrival order): a hash
+      // repartition scrambles times across files and the advancing
+      // watermark late-drops a large share of rows, inflating the rate
+      topkFsRows.repartitionByRange(32, col("ts"))
+        .write.mode("overwrite").parquet(topkDir)
+      orderFileMtimes(topkDir)
+      sampled("streaming_topk_filesource", "events/s") { () =>
+        val tfsIn = spark.readStream
+          .schema(topkFsRows.schema)
+          .option("maxFilesPerTrigger", "8")
+          .parquet(topkDir)
+          .as[graft.streaming.TopKIn]
+        val rankedFs = tfsIn
+          .withWatermark("ts", "10 seconds")
+          .groupByKey(_.windowStartMs)
+          .transformWithState(new graft.streaming.TopKWindowTracker(3, winMs),
+            TimeMode.EventTime(), OutputMode.Append())
+        val (_, wall) = timed {
+          val qtf = rankedFs.writeStream.outputMode("append")
+            .format("memory").queryName("topkfsbench")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          qtf.awaitTermination()
+        }
+        val outRows = spark.table("topkfsbench").count()
+        spark.catalog.dropTempView("topkfsbench")
+        (nBatch, wall, s" out_rows=$outRows$clogStamp")
+      }
+    }
 
     // ---- streaming leg F: exact-dedup fingerprint gate --------------------
     // FingerprintDedupTracker operating point: ~3 stream rows per
@@ -240,65 +315,72 @@ object StreamBench {
     // base index pre-loaded as initial state, per-key ValueState +
     // event-time eviction timers on RocksDB. Input synthesized and the
     // base index built off the clock.
-    val dedupRows = spark.range(nStream).select(
-        col("id").as("docId"),
-        concat(lit("fp"), expr("id div 3")).as("fingerprint"),
-        timestamp_millis(lit(1700000000000L) + col("id") * 10L).as("ts"))
-      .as[graft.streaming.DedupIn].collect()
     val dedupInit = spark.range(100000)
       .select(concat(lit("base"), col("id")).as("fp")).as[String]
       .groupByKey(identity).mapValues(_ => true)
-    val dedupIn = MemoryStream[graft.streaming.DedupIn]
-    val gated = dedupIn.toDS()
-      .withWatermark("ts", "10 seconds")
-      .groupByKey(_.fingerprint)
-      .transformWithState(new graft.streaming.FingerprintDedupTracker(3600000L),
-        TimeMode.EventTime(), OutputMode.Append(), dedupInit)
-    val qd = gated.writeStream.outputMode("append")
-      .format("memory").queryName("dedupbench").start()
-    try {
-      val batches = dedupRows.grouped(math.max(1, dedupRows.length / 5)).toSeq
-      val gateDedup = gateStamp("streaming_dedup_gate")
-      val t6 = System.nanoTime()
-      batches.foreach { b => dedupIn.addData(b.toSeq); qd.processAllAvailable() }
-      val tD = (System.nanoTime() - t6) / 1e9
-      println(f"[streambench] streaming_dedup_gate n=$nStream out_rows=${spark.table("dedupbench").count()} t=$tD%.2f s rate=${nStream / tD}%.0f events/s$gateDedup${endStamp()}")
-    } finally qd.stop()
+    if (legOnly("streaming_dedup_gate")) {
+      val dedupRows = spark.range(nStream).select(
+          col("id").as("docId"),
+          concat(lit("fp"), expr("id div 3")).as("fingerprint"),
+          timestamp_millis(lit(1700000000000L) + col("id") * 10L).as("ts"))
+        .as[graft.streaming.DedupIn].collect()
+      sampled("streaming_dedup_gate", "events/s") { () =>
+        val dedupIn = MemoryStream[graft.streaming.DedupIn]
+        val gated = dedupIn.toDS()
+          .withWatermark("ts", "10 seconds")
+          .groupByKey(_.fingerprint)
+          .transformWithState(new graft.streaming.FingerprintDedupTracker(3600000L),
+            TimeMode.EventTime(), OutputMode.Append(), dedupInit)
+        val qd = gated.writeStream.outputMode("append")
+          .format("memory").queryName("dedupbench").start()
+        try {
+          val batches = dedupRows.grouped(math.max(1, dedupRows.length / 5)).toSeq
+          val (_, wall) = timed(
+            batches.foreach { b => dedupIn.addData(b.toSeq); qd.processAllAvailable() })
+          (nStream, wall, s" out_rows=${spark.table("dedupbench").count()}$clogStamp")
+        } finally { qd.stop(); spark.catalog.dropTempView("dedupbench") }
+      }
+    }
 
     // ---- streaming leg G: dedup gate via FILE source, AvailableNow -------
     // the deployment-shaped twin of leg F at the batch-leg row count:
     // rows pre-written as parquet off the clock, so the measured rate
     // bounds the keyed ValueState + eviction-timer path, not driver
     // feeding
-    val dedupFsRows = spark.range(nBatch).select(
-        col("id").as("docId"),
-        concat(lit("fp"), expr("id div 3")).as("fingerprint"),
-        timestamp_millis(lit(1700000000000L) + col("id") * 10L).as("ts"))
-    val dedupDir = java.nio.file.Files.createTempDirectory("dedupfsbench").toString
-    // same event-time range partitioning as the top-k file leg (a hash
-    // repartition here measured a stream with ~half its rows
-    // late-dropped: out_rows 1.0M of 2M)
-    dedupFsRows.repartitionByRange(32, col("ts"))
-      .write.mode("overwrite").parquet(dedupDir)
-    orderFileMtimes(dedupDir)
-    val dfsIn = spark.readStream
-      .schema(dedupFsRows.schema)
-      .option("maxFilesPerTrigger", "8")
-      .parquet(dedupDir)
-      .as[graft.streaming.DedupIn]
-    val gatedFs = dfsIn
-      .withWatermark("ts", "10 seconds")
-      .groupByKey(_.fingerprint)
-      .transformWithState(new graft.streaming.FingerprintDedupTracker(3600000L),
-        TimeMode.EventTime(), OutputMode.Append(), dedupInit)
-    val gateDedupFs = gateStamp("streaming_dedup_gate_filesource")
-    val t7 = System.nanoTime()
-    val qdf = gatedFs.writeStream.outputMode("append")
-      .format("memory").queryName("dedupfsbench")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    qdf.awaitTermination()
-    val tDF = (System.nanoTime() - t7) / 1e9
-    println(f"[streambench] streaming_dedup_gate_filesource n=$nBatch out_rows=${spark.table("dedupfsbench").count()} t=$tDF%.2f s rate=${nBatch / tDF}%.0f events/s$gateDedupFs${endStamp()}")
+    if (legOnly("streaming_dedup_gate_filesource")) {
+      val dedupFsRows = spark.range(nBatch).select(
+          col("id").as("docId"),
+          concat(lit("fp"), expr("id div 3")).as("fingerprint"),
+          timestamp_millis(lit(1700000000000L) + col("id") * 10L).as("ts"))
+      val dedupDir = java.nio.file.Files.createTempDirectory("dedupfsbench").toString
+      // same event-time range partitioning as the top-k file leg (a hash
+      // repartition here measured a stream with ~half its rows
+      // late-dropped: out_rows 1.0M of 2M)
+      dedupFsRows.repartitionByRange(32, col("ts"))
+        .write.mode("overwrite").parquet(dedupDir)
+      orderFileMtimes(dedupDir)
+      sampled("streaming_dedup_gate_filesource", "events/s") { () =>
+        val dfsIn = spark.readStream
+          .schema(dedupFsRows.schema)
+          .option("maxFilesPerTrigger", "8")
+          .parquet(dedupDir)
+          .as[graft.streaming.DedupIn]
+        val gatedFs = dfsIn
+          .withWatermark("ts", "10 seconds")
+          .groupByKey(_.fingerprint)
+          .transformWithState(new graft.streaming.FingerprintDedupTracker(3600000L),
+            TimeMode.EventTime(), OutputMode.Append(), dedupInit)
+        val (_, wall) = timed {
+          val qdf = gatedFs.writeStream.outputMode("append")
+            .format("memory").queryName("dedupfsbench")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          qdf.awaitTermination()
+        }
+        val outRows = spark.table("dedupfsbench").count()
+        spark.catalog.dropTempView("dedupfsbench")
+        (nBatch, wall, s" out_rows=$outRows$clogStamp")
+      }
+    }
 
     // ---- streaming leg H: LSH near-dup discovery at ingest ---------------
     // LshDedupTracker end to end via FILE source: the map-side banded
@@ -308,36 +390,54 @@ object StreamBench {
     // with near-dup suffixes (each base doc becomes an 8-clique), rows
     // event-time-ordered like the other file legs.
     val lshSfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val docs0 = graft.sources.Tables.documents(spark, lshSfDir)
-      .select(col("doc_id"), col("text"))
-    val nBase = docs0.count()
-    val lshDocs = (0 until 8).map { i =>
-      docs0.select((col("doc_id") * 8 + i).as("doc_id"),
-        concat(col("text"), lit(s" replica$i")).as("text"))
-    }.reduce(_ unionAll _)
-      .withColumn("ts", timestamp_millis(lit(1700000000000L) + col("doc_id") * 10L))
-    val nLshDocs = nBase * 8
-    val lshDir = java.nio.file.Files.createTempDirectory("lshfsbench").toString
-    lshDocs.repartitionByRange(32, col("ts")).write.mode("overwrite").parquet(lshDir)
-    orderFileMtimes(lshDir)
-    val lshIn = spark.readStream
-      .schema(lshDocs.schema)
-      .option("maxFilesPerTrigger", "8")
-      .parquet(lshDir)
-    val lshCands = graft.streaming.LshDedupTracker.streamInput(lshIn)
-      .as[graft.streaming.LshIn]
-      .withWatermark("ts", "10 seconds")
-      .groupByKey(r => s"${r.band}:${r.bandKey}")
-      .transformWithState(new graft.streaming.LshDedupTracker(3600000L),
-        TimeMode.EventTime(), OutputMode.Append())
-    val gateLsh = gateStamp("streaming_lsh_neardup_filesource")
-    val t8 = System.nanoTime()
-    val ql = lshCands.writeStream.outputMode("append")
-      .format("memory").queryName("lshfsbench")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    ql.awaitTermination()
-    val tL = (System.nanoTime() - t8) / 1e9
-    println(f"[streambench] streaming_lsh_neardup_filesource docs=$nLshDocs cand_rows=${spark.table("lshfsbench").count()} t=$tL%.2f s rate=${nLshDocs / tL}%.0f docs/s max_bucket=${graft.streaming.LshDedupTracker.DefaultMaxBucket} admission_drops=${graft.streaming.AdmissionDrops.forRun(graft.streaming.LshDedupTracker.DropsTag, ql.runId)}$gateLsh${endStamp()}")
+    if (legOnly("streaming_lsh_neardup_filesource")) {
+      val docs0 = graft.sources.Tables.documents(spark, lshSfDir)
+        .select(col("doc_id"), col("text"))
+      val nBase = docs0.count()
+      val lshDocs = (0 until 8).map { i =>
+        docs0.select((col("doc_id") * 8 + i).as("doc_id"),
+          concat(col("text"), lit(s" replica$i")).as("text"))
+      }.reduce(_ unionAll _)
+        .withColumn("ts", timestamp_millis(lit(1700000000000L) + col("doc_id") * 10L))
+      val nLshDocs = nBase * 8
+      val lshDir = java.nio.file.Files.createTempDirectory("lshfsbench").toString
+      lshDocs.repartitionByRange(32, col("ts")).write.mode("overwrite").parquet(lshDir)
+      orderFileMtimes(lshDir)
+      sampled("streaming_lsh_neardup_filesource", "docs/s") { () =>
+        val lshIn = spark.readStream
+          .schema(lshDocs.schema)
+          .option("maxFilesPerTrigger", "8")
+          .parquet(lshDir)
+        // production shape (r14): observeDrops strips drop markers and
+        // surfaces refusals in each progress event's observedMetrics
+        val lshCands = graft.streaming.LshDedupTracker.observeDrops(
+          graft.streaming.LshDedupTracker.streamInput(lshIn)
+            .as[graft.streaming.LshIn]
+            .withWatermark("ts", "10 seconds")
+            .groupByKey(r => s"${r.band}:${r.bandKey}")
+            .transformWithState(new graft.streaming.LshDedupTracker(3600000L),
+              TimeMode.EventTime(), OutputMode.Append()))
+        val (ql, wall) = timed {
+          val q = lshCands.writeStream.outputMode("append")
+            .format("memory").queryName("lshfsbench")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          q
+        }
+        val candRows = spark.table("lshfsbench").count()
+        spark.catalog.dropTempView("lshfsbench")
+        val drops = graft.streaming.AdmissionDrops.forRun(
+          graft.streaming.LshDedupTracker.DropsTag, ql.runId)
+        val dropsObserved = ql.recentProgress.map(p =>
+          Option(p.observedMetrics.get(graft.streaming.LshDedupTracker.DropsMetric))
+            .fold(0L)(_.getAs[Long]("admission_drops"))).sum
+        graft.streaming.AdmissionDrops.clear(
+          graft.streaming.LshDedupTracker.DropsTag, ql.runId)
+        (nLshDocs, wall, s" cand_rows=$candRows" +
+          s" max_bucket=${graft.streaming.LshDedupTracker.DefaultMaxBucket}" +
+          s" admission_drops=$drops admission_drops_progress=$dropsObserved$clogStamp")
+      }
+    }
 
     // ---- streaming leg I: semantic (embedding) near-dup at ingest --------
     // SemanticDedupTracker via FILE source: map-side hyperplane bucket +
@@ -346,37 +446,52 @@ object StreamBench {
     // duplicates — every replica pair scores cos = 1), so per-bucket
     // membership grows to ~corpus/64 x 8 and the quadratic-in-bucket
     // emission is exercised, not dodged.
-    val emb0 = graft.sources.Tables.embeddings(spark, lshSfDir)
-      .select(col("vec_id"), col("embedding"))
-    val nEmbBase = emb0.count()
-    val semDocs = (0 until 8).map { i =>
-      emb0.select((col("vec_id") * 8 + i).as("vec_id"), col("embedding"))
-    }.reduce(_ unionAll _)
-      .withColumn("ts", timestamp_millis(lit(1700000000000L) + col("vec_id") * 10L))
-    val nSem = nEmbBase * 8
-    val semDir = java.nio.file.Files.createTempDirectory("semfsbench").toString
-    graft.streaming.SemanticDedupTracker.streamInput(semDocs)
-      .repartitionByRange(32, col("ts")).write.mode("overwrite").parquet(semDir)
-    orderFileMtimes(semDir)
-    val semSchema = graft.streaming.SemanticDedupTracker.streamInput(semDocs).schema
-    val semIn = spark.readStream
-      .schema(semSchema)
-      .option("maxFilesPerTrigger", "8")
-      .parquet(semDir)
-      .as[graft.streaming.SemIn]
-    val semCands = semIn
-      .withWatermark("ts", "10 seconds")
-      .groupByKey(_.bucket)
-      .transformWithState(new graft.streaming.SemanticDedupTracker(3600000L),
-        TimeMode.EventTime(), OutputMode.Append())
-    val gateSem = gateStamp("streaming_semantic_neardup_filesource")
-    val t9 = System.nanoTime()
-    val qs = semCands.writeStream.outputMode("append")
-      .format("memory").queryName("semfsbench")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    qs.awaitTermination()
-    val tS = (System.nanoTime() - t9) / 1e9
-    println(f"[streambench] streaming_semantic_neardup_filesource vecs=$nSem cand_rows=${spark.table("semfsbench").count()} t=$tS%.2f s rate=${nSem / tS}%.0f vecs/s max_bucket=${graft.streaming.SemanticDedupTracker.DefaultMaxBucket} admission_drops=${graft.streaming.AdmissionDrops.forRun(graft.streaming.SemanticDedupTracker.DropsTag, qs.runId)}$gateSem${endStamp()}")
+    if (legOnly("streaming_semantic_neardup_filesource")) {
+      val emb0 = graft.sources.Tables.embeddings(spark, lshSfDir)
+        .select(col("vec_id"), col("embedding"))
+      val nEmbBase = emb0.count()
+      val semDocs = (0 until 8).map { i =>
+        emb0.select((col("vec_id") * 8 + i).as("vec_id"), col("embedding"))
+      }.reduce(_ unionAll _)
+        .withColumn("ts", timestamp_millis(lit(1700000000000L) + col("vec_id") * 10L))
+      val nSem = nEmbBase * 8
+      val semDir = java.nio.file.Files.createTempDirectory("semfsbench").toString
+      graft.streaming.SemanticDedupTracker.streamInput(semDocs)
+        .repartitionByRange(32, col("ts")).write.mode("overwrite").parquet(semDir)
+      orderFileMtimes(semDir)
+      val semSchema = graft.streaming.SemanticDedupTracker.streamInput(semDocs).schema
+      sampled("streaming_semantic_neardup_filesource", "vecs/s") { () =>
+        val semIn = spark.readStream
+          .schema(semSchema)
+          .option("maxFilesPerTrigger", "8")
+          .parquet(semDir)
+          .as[graft.streaming.SemIn]
+        val semCands = graft.streaming.SemanticDedupTracker.observeDrops(semIn
+          .withWatermark("ts", "10 seconds")
+          .groupByKey(_.bucket)
+          .transformWithState(new graft.streaming.SemanticDedupTracker(3600000L),
+            TimeMode.EventTime(), OutputMode.Append()))
+        val (qs, wall) = timed {
+          val q = semCands.writeStream.outputMode("append")
+            .format("memory").queryName("semfsbench")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          q
+        }
+        val candRows = spark.table("semfsbench").count()
+        spark.catalog.dropTempView("semfsbench")
+        val drops = graft.streaming.AdmissionDrops.forRun(
+          graft.streaming.SemanticDedupTracker.DropsTag, qs.runId)
+        val dropsObserved = qs.recentProgress.map(p =>
+          Option(p.observedMetrics.get(graft.streaming.SemanticDedupTracker.DropsMetric))
+            .fold(0L)(_.getAs[Long]("admission_drops"))).sum
+        graft.streaming.AdmissionDrops.clear(
+          graft.streaming.SemanticDedupTracker.DropsTag, qs.runId)
+        (nSem, wall, s" cand_rows=$candRows" +
+          s" max_bucket=${graft.streaming.SemanticDedupTracker.DefaultMaxBucket}" +
+          s" admission_drops=$drops admission_drops_progress=$dropsObserved$clogStamp")
+      }
+    }
     spark.stop()
   }
 
@@ -412,11 +527,30 @@ object StreamBench {
     val maxSst = new java.util.concurrent.atomic.AtomicLong(-1L)
     val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
     val nProgress = new java.util.concurrent.atomic.AtomicLong(0L)
+    // per-batch SST readings for the debt-curve leg (r14, VERDICT #5):
+    // keyed by batchId so the post-termination recentProgress merge
+    // de-duplicates instead of double-counting
+    val sstByBatch = new java.util.concurrent.ConcurrentHashMap[Long, Long]
     def observe(p: org.apache.spark.sql.streaming.StreamingQueryProgress): Unit = {
       nProgress.incrementAndGet()
       maxRows.accumulateAndGet(p.stateOperators.map(_.numRowsTotal).sum, math.max(_, _))
       maxSst.accumulateAndGet(StreamBench.sstBytes(p), math.max(_, _))
       lastBatch.accumulateAndGet(p.batchId, math.max(_, _))
+      sstByBatch.merge(p.batchId, StreamBench.sstBytes(p),
+        (a: Long, b: Long) => math.max(a, b))
+    }
+    /** The (batchId-ordered) SST series, downsampled to ≤ `points`. */
+    def sstSeries(points: Int): Seq[(Long, Long)] = {
+      val all = {
+        val b = Vector.newBuilder[(Long, Long)]
+        sstByBatch.forEach((k, v) => b += ((k, v)))
+        b.result().sortBy(_._1)
+      }
+      if (all.size <= points) all
+      else {
+        val step = (all.size - 1).toDouble / (points - 1)
+        (0 until points).map(i => all(math.round(i * step).toInt)).distinct
+      }
     }
     override def onQueryStarted(e: QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: QueryProgressEvent): Unit =
@@ -474,10 +608,10 @@ object StreamBench {
     sys.env.get("SPARK_GRAFT_ROCKSDB_CHANGELOG")
       .foreach(v => spark.conf.set(changelogConf, (v == "1").toString))
     val changelog = spark.conf.get(changelogConf, "false")
-    val scaleOut = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r13.json")
-    def emit(line0: String): Unit = {
+    val scaleOut = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r14.json")
+    def emit(line0: String, clog: String = changelog): Unit = {
       // splice the changelog stamp in before the closing brace
-      val line = line0.stripSuffix("}") + s""","changelog":$changelog}"""
+      val line = line0.stripSuffix("}") + s""","changelog":$clog}"""
       println(s"[scale] $line")
       java.nio.file.Files.write(java.nio.file.Paths.get(scaleOut),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
@@ -487,33 +621,51 @@ object StreamBench {
     /** One completed state-curve leg. `probeEnd` is the END-of-body
       * contention probe (r13, mirroring Bench's probe_sec_end — the
       * start gate cannot see a steal wave that begins mid-leg, and
-      * these are the repo's longest single recordings); `runId` keys
-      * this run's [[graft.streaming.AdmissionDrops]] counters. */
+      * these are the repo's longest single recordings); `steal` is the
+      * body-wide [[StealMonitor]] integral (r14, VERDICT #3 — the
+      * endpoint probes provably miss mid-body waves on these
+      * multi-minute legs, so every row now carries the integrated
+      * figure); `runId` keys this run's
+      * [[graft.streaming.AdmissionDrops]] counters;
+      * `observedDrops` is the refusal total read back from
+      * `StreamingQueryProgress.observedMetrics` when the leg's build
+      * wrapped the tracker in `observeDrops`. */
     case class LegResult(wall: Double, outRows: Long, stateRowsMax: Long,
         sstMax: Long, lastBatch: Long, probeEnd: Double,
-        runId: java.util.UUID)
+        steal: StealMonitor.Result, runId: java.util.UUID,
+        observedDrops: Option[Long], sstSeries: Seq[(Long, Long)])
     /** Runs `build(queryName)` to completion. */
     def run(queryName: String,
-        build: String => org.apache.spark.sql.streaming.DataStreamWriter[_])
+        build: String => org.apache.spark.sql.streaming.DataStreamWriter[_],
+        dropsMetric: Option[String] = None)
         : LegResult = {
       val listener = new StateMaxListener(queryName)
       spark.streams.addListener(listener)
       try {
+        val sm = StealMonitor.start()
         val t0 = System.nanoTime()
         val q = build(queryName).trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         val wall = (System.nanoTime() - t0) / 1e9
+        val steal = sm.stop()
         val probeEnd = graft.ContentionGate.probe(spark, 32)
         // merge the synchronous buffer: complete for ≤256-trigger legs,
         // and a floor against listener events still in flight at stop
         q.recentProgress.foreach(listener.observe)
         assert(listener.nProgress.get() > 0,
           s"$queryName produced no progress events — state maxima would be fabricated")
+        // observed metrics are summed from recentProgress ONLY (a sum is
+        // not idempotent under the listener merge above; the buffer is
+        // complete for these ≤256-trigger legs)
+        val observedDrops = dropsMetric.map(k => q.recentProgress.map(p =>
+          Option(p.observedMetrics.get(k))
+            .fold(0L)(_.getAs[Long]("admission_drops"))).sum)
         val outRows = spark.table(queryName).count()
         // free the memory sink's driver-side rows before the next horizon
         spark.catalog.dropTempView(queryName)
         LegResult(wall, outRows, listener.maxRows.get(), listener.maxSst.get(),
-          listener.lastBatch.get(), probeEnd, q.runId)
+          listener.lastBatch.get(), probeEnd, steal, q.runId, observedDrops,
+          listener.sstSeries(16))
       } finally spark.streams.removeListener(listener)
     }
 
@@ -588,7 +740,7 @@ object StreamBench {
           .transformWithState(new graft.streaming.FingerprintDedupTracker(horizonMs),
             TimeMode.EventTime(), OutputMode.Append(), dedupInit)
           .writeStream.outputMode("append").format("memory").queryName(n))
-      emit(f"""{"probe":"state_dedup_gate","horizon_ms":$horizonMs,"wall_sec":${r.wall}%.3f,"rows":${r.outRows},"feed_rows":$nFeed,"base_index":100000,"state_rows_max":${r.stateRowsMax},"state_sst_bytes_max":${r.sstMax},${gate.jsonFields},"probe_sec_end":${r.probeEnd},"sf":"synthetic"}""")
+      emit(f"""{"probe":"state_dedup_gate","horizon_ms":$horizonMs,"wall_sec":${r.wall}%.3f,"rows":${r.outRows},"feed_rows":$nFeed,"base_index":100000,"state_rows_max":${r.stateRowsMax},"state_sst_bytes_max":${r.sstMax},${gate.jsonFields},"probe_sec_end":${r.probeEnd},${r.steal.jsonFields},"sf":"synthetic"}""")
     }
     }
 
@@ -615,18 +767,22 @@ object StreamBench {
       val ckpt = java.nio.file.Files.createTempDirectory(s"ckpt_$name").toString
       val gate = graft.ContentionGate.awaitCalm(spark, 32, label = name)
       val r = run(name, n =>
-        graft.streaming.LshDedupTracker.streamInput(in)
-          .as[graft.streaming.LshIn]
-          .withWatermark("ts", "10 seconds")
-          .groupByKey(r => s"${r.band}:${r.bandKey}")
-          .transformWithState(new graft.streaming.LshDedupTracker(horizonMs),
-            TimeMode.EventTime(), OutputMode.Append())
+        graft.streaming.LshDedupTracker.observeDrops(
+          graft.streaming.LshDedupTracker.streamInput(in)
+            .as[graft.streaming.LshIn]
+            .withWatermark("ts", "10 seconds")
+            .groupByKey(r => s"${r.band}:${r.bandKey}")
+            .transformWithState(new graft.streaming.LshDedupTracker(horizonMs),
+              TimeMode.EventTime(), OutputMode.Append()))
           .writeStream.outputMode("append").format("memory")
-          .option("checkpointLocation", ckpt).queryName(n))
+          .option("checkpointLocation", ckpt).queryName(n),
+        dropsMetric = Some(graft.streaming.LshDedupTracker.DropsMetric))
       val drops = graft.streaming.AdmissionDrops.forRun(
         graft.streaming.LshDedupTracker.DropsTag, r.runId)
+      graft.streaming.AdmissionDrops.clear(
+        graft.streaming.LshDedupTracker.DropsTag, r.runId)
       val members = maxListMembers(ckpt, "bucket", r.lastBatch)
-      emit(f"""{"probe":"state_lsh_neardup","horizon_ms":$horizonMs,"wall_sec":${r.wall}%.3f,"rows":${r.outRows},"feed_rows":$nLsh,"state_rows_max":${r.stateRowsMax},${membersFields(members)},"state_sst_bytes_max":${r.sstMax},"max_bucket":${graft.streaming.LshDedupTracker.DefaultMaxBucket},"admission_drops":$drops,${gate.jsonFields},"probe_sec_end":${r.probeEnd},"sf":"$sfDir"}""")
+      emit(f"""{"probe":"state_lsh_neardup","horizon_ms":$horizonMs,"wall_sec":${r.wall}%.3f,"rows":${r.outRows},"feed_rows":$nLsh,"state_rows_max":${r.stateRowsMax},${membersFields(members)},"state_sst_bytes_max":${r.sstMax},"max_bucket":${graft.streaming.LshDedupTracker.DefaultMaxBucket},"admission_drops":$drops,"admission_drops_progress":${r.observedDrops.getOrElse(-1L)},${gate.jsonFields},"probe_sec_end":${r.probeEnd},${r.steal.jsonFields},"sf":"$sfDir"}""")
     }
     }
 
@@ -653,16 +809,20 @@ object StreamBench {
       val ckpt = java.nio.file.Files.createTempDirectory(s"ckpt_$name").toString
       val gate = graft.ContentionGate.awaitCalm(spark, 32, label = name)
       val r = run(name, n =>
-        in.withWatermark("ts", "10 seconds")
-          .groupByKey(_.bucket)
-          .transformWithState(new graft.streaming.SemanticDedupTracker(horizonMs),
-            TimeMode.EventTime(), OutputMode.Append())
+        graft.streaming.SemanticDedupTracker.observeDrops(
+          in.withWatermark("ts", "10 seconds")
+            .groupByKey(_.bucket)
+            .transformWithState(new graft.streaming.SemanticDedupTracker(horizonMs),
+              TimeMode.EventTime(), OutputMode.Append()))
           .writeStream.outputMode("append").format("memory")
-          .option("checkpointLocation", ckpt).queryName(n))
+          .option("checkpointLocation", ckpt).queryName(n),
+        dropsMetric = Some(graft.streaming.SemanticDedupTracker.DropsMetric))
       val drops = graft.streaming.AdmissionDrops.forRun(
         graft.streaming.SemanticDedupTracker.DropsTag, r.runId)
+      graft.streaming.AdmissionDrops.clear(
+        graft.streaming.SemanticDedupTracker.DropsTag, r.runId)
       val members = maxListMembers(ckpt, "bucket", r.lastBatch)
-      emit(f"""{"probe":"state_semantic_neardup","horizon_ms":$horizonMs,"wall_sec":${r.wall}%.3f,"rows":${r.outRows},"feed_rows":$nSem,"state_rows_max":${r.stateRowsMax},${membersFields(members)},"state_sst_bytes_max":${r.sstMax},"max_bucket":${graft.streaming.SemanticDedupTracker.DefaultMaxBucket},"admission_drops":$drops,${gate.jsonFields},"probe_sec_end":${r.probeEnd},"sf":"$sfDir"}""")
+      emit(f"""{"probe":"state_semantic_neardup","horizon_ms":$horizonMs,"wall_sec":${r.wall}%.3f,"rows":${r.outRows},"feed_rows":$nSem,"state_rows_max":${r.stateRowsMax},${membersFields(members)},"state_sst_bytes_max":${r.sstMax},"max_bucket":${graft.streaming.SemanticDedupTracker.DefaultMaxBucket},"admission_drops":$drops,"admission_drops_progress":${r.observedDrops.getOrElse(-1L)},${gate.jsonFields},"probe_sec_end":${r.probeEnd},${r.steal.jsonFields},"sf":"$sfDir"}""")
     }
     }
 
@@ -692,18 +852,22 @@ object StreamBench {
       val gate = graft.ContentionGate.awaitCalm(spark, 32, label = name)
       val cap = graft.streaming.LshDedupTracker.DefaultMaxBucket
       val r = run(name, n =>
-        graft.streaming.LshDedupTracker.streamInput(in)
-          .as[graft.streaming.LshIn]
-          .withWatermark("ts", "10 seconds")
-          .groupByKey(r => s"${r.band}:${r.bandKey}")
-          .transformWithState(new graft.streaming.LshDedupTracker(3600000L),
-            TimeMode.EventTime(), OutputMode.Append())
+        graft.streaming.LshDedupTracker.observeDrops(
+          graft.streaming.LshDedupTracker.streamInput(in)
+            .as[graft.streaming.LshIn]
+            .withWatermark("ts", "10 seconds")
+            .groupByKey(r => s"${r.band}:${r.bandKey}")
+            .transformWithState(new graft.streaming.LshDedupTracker(3600000L),
+              TimeMode.EventTime(), OutputMode.Append()))
           .writeStream.outputMode("append").format("memory")
-          .option("checkpointLocation", ckpt).queryName(n))
+          .option("checkpointLocation", ckpt).queryName(n),
+        dropsMetric = Some(graft.streaming.LshDedupTracker.DropsMetric))
       val drops = graft.streaming.AdmissionDrops.forRun(
         graft.streaming.LshDedupTracker.DropsTag, r.runId)
+      graft.streaming.AdmissionDrops.clear(
+        graft.streaming.LshDedupTracker.DropsTag, r.runId)
       val members = maxListMembers(ckpt, "bucket", r.lastBatch)
-      emit(f"""{"probe":"state_lsh_capped_bucket","horizon_ms":3600000,"wall_sec":${r.wall}%.3f,"rows":${r.outRows},"feed_rows":$hotN,"state_rows_max":${r.stateRowsMax},${membersFields(members)},"state_sst_bytes_max":${r.sstMax},"max_bucket":$cap,"admission_drops":$drops,${gate.jsonFields},"probe_sec_end":${r.probeEnd},"sf":"synthetic"}""")
+      emit(f"""{"probe":"state_lsh_capped_bucket","horizon_ms":3600000,"wall_sec":${r.wall}%.3f,"rows":${r.outRows},"feed_rows":$hotN,"state_rows_max":${r.stateRowsMax},${membersFields(members)},"state_sst_bytes_max":${r.sstMax},"max_bucket":$cap,"admission_drops":$drops,"admission_drops_progress":${r.observedDrops.getOrElse(-1L)},${gate.jsonFields},"probe_sec_end":${r.probeEnd},${r.steal.jsonFields},"sf":"synthetic"}""")
     }
     }
 
@@ -744,17 +908,78 @@ object StreamBench {
       val ckpt = java.nio.file.Files.createTempDirectory(s"ckpt_$name").toString
       val gate = graft.ContentionGate.awaitCalm(spark, 32, label = name)
       val r = run(name, n =>
-        in.withWatermark("ts", "10 seconds")
-          .groupByKey(_.bucket)
-          .transformWithState(new graft.streaming.SemanticDedupTracker(3600000L),
-            TimeMode.EventTime(), OutputMode.Append())
+        graft.streaming.SemanticDedupTracker.observeDrops(
+          in.withWatermark("ts", "10 seconds")
+            .groupByKey(_.bucket)
+            .transformWithState(new graft.streaming.SemanticDedupTracker(3600000L),
+              TimeMode.EventTime(), OutputMode.Append()))
           .writeStream.outputMode("append").format("memory")
-          .option("checkpointLocation", ckpt).queryName(n))
+          .option("checkpointLocation", ckpt).queryName(n),
+        dropsMetric = Some(graft.streaming.SemanticDedupTracker.DropsMetric))
       val drops = graft.streaming.AdmissionDrops.forRun(
         graft.streaming.SemanticDedupTracker.DropsTag, r.runId)
+      graft.streaming.AdmissionDrops.clear(
+        graft.streaming.SemanticDedupTracker.DropsTag, r.runId)
       val members = maxListMembers(ckpt, "bucket", r.lastBatch)
-      emit(f"""{"probe":"state_semantic_capped_bucket","horizon_ms":3600000,"wall_sec":${r.wall}%.3f,"rows":${r.outRows},"feed_rows":$nHotVecs,"state_rows_max":${r.stateRowsMax},${membersFields(members)},"state_sst_bytes_max":${r.sstMax},"max_bucket":$semCap,"admission_drops":$drops,${gate.jsonFields},"probe_sec_end":${r.probeEnd},"sf":"synthetic"}""")
+      emit(f"""{"probe":"state_semantic_capped_bucket","horizon_ms":3600000,"wall_sec":${r.wall}%.3f,"rows":${r.outRows},"feed_rows":$nHotVecs,"state_rows_max":${r.stateRowsMax},${membersFields(members)},"state_sst_bytes_max":${r.sstMax},"max_bucket":$semCap,"admission_drops":$drops,"admission_drops_progress":${r.observedDrops.getOrElse(-1L)},${gate.jsonFields},"probe_sec_end":${r.probeEnd},${r.steal.jsonFields},"sf":"synthetic"}""")
     }
+    }
+
+    // ---- changelog-mode SST-debt bound (r14, VERDICT #5) ------------------
+    // Changelog checkpointing defers full-snapshot maintenance, so its
+    // on-disk SST total carries compaction debt the r13 rows measured at
+    // 2-3x snapshot mode's — fine at MBs, but at 100 TB state the
+    // question is whether that debt is BOUNDED or grows with feed
+    // length. This leg drives the fingerprint tracker (the largest
+    // retained-key population) over a feed whose event-time span is ~11x
+    // the retention horizon, so retained state SATURATES ~9% in and the
+    // remaining ~90% of the body runs at CONSTANT retained keys across
+    // many maintenance cycles — if debt were unbounded, the SST series
+    // would climb through that plateau region; bounded debt shows it
+    // flattening. The maintenance cadence is tightened to 15 s (recorded
+    // in the row) so the body covers ≥10 cycles. RUN THIS PROBE IN ITS
+    // OWN PROCESS (SPARK_GRAFT_STATE_ONLY=state_changelog_debt): the
+    // executor-side maintenance scheduler is started once per JVM at the
+    // first state-store load, so a cadence set mid-sweep would be
+    // silently ignored.
+    if (onlyProbe("state_changelog_debt")) {
+    val maintenanceConf = "spark.sql.streaming.stateStore.maintenanceInterval"
+    spark.conf.set(changelogConf, "true") // the mode under test
+    spark.conf.set(maintenanceConf, "15s")
+    val nFeed = 4000000L
+    val horizonMs = 3600000L
+    val debtRows = spark.range(nFeed).select(
+        col("id").as("docId"),
+        concat(lit("fp"), expr("id div 3")).as("fingerprint"),
+        timestamp_millis(lit(1700000000000L) + col("id") * 10L).as("ts"))
+    val debtDir = java.nio.file.Files.createTempDirectory("statecurve_debt").toString
+    debtRows.repartitionByRange(128, col("ts"))
+      .write.mode("overwrite").parquet(debtDir)
+    orderFileMtimes(debtDir)
+    val debtInit = spark.range(100000)
+      .select(concat(lit("base"), col("id")).as("fp")).as[String]
+      .groupByKey(identity).mapValues(_ => true)
+    locally {
+      val in = spark.readStream.schema(debtRows.schema)
+        .option("maxFilesPerTrigger", "1").parquet(debtDir)
+        .as[graft.streaming.DedupIn]
+      val name = "fpdebt"
+      val ckpt = java.nio.file.Files.createTempDirectory(s"ckpt_$name").toString
+      val gate = graft.ContentionGate.awaitCalm(spark, 32, label = name)
+      val r = run(name, n =>
+        in.withWatermark("ts", "10 seconds")
+          .groupByKey(_.fingerprint)
+          .transformWithState(new graft.streaming.FingerprintDedupTracker(horizonMs),
+            TimeMode.EventTime(), OutputMode.Append(), debtInit)
+          .writeStream.outputMode("append").format("memory")
+          .option("checkpointLocation", ckpt).queryName(n))
+      val series = r.sstSeries
+        .map { case (b, s) => s"[$b,$s]" }.mkString("[", ",", "]")
+      emit(f"""{"probe":"state_changelog_debt","horizon_ms":$horizonMs,"wall_sec":${r.wall}%.3f,"rows":${r.outRows},"feed_rows":$nFeed,"base_index":100000,"state_rows_max":${r.stateRowsMax},"state_sst_bytes_max":${r.sstMax},"sst_series":$series,"maintenance_interval":"15s",${gate.jsonFields},"probe_sec_end":${r.probeEnd},${r.steal.jsonFields},"sf":"synthetic"}""",
+        clog = "true")
+    }
+    spark.conf.set(changelogConf, changelog)
+    spark.conf.unset(maintenanceConf)
     }
   }
 }

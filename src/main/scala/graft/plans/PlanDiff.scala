@@ -20,9 +20,9 @@ package graft.plans
 object PlanDiff {
 
   /** Per-round artifact names — bump together once per round. */
-  val CurrentArtifact = "PLANS_r13.json"
-  val PreviousArtifact = "PLANS_r12.json"
-  val DiffArtifact = "PLANS_DIFF_r13.json"
+  val CurrentArtifact = "PLANS_r14.json"
+  val PreviousArtifact = "PLANS_r13.json"
+  val DiffArtifact = "PLANS_DIFF_r14.json"
 
   /** Intentional plan changes this round, query → reason. A whitelist
     * entry licenses ONE round's diff; next round the changed plan is the
@@ -31,10 +31,12 @@ object PlanDiff {
 
   /** The digest fields of one artifact line (parsed from our own fixed
     * writer format — see [[PlanDigest.toJsonLine]]). `materializePoints`
-    * is None on pre-r11 artifacts, which did not record it; `pushedBase`
-    * is None on pre-r13 artifacts, which carried no scan-kind tags —
-    * `scansRaw` is normalized (kind stripped) so a digest and its
-    * pre-r13 rendering compare equal when the scans themselves match. */
+    * is None on pre-r11 artifacts, which did not record it; `scansRaw`
+    * is normalized (scan-kind tags stripped) so a digest and its
+    * pre-r13 rendering compare equal when the scans themselves match.
+    * `pushedTotal` sums EVERY scan's pushed count — base, materialized
+    * and lineage alike — which since r14 is also the gate's figure (see
+    * [[diffQuery]] for why the r13 base-only gate was retired). */
   case class Line(
       query: String,
       shuffle: Int,
@@ -44,8 +46,7 @@ object PlanDiff {
       windows: Int,
       materializePoints: Option[Int],
       scansRaw: String,
-      pushedTotal: Int,
-      pushedBase: Option[Int])
+      pushedTotal: Int)
 
   private val QueryRe = """"query":"([^"]+)"""".r
   private val IntRe = Map(
@@ -73,16 +74,16 @@ object PlanDiff {
       }
     val scans = ScansRe.findFirstMatchIn(l)
       .fold(sys.error(s"artifact line missing scans: $l"))(_.group(1))
-    val scanObjs = ScanObjRe.findAllMatchIn(scans)
-      .map(m => (m.group(1).toInt, Option(m.group(2)))).toSeq
-    // kind-tagged artifact (r13+): the pushdown gate applies to BASE
-    // scans only — a "materialized" scan's repetitions are audit-mode
-    // lineage of a checkpointed subtree, not runtime reads (the subtree's
-    // own signature is in the list once and counts as checked there)
-    val pushedBase =
-      if (scanObjs.exists(_._2.isDefined))
-        Some(scanObjs.collect { case (p, k) if !k.contains("materialized") => p }.sum)
-      else None
+    // a scan object that deviates from the writer format (field order,
+    // charset) would silently fall out of ScanObjRe while PushedRe still
+    // sees its pushed count — the gate would weaken without an error
+    // (r13 ADVICE). Count both regexes over the same string and refuse
+    // a mismatch loudly, in the missing-field sys.error style.
+    val scanObjCount = ScanObjRe.findAllMatchIn(scans).size
+    val pushedCount = PushedRe.findAllMatchIn(scans).size
+    if (scanObjCount != pushedCount)
+      sys.error(s"scan-object parse mismatch ($scanObjCount objects vs " +
+        s"$pushedCount pushed fields) — writer format drift in: $l")
     Line(
       query = QueryRe.findFirstMatchIn(l)
         .fold(sys.error(s"artifact line missing query: $l"))(_.group(1)),
@@ -93,8 +94,7 @@ object PlanDiff {
       windows = int("windows"),
       materializePoints = MatRe.findFirstMatchIn(l).map(_.group(1).toInt),
       scansRaw = KindFieldRe.replaceAllIn(scans, ""),
-      pushedTotal = PushedRe.findAllMatchIn(scans).map(_.group(1).toInt).sum,
-      pushedBase = pushedBase)
+      pushedTotal = PushedRe.findAllMatchIn(scans).map(_.group(1).toInt).sum)
   }
 
   def parseArtifact(path: java.nio.file.Path): Map[String, Line] = {
@@ -137,24 +137,35 @@ object PlanDiff {
     if (cur.windows != prev.windows)
       b += Change("windows", prev.windows.toString, cur.windows.toString,
         regression = cur.windows > prev.windows)
-    // the pushdown GATE (r13): when both rounds carry scan-kind tags,
-    // compare BASE-scan pushed totals — a change confined to
-    // materialized-subtree lineage repetitions is visible in the scans
-    // diff but is not a pushdown regression (those scans run once,
-    // inside the checkpoint build, where their own pushed count is
-    // already in the list). Across the format boundary (prev pre-r13)
-    // the all-scans total is the only comparable figure.
-    (prev.pushedBase, cur.pushedBase) match {
-      case (Some(p), Some(c)) =>
-        if (c != p)
-          b += Change("pushed_filters_base", p.toString, c.toString,
-            regression = c < p)
-      case _ =>
-        if (cur.pushedTotal != prev.pushedTotal)
-          b += Change("pushed_filters_total", prev.pushedTotal.toString,
-            cur.pushedTotal.toString,
-            regression = cur.pushedTotal < prev.pushedTotal)
-    }
+    // the pushdown GATE (r14, retiring the r13 base-only compare): the
+    // gate is the ALL-scans pushed total again. The r13 form compared
+    // base-tagged scans only, which under-covered in two directions the
+    // round's ADVICE named: (a) a pushdown lost inside a materialized
+    // subtree — including its ONE real runtime execution, the checkpoint
+    // build's actual parquet read — surfaced only as an informational
+    // scans change and never gated (for all-materialized queries like
+    // snm_multipass_dups the gate covered nothing); (b) a genuine base
+    // scan whose (table, pushed, cols) happened to coincide with a
+    // materialized signature was excluded from the base sum, and a later
+    // pushdown loss on it flipped it back to base at the LOWER count,
+    // making the base sum INCREASE — the regression read as an upgrade.
+    // Composing the two prescribed fixes — gate on base plus each
+    // distinct materialized signature once, and tag at most one
+    // occurrence per signature as materialized with surplus lineage
+    // copies participating like base — is arithmetically the all-scans
+    // total, so the gate says so directly. The trade is deliberate and
+    // one-sided: lineage copies move in lockstep with their subtree, so
+    // a subtree pushdown loss now gates (amplified by its consumer
+    // count), while a consumer-count change alone shows as a whitelist-
+    // able false positive alongside the join/shuffle changes any such
+    // restructuring also produces. Over-strict, never under. The
+    // scan-kind tags remain REPORTING (a consumer tells checkpoint
+    // lineage from runtime reads without hand adjudication); they no
+    // longer weaken the gate.
+    if (cur.pushedTotal != prev.pushedTotal)
+      b += Change("pushed_filters_total", prev.pushedTotal.toString,
+        cur.pushedTotal.toString,
+        regression = cur.pushedTotal < prev.pushedTotal)
     // independent of the pushed-filter compare (r12, ADVICE fix): a round
     // that both loses a pushed filter AND reshapes scans must report
     // both changes, not drop the scans diff in the else-branch

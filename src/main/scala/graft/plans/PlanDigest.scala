@@ -23,25 +23,31 @@ import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleEx
   * depends on runtime statistics. */
 object PlanDigest {
 
-  /** One parquet scan in the digested plan. `kind` (r13) separates the
-    * scans the executed form actually performs from lineage-view
-    * repetitions, so a pushdown audit stops re-adjudicating checkpoint
-    * re-reads by hand (`snm_multipass_dups` digests 42 scans, 40 of
-    * them unpushed re-reads of its checkpointed shingle frame):
-    *  - `base` — a scan the executed plan runs directly; the pushdown
-    *    gate applies (PlanDiff compares base pushed totals);
-    *  - `materialized` — this (table, pushed, cols) signature appears
-    *    in the STANDALONE plan of a frame the executed form
-    *    checkpoints (`materializeOnce`): at runtime the subtree's
-    *    scans run once, inside the checkpoint build, and downstream
-    *    consumers read the checkpoint — the digest's repetitions of
-    *    this signature are audit-mode lineage, not runtime I/O.
-    * Tagging is by signature match, which is sound for the audit in
-    * both directions: every distinct materialized signature IS executed
-    * once and carries its pushed count here (so it is still checked,
-    * once), and a lineage copy that Catalyst enriched with a
-    * cross-boundary pushdown the checkpointed form cannot do keeps
-    * kind=base — over-strict, never under-. */
+  /** One parquet scan in the digested plan. `kind` (r13, refined r14)
+    * separates the scans the executed form actually performs from
+    * lineage-view repetitions, so a pushdown audit stops
+    * re-adjudicating checkpoint re-reads by hand (`snm_multipass_dups`
+    * digests 42 scans, 40 of them unpushed re-reads of its
+    * checkpointed shingle frame):
+    *  - `base` — a scan the executed plan runs directly;
+    *  - `materialized` — the FIRST plan-order occurrence of a
+    *    (table, pushed, cols) signature that appears in the STANDALONE
+    *    plan of a frame the executed form checkpoints
+    *    (`materializeOnce`): at runtime that subtree's scans run once,
+    *    inside the checkpoint build, and downstream consumers read the
+    *    checkpoint;
+    *  - `lineage` (r14) — every FURTHER occurrence of a materialized
+    *    signature: audit-mode lineage of the checkpointed subtree, not
+    *    (necessarily) runtime I/O. At most one occurrence per
+    *    signature is tagged `materialized` (r13 tagged them all, which
+    *    let a genuine base scan that happened to share a signature
+    *    disappear into the materialized class — the r13 ADVICE's
+    *    under-gate; a colliding genuine scan is now at worst tagged
+    *    `lineage`, which participates in the pushdown gate like base).
+    * The kinds are REPORTING precision — a consumer tells checkpoint
+    * lineage from runtime reads without hand adjudication. The
+    * cross-round pushdown gate ([[PlanDiff.diffQuery]]) compares the
+    * all-scans pushed total, in which every kind participates. */
   case class ScanInfo(table: String, pushedFilters: Int, readCols: Int,
       kind: String = "base")
 
@@ -109,10 +115,19 @@ object PlanDigest {
     val nodes = plan.collect { case n => n }
     val joins = nodes.map(_.nodeName).filter(_.endsWith("Join"))
       .groupBy(identity).view.mapValues(_.size).toSeq.sortBy(_._1)
+    // at most ONE occurrence per materialized signature gets the
+    // `materialized` tag (plan order decides — first wins); surplus
+    // identical scans are `lineage`. Sorting is by the full ScanInfo
+    // including kind so identical-signature entries order
+    // deterministically.
+    val taggedOnce = scala.collection.mutable.Set.empty[(String, Int, Int)]
     val scans = collectScans(plan).map { case sig @ (table, pushed, cols) =>
-      ScanInfo(table, pushed, cols,
-        kind = if (materializedSigs(sig)) "materialized" else "base")
-    }.sortBy(si => (si.table, si.pushedFilters, si.readCols))
+      val kind =
+        if (!materializedSigs(sig)) "base"
+        else if (taggedOnce.add(sig)) "materialized"
+        else "lineage"
+      ScanInfo(table, pushed, cols, kind)
+    }.sortBy(si => (si.table, si.pushedFilters, si.readCols, si.kind))
     Digest(
       shuffleExchanges = nodes.count(_.isInstanceOf[ShuffleExchangeExec]),
       broadcastExchanges = nodes.count(_.isInstanceOf[BroadcastExchangeExec]),

@@ -86,7 +86,22 @@ object Heartbeats {
     * in the predicate pins the filter above the watermark node; the
     * `isNull` disjunct is vacuously false for heartbeats (their ts is
     * the whole point) and keeps null-ts data rows a marker-only filter
-    * would keep too. */
-  def strip(df: DataFrame, markerCol: String, tsCol: String): DataFrame =
+    * would keep too.
+    *
+    * ORDERING GUARD (r14, ADVICE): the anti-pushdown protection only
+    * works when strip is applied AFTER `withWatermark` — applied
+    * before it, the filter sits below the later-added watermark node
+    * by construction and the stall silently persists, the exact
+    * failure this utility exists to prevent. A streaming input whose
+    * analyzed plan carries no `EventTimeWatermark` node is therefore
+    * refused loudly instead of guarded by prose; batch frames (the
+    * parity legs) carry no watermark node and are exempt. */
+  def strip(df: DataFrame, markerCol: String, tsCol: String): DataFrame = {
+    require(!df.isStreaming || df.queryExecution.analyzed.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark]),
+      "Heartbeats.strip applied to a streaming frame with no EventTimeWatermark " +
+        "below it — call strip AFTER withWatermark, or the heartbeat is filtered " +
+        "before the watermark node observes it and the stall persists")
     df.filter(!(col(markerCol) <=> lit(Marker)) || col(tsCol).isNull)
+  }
 }

@@ -76,7 +76,17 @@ case class LshEntry(docId: Long, sig: Array[Long], lastMs: Long)
   * uncapped batch-equality form (capped recall differs: a refused doc
   * is never stored, and its at-least-once redelivery re-emits pairs —
   * nothing remembers it). Every refused admission bumps this query
-  * run's [[AdmissionDrops]] counter. */
+  * run's [[AdmissionDrops]] counter, and a batch whose refusals are
+  * nonzero additionally emits one DROP-MARKER row per key (band = -1,
+  * `nMatch` = the refusal count) so
+  * [[LshDedupTracker.observeDrops]] can surface the figure in
+  * `StreamingQueryProgress.observedMetrics` — the [[AdmissionDrops]]
+  * registry is exact only within one JVM, while observed metrics
+  * aggregate across executors, which is what a driver-side monitor on
+  * a real cluster can actually read (r14, VERDICT #4). Consumers go
+  * through [[LshDedupTracker.observeDrops]] (the [[Heartbeats]]
+  * marker/strip pattern): it counts the markers into the metric and
+  * strips them, so a capped run's user-facing output is pairs only. */
 class LshDedupTracker(retentionMs: Long,
     maxBucket: Int = LshDedupTracker.DefaultMaxBucket)
   extends StatefulProcessor[String, LshIn, LshCandOut] {
@@ -109,6 +119,7 @@ class LshDedupTracker(retentionMs: Long,
     val prevTimer =
       if (entries.isEmpty) None else Some(entries.map(_.lastMs).min + retentionMs)
     val out = Vector.newBuilder[LshCandOut]
+    var batchDrops = 0
     rows.toSeq.sortBy(_.docId).foreach { r =>
       val member = entries.indexWhere(_.docId == r.docId)
       if (member >= 0) {
@@ -127,9 +138,13 @@ class LshDedupTracker(retentionMs: Long,
         }
         if (entries.length < maxBucket)
           entries = entries :+ LshEntry(r.docId, r.sig, r.ts.getTime)
-        else drops.increment()
+        else { drops.increment(); batchDrops += 1 }
       }
     }
+    // the cluster-readable half of the refusal count: one marker row
+    // per (key, batch) with refusals, counted into observedMetrics and
+    // stripped by observeDrops
+    if (batchDrops > 0) out += LshCandOut(-1, -1L, -1L, batchDrops)
     // an admission or a redelivery refresh reassigns `entries` — skip
     // the RocksDB write otherwise (capped or all-duplicate batches
     // leave state untouched)
@@ -180,6 +195,33 @@ object LshDedupTracker {
   /** [[AdmissionDrops]] tracker tag: read this run's refusal count as
     * `AdmissionDrops.forRun(LshDedupTracker.DropsTag, query.runId)`. */
   val DropsTag = "lsh"
+
+  /** The `observedMetrics` key [[observeDrops]] registers: a monitor
+    * reads `progress.observedMetrics.get(DropsMetric)` and sums its
+    * `admission_drops` column across progress events. */
+  val DropsMetric = "graft.lsh.admission_drops"
+
+  /** Surfaces the tracker's admission refusals in
+    * `StreamingQueryProgress` (r14, VERDICT #4) and strips the marker
+    * rows from the user-facing output. The [[AdmissionDrops]] registry
+    * is a JVM-local static — exact on `local[*]`, per-executor on a
+    * real cluster, where the driver cannot read executor statics at
+    * all. Marker rows ride the output through the shuffle-free
+    * `CollectMetrics` node instead: per micro-batch, the progress
+    * event's `observedMetrics(DropsMetric).admission_drops` is the
+    * refusal total across ALL keys and executors of that batch, and
+    * downstream sees pairs only (markers are stripped here, after the
+    * metric counts them). Spark 4.1 ships no StatefulProcessor metric
+    * API, so the marker/observe/strip composition — the
+    * [[Heartbeats]] pattern — is the supported path. */
+  def observeDrops(ds: org.apache.spark.sql.Dataset[LshCandOut])
+      : org.apache.spark.sql.Dataset[LshCandOut] = {
+    val marker = col("band") === lit(-1)
+    ds.observe(DropsMetric,
+        coalesce(sum(when(marker, col("nMatch").cast("long"))), lit(0L))
+          .as("admission_drops"))
+      .filter(!marker)
+  }
 
   /** Map-side banded-signature prep for the ingest stream: from
     * (doc_id, text, ts) rows to one [[LshIn]]-shaped row per (doc,

@@ -66,7 +66,11 @@ case class SemEntry(vecId: Long, emb: Array[Double], norm: Double, lastMs: Long)
   * per-arrival cosine scan without limit at ingest; pass
   * [[SemanticDedupTracker.Uncapped]] explicitly for the uncapped
   * batch-equality form. Every refused admission bumps this query
-  * run's [[AdmissionDrops]] counter. */
+  * run's [[AdmissionDrops]] counter, and a batch with refusals also
+  * emits one DROP-MARKER row per key (bucket = -1, `cosSim` = the
+  * refusal count) for [[SemanticDedupTracker.observeDrops]] to count
+  * into `StreamingQueryProgress.observedMetrics` and strip — see
+  * [[LshDedupTracker.observeDrops]] for the cluster-wide rationale. */
 class SemanticDedupTracker(retentionMs: Long, tau: Double = 0.3,
     maxBucket: Int = SemanticDedupTracker.DefaultMaxBucket)
   extends StatefulProcessor[Long, SemIn, SemCandOut] {
@@ -110,6 +114,7 @@ class SemanticDedupTracker(retentionMs: Long, tau: Double = 0.3,
     val prevTimer =
       if (entries.isEmpty) None else Some(entries.map(_.lastMs).min + retentionMs)
     val out = Vector.newBuilder[SemCandOut]
+    var batchDrops = 0
     rows.toSeq.sortBy(_.vecId).foreach { r =>
       val member = entries.indexWhere(_.vecId == r.vecId)
       if (member >= 0) {
@@ -132,9 +137,13 @@ class SemanticDedupTracker(retentionMs: Long, tau: Double = 0.3,
         }
         if (entries.length < maxBucket)
           entries = entries :+ SemEntry(r.vecId, r.emb, r.norm, r.ts.getTime)
-        else drops.increment()
+        else { drops.increment(); batchDrops += 1 }
       }
     }
+    // the cluster-readable half of the refusal count: one marker row
+    // per (key, batch) with refusals, counted into observedMetrics and
+    // stripped by observeDrops
+    if (batchDrops > 0) out += SemCandOut(-1L, -1L, -1L, batchDrops.toDouble)
     // an admission or a redelivery refresh reassigns `entries` — skip
     // the RocksDB write otherwise (capped or all-duplicate batches
     // leave state untouched)
@@ -184,6 +193,22 @@ object SemanticDedupTracker {
   /** [[AdmissionDrops]] tracker tag: read this run's refusal count as
     * `AdmissionDrops.forRun(SemanticDedupTracker.DropsTag, query.runId)`. */
   val DropsTag = "semantic"
+
+  /** The `observedMetrics` key [[observeDrops]] registers. */
+  val DropsMetric = "graft.semantic.admission_drops"
+
+  /** Surfaces this tracker's admission refusals in
+    * `StreamingQueryProgress.observedMetrics` and strips the marker
+    * rows — the semantic twin of [[LshDedupTracker.observeDrops]],
+    * which documents the cluster-wide rationale. */
+  def observeDrops(ds: org.apache.spark.sql.Dataset[SemCandOut])
+      : org.apache.spark.sql.Dataset[SemCandOut] = {
+    val marker = col("bucket") === lit(-1L)
+    ds.observe(DropsMetric,
+        coalesce(sum(when(marker, col("cosSim").cast("long"))), lit(0L))
+          .as("admission_drops"))
+      .filter(!marker)
+  }
 
   /** The batch `lsh_buckets` hyperplanes (6 seeded planes over dim 64 —
     * fixed literals, identical values in the batch plan and the DuckDB

@@ -31,7 +31,6 @@ class PlanDiffSpec extends AnyFunSuite {
     assert(l.sorts === 1 && l.windows === 0)
     assert(l.materializePoints === Some(1))
     assert(l.pushedTotal === 2)
-    assert(l.pushedBase === None, "pre-r13 lines carry no scan kinds")
     val pre = PlanDiff.parseLine(line(mat = None))
     assert(pre.materializePoints === None)
   }
@@ -39,33 +38,41 @@ class PlanDiffSpec extends AnyFunSuite {
   test("round-trips a real digest through toJsonLine") {
     val d = PlanDigest.Digest(3, 2, Seq("SortMergeJoin" -> 2), 4, 1,
       Seq(PlanDigest.ScanInfo("orders.parquet", 2, 5),
-        PlanDigest.ScanInfo("lineitem.parquet", 1, 3, kind = "materialized")), 2)
+        PlanDigest.ScanInfo("lineitem.parquet", 1, 3, kind = "materialized"),
+        PlanDigest.ScanInfo("lineitem.parquet", 1, 3, kind = "lineage")), 2)
     val l = PlanDiff.parseLine(PlanDigest.toJsonLine("rt", d))
     assert(l.shuffle === 3 && l.broadcast === 2 && l.sorts === 4
       && l.windows === 1)
     assert(l.joins === Map("SortMergeJoin" -> 2))
     assert(l.materializePoints === Some(2))
-    assert(l.pushedTotal === 3)
-    assert(l.pushedBase === Some(2),
-      "base pushed total must exclude the materialized scan")
+    assert(l.pushedTotal === 4,
+      "every scan kind participates in the gated pushed total")
   }
 
-  test("scan-kind tags: base-only gate, format-boundary tolerance") {
-    def tagged(basePushed: Int, matPushed: Int) = PlanDiff.parseLine(line(
-      scans = s"""{"table":"orders.parquet","pushed":$basePushed,"cols":5,"kind":"base"},""" +
-        s"""{"table":"documents.parquet","pushed":$matPushed,"cols":3,"kind":"materialized"}"""))
-    // a pushed count lost on a MATERIALIZED scan is lineage-view noise,
-    // not a pushdown regression — the scans diff still reports it
-    val matLoss = PlanDiff.diffQuery(tagged(2, 3), tagged(2, 0))
-    assert(!matLoss.exists(_.regression),
-      s"materialized-scan pushed change must not gate: $matLoss")
-    assert(matLoss.exists(_.field == "scans"), "scans diff must still report it")
-    // the same loss on a BASE scan is the regression the gate exists for
-    val baseLoss = PlanDiff.diffQuery(tagged(2, 3), tagged(1, 3))
-    assert(baseLoss.exists(c => c.field == "pushed_filters_base" && c.regression))
+  test("pushdown gate covers every scan kind (r14, retiring base-only)") {
+    def tagged(basePushed: Int, matPushed: Int, linPushed: Int) =
+      PlanDiff.parseLine(line(
+        scans = s"""{"table":"orders.parquet","pushed":$basePushed,"cols":5,"kind":"base"},""" +
+          s"""{"table":"documents.parquet","pushed":$matPushed,"cols":3,"kind":"materialized"},""" +
+          s"""{"table":"documents.parquet","pushed":$linPushed,"cols":3,"kind":"lineage"}"""))
+    // a pushed count lost on the MATERIALIZED scan — the checkpoint
+    // build's one real runtime read — gates (the r13 base-only form
+    // let it pass as an informational scans change)
+    val matLoss = PlanDiff.diffQuery(tagged(2, 3, 3), tagged(2, 0, 3))
+    assert(matLoss.exists(c => c.field == "pushed_filters_total" && c.regression),
+      s"materialized-scan pushed loss must gate: $matLoss")
+    // a loss on a lineage copy also gates (over-strict by design:
+    // lineage moves in lockstep with its subtree, and a genuine base
+    // scan colliding with a materialized signature is at worst tagged
+    // lineage — the r13 under-gate ADVICE named)
+    val linLoss = PlanDiff.diffQuery(tagged(2, 3, 3), tagged(2, 3, 1))
+    assert(linLoss.exists(c => c.field == "pushed_filters_total" && c.regression))
+    // base loss gates as always
+    val baseLoss = PlanDiff.diffQuery(tagged(2, 3, 3), tagged(1, 3, 3))
+    assert(baseLoss.exists(c => c.field == "pushed_filters_total" && c.regression))
     // format boundary: an untagged (pre-r13) line vs its tagged rendering
     // with identical scans diffs to NOTHING — kind is normalized out of
-    // scansRaw and the total-pushed fallback compares equal
+    // scansRaw and the pushed total compares equal
     val untagged = PlanDiff.parseLine(line(
       scans = """{"table":"documents.parquet","pushed":2,"cols":3}"""))
     val nowTagged = PlanDiff.parseLine(line(
@@ -75,6 +82,16 @@ class PlanDiffSpec extends AnyFunSuite {
     val crossLoss = PlanDiff.diffQuery(untagged, PlanDiff.parseLine(line(
       scans = """{"table":"documents.parquet","pushed":1,"cols":3,"kind":"base"}""")))
     assert(crossLoss.exists(c => c.field == "pushed_filters_total" && c.regression))
+  }
+
+  test("refuses a scans string the scan-object regex cannot fully parse") {
+    // a table name with an escaped quote slips past ScanObjRe while
+    // PushedRe still counts its pushed field — pre-r14 the line parsed
+    // with a silently lower scan-object count; now it fails loudly
+    val drifted = line(scans =
+      """{"table":"docs\"x.parquet","pushed":2,"cols":3,"kind":"base"}""")
+    val e = intercept[RuntimeException](PlanDiff.parseLine(drifted))
+    assert(e.getMessage.contains("scan-object parse mismatch"), e.getMessage)
   }
 
   test("classifies regressions: exchange creep, join flip, lost pushdown") {

@@ -71,32 +71,44 @@ class PlanDigestSpec extends AnyFunSuite with SparkSpec {
     } finally sys.props.remove("graft.materialize")
   }
 
-  test("digestBuilt tags materialized-subtree scan signatures (r13)") {
+  test("digestBuilt tags materialized-subtree scan signatures (r13, r14)") {
     sys.props("graft.materialize") = "off"
     try {
       // minhashLshDupsFrom checkpoints its candidate frames; the full
-      // lineage repeats their documents scans per consumer — every
-      // repetition of a recorded subtree signature must carry
-      // kind=materialized, and the query must still have base scans
-      // (the verify stage's own reads)
+      // lineage repeats their documents scans per consumer — each
+      // recorded subtree signature is tagged kind=materialized exactly
+      // ONCE (its one runtime execution, the checkpoint build's read)
+      // with every repetition tagged kind=lineage, and no scan here is
+      // base (the whole downstream pipeline consumes checkpoints)
       val docs = graft.sources.Tables.documents(spark, dir)
       val d = PlanDigest.digestBuilt(
         graft.queries.DedupQueries.minhashLshDupsFrom(spark, docs))
       val kinds = d.scans.groupBy(_.kind).view.mapValues(_.size).toMap
-      // every scan here is materialized-subtree lineage: the FIRST
-      // checkpoint's subtree covers the table read, and the whole
-      // downstream pipeline consumes checkpoints — the executed form
-      // performs no direct parquet scan at all
       assert(kinds.getOrElse("materialized", 0) > 0 &&
         kinds.getOrElse("base", 0) === 0,
-        s"expected all-materialized lineage on the checkpointed query: ${d.scans}")
-      // the json line renders the tag
-      assert(PlanDigest.toJsonLine("q", d).contains("\"kind\":\"materialized\""))
-      // manual tagging: a signature in the set tags every matching scan
+        s"expected all-materialized/lineage on the checkpointed query: ${d.scans}")
+      // at most one materialized tag per distinct signature (r14 — a
+      // genuine scan colliding with a subtree signature must not
+      // disappear into the materialized class); repetitions exist on
+      // this query, so lineage tags must appear
+      val perSig = d.scans.filter(_.kind == "materialized")
+        .groupBy(si => (si.table, si.pushedFilters, si.readCols))
+      assert(perSig.values.forall(_.size == 1),
+        s"a signature carries the materialized tag more than once: ${d.scans}")
+      assert(kinds.getOrElse("lineage", 0) > 0,
+        s"the multi-consumer lineage repetitions must tag lineage: ${d.scans}")
+      // the json line renders both tags
+      val jl = PlanDigest.toJsonLine("q", d)
+      assert(jl.contains("\"kind\":\"materialized\"") && jl.contains("\"kind\":\"lineage\""))
+      // manual tagging: first matching occurrence materialized, the
+      // identical second one lineage; untagged digests stay base
       val plain = docs.filter(col("doc_id") < 10).select("doc_id")
       val sig = PlanDigest.scanSignatures(plain)
       assert(sig.size === 1)
       assert(PlanDigest.digest(plain, sig).scans.map(_.kind) === Seq("materialized"))
+      assert(PlanDigest.digest(plain.unionAll(plain), sig).scans.map(_.kind)
+        === Seq("lineage", "materialized"),
+        "identical-signature surplus must tag lineage (sort orders kinds)")
       assert(PlanDigest.digest(plain).scans.map(_.kind) === Seq("base"))
     } finally sys.props.remove("graft.materialize")
   }

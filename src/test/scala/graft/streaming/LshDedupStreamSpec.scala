@@ -209,11 +209,14 @@ class LshDedupStreamSpec extends AnyFunSuite with SparkSpec {
         .as[LshIn].collect().sortBy(_.docId)
       assert(feed.length === 20 * nBands, "exact dups must share every band")
       val input = MemoryStream[LshIn]
-      val cands = input.toDS()
+      // production shape (r14): observeDrops strips the drop-marker rows
+      // and surfaces their counts as a per-batch observed metric — the
+      // output assertions below double as the marker-leak check
+      val cands = LshDedupTracker.observeDrops(input.toDS()
         .withWatermark("ts", "10 minutes")
         .groupByKey(r => s"${r.band}:${r.bandKey}")
         .transformWithState(new LshDedupTracker(86400000L, maxBucket = cap),
-          TimeMode.EventTime(), OutputMode.Append())
+          TimeMode.EventTime(), OutputMode.Append()))
       val q = cands.writeStream.outputMode("append")
         .format("memory").queryName("lshcapped").start()
       try {
@@ -223,16 +226,28 @@ class LshDedupStreamSpec extends AnyFunSuite with SparkSpec {
         }
         val rows = spark.table("lshcapped").as[LshCandOut].collect()
         // admitted members are exactly docs 0..cap-1 (docId-ordered fold),
-        // so every pair's min side is an admitted id
+        // so every pair's min side is an admitted id; a leaked marker
+        // (band = -1) would also fail here via its aId = -1... so assert
+        // the discriminator directly too
+        assert(rows.forall(r => r.band >= 0 && r.aId >= 0),
+          "a drop-marker row leaked past observeDrops")
         assert(rows.forall(_.aId < cap),
           "a refused doc was paired as a stored member")
         // per band: C(cap,2) among admitted + cap pairs per refused arrival
         val expected = nBands * (cap * (cap - 1) / 2 + (20 - cap) * cap)
         assert(rows.length === expected,
           s"emission not cap-bounded: ${rows.length} != $expected")
-        assert(AdmissionDrops.forRun(LshDedupTracker.DropsTag, q.runId)
-          === ((20 - cap) * nBands).toLong,
+        val registry = AdmissionDrops.forRun(LshDedupTracker.DropsTag, q.runId)
+        assert(registry === ((20 - cap) * nBands).toLong,
           "every refused admission must be counted against THIS run")
+        // the cluster-readable figure (r14, VERDICT #4): the observed
+        // metric summed over this query's progress events must equal
+        // the JVM-local registry exactly
+        val observed = q.recentProgress.map(p =>
+          Option(p.observedMetrics.get(LshDedupTracker.DropsMetric))
+            .fold(0L)(_.getAs[Long]("admission_drops"))).sum
+        assert(observed === registry,
+          s"StreamingQueryProgress drops $observed != registry $registry")
       } finally q.stop()
     }
   }

@@ -150,12 +150,14 @@ class SemanticDedupStreamSpec extends AnyFunSuite with SparkSpec {
         SemIn(id, bucket = 9L, e, norm = 1.0, ts = new java.sql.Timestamp(tsMs))
       }
       val input = MemoryStream[SemIn]
-      val cands = input.toDS()
+      // production shape (r14): observeDrops strips the drop markers and
+      // surfaces the counts in StreamingQueryProgress
+      val cands = SemanticDedupTracker.observeDrops(input.toDS()
         .withWatermark("ts", "10 minutes")
         .groupByKey(_.bucket)
         .transformWithState(
           new SemanticDedupTracker(86400000L, maxBucket = cap),
-          TimeMode.EventTime(), OutputMode.Append())
+          TimeMode.EventTime(), OutputMode.Append()))
       val q = cands.writeStream.outputMode("append")
         .format("memory").queryName("semcapped").start()
       try {
@@ -165,14 +167,22 @@ class SemanticDedupStreamSpec extends AnyFunSuite with SparkSpec {
           input.addData(b); q.processAllAvailable()
         }
         val rows = spark.table("semcapped").as[SemCandOut].collect()
+        assert(rows.forall(r => r.bucket >= 0 && r.aId >= 0),
+          "a drop-marker row leaked past observeDrops")
         assert(rows.forall(_.aId < cap),
           "a refused vector was paired as a stored member")
         val expected = cap * (cap - 1) / 2 + (20 - cap) * cap
         assert(rows.length === expected,
           s"emission not cap-bounded: ${rows.length} != $expected")
-        assert(AdmissionDrops.forRun(SemanticDedupTracker.DropsTag, q.runId)
-          === (20 - cap).toLong,
+        val registry = AdmissionDrops.forRun(SemanticDedupTracker.DropsTag, q.runId)
+        assert(registry === (20 - cap).toLong,
           "every refused admission must be counted against THIS run")
+        // cluster-readable figure == JVM-local registry (r14, VERDICT #4)
+        val observed = q.recentProgress.map(p =>
+          Option(p.observedMetrics.get(SemanticDedupTracker.DropsMetric))
+            .fold(0L)(_.getAs[Long]("admission_drops"))).sum
+        assert(observed === registry,
+          s"StreamingQueryProgress drops $observed != registry $registry")
       } finally q.stop()
     }
   }
@@ -192,12 +202,12 @@ class SemanticDedupStreamSpec extends AnyFunSuite with SparkSpec {
       }
       def start(capped: Int, name: String) = {
         val input = MemoryStream[SemIn]
-        val q = input.toDS()
+        val q = SemanticDedupTracker.observeDrops(input.toDS()
           .withWatermark("ts", "10 minutes")
           .groupByKey(_.bucket)
           .transformWithState(
             new SemanticDedupTracker(86400000L, maxBucket = capped),
-            TimeMode.EventTime(), OutputMode.Append())
+            TimeMode.EventTime(), OutputMode.Append()))
           .writeStream.outputMode("append")
           .format("memory").queryName(name).start()
         (input, q)
@@ -217,6 +227,14 @@ class SemanticDedupStreamSpec extends AnyFunSuite with SparkSpec {
           "query A must read exactly its own refusals")
         assert(AdmissionDrops.forRun(tag, qB.runId) === 15L,
           "query B must read exactly its own refusals")
+        // the progress-event path is per-query by construction — the
+        // same isolation must hold in observedMetrics (r14, VERDICT #4)
+        def observed(q: org.apache.spark.sql.streaming.StreamingQuery) =
+          q.recentProgress.map(p =>
+            Option(p.observedMetrics.get(SemanticDedupTracker.DropsMetric))
+              .fold(0L)(_.getAs[Long]("admission_drops"))).sum
+        assert(observed(qA) === 7L && observed(qB) === 15L,
+          s"progress metrics cross-talked: A=${observed(qA)} B=${observed(qB)}")
       } finally { qA.stop(); qB.stop() }
     }
   }

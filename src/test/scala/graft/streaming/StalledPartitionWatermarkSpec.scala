@@ -183,4 +183,25 @@ class StalledPartitionWatermarkSpec extends AnyFunSuite with SparkSpec {
       Heartbeats.emit(spark, schema, "ts", "ts", 0L) // markerCol not a string
     }
   }
+
+  // the ordering guard (r14, ADVICE): strip applied BEFORE withWatermark
+  // puts the filter below the later-added watermark node by construction,
+  // silently re-creating the stall — the exact misuse the pushdown-trap
+  // protection cannot reach. A streaming frame with no EventTimeWatermark
+  // below strip is refused loudly; applied after withWatermark (and on
+  // batch frames, which carry no watermark node) it composes as before.
+  test("strip refuses a streaming frame that has not been watermarked yet") {
+    val dir = java.nio.file.Files.createTempDirectory("hb_order").toString
+    spark.range(1)
+      .select(timestamp_millis(lit(1700000000000L)).as("ts"), lit("x").as("src"))
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Heartbeats.strip(stream, "src", "ts") // BEFORE withWatermark: misuse
+    }
+    assert(e.getMessage.contains("AFTER withWatermark"), e.getMessage)
+    // correct order passes analysis
+    Heartbeats.strip(stream.withWatermark("ts", "1 second"), "src", "ts")
+  }
 }
