@@ -20,6 +20,21 @@ import org.apache.spark.sql.SparkSession
   * kill/resume semantics under BOTH modes so the recommended setting is
   * proven, not assumed.
   *
+  * The cost side of the trade, measured (r14, `state_changelog_debt` in
+  * SCALE_r14.json / BASELINE.md): deferring snapshots leaves
+  * COMPACTION DEBT on disk — the SST total saw-tooths between the
+  * live-data floor and ~4.5× it, compacted back each maintenance pass —
+  * but the debt is BOUNDED by the maintenance cadence
+  * (`spark.sql.streaming.stateStore.maintenanceInterval`, default 60 s)
+  * and does not grow with feed length: a feed covering ~6 maintenance
+  * cycles at constant retained keys shows three full saw-tooth cycles
+  * returning to the same floor (= snapshot mode's steady SST at equal
+  * keys). At large state, size the debt headroom as
+  * ~4–5× the live SST per store; tighten the maintenance interval to
+  * trade upload frequency for a lower debt ceiling. Never compare SST
+  * bytes across modes at an instant — mode changes the debt phase, not
+  * the live data (rows/members are the authoritative size curve).
+  *
   * Dev probes (`StreamBench`) deliberately do NOT route through this
   * helper: their artifact rows are mode-stamped and A/B-comparable, so
   * they keep explicit, env-driven configuration. */
