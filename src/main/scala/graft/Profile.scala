@@ -146,14 +146,9 @@ object Profile {
       println(f"[profile] $name%-26s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows)")
     }
     val cap = graft.queries.DedupQueries.ContainCap
-    // the ScaleSmoke replica corpus, byte for byte (doc_id offsets from
-    // the real max id, near-dup " replicaN" suffixes)
-    val docOff = Option(docs.agg(max(col("doc_id"))).head().get(0))
-      .fold(sys.error("empty documents table"))(_.asInstanceOf[Number].longValue) + 1
-    val scaled = (0 until k).map { i =>
-      docs.select((col("doc_id") + lit(i.toLong * docOff)).as("doc_id"),
-        concat(col("text"), lit(s" replica$i")).as("text"))
-    }.reduce(_ unionAll _).repartition(32).cache()
+    // the ScaleSmoke replica corpus — the shared definition, so the
+    // stage table measures exactly the frame the SCALE cells time
+    val scaled = ScaleSmoke.replicaCorpus(docs, k).cache()
     println(s"[profile] corpus ${scaled.count()} docs (${k}x)")
     // warm pass: the full production query, untimed
     graft.queries.DedupQueries.docContainmentPairsFrom(spark, scaled).count()

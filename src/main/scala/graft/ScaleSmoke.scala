@@ -12,6 +12,26 @@ import graft.operators.DedupOps
   * in COVERAGE.md.
   */
 object ScaleSmoke {
+
+  /** The K×-replica corpus every scale cell measures — and, since r14,
+    * the SAME frame `graft.Profile containment-stages` profiles (one
+    * definition, so the stage tables and the SCALE cells can never
+    * drift onto different corpora): doc_id offsets derived from the
+    * actual max id (a fixed offset would alias ids and silently shrink
+    * the probe on larger corpora), each replica's text perturbed with
+    * an id suffix so replicas are near-dups, not exact dups. Callers
+    * cache. */
+  def replicaCorpus(docs: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val docOff = Option(docs.agg(max(col("doc_id"))).head().get(0))
+      .fold(sys.error("empty documents table"))(_.asInstanceOf[Number].longValue) + 1
+    (0 until k).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i.toLong * docOff)).as("doc_id"),
+        concat(col("text"), lit(s" replica$i")).as("text"))
+    }.reduce(_ unionAll _).repartition(32)
+  }
+
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -28,16 +48,7 @@ object ScaleSmoke {
 
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val n0 = docs.count()
-    // replica id offset derived from the actual max id — a fixed offset
-    // would alias ids (and silently shrink the probe) on larger corpora
-    val docOff = Option(docs.agg(max(col("doc_id"))).head().get(0))
-      .fold(sys.error(s"empty documents table in $sfDir"))(_.asInstanceOf[Number].longValue) + 1
-    val scaled = (0 until k).map { i =>
-      docs.select(
-        (col("doc_id") + lit(i.toLong * docOff)).as("doc_id"),
-        // perturb each replica so replicas are near-dups, not exact dups
-        concat(col("text"), lit(s" replica$i")).as("text"))
-    }.reduce(_ unionAll _).repartition(32).cache()
+    val scaled = replicaCorpus(docs, k).cache()
     val n = scaled.count()
     println(s"[scale] corpus ${n0} -> $n docs (${k}x)")
 

@@ -73,8 +73,16 @@ object StealMonitor {
     def stop(): Result = {
       alive = false
       thread.interrupt()
-      // close the tail window so short bodies still integrate fully
-      (last, read()) match {
+      // join before the tail close: a daemon iteration that passed the
+      // alive check concurrently could otherwise add a window that
+      // overlaps the tail one (duplicating a window in the peak set)
+      thread.join(2000)
+      // the integral endpoint is THIS read — `last` lags by up to one
+      // period, and using it both excluded the final partial window
+      // from the integral and reported sub-period bodies as samples=0
+      // "unmeasured" despite two successful reads (r14 review fix)
+      val end = read()
+      (last, end) match {
         case (Some((pt, ps)), Some((ct, cs))) if ct > pt =>
           windows.add((ct - pt, cs - ps))
         case _ => ()
@@ -85,7 +93,7 @@ object StealMonitor {
         b.result()
       }
       val seconds = (System.nanoTime() - t0) / 1e9
-      (start, last) match {
+      (start, end) match {
         case (Some((t0j, s0j)), Some((t1j, s1j))) if t1j > t0j =>
           Result(seconds,
             stealIntegral = (s1j - s0j).toDouble / (t1j - t0j),

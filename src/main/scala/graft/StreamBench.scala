@@ -91,11 +91,25 @@ object StreamBench {
     // SPARK_GRAFT_STREAM_ONLY (comma-separated leg labels): re-record a
     // subset of legs without paying the full pass — the main-leg analog
     // of SPARK_GRAFT_STATE_ONLY; feeds are synthesized only for legs
-    // actually selected
+    // actually selected. Tokens are trimmed and validated against the
+    // known labels (r14 review fix: a stray space or typo used to
+    // silently select nothing and exit 0 — an empty re-record pass that
+    // LOOKED like a run)
+    val knownLegs = Set("batch_pipeline", "streaming_filesource",
+      "streaming_microbatch", "streaming_asof", "streaming_topk",
+      "streaming_topk_filesource", "streaming_dedup_gate",
+      "streaming_dedup_gate_filesource", "streaming_lsh_neardup_filesource",
+      "streaming_semantic_neardup_filesource")
     val legOnly: String => Boolean =
       sys.env.get("SPARK_GRAFT_STREAM_ONLY") match {
-        case Some(v) if v.nonEmpty => v.split(",").toSet
-        case _                     => _ => true
+        case Some(v) if v.trim.nonEmpty =>
+          val sel = v.split(",").map(_.trim).filter(_.nonEmpty).toSet
+          val unknown = sel -- knownLegs
+          require(unknown.isEmpty,
+            s"unknown SPARK_GRAFT_STREAM_ONLY legs: ${unknown.mkString(",")} " +
+              s"(known: ${knownLegs.toSeq.sorted.mkString(",")})")
+          sel
+        case _ => _ => true
       }
     /** Runs `body` [[nSamples]] times, each sample gated, end-probed and
       * steal-integrated. `body` times its OWN measured section (so query
@@ -428,9 +442,8 @@ object StreamBench {
         spark.catalog.dropTempView("lshfsbench")
         val drops = graft.streaming.AdmissionDrops.forRun(
           graft.streaming.LshDedupTracker.DropsTag, ql.runId)
-        val dropsObserved = ql.recentProgress.map(p =>
-          Option(p.observedMetrics.get(graft.streaming.LshDedupTracker.DropsMetric))
-            .fold(0L)(_.getAs[Long]("admission_drops"))).sum
+        val dropsObserved = graft.streaming.AdmissionDrops.observedTotal(
+          ql.recentProgress.toSeq, graft.streaming.LshDedupTracker.DropsMetric)
         graft.streaming.AdmissionDrops.clear(
           graft.streaming.LshDedupTracker.DropsTag, ql.runId)
         (nLshDocs, wall, s" cand_rows=$candRows" +
@@ -482,9 +495,8 @@ object StreamBench {
         spark.catalog.dropTempView("semfsbench")
         val drops = graft.streaming.AdmissionDrops.forRun(
           graft.streaming.SemanticDedupTracker.DropsTag, qs.runId)
-        val dropsObserved = qs.recentProgress.map(p =>
-          Option(p.observedMetrics.get(graft.streaming.SemanticDedupTracker.DropsMetric))
-            .fold(0L)(_.getAs[Long]("admission_drops"))).sum
+        val dropsObserved = graft.streaming.AdmissionDrops.observedTotal(
+          qs.recentProgress.toSeq, graft.streaming.SemanticDedupTracker.DropsMetric)
         graft.streaming.AdmissionDrops.clear(
           graft.streaming.SemanticDedupTracker.DropsTag, qs.runId)
         (nSem, wall, s" cand_rows=$candRows" +
@@ -520,7 +532,8 @@ object StreamBench {
     * termination as a floor against late listener delivery (the bus is
     * async), and a leg that produced no progress at all fails loudly in
     * [[stateCurves]] rather than recording a fabricated zero row. */
-  private class StateMaxListener(queryName: String)
+  private class StateMaxListener(queryName: String,
+      dropsMetric: Option[String] = None)
       extends org.apache.spark.sql.streaming.StreamingQueryListener {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
     val maxRows = new java.util.concurrent.atomic.AtomicLong(-1L)
@@ -531,6 +544,10 @@ object StreamBench {
     // keyed by batchId so the post-termination recentProgress merge
     // de-duplicates instead of double-counting
     val sstByBatch = new java.util.concurrent.ConcurrentHashMap[Long, Long]
+    // per-batch observeDrops figures, batchId-keyed for the same
+    // idempotent-merge reason — and, unlike a recentProgress fold, not
+    // truncated at numRecentProgressUpdates for many-trigger legs
+    val dropsByBatch = new java.util.concurrent.ConcurrentHashMap[Long, Long]
     def observe(p: org.apache.spark.sql.streaming.StreamingQueryProgress): Unit = {
       nProgress.incrementAndGet()
       maxRows.accumulateAndGet(p.stateOperators.map(_.numRowsTotal).sum, math.max(_, _))
@@ -538,6 +555,15 @@ object StreamBench {
       lastBatch.accumulateAndGet(p.batchId, math.max(_, _))
       sstByBatch.merge(p.batchId, StreamBench.sstBytes(p),
         (a: Long, b: Long) => math.max(a, b))
+      dropsMetric.foreach { k =>
+        Option(p.observedMetrics.get(k)).foreach(row =>
+          dropsByBatch.put(p.batchId, row.getAs[Long]("admission_drops")))
+      }
+    }
+    def dropsTotal: Option[Long] = dropsMetric.map { _ =>
+      var s = 0L
+      dropsByBatch.forEach((_, v) => s += v)
+      s
     }
     /** The (batchId-ordered) SST series, downsampled to ≤ `points`. */
     def sstSeries(points: Int): Seq[(Long, Long)] = {
@@ -639,7 +665,7 @@ object StreamBench {
         build: String => org.apache.spark.sql.streaming.DataStreamWriter[_],
         dropsMetric: Option[String] = None)
         : LegResult = {
-      val listener = new StateMaxListener(queryName)
+      val listener = new StateMaxListener(queryName, dropsMetric)
       spark.streams.addListener(listener)
       try {
         val sm = StealMonitor.start()
@@ -650,16 +676,15 @@ object StreamBench {
         val steal = sm.stop()
         val probeEnd = graft.ContentionGate.probe(spark, 32)
         // merge the synchronous buffer: complete for ≤256-trigger legs,
-        // and a floor against listener events still in flight at stop
+        // and a floor against listener events still in flight at stop.
+        // Every per-batch figure (SST, drops) is batchId-keyed in the
+        // listener, so the merge is idempotent — and the drops total
+        // does NOT truncate at numRecentProgressUpdates on
+        // many-trigger legs (r14 review fix)
         q.recentProgress.foreach(listener.observe)
         assert(listener.nProgress.get() > 0,
           s"$queryName produced no progress events — state maxima would be fabricated")
-        // observed metrics are summed from recentProgress ONLY (a sum is
-        // not idempotent under the listener merge above; the buffer is
-        // complete for these ≤256-trigger legs)
-        val observedDrops = dropsMetric.map(k => q.recentProgress.map(p =>
-          Option(p.observedMetrics.get(k))
-            .fold(0L)(_.getAs[Long]("admission_drops"))).sum)
+        val observedDrops = listener.dropsTotal
         val outRows = spark.table(queryName).count()
         // free the memory sink's driver-side rows before the next horizon
         spark.catalog.dropTempView(queryName)
@@ -704,11 +729,23 @@ object StreamBench {
     // single contaminated leg in a calm window without paying the full
     // multi-tracker sweep — the state-curve analog of
     // SPARK_GRAFT_BENCH_ONLY. Feeds are only synthesized for probes
-    // actually selected.
+    // actually selected. Tokens trimmed + validated like the main legs'
+    // SPARK_GRAFT_STREAM_ONLY (r14 review fix). The debt probe is NOT
+    // part of an unfiltered sweep: it requires its own process for the
+    // maintenance-cadence conf, enforced at its block.
+    val knownProbes = Set("state_dedup_gate", "state_lsh_neardup",
+      "state_semantic_neardup", "state_lsh_capped_bucket",
+      "state_semantic_capped_bucket", "state_changelog_debt")
     val onlyProbe: String => Boolean =
       sys.env.get("SPARK_GRAFT_STATE_ONLY") match {
-        case Some(v) if v.nonEmpty => v.split(",").toSet
-        case _                     => _ => true
+        case Some(v) if v.trim.nonEmpty =>
+          val sel = v.split(",").map(_.trim).filter(_.nonEmpty).toSet
+          val unknown = sel -- knownProbes
+          require(unknown.isEmpty,
+            s"unknown SPARK_GRAFT_STATE_ONLY probes: ${unknown.mkString(",")} " +
+              s"(known: ${knownProbes.toSeq.sorted.mkString(",")})")
+          sel
+        case _ => p => p != "state_changelog_debt"
       }
 
     // ---- fingerprint gate: ValueState + base index -----------------------
@@ -943,9 +980,20 @@ object StreamBench {
     // first state-store load, so a cadence set mid-sweep would be
     // silently ignored.
     if (onlyProbe("state_changelog_debt")) {
+    // ENFORCED, not advisory (r14 review fix): in a shared sweep the
+    // per-JVM maintenance scheduler is already running at the default
+    // cadence and the 15 s setting below would be silently ignored —
+    // the row would then stamp a maintenance_interval the run never
+    // used, mislabeling the bounded-debt recording
+    require(sys.env.get("SPARK_GRAFT_STATE_ONLY").map(_.trim)
+        .contains("state_changelog_debt"),
+      "state_changelog_debt must run in its OWN process: " +
+        "SPARK_GRAFT_STATE_ONLY=state_changelog_debt (the state-store " +
+        "maintenance cadence is fixed JVM-wide at first state-store load)")
     val maintenanceConf = "spark.sql.streaming.stateStore.maintenanceInterval"
     spark.conf.set(changelogConf, "true") // the mode under test
     spark.conf.set(maintenanceConf, "15s")
+    try {
     val nFeed = 4000000L
     val horizonMs = 3600000L
     val debtRows = spark.range(nFeed).select(
@@ -978,8 +1026,10 @@ object StreamBench {
       emit(f"""{"probe":"state_changelog_debt","horizon_ms":$horizonMs,"wall_sec":${r.wall}%.3f,"rows":${r.outRows},"feed_rows":$nFeed,"base_index":100000,"state_rows_max":${r.stateRowsMax},"state_sst_bytes_max":${r.sstMax},"sst_series":$series,"maintenance_interval":"15s",${gate.jsonFields},"probe_sec_end":${r.probeEnd},${r.steal.jsonFields},"sf":"synthetic"}""",
         clog = "true")
     }
-    spark.conf.set(changelogConf, changelog)
-    spark.conf.unset(maintenanceConf)
+    } finally {
+      spark.conf.set(changelogConf, changelog)
+      spark.conf.unset(maintenanceConf)
+    }
     }
   }
 }

@@ -41,4 +41,18 @@ object AdmissionDrops {
   /** Drops the counter for a finished run (bench harness hygiene). */
   def clear(tracker: String, runId: UUID): Unit =
     byRun.remove((tracker, runId))
+
+  /** The cluster-readable total: sums an `observeDrops` metric across
+    * progress events (one figure per micro-batch). Shared by the bench
+    * harness and the specs so the metric-struct field name and the
+    * absent-metric fold live in ONE place. Callers must pass a
+    * progress sequence that covers every batch — `recentProgress`
+    * truncates at `numRecentProgressUpdates` entries, so legs with
+    * more triggers than the buffer must sum through a listener
+    * instead (see StreamBench's batchId-keyed listener sum). */
+  def observedTotal(
+      progress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress],
+      metric: String): Long =
+    progress.map(p => Option(p.observedMetrics.get(metric))
+      .fold(0L)(_.getAs[Long]("admission_drops"))).sum
 }

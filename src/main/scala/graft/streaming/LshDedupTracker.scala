@@ -78,7 +78,10 @@ case class LshEntry(docId: Long, sig: Array[Long], lastMs: Long)
   * nothing remembers it). Every refused admission bumps this query
   * run's [[AdmissionDrops]] counter, and a batch whose refusals are
   * nonzero additionally emits one DROP-MARKER row per key (band = -1,
-  * `nMatch` = the refusal count) so
+  * ids = -1, `nMatch` = the NEGATED refusal count — every marker field
+  * sits outside the valid value space, so a consumer that skips
+  * [[LshDedupTracker.observeDrops]] can never mistake one for a
+  * candidate pair) so
   * [[LshDedupTracker.observeDrops]] can surface the figure in
   * `StreamingQueryProgress.observedMetrics` — the [[AdmissionDrops]]
   * registry is exact only within one JVM, while observed metrics
@@ -144,7 +147,7 @@ class LshDedupTracker(retentionMs: Long,
     // the cluster-readable half of the refusal count: one marker row
     // per (key, batch) with refusals, counted into observedMetrics and
     // stripped by observeDrops
-    if (batchDrops > 0) out += LshCandOut(-1, -1L, -1L, batchDrops)
+    if (batchDrops > 0) out += LshCandOut(-1, -1L, -1L, -batchDrops)
     // an admission or a redelivery refresh reassigns `entries` — skip
     // the RocksDB write otherwise (capped or all-duplicate batches
     // leave state untouched)
@@ -218,7 +221,7 @@ object LshDedupTracker {
       : org.apache.spark.sql.Dataset[LshCandOut] = {
     val marker = col("band") === lit(-1)
     ds.observe(DropsMetric,
-        coalesce(sum(when(marker, col("nMatch").cast("long"))), lit(0L))
+        coalesce(sum(when(marker, -col("nMatch").cast("long"))), lit(0L))
           .as("admission_drops"))
       .filter(!marker)
   }

@@ -67,8 +67,9 @@ case class SemEntry(vecId: Long, emb: Array[Double], norm: Double, lastMs: Long)
   * [[SemanticDedupTracker.Uncapped]] explicitly for the uncapped
   * batch-equality form. Every refused admission bumps this query
   * run's [[AdmissionDrops]] counter, and a batch with refusals also
-  * emits one DROP-MARKER row per key (bucket = -1, `cosSim` = the
-  * refusal count) for [[SemanticDedupTracker.observeDrops]] to count
+  * emits one DROP-MARKER row per key (bucket = -1, ids = -1,
+  * `cosSim` = the NEGATED refusal count, outside the valid cosine
+  * range) for [[SemanticDedupTracker.observeDrops]] to count
   * into `StreamingQueryProgress.observedMetrics` and strip — see
   * [[LshDedupTracker.observeDrops]] for the cluster-wide rationale. */
 class SemanticDedupTracker(retentionMs: Long, tau: Double = 0.3,
@@ -143,7 +144,7 @@ class SemanticDedupTracker(retentionMs: Long, tau: Double = 0.3,
     // the cluster-readable half of the refusal count: one marker row
     // per (key, batch) with refusals, counted into observedMetrics and
     // stripped by observeDrops
-    if (batchDrops > 0) out += SemCandOut(-1L, -1L, -1L, batchDrops.toDouble)
+    if (batchDrops > 0) out += SemCandOut(-1L, -1L, -1L, -batchDrops.toDouble)
     // an admission or a redelivery refresh reassigns `entries` — skip
     // the RocksDB write otherwise (capped or all-duplicate batches
     // leave state untouched)
@@ -205,7 +206,7 @@ object SemanticDedupTracker {
       : org.apache.spark.sql.Dataset[SemCandOut] = {
     val marker = col("bucket") === lit(-1L)
     ds.observe(DropsMetric,
-        coalesce(sum(when(marker, col("cosSim").cast("long"))), lit(0L))
+        coalesce(sum(when(marker, -col("cosSim").cast("long"))), lit(0L))
           .as("admission_drops"))
       .filter(!marker)
   }

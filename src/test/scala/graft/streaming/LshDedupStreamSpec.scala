@@ -243,9 +243,8 @@ class LshDedupStreamSpec extends AnyFunSuite with SparkSpec {
         // the cluster-readable figure (r14, VERDICT #4): the observed
         // metric summed over this query's progress events must equal
         // the JVM-local registry exactly
-        val observed = q.recentProgress.map(p =>
-          Option(p.observedMetrics.get(LshDedupTracker.DropsMetric))
-            .fold(0L)(_.getAs[Long]("admission_drops"))).sum
+        val observed = AdmissionDrops.observedTotal(
+          q.recentProgress.toSeq, LshDedupTracker.DropsMetric)
         assert(observed === registry,
           s"StreamingQueryProgress drops $observed != registry $registry")
       } finally q.stop()

@@ -178,9 +178,8 @@ class SemanticDedupStreamSpec extends AnyFunSuite with SparkSpec {
         assert(registry === (20 - cap).toLong,
           "every refused admission must be counted against THIS run")
         // cluster-readable figure == JVM-local registry (r14, VERDICT #4)
-        val observed = q.recentProgress.map(p =>
-          Option(p.observedMetrics.get(SemanticDedupTracker.DropsMetric))
-            .fold(0L)(_.getAs[Long]("admission_drops"))).sum
+        val observed = AdmissionDrops.observedTotal(
+          q.recentProgress.toSeq, SemanticDedupTracker.DropsMetric)
         assert(observed === registry,
           s"StreamingQueryProgress drops $observed != registry $registry")
       } finally q.stop()
@@ -230,9 +229,8 @@ class SemanticDedupStreamSpec extends AnyFunSuite with SparkSpec {
         // the progress-event path is per-query by construction — the
         // same isolation must hold in observedMetrics (r14, VERDICT #4)
         def observed(q: org.apache.spark.sql.streaming.StreamingQuery) =
-          q.recentProgress.map(p =>
-            Option(p.observedMetrics.get(SemanticDedupTracker.DropsMetric))
-              .fold(0L)(_.getAs[Long]("admission_drops"))).sum
+          AdmissionDrops.observedTotal(
+            q.recentProgress.toSeq, SemanticDedupTracker.DropsMetric)
         assert(observed(qA) === 7L && observed(qB) === 15L,
           s"progress metrics cross-talked: A=${observed(qA)} B=${observed(qB)}")
       } finally { qA.stop(); qB.stop() }
