@@ -28,6 +28,13 @@ import graft.plans.GraftExtensions
   *   - `load_avg_start`/`load_avg_end` (1-min system load) make a
   *     contaminated run self-identifying: on this 32-core box an idle run
   *     reads well under ~40 at end; a co-located driver burst reads higher.
+  *   - `sweep_steal` (r15): each timed sweep is bracketed by the
+  *     [[StealMonitor]] body integral, emitted as positional tuples
+  *     `[wall_sec, steal_integral, steal_peak, steal_samples]` per sweep
+  *     — the endpoint probes are instants and a long query's min can
+  *     straddle mid-body steal waves in every sweep; a per-query drift
+  *     adjudication reads these fields FIRST (integral ≈ 0 on any sweep
+  *     ⇒ that sweep's samples are trustworthy).
   */
 object Bench {
   private val Sweeps = 3
@@ -102,14 +109,35 @@ object Bench {
       finally spark.catalog.clearCache()
     }
 
+    // Each sweep is bracketed by the StealMonitor body integral (r14
+    // VERDICT #1): bench rows were the one remaining recording class
+    // with endpoint probes but no body-wide contention measure, so a
+    // query whose min straddled steal waves in all three sweeps (the
+    // longest queries are the likeliest) had no in-artifact
+    // adjudication path. The per-sweep integral names which sweeps were
+    // calm; a per-query drift reads `sweep_steal` FIRST before anyone
+    // re-runs legs hunting for calm windows.
+    val sweepSteals = Vector.newBuilder[(Double, StealMonitor.Result)]
     val sweeps: Seq[Seq[Double]] =
       (1 to Sweeps).map { _ =>
+        val sm = StealMonitor.start()
+        val t0 = System.nanoTime()
         val t = queries.map { case (_, fn) => timeOnce(fn) }
+        sweepSteals += (((System.nanoTime() - t0) / 1e9, sm.stop()))
         // release dropped frames so the ContextCleaner reclaims their
         // local-checkpoint blocks before the next sweep
         System.gc()
         t
       }
+    // POSITIONAL per-sweep tuples [wall_sec, steal_integral, steal_peak,
+    // steal_samples]: the driver archives only the LAST 2000 chars of
+    // stdout (see the csv note below) and the csv + summary already fill
+    // it — named per-sweep objects (~200 chars) would push the csv head
+    // out of the window, compact tuples (~80) fit.
+    val sweepStealJson = sweepSteals.result()
+      .map { case (w, r) =>
+        f"""[$w%.1f,${r.stealIntegral}%.4f,${r.stealPeak}%.4f,${r.samples}]""" }
+      .mkString("[", ",", "]")
     val results = queries.zipWithIndex.map { case ((name, _), i) =>
       val samples = sweeps.map(_(i))
       name -> (if (samples.exists(_ < 0)) -1.0 else samples.min)
@@ -126,7 +154,7 @@ object Bench {
     val probes =
       s""""probe_sec_start":$probeStart,"probe_sec_end":$probeEnd,""" +
         s""""probe_idle_ref":${Bench.ProbeIdleRef},"contended":$contended,""" +
-        s""""contention_waits":$contentionWaits"""
+        s""""contention_waits":$contentionWaits,"sweep_steal":$sweepStealJson"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,$probes,"sf":"$sfDir"}"""
     // The driver archives only the LAST 2000 chars of stdout (measured on

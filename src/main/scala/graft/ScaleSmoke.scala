@@ -62,7 +62,7 @@ object ScaleSmoke {
     // sweeps therefore ACCUMULATE lines: consumers must treat the NEWEST
     // line per (probe, k, sf) as authoritative (last-write-wins), or set
     // SPARK_GRAFT_SCALE_TRUNCATE=1 to start a fresh full sweep
-    val scaleOut = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r14.json")
+    val scaleOut = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r15.json")
     if (sys.env.get("SPARK_GRAFT_SCALE_TRUNCATE").contains("1"))
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(scaleOut))
     // extra: additional JSON fields (e.g. `"passes":3`), evaluated AFTER

@@ -41,14 +41,21 @@ object StealMonitor {
       try {
         src.getLines().find(_.startsWith("cpu ")).flatMap { l =>
           val f = l.trim.split("\\s+").drop(1).map(_.toLong)
-          // user nice system idle iowait irq softirq steal [guest …]
-          if (f.length < 8) None else Some((f.sum, f(7)))
+          // user nice system idle iowait irq softirq steal [guest …] —
+          // only the first 8 columns: the kernel already accounts guest
+          // and guest_nice INSIDE user/nice, so summing them again
+          // overcounts the denominator on guest-running hosts and
+          // understates the integral (r14 ADVICE)
+          if (f.length < 8) None else Some((f.take(8).sum, f(7)))
         }
       } finally src.close()
     } catch { case _: Exception => None }
 
-  /** One monitored window. [[stop]] is idempotent-ish (second call
-    * re-reads, harmless); the result renders the artifact fields. */
+  /** One monitored window. [[stop]] is idempotent — the first call
+    * computes and latches the result, later calls return it (a
+    * re-reading second stop would append a duplicate tail window into
+    * the peak set — r14 ADVICE); the result renders the artifact
+    * fields. */
   final class Running private[StealMonitor] (periodMs: Long) {
     private val t0 = System.nanoTime()
     private val start = read()
@@ -70,37 +77,51 @@ object StealMonitor {
     thread.setDaemon(true)
     thread.start()
 
-    def stop(): Result = {
-      alive = false
-      thread.interrupt()
-      // join before the tail close: a daemon iteration that passed the
-      // alive check concurrently could otherwise add a window that
-      // overlaps the tail one (duplicating a window in the peak set)
-      thread.join(2000)
-      // the integral endpoint is THIS read — `last` lags by up to one
-      // period, and using it both excluded the final partial window
-      // from the integral and reported sub-period bodies as samples=0
-      // "unmeasured" despite two successful reads (r14 review fix)
-      val end = read()
-      (last, end) match {
-        case (Some((pt, ps)), Some((ct, cs))) if ct > pt =>
-          windows.add((ct - pt, cs - ps))
-        case _ => ()
-      }
-      val ws = {
-        val b = Vector.newBuilder[(Long, Long)]
-        windows.forEach(w => b += w)
-        b.result()
-      }
-      val seconds = (System.nanoTime() - t0) / 1e9
-      (start, end) match {
-        case (Some((t0j, s0j)), Some((t1j, s1j))) if t1j > t0j =>
-          Result(seconds,
-            stealIntegral = (s1j - s0j).toDouble / (t1j - t0j),
-            stealPeak = ws.filter(_._1 > 0)
-              .map(w => w._2.toDouble / w._1).maxOption.getOrElse(0.0),
-            samples = ws.size)
-        case _ => Result(seconds, 0.0, 0.0, samples = 0)
+    private var latched: Option[Result] = None
+
+    def stop(): Result = synchronized {
+      latched.getOrElse {
+        alive = false
+        thread.interrupt()
+        // join before the tail close: a daemon iteration that passed the
+        // alive check concurrently could otherwise add a window that
+        // overlaps the tail one (duplicating a window in the peak set)
+        thread.join(2000)
+        // the integral endpoint is THIS read — `last` lags by up to one
+        // period, and using it both excluded the final partial window
+        // from the integral and reported sub-period bodies as samples=0
+        // "unmeasured" despite two successful reads (r14 review fix)
+        val end = read()
+        (last, end) match {
+          case (Some((pt, ps)), Some((ct, cs))) if ct > pt =>
+            windows.add((ct - pt, cs - ps))
+          case _ => ()
+        }
+        val ws = {
+          val b = Vector.newBuilder[(Long, Long)]
+          windows.forEach(w => b += w)
+          b.result()
+        }
+        val seconds = (System.nanoTime() - t0) / 1e9
+        val peak = ws.filter(_._1 > 0)
+          .map(w => w._2.toDouble / w._1).maxOption.getOrElse(0.0)
+        val r = (start, end) match {
+          case (Some((t0j, s0j)), Some((t1j, s1j))) if t1j > t0j =>
+            Result(seconds,
+              stealIntegral = (s1j - s0j).toDouble / (t1j - t0j),
+              stealPeak = peak, samples = ws.size)
+          case _ if ws.exists(_._1 > 0) =>
+            // endpoint pair unusable (a proc read failed, or total
+            // jiffies did not advance across the body) but interim
+            // windows WERE collected — integrate over them instead of
+            // discarding a measurable body as samples=0 (r14 ADVICE)
+            Result(seconds,
+              stealIntegral = ws.map(_._2).sum.toDouble / ws.map(_._1).sum,
+              stealPeak = peak, samples = ws.size)
+          case _ => Result(seconds, 0.0, 0.0, samples = 0)
+        }
+        latched = Some(r)
+        r
       }
     }
   }

@@ -422,15 +422,12 @@ object StreamBench {
           .schema(lshDocs.schema)
           .option("maxFilesPerTrigger", "8")
           .parquet(lshDir)
-        // production shape (r14): observeDrops strips drop markers and
-        // surfaces refusals in each progress event's observedMetrics
-        val lshCands = graft.streaming.LshDedupTracker.observeDrops(
+        // production shape (r15): the fused ingest builder — keyed
+        // transformWithState + observeDrops (markers stripped, refusals
+        // surfaced in each progress event's observedMetrics)
+        val lshCands = graft.streaming.LshDedupTracker.ingest(
           graft.streaming.LshDedupTracker.streamInput(lshIn)
-            .as[graft.streaming.LshIn]
-            .withWatermark("ts", "10 seconds")
-            .groupByKey(r => s"${r.band}:${r.bandKey}")
-            .transformWithState(new graft.streaming.LshDedupTracker(3600000L),
-              TimeMode.EventTime(), OutputMode.Append()))
+            .as[graft.streaming.LshIn], 3600000L)
         val (ql, wall) = timed {
           val q = lshCands.writeStream.outputMode("append")
             .format("memory").queryName("lshfsbench")
@@ -479,11 +476,7 @@ object StreamBench {
           .option("maxFilesPerTrigger", "8")
           .parquet(semDir)
           .as[graft.streaming.SemIn]
-        val semCands = graft.streaming.SemanticDedupTracker.observeDrops(semIn
-          .withWatermark("ts", "10 seconds")
-          .groupByKey(_.bucket)
-          .transformWithState(new graft.streaming.SemanticDedupTracker(3600000L),
-            TimeMode.EventTime(), OutputMode.Append()))
+        val semCands = graft.streaming.SemanticDedupTracker.ingest(semIn, 3600000L)
         val (qs, wall) = timed {
           val q = semCands.writeStream.outputMode("append")
             .format("memory").queryName("semfsbench")
@@ -634,7 +627,7 @@ object StreamBench {
     sys.env.get("SPARK_GRAFT_ROCKSDB_CHANGELOG")
       .foreach(v => spark.conf.set(changelogConf, (v == "1").toString))
     val changelog = spark.conf.get(changelogConf, "false")
-    val scaleOut = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r14.json")
+    val scaleOut = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r15.json")
     def emit(line0: String, clog: String = changelog): Unit = {
       // splice the changelog stamp in before the closing brace
       val line = line0.stripSuffix("}") + s""","changelog":$clog}"""
@@ -804,13 +797,9 @@ object StreamBench {
       val ckpt = java.nio.file.Files.createTempDirectory(s"ckpt_$name").toString
       val gate = graft.ContentionGate.awaitCalm(spark, 32, label = name)
       val r = run(name, n =>
-        graft.streaming.LshDedupTracker.observeDrops(
+        graft.streaming.LshDedupTracker.ingest(
           graft.streaming.LshDedupTracker.streamInput(in)
-            .as[graft.streaming.LshIn]
-            .withWatermark("ts", "10 seconds")
-            .groupByKey(r => s"${r.band}:${r.bandKey}")
-            .transformWithState(new graft.streaming.LshDedupTracker(horizonMs),
-              TimeMode.EventTime(), OutputMode.Append()))
+            .as[graft.streaming.LshIn], horizonMs)
           .writeStream.outputMode("append").format("memory")
           .option("checkpointLocation", ckpt).queryName(n),
         dropsMetric = Some(graft.streaming.LshDedupTracker.DropsMetric))
@@ -846,11 +835,7 @@ object StreamBench {
       val ckpt = java.nio.file.Files.createTempDirectory(s"ckpt_$name").toString
       val gate = graft.ContentionGate.awaitCalm(spark, 32, label = name)
       val r = run(name, n =>
-        graft.streaming.SemanticDedupTracker.observeDrops(
-          in.withWatermark("ts", "10 seconds")
-            .groupByKey(_.bucket)
-            .transformWithState(new graft.streaming.SemanticDedupTracker(horizonMs),
-              TimeMode.EventTime(), OutputMode.Append()))
+        graft.streaming.SemanticDedupTracker.ingest(in, horizonMs)
           .writeStream.outputMode("append").format("memory")
           .option("checkpointLocation", ckpt).queryName(n),
         dropsMetric = Some(graft.streaming.SemanticDedupTracker.DropsMetric))
@@ -889,13 +874,9 @@ object StreamBench {
       val gate = graft.ContentionGate.awaitCalm(spark, 32, label = name)
       val cap = graft.streaming.LshDedupTracker.DefaultMaxBucket
       val r = run(name, n =>
-        graft.streaming.LshDedupTracker.observeDrops(
+        graft.streaming.LshDedupTracker.ingest(
           graft.streaming.LshDedupTracker.streamInput(in)
-            .as[graft.streaming.LshIn]
-            .withWatermark("ts", "10 seconds")
-            .groupByKey(r => s"${r.band}:${r.bandKey}")
-            .transformWithState(new graft.streaming.LshDedupTracker(3600000L),
-              TimeMode.EventTime(), OutputMode.Append()))
+            .as[graft.streaming.LshIn], 3600000L)
           .writeStream.outputMode("append").format("memory")
           .option("checkpointLocation", ckpt).queryName(n),
         dropsMetric = Some(graft.streaming.LshDedupTracker.DropsMetric))
@@ -945,11 +926,7 @@ object StreamBench {
       val ckpt = java.nio.file.Files.createTempDirectory(s"ckpt_$name").toString
       val gate = graft.ContentionGate.awaitCalm(spark, 32, label = name)
       val r = run(name, n =>
-        graft.streaming.SemanticDedupTracker.observeDrops(
-          in.withWatermark("ts", "10 seconds")
-            .groupByKey(_.bucket)
-            .transformWithState(new graft.streaming.SemanticDedupTracker(3600000L),
-              TimeMode.EventTime(), OutputMode.Append()))
+        graft.streaming.SemanticDedupTracker.ingest(in, 3600000L)
           .writeStream.outputMode("append").format("memory")
           .option("checkpointLocation", ckpt).queryName(n),
         dropsMetric = Some(graft.streaming.SemanticDedupTracker.DropsMetric))
@@ -974,7 +951,10 @@ object StreamBench {
     // many maintenance cycles — if debt were unbounded, the SST series
     // would climb through that plateau region; bounded debt shows it
     // flattening. The maintenance cadence is tightened to 15 s (recorded
-    // in the row) so the body covers ≥10 cycles. RUN THIS PROBE IN ITS
+    // in the row); the recorded SCALE_r14 run's ~90 s body spanned ~6
+    // maintenance cycles and captured three full saw-tooth cycles
+    // returning to the same floor (the figure StateStoreDefaults
+    // documents). RUN THIS PROBE IN ITS
     // OWN PROCESS (SPARK_GRAFT_STATE_ONLY=state_changelog_debt): the
     // executor-side maintenance scheduler is started once per JVM at the
     // first state-store load, so a cadence set mid-sweep would be

@@ -20,9 +20,9 @@ package graft.plans
 object PlanDiff {
 
   /** Per-round artifact names — bump together once per round. */
-  val CurrentArtifact = "PLANS_r14.json"
-  val PreviousArtifact = "PLANS_r13.json"
-  val DiffArtifact = "PLANS_DIFF_r14.json"
+  val CurrentArtifact = "PLANS_r15.json"
+  val PreviousArtifact = "PLANS_r14.json"
+  val DiffArtifact = "PLANS_DIFF_r15.json"
 
   /** Intentional plan changes this round, query → reason. A whitelist
     * entry licenses ONE round's diff; next round the changed plan is the

@@ -93,15 +93,28 @@ object Heartbeats {
     * before it, the filter sits below the later-added watermark node
     * by construction and the stall silently persists, the exact
     * failure this utility exists to prevent. A streaming input whose
-    * analyzed plan carries no `EventTimeWatermark` node is therefore
-    * refused loudly instead of guarded by prose; batch frames (the
-    * parity legs) carry no watermark node and are exempt. */
+    * analyzed plan carries no `EventTimeWatermark` node ON `tsCol` is
+    * therefore refused loudly instead of guarded by prose — matching
+    * the node's event-time attribute against the passed column (r15,
+    * ADVICE: an any-node existence check passed a union whose OTHER
+    * branch was watermarked on a different column while the stall
+    * persisted on this one). Batch frames (the parity legs) carry no
+    * watermark node and are exempt. The guard is still a HEURISTIC on
+    * multi-branch frames: a union with one branch watermarked on
+    * `tsCol` and another unwatermarked passes, because the analyzed
+    * tree cannot say which branch this strip's filter will land on —
+    * the per-branch convention is to strip each source before the
+    * union. */
   def strip(df: DataFrame, markerCol: String, tsCol: String): DataFrame = {
-    require(!df.isStreaming || df.queryExecution.analyzed.exists(
-        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark]),
-      "Heartbeats.strip applied to a streaming frame with no EventTimeWatermark " +
-        "below it — call strip AFTER withWatermark, or the heartbeat is filtered " +
-        "before the watermark node observes it and the stall persists")
+    require(!df.isStreaming || df.queryExecution.analyzed.exists {
+        case w: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark =>
+          w.eventTime.name.equalsIgnoreCase(tsCol)
+        case _ => false
+      },
+      s"Heartbeats.strip applied to a streaming frame with no EventTimeWatermark " +
+        s"on '$tsCol' below it — call strip AFTER withWatermark($tsCol, ...), or " +
+        "the heartbeat is filtered before the watermark node observes it and the " +
+        "stall persists")
     df.filter(!(col(markerCol) <=> lit(Marker)) || col(tsCol).isNull)
   }
 }

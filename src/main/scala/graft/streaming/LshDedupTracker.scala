@@ -226,6 +226,28 @@ object LshDedupTracker {
       .filter(!marker)
   }
 
+  /** THE production composition (r15, ADVICE): the keyed
+    * `transformWithState` fused with [[observeDrops]], so the
+    * drop-marker protocol can never be half-applied — a consumer that
+    * composed the tracker directly and skipped [[observeDrops]]
+    * silently received sentinel rows (band = -1, negated counts in
+    * nMatch) once the bucket cap tripped, an output-contract change
+    * that was enforced by documentation only. This builder is the only
+    * main-tree composition path (`CappedTrackerCompositionSpec` fails
+    * the suite on a raw `new LshDedupTracker` outside this file); test
+    * code exercising the raw tracker (batch-equality at [[Uncapped]],
+    * kill/resume recovery with custom time modes) constructs it
+    * directly by design. */
+  def ingest(in: org.apache.spark.sql.Dataset[LshIn], retentionMs: Long,
+      maxBucket: Int = DefaultMaxBucket,
+      watermarkDelay: String = "10 seconds")
+      : org.apache.spark.sql.Dataset[LshCandOut] =
+    observeDrops(in
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(r => s"${r.band}:${r.bandKey}")(Encoders.STRING)
+      .transformWithState(new LshDedupTracker(retentionMs, maxBucket),
+        TimeMode.EventTime(), OutputMode.Append())(Encoders.product[LshCandOut]))
+
   /** Map-side banded-signature prep for the ingest stream: from
     * (doc_id, text, ts) rows to one [[LshIn]]-shaped row per (doc,
     * band) — NO aggregation, so it composes with `transformWithState`

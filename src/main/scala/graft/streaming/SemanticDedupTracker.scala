@@ -211,6 +211,21 @@ object SemanticDedupTracker {
       .filter(!marker)
   }
 
+  /** THE production composition — the semantic twin of
+    * [[LshDedupTracker.ingest]], which documents the rationale (the
+    * drop-marker contract must never be half-applied; enforced by
+    * `CappedTrackerCompositionSpec`). */
+  def ingest(in: org.apache.spark.sql.Dataset[SemIn], retentionMs: Long,
+      tau: Double = 0.3, maxBucket: Int = DefaultMaxBucket,
+      watermarkDelay: String = "10 seconds")
+      : org.apache.spark.sql.Dataset[SemCandOut] =
+    observeDrops(in
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.bucket)(Encoders.scalaLong)
+      .transformWithState(
+        new SemanticDedupTracker(retentionMs, tau = tau, maxBucket = maxBucket),
+        TimeMode.EventTime(), OutputMode.Append())(Encoders.product[SemCandOut]))
+
   /** The batch `lsh_buckets` hyperplanes (6 seeded planes over dim 64 —
     * fixed literals, identical values in the batch plan and the DuckDB
     * oracle). */

@@ -40,4 +40,17 @@ class StealMonitorSpec extends AnyFunSuite {
     assert(r.stealIntegral >= 0.0 && r.stealIntegral <= 1.0, r.toString)
     assert(r.samples >= 0)
   }
+
+  test("stop is idempotent — the second call returns the latched result") {
+    val m = StealMonitor.start(periodMs = 50L)
+    val t0 = System.nanoTime()
+    var x = 0L
+    while (System.nanoTime() - t0 < 150e6) x += 1
+    val first = m.stop()
+    // a re-reading second stop would append a duplicate tail window
+    // into the peak set and report a longer body (r15, ADVICE); the
+    // latch must return the identical Result
+    val second = m.stop()
+    assert(second === first, s"second stop() diverged: $second vs $first")
+  }
 }

@@ -209,14 +209,13 @@ class LshDedupStreamSpec extends AnyFunSuite with SparkSpec {
         .as[LshIn].collect().sortBy(_.docId)
       assert(feed.length === 20 * nBands, "exact dups must share every band")
       val input = MemoryStream[LshIn]
-      // production shape (r14): observeDrops strips the drop-marker rows
-      // and surfaces their counts as a per-batch observed metric — the
+      // production shape (r15): the fused ingest builder — keyed
+      // transformWithState + observeDrops in one call, the only
+      // main-tree composition path (CappedTrackerCompositionSpec); the
       // output assertions below double as the marker-leak check
-      val cands = LshDedupTracker.observeDrops(input.toDS()
-        .withWatermark("ts", "10 minutes")
-        .groupByKey(r => s"${r.band}:${r.bandKey}")
-        .transformWithState(new LshDedupTracker(86400000L, maxBucket = cap),
-          TimeMode.EventTime(), OutputMode.Append()))
+      val cands = LshDedupTracker.ingest(input.toDS(),
+        retentionMs = 86400000L, maxBucket = cap,
+        watermarkDelay = "10 minutes")
       val q = cands.writeStream.outputMode("append")
         .format("memory").queryName("lshcapped").start()
       try {

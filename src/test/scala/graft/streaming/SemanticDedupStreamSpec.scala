@@ -150,14 +150,12 @@ class SemanticDedupStreamSpec extends AnyFunSuite with SparkSpec {
         SemIn(id, bucket = 9L, e, norm = 1.0, ts = new java.sql.Timestamp(tsMs))
       }
       val input = MemoryStream[SemIn]
-      // production shape (r14): observeDrops strips the drop markers and
-      // surfaces the counts in StreamingQueryProgress
-      val cands = SemanticDedupTracker.observeDrops(input.toDS()
-        .withWatermark("ts", "10 minutes")
-        .groupByKey(_.bucket)
-        .transformWithState(
-          new SemanticDedupTracker(86400000L, maxBucket = cap),
-          TimeMode.EventTime(), OutputMode.Append()))
+      // production shape (r15): the fused ingest builder — keyed
+      // transformWithState + observeDrops in one call, the only
+      // main-tree composition path (CappedTrackerCompositionSpec)
+      val cands = SemanticDedupTracker.ingest(input.toDS(),
+        retentionMs = 86400000L, maxBucket = cap,
+        watermarkDelay = "10 minutes")
       val q = cands.writeStream.outputMode("append")
         .format("memory").queryName("semcapped").start()
       try {
