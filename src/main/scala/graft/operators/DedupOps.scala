@@ -100,7 +100,19 @@ object DedupOps {
       min((lit(a) * col("h31") + lit(b)) % P).as(s"mh$k")
     }
     sh
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      // explode_outer + null-filter, NOT explode (r15, guide §4 "expressions
+      // in the hot path"): on a bare explode Catalyst's
+      // InferFiltersFromGenerate synthesizes `size(e)>0 AND isnotnull(e)`
+      // below the Generate and predicate pushdown re-substitutes the FULL
+      // shingle expression into both conjuncts at the scan — the
+      // tokenize+shingle pipeline, the most expensive map work in the
+      // dedup family, ran ~3x per row (twice in the pushed filter, once
+      // in the projection; measured in the r15 stage profile). The rule
+      // skips OUTER generators; empty/null arrays emit one null element
+      // row that the cheap post-filter drops, so the row set is identical
+      // (shingle elements are non-null by construction).
+      .select(col("doc_id"), explode_outer(col("shingles")).as("s"))
+      .filter(col("s").isNotNull)
       .withColumn("h31", h31(col("s")))
       .groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
@@ -208,7 +220,11 @@ object DedupOps {
     import org.apache.spark.sql.expressions.Window
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     docs.select(col("doc_id"),
-        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "t")))
+        // posexplode_outer + null-filter: see minhashWide — a bare
+        // posexplode re-evaluates tokens(text) twice in the inferred
+        // pushed-down filter (token elements are non-null by construction)
+        posexplode_outer(TextFunctions.tokens(col("text"))).as(Seq("pos", "t")))
+      .filter(col("t").isNotNull)
       .withColumn("h", pmod(h60(col("t")), lit(P)))
       .withColumn("h1", lead(col("h"), 1).over(byPos))
       .withColumn("h2", lead(col("h"), 2).over(byPos))

@@ -27,7 +27,35 @@ object PlanDiff {
   /** Intentional plan changes this round, query → reason. A whitelist
     * entry licenses ONE round's diff; next round the changed plan is the
     * new baseline and the entry should be dropped. */
-  val whitelist: Map[String, String] = Map.empty
+  private val FanOut =
+    "r15 optimization: scale-adaptive scan fan-out (Tables.fanOutNarrowScan, " +
+      "guide §2.5 input-skew) — one extra hash exchange that only exists when " +
+      "the base scan plans fewer splits than the session parallelism; at " +
+      "cluster scale the branch is a no-op. Measured win in OPTIMIZATION_r15.md."
+  val whitelist: Map[String, String] = Map(
+    "orders_bootstrap_ci" -> (FanOut +
+      " Here it parallelizes the 20-replicate md5 fan-out (was one 2.5 s task)."),
+    "doc_containment_pairs" -> FanOut,
+    "doc_ngram_novelty" -> FanOut,
+    "doc_boilerplate_share" -> FanOut,
+    "embedding_pca_power" -> (FanOut +
+      " Lineage-view scan/shuffle counts double because the audit form repeats " +
+      "the fanned scan subtree per moment-matrix consumer; the executed form " +
+      "materializes it once (materialize_points unchanged)."),
+    "embedding_pca_two" -> (FanOut +
+      " Same lineage-view repetition note as embedding_pca_power."),
+    "jaccard_prefix_join" -> ("r15 optimization: " +
+      "(1) scan fan-out as in orders_bootstrap_ci; (2) broadcast(candIds) on " +
+      "the wide-verify semi-join — bounded by the WideVerifyMaxPairs branch " +
+      "guard, replaces two full sort-merge sorts of the exploded-shingle " +
+      "frame (joins/sorts/broadcast counts move accordingly); (3) an explicit " +
+      "bounded hash fan-out of the verified pair frame before the per-pair " +
+      "array_intersect floor. Guide §3.1/§2.5; measured in OPTIMIZATION_r15.md."),
+    "jaccard_prefix_join_capped" -> ("r15 optimization: same three changes as " +
+      "jaccard_prefix_join (shared jaccardPrefixJoinFromShingles core)."),
+    "lsh_tuning_report" -> ("r15 optimization: inherits the " +
+      "jaccard_prefix_join wide-verify changes through its shared exact leg " +
+      "(jaccardPrefixJoinFromShingles); its own corpus read is unchanged."))
 
   /** The digest fields of one artifact line (parsed from our own fixed
     * writer format — see [[PlanDigest.toJsonLine]]). `materializePoints`

@@ -2365,13 +2365,18 @@ object AnalyticsQueries {
       .localCheckpoint(true)
     var labels = und.select(col("v")).distinct().withColumn("lbl", col("v"))
     for (_ <- 1 to LpaRounds) {
-      val w = Window.partitionBy(col("v")).orderBy(col("c").desc, col("nl"))
+      // per-node argmax via max_by over struct(c, −nl), not a row_number
+      // window (r15, guide §2.3 "aggregate before you shuffle"): the
+      // window form re-shuffled AND sorted every (v, nl) count row per
+      // round; max_by is one hash aggregate with map-side partials and
+      // no sort. Identical row: lexicographic max of (c, −nl) = highest
+      // count, smallest label on ties — nl is unique within v, so the
+      // argmax is total. All-integer path, no float-order hazard.
       labels = und
         .join(labels.select(col("v").as("u"), col("lbl").as("nl")), Seq("u"))
         .groupBy(col("v"), col("nl")).agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("v"), col("nl").as("lbl"))
+        .groupBy(col("v"))
+        .agg(max_by(col("nl"), struct(col("c"), negate(col("nl")))).as("lbl"))
         // unconditional truncation: each round references the previous
         // once but the chain still compounds 4 window+join layers — the
         // k-core plan-growth rationale at smaller exponent

@@ -70,7 +70,7 @@ object DedupQueries {
 
   /** Flat MinHash signatures (doc_id, k, minhash). */
   def minhashSigs(spark: SparkSession, dir: String): DataFrame =
-    DedupOps.minhashSignatures(spark, Tables.documents(spark, dir))
+    DedupOps.minhashSignatures(spark, Tables.documentsWide(spark, dir))
       .orderBy("doc_id", "k")
 
   private val minhashSigsSql: String =
@@ -81,7 +81,7 @@ object DedupQueries {
 
   /** LSH-banded near-dup pairs verified with exact shingle Jaccard. */
   def minhashLshDups(spark: SparkSession, dir: String): DataFrame =
-    minhashLshDupsFrom(spark, Tables.documents(spark, dir))
+    minhashLshDupsFrom(spark, Tables.documentsWide(spark, dir))
 
   /** Frame-based core of [[minhashLshDups]] (also driven by ScaleSmoke
     * at K× corpus size). */
@@ -184,12 +184,15 @@ object DedupQueries {
     * 100 TB the df table is the vocabulary of shingles — large but
     * ∝ distinct content, never corpus positions. */
   def docBoilerplateShare(spark: SparkSession, dir: String): DataFrame =
-    docBoilerplateShareFrom(spark, Tables.documents(spark, dir))
+    docBoilerplateShareFrom(spark, Tables.documentsWide(spark, dir))
 
   /** [[docBoilerplateShare]] over an arbitrary (doc_id, text) frame. */
   def docBoilerplateShareFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
     val ex = DedupOps.docShingles(docs)
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      // explode_outer + null-filter: see DedupOps.minhashWide (a bare
+      // explode re-runs the shingle pipeline 2x in the inferred filter)
+      .select(col("doc_id"), explode_outer(col("shingles")).as("s"))
+      .filter(col("s").isNotNull)
       .materializeOnce // feeds the df aggregate AND the join-back
     val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
     ex.join(dfreq, Seq("s"))
@@ -698,7 +701,7 @@ object DedupQueries {
     * shared-shingle join — stronger than mirroring the algorithm, it
     * PROVES the no-miss property on this corpus. */
   def jaccardPrefixJoin(spark: SparkSession, dir: String): DataFrame =
-    jaccardPrefixJoinFrom(spark, Tables.documents(spark, dir))
+    jaccardPrefixJoinFrom(spark, Tables.documentsWide(spark, dir))
 
   /** Prefix-join threshold: pairs with exact Jaccard ≥ τ are emitted. */
   val PrefixTau = 0.5
@@ -727,7 +730,9 @@ object DedupQueries {
       maxBucket: Option[Int] = None): DataFrame = {
     val tau = PrefixTau
     val ex = sh
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      // explode_outer + null-filter: see DedupOps.minhashWide
+      .select(col("doc_id"), explode_outer(col("shingles")).as("s"))
+      .filter(col("s").isNotNull)
       .materializeOnce // feeds the frequency aggregate and the ranked join
     val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // ONE ordered window spec for both pos and sz: the size count runs
@@ -799,11 +804,25 @@ object DedupQueries {
         // (order-free: jaccard is array_intersect/size) — a semi-join on
         // the un-materialized sh would re-shingle the whole corpus, and
         // re-tokenizing the candidate docs (the pre-r9 form) reads the
-        // source twice; the grouped rebuild touches candidate rows only
-        val shCand = ex.join(candIds, Seq("doc_id"), "left_semi")
+        // source twice; the grouped rebuild touches candidate rows only.
+        // broadcast(candIds) is BOUNDED-SAFE here (r15, guide §3.1): this
+        // branch only runs when cand.count() ≤ WideVerifyMaxPairs, so
+        // candIds ≤ 2×500k longs ≈ 8 MB — without the hint the planner
+        // saw unknown stats behind the checkpoint and sorted the full
+        // exploded-shingle frame for a sort-merge semi-join TWICE (both
+        // broadcast subtrees), the r15 stage profile's hottest verify cost
+        val shCand = ex.join(broadcast(candIds), Seq("doc_id"), "left_semi")
           .groupBy(col("doc_id"))
           .agg(collect_list(col("s")).as("shingles"))
+        // the per-pair array_intersect is the verify's CPU floor (r11);
+        // the checkpointed pair frame coalesces to a handful of
+        // partitions, so without an explicit fan-out the whole floor runs
+        // on that handful of cores (r15 stage profile: 4 s of CPU on 4
+        // tasks). Deterministic hash fan-out; pairs ≤ WideVerifyMaxPairs
+        // by the branch guard, so the extra exchange is bounded-small.
         cand
+          .repartition(spark.sparkContext.defaultParallelism,
+            col("a_id"), col("b_id"))
           .join(shCand.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
           .join(shCand.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
           .withColumn("jaccard", round(jaccard(col("sa"), col("sb")), 6))
@@ -873,13 +892,15 @@ object DedupQueries {
     * carries a shingle array per candidate pair; the containment ratio
     * is an exact integer micro-division. */
   def docContainmentPairs(spark: SparkSession, dir: String): DataFrame =
-    docContainmentPairsFrom(spark, Tables.documents(spark, dir))
+    docContainmentPairsFrom(spark, Tables.documentsWide(spark, dir))
 
   /** Frame-based core of [[docContainmentPairs]] (ScaleSmoke probes it at
     * K× corpus size). */
   def docContainmentPairsFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
     val ex = DedupOps.docShingles(docs)
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      // explode_outer + null-filter: see DedupOps.minhashWide
+      .select(col("doc_id"), explode_outer(col("shingles")).as("s"))
+      .filter(col("s").isNotNull)
       .materializeOnce // both rare/non-rare slices + sizes read it
     val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .materializeOnce // vocab-sized; the rare and non-rare filters share it
@@ -1131,7 +1152,7 @@ object DedupQueries {
     * mirrors the df-filter so the driver verifies the PRODUCTION plan.
     * `PrefixJoinSpec` separately proves capped ⊆ exact. */
   def jaccardPrefixJoinCapped(spark: SparkSession, dir: String): DataFrame =
-    jaccardPrefixJoinFrom(spark, Tables.documents(spark, dir),
+    jaccardPrefixJoinFrom(spark, Tables.documentsWide(spark, dir),
       maxBucket = Some(PrefixCap))
 
   private val jaccardPrefixJoinCappedSql: String =
@@ -1161,7 +1182,7 @@ object DedupQueries {
 
   /** 48-bit SimHash per document. */
   def docSimhash(spark: SparkSession, dir: String): DataFrame =
-    DedupOps.simhash48(spark, Tables.documents(spark, dir))
+    DedupOps.simhash48(spark, Tables.documentsWide(spark, dir))
       .orderBy("doc_id")
 
   private val docSimhashSql: String =
@@ -1241,7 +1262,7 @@ object DedupQueries {
     * (measured candidates ∝ dups in ScaleSmoke). Candidates are then
     * Hamming-verified exactly. */
   def simhashBandedDup(spark: SparkSession, dir: String): DataFrame =
-    simhashBandedDupFrom(spark, Tables.documents(spark, dir))
+    simhashBandedDupFrom(spark, Tables.documentsWide(spark, dir))
 
   /** Candidate pairs from the banding equi-join — distinct (a_id, b_id)
     * with both signatures, BEFORE Hamming verification. Exposed so
@@ -1325,7 +1346,7 @@ object DedupQueries {
   /** Winnowing fingerprints (rolling hash over token triples, min per
     * 4-window, distinct) — see DedupOps.winnowFingerprints. */
   def winnowFps(spark: SparkSession, dir: String): DataFrame =
-    DedupOps.winnowFingerprints(Tables.documents(spark, dir))
+    DedupOps.winnowFingerprints(Tables.documentsWide(spark, dir))
       .orderBy("doc_id", "fp")
 
   /** Shared winnowing CTE chain (token hashes → rolling triple hashes →
@@ -1451,7 +1472,7 @@ object DedupQueries {
     * rolling hashes, so the join input is a fixed-density sample of the
     * corpus), never eval × corpus. */
   def winnowContamination(spark: SparkSession, dir: String): DataFrame = {
-    val fps = DedupOps.winnowFingerprints(Tables.documents(spark, dir))
+    val fps = DedupOps.winnowFingerprints(Tables.documentsWide(spark, dir))
       .materializeOnce // feeds the eval side, corpus side and size aggregate
     val isBench = pmod(col("doc_id"), lit(97)) === 0
     val bSize = fps.filter(isBench)
@@ -1506,7 +1527,7 @@ object DedupQueries {
     * ∝ shared shingles, never N²); benchmark docs with no overlap (or
     * no shingles) surface with 0 via the left join. */
   def benchmarkContamination(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsWide(spark, dir)
     // materialized PRE-explode: both join sides derive from the shingle
     // computation (tokenize + md5 — the expensive part, and Catalyst does
     // not dedupe common subtrees), but the explode itself is a cheap
@@ -1550,8 +1571,10 @@ object DedupQueries {
     * ∝ shared shingles, never N². The 0.5 threshold compares the raw
     * integer ratio (identical IEEE division both engines). */
   def contaminationContainment(spark: SparkSession, dir: String): DataFrame = {
-    val ex = DedupOps.docShingles(Tables.documents(spark, dir))
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
+    val ex = DedupOps.docShingles(Tables.documentsWide(spark, dir))
+      // explode_outer + null-filter: see DedupOps.minhashWide
+      .select(col("doc_id"), explode_outer(col("shingles")).as("s"))
+      .filter(col("s").isNotNull)
       .materializeOnce // feeds the benchmark side, corpus side and size aggregate
     val isBench = pmod(col("doc_id"), lit(97)) === 0
     val bSize = ex.filter(isBench)
@@ -1615,8 +1638,10 @@ object DedupQueries {
     * novelty denominator and are omitted (inner semantics, like
     * doc_lm_score). */
   def docNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val ex = DedupOps.docShingles(Tables.documents(spark, dir))
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
+    val ex = DedupOps.docShingles(Tables.documentsWide(spark, dir))
+      // explode_outer + null-filter: see DedupOps.minhashWide
+      .select(col("doc_id"), explode_outer(col("shingles")).as("s"))
+      .filter(col("s").isNotNull)
       .materializeOnce // feeds the denominator aggregate and the first-occurrence pass
     val perDoc = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val novel = ex.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
@@ -1654,7 +1679,7 @@ object DedupQueries {
     * candidate docs (semi-join), the signature agreement is an equi-join
     * on (doc, k) — nothing touches corpus×corpus. */
   def minhashJaccardEst(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsWide(spark, dir)
     val cand = DedupOps.lshCandidates(spark, docs).materializeOnce
     val candIds = cand.select(col("a_id").as("doc_id"))
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
@@ -1692,7 +1717,7 @@ object DedupQueries {
     * banding, signatures and shingles re-derived for candidate docs
     * only. */
   def containmentMinhashEst(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsWide(spark, dir)
     val cand = DedupOps.lshCandidates(spark, docs).materializeOnce
     val candIds = cand.select(col("a_id").as("doc_id"))
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
@@ -1949,7 +1974,9 @@ object DedupQueries {
   def docDupSpansFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val tok = docs.select(col("doc_id"),
-      posexplode(graft.functions.TextFunctions.tokens(col("text"))).as(Seq("pos", "t")))
+      // posexplode_outer + null-filter: see DedupOps.minhashWide
+      posexplode_outer(graft.functions.TextFunctions.tokens(col("text"))).as(Seq("pos", "t")))
+      .filter(col("t").isNotNull)
     val leads = (1 until DupSpanK).map(i => lead(col("t"), i).over(byPos).as(s"t$i"))
     val gramCols = col("t") +: (1 until DupSpanK).map(i => col(s"t$i"))
     val grams = tok
@@ -2014,7 +2041,9 @@ object DedupQueries {
   def dedupSpanRewriteFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val tok = docs.select(col("doc_id"),
-      posexplode(graft.functions.TextFunctions.tokens(col("text"))).as(Seq("pos", "t")))
+      // posexplode_outer + null-filter: see DedupOps.minhashWide
+      posexplode_outer(graft.functions.TextFunctions.tokens(col("text"))).as(Seq("pos", "t")))
+      .filter(col("t").isNotNull)
       .materializeOnce // feeds the gram build AND the coverage join-back
     val leads = (1 until DupSpanK).map(i => lead(col("t"), i).over(byPos).as(s"t$i"))
     val gramCols = col("t") +: (1 until DupSpanK).map(i => col(s"t$i"))

@@ -2116,7 +2116,7 @@ object SimilarityQueries {
     * bounded at d² keys; this removes the CPU of materializing and
     * hashing N·d² individual rows). */
   private def pcaMoment(spark: SparkSession, dir: String): DataFrame =
-    pcaMomentFrom(spark, Tables.embeddings(spark, dir))
+    pcaMomentFrom(spark, Tables.embeddingsWide(spark, dir))
 
   /** [[pcaMoment]] over an arbitrary embeddings frame — the ScaleSmoke
     * entry point for probing the moment pass at K× corpus sizes.
@@ -2134,11 +2134,22 @@ object SimilarityQueries {
     val mvec = emb.select(
       transform(col("embedding"), x => round(x * 1e6).cast("long")).as("m"))
       .materializeOnce // feeds the moment pass AND the per-dim sums
-    val op = mvec
+    // UPPER TRIANGLE ONLY (r15, guide §1.2 "don't compute what you throw
+    // away"): Σx_i·x_j is symmetric, so the N·d² row expansion — the
+    // moment pass's whole cost — only needs j ≥ i (d(d+1)/2 of d² rows,
+    // a measured ~2× on the expansion stage); the mirror is re-created
+    // on the d²-row aggregate afterwards. Exact: decimal sums of
+    // identical products are order-free, so sxx(j,i) ≡ sxx(i,j) to the
+    // bit. The second posexplode runs over slice(m, i+1, d) — 1-based
+    // slice start i+1 = 0-based elements i.. — giving j = i + pos.
+    val opUp = mvec
       .select(col("m"), posexplode(col("m")).as(Seq("i", "xi")))
-      .select(col("i"), col("xi"), posexplode(col("m")).as(Seq("j", "xj")))
-      .groupBy(col("i"), col("j"))
+      .select(col("i"), col("xi"),
+        posexplode(slice(col("m"), col("i") + 1, lit(EmbDim))).as(Seq("dj", "xj")))
+      .groupBy(col("i"), (col("i") + col("dj")).as("j"))
       .agg(sum((col("xi") * col("xj")).cast("decimal(38,0)")).as("sxx"))
+    val op = opUp.unionAll(opUp.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("sxx")))
     val sx = mvec.select(posexplode(col("m")).as(Seq("i", "xi")))
       .groupBy(col("i")).agg(sum(col("xi").cast("decimal(38,0)")).as("sx"))
     // (no checkpoint: both uses are one cheap scan of the mvec

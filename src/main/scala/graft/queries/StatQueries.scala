@@ -1231,7 +1231,7 @@ object StatQueries {
   def ordersBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.DedupOps
     val reps = spark.range(0, BootstrapReps).select(col("id").as("rep"))
-    val base = Tables.orders(spark, dir)
+    val base = Tables.ordersWide(spark, dir)
       .select(col("o_orderkey"),
         (col("o_totalprice").cast("decimal(18,6)") * 1000000)
           .cast("decimal(38,0)").as("pm"))
