@@ -16,6 +16,11 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // GRAFT_EXPLAIN_FULL=1: audit-form plans (materialization off), so the
+    // formatted output shows the full lineage instead of truncating at
+    // every eager localCheckpoint boundary — the r15 plans/ deliverable.
+    if (sys.env.get("GRAFT_EXPLAIN_FULL").contains("1"))
+      sys.props("graft.materialize") = "off"
     names.foreach { n =>
       println(s"========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

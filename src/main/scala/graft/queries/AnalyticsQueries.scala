@@ -2365,18 +2365,17 @@ object AnalyticsQueries {
       .localCheckpoint(true)
     var labels = und.select(col("v")).distinct().withColumn("lbl", col("v"))
     for (_ <- 1 to LpaRounds) {
-      // per-node argmax via max_by over struct(c, −nl), not a row_number
-      // window (r15, guide §2.3 "aggregate before you shuffle"): the
-      // window form re-shuffled AND sorted every (v, nl) count row per
-      // round; max_by is one hash aggregate with map-side partials and
-      // no sort. Identical row: lexicographic max of (c, −nl) = highest
-      // count, smallest label on ties — nl is unique within v, so the
-      // argmax is total. All-integer path, no float-order hazard.
+      // row_number window, NOT max_by (r15 A/B): max_by's struct-typed
+      // ordering buffer forces SortAggregate (no partial group-limit),
+      // which measured slower than this window — Spark executes the
+      // rank-1 filter with a partial WindowGroupLimit before the shuffle
+      val w = Window.partitionBy(col("v")).orderBy(col("c").desc, col("nl"))
       labels = und
         .join(labels.select(col("v").as("u"), col("lbl").as("nl")), Seq("u"))
         .groupBy(col("v"), col("nl")).agg(count(lit(1)).as("c"))
-        .groupBy(col("v"))
-        .agg(max_by(col("nl"), struct(col("c"), negate(col("nl")))).as("lbl"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("v"), col("nl").as("lbl"))
         // unconditional truncation: each round references the previous
         // once but the chain still compounds 4 window+join layers — the
         // k-core plan-growth rationale at smaller exponent

@@ -1182,7 +1182,7 @@ object DedupQueries {
 
   /** 48-bit SimHash per document. */
   def docSimhash(spark: SparkSession, dir: String): DataFrame =
-    DedupOps.simhash48(spark, Tables.documentsWide(spark, dir))
+    DedupOps.simhash48(spark, Tables.documents(spark, dir))
       .orderBy("doc_id")
 
   private val docSimhashSql: String =
@@ -1262,7 +1262,7 @@ object DedupQueries {
     * (measured candidates ∝ dups in ScaleSmoke). Candidates are then
     * Hamming-verified exactly. */
   def simhashBandedDup(spark: SparkSession, dir: String): DataFrame =
-    simhashBandedDupFrom(spark, Tables.documentsWide(spark, dir))
+    simhashBandedDupFrom(spark, Tables.documents(spark, dir))
 
   /** Candidate pairs from the banding equi-join — distinct (a_id, b_id)
     * with both signatures, BEFORE Hamming verification. Exposed so

@@ -454,6 +454,11 @@ object SimilarityQueries {
     * rows: the recompute half of a Lloyd step. Component avgs rounded to 6
     * so the downstream argmax is engine-stable. */
   private def centroidsOf(spark: SparkSession, assigned: DataFrame): DataFrame =
+    // posexplode + (cluster, pos) aggregate, NOT d per-component avg
+    // aggregates on the unexploded frame (r15 A/B): 64 avg expressions
+    // put ~128 fields in the aggregation buffer, past the codegen
+    // field limit — the whole stage fell back to interpreted row-based
+    // aggregation and the embedding family regressed ~1.3-2x end to end.
     assigned
       .select(col("cluster").as("c_label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("c_label"), col("pos"))
@@ -470,6 +475,12 @@ object SimilarityQueries {
     * below derive from it. */
   private def rankedAssign(spark: SparkSession, emb: DataFrame, cent: DataFrame): DataFrame = {
     val dotF = dotFast(spark) _
+    // row_number window, NOT max_by (r15 A/B): a max_by whose value
+    // struct carries the embedding array cannot use HashAggregateExec
+    // (array-typed buffer) and fell back to SortAggregate on both sides
+    // of the exchange — strictly worse than this window, which Spark
+    // already executes with a partial WindowGroupLimit (top-1 per vector
+    // kept map-side before the shuffle).
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_sim").desc, col("c_label"))
     emb.crossJoin(broadcast(cent))
@@ -795,6 +806,8 @@ object SimilarityQueries {
         x => x.getField("cv")).as("centroid"))
       .withColumn("c_norm", sqrt(dotF(col("centroid"), col("centroid"))))
     def assignV(embT: DataFrame, cent: DataFrame): DataFrame = {
+      // window, not max_by — the array-payload SortAggregate fallback,
+      // see rankedAssign
       val w = Window.partitionBy(col("variant"), col("vec_id"))
         .orderBy(col("c_sim").desc, col("c_label"))
       embT.join(broadcast(cent), Seq("variant"))
