@@ -20,42 +20,57 @@ package graft.plans
 object PlanDiff {
 
   /** Per-round artifact names — bump together once per round. */
-  val CurrentArtifact = "PLANS_r15.json"
-  val PreviousArtifact = "PLANS_r14.json"
-  val DiffArtifact = "PLANS_DIFF_r15.json"
+  val CurrentArtifact = "PLANS_r16.json"
+  val PreviousArtifact = "PLANS_r15.json"
+  val DiffArtifact = "PLANS_DIFF_r16.json"
 
   /** Intentional plan changes this round, query → reason. A whitelist
     * entry licenses ONE round's diff; next round the changed plan is the
     * new baseline and the entry should be dropped. */
-  private val FanOut =
-    "r15 optimization: scale-adaptive scan fan-out (Tables.fanOutNarrowScan, " +
-      "guide §2.5 input-skew) — one extra hash exchange that only exists when " +
-      "the base scan plans fewer splits than the session parallelism; at " +
-      "cluster scale the branch is a no-op. Measured win in OPTIMIZATION_r15.md."
+  private val PrefixVerify =
+    "r16 optimization (guide §2.4/§2.5/§3.1, measured in OPTIMIZATION_r16.md): " +
+      "(1) the prefix frequency df now attaches via count() OVER " +
+      "(PARTITION BY s) instead of groupBy(s)+join-back — one hash(s) pass, " +
+      "the join and one aggregate drop, one window appears (rows and df " +
+      "values identical: the join was inner on a key built from the frame " +
+      "itself); (2) both wide-verify shingle sides get explicit broadcast() " +
+      "— bounded by the WideVerifyMaxPairs branch guard — so the per-pair " +
+      "array_intersect floor evaluates in the explicitly repartitioned " +
+      "32-task probe stage instead of an AQE-coalesced 3-task stage " +
+      "(QueryProf: 4.54 to 2.25 s)."
   val whitelist: Map[String, String] = Map(
-    "orders_bootstrap_ci" -> (FanOut +
-      " Here it parallelizes the 20-replicate md5 fan-out (was one 2.5 s task)."),
-    "doc_containment_pairs" -> FanOut,
-    "doc_ngram_novelty" -> FanOut,
-    "doc_boilerplate_share" -> FanOut,
-    "embedding_pca_power" -> (FanOut +
-      " Lineage-view scan/shuffle counts double because the audit form repeats " +
-      "the fanned scan subtree per moment-matrix consumer; the executed form " +
-      "materializes it once (materialize_points unchanged)."),
-    "embedding_pca_two" -> (FanOut +
-      " Same lineage-view repetition note as embedding_pca_power."),
-    "jaccard_prefix_join" -> ("r15 optimization: " +
-      "(1) scan fan-out as in orders_bootstrap_ci; (2) broadcast(candIds) on " +
-      "the wide-verify semi-join — bounded by the WideVerifyMaxPairs branch " +
-      "guard, replaces two full sort-merge sorts of the exploded-shingle " +
-      "frame (joins/sorts/broadcast counts move accordingly); (3) an explicit " +
-      "bounded hash fan-out of the verified pair frame before the per-pair " +
-      "array_intersect floor. Guide §3.1/§2.5; measured in OPTIMIZATION_r15.md."),
-    "jaccard_prefix_join_capped" -> ("r15 optimization: same three changes as " +
-      "jaccard_prefix_join (shared jaccardPrefixJoinFromShingles core)."),
-    "lsh_tuning_report" -> ("r15 optimization: inherits the " +
-      "jaccard_prefix_join wide-verify changes through its shared exact leg " +
-      "(jaccardPrefixJoinFromShingles); its own corpus read is unchanged."))
+    "unigram_em_counts" -> ("r16 optimization (guide §1.2/§5): the 8-step " +
+      "Viterbi DP folds into ONE row-local aggregate() over a broadcast " +
+      "piece-score map — the 8 vocab joins, their exchanges and the 8 eager " +
+      "per-step checkpoints disappear (QueryProf 3.33 to 0.98 s); state " +
+      "encoding and tie-breaks are byte-identical, oracle-green at both SFs."),
+    "unigram_lm_segment" -> ("r16 optimization: same one-pass Viterbi DP as " +
+      "unigram_em_counts (shared unigramViterbi core; QueryProf 3.35 to 0.81 s)."),
+    "jaccard_prefix_join" -> PrefixVerify,
+    "jaccard_prefix_join_capped" -> (PrefixVerify +
+      " Shared jaccardPrefixJoinFromShingles core."),
+    "lsh_tuning_report" -> (PrefixVerify +
+      " Also r16: the five banding legs no longer checkpoint their candidate " +
+      "frames — both consumers share the distinct's exchange via reuse and " +
+      "the legs' stages run concurrently in one action (guide §2.6)."),
+    "snm_multipass_dups" -> ("r16 optimization (guide §2.4): the two per-key " +
+      "SNM numbering passes stack into ONE grouped two-phase numbering " +
+      "(GlobalWindow.groupedRowNumberWithCount) — one range shuffle and one " +
+      "checkpoint instead of two of each; within-pass ranks are identical " +
+      "because passes are contiguous in the stacked order."),
+    "customer_rfm" -> ("r16 optimization (guide §2.4): the three quintile " +
+      "cuts stack into ONE grouped two-phase numbering over a narrow " +
+      "(custkey, metric, value) frame instead of three sequential " +
+      "GlobalWindow.ntile passes over the growing customer frame — two range " +
+      "shuffles and two checkpoints drop; sort-value negation preserves each " +
+      "cut's exact order and tiebreak (oracle-green at both SFs)."),
+    "part_community_modularity" -> ("r16 optimization (guide §2.4/§3.1): " +
+      "SHUFFLE_HASH hints on the two node-keyed label joins of the internal-" +
+      "edge count, plus (digest-invisible, below the round checkpoints — " +
+      "part_label_propagation's digest is unchanged for the same reason) " +
+      "each LPA round now repartitions once on hash(v, n) for its aggregate " +
+      "AND window and SHUFFLE_HASH-hints the label join side. QueryProf: " +
+      "modularity 4.50 to 3.88 s, label_propagation 4.12 to 3.02 s."))
 
   /** The digest fields of one artifact line (parsed from our own fixed
     * writer format — see [[PlanDigest.toJsonLine]]). `materializePoints`

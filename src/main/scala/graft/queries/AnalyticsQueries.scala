@@ -1182,17 +1182,33 @@ object AnalyticsQueries {
     * peel propagates that). The standard recommender/fraud-ring
     * pre-filter.
     *
-    * Peeling is iterative with a data-dependent round count; this runs a
-    * FIXED 12-round unroll (measured fixpoints on the harness data: 1
-    * round at sf0.001, 11 at sf0.01, 3 at sf0.1) and emits a `converged`
-    * flag — TRUE iff a 13th peel would remove nothing, so an unconverged
-    * run is visible in the output, not silently wrong. Each round is two
+    * Peeling is iterative with a data-dependent round count; this runs
+    * UP TO 12 rounds (the cost cap), stopping early at the fixpoint —
+    * a peel that removes nothing makes every later peel the identity,
+    * so the early stop is bit-identical to the full unroll (measured
+    * fixpoints on the harness data: 1 round at sf0.001, 11 at sf0.01, 3
+    * at sf0.1) — and emits a `converged` flag — TRUE iff a further peel
+    * would remove nothing, so an unconverged (cap-hit) run is visible
+    * in the output, not silently wrong. Each round is two
     * degree-filtered semi-joins on the (already tiny, ≥2-joint-orders)
     * edge frame; at 100 TB the same rounds run on the bucketed edge list
     * with cost ∝ surviving edges. */
   def partKcore(spark: SparkSession, dir: String): DataFrame = {
     var edges = coPurchaseEdges(spark, dir)
-    for (_ <- 1 to 12) {
+    // FIXPOINT SHORT-CIRCUIT (r16, guide §1.2 — don't compute what you
+    // throw away): a peel that removes no edge makes every later peel
+    // the identity (semi-joins only ever REMOVE rows; equal count ⇒
+    // equal set ⇒ identical degrees next round), so the loop stops as
+    // soon as a round's count matches the previous round's. The result
+    // is bit-identical to the fixed 12-round unroll — only the number
+    // of no-op rounds executed changes (measured fixpoints: round 1 at
+    // sf0.001, 11 at sf0.01, 3 at sf0.1 — seven-plus dead rounds of
+    // checkpoint+shuffle at the bench SF). The count is one cheap job
+    // on the just-checkpointed frame (the tfidfTop scalar-count
+    // precedent); the 12-round cap still bounds cost at any scale.
+    var prev = edges.count()
+    var done = false
+    for (_ <- 1 to 12 if !done) {
       val deg = edges.select(col("src").as("v"))
         .unionAll(edges.select(col("dst").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("d"))
@@ -1209,6 +1225,9 @@ object AnalyticsQueries {
         // shape-identical, and the base edge build is fully audited via
         // part_triangles / part_local_clustering (shared builder).
         .localCheckpoint(true)
+      val c = edges.count()
+      if (c == prev) done = true
+      prev = c
     }
     val finalDeg = edges.select(col("src").as("v"))
       .unionAll(edges.select(col("dst").as("v")))
@@ -1729,14 +1748,31 @@ object AnalyticsQueries {
         decSum(col("o_totalprice")).as("monetary"))
       .crossJoin(broadcast(asof))
       .withColumn("recency_days", datediff(col("asof"), col("last_order")))
-    val tiled = Seq[(String, Seq[Column])](
-      ("r_tile", Seq(col("recency_days").asc, col("o_custkey"))),
-      ("f_tile", Seq(col("frequency").desc, col("o_custkey"))),
-      ("m_tile", Seq(col("monetary").desc, col("o_custkey"))))
-      .foldLeft(per) { case (acc, (name, ord)) =>
-        GlobalWindow.ntile(acc, 5, name)(ord: _*)
-      }
-    tiled
+      .materializeOnce // feeds the three stacked tile legs AND the final join
+    // ONE grouped two-phase numbering for all three quintile cuts (r16,
+    // guide §2.4): the previous fold of three GlobalWindow.ntile passes
+    // range-shuffled the full (and growing) customer frame three times
+    // with three eager checkpoints in strict driver sequence. The cuts
+    // are independent orders over the same frame, so they stack into one
+    // narrow (custkey, metric, sort-value) frame and one grouped
+    // numbering. Sort-value encoding preserves each cut's exact order:
+    // recency ASC is the value itself; frequency/monetary DESC negate
+    // (exact — an integer count and a 2-dp-rounded double); the
+    // o_custkey tiebreak is unchanged.
+    val stacked = Seq(
+      (0, col("recency_days").cast("double")),
+      (1, -col("frequency").cast("double")),
+      (2, -col("monetary")))
+      .map { case (m, v) =>
+        per.select(col("o_custkey"), lit(m).as("metric"), v.as("mv"))
+      }.reduce(_ unionAll _)
+    val tiles = GlobalWindow.groupedNtile(stacked, "metric", 5, "tile")(
+      col("mv"), col("o_custkey"))
+    val wide = tiles.groupBy(col("o_custkey")).agg(
+      max(when(col("metric") === 0, col("tile"))).as("r_tile"),
+      max(when(col("metric") === 1, col("tile"))).as("f_tile"),
+      max(when(col("metric") === 2, col("tile"))).as("m_tile"))
+    per.join(wide, Seq("o_custkey"))
       .withColumn("segment",
         when(col("r_tile") <= 2 && col("f_tile") <= 2 && col("m_tile") <= 2, lit("champion"))
           .when(col("r_tile") >= 4 && col("f_tile") >= 4, lit("at_risk"))
@@ -2360,8 +2396,29 @@ object AnalyticsQueries {
   private def lpaStateFrom(
       edges0: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val edges = edges0
+    // r16 (guide §2.4 remove shuffles / §3.1 join strategy, A/B-settled):
+    // each round keeps its eager localCheckpoint (the measured-fastest
+    // form: a fully lazy 4-round chain re-planned per AQE stage and ran
+    // ~1.2× slower on the family bench), but the round pipeline now
+    //   - repartitions ONCE on hash(v, n) right after the join — the
+    //     clustering both the grouped count AND the argmax window need —
+    //     instead of letting the planner shuffle hash(v, nl) for the
+    //     aggregate and hash(v) again for the window (a checkpoint scan
+    //     reads back as UnknownPartitioning under AQE, so partitioning
+    //     can never carry across rounds; merging the two post-join
+    //     exchanges into one is what IS winnable per round);
+    //   - hints SHUFFLE_HASH on the node-sized label side (checkpoint
+    //     scans carry no size stats, so the planner defaulted to
+    //     sort-merge and re-sorted the adjacency every round);
+    //   - pins the adjacency's fan-out to an explicit hash(u, n) (its
+    //     join-key side) rather than leaving the union at scan layout.
+    // Explicit numPartitions so AQE cannot coalesce one join side and
+    // break co-partitioning within a round. Integer counts and a
+    // deterministic tie-break: partitioning cannot perturb any value.
+    val n = edges0.sparkSession.sessionState.conf.numShufflePartitions
     val und = edges.select(col("src").as("v"), col("dst").as("u"))
       .unionAll(edges.select(col("dst").as("v"), col("src").as("u")))
+      .repartition(n, col("u"))
       .localCheckpoint(true)
     var labels = und.select(col("v")).distinct().withColumn("lbl", col("v"))
     for (_ <- 1 to LpaRounds) {
@@ -2371,14 +2428,17 @@ object AnalyticsQueries {
       // rank-1 filter with a partial WindowGroupLimit before the shuffle
       val w = Window.partitionBy(col("v")).orderBy(col("c").desc, col("nl"))
       labels = und
-        .join(labels.select(col("v").as("u"), col("lbl").as("nl")), Seq("u"))
+        .join(labels.select(col("v").as("u"), col("lbl").as("nl"))
+          .hint("shuffle_hash"), Seq("u"))
+        .repartition(n, col("v"))
         .groupBy(col("v"), col("nl")).agg(count(lit(1)).as("c"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("v"), col("nl").as("lbl"))
         // unconditional truncation: each round references the previous
         // once but the chain still compounds 4 window+join layers — the
-        // k-core plan-growth rationale at smaller exponent
+        // k-core plan-growth rationale at smaller exponent (and the
+        // lazy form A/B-measured slower, see above)
         .localCheckpoint(true)
     }
     (edges, und, labels)
@@ -2413,8 +2473,13 @@ object AnalyticsQueries {
       .groupBy(col("lbl"))
       .agg(count(lit(1)).as("community_size"), sum(col("d")).as("degree_sum"))
     val internal = edges
-      .join(labels.select(col("v").as("src"), col("lbl").as("ls")), Seq("src"))
-      .join(labels.select(col("v").as("dst"), col("lbl").as("ld")), Seq("dst"))
+      // SHUFFLE_HASH on the node-sized label sides (r16, guide §3.1):
+      // checkpoint scans carry no size stats, so the planner defaulted
+      // to sort-merge and sorted the edge frame twice per query
+      .join(labels.select(col("v").as("src"), col("lbl").as("ls"))
+        .hint("shuffle_hash"), Seq("src"))
+      .join(labels.select(col("v").as("dst"), col("lbl").as("ld"))
+        .hint("shuffle_hash"), Seq("dst"))
       .filter(col("ls") === col("ld"))
       .groupBy(col("ls"))
       .agg(count(lit(1)).as("internal_edges"))

@@ -713,34 +713,56 @@ object CorpusQueries {
       .select(col("piece"),
         round(log(col("sub_freq").cast("double") / col("tot")) * 1e6)
           .cast("long").as("score_micro"))
-      .materializeOnce // joined once per DP step
-    val b0 = fq.select(col("w"), col("len"), col("freq"),
-      lit(0L).as("best"), lit(0).as("np"), lit("").as("seg"))
-    val bs = scala.collection.mutable.ArrayBuffer(b0)
-    for (j <- 1 to UniMaxLen) {
-      val cands = (1 to math.min(UniMaxPiece, j)).map { k =>
-        bs(j - k).filter(col("len") >= j)
-          .withColumn("piece", expr(s"substring(w, ${j - k + 1}, $k)"))
-          .join(vocab, "piece")
-          .select(col("w"), col("len"), col("freq"),
-            (col("best") + col("score_micro")).as("nb"),
-            (col("np") + 1).as("nnp"),
-            concat(col("seg"), lit("|"), col("piece")).as("nseg"))
-      }
-      val bj = cands.reduce(_ unionAll _)
-        .withColumn("key",
-          concat(lpad((col("nb") + UniKeyOffset).cast("string"), 9, "0"),
-            lpad((lit(99) - col("nnp")).cast("string"), 2, "0"),
-            col("nseg")))
-        .groupBy(col("w"), col("len"), col("freq")).agg(max(col("key")).as("key"))
-        .select(col("w"), col("len"), col("freq"),
-          (expr("CAST(substring(key, 1, 9) AS BIGINT)") - UniKeyOffset).as("best"),
-          (lit(99) - expr("CAST(substring(key, 10, 2) AS INT)")).as("np"),
-          expr("substring(key, 12)").as("seg"))
-        .localCheckpoint(true) // read by up to UniMaxPiece later steps
-      bs += bj
+    // ONE-PASS DP (r16, guide §1.2/§5 materialization discipline): the
+    // previous form unrolled the 8 Viterbi steps as 8 vocab-joined,
+    // localCheckpoint-ed frames — 8+ strictly sequential driver jobs
+    // whose per-job scheduler latency dominated the query at every SF
+    // (each step was ~90 ms CPU / ~270 ms wall). The word-TYPE frame is
+    // vocabulary-sized and every word is ≤ UniMaxLen chars, so the whole
+    // DP folds into ONE row-local `aggregate` over the piece-score MAP
+    // (vocab is tiny by construction: top UniTopPieces + single chars).
+    // State j is encoded in exactly the step form's sortable key string
+    // (zero-padded enc-score ‖ inverted piece count ‖ segmentation);
+    // `greatest` over the k=1..UniMaxPiece extensions IS the step form's
+    // max(key) over the unioned candidate legs (both skip absent states:
+    // null key / missing vocab piece there, a dropped join row here), so
+    // the kept state — and therefore every emitted row — is identical.
+    val vmap = vocab.agg(
+      map_from_entries(collect_list(struct(col("piece"), col("score_micro"))))
+        .as("vmap"))
+    // key_0: enc-score = 0 + UniKeyOffset (9 digits), np = 0 → "99", seg ""
+    val key0 = f"$UniKeyOffset%09d" + "99"
+    // one extension of a kept state's key by `piece`: enc-score grows by
+    // the piece score, the inverted piece count drops by 1, the piece is
+    // appended to the segmentation — null when the state is absent or
+    // the piece is out of vocabulary (the step form's inner join drop)
+    def ext(prev: Column, piece: Column): Column = {
+      val sc = element_at(col("vmap"), piece)
+      when(prev.isNotNull && sc.isNotNull,
+        concat(
+          lpad((substring(prev, 1, 9).cast("bigint") + sc).cast("string"), 9, "0"),
+          lpad((substring(prev, 10, 2).cast("int") - 1).cast("string"), 2, "0"),
+          prev.substr(lit(12), length(prev)),
+          lit("|"), piece))
     }
-    (1 to UniMaxLen).map(j => bs(j).filter(col("len") === j)).reduce(_ unionAll _)
+    val keys = aggregate(
+      sequence(lit(1), col("len")),
+      array(lit(key0)),
+      (acc, j) => concat(acc, array(
+        greatest((1 to UniMaxPiece).map { k =>
+          // acc(i) holds key_{i-1}; position j extends key_{j-k} by the
+          // k-char piece ending at j (guard j ≥ k keeps indexes valid —
+          // the step form's bs(j-k) bound)
+          when(j >= k, ext(element_at(acc, (j - k + lit(1)).cast("int")),
+            col("w").substr((j - k + lit(1)).cast("int"), lit(k))))
+        }: _*))))
+    fq.crossJoin(broadcast(vmap))
+      .withColumn("key", element_at(keys, col("len") + 1))
+      .filter(col("key").isNotNull)
+      .select(col("w"), col("len"), col("freq"),
+        (expr("CAST(substring(key, 1, 9) AS BIGINT)") - UniKeyOffset).as("best"),
+        (lit(99) - expr("CAST(substring(key, 10, 2) AS INT)")).as("np"),
+        expr("substring(key, 12)").as("seg"))
   }
 
   /** Shared SQL prefix: word types, piece vocabulary with micro scores,

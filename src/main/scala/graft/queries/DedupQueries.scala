@@ -381,6 +381,34 @@ object DedupQueries {
         greatest(col("l_id"), col("r_id")).as("b_id"))
   }
 
+  /** Multi-key SNM candidates in ONE numbering pass (r16, guide §2.4):
+    * the per-pass [[snmCandidates]] form ran one two-phase global
+    * numbering (range shuffle + eager checkpoint + offset pipeline) PER
+    * KEY, in strict driver sequence. The passes are independent orders
+    * over the same docs, so they stack into one (pass, key, doc_id)
+    * frame numbered group-major by [[GlobalWindow.groupedRowNumberWithCount]]
+    * — within-pass ranks are identical to the per-pass numbering (groups
+    * are contiguous in the stacked order), and the neighborhood join
+    * keys on (pass, shifted rank), so each pass pairs exactly as before.
+    * Output is the UNION-ALL of the per-pass candidate pairs. */
+  private[graft] def snmCandidatesMulti(keyed: DataFrame,
+      keys: Seq[Column]): DataFrame = {
+    val stacked = keys.zipWithIndex.map { case (k, p) =>
+      keyed.select(col("doc_id"), k.as("snm_key"), lit(p).as("snm_pass"))
+    }.reduce(_ unionAll _)
+    val rn = GlobalWindow.groupedRowNumberWithCount(stacked, "snm_pass",
+      "rn", "__snm_cnt")(col("snm_key"), col("doc_id"))
+      .select(col("snm_pass"), col("doc_id"), col("rn"))
+      .materializeOnce // both sides of the neighborhood join
+    rn.withColumn("d", explode(array((1 until SnmWindow).map(lit(_)): _*)))
+      .select(col("snm_pass"), col("doc_id").as("l_id"),
+        (col("rn") + col("d")).as("rn_b"))
+      .join(rn.select(col("snm_pass"), col("doc_id").as("r_id"),
+        col("rn").as("rn_b")), Seq("snm_pass", "rn_b"))
+      .select(least(col("l_id"), col("r_id")).as("a_id"),
+        greatest(col("l_id"), col("r_id")).as("b_id"))
+  }
+
   /** Exact-Jaccard verification of SNM candidate pairs — shingles
     * re-derived for candidate docs only (semi-join), the same
     * recompute-narrow discipline as the LSH verify path. */
@@ -392,6 +420,12 @@ object DedupQueries {
     val shCand = DedupOps.docShingles(
         docs.join(candIds, Seq("doc_id"), "left_semi"))
       .materializeOnce // candidate-sized; both verify join sides read it
+    // NOTE (r16, tried and REVERTED): explicit repartition(n, key) on
+    // both sides of each verify join — the prefix-join coalescing fix —
+    // measured +28% here (QueryProf min 2.75→3.51 on sorted_neighbor,
+    // 2.98→3.81 on er_fellegi): AQE already converts these joins to
+    // broadcast at runtime (candidate-doc shingle frame is small), so
+    // the explicit exchanges only added barriers. Left as planner joins.
     cand
       .join(shCand.select(col("doc_id").as("a_id"), col("shingles").as("sa")), Seq("a_id"))
       .join(shCand.select(col("doc_id").as("b_id"), col("shingles").as("sb")), Seq("b_id"))
@@ -420,9 +454,11 @@ object DedupQueries {
         substring(graft.functions.TextFunctions.normText(col("text")),
           SnmKeyLen + 1, SnmKeyLen).as("k1"))
       .materializeOnce
+    // one stacked numbering for both passes (r16): see snmCandidatesMulti
+    // — the union of the two per-pass candidate streams, then one
+    // distinct, exactly as the per-pass form
     snmVerify(docs,
-      snmCandidates(keyed, col("k0"))
-        .union(snmCandidates(keyed, col("k1")))
+      snmCandidatesMulti(keyed, Seq(col("k0"), col("k1")))
         .distinct())
   }
 
@@ -733,8 +769,15 @@ object DedupQueries {
       // explode_outer + null-filter: see DedupOps.minhashWide
       .select(col("doc_id"), explode_outer(col("shingles")).as("s"))
       .filter(col("s").isNotNull)
-      .materializeOnce // feeds the frequency aggregate and the ranked join
-    val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .materializeOnce // feeds the df window pass and the verify rebuild
+    // df as a WINDOW over s, not aggregate-then-join-back (r16, guide
+    // §2.4): groupBy(s)+join(ex, "s") planned two hash(s) exchanges (one
+    // reused) plus a sort-merge join — the r15 profile's hottest
+    // remaining stage in this family. count() OVER (PARTITION BY s) is
+    // the same per-shingle row count attached in ONE hash(s) pass, no
+    // join; rows and df values are identical (the join was inner on a
+    // key built from ex itself, so no row was ever dropped).
+    val wdf = Window.partitionBy(col("s"))
     // ONE ordered window spec for both pos and sz: the size count runs
     // as an unbounded frame over the SAME (partition, order) as the
     // row_number, so Catalyst plans a single Window node — the previous
@@ -742,7 +785,7 @@ object DedupQueries {
     // stage's wall measured in isolation (2.6 → 1.1 s at sf0.1; the
     // full query is candidate-join-bound, so its total moves little)
     val ord = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-    val prefixAll = ex.join(freq, "s")
+    val prefixAll = ex.withColumn("df", count(lit(1)).over(wdf))
       .withColumn("pos", row_number().over(ord))
       .withColumn("sz", count(lit(1)).over(
         ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
@@ -820,11 +863,20 @@ object DedupQueries {
         // on that handful of cores (r15 stage profile: 4 s of CPU on 4
         // tasks). Deterministic hash fan-out; pairs ≤ WideVerifyMaxPairs
         // by the branch guard, so the extra exchange is bounded-small.
+        // r16: BOTH shCand sides get explicit broadcast() (bounded-safe:
+        // candidate-doc arrays only, ≤ the pair bound) — the r15 form
+        // left the join strategy to the planner, which shuffled the pair
+        // frame again for the verify joins and AQE-coalesced that
+        // ENSURE_REQUIREMENTS exchange back down to ~3 tasks (bytes are
+        // tiny, the CPU is not — the r16 profile caught the intersect
+        // floor at 4 s CPU / 3 tasks). With broadcasts the probe runs in
+        // the repartitioned 32-task stage, never coalesced (explicit
+        // numPartitions), so the floor finally spreads (guide §2.5/§3.1).
         cand
           .repartition(spark.sparkContext.defaultParallelism,
             col("a_id"), col("b_id"))
-          .join(shCand.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
-          .join(shCand.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
+          .join(broadcast(shCand.select(col("doc_id").as("a_id"), col("shingles").as("sa"))), "a_id")
+          .join(broadcast(shCand.select(col("doc_id").as("b_id"), col("shingles").as("sb"))), "b_id")
           .withColumn("jaccard", round(jaccard(col("sa"), col("sb")), 6))
       } else {
         val exCand = ex.join(candIds, Seq("doc_id"), "left_semi")
@@ -1073,7 +1125,12 @@ object DedupQueries {
           Seq("band", "band_key"))
         .filter(col("a_id") < col("b_id"))
         .select("a_id", "b_id").distinct()
-        .materializeOnce // counted AND probed against exact
+      // NO materializeOnce on the per-leg candidate frame (r16, guide
+      // §2.6 overlap independent work): the two consumers (count leg,
+      // exact probe) sit in the SAME final action and share the distinct
+      // aggregate's exchange via reuse, while the five legs' stages now
+      // run CONCURRENTLY inside one job instead of five eager checkpoint
+      // jobs in strict driver sequence.
       val hits = cand.join(exact, Seq("a_id", "b_id"), "left_semi")
       cand.select(lit(1L).as("c"), lit(0L).as("h"), lit(0L).as("e"))
         .union(hits.select(lit(0L).as("c"), lit(1L).as("h"), lit(0L).as("e")))
@@ -1402,6 +1459,10 @@ object DedupQueries {
     val rolled = DedupOps.winnowRolling(docs).materializeOnce
     val rolling = rolled.select(lit(1L).as("nr"))
     val legs = Seq(4, 8, 16).map { w =>
+      // per-leg materializeOnce KEPT (r16 A/B): dropping it (the
+      // lsh_tuning_report de-checkpoint) measured 1.76→1.99 s — the
+      // sliding-min winnow pass is expensive per row and its two
+      // consumers do NOT share an exchange, so it recomputed twice
       val fps = DedupOps.winnowFromRolling(rolled, w).materializeOnce
       fps.select(lit(1L).as("kept"), lit(0L).as("gd"), lit(0L).as("nr"))
         .union(fps.select(col("fp")).distinct()

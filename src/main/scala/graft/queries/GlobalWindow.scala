@@ -95,6 +95,49 @@ object GlobalWindow {
       .drop(rn, tot)
   }
 
+  /** k INDEPENDENT global numberings for the price of ONE two-phase
+    * pass (r16, guide §2.4/§5 — fewer shuffles, fewer serialized driver
+    * jobs): number the whole frame under (`group`, order) — group-major,
+    * so each group's rows are CONTIGUOUS in the global order — then
+    * rebase every group's numbers to start at 1 with a broadcast
+    * per-group offset, and emit the group's row count (what exact
+    * centile/ntile arithmetic needs). Because groups are contiguous,
+    * within-group rank = global rn − min(global rn of the group) + 1 —
+    * byte-identical to numbering each group separately under `order`.
+    * Replaces k sequential [[rowNumber]]/[[ntile]] invocations (k range
+    * shuffles of the full frame, k eager checkpoints in strict driver
+    * sequence) with one range shuffle of the stacked frame plus one
+    * group-count aggregate. Callers must still include a unique tiebreak
+    * in `order`. */
+  def groupedRowNumberWithCount(df: DataFrame, group: String, rnOut: String,
+      cntOut: String, numParts: Int = DefaultParts)(order: Column*): DataFrame = {
+    val grn = "__gw_grp_rn"
+    val g = numbered(df, numParts, col(group) +: order, rn = Some(grn),
+      total = None, runSum = None)
+    // per-group offsets: ≤ k rows, broadcast back — both this aggregate
+    // and the data side re-read the numbering pass's checkpointed range
+    // frame (cheap post-checkpoint lineage, no extra shuffle)
+    val offs = g.groupBy(col(group)).agg(
+      min(col(grn)).as("__gw_grp_g0"), count(lit(1)).as("__gw_grp_n"))
+    g.join(broadcast(offs), Seq(group))
+      .withColumn(rnOut, col(grn) - col("__gw_grp_g0") + 1L)
+      .withColumn(cntOut, col("__gw_grp_n"))
+      .drop(grn, "__gw_grp_g0", "__gw_grp_n")
+  }
+
+  /** Per-group `ntile(n) OVER (ORDER BY order)` via
+    * [[groupedRowNumberWithCount]] — one range shuffle for k independent
+    * ntile cuts stacked under a group tag. Same SQL-standard bucket rule
+    * as [[ntile]], applied with each group's own row count. */
+  def groupedNtile(df: DataFrame, group: String, n: Int, out: String,
+      numParts: Int = DefaultParts)(order: Column*): DataFrame = {
+    val rn = "__gw_gntile_rn"
+    val tot = "__gw_gntile_tot"
+    groupedRowNumberWithCount(df, group, rn, tot, numParts)(order: _*)
+      .withColumn(out, ntileFromRowNumber(col(rn), n, col(tot)))
+      .drop(rn, tot)
+  }
+
   /** The ntile bucket of global row `rn` among `total` rows: bucket
     * sizes are floor(total/n) with the first (total % n) buckets one
     * larger. All arithmetic is exact for counts < 2^52 (the integer
